@@ -1,0 +1,57 @@
+"""Table sources and metric sinks.
+
+The reference pulls whole tables into pandas via DB cursors
+(``databand_tracking_template.py:12-19``, ``redshift_table_monitor.py:24``);
+here every source is a lazy Spark scan so Catalyst can push filters,
+prune columns, and (for parquet) answer count-star from footers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Driver-generated star schema + extension tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Full/partial table scan (OP-01): lazy parquet read.
+
+    Rebuild of ``SELECT * FROM {table}`` (redshift_table_monitor.py:24)
+    — but lazy: a downstream ``.select``/``.filter`` reaches the parquet
+    scan as column pruning / predicate pushdown instead of materializing
+    the whole table like the reference's cursor fetch.
+    """
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL entry points (OP-11)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_metrics(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Metric sink (OP-12): append a long-format metrics DataFrame.
+
+    Rebuild of ``log_metric`` (s3_key_monitor.py:88-89) — instead of one
+    HTTP call per scalar, the whole metric batch lands as a parquet
+    append partitioned by run date, so 1000 executors write in parallel
+    and downstream readers prune by date.
+    """
+    df.write.mode(mode).parquet(path)

@@ -1,0 +1,211 @@
+"""Table / column profiling — the engine's flagship composite (OP-13, OP-36).
+
+Rebuild of the reference's per-table profile paths:
+``redshift_table_monitor.py:53-73`` (count, duplicates, per-column nulls,
+numeric min/max/mean/median/std), ``snowflake_table_monitor.py:88-128``
+(sampled profile + per-column stats), and the documented metric list
+``DataFrames/README.md:16-25`` (count, nulls, distinct, min/max/mean/std,
+25/50/75 percentiles, histograms).
+
+Spark-first design: ONE ``df.agg(...)`` pass computes every non-distinct
+statistic for every column — partial+final hash aggregation, whole-stage
+codegen, no per-column scans (the reference loops per column:
+``redshift_table_monitor.py:63-73``). Distinct counts are exact by default
+(expand-based multi-distinct) and switch to HyperLogLog
+(``approx_count_distinct``) in ``scale`` mode for the 100 TB path, where
+exact multi-column distinct would shuffle the full table once per column.
+
+Output is long format — one row per column — so profiles of any table
+union into one metrics stream (OP-12) with a fixed schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Fraction digits kept for mean/std/percentiles — matches the reference's
+#: ``round(x, 2)`` habit (redshift_table_monitor.py:69,73) but keeps 4 for
+#: oracle-stable floating-point comparison.
+ROUND_DIGITS = 4
+
+PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("col_name", T.StringType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("n_nulls", T.LongType(), True),
+        T.StructField("n_distinct", T.LongType(), True),
+        T.StructField("min_val", T.DoubleType(), True),
+        T.StructField("max_val", T.DoubleType(), True),
+        T.StructField("mean_val", T.DoubleType(), True),
+        T.StructField("std_val", T.DoubleType(), True),
+        T.StructField("p25", T.DoubleType(), True),
+        T.StructField("median_val", T.DoubleType(), True),
+        T.StructField("p75", T.DoubleType(), True),
+    ]
+)
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    """Schema-driven numeric dispatch (OP-17) — replaces the reference's
+    runtime ``issubdtype(dtype, number)`` test (redshift_table_monitor.py:68)
+    with a static schema check: no data is touched.
+    """
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, T.NumericType)]
+
+
+def profile(df: DataFrame, columns: list[str] | None = None, exact: bool = True) -> DataFrame:
+    """One-pass numeric profile, long format (one output row per column).
+
+    ``exact=False`` is the 100 TB mode: HLL distinct counts and
+    ``percentile_approx`` instead of exact percentile — both are
+    single-pass, mergeable sketches that keep the plan at one shuffle.
+    """
+    cols = columns if columns is not None else numeric_columns(df)
+    if not cols:
+        raise ValueError("profile() needs at least one numeric column")
+
+    # Plan note: exact multi-column count_distinct forces Catalyst's Expand
+    # rewrite (one row copy per distinct agg). Mixing that with sort-based
+    # percentile buffers in ONE aggregate makes every percentile process
+    # N_cols× the rows through the expanded plan — measured 30× slower than
+    # running the two aggregates separately. So: distincts go in their own
+    # single-row aggregate, cross-joined back (1×1 join, free). In scale
+    # mode both collapse into one pass (HLL + approx percentile sketches).
+    aggs = []
+    for c in cols:
+        dc = F.col(c).cast("double")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(f"{c}__n_nulls"),
+            F.min(dc).alias(f"{c}__min_val"),
+            F.max(dc).alias(f"{c}__max_val"),
+            F.round(F.avg(dc), ROUND_DIGITS).alias(f"{c}__mean_val"),
+            F.round(F.stddev(dc), ROUND_DIGITS).alias(f"{c}__std_val"),
+            (
+                F.percentile(dc, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+                if exact
+                else F.percentile_approx(dc, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+            ).alias(f"{c}__pcts"),
+        ]
+    if exact:
+        stats_wide = df.agg(*aggs)
+        distinct_wide = df.agg(
+            *[F.count_distinct(F.col(c)).alias(f"{c}__n_distinct") for c in cols]
+        )
+        wide = stats_wide.crossJoin(distinct_wide)
+    else:
+        aggs += [F.approx_count_distinct(c).alias(f"{c}__n_distinct") for c in cols]
+        wide = df.agg(*aggs)
+
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__n_rows").alias("n_rows"),
+            F.col(f"{c}__n_nulls").alias("n_nulls"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            F.col(f"{c}__min_val").alias("min_val"),
+            F.col(f"{c}__max_val").alias("max_val"),
+            F.col(f"{c}__mean_val").alias("mean_val"),
+            F.col(f"{c}__std_val").alias("std_val"),
+            F.round(F.col(f"{c}__pcts")[0], ROUND_DIGITS).alias("p25"),
+            F.round(F.col(f"{c}__pcts")[1], ROUND_DIGITS).alias("median_val"),
+            F.round(F.col(f"{c}__pcts")[2], ROUND_DIGITS).alias("p75"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
+
+
+def null_counts(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column null counts (OP-29), long format.
+
+    Rebuild of ``df.isna().sum()`` loops (redshift_table_monitor.py:63-66,
+    snowflake_table_monitor.py:118-121) as one aggregation pass.
+    """
+    cols = columns if columns is not None else df.columns
+    wide = df.agg(
+        *[F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(c) for c in cols]
+    )
+    pairs = [
+        F.struct(F.lit(c).alias("col_name"), F.col(c).alias("n_nulls")) for c in cols
+    ]
+    return wide.select(F.explode(F.array(*pairs)).alias("s")).select("s.*")
+
+
+def distinct_counts(df: DataFrame, columns: list[str] | None = None, exact: bool = True) -> DataFrame:
+    """Per-column distinct counts (OP-30), long format.
+
+    ``exact=False`` → ``approx_count_distinct`` (HLL): at 100 TB a
+    multi-column exact distinct is one full shuffle per column (Catalyst
+    ``Expand``), while HLL sketches merge map-side in a single pass.
+    """
+    cols = columns if columns is not None else df.columns
+    agg = F.count_distinct if exact else F.approx_count_distinct
+    wide = df.agg(*[agg(F.col(c)).alias(c) for c in cols])
+    pairs = [
+        F.struct(F.lit(c).alias("col_name"), F.col(c).alias("n_distinct")) for c in cols
+    ]
+    return wide.select(F.explode(F.array(*pairs)).alias("s")).select("s.*")
+
+
+def duplicate_count(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Count of duplicate rows (OP-31): ``count - count(distinct <all cols>)``.
+
+    Rebuild of ``record_count - df.drop_duplicates().shape[0]``
+    (redshift_table_monitor.py:62). Single grouped aggregation — the
+    ``groupBy(all).count`` form shuffles once on the row key and
+    map-side-combines, which survives 100 TB better than materializing
+    ``dropDuplicates()`` and counting it separately.
+    """
+    cols = columns if columns is not None else df.columns
+    grouped = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt"))
+    return grouped.agg(
+        F.coalesce(F.sum(F.col("cnt") - F.lit(1)), F.lit(0)).cast("long").alias("dup_rows"),
+        F.count(F.lit(1)).alias("distinct_rows"),
+    )
+
+
+def record_count(df: DataFrame) -> DataFrame:
+    """Row count as a 1-row DataFrame (OP-22); parquet footer count-star
+    pushdown applies when no filter is present."""
+    return df.agg(F.count(F.lit(1)).alias("record_count"))
+
+
+def numeric_histogram(df: DataFrame, column: str, bin_width: float, origin: float = 0.0) -> DataFrame:
+    """Fixed-width histogram (OP-33, numeric flavor).
+
+    Bin edges are data-independent (``origin + k*bin_width``) so results
+    are deterministic and oracle-comparable — unlike quantile-based edges,
+    this needs no pre-pass over the data and stays a single groupBy.
+    """
+    bin_expr = F.floor((F.col(column) - F.lit(origin)) / F.lit(bin_width)).cast("long")
+    return (
+        df.where(F.col(column).isNotNull())
+        .groupBy(bin_expr.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("bin_count"))
+        .select(
+            "bin",
+            (F.lit(origin) + F.col("bin") * F.lit(bin_width)).alias("bin_lo"),
+            (F.lit(origin) + (F.col("bin") + 1) * F.lit(bin_width)).alias("bin_hi"),
+            "bin_count",
+        )
+    )
+
+
+def categorical_histogram(df: DataFrame, column: str, top_k: int | None = None) -> DataFrame:
+    """Value-frequency histogram (OP-33, categorical flavor); optional top-k
+    keeps the result bounded on high-cardinality columns
+    (``TakeOrderedAndProject`` — no full sort at scale)."""
+    out = df.groupBy(F.col(column).alias("value")).agg(F.count(F.lit(1)).alias("value_count"))
+    if top_k is not None:
+        out = out.orderBy(F.desc("value_count"), F.asc_nulls_last("value")).limit(top_k)
+    return out
+
+
+def table_profile(df: DataFrame, table_name: str, exact: bool = True) -> DataFrame:
+    """Full table profile = numeric profile + table-level counts, tagged
+    with the table name: the engine analog of ``log_dataframe`` (OP-13,
+    s3_bucket_monitor.py:85-93)."""
+    return profile(df, exact=exact).select(F.lit(table_name).alias("table_name"), "*")
