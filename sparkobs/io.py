@@ -9,6 +9,7 @@ prune columns, and (for parquet) answer count-star from footers.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: Driver-generated star schema + extension tables (TESTDATA.md).
 TABLES = (
@@ -33,7 +34,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     scan as column pruning / predicate pushdown instead of materializing
     the whole table like the reference's cursor fetch.
     """
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos-as-long (see session.py) → truncate to microsecond
+        # timestamps, the same precision DuckDB surfaces to Python
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,138 @@
+"""Catalog shape metrics, lookup joins, argmax — the db-monitor rebuild.
+
+Covers OP-05/06/15/16/18/19/23/32/34/37 (SURVEY.md §2.2-§2.4): the
+per-schema "rows × cols per table" metrics of
+``redshift_database_monitor.py:59-116`` and
+``snowflake_database_monitor.py:52-97``, done as DataFrame programs
+instead of pandas loops + ``iterrows()`` metric emission.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SCHEMA_DF_SCHEMA = T.StructType(
+    [
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("column_name", T.StringType(), False),
+        T.StructField("data_type", T.StringType(), False),
+        T.StructField("ordinal", T.IntegerType(), False),
+    ]
+)
+
+
+def schema_as_dataframe(spark: SparkSession, dfs: dict[str, DataFrame]) -> DataFrame:
+    """Catalog column introspection as data (OP-05).
+
+    Rebuild of ``show columns`` / ``pg_table_def`` scans
+    (snowflake_table_monitor.py:64-71, redshift_database_monitor.py:46-48):
+    schemas come from parquet footers (no data scan), materialized as a
+    tiny driver-built DataFrame so shape metrics are ordinary queries.
+    """
+    rows = [
+        (name, f.name, f.dataType.simpleString(), i)
+        for name, df in dfs.items()
+        for i, f in enumerate(df.schema.fields)
+    ]
+    return spark.createDataFrame(rows, SCHEMA_DF_SCHEMA)
+
+
+def table_shapes(dfs: dict[str, DataFrame]) -> DataFrame:
+    """(table_name, row_count, col_count) per table (OP-04/06/23).
+
+    Row counts are per-table count-star aggregates union-ed into one
+    DataFrame — each count is answered from parquet footers (DSv2
+    count-star pushdown), the Spark analog of the reference's
+    metadata-only counts (snowflake_table_monitor.py:57-62).
+    """
+    parts = [
+        df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("row_count"),
+            F.lit(len(df.columns)).cast("long").alias("col_count"),
+        )
+        for name, df in dfs.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def shape_summary(shapes: DataFrame) -> DataFrame:
+    """Schema-level shape metrics (OP-24/25/26/27/37).
+
+    Rebuild of redshift_database_monitor.py:71-103: table census, total/
+    max/mean/median rows, and min column count. The reference's "Min
+    column count" actually computes max (copy-paste bug,
+    redshift_database_monitor.py:97, SURVEY.md §8.2) — we implement the
+    documented intent: min.
+    """
+    return shapes.agg(
+        F.count(F.lit(1)).alias("table_count"),
+        F.sum("row_count").alias("total_rows"),
+        F.max("row_count").alias("max_rows"),
+        F.round(F.avg("row_count"), 4).alias("mean_rows"),
+        F.round(F.percentile("row_count", F.lit(0.5)), 4).alias("median_rows"),
+        F.max("col_count").alias("max_cols"),
+        F.min("col_count").alias("min_cols"),
+    )
+
+
+def lookup_join_fill(
+    base: DataFrame,
+    lookup: DataFrame,
+    on: str,
+    value_col: str,
+    fill: int = 0,
+) -> DataFrame:
+    """Broadcast lookup join with missing→fill (OP-18).
+
+    Rebuild of the dict ``.map`` + ``fillna(0)`` at
+    redshift_database_monitor.py:89-91. The lookup side is explicitly
+    broadcast: at 100 TB the base side never shuffles — a map-side hash
+    join against a dimension that fits in executor memory.
+    """
+    joined = base.join(F.broadcast(lookup), on=on, how="left")
+    return joined.withColumn(
+        value_col, F.coalesce(F.col(value_col), F.lit(fill)).cast("long")
+    )
+
+
+def grouped_distinct(df: DataFrame, group_col: str, value_col: str, exact: bool = True) -> DataFrame:
+    """Per-group distinct count (OP-32): ``groupby(g).nunique(v)``
+    (redshift_database_monitor.py:87-88) as partial+final hash agg;
+    HLL in scale mode."""
+    agg = F.count_distinct(F.col(value_col)) if exact else F.approx_count_distinct(value_col)
+    return df.groupBy(group_col).agg(agg.alias(f"n_distinct_{value_col}"))
+
+
+def argmax(df: DataFrame, label_col: str, measure_col: str) -> DataFrame:
+    """Global top-1 by measure, deterministic tiebreak on label (OP-34).
+
+    Rebuild of the running-max loops (s3_key_monitor.py:116-123,
+    s3_bucket_monitor.py:79-81): ``max_by`` over a (measure, label)
+    struct — a single hash-agg pass, no sort; ties resolve to the
+    largest label so results are oracle-stable.
+    """
+    return df.agg(
+        F.max_by(
+            F.col(label_col), F.struct(F.col(measure_col), F.col(label_col))
+        ).alias(label_col),
+        F.max(F.struct(F.col(measure_col), F.col(label_col)))[measure_col].alias(measure_col),
+    )
+
+
+def argmax_per_group(
+    df: DataFrame, group_col: str, label_col: str, measure_col: str
+) -> DataFrame:
+    """Per-group top-1 (OP-34 grouped): one hash aggregation via max_by —
+    no window sort, no shuffle beyond the groupBy. Ties → largest label."""
+    return df.groupBy(group_col).agg(
+        F.max_by(
+            F.col(label_col), F.struct(F.col(measure_col), F.col(label_col))
+        ).alias(label_col),
+        F.max(F.struct(F.col(measure_col), F.col(label_col)))[measure_col].alias(measure_col),
+    )

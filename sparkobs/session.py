@@ -34,6 +34,9 @@ def get_spark(app_name: str = "sparkobs", extra_conf: dict | None = None) -> Spa
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata's events.parquet stores TIMESTAMP(NANOS); Spark has no
+        # nanos timestamp — read as long, io.load_table converts to micros
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
