@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <scale factor>}
+
+Each query is an entry from __spark_entry__.queries(); timing covers
+plan + execution + a driver-side count (materializes the full result,
+like the driver's collect, without pulling wide rows locally).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "profile_lineitem_stats",
+    "pricing_summary",
+    "revenue_per_nation",
+    "shape_summary_all",
+    "window_tumbling_hourly",
+    "window_session_per_user",
+    "snapshot_count_delta",
+    "text_stats_documents",
+    "exact_dedup_documents",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "streaming_tumbling_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from sparkobs.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("sparkobs-bench")
+    qs = entrymod.queries()
+
+    # warm the JVM/session so the first timed query doesn't pay startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

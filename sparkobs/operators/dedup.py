@@ -1,0 +1,276 @@
+"""Deduplication operators for training-data pipelines (extension).
+
+Four tiers, trading exactness for scale:
+
+1. **Exact** — hash-groupBy on content (or md5 fingerprint): one
+   shuffle keyed by content hash; at 100 TB group by ``md5(text)``
+   instead of raw text so shuffle keys are 16 bytes, not documents.
+2. **Exact n-gram Jaccard** — set-similarity self-join on word
+   shingles: the ground truth for near-dup, O(pairs sharing a shingle).
+   Correct but quadratic against hot shingles — the sf0.01 oracle
+   and the verifier for the approximate tiers.
+3. **MinHash + LSH banding** — deterministic xxhash64 signatures,
+   banded bucket join: candidates only collide within a band bucket,
+   then exact-Jaccard verification on candidates. Linear-ish at scale;
+   recall tested against tier 2 in unit tests.
+4. **SimHash** — 64-bit bit-vote fingerprint + band join on 16-bit
+   sub-keys for near-dup at hamming distance ≤ 3ish.
+
+All pure Catalyst expressions (explode/groupBy/join) — no UDFs, no
+driver-side loops; every stage is a shuffle-parallel DataFrame op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per duplicate group (exact dedup).
+
+    ``min_by`` over the full row in one hash aggregation — no window
+    sort, no second join back.
+    """
+    others = [c for c in df.columns if c not in key_cols]
+    return (
+        df.groupBy(*key_cols)
+        .agg(
+            F.min(F.col(id_col)).alias(id_col),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .select(id_col, *key_cols, "group_size")
+    )
+
+
+def shingle_expr(text_col: str, n: int):
+    """Word n-gram shingles as an array column (pure Catalyst lambda).
+
+    Documents shorter than ``n`` tokens contribute their full text as a
+    single shingle.
+    """
+    return F.expr(
+        f"""
+        CASE WHEN size(split({text_col}, '\\\\s+')) >= {n}
+             THEN array_distinct(transform(
+                    sequence(1, size(split({text_col}, '\\\\s+')) - {n} + 1),
+                    i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), i, {n}))))
+             ELSE array(concat_ws(' ', split({text_col}, '\\\\s+')))
+        END"""
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs (tier 2).
+
+    Set-similarity join: explode distinct shingles → self-join on
+    shingle → per-pair intersection count → Jaccard =
+    |∩| / (|A| + |B| − |∩|), keep pairs ≥ threshold, a < b.
+
+    Scale note: the self-join key is the shingle, so skew concentrates
+    on hot shingles; at 100 TB run tier 3 (MinHash LSH) for candidate
+    generation and this only on candidates. AQE skew-join splitting is
+    on for the hot-key case.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingle_expr(text_col, n)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic MinHash signatures (tier 3): ``num_hashes``
+    xxhash64 functions (seeded 0..k-1) over distinct shingles, min per
+    seed — one explode + one groupBy, signature as an array column."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingle_expr(text_col, n)).alias("sh")
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs (tier 3), exact-verified.
+
+    Band the signature (bands × rows-per-band), bucket-join on
+    (band_idx, band_hash) to get candidates, then exact-Jaccard verify
+    candidates only. At 100 TB the candidate join replaces the full
+    shingle self-join — cost scales with collisions, not pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, n, num_hashes, id_col, text_col)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[bi * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification on candidates only
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingle_expr(text_col, n)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    pair_sh = (
+        cand.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+        .join(
+            sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+        .where(F.col("sh") == F.col("sh_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        pair_sh.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash fingerprint (tier 4): xxhash64 per token, per-bit
+    majority vote, reassembled with shiftleft/bitwise-or — one explode +
+    one groupBy, all JVM-side."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("t"),
+    ).select("id", F.xxhash64("t").alias("h"))
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).alias(f"bit{b}")
+        for b in range(64)
+    ]
+    with_bits = votes.select("id", *bits)
+    acc = F.lit(0).cast("long")
+    for b in range(64):
+        acc = acc.bitwiseOR(F.shiftleft(F.col(f"bit{b}"), b))
+    return with_bits.select(F.col("id").alias("doc_id"), acc.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """SimHash near-dup candidates: band the 64-bit fingerprint into
+    4×16-bit keys (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical band),
+    bucket-join, then exact hamming filter via bit_count(xor)."""
+    sh = simhash(df, **kw)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

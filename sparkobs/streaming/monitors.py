@@ -1,0 +1,122 @@
+"""Structured Streaming monitors (OP-53..57).
+
+Rebuild of the reference's continuous behavior — a cron'd DAG wrapping
+a 10 s polling subprocess with 30 min auto-restart
+(databand_airflow_monitor.py:13-18,90-115) — as checkpointed streams:
+
+- micro-batch trigger (OP-53) ↔ ``trigger(processingTime=...)`` /
+  ``availableNow`` for drain-and-stop;
+- tumbling/sliding/session windows (OP-54/55) reuse the *batch*
+  operators in sparkobs.operators.windows — the same DataFrame program
+  runs in both modes;
+- watermarks bound state for late data (OP-56);
+- run-over-run drift (OP-57) as ``applyInPandasWithState`` keyed by
+  entity, replacing the Airflow-Variable KV store.
+
+Restart/timeout supervision is the checkpoint's job: a restarted query
+resumes from the last committed offsets, which is what the reference's
+retry/timeout machinery approximates by hand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source event stream (new parquet files = new micro-batch
+    data), schema pinned (streams cannot infer)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+
+
+def streaming_tumbling(events: DataFrame, duration: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window metrics (OP-54/56): state for a window
+    is dropped once the watermark passes its end — bounded memory under
+    unbounded input."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def streaming_session(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked session windows per user (OP-55/56)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+DRIFT_STATE_SCHEMA = T.StructType([T.StructField("prev_count", T.LongType())])
+DRIFT_OUT_SCHEMA = (
+    "entity string, batch_count bigint, prev_count bigint, delta bigint"
+)
+
+
+def stateful_count_drift(events: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Stateful run-over-run count drift (OP-57): per-entity previous
+    batch count kept in the state store; each micro-batch emits
+    (count, prev, delta). The streaming rebuild of the
+    Variable.get/set pattern (snowflake_table_monitor.py:97-113)."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        count = 0
+        for pdf in pdfs:
+            count += len(pdf)
+        prev = state.get[0] if state.exists else None
+        state.update((count,))
+        yield pd.DataFrame(
+            {
+                "entity": [key[0]],
+                "batch_count": [count],
+                "prev_count": [prev],
+                "delta": [None if prev is None else count - prev],
+            }
+        )
+
+    return events.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=DRIFT_OUT_SCHEMA,
+        stateStructType=DRIFT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    timeout_s: int = 120,
+) -> None:
+    """Drain all available input through the stream (availableNow
+    trigger, OP-53's drain-and-stop form) into an in-memory table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    q.stop()

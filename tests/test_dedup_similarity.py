@@ -1,0 +1,102 @@
+"""Dedup + similarity: recall of approximate tiers vs exact tiers,
+deterministic fingerprints, planted near-duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkobs.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from sparkobs.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_norms,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("today", "tomorrow")),  # near dup of 0
+        (3, "completely different content about spark engines and shuffles here now"),
+        (4, "another unrelated document discussing parquet footers and row groups"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(spark, docs):
+    out = {r.doc_id: r.group_size for r in exact_dedup(docs, ["text"]).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse, keeper id 0
+    assert 1 not in out
+    assert out[3] == 1
+
+
+def test_ngram_jaccard_finds_planted_pairs(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.2).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical
+    assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0
+    assert (3, 4) not in pairs
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    sf01 = "/root/testdata/sf0.01"
+    d = spark.read.parquet(f"{sf01}/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(d, n=3, threshold=0.2).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(d, n=3, num_hashes=32, bands=8, threshold=0.2).collect()
+    }
+    assert lsh <= exact  # verification step guarantees no false positives
+    # banding (8 bands × 4 rows) at j≥0.8 gives recall ≈ 1; planted dups are ~0.99
+    high = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(d, n=3, threshold=0.8).collect()
+    }
+    assert high <= lsh
+
+
+def test_simhash_identical_and_near(spark, docs):
+    fps = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert fps[0] == fps[1]
+    near = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(docs, max_hamming=10).collect()
+    }
+    assert near[(0, 1)] == 0
+    if (0, 2) in near:
+        assert near[(0, 2)] <= 10
+
+
+def test_cosine_topk_lsh_recall(spark):
+    sf01 = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf01}/embeddings.parquet")
+    brute = {
+        (r.vec_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, k=3).collect()
+    }
+    approx = {
+        (r.vec_id, r.neighbor_id)
+        for r in cosine_topk_lsh(emb, k=3).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+
+
+def test_embedding_norms_positive(spark):
+    sf01 = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf01}/embeddings.parquet")
+    for r in embedding_norms(emb).limit(50).collect():
+        assert r.l2_norm > 0

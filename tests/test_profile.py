@@ -1,0 +1,112 @@
+"""Unit tests for profiling operators: edge cases the oracle data
+doesn't exercise (SURVEY.md §5.3-5.4)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from sparkobs.operators.profile import (
+    categorical_histogram,
+    distinct_counts,
+    duplicate_count,
+    null_counts,
+    numeric_histogram,
+    profile,
+    record_count,
+)
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_profile_basic(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,)], "x double"
+    )
+    r = _one(profile(df, ["x"]))
+    assert r.n_rows == 4 and r.n_nulls == 0 and r.n_distinct == 4
+    assert r.min_val == 1.0 and r.max_val == 4.0
+    assert r.mean_val == 2.5 and r.median_val == 2.5
+    assert abs(r.std_val - 1.2910) < 1e-4  # sample stddev, ddof=1
+
+
+def test_profile_all_null_column(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    r = _one(profile(df, ["x"]))
+    assert r.n_rows == 2 and r.n_nulls == 2 and r.n_distinct == 0
+    assert r.min_val is None and r.mean_val is None
+
+
+def test_profile_empty_input(spark):
+    df = spark.createDataFrame([], "x double")
+    r = _one(profile(df, ["x"]))
+    assert r.n_rows == 0 and r.n_nulls == 0 and r.n_distinct == 0
+
+
+def test_profile_single_row(spark):
+    df = spark.createDataFrame([(7.0,)], "x double")
+    r = _one(profile(df, ["x"]))
+    assert r.median_val == 7.0 and r.std_val is None  # ddof=1 undefined on n=1
+
+
+def test_profile_nan_vs_null(spark):
+    # NaN is a VALUE in Spark double columns (not null) — document the
+    # engine semantics: NaN counts as non-null and as a distinct value.
+    df = spark.createDataFrame([(float("nan"),), (None,), (1.0,)], "x double")
+    r = _one(profile(df, ["x"]))
+    assert r.n_nulls == 1 and r.n_rows == 3
+    assert r.n_distinct == 2  # NaN and 1.0
+
+
+def test_profile_union_doubles_counts(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_quantity")
+    single = _one(profile(df, ["l_quantity"]))
+    double = _one(profile(df.union(df), ["l_quantity"]))
+    assert double.n_rows == 2 * single.n_rows
+    assert double.n_distinct == single.n_distinct
+    assert double.mean_val == single.mean_val
+
+
+def test_duplicate_count_invariants(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "id int, s string")
+    r = _one(duplicate_count(df))
+    assert r.dup_rows == 1 and r.distinct_rows == 2
+    all_dup = spark.createDataFrame([(1,)] * 5, "id int")
+    r2 = _one(duplicate_count(all_dup))
+    assert r2.dup_rows == 4 and r2.distinct_rows == 1
+
+
+def test_null_and_distinct_bounded_by_count(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = df.count()
+    for row in null_counts(df).collect():
+        assert 0 <= row.n_nulls <= n
+    for row in distinct_counts(df).collect():
+        assert 0 <= row.n_distinct <= n
+
+
+def test_histogram_partitions_all_rows(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    hist = numeric_histogram(df, "l_quantity", 10.0).collect()
+    assert sum(r.bin_count for r in hist) == df.count()
+    for r in hist:
+        assert r.bin_hi - r.bin_lo == 10.0
+
+
+def test_categorical_histogram_topk(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    top2 = categorical_histogram(df, "l_returnflag", top_k=2).collect()
+    assert len(top2) == 2
+    assert top2[0].value_count >= top2[1].value_count
+
+
+def test_profile_approx_mode_close(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {r.col_name: r for r in profile(df, ["l_quantity"]).collect()}
+    approx = {r.col_name: r for r in profile(df, ["l_quantity"], exact=False).collect()}
+    e, a = exact["l_quantity"], approx["l_quantity"]
+    assert abs(a.n_distinct - e.n_distinct) <= 0.1 * e.n_distinct + 5
+    assert abs(a.median_val - e.median_val) <= 1.0

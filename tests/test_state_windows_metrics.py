@@ -1,0 +1,115 @@
+"""State/drift, window, metric fan-in, and shape operators."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from sparkobs.operators.metrics import (
+    argmax_entity,
+    collect_metric_lists,
+    fanin_stats,
+    to_metrics_long,
+)
+from sparkobs.operators.shape import argmax, argmax_per_group, lookup_join_fill
+from sparkobs.operators.state import count_delta, make_snapshot, schema_drift
+from sparkobs.operators.windows import session_agg, tumbling_agg
+
+
+SNAP_SCHEMA = "run_ts timestamp, table_name string, row_count bigint, columns array<string>"
+
+
+def test_count_delta_sign_and_first_run(spark):
+    snaps = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1), "t", 100, ["a"]),
+            (datetime(2024, 1, 2), "t", 130, ["a"]),
+            (datetime(2024, 1, 3), "t", 90, ["a"]),
+        ],
+        SNAP_SCHEMA,
+    )
+    rows = {r.run_ts.day: r for r in count_delta(snaps).collect()}
+    assert rows[1].delta is None and rows[1].prev_count is None
+    assert rows[2].delta == 30  # current - previous (documented intent)
+    assert rows[3].delta == -40
+
+
+def test_schema_drift_detects_changes(spark):
+    snaps = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1), "t", 1, ["a", "b", "c"]),
+            (datetime(2024, 1, 2), "t", 1, ["a", "b", "c"]),
+            (datetime(2024, 1, 3), "t", 1, ["a", "c", "d", "e"]),
+        ],
+        SNAP_SCHEMA,
+    )
+    rows = {r.run_ts.day: r for r in schema_drift(snaps).collect()}
+    assert rows[1].columns_changed is None  # first run: nothing to compare
+    assert rows[2].columns_changed is False
+    assert rows[3].n_removed == 1 and rows[3].n_added == 2
+    assert rows[3].columns_changed is True
+
+
+def test_make_snapshot_shape(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = make_snapshot(df, "nation", "2024-06-01 00:00:00").collect()[0]
+    assert r.table_name == "nation" and r.row_count == 25
+    assert r.columns == ["n_nationkey", "n_name", "n_regionkey"]
+
+
+def test_session_window_gap_semantics(spark):
+    # events 29 min apart merge into one session; 31 min apart split
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0)),
+        (1, datetime(2024, 1, 1, 0, 29)),
+        (2, datetime(2024, 1, 1, 0, 0)),
+        (2, datetime(2024, 1, 1, 0, 31)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    out = session_agg(df, "user_id", "30 minutes").collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert per_user[1] == [2]
+    assert sorted(per_user[2]) == [1, 1]
+
+
+def test_tumbling_total_preserved(spark, sf_dir):
+    from sparkobs.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = tumbling_agg(ev, "1 hour")
+    assert agg.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+
+
+def test_metrics_long_and_fanin(spark):
+    wide = spark.createDataFrame(
+        [("e1", 10.0, 1.0), ("e2", 20.0, 3.0)], "entity string, m1 double, m2 double"
+    )
+    long = to_metrics_long(wide, "entity", ["m1", "m2"])
+    assert long.count() == 4
+    stats = {r.metric: r for r in fanin_stats(long).collect()}
+    assert stats["m1"].mean_value == 15.0 and stats["m1"].n_entities == 2
+    am = {r.metric: r.max_entity for r in argmax_entity(long).collect()}
+    assert am == {"m1": "e2", "m2": "e2"}
+    lists = {r.metric: r["values"] for r in collect_metric_lists(long).collect()}
+    assert lists["m1"] == [10.0, 20.0]  # array_sort'ed
+
+
+def test_argmax_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0), ("c", 1.0)], "label string, measure double"
+    )
+    r = argmax(df, "label", "measure").collect()[0]
+    assert r.label == "b"  # tie → largest label
+    grouped = spark.createDataFrame(
+        [("g", "a", 5.0), ("g", "b", 5.0)], "grp string, label string, measure double"
+    )
+    rg = argmax_per_group(grouped, "grp", "label", "measure").collect()[0]
+    assert rg.label == "b"
+
+
+def test_lookup_join_fill_zero(spark):
+    base = spark.createDataFrame([(1, "x"), (2, "y")], "k int, name string")
+    lookup = spark.createDataFrame([(1, 10)], "k int, cnt long")
+    out = {r.k: r.cnt for r in lookup_join_fill(base, lookup, "k", "cnt").collect()}
+    assert out == {1: 10, 2: 0}
