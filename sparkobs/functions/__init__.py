@@ -1,0 +1,67 @@
+"""Scalar function library (OP-42..52) and schema utilities.
+
+Column-expression helpers mirroring the reference's string/path/unit
+manipulations (s3_key_monitor.py:29,49-51,75-86; s3_bucket_monitor.py:
+35-38,54-55; databand_airflow_monitor.py:66-87) — all pure Catalyst,
+usable inside any operator without leaving codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MB = 1048576.0
+GB = MB * 1024.0
+
+
+def basename(path: Column | str) -> Column:
+    """Last path segment (OP-42/43): ``element_at(split(path,'/'),-1)``."""
+    return F.element_at(F.split(path, "/"), -1)
+
+
+def dirname(path: Column | str) -> Column:
+    """Parent prefix (OP-43): everything before the last '/'."""
+    parts = F.split(path, "/")
+    return F.array_join(F.slice(parts, 1, F.size(parts) - 1), "/")
+
+
+def normalize_path(path: Column | str) -> Column:
+    """Collapse duplicate separators and trailing slash (OP-43 analog of
+    ``os.path.normpath``, s3_key_monitor.py:49)."""
+    return F.regexp_replace(F.regexp_replace(path, "/+", "/"), "/$", "")
+
+
+def metric_name(entity: Column | str, suffix: str) -> Column:
+    """``"{entity}-{suffix}"`` metric naming (OP-44, s3_key_monitor.py:75-86)."""
+    return F.concat(F.col(entity) if isinstance(entity, str) else entity, F.lit(f"-{suffix}"))
+
+
+def bytes_to_mb(size: Column | str, digits: int = 4) -> Column:
+    """Unit conversion (OP-52)."""
+    return F.round((F.col(size) if isinstance(size, str) else size) / F.lit(MB), digits)
+
+
+def ts_to_string(ts: Column | str) -> Column:
+    """Timestamp stringification at the sink boundary (OP-47)."""
+    return F.date_format(ts, "yyyy-MM-dd HH:mm:ss")
+
+
+def flatten_struct(df: DataFrame, sep: str = "__") -> DataFrame:
+    """Recursively flatten struct columns into top-level columns with
+    path-joined names (OP-51): the DataFrame analog of the reference's
+    nested-config flatten to ``DBND__core__conf`` env names
+    (databand_airflow_monitor.py:66-87)."""
+    cols = []
+
+    def rec(prefix: list[str], dtype: T.DataType):
+        if isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                rec(prefix + [f.name], f.dataType)
+        else:
+            cols.append(F.col(".".join(prefix)).alias(sep.join(prefix)))
+
+    for f in df.schema.fields:
+        rec([f.name], f.dataType)
+    return df.select(*cols)

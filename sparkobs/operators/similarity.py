@@ -99,9 +99,13 @@ def cosine_topk_bruteforce(
                 }
             )
 
+    # partition count sized to the corpus: ~256 queries per Python
+    # worker amortizes worker spin-up on small inputs while still
+    # fanning out fully on large ones
+    n_part = max(1, min(sc.defaultParallelism, (len(corpus) + 255) // 256))
     return (
         df.select(F.col(id_col), F.col(vec_col))
-        .repartition(sc.defaultParallelism)
+        .repartition(n_part)
         .mapInPandas(score, "vec_id bigint, neighbor_id bigint, cosine double, rank bigint")
     )
 

@@ -1073,6 +1073,120 @@ def streaming_count_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_dir = os.path.join(tempfile.gettempdir(), f"sparkobs_stream_{os.path.basename(sf_dir)}")
     if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
         load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(stage_dir)
-    out = stateful_count_drift(stream_events(spark, stage_dir))
+    out = stateful_count_drift(stream_events(spark, stage_dir, files_per_trigger=1))
     run_to_memory(out, "drift_stream", output_mode="update")
     return spark.table("drift_stream")
+
+
+# ---------------------------------------------------------------------------
+# Monitor compositions (OP-11/12/13) + struct flatten (OP-51)
+# ---------------------------------------------------------------------------
+
+def _table_monitor_oracle(cols: list[str], table: str, proj_sql: str) -> str:
+    per_col = []
+    for c in cols:
+        d = f"CAST({c} AS DOUBLE)"
+        per_col.append(f"""
+        SELECT '{table}.{c}' AS entity, m.metric, m.value FROM (
+          SELECT CAST(count(*) AS DOUBLE) AS n_rows,
+                 CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END),0) AS DOUBLE) AS n_nulls,
+                 CAST(count(DISTINCT {c}) AS DOUBLE) AS n_distinct,
+                 min({d}) AS min_val, max({d}) AS max_val,
+                 round(avg({d}), 4) AS mean_val,
+                 round(stddev_samp({d}), 4) AS std_val,
+                 round(quantile_cont({d}, 0.50), 4) AS median_val
+          FROM ({proj_sql})) w,
+          LATERAL (VALUES ('n_rows', w.n_rows), ('n_nulls', w.n_nulls),
+                          ('n_distinct', w.n_distinct), ('min_val', w.min_val),
+                          ('max_val', w.max_val), ('mean_val', w.mean_val),
+                          ('std_val', w.std_val), ('median_val', w.median_val)) AS m(metric, value)
+        """)
+    dup = f"""
+        SELECT '{table}' AS entity, 'duplicate_rows' AS metric,
+               CAST(coalesce(sum(cnt - 1), 0) AS DOUBLE) AS value
+        FROM (SELECT count(*) AS cnt FROM ({proj_sql}) GROUP BY {', '.join(cols)})
+    """
+    return " UNION ALL ".join(per_col + [dup])
+
+
+@query(
+    "sql_monitor_lineitem",
+    oracle=_table_monitor_oracle(
+        ["l_quantity", "l_extendedprice"],
+        "q",
+        "SELECT l_quantity, l_extendedprice FROM lineitem",
+    ),
+)
+def sql_monitor_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-SQL source → profile metric stream (OP-11/12/13);
+    ref DataFrames/databand_tracking_template.py:5-31 — one execution,
+    not the reference's double query."""
+    from sparkobs.io import register_views
+    from sparkobs.monitors import sql_monitor
+
+    register_views(spark, sf_dir)
+    return sql_monitor(spark, "SELECT l_quantity, l_extendedprice FROM lineitem", "q")
+
+
+@query(
+    "database_monitor_metrics",
+    oracle="""
+    WITH shapes AS (
+        SELECT 'region' AS table_name, CAST(count(*) AS BIGINT) AS row_count,
+               (SELECT CAST(count(*) AS BIGINT) FROM pragma_table_info('region')) AS col_count FROM region UNION ALL
+        SELECT 'nation', count(*), (SELECT count(*) FROM pragma_table_info('nation')) FROM nation UNION ALL
+        SELECT 'customer', count(*), (SELECT count(*) FROM pragma_table_info('customer')) FROM customer UNION ALL
+        SELECT 'supplier', count(*), (SELECT count(*) FROM pragma_table_info('supplier')) FROM supplier UNION ALL
+        SELECT 'part', count(*), (SELECT count(*) FROM pragma_table_info('part')) FROM part UNION ALL
+        SELECT 'orders', count(*), (SELECT count(*) FROM pragma_table_info('orders')) FROM orders UNION ALL
+        SELECT 'lineitem', count(*), (SELECT count(*) FROM pragma_table_info('lineitem')) FROM lineitem UNION ALL
+        SELECT 'events', count(*), (SELECT count(*) FROM pragma_table_info('events')) FROM events UNION ALL
+        SELECT 'documents', count(*), (SELECT count(*) FROM pragma_table_info('documents')) FROM documents UNION ALL
+        SELECT 'embeddings', count(*), (SELECT count(*) FROM pragma_table_info('embeddings')) FROM embeddings),
+    s AS (SELECT CAST(count(*) AS DOUBLE) AS table_count,
+                 CAST(sum(row_count) AS DOUBLE) AS total_rows,
+                 CAST(max(row_count) AS DOUBLE) AS max_rows,
+                 round(avg(row_count), 4) AS mean_rows,
+                 round(quantile_cont(CAST(row_count AS DOUBLE), 0.5), 4) AS median_rows,
+                 CAST(max(col_count) AS DOUBLE) AS max_cols,
+                 CAST(min(col_count) AS DOUBLE) AS min_cols
+          FROM shapes)
+    SELECT 'schema' AS entity, m.metric, m.value
+    FROM s, LATERAL (VALUES ('table_count', s.table_count), ('total_rows', s.total_rows),
+                            ('max_rows', s.max_rows), ('mean_rows', s.mean_rows),
+                            ('median_rows', s.median_rows), ('max_cols', s.max_cols),
+                            ('min_cols', s.min_cols)) AS m(metric, value)
+    """,
+)
+def database_monitor_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Database-monitor composition → metric stream (OP-12 + OP-23..27/37);
+    ref redshift_database_monitor.py:59-116."""
+    from sparkobs.monitors import database_monitor
+
+    return database_monitor(spark, sf_dir)
+
+
+@query(
+    "flatten_struct_events",
+    oracle="""
+    SELECT event_id,
+           event_type AS ev__etype,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS ev__k
+    FROM events
+    """,
+)
+def flatten_struct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct flatten to path-joined columns (OP-51);
+    ref databand_airflow_monitor.py:66-87 (config dict → env names)."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.functions import flatten_struct
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("etype"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        ).alias("ev"),
+    )
+    return flatten_struct(ev)

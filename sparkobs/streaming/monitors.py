@@ -30,14 +30,19 @@ EVENTS_SCHEMA = (
 )
 
 
-def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source event stream (new parquet files = new micro-batch
-    data), schema pinned (streams cannot infer)."""
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(events_dir)
-    )
+def stream_events(
+    spark: SparkSession, events_dir: str, files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source event stream, schema pinned (streams cannot infer).
+
+    ``files_per_trigger=1`` forces one micro-batch per file (useful to
+    exercise multi-batch state); the default lets availableNow drain in
+    as few batches as possible.
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(files_per_trigger))
+    return reader.parquet(events_dir)
 
 
 def streaming_tumbling(events: DataFrame, duration: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

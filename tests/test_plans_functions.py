@@ -1,0 +1,81 @@
+"""Plan discipline: assert the physical plans stay scale-worthy, and
+test the scalar function library."""
+
+from pyspark.sql import functions as F
+
+import sparkobs.queries as Q
+from sparkobs.functions import (
+    basename,
+    bytes_to_mb,
+    dirname,
+    flatten_struct,
+    metric_name,
+    normalize_path,
+)
+from sparkobs.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_partial_final_agg,
+    assert_pruned,
+    assert_pushdown,
+    scans,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = Q.SPARK_QUERIES["pricing_summary"](spark, SF)
+    assert_pushdown(df, "l_shipdate")
+    assert_pruned(df, max_cols=6)  # 6 of lineitem's 11 columns
+    assert_partial_final_agg(df)
+
+
+def test_revenue_per_nation_broadcasts(spark):
+    df = Q.SPARK_QUERIES["revenue_per_nation"](spark, SF)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+    # orders scan reads only the join key + measure
+    assert any(s["schema"].count(":") == 2 for s in scans(df))
+
+
+def test_lookup_join_broadcasts(spark):
+    df = Q.SPARK_QUERIES["lookup_join_fill_nation"](spark, SF)
+    assert_broadcast_join(df)
+
+
+def test_histogram_reads_one_column(spark):
+    df = Q.SPARK_QUERIES["histogram_quantity"](spark, SF)
+    assert_pruned(df, max_cols=1)
+    assert_pushdown(df, "l_quantity")
+
+
+def test_jaccard_no_cartesian(spark):
+    df = Q.SPARK_QUERIES["ngram_jaccard_pairs"](spark, SF)
+    assert_no_cartesian(df)
+
+
+def test_path_helpers(spark):
+    df = spark.createDataFrame(
+        [("s3://bucket//data/part-0.parquet", 2097152)], "path string, size long"
+    )
+    r = df.select(
+        basename("path").alias("b"),
+        dirname("path").alias("d"),
+        normalize_path("path").alias("n"),
+        bytes_to_mb("size").alias("mb"),
+        metric_name("path", "size(MB)").alias("m"),
+    ).collect()[0]
+    assert r.b == "part-0.parquet"
+    assert r.d == "s3://bucket//data"
+    assert r.n == "s3:/bucket/data/part-0.parquet"
+    assert r.mb == 2.0
+    assert r.m.endswith("-size(MB)")
+
+
+def test_flatten_struct_nested(spark):
+    df = spark.createDataFrame([(1, ("a", (2.0, "z")))], "id int, s struct<x:string, y:struct<p:double, q:string>>")
+    out = flatten_struct(df)
+    assert out.columns == ["id", "s__x", "s__y__p", "s__y__q"]
+    r = out.collect()[0]
+    assert r.s__x == "a" and r.s__y__p == 2.0 and r.s__y__q == "z"

@@ -114,7 +114,7 @@ def test_streaming_two_batch_drift(spark, sf_dir, tmp_path):
     ev.coalesce(1).write.mode("overwrite").parquet(stage)
     # second file → second micro-batch (maxFilesPerTrigger=1)
     ev.limit(200).coalesce(1).write.mode("append").parquet(stage)
-    out = stateful_count_drift(stream_events(spark, stage))
+    out = stateful_count_drift(stream_events(spark, stage, files_per_trigger=1))
     run_to_memory(out, "drift_test", output_mode="update")
     rows = spark.table("drift_test").collect()
     # state visible: at least one entity reports a non-null prev_count
