@@ -1,0 +1,125 @@
+"""Join operators beyond plain equi-joins: as-of, zip, set ops, salting.
+
+The reference has only lookup/equi joins (SURVEY.md §2.3); these are
+the joins a monitoring/training-data engine needs at scale that Spark
+doesn't ship as single operators, each built from shuffle-friendly
+primitives:
+
+- **as-of join** — "latest right row at or before the left timestamp"
+  (market-data / snapshot semantics). No sort-merge-as-of in Spark, so
+  it's expressed as a union + window ``last_value(ignorenulls)`` over
+  event time per key: ONE shuffle on (key), no range self-join blowup.
+- **positional zip join** — index-pairing two equal-length frames
+  (OP-20's list zipping, s3_key_monitor.py:159) via row_number joins;
+  provided for parity but carrying struct columns is always better.
+- **salted aggregation** — two-stage groupBy for skewed keys: salt →
+  partial agg on (key, salt) → final agg on key. AQE handles skewed
+  *joins*; skewed *aggregations* still benefit from explicit salting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_value_cols: list[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right.ts <= left.ts`` (backward; ``forward`` = earliest >=),
+    matching DuckDB/pandas ``merge_asof`` semantics.
+
+    Implementation: tag and union both sides, then per key ordered by
+    (ts, side) take ``last_value(..., ignorenulls)`` of the right
+    payload — a single shuffle on the key, linear in rows, no
+    theta-join. Right rows at exactly left.ts match (ties: right sorts
+    before left via the side tag).
+    """
+    rcols = right_value_cols or [c for c in right.columns if c not in (key, ts)]
+    lcols = left.columns
+
+    l_tag = left.select(
+        F.col(key).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
+    )
+    r_tag = right.select(
+        F.col(key).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            l_tag.schema["__lrow"].dataType
+        ).alias("__lrow"),
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    if direction == "backward":
+        w = (
+            W.partitionBy("__k")
+            .orderBy(F.asc("__ts"), F.asc("__side"))
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        filled = unioned.select(
+            "*",
+            *[
+                F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+                for c in rcols
+            ],
+        )
+    elif direction == "forward":
+        w = (
+            W.partitionBy("__k")
+            .orderBy(F.desc("__ts"), F.asc("__side"))
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        filled = unioned.select(
+            "*",
+            *[
+                F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+                for c in rcols
+            ],
+        )
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    return (
+        filled.where(F.col("__side") == 1)
+        .select(
+            *[F.col("__lrow")[c].alias(c) for c in lcols],
+            *[F.col(f"__f_{c}").alias(f"{c}_asof") for c in rcols],
+        )
+    )
+
+
+def zip_join(left: DataFrame, right: DataFrame, order_left: list[str], order_right: list[str]) -> DataFrame:
+    """Positional zip join (OP-20): pair the i-th row of each side under
+    explicit orderings. The reference zips parallel Python lists
+    (s3_key_monitor.py:159,190); here the index is materialized with
+    row_number so the pairing is a plain equi-join (one shuffle each
+    side). Prefer carrying struct columns; this exists for parity."""
+    wl = W.orderBy(*[F.asc(c) for c in order_left])
+    wr = W.orderBy(*[F.asc(c) for c in order_right])
+    ln = left.withColumn("__idx", F.row_number().over(wl))
+    rn = right.withColumn("__idx", F.row_number().over(wr))
+    return ln.join(rn, "__idx").drop("__idx")
+
+
+def salted_group_count(df: DataFrame, key: str, salt_buckets: int = 16) -> DataFrame:
+    """Skew-resistant grouped count: groupBy (key, salt) partial counts,
+    then final groupBy (key). A hot key spreads over ``salt_buckets``
+    reducers in stage 1 instead of landing on one. Identical result to
+    a plain groupBy-count — tested; intended for keys with power-law
+    frequency at 100 TB."""
+    salted = df.withColumn(
+        "__salt", (F.crc32(F.col(key).cast("string")) % salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__c"))
+    return partial.groupBy(key).agg(F.sum("__c").alias("cnt"))

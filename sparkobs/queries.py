@@ -1190,3 +1190,150 @@ def flatten_struct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ev"),
     )
     return flatten_struct(ev)
+
+
+# ---------------------------------------------------------------------------
+# Join/set-op extensions: as-of join, zip join, set ops, rollup, salting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_events_orders",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS o_orderkey,
+             max_by(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate)
+    SELECT e.event_id, e.user_id, e.ts,
+           r.o_orderkey AS o_orderkey_asof,
+           r.o_totalprice AS o_totalprice_asof
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (extension): latest order at-or-before each event per
+    user — union + window last_value(ignorenulls): ONE shuffle on the
+    key, no range self-join; semantics = DuckDB ASOF JOIN (the oracle).
+    Right side deduped to one row per (key, ts) for determinism."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.joins import asof_join
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    )
+    right = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ts"))
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    return asof_join(ev, right, key="user_id", ts="ts").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey_asof"),
+        F.col("o_totalprice_asof"),
+    )
+
+
+@query(
+    "set_except_users",
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-30 20:00:00'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-30 20:00:00'
+    """,
+)
+def set_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (§2.7, the drift primitive OP-40 generalized):
+    users active only in the first half of the stream."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-30 20:00:00").cast("timestamp")
+    first = ev.where(F.col("ts") < cut).select("user_id")
+    second = ev.where(F.col("ts") >= cut).select("user_id")
+    return first.subtract(second)
+
+
+@query(
+    "rollup_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup aggregation (§2.4 note: free from Spark) —
+    subtotals per flag and grand total in one Expand-based pass."""
+    from pyspark.sql import functions as F
+
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "zip_join_nation_supplier",
+    oracle="""
+    WITH l AS (SELECT n_nationkey, n_name,
+                      row_number() OVER (ORDER BY n_nationkey) AS idx FROM nation),
+         r AS (SELECT s_suppkey, s_name,
+                      row_number() OVER (ORDER BY s_suppkey) AS idx
+               FROM (SELECT * FROM supplier ORDER BY s_suppkey LIMIT 25))
+    SELECT l.n_nationkey, l.n_name, r.s_suppkey, r.s_name
+    FROM l JOIN r ON l.idx = r.idx
+    """,
+)
+def zip_join_nation_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional zip join (OP-20); ref s3_key_monitor.py:159,190 list
+    zipping — materialized row index + equi-join."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.joins import zip_join
+
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .orderBy("s_suppkey")
+        .limit(25)
+        .select("s_suppkey", "s_name")
+    )
+    return zip_join(nation, supp, ["n_nationkey"], ["s_suppkey"])
+
+
+@query(
+    "salted_group_count_suppkey",
+    oracle="""
+    SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def salted_group_count_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage salted aggregation (scale utility):
+    result identical to a plain groupBy count — the oracle proves it."""
+    from sparkobs.operators.joins import salted_group_count
+
+    return salted_group_count(load_table(spark, sf_dir, "lineitem"), "l_suppkey")
+
+
+@query("collect_metric_lists_supplier")
+def collect_metric_lists_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal map<metric, sorted list<value>> fan-in (OP-21);
+    ref s3_bucket_monitor.py:115-124. Array-valued → rows-only."""
+    from sparkobs.operators.metrics import collect_metric_lists
+
+    return collect_metric_lists(_supplier_metrics_long(spark, sf_dir))
