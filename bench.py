@@ -29,6 +29,8 @@ HEADLINE = [
     "text_stats_documents",
     "exact_dedup_documents",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_hi",
+    "minhash_lsh_pairs",
     "cosine_topk",
     "streaming_tumbling_events",
 ]
@@ -47,8 +49,19 @@ def main() -> None:
     spark = get_spark("sparkobs-bench")
     qs = entrymod.queries()
 
-    # warm the JVM/session so the first timed query doesn't pay startup
+    # warm the JVM/session so the first timed query doesn't pay startup,
+    # and warm the Python/Arrow worker path (first mapInPandas in a
+    # session pays worker + Arrow init, measured up to ~30 s when it
+    # lands after a long chain of JVM-heavy stages)
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    def _ident(batches):
+        for b in batches:
+            yield b
+
+    spark.range(1000).selectExpr("id", "cast(id as double) x").repartition(8).mapInPandas(
+        _ident, "id long, x double"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -34,11 +34,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     scan as column pruning / predicate pushdown instead of materializing
     the whole table like the reference's cursor fetch.
     """
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark rejects
+        # unless nanos are read as long. Set the conf here (runtime SQL
+        # conf) so the loader works under ANY session — including the
+        # driver harness's vanilla SparkSession, not just ours.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos-as-long (see session.py) → truncate to microsecond
-        # timestamps, the same precision DuckDB surfaces to Python
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # nanos → microsecond TIMESTAMP_NTZ, built via timestampadd from
+        # the epoch so the wall-clock value is independent of the
+        # session timezone (DuckDB surfaces the same naive micros)
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
     return df
 
 

@@ -79,21 +79,90 @@ def ngram_jaccard_pairs(
     generation and this only on candidates. AQE skew-join splitting is
     on for the hot-key case.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingle_expr(text_col, n)).alias("sh")
-    )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    # the set size rides along with every exploded shingle row, so the
+    # per-pair Jaccard needs NO size-lookup joins after the self-join —
+    # sizes become grouping keys (constant per id, free in the hash agg)
+    shingled = df.select(
+        F.col(id_col).alias("id"), shingle_expr(text_col, n).alias("shs")
+    ).select("id", F.size("shs").alias("sz"), F.explode("shs").alias("sh"))
+    a, b = shingled.alias("a"), shingled.alias("b")
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram-Jaccard pairs with PPJoin-style prefix filtering —
+    the high-threshold exact tier.
+
+    For Jaccard ≥ t, two sets must share a shingle within each other's
+    first ``⌊(1−t)·|S|⌋+1`` shingles under a global rarity order — so
+    only those *prefix* shingles act as join keys (candidate generation
+    shrinks by ~t), plus a length filter (``t·|A| ≤ |B| ≤ |A|/t``).
+    Candidates are then verified with the full intersection join.
+    Same result as :func:`ngram_jaccard_pairs` (tested); far fewer
+    candidate pairs when t is high.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"), shingle_expr(text_col, n).alias("shs")
+    ).select("id", F.size("shs").alias("sz"), F.explode("shs").alias("sh"))
+    freq = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        shingled.join(freq, "sh")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("id").orderBy(F.asc("df"), F.asc("sh"))
+            ),
+        )
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.floor((1 - F.lit(threshold)) * F.col("sz")) + 1
+    ).select("id", "sz", "sh")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.sz") >= F.col("a.sz") * threshold)
+            & (F.col("b.sz") <= F.col("a.sz") / threshold),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    left = cand.join(
+        shingled.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "sh"),
+        "id_a",
+    )
+    inter = left.join(
+        shingled.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "sh"),
+        ["id_b", "sh"],
+    )
+    return (
+        inter.groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
         .select(
             "id_a",
             "id_b",
@@ -176,26 +245,26 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # exact verification on candidates only
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingle_expr(text_col, n)).alias("sh")
+    # exact verification on candidates only: (id, shingle) equi-joins
+    # with the set size riding along — no size lookups, no post-filter
+    shingled = df.select(
+        F.col(id_col).alias("id"), shingle_expr(text_col, n).alias("shs")
+    ).select("id", F.size("shs").alias("sz"), F.explode("shs").alias("sh"))
+    left = cand.join(
+        shingled.select(
+            F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "sh"
+        ),
+        "id_a",
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    pair_sh = (
-        cand.join(sh.withColumnRenamed("id", "id_a"), "id_a")
-        .join(
-            sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"),
-            "id_b",
-        )
-        .where(F.col("sh") == F.col("sh_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    inter = left.join(
+        shingled.select(
+            F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "sh"
+        ),
+        ["id_b", "sh"],
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        pair_sh.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
         .select(
             "id_a",
             "id_b",

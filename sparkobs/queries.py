@@ -1337,3 +1337,35 @@ def collect_metric_lists_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
     from sparkobs.operators.metrics import collect_metric_lists
 
     return collect_metric_lists(_supplier_metrics_long(spark, sf_dir))
+
+
+@query(
+    "ngram_jaccard_pairs_hi",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(t) >= 3
+                       THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                                         i -> array_to_string(t[i:i+2], ' ')))
+                       ELSE [array_to_string(t, ' ')] END AS s
+           FROM toks),
+    ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sh FROM sh),
+    inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, a.sz AS sza, b.sz AS szb, count(*) AS i
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+    SELECT ia AS id_a, ib AS id_b,
+           round(i / (sza + szb - i), 4) AS jaccard
+    FROM inter
+    WHERE round(i / (sza + szb - i), 4) >= 0.8
+    """,
+)
+def ngram_jaccard_pairs_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-threshold exact Jaccard pairs via PPJoin-style prefix
+    filtering (extension: dedup tier 2b) — prefix shingles under a
+    global rarity order are the only join keys, plus a set-size bound;
+    full verification on candidates only."""
+    from sparkobs.operators.dedup import ngram_jaccard_pairs_prefix
+
+    return ngram_jaccard_pairs_prefix(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )

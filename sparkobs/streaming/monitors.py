@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 EVENTS_SCHEMA = (
-    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
     "value double, props string"
 )
 
@@ -45,28 +45,49 @@ def stream_events(
     return reader.parquet(events_dir)
 
 
+_NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def _event_time(events: DataFrame) -> DataFrame:
+    """Watermarks require TIMESTAMP (instant); map a TIMESTAMP_NTZ event
+    time to the equal-wall-clock UTC instant, independent of session
+    timezone (naive-as-UTC convention, matching the DuckDB oracle)."""
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        return events.withColumn(
+            "ts",
+            F.expr(f"timestamp_micros(timestampdiff(MICROSECOND, {_NTZ_EPOCH}, ts))"),
+        )
+    return events
+
+
+def _to_ntz(col: str) -> F.Column:
+    return F.expr(f"timestampadd(MICROSECOND, unix_micros({col}), {_NTZ_EPOCH})")
+
+
 def streaming_tumbling(events: DataFrame, duration: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window metrics (OP-54/56): state for a window
     is dropped once the watermark passes its end — bounded memory under
     unbounded input."""
     return (
-        events.withWatermark("ts", watermark)
+        _event_time(events)
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", duration).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .select(_to_ntz("w.start").alias("window_start"), "n_events", "sum_value")
     )
 
 
 def streaming_session(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
     """Watermarked session windows per user (OP-55/56)."""
     return (
-        events.withWatermark("ts", watermark)
+        _event_time(events)
+        .withWatermark("ts", watermark)
         .groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        .select("user_id", _to_ntz("w.start").alias("session_start"), "n_events")
     )
 
 

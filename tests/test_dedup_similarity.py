@@ -100,3 +100,19 @@ def test_embedding_norms_positive(spark):
     emb = spark.read.parquet(f"{sf01}/embeddings.parquet")
     for r in embedding_norms(emb).limit(50).collect():
         assert r.l2_norm > 0
+
+
+def test_prefix_filtered_equals_plain_jaccard(spark):
+    sf01 = "/root/testdata/sf0.01"
+    from sparkobs.operators.dedup import ngram_jaccard_pairs_prefix
+
+    d = spark.read.parquet(f"{sf01}/documents.parquet")
+    plain = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(d, n=3, threshold=0.8).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs_prefix(d, n=3, threshold=0.8).collect()
+    }
+    assert plain == pref
