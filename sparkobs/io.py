@@ -64,12 +64,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def write_metrics(df: DataFrame, path: str, mode: str = "append") -> None:
+def write_metrics(
+    df: DataFrame, path: str, mode: str = "append", partition_by: list[str] | None = None
+) -> None:
     """Metric sink (OP-12): append a long-format metrics DataFrame.
 
     Rebuild of ``log_metric`` (s3_key_monitor.py:88-89) — instead of one
     HTTP call per scalar, the whole metric batch lands as a parquet
-    append partitioned by run date, so 1000 executors write in parallel
-    and downstream readers prune by date.
+    append, written by all executors in parallel. Pass
+    ``partition_by=["run_date"]`` (or similar) when the stream carries a
+    run column so downstream readers get partition pruning.
     """
-    df.write.mode(mode).parquet(path)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

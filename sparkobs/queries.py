@@ -1369,3 +1369,41 @@ def ngram_jaccard_pairs_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs_prefix(
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
     )
+
+
+@query(
+    "set_intersect_users",
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def set_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (§2.7): users with both purchases and errors."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "purchase").select("user_id")
+    b = ev.where(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+@query("bucket_monitor_metrics")
+def bucket_monitor_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-monitor composition over a distributed listing (OP-07/08 +
+    OP-12 fan-in); ref s3_bucket_monitor.py:42-135 — rows-only (FS
+    metadata has no DuckDB analog)."""
+    from sparkobs.monitors import bucket_monitor
+
+    return bucket_monitor(spark, sf_dir, glob="*.parquet")
+
+
+@query("cosine_topk_ivf")
+def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate cosine top-k (extension: similarity
+    tier 3): deterministic coarse quantizer + n_probe inverted lists,
+    exact re-rank inside probed lists; recall unit-tested → rows-only."""
+    from sparkobs.operators.similarity import cosine_topk_ivf
+
+    return cosine_topk_ivf(load_table(spark, sf_dir, "embeddings"), k=5)

@@ -116,3 +116,19 @@ def test_prefix_filtered_equals_plain_jaccard(spark):
         for r in ngram_jaccard_pairs_prefix(d, n=3, threshold=0.8).collect()
     }
     assert plain == pref
+
+
+def test_cosine_ivf_recall(spark):
+    from sparkobs.operators.similarity import cosine_topk_ivf
+
+    sf01 = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf01}/embeddings.parquet")
+    brute = {
+        (r.vec_id, r.neighbor_id) for r in cosine_topk_bruteforce(emb, k=3).collect()
+    }
+    ivf = {
+        (r.vec_id, r.neighbor_id)
+        for r in cosine_topk_ivf(emb, k=3, n_clusters=16, n_probe=4).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"

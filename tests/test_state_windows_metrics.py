@@ -113,3 +113,16 @@ def test_lookup_join_fill_zero(spark):
     lookup = spark.createDataFrame([(1, 10)], "k int, cnt long")
     out = {r.k: r.cnt for r in lookup_join_fill(base, lookup, "k", "cnt").collect()}
     assert out == {1: 10, 2: 0}
+
+
+def test_metric_sink_roundtrip(spark, sf_dir, tmp_path):
+    from sparkobs.io import load_table, write_metrics
+    from sparkobs.monitors import table_monitor
+
+    path = str(tmp_path / "metrics")
+    m = table_monitor(load_table(spark, sf_dir, "nation"), "nation")
+    write_metrics(m, path)
+    write_metrics(m, path)  # append mode: second run adds rows
+    back = spark.read.parquet(path)
+    assert back.count() == 2 * m.count()
+    assert set(back.columns) == {"entity", "metric", "value"}

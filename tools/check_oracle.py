@@ -11,6 +11,7 @@ with repr after per-cell normalization). Run me before every commit:
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -46,9 +47,17 @@ def main() -> int:
     filters = sys.argv[2:]
 
     import __spark_entry__ as entrymod
-    from sparkobs.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("ORACLE_CHECK_VANILLA"):
+        # driver-harness simulation: a SparkSession with NONE of our
+        # configs — queries must self-provision anything they need
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").appName("vanilla").getOrCreate()
+    else:
+        from sparkobs.session import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
