@@ -296,3 +296,51 @@ def label_centroid_stats(
             F.round(F.avg("norm"), 4).alias("avg_l2_norm"),
         )
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup by semantic
+    similarity): all unordered pairs with cosine ≥ threshold.
+
+    Same broadcast-matrix mapInPandas kernel as the brute top-k tier —
+    each partition emits only its rows' above-threshold matches with
+    id_a < id_b, so the n² score matrix never materializes. Swap in the
+    IVF/LSH candidate generators past broadcastable corpus sizes.
+    """
+    import numpy as np
+
+    sc = df.sparkSession.sparkContext
+    corpus = df.select(id_col, vec_col).toPandas()
+    ids_l = corpus[id_col].to_numpy()
+    mat_l = np.array(corpus[vec_col].tolist(), dtype=np.float64)
+    mat_l = mat_l / np.sqrt((mat_l * mat_l).sum(axis=1, keepdims=True))
+    bc = sc.broadcast((ids_l, mat_l))
+    thr = threshold
+
+    def pairs(batches):
+        import pandas as pd
+
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            q = q / np.sqrt((q * q).sum(axis=1, keepdims=True))
+            q_ids = pdf[id_col].to_numpy()
+            sims = np.round(q @ c_mat.T, 6)
+            out = []
+            for i in range(len(q_ids)):
+                hit = (sims[i] >= thr) & (c_ids > q_ids[i])
+                for j in np.nonzero(hit)[0]:
+                    out.append((int(q_ids[i]), int(c_ids[j]), float(sims[i][j])))
+            yield pd.DataFrame(out, columns=["id_a", "id_b", "cosine"])
+
+    n_part = max(1, min(sc.defaultParallelism, (len(corpus) + 255) // 256))
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .repartition(n_part)
+        .mapInPandas(pairs, "id_a bigint, id_b bigint, cosine double")
+    )

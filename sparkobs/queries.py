@@ -1407,3 +1407,27 @@ def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkobs.operators.similarity import cosine_topk_ivf
 
     return cosine_topk_ivf(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS norm FROM v)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))
+                 / (a.norm * b.norm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(generate_series(1, 64), i -> a.e[i] * b.e[i]))
+                / (a.norm * b.norm), 6) >= 0.35
+    """,
+)
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (extension: dedup by
+    semantic similarity) — broadcast-matrix kernel emits only
+    above-threshold pairs, the n² matrix never materializes."""
+    from sparkobs.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )

@@ -175,3 +175,49 @@ def test_text_stats_values(spark):
     r = text_stats(df).collect()[0]
     assert r.n_chars == 8 and r.n_tokens == 3 and r.n_unique_tokens == 2
     assert r.avg_token_len == 2.0
+
+
+def test_streaming_watermark_drops_late_events(spark, tmp_path):
+    """OP-56: once a window has been EVICTED (watermark passed its end
+    before the batch began), a late event for it is dropped — the
+    emitted result is final, no duplicate emission. NB: a late event
+    arriving while the window's state is still live merges into it;
+    eviction is what finalizes (verified against Spark's
+    numRowsDroppedByWatermark)."""
+    import time
+    from datetime import datetime
+
+    from sparkobs.streaming.monitors import stream_events, streaming_tumbling
+
+    stage = str(tmp_path / "late")
+    schema = "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double, props string"
+    batches = [
+        [(1, datetime(2024, 1, 1, 0, 10), 1, "a", 1.0, "{}")],   # opens window 0:00
+        [(2, datetime(2024, 1, 1, 9, 0), 1, "a", 1.0, "{}")],    # watermark → 8:00 next batch
+        [(4, datetime(2024, 1, 1, 10, 0), 1, "a", 1.0, "{}")],   # this batch evicts+emits 0:00
+        [(3, datetime(2024, 1, 1, 0, 20), 1, "a", 1.0, "{}")],   # late: arrives after eviction
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(stage)
+        time.sleep(1.2)  # distinct mtimes → one micro-batch per file
+
+    q = (
+        streaming_tumbling(stream_events(spark, stage, files_per_trigger=1), "1 hour", "1 hour")
+        .writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    q.stop()
+    emitted = [r for r in spark.table("late_test").collect() if r.window_start == datetime(2024, 1, 1, 0, 0)]
+    assert len(emitted) == 1 and emitted[0].n_events == 1  # final, no duplicate
+    assert dropped == 1  # the late event was dropped by the watermark
