@@ -84,7 +84,14 @@ def ngram_jaccard_pairs(
     # sizes become grouping keys (constant per id, free in the hash agg)
     shingled = df.select(
         F.col(id_col).alias("id"), shingle_expr(text_col, n).alias("shs")
-    ).select("id", F.size("shs").alias("sz"), F.explode("shs").alias("sh"))
+    ).select(
+        "id",
+        F.size("shs").alias("sz"),
+        # 8-byte hash join keys instead of shingle strings: cheaper to
+        # shuffle and hash-compare; 64-bit collisions are ~(n_distinct)^2
+        # /2^65 — immaterial to intersection counts at any realistic n
+        F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("sh"),
+    )
     a, b = shingled.alias("a"), shingled.alias("b")
     return (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
@@ -126,7 +133,14 @@ def ngram_jaccard_pairs_prefix(
     """
     shingled = df.select(
         F.col(id_col).alias("id"), shingle_expr(text_col, n).alias("shs")
-    ).select("id", F.size("shs").alias("sz"), F.explode("shs").alias("sh"))
+    ).select(
+        "id",
+        F.size("shs").alias("sz"),
+        # 8-byte hash join keys instead of shingle strings: cheaper to
+        # shuffle and hash-compare; 64-bit collisions are ~(n_distinct)^2
+        # /2^65 — immaterial to intersection counts at any realistic n
+        F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("sh"),
+    )
     freq = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         shingled.join(freq, "sh")
@@ -249,7 +263,14 @@ def minhash_lsh_pairs(
     # with the set size riding along — no size lookups, no post-filter
     shingled = df.select(
         F.col(id_col).alias("id"), shingle_expr(text_col, n).alias("shs")
-    ).select("id", F.size("shs").alias("sz"), F.explode("shs").alias("sh"))
+    ).select(
+        "id",
+        F.size("shs").alias("sz"),
+        # 8-byte hash join keys instead of shingle strings: cheaper to
+        # shuffle and hash-compare; 64-bit collisions are ~(n_distinct)^2
+        # /2^65 — immaterial to intersection counts at any realistic n
+        F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("sh"),
+    )
     left = cand.join(
         shingled.select(
             F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "sh"
