@@ -1,0 +1,89 @@
+"""Property-based invariants (SURVEY.md §5.4) with hypothesis.
+
+Each property runs one Spark job per generated example, so examples are
+capped low; the point is shrinkable counterexamples on edge-shaped data
+(empty strings, NaN, duplicates, unicode), not volume.
+"""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sparkobs.operators.profile import duplicate_count, profile
+from sparkobs.operators.text import text_stats
+from sparkobs.operators.metrics import fanin_stats, to_metrics_long
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+floats = st.one_of(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    st.just(float("nan")),
+    st.none(),
+)
+
+
+@given(xs=st.lists(floats, min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_profile_invariants(spark, xs):
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    r = profile(df, ["x"]).collect()[0]
+    n = len(xs)
+    n_null = sum(1 for x in xs if x is None)
+    assert r.n_rows == n
+    assert r.n_nulls == n_null
+    assert 0 <= r.n_distinct <= n - n_null
+    non_null = [x for x in xs if x is not None and not math.isnan(x)]
+    if non_null and not any(x is not None and math.isnan(x) for x in xs):
+        assert r.min_val == min(non_null)
+        assert r.max_val == max(non_null)
+        # median is rounded to 4 digits (oracle parity), min/max are
+        # exact data values — allow the rounding quantum
+        assert r.min_val - 5e-5 <= r.median_val <= r.max_val + 5e-5
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 3)), min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_duplicate_count_identity(spark, rows):
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = duplicate_count(df).collect()[0]
+    assert r.dup_rows == len(rows) - len(set(rows))
+    assert r.distinct_rows == len(set(rows))
+    assert r.dup_rows + r.distinct_rows == len(rows)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab éü字 "),
+            min_size=1,
+            max_size=40,
+        ).filter(lambda t: t.strip()),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_text_stats_invariants(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    for r in text_stats(df).collect():
+        t = texts[r.doc_id]
+        assert r.n_chars == len(t)
+        assert 1 <= r.n_unique_tokens <= r.n_tokens
+
+
+@given(vals=st.lists(st.floats(min_value=-1e4, max_value=1e4, allow_nan=False), min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_fanin_bounds(spark, vals):
+    wide = spark.createDataFrame(
+        [(str(i), v) for i, v in enumerate(vals)], "entity string, m double"
+    )
+    long = to_metrics_long(wide, "entity", ["m"])
+    r = fanin_stats(long).collect()[0]
+    assert r.n_entities == len(vals)
+    assert r.min_value <= r.mean_value <= r.max_value
