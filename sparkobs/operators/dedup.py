@@ -258,10 +258,24 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        # the verify stage references cand from three branches (two
+        # shingle joins + the id semi-join); persist or the whole
+        # signature→banding pipeline recomputes per branch
+        .persist()
     )
     # exact verification on candidates only: (id, shingle) equi-joins
-    # with the set size riding along — no size lookups, no post-filter
-    shingled = df.select(
+    # with the set size riding along — no size lookups, no post-filter.
+    # Only docs that appear in some candidate pair are re-shingled: at
+    # realistic dup density that semi-join cuts the verify explode to a
+    # few percent of the corpus.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    shingled = df.join(
+        cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+    ).select(
         F.col(id_col).alias("id"), shingle_expr(text_col, n).alias("shs")
     ).select(
         "id",

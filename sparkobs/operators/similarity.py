@@ -69,26 +69,30 @@ def cosine_topk_bruteforce(
         import pandas as pd
 
         c_ids, c_mat, c_norms = bc.value
+        c_index = {int(v): i for i, v in enumerate(c_ids)}
         for pdf in batches:
             q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             q_ids = pdf[id_col].to_numpy()
             q_norms = np.sqrt((q * q).sum(axis=1))
             sims = np.round((q @ c_mat.T) / np.outer(q_norms, c_norms), 6)
+            # self-exclusion, then a batch-wide kth-value threshold: the
+            # per-row Python work drops from O(n) to O(k + ties)
+            for i, qid in enumerate(q_ids):
+                j = c_index.get(int(qid))
+                if j is not None:
+                    sims[i, j] = -np.inf
+            if sims.shape[1] > kk:
+                kth = np.partition(sims, -kk, axis=1)[:, -kk]
+            else:
+                kth = np.full(sims.shape[0], -np.inf)
             out_vec, out_nbr, out_cos, out_rank = [], [], [], []
             for i in range(sims.shape[0]):
-                mask = c_ids != q_ids[i]
-                cand_ids, cand = c_ids[mask], sims[i][mask]
-                # exact top-k without a full sort: threshold at the kth
-                # value, then order only the survivors (ties included,
-                # so the id-tiebreak stays deterministic)
-                if len(cand) > kk:
-                    thresh = np.partition(cand, -kk)[-kk]
-                    keep = cand >= thresh
-                    cand_ids, cand = cand_ids[keep], cand[keep]
-                order = np.lexsort((cand_ids, -cand))[:kk]
+                surv = np.nonzero(sims[i] >= kth[i])[0]  # ~k + ties
+                # exact top-k with deterministic id tiebreak on survivors
+                order = surv[np.lexsort((c_ids[surv], -sims[i][surv]))][:kk]
                 out_vec.extend([q_ids[i]] * len(order))
-                out_nbr.extend(cand_ids[order])
-                out_cos.extend(cand[order])
+                out_nbr.extend(c_ids[order])
+                out_cos.extend(sims[i][order])
                 out_rank.extend(range(1, len(order) + 1))
             yield pd.DataFrame(
                 {
