@@ -1431,3 +1431,65 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.35
     )
+
+
+@query(
+    "streaming_session_events",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    y AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x)
+    SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+    FROM y GROUP BY user_id, sid
+    """,
+)
+def streaming_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows executed AS A STREAM (OP-53/55/56): same
+    micro-batch drain as streaming_tumbling_events; the Catalyst
+    session_window merge must equal the batch islands oracle."""
+    import os
+    import tempfile
+
+    from sparkobs.streaming.monitors import run_to_memory, stream_events, streaming_session
+
+    stage_dir = os.path.join(tempfile.gettempdir(), f"sparkobs_stream_{os.path.basename(sf_dir)}")
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(stage_dir)
+    out = streaming_session(stream_events(spark, stage_dir), "30 minutes")
+    run_to_memory(out, "session_stream", output_mode="complete")
+    return spark.table("session_stream").select("user_id", "session_start", "n_events")
+
+
+@query(
+    "pivot_returnflag_linestatus",
+    oracle="""
+    SELECT l_returnflag,
+           round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS qty_O,
+           round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation; §2.4 note): per-flag quantity by status
+    as columns — Catalyst rewrites to conditional aggregation, exactly
+    the oracle's CASE form."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
+    )
