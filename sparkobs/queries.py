@@ -1493,3 +1493,75 @@ def pivot_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
         F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
     )
+
+
+@query(
+    "topk_orders_per_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def topk_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General per-group top-k (§2.6, k>1 form of OP-34): rank window
+    with deterministic tiebreak; one shuffle on the group key."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.desc("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderkey", "o_totalprice")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+    )
+
+
+@query("profile_lineitem_approx")
+def profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB profile mode (OP-36 scale form): single-pass HLL
+    distinct + approx percentile sketches — approximate by design →
+    rows-only; accuracy bounds unit-tested vs the exact profile."""
+    from sparkobs.operators.profile import table_profile
+
+    return table_profile(load_table(spark, sf_dir, "lineitem"), "lineitem", exact=False)
+
+
+@query(
+    "top_shingles",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(t) >= 3
+                       THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                                         i -> array_to_string(t[i:i+2], ' ')))
+                       ELSE [array_to_string(t, ' ')] END AS s
+           FROM toks),
+    ex AS (SELECT unnest(s) AS shingle FROM sh)
+    SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq
+    FROM ex GROUP BY shingle
+    ORDER BY doc_freq DESC, shingle ASC LIMIT 20
+    """,
+)
+def top_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-k shingles by document frequency (extension:
+    text analysis; the hot-key diagnostic for the dedup self-join) —
+    TakeOrderedAndProject, deterministic tiebreak."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.dedup import shingle_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(shingle_expr("text", 3)).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(20)
+    )
