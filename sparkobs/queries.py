@@ -1565,3 +1565,129 @@ def top_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), F.asc("shingle"))
         .limit(20)
     )
+
+
+@query(
+    "asof_join_forward",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS o_orderkey,
+             max_by(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate)
+    SELECT e.event_id, e.user_id, e.ts,
+           r.o_orderkey AS o_orderkey_asof
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate
+    """,
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (earliest right row at-or-after each event):
+    the direction DuckDB writes as ``ASOF ... ON l.ts <= r.ts``."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    right = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ts"))
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    return asof_join(
+        ev, right, key="user_id", ts="ts", right_value_cols=["o_orderkey"], direction="forward"
+    ).select("event_id", "user_id", "ts", "o_orderkey_asof")
+
+
+@query(
+    "pipeline_filtered_corpus",
+    oracle="""
+    WITH t AS (SELECT doc_id, text, lang, string_split_regex(text, '\\s+') AS toks FROM documents),
+    q AS (SELECT doc_id, text, lang,
+                 len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_unique,
+                 len(list_filter(toks, x -> x in ('the', 'a'))) AS n_stop
+          FROM t),
+    scored AS (SELECT doc_id, text, lang,
+                      round(least(1.0, n_tokens / 50.0) * 0.4
+                            + (n_unique / n_tokens) * 0.4
+                            + (1.0 - n_stop / n_tokens) * 0.2, 4) AS quality
+               FROM q),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.7),
+    deduped AS (SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text)
+    SELECT k.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(k.quality), 4) AS avg_quality
+    FROM deduped d JOIN kept k ON d.doc_id = k.doc_id
+    GROUP BY k.lang
+    """,
+)
+def pipeline_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline composition: quality-score →
+    threshold filter → exact dedup (keep lowest id) → per-language corpus
+    stats. One lazy plan across four operator-library stages — the shape
+    a reference user's production pipeline takes."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.dedup import exact_dedup
+    from sparkobs.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.join(
+        quality_score(docs).select("doc_id", "quality"), "doc_id"
+    )
+    kept = scored.where(F.col("quality") >= 0.7)
+    deduped_ids = exact_dedup(kept, ["text"]).select("doc_id")
+    return (
+        kept.join(deduped_ids, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
+
+
+@query(
+    "mode_columns_lineitem",
+    oracle="""
+    SELECT 'l_returnflag' AS col_name, mode_val, CAST(cnt AS BIGINT) AS mode_count FROM (
+      SELECT l_returnflag AS mode_val, count(*) AS cnt FROM lineitem
+      GROUP BY 1 ORDER BY cnt DESC, mode_val DESC LIMIT 1)
+    UNION ALL
+    SELECT 'l_linestatus', mode_val, cnt FROM (
+      SELECT l_linestatus AS mode_val, count(*) AS cnt FROM lineitem
+      GROUP BY 1 ORDER BY cnt DESC, mode_val DESC LIMIT 1)
+    """,
+)
+def mode_columns_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column mode (most frequent value, deterministic tiebreak) —
+    profiling addition over the categorical histogram: max_by over
+    (count, value) per column, unioned long-format."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for c in ["l_returnflag", "l_linestatus"]:
+        counts = li.groupBy(F.col(c).alias("mode_val")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        parts.append(
+            counts.agg(
+                F.lit(c).alias("col_name"),
+                F.max_by(
+                    F.col("mode_val"), F.struct(F.col("cnt"), F.col("mode_val"))
+                ).alias("mode_val"),
+                F.max(F.struct(F.col("cnt"), F.col("mode_val")))["cnt"].alias(
+                    "mode_count"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
