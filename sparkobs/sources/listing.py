@@ -89,6 +89,8 @@ def key_metrics(listing: DataFrame) -> DataFrame:
     """Per-object metrics (OP-09): basename, size (bytes + MB), mtime.
 
     Rebuild of monitor_S3_key's metric dict (s3_key_monitor.py:72-89).
+    The MB division happens exactly once — the reference divides twice
+    (compute at :126, again when logging at :131; SURVEY.md §8.1).
     """
     return listing.select(
         F.element_at(F.split("path", "/"), -1).alias("key"),

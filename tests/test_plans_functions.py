@@ -79,3 +79,19 @@ def test_flatten_struct_nested(spark):
     assert out.columns == ["id", "s__x", "s__y__p", "s__y__q"]
     r = out.collect()[0]
     assert r.s__x == "a" and r.s__y__p == 2.0 and r.s__y__q == "z"
+
+
+def test_asof_join_no_cartesian_single_shuffle(spark):
+    df = Q.SPARK_QUERIES["asof_join_events_orders"](spark, SF)
+    assert_no_cartesian(df)
+    from sparkobs.plans import physical_plan
+
+    plan = physical_plan(df)
+    # union + window implementation: no join operator at all
+    assert "Join" not in plan or "BroadcastHashJoin" not in plan
+
+
+def test_pipeline_composition_plan(spark):
+    df = Q.SPARK_QUERIES["pipeline_filtered_corpus"](spark, SF)
+    assert_no_cartesian(df)
+    assert_partial_final_agg(df)
