@@ -32,6 +32,8 @@ HEADLINE = [
     "ngram_jaccard_pairs_hi",
     "minhash_lsh_pairs",
     "cosine_topk",
+    "asof_join_events_orders",
+    "pipeline_filtered_corpus",
     "streaming_tumbling_events",
 ]
 
