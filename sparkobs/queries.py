@@ -1691,3 +1691,111 @@ def mode_columns_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "cube_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube aggregation (all grouping-set combinations; §2.4 note) —
+    one Expand-based pass, subtotals across both dimensions."""
+    from pyspark.sql import functions as F
+
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "streaming_sliding_events",
+    oracle="""
+    WITH s AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events)
+    SELECT ws AS window_start, CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY 1
+    """,
+)
+def streaming_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows executed AS A STREAM (OP-53/55): 1h windows every
+    30min through the micro-batch drain — third stream≡batch proof."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sparkobs.streaming.monitors import _event_time, _to_ntz, run_to_memory, stream_events
+
+    stage_dir = os.path.join(tempfile.gettempdir(), f"sparkobs_stream_{os.path.basename(sf_dir)}")
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(stage_dir)
+    ev = _event_time(stream_events(spark, stage_dir)).withWatermark("ts", "2 hours")
+    out = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(_to_ntz("w.start").alias("window_start"), "n_events")
+    )
+    run_to_memory(out, "sliding_stream", output_mode="complete")
+    return spark.table("sliding_stream")
+
+
+@query(
+    "grouped_percentiles_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def grouped_percentiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact percentiles (OP-27 grouped form): one hash agg
+    with per-group percentile state; percentile_approx is the scale
+    switch (mergeable KLL-style sketches)."""
+    from pyspark.sql import functions as F
+
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+            F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+        )
+    )
+
+
+@query(
+    "corr_lineitem",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(corr(l_discount, l_tax), 4) AS corr_disc_tax
+    FROM lineitem
+    """,
+)
+def corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column correlation/covariance (profile extension of OP-36):
+    single-pass co-moment aggregates, map-side mergeable."""
+    from pyspark.sql import functions as F
+
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.corr("l_discount", "l_tax"), 4).alias("corr_disc_tax"),
+    )
