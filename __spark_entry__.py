@@ -13,7 +13,15 @@ sides (DuckDB integer SUM/COUNT results are cast explicitly).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# self-contained import: works however the driver loads this file
+# (module import, importlib-by-path, different cwd)
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from pyspark.sql import DataFrame, SparkSession
 
