@@ -26,14 +26,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+#: DataFrames persisted by minhash_lsh_pairs, so long-lived library
+#: sessions can release them (persist() caches live in Spark's
+#: CacheManager and are NOT garbage-collected with the Python object).
+_PERSISTED: list[DataFrame] = []
+
+
+def unpersist_candidates() -> int:
+    """Release candidate caches persisted by :func:`minhash_lsh_pairs`.
+
+    Call after the result DataFrame has been materialized (collected /
+    written); returns how many cached frames were released."""
+    n = 0
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+        n += 1
+    return n
+
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id row per duplicate group (exact dedup).
+    """Exact dedup summary: one output row per duplicate group with the
+    lowest ``id_col`` in the group as its representative id plus the
+    group size. Output columns are (id_col, *key_cols, group_size) —
+    non-key payload columns are NOT carried; join the result back on
+    ``id_col`` to recover the representative row.
 
-    ``min_by`` over the full row in one hash aggregation — no window
-    sort, no second join back.
+    A single hash aggregation keyed by ``key_cols`` — no window sort,
+    no second join.
     """
-    others = [c for c in df.columns if c not in key_cols]
     return (
         df.groupBy(*key_cols)
         .agg(
@@ -44,21 +64,34 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> D
     )
 
 
-def shingle_expr(text_col: str, n: int):
-    """Word n-gram shingles as an array column (pure Catalyst lambda).
+def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __toks) projection with the whitespace split materialized
+    ONCE — shingle_expr then references the token array column, so the
+    split doesn't get re-evaluated per branch of the shingle CASE
+    (Catalyst does not reliably CSE across lambda boundaries)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), r"\s+").alias("__toks"),
+    )
+
+
+def shingle_expr(tokens_col: str, n: int):
+    """Word n-gram shingles as an array column (pure Catalyst lambda)
+    over an already-split token-array column (see :func:`tokenize`).
 
     Documents shorter than ``n`` tokens contribute their full text as a
     single shingle.
     """
-    return F.expr(
-        f"""
-        CASE WHEN size(split({text_col}, '\\\\s+')) >= {n}
-             THEN array_distinct(transform(
-                    sequence(1, size(split({text_col}, '\\\\s+')) - {n} + 1),
-                    i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), i, {n}))))
-             ELSE array(concat_ws(' ', split({text_col}, '\\\\s+')))
-        END"""
-    )
+    t = F.col(tokens_col)
+    return F.when(
+        F.size(t) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", t)))
 
 
 def ngram_jaccard_pairs(
@@ -82,8 +115,8 @@ def ngram_jaccard_pairs(
     # the set size rides along with every exploded shingle row, so the
     # per-pair Jaccard needs NO size-lookup joins after the self-join —
     # sizes become grouping keys (constant per id, free in the hash agg)
-    shingled = df.select(
-        F.col(id_col).alias("id"), shingle_expr(text_col, n).alias("shs")
+    shingled = tokenize(df, id_col, text_col).select(
+        "id", shingle_expr("__toks", n).alias("shs")
     ).select(
         "id",
         F.size("shs").alias("sz"),
@@ -131,8 +164,8 @@ def ngram_jaccard_pairs_prefix(
     Same result as :func:`ngram_jaccard_pairs` (tested); far fewer
     candidate pairs when t is high.
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"), shingle_expr(text_col, n).alias("shs")
+    shingled = tokenize(df, id_col, text_col).select(
+        "id", shingle_expr("__toks", n).alias("shs")
     ).select(
         "id",
         F.size("shs").alias("sz"),
@@ -198,8 +231,8 @@ def minhash_signatures(
     """Deterministic MinHash signatures (tier 3): ``num_hashes``
     xxhash64 functions (seeded 0..k-1) over distinct shingles, min per
     seed — one explode + one groupBy, signature as an array column."""
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingle_expr(text_col, n)).alias("sh")
+    sh = tokenize(df, id_col, text_col).select(
+        "id", F.explode(shingle_expr("__toks", n)).alias("sh")
     )
     mins = [
         F.min(F.xxhash64(F.col("sh"), F.lit(seed))).alias(f"h{seed}")
@@ -259,10 +292,12 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
         # the verify stage references cand from three branches (two
-        # shingle joins + the id semi-join); persist or the whole
-        # signature→banding pipeline recomputes per branch
+        # shingle joins + the id semi-join); persist (lazy) or the whole
+        # signature→banding pipeline recomputes per branch. Tracked in
+        # _PERSISTED so callers can unpersist_candidates() when done.
         .persist()
     )
+    _PERSISTED.append(cand)
     # exact verification on candidates only: (id, shingle) equi-joins
     # with the set size riding along — no size lookups, no post-filter.
     # Only docs that appear in some candidate pair are re-shingled: at
@@ -273,10 +308,12 @@ def minhash_lsh_pairs(
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    shingled = df.join(
-        cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+    shingled = tokenize(
+        df.join(cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi"),
+        id_col,
+        text_col,
     ).select(
-        F.col(id_col).alias("id"), shingle_expr(text_col, n).alias("shs")
+        "id", shingle_expr("__toks", n).alias("shs")
     ).select(
         "id",
         F.size("shs").alias("sz"),

@@ -37,18 +37,30 @@ def asof_join(
     matching DuckDB/pandas ``merge_asof`` semantics.
 
     Implementation: tag and union both sides, then per key ordered by
-    (ts, side) take ``last_value(..., ignorenulls)`` of the right
+    (ts, side, tie) take ``last_value(..., ignorenulls)`` of the right
     payload — a single shuffle on the key, linear in rows, no
     theta-join. Right rows at exactly left.ts match (ties: right sorts
     before left via the side tag).
+
+    Determinism: when the right side has MULTIPLE rows at the same
+    (key, ts), the winner is the greatest right payload under struct
+    comparison of ``right_value_cols`` (the ``__tie`` ordering column)
+    — not partition-order dependent. Pre-dedup the right side if a
+    different rule is wanted.
     """
+    from pyspark.sql.types import StructField, StructType
+
     rcols = right_value_cols or [c for c in right.columns if c not in (key, ts)]
     lcols = left.columns
+    tie_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in rcols]
+    )
 
     l_tag = left.select(
         F.col(key).alias("__k"),
         F.col(ts).alias("__ts"),
         F.lit(1).alias("__side"),
+        F.lit(None).cast(tie_type).alias("__tie"),
         F.struct(*[F.col(c) for c in lcols]).alias("__lrow"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
     )
@@ -56,6 +68,7 @@ def asof_join(
         F.col(key).alias("__k"),
         F.col(ts).alias("__ts"),
         F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__tie"),
         F.lit(None).cast(
             l_tag.schema["__lrow"].dataType
         ).alias("__lrow"),
@@ -65,7 +78,7 @@ def asof_join(
     if direction == "backward":
         w = (
             W.partitionBy("__k")
-            .orderBy(F.asc("__ts"), F.asc("__side"))
+            .orderBy(F.asc("__ts"), F.asc("__side"), F.asc_nulls_last("__tie"))
             .rowsBetween(W.unboundedPreceding, 0)
         )
         filled = unioned.select(
@@ -78,7 +91,7 @@ def asof_join(
     elif direction == "forward":
         w = (
             W.partitionBy("__k")
-            .orderBy(F.desc("__ts"), F.asc("__side"))
+            .orderBy(F.desc("__ts"), F.asc("__side"), F.asc_nulls_last("__tie"))
             .rowsBetween(W.unboundedPreceding, 0)
         )
         filled = unioned.select(
@@ -99,16 +112,52 @@ def asof_join(
     )
 
 
+def global_row_index(df: DataFrame, order_cols: list[str], index_col: str = "__idx") -> DataFrame:
+    """Distributed 1-based global row index under an explicit ordering —
+    NO single-partition window.
+
+    Plan: range-repartition + sort on the order columns, stamp
+    ``spark_partition_id``, then index = per-partition ``row_number``
+    (parallel) + the partition's cumulative offset. Offsets come from a
+    per-partition count aggregate (~numPartitions rows) whose one-row-
+    per-partition cumulative window is trivially cheap; both branches
+    hang off the SAME range exchange, which Catalyst's ReuseExchange
+    dedupes, so the partition ids are consistent between them.
+    """
+    order = [F.asc(c) for c in order_cols]
+    with_pid = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    sizes = with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    # cumulative offsets via a broadcast triangular self-join over the
+    # ~numPartitions-row sizes frame (NOT a window — keeps the whole
+    # plan free of empty-partitionBy WindowExec)
+    prev = sizes.select(F.col("__pid").alias("__pid2"), F.col("__n").alias("__n2"))
+    offsets = (
+        sizes.join(F.broadcast(prev), F.col("__pid2") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__n2"), F.lit(0)).alias("__off"))
+    )
+    w = W.partitionBy("__pid").orderBy(*order)
+    return (
+        with_pid.join(F.broadcast(offsets), "__pid")
+        .withColumn(index_col, F.row_number().over(w) + F.col("__off"))
+        .drop("__pid", "__off")
+    )
+
+
 def zip_join(left: DataFrame, right: DataFrame, order_left: list[str], order_right: list[str]) -> DataFrame:
     """Positional zip join (OP-20): pair the i-th row of each side under
     explicit orderings. The reference zips parallel Python lists
-    (s3_key_monitor.py:159,190); here the index is materialized with
-    row_number so the pairing is a plain equi-join (one shuffle each
-    side). Prefer carrying struct columns; this exists for parity."""
-    wl = W.orderBy(*[F.asc(c) for c in order_left])
-    wr = W.orderBy(*[F.asc(c) for c in order_right])
-    ln = left.withColumn("__idx", F.row_number().over(wl))
-    rn = right.withColumn("__idx", F.row_number().over(wr))
+    (s3_key_monitor.py:159,190); here each side gets a distributed
+    global row index (global_row_index — per-partition row_number +
+    broadcast partition offsets, no single-partition window) and the
+    pairing is a plain equi-join. Prefer carrying struct columns; this
+    exists for parity."""
+    ln = global_row_index(left, order_left)
+    rn = global_row_index(right, order_right)
     return ln.join(rn, "__idx").drop("__idx")
 
 

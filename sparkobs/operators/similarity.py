@@ -37,21 +37,50 @@ def embedding_norms(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embed
     return n.select(F.col("id").alias(id_col), F.round("norm", 4).alias("l2_norm"))
 
 
+#: Hard cap on corpus rows for the driver-collect tiers. Past this,
+#: the broadcast-matrix contract (corpus fits in driver + executor
+#: memory) no longer holds and callers must switch tiers.
+DEFAULT_MAX_CORPUS_ROWS = 2_000_000
+
+
+def _guard_corpus(df: DataFrame, max_rows: int, caller: str) -> int:
+    """Row-count guard for tiers that materialize the corpus on the
+    driver. Raises past ``max_rows`` with a pointer to the distributed
+    tiers (cosine_topk_lsh / cosine_topk_ivf) instead of OOM-ing the
+    driver mid-collect."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{caller}: corpus has {n} rows > max_corpus_rows={max_rows}; "
+            "this tier broadcasts the full corpus matrix and is only valid "
+            "while it fits in memory. Use cosine_topk_lsh or cosine_topk_ivf "
+            "(fully distributed) for larger corpora, or raise max_corpus_rows "
+            "explicitly if you know the matrix fits."
+        )
+    return n
+
+
 def cosine_topk_bruteforce(
     df: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_corpus_rows: int = DEFAULT_MAX_CORPUS_ROWS,
 ) -> DataFrame:
     """Exact cosine top-k neighbors per vector (tier 1).
 
     Ranking is over (rounded cosine DESC, neighbor id ASC) so ties are
     deterministic across engines. Output: (vec_id, neighbor_id, cosine,
     rank).
+
+    Guarded: raises if the corpus exceeds ``max_corpus_rows`` (the
+    broadcast-matrix contract); the distributed tiers are
+    cosine_topk_lsh and cosine_topk_ivf.
     """
     import numpy as np
 
     sc = df.sparkSession.sparkContext
+    _guard_corpus(df, max_corpus_rows, "cosine_topk_bruteforce")
     # Arrow-batched mapInPandas with a broadcast corpus matrix: each
     # partition scores its query batch against the whole corpus with one
     # BLAS matmul — the vectorized Pandas-UDF "slow path", ~100× an
@@ -88,6 +117,11 @@ def cosine_topk_bruteforce(
             out_vec, out_nbr, out_cos, out_rank = [], [], [], []
             for i in range(sims.shape[0]):
                 surv = np.nonzero(sims[i] >= kth[i])[0]  # ~k + ties
+                # drop self explicitly: when n <= k the kth threshold is
+                # -inf and the -inf-masked self row would otherwise pass
+                jj = c_index.get(int(q_ids[i]))
+                if jj is not None:
+                    surv = surv[surv != jj]
                 # exact top-k with deterministic id tiebreak on survivors
                 order = surv[np.lexsort((c_ids[surv], -sims[i][surv]))][:kk]
                 out_vec.extend([q_ids[i]] * len(order))
@@ -219,6 +253,48 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_assignments(
+    df: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer as a pure DataFrame op (no corpus collect).
+
+    Centroids are the L2-normalized vectors with the lowest
+    ``n_clusters`` ids (deterministic seed — reproducible, no RNG/
+    k-means state); only those ≤ ``n_clusters`` rows are collected and
+    inlined as array literals. Assignment = argmax of the n_clusters
+    JVM-side dot-product folds, evaluated per-row inside codegen — the
+    corpus itself never leaves the executors.
+
+    Returns (id, vn [unit-normalized array<double>], cluster). At 100 TB
+    this is the frame you'd write out bucketed by ``cluster`` so a query
+    touches n_probe/n_clusters of the data.
+    """
+    n = _with_norm(df, id_col, vec_col)
+    normed = n.select(
+        "id", F.transform("v", lambda x: x / F.col("norm")).alias("vn")
+    )
+    # ≤ n_clusters rows collected — the "broadcast only the centroids"
+    # contract (vs the corpus collect this replaces).
+    seed_rows = normed.orderBy("id").limit(n_clusters).collect()
+    cents = [list(r["vn"]) for r in seed_rows]
+
+    def dot_with(cvec: list[float]):
+        arr = F.array(*[F.lit(c) for c in cvec])
+        return F.aggregate(
+            F.zip_with("vn", arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dots = F.array(*[dot_with(c) for c in cents])
+    # argmax with first-max tie-break == np.argmax semantics
+    cluster = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    return normed.select("id", "vn", cluster.alias("cluster")), cents
+
+
 def cosine_topk_ivf(
     df: DataFrame,
     k: int = 5,
@@ -227,61 +303,72 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate cosine top-k via IVF (inverted-file) partitioning.
+    """Approximate cosine top-k via IVF (inverted-file) partitioning —
+    fully distributed (tier 3).
 
-    Coarse quantizer: ``n_clusters`` deterministic seed centroids (the
-    vectors with the lowest ids — reproducible, no RNG/k-means state).
-    Every vector is assigned to its nearest centroid (one broadcast
-    matmul); each query probes its ``n_probe`` nearest centroid lists
-    and re-ranks exactly within them. At 100 TB the corpus is stored
-    bucketed by centroid id, so a query touches n_probe/n_clusters of
-    the data — the classic IVF trade of recall vs scan fraction.
+    Coarse quantizer: deterministic seed centroids (lowest-id vectors,
+    see ivf_assignments). Each query probes its ``n_probe`` nearest
+    centroids; candidates = equi-join of (query, probed cluster) against
+    the cluster-assigned corpus — a plain shuffle join on a 1-int key,
+    no corpus collect, no n² matrix. Exact cosine re-rank + windowed
+    top-k on candidates only. A query therefore scans ~n_probe/
+    n_clusters of the corpus — the classic IVF recall/scan trade.
     Recall vs brute force is unit-tested.
     """
-    import numpy as np
+    assigned, cents = ivf_assignments(df, n_clusters, id_col, vec_col)
 
-    sc = df.sparkSession.sparkContext
-    corpus = df.select(id_col, vec_col).toPandas()
-    ids = corpus[id_col].to_numpy()
-    mat = np.array(corpus[vec_col].tolist(), dtype=np.float64)
-    mat_n = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    def dot_with(cvec: list[float]):
+        arr = F.array(*[F.lit(c) for c in cvec])
+        return F.aggregate(
+            F.zip_with("vn", arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
 
-    order = np.argsort(ids)
-    cent = mat_n[order[:n_clusters]]
-    # assignment + inverted lists, built once (driver-side on the
-    # broadcastable corpus — same memory contract as the brute tier)
-    assign = (mat_n @ cent.T).argmax(axis=1)
-    bc = sc.broadcast((ids, mat_n, cent, assign))
-    kk, npr = k, n_probe
+    # per-query probe list: centroid indices sorted by dot desc (tie:
+    # lower index first, matching np.argsort(-dots) stability)
+    probe_structs = F.array(
+        *[
+            F.struct(dot_with(c).alias("d"), F.lit(i).alias("c"))
+            for i, c in enumerate(cents)
+        ]
+    )
+    sorted_probes = F.array_sort(
+        probe_structs,
+        lambda a, b: F.when(a["d"] > b["d"], -1)
+        .when(a["d"] < b["d"], 1)
+        .otherwise(a["c"] - b["c"]),
+    )
+    probes = F.transform(F.slice(sorted_probes, 1, n_probe), lambda s: s["c"])
 
-    def probe(batches):
-        import pandas as pd
-
-        c_ids, c_mat, c_cent, c_assign = bc.value
-        for pdf in batches:
-            q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            q /= np.sqrt((q * q).sum(axis=1, keepdims=True))
-            q_ids = pdf[id_col].to_numpy()
-            probe_lists = np.argsort(-(q @ c_cent.T), axis=1)[:, :npr]
-            out = []
-            for i in range(len(q_ids)):
-                member = np.isin(c_assign, probe_lists[i]) & (c_ids != q_ids[i])
-                cand_ids = c_ids[member]
-                sims = np.round(c_mat[member] @ q[i], 6)
-                if len(sims) > kk:
-                    thresh = np.partition(sims, -kk)[-kk]
-                    keep = sims >= thresh
-                    cand_ids, sims = cand_ids[keep], sims[keep]
-                ordr = np.lexsort((cand_ids, -sims))[:kk]
-                for rank, j in enumerate(ordr, 1):
-                    out.append((int(q_ids[i]), int(cand_ids[j]), float(sims[j]), rank))
-            yield pd.DataFrame(out, columns=["vec_id", "neighbor_id", "cosine", "rank"])
-
-    n_part = max(1, min(sc.defaultParallelism, (len(corpus) + 255) // 256))
+    queries = assigned.select(
+        F.col("id").alias("vec_id"),
+        F.col("vn").alias("qv"),
+        F.explode(probes).alias("__probe"),
+    )
+    corpus = assigned.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vn").alias("cv"),
+        "cluster",
+    )
+    cand = queries.join(
+        corpus, queries["__probe"] == corpus["cluster"]
+    ).where(F.col("vec_id") != F.col("neighbor_id"))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select(
+        "vec_id", "neighbor_id", F.round(dot, 6).alias("cosine")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        df.select(F.col(id_col), F.col(vec_col))
-        .repartition(n_part)
-        .mapInPandas(probe, "vec_id bigint, neighbor_id bigint, cosine double, rank bigint")
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "vec_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+        )
     )
 
 
@@ -307,18 +394,21 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_corpus_rows: int = DEFAULT_MAX_CORPUS_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup by semantic
     similarity): all unordered pairs with cosine ≥ threshold.
 
     Same broadcast-matrix mapInPandas kernel as the brute top-k tier —
     each partition emits only its rows' above-threshold matches with
-    id_a < id_b, so the n² score matrix never materializes. Swap in the
-    IVF/LSH candidate generators past broadcastable corpus sizes.
+    id_a < id_b, so the n² score matrix never materializes. Guarded by
+    ``max_corpus_rows`` (broadcast contract); swap in the IVF/LSH
+    candidate generators past broadcastable corpus sizes.
     """
     import numpy as np
 
     sc = df.sparkSession.sparkContext
+    _guard_corpus(df, max_corpus_rows, "embedding_near_dup_pairs")
     corpus = df.select(id_col, vec_col).toPandas()
     ids_l = corpus[id_col].to_numpy()
     mat_l = np.array(corpus[vec_col].tolist(), dtype=np.float64)

@@ -1029,6 +1029,27 @@ def frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _stage_events(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Stage the events table as a small multi-file parquet directory
+    for the file-source streams. Cache key = hash of the RESOLVED
+    sf_dir + the source parquet's mtime, so a changed source or two
+    datasets sharing a basename never reuse each other's stage
+    (ADVICE r01: basename-only keys served stale results)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(os.path.realpath(sf_dir), "events.parquet")
+    mtime = int(os.stat(src).st_mtime_ns) if os.path.exists(src) else 0
+    key = hashlib.sha256(f"{src}:{mtime}:{n_files}".encode()).hexdigest()[:16]
+    stage_dir = os.path.join(tempfile.gettempdir(), f"sparkobs_stream_{key}")
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").coalesce(n_files).write.mode(
+            "overwrite"
+        ).parquet(stage_dir)
+    return stage_dir
+
+
 @query(
     "streaming_tumbling_events",
     oracle="""
@@ -1043,14 +1064,9 @@ def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     through a file-source micro-batch stream (availableNow) into a
     memory sink, complete output mode — results must equal the batch
     oracle."""
-    import os
-    import tempfile
-
     from sparkobs.streaming.monitors import run_to_memory, stream_events, streaming_tumbling
 
-    stage_dir = os.path.join(tempfile.gettempdir(), f"sparkobs_stream_{os.path.basename(sf_dir)}")
-    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(stage_dir)
+    stage_dir = _stage_events(spark, sf_dir)
     out = streaming_tumbling(stream_events(spark, stage_dir), "1 hour")
     run_to_memory(out, "tumbling_stream", output_mode="complete")
     return spark.table("tumbling_stream").select("window_start", "n_events", "sum_value")
@@ -1061,18 +1077,13 @@ def streaming_count_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful per-entity count drift via applyInPandasWithState
     (OP-57); multi-batch behavior unit-tested, single-drain here →
     rows-only."""
-    import os
-    import tempfile
-
     from sparkobs.streaming.monitors import (
         run_to_memory,
         stateful_count_drift,
         stream_events,
     )
 
-    stage_dir = os.path.join(tempfile.gettempdir(), f"sparkobs_stream_{os.path.basename(sf_dir)}")
-    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(stage_dir)
+    stage_dir = _stage_events(spark, sf_dir)
     out = stateful_count_drift(stream_events(spark, stage_dir, files_per_trigger=1))
     run_to_memory(out, "drift_stream", output_mode="update")
     return spark.table("drift_stream")
@@ -1454,14 +1465,9 @@ def streaming_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows executed AS A STREAM (OP-53/55/56): same
     micro-batch drain as streaming_tumbling_events; the Catalyst
     session_window merge must equal the batch islands oracle."""
-    import os
-    import tempfile
-
     from sparkobs.streaming.monitors import run_to_memory, stream_events, streaming_session
 
-    stage_dir = os.path.join(tempfile.gettempdir(), f"sparkobs_stream_{os.path.basename(sf_dir)}")
-    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(stage_dir)
+    stage_dir = _stage_events(spark, sf_dir)
     out = streaming_session(stream_events(spark, stage_dir), "30 minutes")
     run_to_memory(out, "session_stream", output_mode="complete")
     return spark.table("session_stream").select("user_id", "session_start", "n_events")
@@ -1555,11 +1561,12 @@ def top_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, deterministic tiebreak."""
     from pyspark.sql import functions as F
 
-    from sparkobs.operators.dedup import shingle_expr
+    from sparkobs.operators.dedup import shingle_expr, tokenize
 
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(shingle_expr("text", 3)).alias("shingle"))
+        tokenize(docs, "doc_id", "text")
+        .select(F.explode(shingle_expr("__toks", 3)).alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .orderBy(F.desc("doc_freq"), F.asc("shingle"))
@@ -1731,16 +1738,11 @@ def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows executed AS A STREAM (OP-53/55): 1h windows every
     30min through the micro-batch drain — third stream≡batch proof."""
-    import os
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from sparkobs.streaming.monitors import _event_time, _to_ntz, run_to_memory, stream_events
 
-    stage_dir = os.path.join(tempfile.gettempdir(), f"sparkobs_stream_{os.path.basename(sf_dir)}")
-    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(stage_dir)
+    stage_dir = _stage_events(spark, sf_dir)
     ev = _event_time(stream_events(spark, stage_dir)).withWatermark("ts", "2 hours")
     out = (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))

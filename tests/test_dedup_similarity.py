@@ -132,3 +132,44 @@ def test_cosine_ivf_recall(spark):
     }
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
+def test_corpus_guard_fires(spark):
+    import pytest
+
+    from sparkobs.operators.similarity import embedding_near_dup_pairs
+
+    sf01 = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf01}/embeddings.parquet")
+    with pytest.raises(ValueError, match="cosine_topk_lsh"):
+        cosine_topk_bruteforce(emb, k=3, max_corpus_rows=10).collect()
+    with pytest.raises(ValueError, match="distributed"):
+        embedding_near_dup_pairs(emb, threshold=0.9, max_corpus_rows=10).collect()
+
+
+def test_brute_no_self_neighbor_when_n_le_k(spark):
+    # n=3 corpus, k=5 > n: the kth threshold is -inf; the self row must
+    # still be excluded (ADVICE r01: -inf sentinel passed `>=` kth)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = cosine_topk_bruteforce(emb, k=5).collect()
+    assert rows, "expected neighbors"
+    for r in rows:
+        assert r.vec_id != r.neighbor_id
+        assert r.cosine > float("-inf")
+
+
+def test_ivf_is_distributed_no_corpus_collect(spark):
+    # the IVF plan must not contain a Python-side corpus materialization:
+    # its physical plan is pure DataFrame ops (joins/windows), with no
+    # mapInPandas stage (which the old driver-collect kernel used)
+    from sparkobs.operators.similarity import cosine_topk_ivf
+
+    sf001 = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    df = cosine_topk_ivf(emb, k=3, n_clusters=8, n_probe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    assert "ArrowEvalPython" not in plan

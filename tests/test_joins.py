@@ -59,3 +59,28 @@ def test_salted_count_equals_plain(spark, sf_dir):
     plain = {r.l_suppkey: r["cnt"] for r in df.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     salted = {r.l_suppkey: r.cnt for r in salted_group_count(df, "l_suppkey", 8).collect()}
     assert plain == salted
+
+
+def test_zip_join_multi_partition_no_global_window(spark):
+    # 10k rows across 16 partitions: indices must be globally consistent
+    # and the plan free of empty-partitionBy windows (r01 scale-killer)
+    a = spark.range(0, 10000).select(F.col("id").alias("x")).repartition(16)
+    b = spark.range(0, 10000).select((F.col("id") * 2).alias("y")).repartition(16)
+    z = zip_join(a, b, ["x"], ["y"])
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__pid" in line, f"unpartitioned window in zip_join plan: {line}"
+    rows = z.collect()
+    assert len(rows) == 10000
+    assert all(r.y == r.x * 2 for r in rows)
+
+
+def test_global_row_index_dense_and_ordered(spark):
+    from sparkobs.operators.joins import global_row_index
+
+    df = spark.range(0, 5000).select((4999 - F.col("id")).alias("v")).repartition(8)
+    idx = global_row_index(df, ["v"])
+    rows = idx.collect()
+    assert sorted(r["__idx"] for r in rows) == list(range(1, 5001))
+    assert all(r["__idx"] == r["v"] + 1 for r in rows)
