@@ -11,6 +11,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# External-source (warehouse) tier — re-exported here so io is the one
+# place that names every source kind: parquet scans (load_table), temp
+# views (register_views), and JDBC pulls with partitioned reads +
+# predicate/limit pushdown (sources/jdbc.py; ref
+# redshift_table_monitor.py:22-24, snowflake_table_monitor.py:50-54,
+# databand_tracking_template.py:9-19).
+from sparkobs.sources.jdbc import (  # noqa: F401
+    jdbc_table_monitor,
+    read_jdbc,
+    write_jdbc,
+)
+
 #: Driver-generated star schema + extension tables (TESTDATA.md).
 TABLES = (
     "region",

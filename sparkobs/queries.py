@@ -1801,3 +1801,111 @@ def corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
         F.round(F.corr("l_discount", "l_tax"), 4).alias("corr_disc_tax"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 7 (r2) — external JDBC source tier (OP-01/OP-11 over a real DB)
+# ---------------------------------------------------------------------------
+
+
+def _stage_derby_nation(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the nation table into an embedded Derby database so the
+    JDBC queries exercise a REAL external-DB pull (the driver that
+    ships in Spark's own jars — no external service). Cache key =
+    resolved sf_dir + source mtime, same staleness rule as
+    _stage_events; returns the JDBC URL."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from sparkobs.sources.jdbc import (
+        DERBY_EMBEDDED_DRIVER,
+        derby_url,
+        write_jdbc,
+    )
+
+    src = os.path.join(os.path.realpath(sf_dir), "nation.parquet")
+    mtime = int(os.stat(src).st_mtime_ns) if os.path.exists(src) else 0
+    key = hashlib.sha256(f"{src}:{mtime}".encode()).hexdigest()[:16]
+    db_dir = os.path.join(tempfile.gettempdir(), f"sparkobs_derby_{key}")
+    marker = os.path.join(db_dir + ".staged")
+    if not os.path.exists(marker):
+        shutil.rmtree(db_dir, ignore_errors=True)
+        nation = load_table(spark, sf_dir, "nation")
+        strcols = [c for c, t in nation.dtypes if t == "string"]
+        # Derby's dialect maps StringType to CLOB (not comparable in
+        # WHERE); force VARCHAR so string columns stay filterable
+        write_jdbc(
+            nation,
+            derby_url(db_dir, create=True),
+            "nation",
+            driver=DERBY_EMBEDDED_DRIVER,
+            column_types=", ".join(f"{c} VARCHAR(1024)" for c in strcols) or None,
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return derby_url(db_dir)
+
+
+@query(
+    "jdbc_roundtrip_nation",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           min(n_name) AS first_name,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def jdbc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-source tier (OP-01 over JDBC): nation staged into an
+    embedded Derby DB, pulled back with a stride-PARTITIONED jdbc scan
+    (4 concurrent remote cursors), aggregated per region — values must
+    equal the parquet oracle, proving the roundtrip is lossless.
+    Ref redshift_table_monitor.py:22-24 (SELECT * over psycopg2)."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.sources.jdbc import DERBY_EMBEDDED_DRIVER, read_jdbc
+
+    url = _stage_derby_nation(spark, sf_dir)
+    back = read_jdbc(
+        spark,
+        url,
+        table="nation",
+        driver=DERBY_EMBEDDED_DRIVER,
+        partition_column="n_nationkey",
+        lower_bound=0,
+        upper_bound=25,
+        num_partitions=4,
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )
+
+
+@query(
+    "jdbc_monitor_nation",
+    oracle=_table_monitor_oracle(
+        ["n_nationkey", "n_regionkey"],
+        "nation",
+        "SELECT n_nationkey, n_regionkey FROM nation",
+    ),
+)
+def jdbc_monitor_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table monitor over a REAL external JDBC source (OP-11/12/13 over
+    a warehouse): the reference's core composition
+    (redshift_table_monitor.py:39-80) with the remote DB as the scan —
+    the pushed-down projection ships only the profiled columns."""
+    from sparkobs.sources.jdbc import DERBY_EMBEDDED_DRIVER, jdbc_table_monitor
+
+    url = _stage_derby_nation(spark, sf_dir)
+    return jdbc_table_monitor(
+        spark,
+        url,
+        "nation",
+        query='SELECT "n_nationkey", "n_regionkey" FROM nation',
+        driver=DERBY_EMBEDDED_DRIVER,
+    )
