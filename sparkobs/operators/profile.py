@@ -209,3 +209,20 @@ def table_profile(df: DataFrame, table_name: str, exact: bool = True) -> DataFra
     with the table name: the engine analog of ``log_dataframe`` (OP-13,
     s3_bucket_monitor.py:85-93)."""
     return profile(df, exact=exact).select(F.lit(table_name).alias("table_name"), "*")
+
+
+def preview(df: DataFrame, n: int = 10, order_cols: list[str] | None = None) -> DataFrame:
+    """Head-n preview — the ``with_preview=True`` half of the profile
+    sink contract (OP-13; ref databand_tracking_template.py:23-28 logs
+    ``df.head()`` alongside the histogram profile, s3_bucket_monitor.py:
+    85-93 same flag).
+
+    With ``order_cols`` the preview is DETERMINISTIC (ORDER BY + LIMIT
+    → TakeOrderedAndProject: each partition ships only its local top-n,
+    no global sort — scale-safe); without, it's whatever ``limit(n)``
+    scans first (cheapest, order-arbitrary — fine for eyeballing, not
+    for diffing runs).
+    """
+    if order_cols:
+        return df.orderBy(*[F.asc(c) for c in order_cols]).limit(n)
+    return df.limit(n)

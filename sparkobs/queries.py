@@ -1909,3 +1909,25 @@ def jdbc_monitor_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         query='SELECT "n_nationkey", "n_regionkey" FROM nation',
         driver=DERBY_EMBEDDED_DRIVER,
     )
+
+
+@query(
+    "profile_preview_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS total_price
+    FROM orders ORDER BY o_orderkey LIMIT 10
+    """,
+)
+def profile_preview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic head-n preview — the with_preview half of the
+    profile sink (OP-13; ref databand_tracking_template.py:23-28) as a
+    TakeOrderedAndProject, no global sort."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.profile import preview
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total_price"),
+    )
+    return preview(orders, n=10, order_cols=["o_orderkey"])

@@ -84,13 +84,64 @@ def list_files_distributed(
 
 MB = 1048576.0  # unit constant, ref s3_key_monitor.py:29
 
+#: Extension → MIME type for the content-type column (OP-09). The
+#: reference reads S3's stored ContentType (s3_key_monitor.py:74);
+#: plain filesystems don't store one, so it's derived from the
+#: extension — the same value S3 would have guessed at upload time.
+CONTENT_TYPE_BY_EXT = {
+    "parquet": "application/vnd.apache.parquet",
+    "orc": "application/octet-stream",
+    "avro": "application/avro",
+    "json": "application/json",
+    "jsonl": "application/jsonl",
+    "csv": "text/csv",
+    "tsv": "text/tab-separated-values",
+    "txt": "text/plain",
+    "md": "text/markdown",
+    "html": "text/html",
+    "xml": "application/xml",
+    "gz": "application/gzip",
+    "zst": "application/zstd",
+    "zip": "application/zip",
+    "png": "image/png",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "gif": "image/gif",
+    "webp": "image/webp",
+    "wav": "audio/wav",
+    "mp3": "audio/mpeg",
+    "flac": "audio/flac",
+    "mp4": "video/mp4",
+    "webm": "video/webm",
+    "pdf": "application/pdf",
+}
+
+DEFAULT_CONTENT_TYPE = "application/octet-stream"
+
+
+def content_type_expr(path_col: str = "path"):
+    """MIME content-type from the path extension (JVM-side map lookup —
+    a CASE over the extension, no UDF)."""
+    ext = F.lower(F.element_at(F.split(F.element_at(F.split(path_col, "/"), -1), r"\."), -1))
+    mapping = F.create_map(
+        *[F.lit(x) for kv in CONTENT_TYPE_BY_EXT.items() for x in kv]
+    )
+    return F.coalesce(mapping[ext], F.lit(DEFAULT_CONTENT_TYPE))
+
 
 def key_metrics(listing: DataFrame) -> DataFrame:
-    """Per-object metrics (OP-09): basename, size (bytes + MB), mtime.
+    """Per-object metrics (OP-09): basename, size (bytes + MB), mtime,
+    content-type, storage-class, user metadata, parts count.
 
-    Rebuild of monitor_S3_key's metric dict (s3_key_monitor.py:72-89).
-    The MB division happens exactly once — the reference divides twice
-    (compute at :126, again when logging at :131; SURVEY.md §8.1).
+    Rebuild of monitor_S3_key's metric dict (s3_key_monitor.py:72-89):
+    the reference logs ContentType (:74), the user Metadata map (:75),
+    PartsCount (:76) and StorageClass (:77) alongside size and
+    last-modified. Filesystems expose only path/size/mtime, so here
+    content_type is derived from the extension and the S3-only fields
+    are typed nulls — a real object-store listing fills them in without
+    changing the schema. The MB division happens exactly once — the
+    reference divides twice (compute at :126, again when logging at
+    :131; SURVEY.md §8.1).
     """
     return listing.select(
         F.element_at(F.split("path", "/"), -1).alias("key"),
@@ -98,6 +149,12 @@ def key_metrics(listing: DataFrame) -> DataFrame:
         F.col("length").alias("size_bytes"),
         F.round(F.col("length") / F.lit(MB), 4).alias("size_mb"),
         F.date_format("modification_time", "yyyy-MM-dd HH:mm:ss").alias("last_modified"),
+        content_type_expr("path").alias("content_type"),
+        # S3-only metadata: typed nulls on plain filesystems (OP-09
+        # parity columns; ref s3_key_monitor.py:75-77)
+        F.lit(None).cast("string").alias("storage_class"),
+        F.lit(None).cast("map<string,string>").alias("user_metadata"),
+        F.lit(None).cast("int").alias("parts_count"),
     )
 
 

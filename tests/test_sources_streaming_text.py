@@ -68,6 +68,39 @@ def test_key_metrics_basename_and_mb(spark, tree):
     assert rows["one.bin"].size_mb == round(100 / 1048576.0, 4)
 
 
+def test_key_metrics_op09_metadata_columns(spark, tmp_path_factory):
+    # OP-09 parity (ref s3_key_monitor.py:72-89): content-type derived
+    # from extension; S3-only fields present as typed nulls
+    root = tmp_path_factory.mktemp("ctypes")
+    (root / "d.json").write_text("{}")
+    (root / "t.csv").write_text("a,b")
+    (root / "p.parquet").write_bytes(b"PAR1")
+    (root / "noext").write_bytes(b"x")
+    rows = {r.key: r for r in key_metrics(list_files(spark, str(root))).collect()}
+    assert rows["d.json"].content_type == "application/json"
+    assert rows["t.csv"].content_type == "text/csv"
+    assert rows["p.parquet"].content_type == "application/vnd.apache.parquet"
+    assert rows["noext"].content_type == "application/octet-stream"
+    r = rows["d.json"]
+    assert r.storage_class is None and r.user_metadata is None and r.parts_count is None
+    schema = {f.name: f.dataType.simpleString() for f in key_metrics(list_files(spark, str(root))).schema.fields}
+    assert schema["user_metadata"] == "map<string,string>"
+    assert schema["parts_count"] == "int"
+
+
+def test_profile_preview_deterministic(spark, sf_dir):
+    from sparkobs.operators.profile import preview
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = [r.o_orderkey for r in preview(orders, 5, ["o_orderkey"]).collect()]
+    b = [r.o_orderkey for r in preview(orders, 5, ["o_orderkey"]).collect()]
+    assert a == b == sorted(a)
+    assert len(preview(orders, 7).collect()) == 7
+    # ordered preview must be a TakeOrderedAndProject, not a global sort
+    plan = preview(orders, 5, ["o_orderkey"])._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_media_decode_stub_deterministic(spark, sf_dir):
     media = text_as_media(load_table(spark, sf_dir, "documents").limit(20))
     a = {r.id: (r.width, r.height, r.checksum) for r in decode_stub(media).collect()}
