@@ -1072,18 +1072,65 @@ def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("tumbling_stream").select("window_start", "n_events", "sum_value")
 
 
-@query("streaming_count_drift")
+def _stage_events_split(spark: SparkSession, sf_dir: str) -> str:
+    """Two-file event stage with DETERMINISTIC batch boundaries for the
+    stateful drift oracle: file 1 = even event_ids, file 2 = odd, with
+    forced mtime ordering so maxFilesPerTrigger=1 always yields batch 1
+    = evens, batch 2 = odds (the file source processes oldest-first)."""
+    import glob as _glob
+    import hashlib
+    import os
+    import tempfile
+    import time
+
+    src = os.path.join(os.path.realpath(sf_dir), "events.parquet")
+    mtime = int(os.stat(src).st_mtime_ns) if os.path.exists(src) else 0
+    key = hashlib.sha256(f"{src}:{mtime}:split2".encode()).hexdigest()[:16]
+    stage_dir = os.path.join(tempfile.gettempdir(), f"sparkobs_stream_{key}")
+    marker = os.path.join(stage_dir, "_SPLIT_STAGED")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events")
+        ev.where("event_id % 2 = 0").coalesce(1).write.mode("overwrite").parquet(stage_dir)
+        first = set(_glob.glob(os.path.join(stage_dir, "*.parquet")))
+        ev.where("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(stage_dir)
+        second = set(_glob.glob(os.path.join(stage_dir, "*.parquet"))) - first
+        now = time.time()
+        for f in first:
+            os.utime(f, (now - 100, now - 100))
+        for f in second:
+            os.utime(f, (now, now))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return stage_dir
+
+
+@query(
+    "streaming_count_drift",
+    oracle="""
+    WITH b1 AS (SELECT event_type AS entity, CAST(count(*) AS BIGINT) AS batch_count
+                FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+         b2 AS (SELECT event_type AS entity, CAST(count(*) AS BIGINT) AS batch_count
+                FROM events WHERE event_id % 2 = 1 GROUP BY 1)
+    SELECT entity, batch_count, CAST(NULL AS BIGINT) AS prev_count, CAST(NULL AS BIGINT) AS delta FROM b1
+    UNION ALL
+    SELECT b2.entity, b2.batch_count, b1.batch_count AS prev_count,
+           b2.batch_count - b1.batch_count AS delta
+    FROM b2 LEFT JOIN b1 ON b1.entity = b2.entity
+    """,
+)
 def streaming_count_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful per-entity count drift via applyInPandasWithState
-    (OP-57); multi-batch behavior unit-tested, single-drain here →
-    rows-only."""
+    (OP-57), run over a two-file stage with maxFilesPerTrigger=1 so the
+    batch boundaries are deterministic: batch 1 = even event_ids (state
+    seeded, NULL prev), batch 2 = odd (prev + delta against batch 1) —
+    fully oracle-checkable, not rows-only."""
     from sparkobs.streaming.monitors import (
         run_to_memory,
         stateful_count_drift,
         stream_events,
     )
 
-    stage_dir = _stage_events(spark, sf_dir)
+    stage_dir = _stage_events_split(spark, sf_dir)
     out = stateful_count_drift(stream_events(spark, stage_dir, files_per_trigger=1))
     run_to_memory(out, "drift_stream", output_mode="update")
     return spark.table("drift_stream")

@@ -110,3 +110,33 @@ def test_profile_approx_mode_close(spark, sf_dir):
     e, a = exact["l_quantity"], approx["l_quantity"]
     assert abs(a.n_distinct - e.n_distinct) <= 0.1 * e.n_distinct + 5
     assert abs(a.median_val - e.median_val) <= 1.0
+
+
+def test_approx_profile_within_error_bounds(spark, sf_dir):
+    # Accuracy band for the 100 TB mode (exact=False): HLL distinct
+    # counts documented at ~2% standard error (Spark default rsd=0.05,
+    # assert 3 sigma = 15%); percentile_approx default accuracy=10000
+    # bounds rank error at n/10000, so on these inputs the approx
+    # quantile must land within the value span of +/-1% of ranks.
+    from sparkobs.operators.profile import profile
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_suppkey"]
+    ex = {r.col_name: r for r in profile(df, cols, exact=True).collect()}
+    ap = {r.col_name: r for r in profile(df, cols, exact=False).collect()}
+    n = next(iter(ex.values())).n_rows
+    for c in cols:
+        e, a = ex[c], ap[c]
+        # exact-agg metrics must be identical in both modes
+        assert (e.n_rows, e.n_nulls, e.min_val, e.max_val, e.mean_val, e.std_val) == (
+            a.n_rows, a.n_nulls, a.min_val, a.max_val, a.mean_val, a.std_val)
+        # HLL distinct: within 15% (3x default rsd 0.05)
+        assert abs(a.n_distinct - e.n_distinct) <= max(1, 0.15 * e.n_distinct), c
+        # approx percentiles: value within the window spanned by
+        # exact ranks +/-1% around each quantile
+        vals = sorted(v[0] for v in df.selectExpr(f"CAST({c} AS DOUBLE)").collect())
+        for q, field in ((0.25, "p25"), (0.5, "median_val"), (0.75, "p75")):
+            lo = vals[max(0, int((q - 0.01) * n))]
+            hi = vals[min(n - 1, int((q + 0.01) * n))]
+            got = getattr(a, field)
+            assert lo <= got <= hi, f"{c}.{field}: {got} not in [{lo}, {hi}]"
