@@ -2,11 +2,17 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": <scale factor>}
+   "queries": {"<name>": sec, ...}, "sf": <scale factor>,
+   "reps": N, "spread": {"<name>": max_minus_min_sec, ...}}
 
 Each query is an entry from __spark_entry__.queries(); timing covers
 plan + execution + a driver-side count (materializes the full result,
 like the driver's collect, without pulling wide rows locally).
+
+Per-query time is the MEDIAN of $SPARK_GRAFT_BENCH_REPS runs
+(default 3) — wall clock on a shared VM varies +/-30-100% run to run
+(BASELINE.md), so single-shot numbers are not comparable across
+rounds; "spread" records max-min per query as the noise floor.
 """
 
 from __future__ import annotations
@@ -65,14 +71,24 @@ def main() -> None:
         _ident, "id long, x double"
     ).count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        spread[name] = round(runs[-1] - runs[0], 3)
+        print(
+            f"# {name}: p50={timings[name]}s spread={spread[name]}s ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -83,6 +99,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "spread": spread,
             }
         )
     )

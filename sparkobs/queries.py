@@ -1978,3 +1978,24 @@ def profile_preview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("total_price"),
     )
     return preview(orders, n=10, order_cols=["o_orderkey"])
+
+
+@query("decode_real_media")
+def decode_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode through the driver contract (extension:
+    multimodal): each document's first 64 bytes become an 8x8 PGM image
+    payload (built JVM-side with binary concat/substring — no UDF),
+    then decode_real parses the netpbm container and computes true
+    pixel stats in the Arrow-batched kernel. Deterministic but not
+    SQL-expressible (byte-level container parsing) → rows-only."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.multimodal import decode_real
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit(b"P5\n8 8\n255\n"),
+        F.substring(F.concat(F.encode("text", "UTF-8"), F.lit(bytes(64))), 1, 64),
+    )
+    media = docs.select(F.col("doc_id").alias("id"), payload.alias("content"))
+    return decode_real(media)

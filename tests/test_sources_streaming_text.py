@@ -118,10 +118,14 @@ def test_media_binary_stats_matches_text_length(spark, sf_dir):
     assert r.total_bytes == expected and r.n_items == 50
 
 
-def test_decode_real_is_stubbed(spark, sf_dir):
-    media = text_as_media(load_table(spark, sf_dir, "documents").limit(1))
-    with pytest.raises(NotImplementedError):
-        decode_real(media)
+def test_decode_real_unrecognized_payload_is_error_row(spark, sf_dir):
+    # text bytes are not a media container: decode_real must produce a
+    # typed error row (not raise, not kill the task)
+    media = text_as_media(load_table(spark, sf_dir, "documents").limit(3))
+    rows = decode_real(media).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.error is not None and r.format is None
 
 
 def test_frame_sample_expands(spark, sf_dir):
@@ -254,3 +258,59 @@ def test_streaming_watermark_drops_late_events(spark, tmp_path):
     emitted = [r for r in spark.table("late_test").collect() if r.window_start == datetime(2024, 1, 1, 0, 0)]
     assert len(emitted) == 1 and emitted[0].n_events == 1  # final, no duplicate
     assert dropped == 1  # the late event was dropped by the watermark
+
+
+def _wav_bytes():
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 100, -100, 200, -200))
+    return buf.getvalue()
+
+
+def _bmp_bytes():
+    import struct
+
+    pix_rows = (bytes([10] * 6) + b"\x00\x00") * 2  # 2x2 24-bit, stride 8
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + len(pix_rows), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pix_rows), 0, 0, 0, 0)
+        + pix_rows
+    )
+
+
+def test_decode_real_stdlib_formats(spark):
+    from sparkobs.operators.multimodal import decode_real
+
+    payloads = [
+        (1, _wav_bytes()),
+        (2, _bmp_bytes()),
+        (3, b"P5\n2 3\n255\n" + bytes([1, 2, 3, 4, 5, 6])),
+        (4, b"P6\n# c\n2 1\n255\n" + bytes([0, 0, 0, 30, 30, 30])),
+        (5, b"not a media file"),
+        (6, b"RIFF\x00\x00\x00\x00WAVEjunk"),
+    ]
+    media = spark.createDataFrame(payloads, "id bigint, content binary")
+    rows = {r.id: r for r in decode_real(media).collect()}
+    wav = rows[1]
+    assert (wav.format, wav.kind, wav.n_channels, wav.n_samples, wav.sample_rate) == (
+        "wav", "audio", 2, 2, 8000)
+    assert wav.mean_value == 150.0 and wav.error is None
+    bmp = rows[2]
+    assert (bmp.format, bmp.width, bmp.height, bmp.n_channels) == ("bmp", 2, 2, 3)
+    assert bmp.mean_value == 10.0 and bmp.error is None
+    pgm = rows[3]
+    assert (pgm.format, pgm.width, pgm.height, pgm.n_channels) == ("pgm", 2, 3, 1)
+    assert pgm.mean_value == 3.5
+    ppm = rows[4]
+    assert (ppm.format, ppm.width, ppm.height, ppm.mean_value) == ("ppm", 2, 1, 15.0)
+    # corrupt payloads become typed error rows, not task failures
+    assert rows[5].error is not None and rows[5].format is None
+    assert rows[6].error is not None
