@@ -372,6 +372,72 @@ def cosine_topk_ivf(
     )
 
 
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index AT REST, bucketed by cluster: the corpus
+    (normalized) is written ``partitionBy("cluster")`` so each inverted
+    list is its own parquet partition directory, and the ≤ ``n_clusters``
+    centroids land in a sibling ``centroids`` table.
+
+    This is the 100 TB layout the IVF trade depends on: a query that
+    probes ``n_probe`` lists reads ``n_probe/n_clusters`` of the bytes
+    — enforced by parquet partition pruning (see query_ivf_index),
+    not by a runtime filter over a full scan.
+    """
+    assigned, cents = ivf_assignments(df, n_clusters, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/data")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cluster int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    vector: list[float],
+    k: int = 5,
+    n_probe: int = 4,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Top-k cosine search against a persisted IVF index for ONE query
+    vector: probe selection happens driver-side against the tiny
+    centroids table, and the corpus scan carries a STATIC
+    ``cluster IN (...)`` predicate — parquet partition pruning, so only
+    the probed inverted lists are read from storage (PartitionFilters
+    in the scan plan; plan-asserted in tests).
+    """
+    import math
+
+    cents_rows = spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    norm = math.sqrt(sum(x * x for x in vector)) or 1.0
+    qn = [x / norm for x in vector]
+    dots = [
+        (sum(a * b for a, b in zip(qn, r.centroid)), r.cluster) for r in cents_rows
+    ]
+    probes = [c for _, c in sorted(dots, key=lambda t: (-t[0], t[1]))[:n_probe]]
+
+    corpus = spark.read.parquet(f"{path}/data").where(F.col("cluster").isin(probes))
+    if exclude_id is not None:
+        corpus = corpus.where(F.col("id") != exclude_id)
+    qlit = F.array(*[F.lit(x) for x in qn])
+    dot = F.aggregate(
+        F.zip_with("vn", qlit, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        corpus.select(
+            F.col("id").alias("neighbor_id"), F.round(dot, 6).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        .limit(k)
+    )
+
+
 def label_centroid_stats(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", label_col: str = "label"
 ) -> DataFrame:

@@ -909,10 +909,64 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(load_table(spark, sf_dir, "embeddings"), k=5)
 
 
-@query("cosine_topk_lsh")
+def _lsh_oracle(dim: int = 64, num_planes: int = 12, band_planes: int = 4, k: int = 5) -> str:
+    """DuckDB mirror of cosine_topk_lsh: the hyperplanes are
+    DETERMINISTIC (splitmix-derived ±1 components), so the whole
+    approximate pipeline — signatures, banding, candidate join, exact
+    re-rank — is value-reproducible across engines. Plane constants are
+    computed here and inlined as list literals."""
+    from sparkobs.operators.similarity import _hyperplane
+
+    planes = [_hyperplane(dim, p) for p in range(num_planes)]
+    plane_lits = ", ".join(
+        "[" + ", ".join(f"{c:.1f}" for c in pl) + "]" for pl in planes
+    )
+    bands = num_planes // band_planes
+    bit_exprs = ", ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {dim}+1), i -> e[i] * planes[{p+1}][i])) >= 0 "
+        f"THEN 1 ELSE 0 END) AS s{p}"
+        for p in range(num_planes)
+    )
+    key_exprs = ", ".join(
+        "concat(" + ", ".join(f"s{bi*band_planes+r}" for r in range(band_planes)) + f") AS k{bi}"
+        for bi in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT vec_id, e, norm, {bi} AS band, k{bi} AS key FROM sigk"
+        for bi in range(bands)
+    )
+    return f"""
+    WITH p AS (SELECT [{plane_lits}] AS planes),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS norm FROM v),
+    sig AS (SELECT vec_id, e, norm, {bit_exprs} FROM n, p),
+    sigk AS (SELECT vec_id, e, norm, {key_exprs} FROM sig),
+    banded AS ({band_union}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.vec_id <> b.vec_id),
+    scored AS (
+      SELECT c.vec_id, c.neighbor_id,
+             round(list_sum(list_transform(range(1, {dim}+1), i -> na.e[i] * nb.e[i]))
+                   / (na.norm * nb.norm), 6) AS cosine
+      FROM cand c
+      JOIN n na ON na.vec_id = c.vec_id
+      JOIN n nb ON nb.vec_id = c.neighbor_id)
+    SELECT vec_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@query("cosine_topk_lsh", oracle=_lsh_oracle())
 def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH cosine top-k (extension: similarity tier 2);
-    approximate → rows-only check; recall vs brute force unit-tested."""
+    """Random-hyperplane LSH cosine top-k (extension: similarity tier 2).
+    Approximate but DETERMINISTIC (fixed splitmix hyperplanes) → full
+    value-hash oracle against the same pipeline in DuckDB, with the
+    plane constants inlined; recall vs brute force also unit-tested."""
     from sparkobs.operators.similarity import cosine_topk_lsh
 
     return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"), k=5)
@@ -1457,11 +1511,53 @@ def bucket_monitor_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucket_monitor(spark, sf_dir, glob="*.parquet")
 
 
-@query("cosine_topk_ivf")
+@query(
+    "cosine_topk_ivf",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    n AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS vn
+      FROM v),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vn AS cv
+      FROM n ORDER BY vec_id LIMIT 16),
+    dots AS (
+      SELECT n.vec_id, n.vn, c.cid,
+             list_sum(list_transform(range(1, len(n.vn) + 1), i -> n.vn[i] * c.cv[i])) AS d
+      FROM n, cents c),
+    assign AS (
+      SELECT vec_id, vn, cid AS cluster
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+            FROM dots)
+      WHERE rn = 1),
+    probes AS (
+      SELECT vec_id, vn, cid AS probe
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+            FROM dots)
+      WHERE rn <= 4),
+    cand AS (
+      SELECT p.vec_id, p.vn AS qv, a.vec_id AS neighbor_id, a.vn AS cv
+      FROM probes p JOIN assign a ON a.cluster = p.probe AND a.vec_id <> p.vec_id),
+    scored AS (
+      SELECT vec_id, neighbor_id,
+             round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])), 6) AS cosine
+      FROM cand)
+    SELECT vec_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
 def cosine_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned approximate cosine top-k (extension: similarity
-    tier 3): deterministic coarse quantizer + n_probe inverted lists,
-    exact re-rank inside probed lists; recall unit-tested → rows-only."""
+    tier 3), fully distributed: deterministic coarse quantizer (lowest-
+    id seed centroids) + n_probe inverted lists, exact re-rank inside
+    probed lists. Deterministic → full value-hash oracle (the same
+    quantize/probe/re-rank pipeline in DuckDB list ops); recall vs
+    brute force also unit-tested."""
     from sparkobs.operators.similarity import cosine_topk_ivf
 
     return cosine_topk_ivf(load_table(spark, sf_dir, "embeddings"), k=5)

@@ -173,3 +173,35 @@ def test_ivf_is_distributed_no_corpus_collect(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_ivf_index_partition_pruning_and_parity(spark, tmp_path):
+    from sparkobs.operators.similarity import (
+        cosine_topk_ivf,
+        query_ivf_index,
+        write_ivf_index,
+    )
+
+    sf001 = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, idx, n_clusters=8)
+
+    qvec = list(emb.where("vec_id = 0").collect()[0]["embedding"])
+    res = query_ivf_index(spark, idx, qvec, k=3, n_probe=2, exclude_id=0)
+    # the scan must read ONLY the probed partitions (static pruning)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    assert "cluster#" in plan or "cluster IN" in plan.replace("#", " ")
+    rows = res.collect()
+    assert len(rows) == 3
+
+    # same algorithm as the distributed tier → identical answer for
+    # this query id (same centroids: lowest-id seeds)
+    tier = {
+        (r.neighbor_id, r.cosine)
+        for r in cosine_topk_ivf(emb, k=3, n_clusters=8, n_probe=2)
+        .where("vec_id = 0")
+        .collect()
+    }
+    assert {(r.neighbor_id, r.cosine) for r in rows} == tier
