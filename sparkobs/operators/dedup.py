@@ -348,6 +348,89 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list — the step that
+    turns near-dup PAIRS into dedup GROUPS (one canonical doc per
+    component). Returns (node, component) where component = the
+    smallest node id in the component; only nodes appearing in an edge
+    are returned (singletons are their own trivial groups).
+
+    Min-label propagation as a DataFrame loop: each round every node
+    takes the min of its own label and its neighbors' labels (one
+    shuffle per round), converging in O(graph diameter) rounds —
+    duplicate clusters are shallow (near-cliques), so 2-4 rounds in
+    practice. Per round the new labels are persisted and the old
+    unpersisted; convergence is an exact changed-count == 0 check.
+    At extreme diameters switch to alternating star contraction
+    (Kiveris et al.); for dedup graphs this simple loop is the right
+    cost shape.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = sym.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("component")
+    ).persist()
+    try:
+        for _ in range(max_iterations):
+            msgs = sym.join(
+                labels, sym["u"] == labels["node"]
+            ).select(F.col("v").alias("node"), "component")
+            new_labels = (
+                labels.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} "
+                "iterations; the graph diameter exceeds the bound — raise "
+                "max_iterations or use star-contraction for long chains"
+            )
+        return labels
+    finally:
+        # the returned DataFrame is the persisted fixpoint; track it so
+        # library callers can release it with unpersist_candidates()
+        _PERSISTED.append(labels)
+
+
+def near_dup_groups(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate GROUPS: exact n-gram-Jaccard pairs → connected
+    components → (doc_id, component) with component = lowest doc_id in
+    the group (the canonical representative to keep). The end-to-end
+    "which docs do I drop" operator; at 100 TB feed it
+    minhash_lsh_pairs instead of the exact tier."""
+    pairs = ngram_jaccard_pairs(df, n, threshold, id_col, text_col)
+    comps = connected_components(pairs)
+    return comps.select(
+        F.col("node").alias(id_col), F.col("component").alias("component")
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash fingerprint (tier 4): xxhash64 per token, per-bit
     majority vote, reassembled with shiftleft/bitwise-or — one explode +
@@ -414,4 +497,43 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    min_shared: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check: training docs sharing at least
+    ``min_shared`` distinct word n-grams with an evaluation corpus.
+
+    Plan: shingle both sides (split once via tokenize), key shingles by
+    md5 (hex — comparable across engines; swap in xxhash64 for 8-byte
+    shuffle keys at scale, same plan shape), BROADCAST the eval side
+    (benchmark suites are tiny next to training corpora), hash-join,
+    per-doc distinct-overlap count. Output: (id_col,
+    n_shared_shingles) for flagged docs.
+    """
+    tr = (
+        tokenize(train, id_col, text_col)
+        .select("id", F.explode(shingle_expr("__toks", n)).alias("sh"))
+        .select("id", F.md5("sh").alias("k"))
+        .distinct()
+    )
+    ev = (
+        tokenize(eval_df, id_col, text_col)
+        .select(F.explode(shingle_expr("__toks", n)).alias("sh"))
+        .select(F.md5("sh").alias("k"))
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), "k")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .where(F.col("n_shared_shingles") >= min_shared)
+        .select(F.col("id").alias(id_col), "n_shared_shingles")
     )

@@ -114,3 +114,68 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     fingerprints ⇒ exact-dedup key (dedup.exact flavor)."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the doc→training-sample
+    splitter every LLM data pipeline needs. Pure Catalyst: one split,
+    a stride ``sequence`` of chunk starts, ``posexplode``, and array
+    ``slice`` — no UDF, ~chunks/doc output rows per input row.
+
+    Chunk starts are 1, 1+stride, … up to ``max(1, n_tokens-overlap)``
+    (stride = chunk_tokens - overlap), so every non-first chunk carries
+    more than ``overlap`` fresh tokens and short docs yield exactly one
+    chunk. Output: (id, chunk_idx, token_start, n_tokens, chunk_text);
+    chunk_idx = (token_start-1)/stride, deterministic.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), r"\s+").alias("__toks"),
+    )
+    n = F.size("__toks")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), n - F.lit(overlap)), F.lit(stride)
+    )
+    ex = toks.select("id", "__toks", F.posexplode(starts).alias("chunk_idx", "token_start"))
+    return ex.select(
+        F.col("id").alias(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("token_start").cast("int").alias("token_start"),
+        F.least(F.lit(chunk_tokens), F.size("__toks") - F.col("token_start") + 1)
+        .cast("int")
+        .alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice("__toks", F.col("token_start"), F.lit(chunk_tokens))
+        ).alias("chunk_text"),
+    )
+
+
+def source_quota_cap(
+    df: DataFrame,
+    quota: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source quota capping — the data-mixing primitive that stops
+    one domain from dominating a training corpus: keep the ``quota``
+    lowest-id docs per group (deterministic, reproducible across runs).
+    One window shuffle on the group key; heavy groups prune early
+    (rank filter pushes below the window's sort via WindowGroupLimit).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(F.asc(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= quota)
+        .drop("__rn")
+    )

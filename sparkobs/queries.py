@@ -2095,3 +2095,123 @@ def decode_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = docs.select(F.col("doc_id").alias("id"), payload.alias("content"))
     return decode_real(media)
+
+
+@query(
+    "near_dup_groups_documents",
+    oracle="""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(t) >= 3
+                       THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                                         i -> array_to_string(t[i:i+2], ' ')))
+                       ELSE [array_to_string(t, ' ')] END AS s
+           FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
+    inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (
+      SELECT ia AS id_a, ib AS id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+      WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.2),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    nodes AS (SELECT DISTINCT u FROM sym),
+    allr AS (SELECT u, v FROM reach UNION SELECT u, u FROM nodes)
+    SELECT u AS doc_id, min(v) AS component FROM allr GROUP BY u
+    """,
+)
+def near_dup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS (extension: dedup clustering): exact 3-gram
+    Jaccard pairs >= 0.2 -> connected components via min-label
+    propagation -> (doc_id, component=lowest id in group). Oracle =
+    recursive-CTE transitive closure in DuckDB."""
+    from sparkobs.operators.dedup import near_dup_groups
+
+    return near_dup_groups(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+
+
+@query(
+    "chunk_documents",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    st AS (SELECT doc_id, t,
+                  unnest(generate_series(1, greatest(1, len(t) - 16), 48)) AS s
+           FROM toks)
+    SELECT doc_id,
+           CAST((s - 1) // 48 AS INT) AS chunk_idx,
+           CAST(s AS INT) AS token_start,
+           CAST(least(64, len(t) - s + 1) AS INT) AS n_tokens,
+           array_to_string(t[s:s+63], ' ') AS chunk_text
+    FROM st
+    """,
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token chunking with overlap (extension: training-data prep):
+    64-token chunks, 16-token overlap, stride 48 — split + stride
+    sequence + posexplode + slice, all Catalyst."""
+    from sparkobs.operators.text import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+@query(
+    "source_quota_cap",
+    oracle="""
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def source_quota_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (extension: data mixing): keep the 20
+    lowest-id docs per source — deterministic domain balancing."""
+    from sparkobs.operators.text import source_quota_cap
+
+    return source_quota_cap(
+        load_table(spark, sf_dir, "documents").select("source", "doc_id"), quota=20
+    )
+
+
+@query(
+    "contamination_check",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(t) >= 5
+                       THEN list_distinct(list_transform(generate_series(1, len(t) - 4),
+                                                         i -> array_to_string(t[i:i+4], ' ')))
+                       ELSE [array_to_string(t, ' ')] END AS s
+           FROM toks),
+    ex AS (SELECT doc_id, md5(unnest(s)) AS k FROM sh),
+    ev AS (SELECT DISTINCT k FROM ex WHERE doc_id % 10 = 0),
+    tr AS (SELECT DISTINCT doc_id, k FROM ex WHERE doc_id % 10 <> 0)
+    SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+    FROM tr JOIN ev ON tr.k = ev.k
+    GROUP BY tr.doc_id HAVING count(*) >= 3
+    """,
+)
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (extension: train/eval hygiene):
+    docs with doc_id % 10 == 0 stand in as the benchmark suite; flag
+    training docs sharing >= 3 distinct 5-gram shingles with it
+    (md5 keys, broadcast eval side)."""
+    from sparkobs.operators.dedup import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_check(
+        docs.where("doc_id % 10 != 0"),
+        docs.where("doc_id % 10 = 0"),
+        n=5,
+        min_shared=3,
+    )

@@ -205,3 +205,75 @@ def test_ivf_index_partition_pruning_and_parity(spark, tmp_path):
         .collect()
     }
     assert {(r.neighbor_id, r.cosine) for r in rows} == tier
+
+
+def test_connected_components_chain_and_cliques(spark):
+    from sparkobs.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3), clique {10,11,12}, isolated pair {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_divergence_guard(spark):
+    import pytest
+
+    from sparkobs.operators.dedup import connected_components
+
+    # a 6-chain has diameter 5: with max_iterations=2 propagation cannot
+    # finish and the guard must fire rather than return wrong labels
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=2)
+
+
+def test_near_dup_groups_match_pairs(spark):
+    from sparkobs.operators.dedup import near_dup_groups
+
+    sf01 = "/root/testdata/sf0.01"
+    d = spark.read.parquet(f"{sf01}/documents.parquet")
+    groups = {r.doc_id: r.component for r in near_dup_groups(d, 3, 0.2).collect()}
+    pairs = {
+        (r.id_a, r.id_b) for r in ngram_jaccard_pairs(d, 3, 0.2).collect()
+    }
+    # every paired doc appears, pair members share a component, and the
+    # component id is the smallest doc in it
+    for a, b in pairs:
+        assert groups[a] == groups[b] <= min(a, b)
+    assert set(groups) == {x for p in pairs for x in p}
+
+
+def test_contamination_check_flags_planted_copy(spark):
+    from sparkobs.operators.dedup import contamination_check
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [(1, base), (2, "totally different words here nothing shared at all xx")],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame([(100, base)], "doc_id bigint, text string")
+    got = {r.doc_id: r.n_shared_shingles for r in
+           contamination_check(train, ev, n=5, min_shared=3).collect()}
+    assert 1 in got and got[1] >= 3
+    assert 2 not in got
+
+
+def test_source_quota_cap_exact(spark):
+    from sparkobs.operators.text import source_quota_cap
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 30 else "b") for i in range(40)],
+        "doc_id bigint, source string",
+    )
+    out = source_quota_cap(df, quota=5, group_col="source")
+    per = {}
+    for r in out.collect():
+        per.setdefault(r.source, []).append(r.doc_id)
+    assert sorted(per["a"]) == [0, 1, 2, 3, 4]
+    assert sorted(per["b"]) == [30, 31, 32, 33, 34]
