@@ -38,9 +38,12 @@ HEADLINE = [
     "ngram_jaccard_pairs_hi",
     "minhash_lsh_pairs",
     "cosine_topk",
+    "cosine_topk_ivf",
     "asof_join_events_orders",
     "pipeline_filtered_corpus",
     "streaming_tumbling_events",
+    "near_dup_groups_documents",
+    "chunk_documents",
 ]
 
 

@@ -370,11 +370,16 @@ def connected_components(
     (Kiveris et al.); for dedup graphs this simple loop is the right
     cost shape.
     """
+    # persist the symmetrized edge list: every iteration joins against
+    # it, and without the cache each convergence check would recompute
+    # the (possibly expensive) upstream pair pipeline per round
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .persist()
     )
+    _PERSISTED.append(sym)
     labels = sym.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("component")
     ).persist()

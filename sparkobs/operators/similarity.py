@@ -272,6 +272,22 @@ def ivf_assignments(
     this is the frame you'd write out bucketed by ``cluster`` so a query
     touches n_probe/n_clusters of the data.
     """
+    quantized, cents = ivf_quantize(df, n_clusters, 1, id_col, vec_col)
+    return quantized.select("id", "vn", "cluster"), cents
+
+
+def ivf_quantize(
+    df: DataFrame,
+    n_clusters: int,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Shared IVF quantizer: per row compute the ``n_clusters`` centroid
+    dot products ONCE (one struct array + one array_sort), and derive
+    both the assignment (probes[0] = argmax, first-max tie-break) and
+    the ``n_probe`` probe list from that single sorted array. Returns
+    ((id, vn, probes array<int>, cluster), centroids)."""
     n = _with_norm(df, id_col, vec_col)
     normed = n.select(
         "id", F.transform("v", lambda x: x / F.col("norm")).alias("vn")
@@ -289,10 +305,25 @@ def ivf_assignments(
             lambda acc, x: acc + x,
         )
 
-    dots = F.array(*[dot_with(c) for c in cents])
-    # argmax with first-max tie-break == np.argmax semantics
-    cluster = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
-    return normed.select("id", "vn", cluster.alias("cluster")), cents
+    probe_structs = F.array(
+        *[
+            F.struct(dot_with(c).alias("d"), F.lit(i).alias("c"))
+            for i, c in enumerate(cents)
+        ]
+    )
+    sorted_probes = F.array_sort(
+        probe_structs,
+        lambda a, b: F.when(a["d"] > b["d"], -1)
+        .when(a["d"] < b["d"], 1)
+        .otherwise(a["c"] - b["c"]),
+    )
+    probes = F.transform(F.slice(sorted_probes, 1, n_probe), lambda s: s["c"])
+    quantized = normed.select(
+        "id",
+        "vn",
+        probes.alias("probes"),
+    ).select("id", "vn", "probes", F.element_at("probes", 1).alias("cluster"))
+    return quantized, cents
 
 
 def cosine_topk_ivf(
@@ -315,56 +346,64 @@ def cosine_topk_ivf(
     n_clusters of the corpus — the classic IVF recall/scan trade.
     Recall vs brute force is unit-tested.
     """
-    assigned, cents = ivf_assignments(df, n_clusters, id_col, vec_col)
+    quantized, _cents = ivf_quantize(df, n_clusters, n_probe, id_col, vec_col)
+    # shuffle BOTH roles to their cluster: queries to every probed
+    # cluster (n_probe copies), corpus members to their one home
+    # cluster — then score each bucket with ONE BLAS matmul in an
+    # Arrow-batched grouped kernel. Rows shipped ∝ n·n_probe vectors,
+    # never n² pairs; per-group work is (queries×dim)@(dim×members).
+    # one pass emits all bucket entries per row — n_probe query copies
+    # plus the single corpus-home copy — so the quantizer subtree is
+    # evaluated once, not once per union branch
+    entries = F.concat(
+        F.transform(
+            "probes",
+            lambda p: F.struct(p.alias("g"), F.lit("q").alias("role")),
+        ),
+        F.array(F.struct(F.col("cluster").alias("g"), F.lit("c").alias("role"))),
+    )
+    both = quantized.select(
+        "id", "vn", F.explode(entries).alias("e")
+    ).select("id", "vn", F.col("e.g").alias("g"), F.col("e.role").alias("role"))
+    kk = k
 
-    def dot_with(cvec: list[float]):
-        arr = F.array(*[F.lit(c) for c in cvec])
-        return F.aggregate(
-            F.zip_with("vn", arr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    def bucket_topk(pdf):
+        import numpy as np
+        import pandas as pd
 
-    # per-query probe list: centroid indices sorted by dot desc (tie:
-    # lower index first, matching np.argsort(-dots) stability)
-    probe_structs = F.array(
-        *[
-            F.struct(dot_with(c).alias("d"), F.lit(i).alias("c"))
-            for i, c in enumerate(cents)
-        ]
-    )
-    sorted_probes = F.array_sort(
-        probe_structs,
-        lambda a, b: F.when(a["d"] > b["d"], -1)
-        .when(a["d"] < b["d"], 1)
-        .otherwise(a["c"] - b["c"]),
-    )
-    probes = F.transform(F.slice(sorted_probes, 1, n_probe), lambda s: s["c"])
+        qs = pdf[pdf["role"] == "q"]
+        cs = pdf[pdf["role"] == "c"]
+        cols = ["vec_id", "neighbor_id", "cosine"]
+        if qs.empty or cs.empty:
+            return pd.DataFrame(columns=cols)
+        qm = np.array(qs["vn"].tolist(), dtype=np.float64)
+        cm = np.array(cs["vn"].tolist(), dtype=np.float64)
+        qids = qs["id"].to_numpy()
+        cids = cs["id"].to_numpy()
+        sims = np.round(qm @ cm.T, 6)
+        out = []
+        for i in range(len(qids)):
+            mask = cids != qids[i]  # self-exclusion
+            ids_i, s_i = cids[mask], sims[i][mask]
+            if len(s_i) > kk:
+                th = np.partition(s_i, -kk)[-kk]
+                keep = s_i >= th
+                ids_i, s_i = ids_i[keep], s_i[keep]
+            order = np.lexsort((ids_i, -s_i))[:kk]
+            out.extend(
+                (int(qids[i]), int(ids_i[j]), float(s_i[j])) for j in order
+            )
+        return pd.DataFrame(out, columns=cols)
 
-    queries = assigned.select(
-        F.col("id").alias("vec_id"),
-        F.col("vn").alias("qv"),
-        F.explode(probes).alias("__probe"),
-    )
-    corpus = assigned.select(
-        F.col("id").alias("neighbor_id"),
-        F.col("vn").alias("cv"),
-        "cluster",
-    )
-    cand = queries.join(
-        corpus, queries["__probe"] == corpus["cluster"]
-    ).where(F.col("vec_id") != F.col("neighbor_id"))
-    dot = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = cand.select(
-        "vec_id", "neighbor_id", F.round(dot, 6).alias("cosine")
+    # each (query, neighbor) pair lives in exactly one bucket (a corpus
+    # vector has one home cluster), so the global top-k is a subset of
+    # the per-bucket top-k unions — the final window just merges them
+    local = both.groupBy("g").applyInPandas(
+        bucket_topk, "vec_id bigint, neighbor_id bigint, cosine double"
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             "vec_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
@@ -436,6 +475,90 @@ def query_ivf_index(
         .orderBy(F.desc("cosine"), F.asc("neighbor_id"))
         .limit(k)
     )
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    band_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed embedding near-dup pairs (the 100 TB tier for
+    embedding_near_dup_pairs): hyperplane-LSH band buckets generate
+    candidates — a plain equi-join, no broadcast matrix, no corpus
+    collect — then exact cosine filters at ``threshold``.
+
+    Recall follows the band math (pairs at cosine ≥ 0.95 collide in
+    ≥1 of 3 bands with high probability; deterministic planes, so the
+    result is reproducible and DuckDB-oracle-checkable). Output:
+    (id_a < id_b, cosine).
+    """
+    dim = len(df.select(vec_col).head()[0])
+    n = _with_norm(df, id_col, vec_col)
+
+    def sign_bit(plane_idx: int):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, plane_idx)])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), plane, lambda x, p: x * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bands = num_planes // band_planes
+    sig = n.select(
+        "id", "v", "norm", *[sign_bit(p).alias(f"s{p}") for p in range(num_planes)]
+    )
+    banded = sig.select(
+        "id",
+        "v",
+        "norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "",
+                            *[
+                                F.col(f"s{bi * band_planes + r}")
+                                for r in range(band_planes)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "v", "norm", "bb.band", "bb.key")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.v").alias("va"),
+            F.col("a.norm").alias("na"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.v").alias("vb"),
+            F.col("b.norm").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)
 
 
 def label_centroid_stats(

@@ -2215,3 +2215,62 @@ def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=5,
         min_shared=3,
     )
+
+
+def _lsh_pairs_oracle(threshold: float, dim: int = 64, num_planes: int = 12, band_planes: int = 4) -> str:
+    """DuckDB mirror of embedding_near_dup_pairs_lsh (deterministic
+    hyperplanes inlined; candidates from band buckets, exact cosine
+    filter at threshold)."""
+    from sparkobs.operators.similarity import _hyperplane
+
+    planes = [_hyperplane(dim, p) for p in range(num_planes)]
+    plane_lits = ", ".join(
+        "[" + ", ".join(f"{c:.1f}" for c in pl) + "]" for pl in planes
+    )
+    bands = num_planes // band_planes
+    bit_exprs = ", ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {dim}+1), i -> e[i] * planes[{p+1}][i])) >= 0 "
+        f"THEN 1 ELSE 0 END) AS s{p}"
+        for p in range(num_planes)
+    )
+    key_exprs = ", ".join(
+        "concat(" + ", ".join(f"s{bi*band_planes+r}" for r in range(band_planes)) + f") AS k{bi}"
+        for bi in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT vec_id, e, norm, {bi} AS band, k{bi} AS key FROM sigk"
+        for bi in range(bands)
+    )
+    return f"""
+    WITH p AS (SELECT [{plane_lits}] AS planes),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS norm FROM v),
+    sig AS (SELECT vec_id, e, norm, {bit_exprs} FROM n, p),
+    sigk AS (SELECT vec_id, e, norm, {key_exprs} FROM sig),
+    banded AS ({band_union}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+    SELECT c.id_a, c.id_b,
+           round(list_sum(list_transform(range(1, {dim}+1), i -> na.e[i] * nb.e[i]))
+                 / (na.norm * nb.norm), 6) AS cosine
+    FROM cand c
+    JOIN n na ON na.vec_id = c.id_a
+    JOIN n nb ON nb.vec_id = c.id_b
+    WHERE round(list_sum(list_transform(range(1, {dim}+1), i -> na.e[i] * nb.e[i]))
+                / (na.norm * nb.norm), 6) >= {threshold}
+    """
+
+
+@query("embedding_near_dup_pairs_lsh", oracle=_lsh_pairs_oracle(0.35))
+def embedding_near_dup_pairs_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed embedding near-dup pairs (extension: the 100 TB tier
+    of embedding_near_dup_pairs): LSH band-bucket candidates -> exact
+    cosine filter, no broadcast matrix; deterministic -> value-hash
+    oracle."""
+    from sparkobs.operators.similarity import embedding_near_dup_pairs_lsh
+
+    return embedding_near_dup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )

@@ -95,3 +95,43 @@ def test_pipeline_composition_plan(spark):
     df = Q.SPARK_QUERIES["pipeline_filtered_corpus"](spark, SF)
     assert_no_cartesian(df)
     assert_partial_final_agg(df)
+
+
+def test_source_quota_cap_window_group_limit(spark):
+    # the rank filter must push below the window sort (WindowGroupLimit:
+    # each partition keeps only quota rows per group before the shuffle
+    # sort finishes) — the property that makes quota capping viable on
+    # heavy domains at 100 TB
+    from sparkobs.plans import physical_plan
+
+    df = Q.SPARK_QUERIES["source_quota_cap"](spark, SF)
+    assert "WindowGroupLimit" in physical_plan(df)
+
+
+def test_chunk_documents_is_narrow(spark):
+    # chunking is a pure per-row expansion: the plan must contain NO
+    # exchange — it pipelines inside one stage whatever the input size
+    from sparkobs.plans import physical_plan
+
+    df = Q.SPARK_QUERIES["chunk_documents"](spark, SF)
+    assert "Exchange" not in physical_plan(df)
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    from sparkobs.plans import physical_plan
+
+    df = Q.SPARK_QUERIES["contamination_check"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert_no_cartesian(df)
+
+
+def test_jdbc_monitor_prunes_remote_columns(spark):
+    # the JDBC monitor profiles a 2-column projection: the remote SELECT
+    # list (ReadSchema on the JDBC relation) must carry exactly those
+    from sparkobs.plans import physical_plan
+
+    df = Q.SPARK_QUERIES["jdbc_monitor_nation"](spark, SF)
+    plan = physical_plan(df)
+    assert "JDBCRelation" in plan
+    assert "n_name" not in plan  # unprofiled column never leaves the DB
