@@ -1059,20 +1059,44 @@ def binary_stats_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_stats(text_as_media(load_table(spark, sf_dir, "documents")))
 
 
-@query("decode_stub_media")
+@query(
+    "decode_stub_media",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(64 + CAST('0x' || substr(sha256(text), 1, 2) AS INT) % 192 AS INT) AS width,
+           CAST(64 + CAST('0x' || substr(sha256(text), 3, 2) AS INT) % 192 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           substr(sha256(text), 1, 16) AS checksum
+    FROM documents
+    """,
+)
 def decode_stub_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STUB media decode via Arrow-batched mapInPandas (extension:
-    multimodal): deterministic fake features; real decoder wires into the
-    same kernel (see sparkobs.operators.multimodal.decode_real)."""
+    multimodal): deterministic sha256-derived fake features — which
+    makes even the stub value-hash checkable (DuckDB sha256 ≡ hashlib).
+    The real decoder wires into the same kernel (decode_real)."""
     from sparkobs.operators.multimodal import decode_stub, text_as_media
 
     return decode_stub(text_as_media(load_table(spark, sf_dir, "documents")))
 
 
-@query("frame_sample_media")
+@query(
+    "frame_sample_media",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id AS id, text,
+             unnest(generate_series(0,
+               least(4, 1 + octet_length(encode(text)) // 640) - 1)) AS fi
+      FROM documents)
+    SELECT id, CAST(fi * 10 AS INT) AS frame_idx,
+           substr(sha256(text || chr(CAST(fi AS INT))), 1, 12) AS frame_checksum
+    FROM f
+    """,
+)
 def frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STUB frame sampling (1→N mapInPandas expansion, extension:
-    multimodal)."""
+    multimodal); sha256-derived frame ids → value-hash checkable."""
     from sparkobs.operators.multimodal import frame_sample_stub, text_as_media
 
     return frame_sample_stub(text_as_media(load_table(spark, sf_dir, "documents")))
