@@ -137,9 +137,13 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
+    # leading/trailing whitespace makes split() emit empty tokens —
+    # drop them or they count against chunk capacity (hypothesis-found)
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.split(F.col(text_col), r"\s+").alias("__toks"),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+        ).alias("__toks"),
     )
     n = F.size("__toks")
     starts = F.sequence(

@@ -2164,7 +2164,9 @@ def near_dup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "chunk_documents",
     oracle="""
-    WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+                  FROM documents),
     st AS (SELECT doc_id, t,
                   unnest(generate_series(1, greatest(1, len(t) - 16), 48)) AS s
            FROM toks)

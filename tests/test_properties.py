@@ -87,3 +87,73 @@ def test_fanin_bounds(spark, vals):
     r = fanin_stats(long).collect()[0]
     assert r.n_entities == len(vals)
     assert r.min_value <= r.mean_value <= r.max_value
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from("abc xy "), min_size=1, max_size=120)
+        .filter(lambda t: t.strip()),
+        min_size=1,
+        max_size=6,
+    ),
+    chunk=st.integers(4, 12),
+    overlap=st.integers(0, 3),
+)
+@settings(**SETTINGS)
+def test_chunking_reconstructs_tokens(spark, texts, chunk, overlap):
+    from sparkobs.operators.text import chunk_documents
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    out = chunk_documents(df, chunk_tokens=chunk, overlap=overlap)
+    per_doc = {}
+    for r in out.collect():
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        toks = [x for x in __import__("re").split(r"\s+", t) if x != ""] or [""]
+        chunks = sorted(per_doc[i], key=lambda r: r.chunk_idx)
+        # chunk indices are dense from 0
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        # dropping the overlap prefix of every non-first chunk and
+        # concatenating reconstructs the token stream exactly
+        rebuilt = []
+        for j, c in enumerate(chunks):
+            ctoks = c.chunk_text.split(" ") if c.chunk_text else []
+            rebuilt.extend(ctoks if j == 0 else ctoks[overlap:])
+        assert rebuilt == toks, (t, [c.chunk_text for c in chunks])
+        # every chunk respects the size bound and n_tokens accounting
+        for c in chunks:
+            assert 1 <= c.n_tokens <= chunk
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_match_union_find(spark, edges):
+    from sparkobs.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a bigint, id_b bigint"
+    )
+    got = {r.node: r.component for r in connected_components(df).collect()}
+
+    # reference union-find
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    assert got == want
