@@ -364,37 +364,51 @@ def connected_components(
     takes the min of its own label and its neighbors' labels (one
     shuffle per round), converging in O(graph diameter) rounds —
     duplicate clusters are shallow (near-cliques), so 2-4 rounds in
-    practice. Per round the new labels are persisted and the old
-    unpersisted; convergence is an exact changed-count == 0 check.
-    At extreme diameters switch to alternating star contraction
-    (Kiveris et al.); for dedup graphs this simple loop is the right
-    cost shape.
+    practice. Each round the new labels are **eagerly
+    localCheckpoint-ed**: persist() alone only short-circuits
+    *recomputation* while the logical plan tree still deepens every
+    iteration, until plan processing itself OOMs the driver (observed
+    at graph diameter ≳ 10) — localCheckpoint truncates the lineage so
+    round N's plan is O(1) regardless of N. Convergence is an exact
+    changed-count == 0 check. At extreme diameters switch to
+    alternating star contraction (Kiveris et al.); for dedup graphs
+    this loop is the right cost shape.
+
+    Cache discipline: the edge caches are released before returning;
+    the returned fixpoint is a localCheckpoint whose blocks are
+    reclaimed by Spark's ContextCleaner once the caller drops the
+    DataFrame (it never enters the CacheManager, so
+    ``spark.catalog.clearCache()`` bookkeeping stays clean).
     """
     # persist the RAW edges first: the symmetrizing union references
     # them twice, and without this cache the (possibly expensive)
     # upstream pair pipeline would run once per union branch — then
     # persist the symmetrized list every iteration joins against
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
-    _PERSISTED.append(raw)
     sym = (
         raw.unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .persist()
     )
-    _PERSISTED.append(sym)
-    labels = sym.select("u").distinct().select(
-        F.col("u").alias("node"), F.col("u").alias("component")
-    ).persist()
+    labels = (
+        sym.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("component"))
+        .localCheckpoint(eager=True)
+    )
     try:
         for _ in range(max_iterations):
             msgs = sym.join(
                 labels, sym["u"] == labels["node"]
             ).select(F.col("v").alias("node"), "component")
+            # eager=True: fully materialized here, so the plan handed to
+            # the changed-count job (and to the next round) starts from
+            # a leaf scan of checkpointed blocks, not the whole history
             new_labels = (
                 labels.unionByName(msgs)
                 .groupBy("node")
                 .agg(F.min("component").alias("component"))
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")
@@ -402,6 +416,8 @@ def connected_components(
                 .where(F.col("n.component") != F.col("o.component"))
                 .count()
             )
+            # new_labels is already materialized, so dropping the prior
+            # round's blocks (and eventually the edge caches) is safe
             labels.unpersist()
             labels = new_labels
             if changed == 0:
@@ -414,9 +430,10 @@ def connected_components(
             )
         return labels
     finally:
-        # the returned DataFrame is the persisted fixpoint; track it so
-        # library callers can release it with unpersist_candidates()
-        _PERSISTED.append(labels)
+        # the fixpoint (or the last round before an error) is
+        # checkpointed, so the edge caches are no longer needed
+        sym.unpersist()
+        raw.unpersist()
 
 
 def near_dup_groups(
@@ -437,7 +454,13 @@ def near_dup_groups(
     100 TB use ``tier="lsh"`` (MinHash-LSH candidates, exact-verified,
     cost ∝ band collisions — measured: the exact tier spilled out of
     disk at 50 k docs ×10 copy density where the LSH tier finishes in
-    seconds)."""
+    seconds).
+
+    Leaves nothing in the CacheManager: the pair tier's candidate
+    persist (LSH) and the component loop's edge caches are released
+    before returning — connected_components already materialized the
+    result eagerly, so the upstream pipeline is never re-run."""
+    mark = len(_PERSISTED)
     if tier == "exact":
         pairs = ngram_jaccard_pairs(df, n, threshold, id_col, text_col)
     elif tier == "lsh":
@@ -447,6 +470,11 @@ def near_dup_groups(
     else:
         raise ValueError(f"tier must be exact|lsh, got {tier}")
     comps = connected_components(pairs)
+    # comps is an eager localCheckpoint — the pair pipeline has fully
+    # run, so any caches IT tracked (the LSH candidate frame) can go now
+    # without touching caches the caller registered earlier
+    while len(_PERSISTED) > mark:
+        _PERSISTED.pop().unpersist()
     return comps.select(
         F.col("node").alias(id_col), F.col("component").alias("component")
     )

@@ -1146,8 +1146,8 @@ def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage_dir = _stage_events(spark, sf_dir)
     out = streaming_tumbling(stream_events(spark, stage_dir), "1 hour")
-    run_to_memory(out, "tumbling_stream", output_mode="complete")
-    return spark.table("tumbling_stream").select("window_start", "n_events", "sum_value")
+    tbl = run_to_memory(out, "tumbling_stream", output_mode="complete", unique=True)
+    return spark.table(tbl).select("window_start", "n_events", "sum_value")
 
 
 def _stage_events_split(spark: SparkSession, sf_dir: str) -> str:
@@ -1210,8 +1210,8 @@ def streaming_count_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage_dir = _stage_events_split(spark, sf_dir)
     out = stateful_count_drift(stream_events(spark, stage_dir, files_per_trigger=1))
-    run_to_memory(out, "drift_stream", output_mode="update")
-    return spark.table("drift_stream")
+    tbl = run_to_memory(out, "drift_stream", output_mode="update", unique=True)
+    return spark.table(tbl)
 
 
 # ---------------------------------------------------------------------------
@@ -1636,8 +1636,8 @@ def streaming_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage_dir = _stage_events(spark, sf_dir)
     out = streaming_session(stream_events(spark, stage_dir), "30 minutes")
-    run_to_memory(out, "session_stream", output_mode="complete")
-    return spark.table("session_stream").select("user_id", "session_start", "n_events")
+    tbl = run_to_memory(out, "session_stream", output_mode="complete", unique=True)
+    return spark.table(tbl).select("user_id", "session_start", "n_events")
 
 
 @query(
@@ -1916,8 +1916,8 @@ def streaming_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(_to_ntz("w.start").alias("window_start"), "n_events")
     )
-    run_to_memory(out, "sliding_stream", output_mode="complete")
-    return spark.table("sliding_stream")
+    tbl = run_to_memory(out, "sliding_stream", output_mode="complete", unique=True)
+    return spark.table(tbl)
 
 
 @query(

@@ -133,10 +133,24 @@ def run_to_memory(
     stream_df: DataFrame,
     name: str,
     output_mode: str = "complete",
-    timeout_s: int = 120,
-) -> None:
+    timeout_s: int = 300,
+    unique: bool = False,
+) -> str:
     """Drain all available input through the stream (availableNow
-    trigger, OP-53's drain-and-stop form) into an in-memory table."""
+    trigger, OP-53's drain-and-stop form) into an in-memory table and
+    return the table name to read.
+
+    Drain is VERIFIED, not assumed: a timeout raises (the old behavior
+    silently ``stop()``-ed an in-flight drain, leaving a partial memory
+    table — a flake under full-suite load), and the query must have
+    reported progress before the sink is considered readable.
+    ``unique=True`` suffixes the sink name so concurrent/repeated runs
+    in one long-lived session never collide on the memory-sink table.
+    """
+    if unique:
+        import uuid
+
+        name = f"{name}_{uuid.uuid4().hex[:8]}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -144,5 +158,16 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
-    q.stop()
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise RuntimeError(
+                f"stream '{name}' did not drain within {timeout_s}s — "
+                "memory sink would be partial; refusing to read it"
+            )
+        if q.lastProgress is None:
+            raise RuntimeError(
+                f"stream '{name}' terminated without reporting progress"
+            )
+    finally:
+        q.stop()
+    return name

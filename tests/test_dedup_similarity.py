@@ -219,6 +219,40 @@ def test_connected_components_chain_and_cliques(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_path(spark):
+    from sparkobs.operators.dedup import connected_components
+
+    # 31-node path graph: diameter 30 needs ~30 propagation rounds —
+    # with the old persist()-only loop the logical plan deepened every
+    # round until the driver OOMed in plan processing at diameter ≳ 10;
+    # the eager localCheckpoint keeps each round's plan O(1)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, max_iterations=64).collect()
+    }
+    assert got == {i: 0 for i in range(32)}
+
+
+def test_near_dup_groups_leaves_no_cache(spark):
+    from sparkobs.operators.dedup import near_dup_groups
+
+    spark.catalog.clearCache()
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    for tier in ("exact", "lsh"):
+        res = near_dup_groups(d, 3, 0.2, tier=tier)
+        assert res.count() >= 0
+        # every persist() taken along the way (edge caches, LSH
+        # candidates) must be released once the result materializes;
+        # the result itself is a localCheckpoint, which never enters
+        # the CacheManager
+        jcm = spark._jsparkSession.sharedState().cacheManager()
+        assert jcm.isEmpty(), f"tier={tier} left plans in the CacheManager"
+
+
 def test_connected_components_divergence_guard(spark):
     import pytest
 

@@ -152,8 +152,8 @@ def test_streaming_two_batch_drift(spark, sf_dir, tmp_path):
     # second file → second micro-batch (maxFilesPerTrigger=1)
     ev.limit(200).coalesce(1).write.mode("append").parquet(stage)
     out = stateful_count_drift(stream_events(spark, stage, files_per_trigger=1))
-    run_to_memory(out, "drift_test", output_mode="update")
-    rows = spark.table("drift_test").collect()
+    tbl = run_to_memory(out, "drift_test", output_mode="update", unique=True)
+    rows = spark.table(tbl).collect()
     # state visible: at least one entity reports a non-null prev_count
     assert any(r.prev_count is not None and r.delta == r.batch_count - r.prev_count for r in rows)
 
@@ -165,13 +165,14 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir, tmp_path):
     stage = str(tmp_path / "stream2")
     ev = load_table(spark, sf_dir, "events")
     ev.coalesce(2).write.mode("overwrite").parquet(stage)
-    run_to_memory(
+    tbl = run_to_memory(
         streaming_tumbling(stream_events(spark, stage), "1 hour"),
         "tumbling_test",
         output_mode="complete",
+        unique=True,
     )
     streamed = {
-        r.window_start: r.n_events for r in spark.table("tumbling_test").collect()
+        r.window_start: r.n_events for r in spark.table(tbl).collect()
     }
     batch = {r.window_start: r.n_events for r in tumbling_agg(ev, "1 hour").collect()}
     assert streamed == batch
