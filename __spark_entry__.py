@@ -37,8 +37,58 @@ def entry(spark: SparkSession) -> DataFrame:
     return table_profile(df, "lineitem")
 
 
+# The driver's correctness gate checks the FIRST 50 registry entries
+# only — order the newest / least-driver-proven queries first so each
+# round's CORRECTNESS_r{N} certifies the latest work. Names listed here
+# lead the registry (in this order); everything else follows in
+# definition order. A name that disappears from the registry is
+# silently skipped.
+_PRIORITY: list[str] = [
+    # round-3 additions
+    "minhash_lsh_pairs",
+    "simhash_documents",
+    # round-2 additions never yet inside the driver window
+    "near_dup_groups_documents",
+    "jdbc_roundtrip_nation",
+    "jdbc_monitor_nation",
+    "cosine_topk_ivf",
+    "embedding_near_dup_pairs_lsh",
+    "embedding_near_dup_pairs",
+    "chunk_documents",
+    "contamination_check",
+    "source_quota_cap",
+    "ngram_jaccard_pairs_hi",
+    "streaming_session_events",
+    "streaming_sliding_events",
+    "asof_join_events_orders",
+    "asof_join_forward",
+    "zip_join_nation_supplier",
+    "flatten_struct_events",
+    "set_except_users",
+    "set_intersect_users",
+    "rollup_lineitem",
+    "cube_lineitem",
+    "pivot_returnflag_linestatus",
+    "salted_group_count_suppkey",
+    "topk_orders_per_status",
+    "top_shingles",
+    "grouped_percentiles_orders",
+    "mode_columns_lineitem",
+    "corr_lineitem",
+    "pipeline_filtered_corpus",
+    "profile_preview_orders",
+    "profile_lineitem_approx",
+    "collect_metric_lists_supplier",
+    "bucket_monitor_metrics",
+    "decode_real_media",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return Q.SPARK_QUERIES
+    qs = Q.SPARK_QUERIES
+    ordered = {n: qs[n] for n in _PRIORITY if n in qs}
+    ordered.update({n: f for n, f in qs.items() if n not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
