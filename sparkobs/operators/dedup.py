@@ -227,17 +227,36 @@ def minhash_signatures(
     num_hashes: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xx64",
 ) -> DataFrame:
-    """Deterministic MinHash signatures (tier 3): ``num_hashes``
-    xxhash64 functions (seeded 0..k-1) over distinct shingles, min per
-    seed — one explode + one groupBy, signature as an array column."""
+    """Deterministic MinHash signatures (tier 3): ``num_hashes`` seeded
+    hash functions over distinct shingles, min per seed — one explode +
+    one groupBy, signature as an array column.
+
+    ``hash_fn="xx64"`` (default) uses xxhash64 — 8-byte values, the
+    100 TB path. ``hash_fn="md5"`` uses ``md5(seed ':' shingle)`` hex
+    strings: ~4× wider values but bit-reproducible in any engine with
+    an md5() (DuckDB, Trino, …) — the cross-engine-verifiable mode the
+    oracle checks; min over lowercase-hex strings is a total order in
+    both engines. Same algorithm either way.
+    """
     sh = tokenize(df, id_col, text_col).select(
         "id", F.explode(shingle_expr("__toks", n)).alias("sh")
     )
-    mins = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(seed))).alias(f"h{seed}")
-        for seed in range(num_hashes)
-    ]
+    if hash_fn == "xx64":
+        mins = [
+            F.min(F.xxhash64(F.col("sh"), F.lit(seed))).alias(f"h{seed}")
+            for seed in range(num_hashes)
+        ]
+    elif hash_fn == "md5":
+        mins = [
+            F.min(F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("sh")))).alias(
+                f"h{seed}"
+            )
+            for seed in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"hash_fn must be xx64|md5, got {hash_fn}")
     agg = sh.groupBy("id").agg(*mins)
     return agg.select(
         "id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("signature")
@@ -252,6 +271,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xx64",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs (tier 3), exact-verified.
 
@@ -259,9 +279,22 @@ def minhash_lsh_pairs(
     (band_idx, band_hash) to get candidates, then exact-Jaccard verify
     candidates only. At 100 TB the candidate join replaces the full
     shingle self-join — cost scales with collisions, not pairs.
+
+    ``hash_fn`` picks the signature hash (see
+    :func:`minhash_signatures`); the exact-verify stage always uses
+    xxhash64 shingle join keys — it only tests shingle equality
+    within Spark, so portability doesn't apply there.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, n, num_hashes, id_col, text_col)
+    sig = minhash_signatures(df, n, num_hashes, id_col, text_col, hash_fn)
+
+    def _bucket(cols):
+        # band bucket key: any deterministic combiner works; md5 over
+        # the '|'-joined members is reproducible across engines
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws("|", *cols))
+        return F.xxhash64(*cols)
+
     banded = sig.select(
         "id",
         F.explode(
@@ -269,8 +302,8 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[
+                        _bucket(
+                            [
                                 F.col("signature")[bi * rows_per_band + r]
                                 for r in range(rows_per_band)
                             ]
@@ -480,29 +513,50 @@ def near_dup_groups(
     )
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash fingerprint (tier 4): xxhash64 per token, per-bit
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xx64",
+) -> DataFrame:
+    """SimHash fingerprint (tier 4): one hash per token, per-bit
     majority vote, reassembled with shiftleft/bitwise-or — one explode +
-    one groupBy, all JVM-side."""
+    one groupBy, all JVM-side.
+
+    ``hash_fn="xx64"`` (default): 64-bit xxhash64 token hashes → 64-bit
+    fingerprint, the 100 TB path. ``hash_fn="md5"``: 60-bit token hash
+    (first 15 hex chars of md5, parsed base-16) → 60-bit fingerprint
+    that any engine with md5() reproduces bit-for-bit — the
+    cross-engine-verifiable mode (15 hex chars so the value fits a
+    signed 64-bit int on every engine). Same vote/assembly either way.
+    """
+    if hash_fn == "xx64":
+        nbits = 64
+        hash_col = F.xxhash64("t")
+    elif hash_fn == "md5":
+        nbits = 60
+        hash_col = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be xx64|md5, got {hash_fn}")
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("t"),
-    ).select("id", F.xxhash64("t").alias("h"))
+    ).select("id", hash_col.alias("h"))
     votes = tok.groupBy("id").agg(
         *[
             F.sum(
                 F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(nbits)
         ]
     )
     bits = [
         F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).alias(f"bit{b}")
-        for b in range(64)
+        for b in range(nbits)
     ]
     with_bits = votes.select("id", *bits)
     acc = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(nbits):
         acc = acc.bitwiseOR(F.shiftleft(F.col(f"bit{b}"), b))
     return with_bits.select(F.col("id").alias("doc_id"), acc.alias("simhash"))
 

@@ -864,25 +864,97 @@ def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("minhash_lsh_pairs")
+def _minhash_lsh_oracle(n: int = 3, num_hashes: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
+    """DuckDB mirror of the PORTABLE (md5) MinHash-LSH pipeline:
+    signatures = min over md5('seed:shingle') hex strings per seed, band
+    buckets = md5 of the '|'-joined band members, candidate bucket join,
+    exact-Jaccard verification — value-reproducible across engines
+    because lowercase-hex string min is the same total order
+    everywhere."""
+    rpb = num_hashes // bands
+    mins = ", ".join(
+        f"min(md5(concat('{s}', ':', sh))) AS h{s}" for s in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, md5(concat_ws('|', "
+        + ", ".join(f"h{bi * rpb + r}" for r in range(rpb))
+        + ")) AS bucket FROM sig"
+        for bi in range(bands)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    shl AS (SELECT doc_id,
+                   CASE WHEN len(t) >= {n}
+                        THEN list_distinct(list_transform(generate_series(1, len(t) - {n - 1}),
+                                                          i -> array_to_string(t[i:i+{n - 1}], ' ')))
+                        ELSE [array_to_string(t, ' ')] END AS s
+            FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM shl),
+    sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+    banded AS ({band_rows}),
+    cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
+    inter AS (SELECT c.ia, c.ib, count(*) AS i
+              FROM cand c
+              JOIN ex a ON a.doc_id = c.ia
+              JOIN ex b ON b.doc_id = c.ib AND b.sh = a.sh
+              GROUP BY 1, 2)
+    SELECT ia AS id_a, ib AS id_b, round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+    WHERE round(i / (sa.sz + sb.sz - i), 4) >= {threshold}
+    """
+
+
+@query("minhash_lsh_pairs", oracle=_minhash_lsh_oracle())
 def minhash_lsh_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs, exact-verified (extension: dedup tier 3).
-    Hash-seeded candidates → rows-only check; recall vs tier 2 is unit-
-    tested (tests/test_dedup.py)."""
+    """MinHash-LSH near-dup pairs, exact-verified (extension: dedup tier 3),
+    in the portable-hash mode (md5-derived signatures) so the ENTIRE
+    approximate pipeline — signatures, banding, candidate join, exact
+    verification — is value-hash-checked against DuckDB; the xx64
+    production mode is the same algorithm (recall vs tier 2 also
+    unit-tested)."""
     from sparkobs.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, num_hashes=32, bands=8, threshold=0.2
+        load_table(spark, sf_dir, "documents"),
+        n=3, num_hashes=32, bands=8, threshold=0.2, hash_fn="md5",
     )
 
 
-@query("simhash_documents")
+def _simhash_oracle(nbits: int = 60) -> str:
+    """DuckDB mirror of the PORTABLE (md5) SimHash: token hash = first
+    15 hex chars of md5 parsed base-16 (bit b extracted from hex char
+    15 - b//4), per-bit ±1 vote, fingerprint reassembled as a BIGINT."""
+    votes = ", ".join(
+        "sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, "
+        f"{15 - b // 4}, 1)) - 1) // {1 << (b % 4)}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(nbits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(nbits)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+                 FROM documents),
+    h AS (SELECT doc_id, substr(md5(t), 1, 15) AS h FROM tok),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query("simhash_documents", oracle=_simhash_oracle())
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (extension: dedup tier 4); engine-
-    specific hash → rows-only check + unit tests."""
+    """SimHash fingerprints (extension: dedup tier 4) in the portable-
+    hash mode (60-bit md5-derived token hashes) — bit-for-bit
+    value-checked against the DuckDB mirror; the 64-bit xx64 production
+    mode is the same vote/assembly and is unit-tested."""
     from sparkobs.operators.dedup import simhash
 
-    return simhash(load_table(spark, sf_dir, "documents"))
+    return simhash(load_table(spark, sf_dir, "documents"), hash_fn="md5")
 
 
 @query(

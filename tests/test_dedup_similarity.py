@@ -68,6 +68,43 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     assert high <= lsh
 
 
+def test_minhash_md5_mode_no_false_positives(spark):
+    # portable (md5) signature mode: same algorithm, engine-agnostic
+    # hash — still exact-verified, so still a subset of ground truth,
+    # and identical docs always collide in every band
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(d, n=3, threshold=0.2).collect()
+    }
+    md5_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(d, n=3, threshold=0.2, hash_fn="md5").collect()
+    }
+    assert md5_pairs <= exact
+    full = {p for p, j in (
+        (( r.id_a, r.id_b), r.jaccard)
+        for r in ngram_jaccard_pairs(d, n=3, threshold=0.2).collect()
+    ) if j == 1.0}
+    assert full <= md5_pairs
+
+
+def test_minhash_bad_hash_fn_raises(spark, docs):
+    with pytest.raises(ValueError, match="hash_fn"):
+        minhash_lsh_pairs(docs, hash_fn="sha9000").collect()
+    with pytest.raises(ValueError, match="hash_fn"):
+        simhash(docs, hash_fn="sha9000").collect()
+
+
+def test_simhash_md5_mode_matches_xx64_semantics(spark, docs):
+    # 60-bit portable fingerprints: identical docs identical, and the
+    # value fits a signed 64-bit int (top 4 bits clear)
+    fps = {r.doc_id: r.simhash for r in simhash(docs, hash_fn="md5").collect()}
+    assert fps[0] == fps[1]
+    assert all(0 <= v < (1 << 60) for v in fps.values())
+
+
 def test_simhash_identical_and_near(spark, docs):
     fps = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     assert fps[0] == fps[1]
