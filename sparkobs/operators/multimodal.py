@@ -7,11 +7,13 @@ feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so bytes cross the JVM↔Python boundary once per
 batch, never per row.
 
-The decode kernels themselves are STUBBED in this container (no
-image/audio libraries): ``decode_stub`` derives deterministic fake
-features from the bytes, and ``decode_real`` raises NotImplementedError
-with the intended library call — the Spark-side plumbing (schema,
-partitioning, UDF signature, batch shape) is real and tested.
+Two decode kernels share that plumbing: ``decode_stub`` derives
+deterministic fake features from the bytes (oracle-checkable across
+engines), and ``decode_real`` genuinely decodes WAV, BMP, netpbm and
+non-interlaced 8-bit PNG with stdlib + numpy only; compressed formats
+beyond that (JPEG/MP3/MP4) route to PIL/libav when installed and
+otherwise degrade to typed error rows — a corrupt or unsupported file
+must never kill the stage at 100 TB.
 """
 
 from __future__ import annotations
@@ -98,13 +100,60 @@ DECODE_SCHEMA = (
 )
 
 
+def _png_unfilter(raw: bytes, width: int, height: int, nch: int):
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/
+    Paeth) for 8-bit samples. Returns the (height, width*nch) uint8
+    pixel matrix. uint8 numpy addition wraps mod 256, which is exactly
+    the spec's byte arithmetic."""
+    import numpy as np
+
+    stride = width * nch
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).copy()
+        pos += stride
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up — fully vectorized
+            cur += prev
+        elif ftype == 1:  # Sub — sequential in pixel units
+            for i in range(nch, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - nch])) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = int(cur[i - nch]) if i >= nch else 0
+                cur[i] = (int(cur[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - nch]) if i >= nch else 0
+                up = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid png filter type {ftype}")
+        out[y] = cur
+        prev = out[y]
+    return out
+
+
 def _decode_one(content: bytes):
     """Decode one media payload with stdlib + numpy only.
 
     Really-executable formats (no external libraries):
     - WAV  (RIFF/WAVE)  — stdlib ``wave`` + numpy PCM stats;
     - BMP  (24/32-bit uncompressed) — header struct + numpy reshape;
-    - PPM/PGM (netpbm P6/P5 binary) — header parse + numpy.
+    - PPM/PGM (netpbm P6/P5 binary) — header parse + numpy;
+    - PNG  (non-interlaced, 8-bit gray/gray+alpha/RGB/RGBA) — stdlib
+      ``zlib`` inflate of the IDAT stream + scanline unfiltering
+      (:func:`_png_unfilter`); palette/16-bit/interlaced PNGs return a
+      typed "unsupported" row.
 
     Anything else falls through to PIL when importable, else returns an
     error row. Returns (format, kind, width, height, n_channels,
@@ -151,6 +200,35 @@ def _decode_one(content: bytes):
             return (
                 "bmp", "image", width, abs(height), nch, None, None,
                 float(rows.astype(np.float64).mean()), None,
+            )
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            import zlib
+
+            pos, width, height = 8, None, None
+            bitd = ctype = interlace = None
+            idat = []
+            while pos + 8 <= len(b):
+                (ln,) = struct.unpack_from(">I", b, pos)
+                typ = b[pos + 4 : pos + 8]
+                data = b[pos + 8 : pos + 8 + ln]
+                pos += 12 + ln  # length + type + data + crc
+                if typ == b"IHDR":
+                    width, height, bitd, ctype, _c, _f, interlace = struct.unpack(
+                        ">IIBBBBB", data
+                    )
+                elif typ == b"IDAT":
+                    idat.append(data)
+                elif typ == b"IEND":
+                    break
+            nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+            if width is None or nch is None or bitd != 8 or interlace != 0:
+                return ("png", "image", width, height, None, None, None, None,
+                        f"unsupported png: bit_depth={bitd} color_type={ctype} "
+                        f"interlace={interlace}")
+            px = _png_unfilter(zlib.decompress(b"".join(idat)), width, height, nch)
+            return (
+                "png", "image", width, height, nch, None, None,
+                float(px.astype(np.float64).mean()), None,
             )
         if b[:2] in (b"P6", b"P5"):
             # netpbm binary header: magic, whitespace/comment-separated

@@ -287,6 +287,98 @@ def _bmp_bytes():
     )
 
 
+def _png_bytes(px_rows, nch, filters):
+    """Minimal PNG encoder for tests: 8-bit, one FILTERED scanline per
+    row using the given per-row filter types (exercises the decoder's
+    unfilter paths), zlib-deflated, correct CRCs."""
+    import struct
+    import zlib
+
+    height = len(px_rows)
+    width = len(px_rows[0]) // nch
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = b""
+    prev = [0] * (width * nch)
+    for row, ft in zip(px_rows, filters):
+        filt = [ft]
+        for i, v in enumerate(row):
+            a = row[i - nch] if i >= nch else 0
+            up = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (a + up) >> 1
+            else:  # Paeth
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+            filt.append((v - pred) & 0xFF)
+        raw += bytes(filt)
+        prev = row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_real_png(spark):
+    from sparkobs.operators.multimodal import decode_real
+
+    # 3x3 RGB exercising every filter type incl. Paeth; 2x2 grayscale
+    # with Sub; 1x1 RGBA; an interlaced header must degrade to a typed
+    # unsupported row
+    rgb_rows = [
+        [10, 20, 30, 40, 50, 60, 70, 80, 90],
+        [15, 25, 35, 45, 55, 65, 75, 85, 95],
+        [200, 210, 220, 230, 240, 250, 5, 15, 25],
+    ]
+    gray_rows = [[7, 250], [13, 130]]
+    import struct as _s
+    import zlib as _z
+    interlaced = (
+        b"\x89PNG\r\n\x1a\n"
+        + _s.pack(">I", 13) + b"IHDR" + _s.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
+        + _s.pack(">I", _z.crc32(b"IHDR" + _s.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)) & 0xFFFFFFFF)
+    )
+    payloads = [
+        (1, _png_bytes(rgb_rows, 3, [0, 2, 4])),
+        (2, _png_bytes(gray_rows, 1, [1, 3])),
+        (3, _png_bytes([[9, 8, 7, 255]], 4, [0])),
+        (4, interlaced),
+    ]
+    media = spark.createDataFrame(payloads, "id bigint, content binary")
+    rows = {r.id: r for r in decode_real(media).collect()}
+
+    rgb = rows[1]
+    assert (rgb.format, rgb.kind, rgb.width, rgb.height, rgb.n_channels) == (
+        "png", "image", 3, 3, 3)
+    want_mean = sum(sum(r) for r in rgb_rows) / 27.0
+    assert abs(rgb.mean_value - want_mean) < 1e-9 and rgb.error is None
+    gray = rows[2]
+    assert (gray.format, gray.width, gray.height, gray.n_channels) == ("png", 2, 2, 1)
+    assert gray.mean_value == (7 + 250 + 13 + 130) / 4.0
+    rgba = rows[3]
+    assert (rgba.width, rgba.height, rgba.n_channels) == (1, 1, 4)
+    assert rgba.mean_value == (9 + 8 + 7 + 255) / 4.0
+    assert rows[4].format == "png" and "unsupported png" in rows[4].error
+
+
 def test_decode_real_stdlib_formats(spark):
     from sparkobs.operators.multimodal import decode_real
 
