@@ -44,15 +44,21 @@ def asof_join(
 
     Determinism: when the right side has MULTIPLE rows at the same
     (key, ts), the winner is the greatest right payload under struct
-    comparison of ``right_value_cols`` (the ``__tie`` ordering column)
-    — not partition-order dependent. Pre-dedup the right side if a
-    different rule is wanted.
+    comparison of ``right_value_cols`` — not partition-order dependent.
+    Pre-dedup the right side if a different rule is wanted.
+
+    The right payload crosses the shuffle ONCE, as a single ``__r``
+    struct that is both the tie-breaker ordering column and the filled
+    value (``last(__r, ignorenulls)``). Whole-row fill also means a
+    matched right row's own interior nulls are carried as-is
+    (merge_asof semantics), rather than per-column fills mixing values
+    from different right rows.
     """
     from pyspark.sql.types import StructField, StructType
 
     rcols = right_value_cols or [c for c in right.columns if c not in (key, ts)]
     lcols = left.columns
-    tie_type = StructType(
+    r_type = StructType(
         [StructField(c, right.schema[c].dataType) for c in rcols]
     )
 
@@ -60,54 +66,35 @@ def asof_join(
         F.col(key).alias("__k"),
         F.col(ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast(tie_type).alias("__tie"),
+        F.lit(None).cast(r_type).alias("__r"),
         F.struct(*[F.col(c) for c in lcols]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
     )
     r_tag = right.select(
         F.col(key).alias("__k"),
         F.col(ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.struct(*[F.col(c) for c in rcols]).alias("__tie"),
-        F.lit(None).cast(
-            l_tag.schema["__lrow"].dataType
-        ).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+        F.struct(*[F.col(c) for c in rcols]).alias("__r"),
+        F.lit(None).cast(l_tag.schema["__lrow"].dataType).alias("__lrow"),
     )
-    unioned = l_tag.unionByName(r_tag)
     if direction == "backward":
-        w = (
-            W.partitionBy("__k")
-            .orderBy(F.asc("__ts"), F.asc("__side"), F.asc_nulls_last("__tie"))
-            .rowsBetween(W.unboundedPreceding, 0)
-        )
-        filled = unioned.select(
-            "*",
-            *[
-                F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-                for c in rcols
-            ],
-        )
+        ts_order = F.asc("__ts")
     elif direction == "forward":
-        w = (
-            W.partitionBy("__k")
-            .orderBy(F.desc("__ts"), F.asc("__side"), F.asc_nulls_last("__tie"))
-            .rowsBetween(W.unboundedPreceding, 0)
-        )
-        filled = unioned.select(
-            "*",
-            *[
-                F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-                for c in rcols
-            ],
-        )
+        ts_order = F.desc("__ts")
     else:
         raise ValueError(f"direction must be backward|forward, got {direction}")
+    w = (
+        W.partitionBy("__k")
+        .orderBy(ts_order, F.asc("__side"), F.asc_nulls_last("__r"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = l_tag.unionByName(r_tag).withColumn(
+        "__f", F.last("__r", ignorenulls=True).over(w)
+    )
     return (
         filled.where(F.col("__side") == 1)
         .select(
             *[F.col("__lrow")[c].alias(c) for c in lcols],
-            *[F.col(f"__f_{c}").alias(f"{c}_asof") for c in rcols],
+            *[F.col("__f")[c].alias(f"{c}_asof") for c in rcols],
         )
     )
 

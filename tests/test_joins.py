@@ -37,6 +37,39 @@ def test_asof_exact_tie_matches(spark):
     assert r.v_asof == 7.0  # right at exactly left.ts matches
 
 
+def test_asof_whole_row_fill_keeps_interior_nulls(spark):
+    # merge_asof semantics: the LATEST right row wins as a whole — its
+    # own null fields are carried, not back-filled from an older right
+    # row (per-column fills would mix rows)
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 20), "e")], "k bigint, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 5), 100.0, "full"),
+            (1, datetime(2024, 1, 15), None, "holey"),
+        ],
+        "k bigint, ts timestamp, price double, label string",
+    )
+    r = asof_join(left, right, "k", "ts").collect()[0]
+    assert r.label_asof == "holey"
+    assert r.price_asof is None  # NOT 100.0 from the older row
+
+
+def test_asof_single_exchange_plan(spark):
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 10), "e")], "k bigint, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 8), 1.0)], "k bigint, ts timestamp, v double"
+    )
+    plan = (
+        asof_join(left, right, "k", "ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1  # one shuffle on the key, total
+
+
 def test_asof_forward(spark):
     left = spark.createDataFrame([(1, datetime(2024, 1, 10), "e")], "k bigint, ts timestamp, tag string")
     right = spark.createDataFrame(
