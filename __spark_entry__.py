@@ -47,6 +47,7 @@ _PRIORITY: list[str] = [
     # round-3 additions
     "minhash_lsh_pairs",
     "simhash_documents",
+    "near_dup_groups_lsh",
     # round-2 additions never yet inside the driver window
     "near_dup_groups_documents",
     "jdbc_roundtrip_nation",

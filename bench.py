@@ -43,6 +43,7 @@ HEADLINE = [
     "pipeline_filtered_corpus",
     "streaming_tumbling_events",
     "near_dup_groups_documents",
+    "near_dup_groups_lsh",
     "chunk_documents",
 ]
 
@@ -75,10 +76,17 @@ def main() -> None:
     ).count()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "2")))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # untimed warm-up rep(s): the first execution of a query pays
+        # whole-stage-codegen compilation (hundreds of ms to seconds for
+        # wide generated functions) — that's JIT cost, not engine cost,
+        # and it used to dominate the reported max-min spread
+        for _ in range(warmup):
+            fn(spark, sf_dir).count()
         runs = []
         for _ in range(reps):
             t0 = time.perf_counter()

@@ -233,12 +233,15 @@ def minhash_signatures(
     hash functions over distinct shingles, min per seed — one explode +
     one groupBy, signature as an array column.
 
-    ``hash_fn="xx64"`` (default) uses xxhash64 — 8-byte values, the
-    100 TB path. ``hash_fn="md5"`` uses ``md5(seed ':' shingle)`` hex
-    strings: ~4× wider values but bit-reproducible in any engine with
-    an md5() (DuckDB, Trino, …) — the cross-engine-verifiable mode the
-    oracle checks; min over lowercase-hex strings is a total order in
-    both engines. Same algorithm either way.
+    ``hash_fn="xx64"`` (default) uses xxhash64 per seed — the 100 TB
+    path. ``hash_fn="md5"`` derives all ``num_hashes`` functions from
+    TWO md5 digests per shingle via Kirsch-Mitzenmacher double hashing
+    ``h_s = a + s·b`` (a, b = first 15 hex chars of ``md5(sh)`` /
+    ``md5('x'+sh)`` parsed base-16, reduced mod 1e17 so every h_s fits
+    a signed 64-bit int without overflow in any engine): exactly
+    reproducible wherever md5() and BIGINT arithmetic exist (DuckDB,
+    Trino, …) — the cross-engine-verifiable mode the oracle checks.
+    Same banding/verify algorithm either way.
     """
     sh = tokenize(df, id_col, text_col).select(
         "id", F.explode(shingle_expr("__toks", n)).alias("sh")
@@ -249,10 +252,19 @@ def minhash_signatures(
             for seed in range(num_hashes)
         ]
     elif hash_fn == "md5":
+        mod = 10**17
+
+        def _h15(col):
+            return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % mod
+
+        sh = sh.select(
+            "id",
+            "sh",
+            _h15(F.col("sh")).alias("__a"),
+            _h15(F.concat(F.lit("x"), F.col("sh"))).alias("__b"),
+        )
         mins = [
-            F.min(F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("sh")))).alias(
-                f"h{seed}"
-            )
+            F.min(F.col("__a") + seed * F.col("__b")).alias(f"h{seed}")
             for seed in range(num_hashes)
         ]
     else:
@@ -289,10 +301,14 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, n, num_hashes, id_col, text_col, hash_fn)
 
     def _bucket(cols):
-        # band bucket key: any deterministic combiner works; md5 over
-        # the '|'-joined members is reproducible across engines
+        # band bucket key: any deterministic combiner works. Portable
+        # mode derives an 8-byte key from md5 of the '|'-joined members
+        # (15 hex chars parsed base-16) — reproducible across engines
+        # AND as cheap to shuffle/compare as the xxhash64 key
         if hash_fn == "md5":
-            return F.md5(F.concat_ws("|", *cols))
+            return F.conv(
+                F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+            ).cast("long")
         return F.xxhash64(*cols)
 
     banded = sig.select(
@@ -476,6 +492,7 @@ def near_dup_groups(
     id_col: str = "doc_id",
     text_col: str = "text",
     tier: str = "exact",
+    hash_fn: str = "xx64",
 ) -> DataFrame:
     """Near-duplicate GROUPS: pair generation → connected components →
     (doc_id, component) with component = lowest doc_id in the group
@@ -498,7 +515,8 @@ def near_dup_groups(
         pairs = ngram_jaccard_pairs(df, n, threshold, id_col, text_col)
     elif tier == "lsh":
         pairs = minhash_lsh_pairs(
-            df, n=n, threshold=threshold, id_col=id_col, text_col=text_col
+            df, n=n, threshold=threshold, id_col=id_col, text_col=text_col,
+            hash_fn=hash_fn,
         )
     else:
         raise ValueError(f"tier must be exact|lsh, got {tier}")

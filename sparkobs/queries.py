@@ -864,25 +864,42 @@ def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _minhash_lsh_oracle(n: int = 3, num_hashes: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
-    """DuckDB mirror of the PORTABLE (md5) MinHash-LSH pipeline:
-    signatures = min over md5('seed:shingle') hex strings per seed, band
-    buckets = md5 of the '|'-joined band members, candidate bucket join,
-    exact-Jaccard verification — value-reproducible across engines
-    because lowercase-hex string min is the same total order
-    everywhere."""
-    rpb = num_hashes // bands
-    mins = ", ".join(
-        f"min(md5(concat('{s}', ':', sh))) AS h{s}" for s in range(num_hashes)
+def _hex15_sql(col: str) -> str:
+    """DuckDB expression: first 15 hex chars of ``col`` (an md5 hex
+    string) parsed base-16 into a BIGINT — exact integer arithmetic,
+    inlined 16^k constants (no floating-point power)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({col}, {j}, 1)) - 1) * {16 ** (15 - j)}"
+            for j in range(1, 16)
+        )
+        + ")"
     )
+
+
+def _minhash_pair_ctes(n: int = 3, num_hashes: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
+    """Shared CTE chain for the PORTABLE (md5) MinHash-LSH pipeline:
+    per-shingle double hashing a + s·b (a, b = 15-hex-char prefixes of
+    two md5 digests mod 1e17 — Kirsch-Mitzenmacher), per-seed min, band
+    buckets = md5 of the '|'-joined band members, candidate bucket
+    join, exact-Jaccard verification — exact integer arithmetic, so
+    value-reproducible across engines. Ends with a
+    ``pairs(id_a, id_b, jaccard)`` CTE."""
+    rpb = num_hashes // bands
+    mins = ", ".join(f"min(a + {s} * b) AS h{s}" for s in range(num_hashes))
     band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {bi} AS band, md5(concat_ws('|', "
-        + ", ".join(f"h{bi * rpb + r}" for r in range(rpb))
-        + ")) AS bucket FROM sig"
+        f"SELECT doc_id, {bi} AS band, "
+        + _hex15_sql(
+            "md5(concat_ws('|', "
+            + ", ".join(f"h{bi * rpb + r}" for r in range(rpb))
+            + "))"
+        )
+        + " AS bucket FROM sig"
         for bi in range(bands)
     )
     return f"""
-    WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
     shl AS (SELECT doc_id,
                    CASE WHEN len(t) >= {n}
                         THEN list_distinct(list_transform(generate_series(1, len(t) - {n - 1}),
@@ -890,7 +907,11 @@ def _minhash_lsh_oracle(n: int = 3, num_hashes: int = 32, bands: int = 8, thresh
                         ELSE [array_to_string(t, ' ')] END AS s
             FROM toks),
     ex AS (SELECT doc_id, unnest(s) AS sh FROM shl),
-    sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+    ex2 AS (SELECT doc_id,
+                   {_hex15_sql('md5(sh)')} % 100000000000000000 AS a,
+                   {_hex15_sql("md5('x' || sh)")} % 100000000000000000 AS b
+            FROM ex),
+    sig AS (SELECT doc_id, {mins} FROM ex2 GROUP BY doc_id),
     banded AS ({band_rows}),
     cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
              FROM banded a JOIN banded b
@@ -900,11 +921,16 @@ def _minhash_lsh_oracle(n: int = 3, num_hashes: int = 32, bands: int = 8, thresh
               FROM cand c
               JOIN ex a ON a.doc_id = c.ia
               JOIN ex b ON b.doc_id = c.ib AND b.sh = a.sh
-              GROUP BY 1, 2)
-    SELECT ia AS id_a, ib AS id_b, round(i / (sa.sz + sb.sz - i), 4) AS jaccard
-    FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
-    WHERE round(i / (sa.sz + sb.sz - i), 4) >= {threshold}
+              GROUP BY 1, 2),
+    pairs AS (
+      SELECT ia AS id_a, ib AS id_b, round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+      WHERE round(i / (sa.sz + sb.sz - i), 4) >= {threshold})
     """
+
+
+def _minhash_lsh_oracle(**kw) -> str:
+    return f"WITH {_minhash_pair_ctes(**kw)} SELECT id_a, id_b, jaccard FROM pairs"
 
 
 @query("minhash_lsh_pairs", oracle=_minhash_lsh_oracle())
@@ -2230,6 +2256,33 @@ def near_dup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return near_dup_groups(
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+
+
+@query(
+    "near_dup_groups_lsh",
+    oracle="WITH RECURSIVE " + _minhash_pair_ctes() + """,
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    nodes AS (SELECT DISTINCT u FROM sym),
+    allr AS (SELECT u, v FROM reach UNION SELECT u, u FROM nodes)
+    SELECT u AS doc_id, min(v) AS component FROM allr GROUP BY u
+    """,
+)
+def near_dup_groups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS via the SCALE tier (extension: dedup clustering):
+    MinHash-LSH candidate pairs (portable md5 mode, exact-verified)
+    -> connected components -> (doc_id, component). This is the 100 TB
+    path — pair cost scales with band collisions, not document pairs;
+    oracle = the same md5 signature pipeline + recursive-CTE closure in
+    DuckDB."""
+    from sparkobs.operators.dedup import near_dup_groups
+
+    return near_dup_groups(
+        load_table(spark, sf_dir, "documents"),
+        n=3, threshold=0.2, tier="lsh", hash_fn="md5",
     )
 
 
