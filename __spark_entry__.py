@@ -48,6 +48,8 @@ _PRIORITY: list[str] = [
     "minhash_lsh_pairs",
     "simhash_documents",
     "near_dup_groups_lsh",
+    "repetition_stats_documents",
+    "hash_sample_orders",
     # round-2 additions never yet inside the driver window
     "near_dup_groups_documents",
     "jdbc_roundtrip_nation",

@@ -163,6 +163,54 @@ def chunk_documents(
     )
 
 
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document — the standard
+    "drop boilerplate/spam" quality filters for training corpora:
+
+    - ``dup_line_frac``: 1 − distinct/total over newline-split lines;
+    - ``dup_token_frac``: 1 − distinct/total over whitespace tokens;
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over total bigrams (NULL for docs with < 2 tokens).
+
+    Line/token fractions are per-row Catalyst array expressions; the
+    bigram mode runs explode → (doc, bigram) count → per-doc max/sum —
+    two key-local shuffles, linear in corpus size (no per-doc quadratic
+    scan), then a doc_id-co-partitioned left join back.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    lines = F.split(F.col(text_col), "\n")
+    per_doc = df.select(
+        F.col(id_col),
+        F.when(
+            F.size(lines) > 0,
+            F.round(F.lit(1) - F.size(F.array_distinct(lines)) / F.size(lines), 4),
+        ).alias("dup_line_frac"),
+        F.when(
+            F.size(toks) > 0,
+            F.round(F.lit(1) - F.size(F.array_distinct(toks)) / F.size(toks), 4),
+        ).alias("dup_token_frac"),
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).alias("__bg"),
+    )
+    bigram_counts = (
+        per_doc.select(F.col(id_col), F.explode("__bg").alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac"))
+    )
+    return per_doc.drop("__bg").join(bigram_counts, id_col, "left").select(
+        id_col, "dup_line_frac", "dup_token_frac", "top_bigram_frac"
+    )
+
+
 def source_quota_cap(
     df: DataFrame,
     quota: int,

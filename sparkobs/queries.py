@@ -2425,3 +2425,63 @@ def embedding_near_dup_pairs_lsh_q(spark: SparkSession, sf_dir: str) -> DataFram
     return embedding_near_dup_pairs_lsh(
         load_table(spark, sf_dir, "embeddings"), threshold=0.35
     )
+
+
+@query(
+    "repetition_stats_documents",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+                  FROM documents),
+    lns AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents),
+    base AS (SELECT toks.doc_id,
+                    CASE WHEN len(l) > 0
+                         THEN round(1 - len(list_distinct(l)) / len(l), 4) END AS dup_line_frac,
+                    CASE WHEN len(t) > 0
+                         THEN round(1 - len(list_distinct(t)) / len(t), 4) END AS dup_token_frac
+             FROM toks JOIN lns USING (doc_id)),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1])) AS b
+           FROM toks WHERE len(t) >= 2),
+    bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+    bga AS (SELECT doc_id, round(max(c) / sum(c), 4) AS top_bigram_frac
+            FROM bgc GROUP BY 1)
+    SELECT base.doc_id, dup_line_frac, dup_token_frac, top_bigram_frac
+    FROM base LEFT JOIN bga USING (doc_id)
+    """,
+)
+def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (extension: text
+    analysis): duplicate-line fraction, duplicate-token fraction,
+    top-bigram fraction per document — the boilerplate/spam filters a
+    training corpus is cleaned with."""
+    from sparkobs.operators.text import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _hash_sample_pred(key_sql: str, one_in: int) -> str:
+    return f"({_hex15_sql(f'md5(CAST({key_sql} AS VARCHAR))')}) % {one_in} = 0"
+
+
+@query(
+    "hash_sample_orders",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders WHERE {_hash_sample_pred('o_orderkey', 16)}
+    """,
+)
+def hash_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-mod sample (extension: reproducible OP-03):
+    ~1/16 of orders keyed by md5(o_orderkey) — identical selection on
+    every engine/run/partitioning, unlike seed-based Dataset.sample
+    (which stays available as the probabilistic sample_scan)."""
+    from sparkobs.operators.sampling import hash_sample
+
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    return hash_sample(orders, "o_orderkey", 16).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )

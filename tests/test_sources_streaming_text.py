@@ -208,6 +208,43 @@ def test_language_id_deterministic(spark):
     assert out == {1: "en", 2: "de", 3: "und", 4: "zh"}
 
 
+def test_repetition_stats_planted(spark):
+    from sparkobs.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d"),          # dup line 1/3; bigram "a b" 2/5
+            (2, "x y z"),                   # no repetition
+            (3, "w w w w"),                 # all-same token; bigram "w w" 3/3
+            (4, "solo"),                    # < 2 tokens → NULL bigram frac
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].dup_line_frac == round(1 - 2 / 3, 4)
+    assert rows[1].top_bigram_frac == 0.4  # "a b" twice of 5 bigrams
+    assert rows[2].dup_line_frac == 0.0 and rows[2].dup_token_frac == 0.0
+    assert rows[3].dup_token_frac == 0.75 and rows[3].top_bigram_frac == 1.0
+    assert rows[4].top_bigram_frac is None
+
+
+def test_hash_sample_deterministic_and_key_coherent(spark):
+    from sparkobs.operators.sampling import hash_sample
+
+    df = spark.range(0, 10000).withColumn("k", F.col("id") % 1000)
+    a = {r.id for r in hash_sample(df, "k", 10).collect()}
+    b = {r.id for r in hash_sample(df, "k", 10).collect()}
+    assert a == b and 0 < len(a) < 10000
+    # key-coherent: every row of a selected key is in, none of a
+    # non-selected key
+    keys_in = {i % 1000 for i in a}
+    assert a == {i for i in range(10000) if i % 1000 in keys_in}
+    # salt picks a different sample; one_in=1 keeps everything
+    salted = {r.id for r in hash_sample(df, "k", 10, salt="s1").collect()}
+    assert salted != a
+    assert hash_sample(df, "k", 1).count() == 10000
+
+
 def test_text_stats_values(spark):
     df = spark.createDataFrame([(1, "aa bb aa")], "doc_id bigint, text string")
     r = text_stats(df).collect()[0]
