@@ -50,6 +50,7 @@ _PRIORITY: list[str] = [
     "near_dup_groups_lsh",
     "repetition_stats_documents",
     "hash_sample_orders",
+    "decode_synth_media",
     # round-2 additions never yet inside the driver window
     "near_dup_groups_documents",
     "jdbc_roundtrip_nation",

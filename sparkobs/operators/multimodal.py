@@ -300,6 +300,53 @@ def decode_real(media: DataFrame) -> DataFrame:
     return media.select("id", "content").mapInPandas(kernel, DECODE_SCHEMA)
 
 
+def synth_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic REAL media payloads derived from a text corpus —
+    the cross-engine certification rig for :func:`decode_real`.
+
+    Each doc yields two genuine image files whose pixel bytes are the
+    ASCII codes of ``md5(text)`` (32 hex chars): a 32×1 grayscale PGM
+    and the same raster as a non-interlaced PNG (filter-0 scanlines,
+    zlib-deflated). Because the pixels are a pure function of the text,
+    an engine with md5() can predict the decoded width/height/mean
+    exactly — so the full decode path (container parse, inflate,
+    unfilter, stats) is value-hash-checkable, not just unit-tested.
+    """
+
+    def kernel(batches):
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def png(pix: bytes) -> bytes:
+            def chunk(typ, data):
+                return (
+                    struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+                )
+
+            ihdr = struct.pack(">IIBBBBB", len(pix), 1, 8, 0, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00" + pix))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            rows = []
+            for _id, text in zip(pdf["id"], pdf["text"]):
+                pix = hashlib.md5(str(text).encode("utf-8")).hexdigest().encode()
+                rows.append((int(_id), "pgm", b"P5\n32 1\n255\n" + pix))
+                rows.append((int(_id), "png", png(pix)))
+            yield pd.DataFrame(rows, columns=["id", "container", "content"])
+
+    return docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).mapInPandas(kernel, "id bigint, container string, content binary")
+
+
 def frame_sample_stub(media: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
     """STUB frame sampling (video → frames): one output row per sampled
     frame, frame ids derived deterministically. Exercises the 1→N

@@ -2485,3 +2485,36 @@ def hash_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(orders, "o_orderkey", 16).select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
     )
+
+
+@query(
+    "decode_synth_media",
+    oracle="""
+    WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+    mv AS (SELECT doc_id,
+                  list_sum(list_transform(generate_series(1, 32),
+                                          i -> ord(substr(h, i, 1)))) / 32.0 AS mean_value
+           FROM m)
+    SELECT doc_id AS id, 'pgm' AS format, CAST(32 AS INT) AS width,
+           CAST(1 AS INT) AS height, CAST(1 AS INT) AS n_channels, mean_value
+    FROM mv
+    UNION ALL
+    SELECT doc_id AS id, 'png' AS format, CAST(32 AS INT) AS width,
+           CAST(1 AS INT) AS height, CAST(1 AS INT) AS n_channels, mean_value
+    FROM mv
+    """,
+)
+def decode_synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decoder certification (extension: multimodal): synthesize a
+    genuine PGM and PNG per document whose pixels are the ASCII codes
+    of md5(text), run them through decode_real (container parse, zlib
+    inflate, unfilter, stats), and value-hash the decoded
+    width/height/channels/mean against DuckDB's prediction — the decode
+    kernels themselves are inside the oracle-checked path, not just
+    unit tests."""
+    from sparkobs.operators.multimodal import decode_real, synth_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_real(synth_media(docs)).select(
+        "id", "format", "width", "height", "n_channels", "mean_value"
+    )
