@@ -397,11 +397,41 @@ def minhash_lsh_pairs(
     )
 
 
+def _union_find_local(pairs: list[tuple], spark, id_type) -> DataFrame:
+    """Driver-side union-find over an already-bounded edge list — the
+    small-graph fast path of :func:`connected_components` (same
+    adaptive-threshold idea as broadcast joins: below the bound,
+    shipping the problem to one node beats 2·diameter shuffle jobs)."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(n, find(n)) for n in parent]
+    schema = StructType(
+        [StructField("node", id_type), StructField("component", id_type)]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    max_local_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list — the step that
     turns near-dup PAIRS into dedup GROUPS (one canonical doc per
@@ -428,12 +458,26 @@ def connected_components(
     reclaimed by Spark's ContextCleaner once the caller drops the
     DataFrame (it never enters the CacheManager, so
     ``spark.catalog.clearCache()`` bookkeeping stays clean).
+
+    Adaptive fast path: when the edge list is at most
+    ``max_local_edges`` rows (counted after the pair pipeline runs
+    once), the components are solved with driver-side union-find
+    instead — O(E α(E)) on one core beats 2·diameter scheduled jobs by
+    seconds, the same size-threshold reasoning as broadcast joins. A
+    100 TB dedup graph exceeds the bound and takes the distributed
+    loop; set ``max_local_edges=0`` to force it.
     """
     # persist the RAW edges first: the symmetrizing union references
     # them twice, and without this cache the (possibly expensive)
     # upstream pair pipeline would run once per union branch — then
     # persist the symmetrized list every iteration joins against
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    if raw.count() <= max_local_edges:
+        pairs = [(r.u, r.v) for r in raw.collect()]
+        raw.unpersist()
+        return _union_find_local(
+            pairs, edges.sparkSession, edges.schema[src].dataType
+        )
     sym = (
         raw.unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()

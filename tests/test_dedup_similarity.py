@@ -254,6 +254,13 @@ def test_connected_components_chain_and_cliques(spark):
     )
     got = {r.node: r.component for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # the adaptive fast path (driver union-find) and the distributed
+    # min-label loop must agree exactly
+    dist = {
+        r.node: r.component
+        for r in connected_components(edges, max_local_edges=0).collect()
+    }
+    assert dist == got
 
 
 def test_connected_components_long_path(spark):
@@ -268,7 +275,9 @@ def test_connected_components_long_path(spark):
     )
     got = {
         r.node: r.component
-        for r in connected_components(edges, max_iterations=64).collect()
+        for r in connected_components(
+            edges, max_iterations=64, max_local_edges=0
+        ).collect()
     }
     assert got == {i: 0 for i in range(32)}
 
@@ -301,7 +310,7 @@ def test_connected_components_divergence_guard(spark):
         [(i, i + 1) for i in range(1, 6)], "id_a bigint, id_b bigint"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iterations=2)
+        connected_components(edges, max_iterations=2, max_local_edges=0)
 
 
 def test_near_dup_groups_match_pairs(spark):

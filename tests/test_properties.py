@@ -139,7 +139,13 @@ def test_connected_components_match_union_find(spark, edges):
     df = spark.createDataFrame(
         [(min(a, b), max(a, b)) for a, b in edges], "id_a bigint, id_b bigint"
     )
-    got = {r.node: r.component for r in connected_components(df).collect()}
+    # max_local_edges=0 forces the distributed loop — the union-find
+    # below IS the fast path's algorithm, so only the loop needs the
+    # property check
+    got = {
+        r.node: r.component
+        for r in connected_components(df, max_local_edges=0).collect()
+    }
 
     # reference union-find
     parent = {}
