@@ -1564,13 +1564,28 @@ def salted_group_count_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_group_count(load_table(spark, sf_dir, "lineitem"), "l_suppkey")
 
 
-@query("collect_metric_lists_supplier")
+@query(
+    "collect_metric_lists_supplier",
+    oracle=_SUPPLIER_METRICS_CTE
+    + """
+    SELECT metric, list_sort(list(round(value, 4))) AS values
+    FROM long GROUP BY metric
+    """,
+)
 def collect_metric_lists_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Literal map<metric, sorted list<value>> fan-in (OP-21);
-    ref s3_bucket_monitor.py:115-124. Array-valued → rows-only."""
+    ref s3_bucket_monitor.py:115-124. Elements rounded in-query on both
+    sides (the repo's float-parity convention), and the operator sorts
+    the list — so even the array-valued shape is value-hash-checkable."""
+    from pyspark.sql import functions as F
+
     from sparkobs.operators.metrics import collect_metric_lists
 
-    return collect_metric_lists(_supplier_metrics_long(spark, sf_dir))
+    return collect_metric_lists(
+        _supplier_metrics_long(spark, sf_dir).withColumn(
+            "value", F.round("value", 4)
+        )
+    )
 
 
 @query(
@@ -2198,14 +2213,36 @@ def profile_preview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preview(orders, n=10, order_cols=["o_orderkey"])
 
 
-@query("decode_real_media")
+@query(
+    "decode_real_media",
+    oracle="""
+    WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+    m AS (SELECT doc_id,
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> CASE WHEN i <= n THEN
+                          (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1) * 16
+                          + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1)
+                        ELSE 0 END)) / 64.0 AS mean_value
+          FROM b)
+    SELECT doc_id AS id, 'pgm' AS format, 'image' AS kind,
+           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(1 AS INT) AS n_channels, CAST(NULL AS BIGINT) AS n_samples,
+           CAST(NULL AS INT) AS sample_rate, mean_value,
+           CAST(NULL AS VARCHAR) AS error
+    FROM m
+    """,
+)
 def decode_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode through the driver contract (extension:
     multimodal): each document's first 64 bytes become an 8x8 PGM image
     payload (built JVM-side with binary concat/substring — no UDF),
     then decode_real parses the netpbm container and computes true
-    pixel stats in the Arrow-batched kernel. Deterministic but not
-    SQL-expressible (byte-level container parsing) → rows-only."""
+    pixel stats in the Arrow-batched kernel. The oracle predicts the
+    decoded mean from hex(encode(text)) byte arithmetic — the container
+    parse + pixel stats are value-hash-checked (decode_synth_media
+    additionally certifies PNG/zlib/unfiltering)."""
     from pyspark.sql import functions as F
 
     from sparkobs.operators.multimodal import decode_real
