@@ -51,6 +51,10 @@ _PRIORITY: list[str] = [
     "repetition_stats_documents",
     "hash_sample_orders",
     "decode_synth_media",
+    "pii_scrub_documents",
+    "stratified_sample_orders",
+    "streaming_dedup_documents",
+    "collect_metric_lists_supplier",
     # round-2 additions never yet inside the driver window
     "near_dup_groups_documents",
     "jdbc_roundtrip_nation",

@@ -36,3 +36,36 @@ def hash_sample(
         10,
     ).cast("long")
     return df.where(h % one_in == 0)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    rates: dict,
+    default_one_in: int | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group deterministic sampling — the data-mixing knob that
+    up/down-weights sources in a training corpus reproducibly:
+    ``rates`` maps group value → keep 1-in-N for that group;
+    ``default_one_in`` applies to unlisted groups (None drops them).
+
+    Same md5-mod predicate as :func:`hash_sample` with the group's
+    divisor chosen per row — a pure row-local filter (no shuffle, no
+    per-group scans), so it composes with partition pruning and scales
+    like the scan itself. ``Dataset.sampleBy`` is the probabilistic
+    analog; this one is engine/run/partitioning-reproducible.
+    """
+    for g, n in rates.items():
+        if n < 1:
+            raise ValueError(f"rate for {g!r} must be >= 1, got {n}")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    divisor = F.lit(default_one_in)
+    for g, n in rates.items():
+        divisor = F.when(F.col(group_col) == g, F.lit(n)).otherwise(divisor)
+    return df.where(h % divisor == 0)

@@ -211,6 +211,37 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+#: PII patterns using only regex constructs with identical semantics in
+#: Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction for training corpora: replace email / phone /
+    IPv4 matches with typed placeholders and count the redactions per
+    kind — pure ``regexp_replace``/``regexp_count`` expressions, one
+    codegen'd pass, no UDFs. Patterns are deliberately RE2-compatible
+    so the DuckDB oracle applies the IDENTICAL regexes.
+
+    Order matters: emails are scrubbed before phones so a phone-like
+    digit run inside an address is not double-redacted.
+    """
+    out = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(
+            F.regexp_count(out, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        )
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return df.select(F.col(id_col), *counts, out.alias("scrubbed_text"))
+
+
 def source_quota_cap(
     df: DataFrame,
     quota: int,

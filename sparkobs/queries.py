@@ -2555,3 +2555,120 @@ def decode_synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_real(synth_media(docs)).select(
         "id", "format", "width", "height", "n_channels", "mean_value"
     )
+
+
+@query(
+    "pii_scrub_documents",
+    oracle="""
+    WITH t0 AS (SELECT doc_id,
+                       text || ' contact u' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or call 555-123-4567 at 10.0.0.1'
+                         AS t
+                FROM documents),
+    s1 AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+           FROM t0),
+    s2 AS (SELECT doc_id, n_email,
+                  CAST(len(regexp_extract_all(t, '(\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}')) AS BIGINT) AS n_phone,
+                  regexp_replace(t, '(\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}', '<PHONE>', 'g') AS t
+           FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_phone,
+                  CAST(len(regexp_extract_all(t, '\\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4,
+                  regexp_replace(t, '\\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\\b', '<IPV4>', 'g') AS t
+           FROM s2)
+    SELECT doc_id, n_email, n_phone, n_ipv4, t AS scrubbed_text FROM s3
+    """,
+)
+def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (extension: training-data cleaning): plant one
+    email/phone/IP per document (so replacement is exercised on every
+    row, not just counted zeros), scrub with RE2-compatible regexes,
+    and value-hash the scrubbed text + per-kind counts against the
+    identical regex pipeline in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.text import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-123-4567 at 10.0.0.1"),
+        ),
+    )
+    return pii_scrub(docs)
+
+
+@query(
+    "stratified_sample_orders",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE ({_hex15_sql("md5(CAST(o_orderkey AS VARCHAR))")})
+          % (CASE WHEN o_orderstatus = 'O' THEN 8
+                  WHEN o_orderstatus = 'F' THEN 4
+                  ELSE 2 END) = 0
+    """,
+)
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group deterministic sampling (extension: data mixing): keep
+    1-in-8 of 'O' orders, 1-in-4 of 'F', 1-in-2 of the rest, selected
+    by md5(o_orderkey) — a pure row-local predicate, reproducible on
+    any engine; the oracle applies the identical arithmetic."""
+    from sparkobs.operators.sampling import stratified_hash_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    return stratified_hash_sample(
+        orders, "o_orderstatus", "o_orderkey", {"O": 8, "F": 4}, default_one_in=2
+    ).select("o_orderkey", "o_orderstatus")
+
+
+def _stage_documents(spark: SparkSession, sf_dir: str, n_files: int = 2) -> str:
+    """Stage the documents table as a deterministic multi-file parquet
+    directory for file-source streams (same mtime-keyed cache scheme as
+    _stage_events)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(os.path.realpath(sf_dir), "documents.parquet")
+    mtime = int(os.stat(src).st_mtime_ns) if os.path.exists(src) else 0
+    key = hashlib.sha256(f"{src}:{mtime}:{n_files}".encode()).hexdigest()[:16]
+    stage_dir = os.path.join(tempfile.gettempdir(), f"sparkobs_docstream_{key}")
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").coalesce(n_files).write.mode(
+            "overwrite"
+        ).parquet(stage_dir)
+    return stage_dir
+
+
+@query(
+    "streaming_dedup_documents",
+    oracle="SELECT DISTINCT md5(text) AS fp FROM documents",
+)
+def streaming_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (extension: dedup under OP-53 execution):
+    documents drained through a file-source micro-batch stream with
+    stateful ``dropDuplicates`` on the content fingerprint — the
+    emitted fingerprint SET is order-independent, so the streaming
+    state machinery is value-hash-checked against batch DISTINCT.
+    The 100 TB shape for continuous ingest dedup: state store keyed by
+    16-byte fingerprints, not document text."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.streaming.monitors import run_to_memory
+
+    stage_dir = _stage_documents(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .parquet(stage_dir)
+        .select(F.md5("text").alias("fp"))
+        .dropDuplicates(["fp"])
+    )
+    tbl = run_to_memory(stream, "dedup_stream", output_mode="append", unique=True)
+    return spark.table(tbl)

@@ -245,6 +245,48 @@ def test_hash_sample_deterministic_and_key_coherent(spark):
     assert hash_sample(df, "k", 1).count() == 10000
 
 
+def test_pii_scrub_planted(spark):
+    from sparkobs.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.io or +1 555-123-4567"),
+            (2, "server at 192.168.0.1 and also 10.0.0.255"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert rows[1].n_email == 1 and rows[1].n_phone == 1
+    assert rows[1].scrubbed_text == "mail me at <EMAIL> or <PHONE>"
+    assert rows[2].n_ipv4 == 2
+    assert rows[2].scrubbed_text == "server at <IPV4> and also <IPV4>"
+    assert rows[3].scrubbed_text == "nothing sensitive here"
+    assert rows[3].n_email == rows[3].n_phone == rows[3].n_ipv4 == 0
+
+
+def test_stratified_hash_sample_rates_and_default_drop(spark):
+    from sparkobs.operators.sampling import hash_sample, stratified_hash_sample
+
+    df = spark.range(0, 8000).withColumn(
+        "grp", F.when(F.col("id") % 2 == 0, "a").otherwise("b")
+    )
+    out = stratified_hash_sample(df, "grp", "id", {"a": 4}, default_one_in=None)
+    rows = out.collect()
+    # unlisted group dropped entirely; listed group matches hash_sample
+    assert {r.grp for r in rows} == {"a"}
+    want = {
+        r.id
+        for r in hash_sample(df.where("grp = 'a'"), "id", 4).collect()
+    }
+    assert {r.id for r in rows} == want
+    # per-group rates apply independently
+    both = stratified_hash_sample(df, "grp", "id", {"a": 4, "b": 2}).collect()
+    na = sum(1 for r in both if r.grp == "a")
+    nb = sum(1 for r in both if r.grp == "b")
+    assert 0 < na < nb
+
+
 def test_text_stats_values(spark):
     df = spark.createDataFrame([(1, "aa bb aa")], "doc_id bigint, text string")
     r = text_stats(df).collect()[0]
