@@ -55,6 +55,7 @@ _PRIORITY: list[str] = [
     "stratified_sample_orders",
     "streaming_dedup_documents",
     "collect_metric_lists_supplier",
+    "quality_topk_per_source",
     # round-2 additions never yet inside the driver window
     "near_dup_groups_documents",
     "jdbc_roundtrip_nation",
@@ -86,7 +87,6 @@ _PRIORITY: list[str] = [
     "pipeline_filtered_corpus",
     "profile_preview_orders",
     "profile_lineitem_approx",
-    "collect_metric_lists_supplier",
     "bucket_monitor_metrics",
     "decode_real_media",
 ]

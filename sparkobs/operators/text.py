@@ -59,10 +59,17 @@ def token_count_regex(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple = (),
+) -> DataFrame:
     """Deterministic quality score in [0,1]: length saturation +
     lexical diversity + stopword-inverse, the shape of production
-    quality filters (length/punct/stopword ratios)."""
+    quality filters (length/punct/stopword ratios). ``keep_cols`` ride
+    along unchanged (it's a pure projection — no reason to join the
+    score back on when a downstream op needs more columns)."""
     toks = _toks(text_col)
     n_tokens = F.size(toks)
     n_unique = F.size(F.array_distinct(toks))
@@ -75,6 +82,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_tokens.cast("long").alias("n_tokens"),
         F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
         F.round(score, 4).alias("quality"),
@@ -261,4 +269,29 @@ def source_quota_cap(
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= quota)
         .drop("__rn")
+    )
+
+
+def quality_topk_per_source(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-ranked curation: keep the ``k`` highest-quality docs per
+    source (ties broken by lowest id — fully deterministic), using
+    :func:`quality_score`. The select-the-best counterpart to
+    :func:`source_quota_cap`'s keep-any-N: one window shuffle on the
+    group key, rank filter pushed below the sort via WindowGroupLimit,
+    so heavy sources prune before the full sort materializes.
+    """
+    from pyspark.sql import Window as W
+
+    scored = quality_score(df, id_col, text_col, keep_cols=(group_col,))
+    w = W.partitionBy(group_col).orderBy(F.desc("quality"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(F.col(id_col), F.col(group_col), "quality", F.col("__rn").alias("rank"))
     )

@@ -2672,3 +2672,38 @@ def streaming_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl = run_to_memory(stream, "dedup_stream", output_mode="append", unique=True)
     return spark.table(tbl)
+
+
+@query(
+    "quality_topk_per_source",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, string_split_regex(text, '\\s+') AS toks
+               FROM documents),
+    m AS (SELECT doc_id, source,
+                 len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_unique,
+                 len(list_filter(toks, t -> t in ('the', 'a'))) AS n_stop
+          FROM t),
+    q AS (SELECT doc_id, source,
+                 round(least(1.0, n_tokens / 50.0) * 0.4
+                       + (n_unique / n_tokens) * 0.4
+                       + (1.0 - n_stop / n_tokens) * 0.2, 4) AS quality
+          FROM m)
+    SELECT doc_id, source, quality, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY quality DESC, doc_id) AS rn
+          FROM q)
+    WHERE rn <= 25
+    """,
+)
+def quality_topk_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked curation (extension: data mixing): the 25
+    highest-quality docs per source, deterministic tie-break by id —
+    select-the-best counterpart of source_quota_cap."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.text import quality_topk_per_source
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_topk_per_source(docs, k=25)
+    return out.select("doc_id", "source", "quality", F.col("rank").cast("int").alias("rank"))
