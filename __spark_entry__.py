@@ -56,6 +56,7 @@ _PRIORITY: list[str] = [
     "streaming_dedup_documents",
     "collect_metric_lists_supplier",
     "quality_topk_per_source",
+    "anomaly_hourly_events",
     # round-2 additions never yet inside the driver window
     "near_dup_groups_documents",
     "jdbc_roundtrip_nation",

@@ -70,3 +70,39 @@ def schema_drift(snapshots: DataFrame) -> DataFrame:
             > 0
         ).alias("columns_changed"),
     )
+
+
+def metric_anomalies(
+    series: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "run_ts",
+    value_col: str = "value",
+    trailing: int = 24,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Run-over-run anomaly flags (extension of OP-39's delta): per key,
+    z-score of each observation against the TRAILING ``trailing``
+    observations (exclusive of the current one — the baseline must not
+    contain the point under test), flag |z| > ``z_threshold``.
+
+    One window shuffle on the key; rows whose baseline has < 2 points
+    or zero variance emit NULL z (no verdict), not a spurious flag.
+    The continuous-monitoring counterpart is the same expression over a
+    watermarked sliding window.
+    """
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(-trailing, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    z = F.when((n >= 2) & (std > 0), (F.col(value_col) - mean) / std)
+    return series.select(
+        *key_cols,
+        F.col(ts_col),
+        F.col(value_col),
+        F.round(z, 4).alias("zscore"),
+        F.when(z.isNotNull(), F.abs(z) > z_threshold).alias("is_anomaly"),
+    )

@@ -2707,3 +2707,46 @@ def quality_topk_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = quality_topk_per_source(docs, k=25)
     return out.select("doc_id", "source", "quality", F.col("rank").cast("int").alias("rank"))
+
+
+@query(
+    "anomaly_hourly_events",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(count(*) AS DOUBLE) AS value
+      FROM events GROUP BY 1, 2),
+    scored AS (
+      SELECT event_type, bucket_ts, value,
+             avg(value) OVER w AS m,
+             stddev_samp(value) OVER w AS s,
+             count(value) OVER w AS n
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, bucket_ts, value,
+           round(CASE WHEN n >= 2 AND s > 0 THEN (value - m) / s END, 4) AS zscore,
+           CASE WHEN n >= 2 AND s > 0 THEN abs((value - m) / s) > 2.0 END AS is_anomaly
+    FROM scored
+    """,
+)
+def anomaly_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric anomaly detection (extension of OP-39 drift): hourly event
+    counts per type z-scored against the trailing 24 observations
+    (baseline excludes the point under test); |z| > 2 flags. The
+    alert-on-drift half of the reference's monitoring loop, as one
+    window query."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.state import metric_anomalies
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    return metric_anomalies(
+        hourly, ["event_type"], ts_col="bucket_ts", value_col="value"
+    )

@@ -126,3 +126,31 @@ def test_metric_sink_roundtrip(spark, sf_dir, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 2 * m.count()
     assert set(back.columns) == {"entity", "metric", "value"}
+
+
+def test_metric_anomalies_planted_spike(spark):
+    from datetime import datetime
+
+    from sparkobs.operators.state import metric_anomalies
+
+    # 10 steady observations then a spike; baseline excludes the
+    # current point so the spike's own value can't dilute its z-score
+    rows = [("m", datetime(2024, 1, 1, h), 100.0 + (h % 2)) for h in range(10)]
+    rows.append(("m", datetime(2024, 1, 1, 10), 500.0))
+    df = spark.createDataFrame(rows, "k string, run_ts timestamp, value double")
+    out = {
+        r.run_ts.hour: r
+        for r in metric_anomalies(df, ["k"], z_threshold=2.0).collect()
+    }
+    assert out[0].zscore is None and out[0].is_anomaly is None  # no baseline
+    assert out[1].zscore is None  # single-point baseline: no verdict
+    assert out[10].is_anomaly is True and out[10].zscore > 100
+    assert all(out[h].is_anomaly is False for h in range(2, 10))
+
+    # zero-variance baseline emits no verdict rather than div-by-zero
+    flat = spark.createDataFrame(
+        [("m", datetime(2024, 1, 1, h), 7.0) for h in range(5)],
+        "k string, run_ts timestamp, value double",
+    )
+    for r in metric_anomalies(flat, ["k"]).collect():
+        assert r.zscore is None and r.is_anomaly is None
