@@ -135,3 +135,36 @@ def test_jdbc_monitor_prunes_remote_columns(spark):
     plan = physical_plan(df)
     assert "JDBCRelation" in plan
     assert "n_name" not in plan  # unprofiled column never leaves the DB
+
+
+def test_sampling_and_scrub_are_narrow(spark):
+    # hash-mod sampling and PII scrubbing are pure row-local
+    # select/filter: NO exchange anywhere — they pipeline inside the
+    # scan stage at any scale
+    from sparkobs.plans import physical_plan
+
+    for name in ("hash_sample_orders", "stratified_sample_orders", "pii_scrub_documents"):
+        df = Q.SPARK_QUERIES[name](spark, SF)
+        assert "Exchange" not in physical_plan(df), name
+        assert "BatchEvalPython" not in physical_plan(df), name
+
+
+def test_curation_single_window_group_limit(spark):
+    # quality-ranked curation: exactly one shuffle (the group key), and
+    # the rank filter pushed below the sort via WindowGroupLimit
+    from sparkobs.plans import physical_plan
+
+    df = Q.SPARK_QUERIES["quality_topk_per_source"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("Exchange") <= 2  # AQE may stage-split one exchange
+    assert "WindowGroupLimit" in plan
+    assert_no_cartesian(df)
+
+
+def test_repetition_no_cartesian_no_python(spark):
+    from sparkobs.plans import physical_plan
+
+    df = Q.SPARK_QUERIES["repetition_stats_documents"](spark, SF)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert_no_cartesian(df)
