@@ -306,27 +306,23 @@ def ivf_quantize(
     seed_rows = normed.orderBy("id").limit(n_clusters).collect()
     cents = [list(r["vn"]) for r in seed_rows]
 
-    def dot_with(cvec: list[float]):
-        arr = F.array(*[F.lit(c) for c in cvec])
-        return F.aggregate(
-            F.zip_with("vn", arr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # The probe expression is generated as ONE SQL string: building it
+    # from n_clusters × dim Column objects costs a py4j round-trip per
+    # node (~1 s for 16×64 — more than executing the quantization);
+    # F.expr ships the whole tree in a single call and parses JVM-side.
+    # Dot products are unrolled multiply-adds (no per-centroid array
+    # allocation), literals carry the D suffix to stay DOUBLE.
+    def dot_sql(cvec: list[float]) -> str:
+        return " + ".join(f"vn[{d}] * {c!r}D" for d, c in enumerate(cvec))
 
-    probe_structs = F.array(
-        *[
-            F.struct(dot_with(c).alias("d"), F.lit(i).alias("c"))
-            for i, c in enumerate(cents)
-        ]
+    struct_items = ", ".join(
+        f"struct({dot_sql(c)} AS d, {i} AS c)" for i, c in enumerate(cents)
     )
-    sorted_probes = F.array_sort(
-        probe_structs,
-        lambda a, b: F.when(a["d"] > b["d"], -1)
-        .when(a["d"] < b["d"], 1)
-        .otherwise(a["c"] - b["c"]),
+    probes = F.expr(
+        f"transform(slice(array_sort(array({struct_items}), "
+        "(a, b) -> CASE WHEN a.d > b.d THEN -1 WHEN a.d < b.d THEN 1 "
+        f"ELSE a.c - b.c END), 1, {n_probe}), s -> s.c)"
     )
-    probes = F.transform(F.slice(sorted_probes, 1, n_probe), lambda s: s["c"])
     quantized = normed.select(
         "id",
         "vn",
