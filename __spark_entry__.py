@@ -57,6 +57,7 @@ _PRIORITY: list[str] = [
     "collect_metric_lists_supplier",
     "quality_topk_per_source",
     "anomaly_hourly_events",
+    "psi_drift_hourly_events",
     # round-2 additions never yet inside the driver window
     "near_dup_groups_documents",
     "jdbc_roundtrip_nation",

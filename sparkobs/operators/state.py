@@ -106,3 +106,80 @@ def metric_anomalies(
         F.round(z, 4).alias("zscore"),
         F.when(z.isNotNull(), F.abs(z) > z_threshold).alias("is_anomaly"),
     )
+
+
+def distribution_drift_psi(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket_expr: str = "date_trunc('hour', {ts})",
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 100.0,
+) -> DataFrame:
+    """Distribution drift between consecutive periods via PSI
+    (population stability index) — the monitoring metric for "the
+    values still arrive, but their SHAPE changed" that row counts
+    (OP-39) and schema drift (OP-40) both miss.
+
+    Per period: histogram ``value_col`` into ``n_bins`` fixed
+    data-independent bins over [lo, hi) plus an overflow bin, convert
+    to fractions, then PSI against the PREVIOUS period =
+    Σ (cur−prev)·ln(cur/prev) over bins, with the standard ε=1e-6
+    floor so empty bins don't produce infinities. Fixed bins keep the
+    whole thing two hash aggregations + one per-bucket lag window — no
+    data-dependent quantile pre-pass, deterministic on any engine.
+    Conventional reading: PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    shifted.
+    """
+    eps = 1e-6
+    width = (hi - lo) / n_bins
+    bucket = F.expr(bucket_expr.format(ts=ts_col))
+    bin_id = F.least(
+        F.lit(n_bins),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - lo) / width).cast("int"),
+        ),
+    )
+    counts = (
+        df.select(bucket.alias("period"), bin_id.alias("bin"))
+        .groupBy("period", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("period").agg(F.sum("c").alias("n"))
+    fracs = counts.join(totals, "period").select(
+        "period", "bin", (F.col("c") / F.col("n")).alias("frac")
+    )
+    # dense (period × bin) grid so a bin that empties out still drifts:
+    # cross the distinct periods with the fixed bin ids, left-join fracs
+    periods = totals.select("period")
+    bins = df.sparkSession.range(0, n_bins + 1).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    grid = periods.crossJoin(F.broadcast(bins))
+    dense = grid.join(fracs, ["period", "bin"], "left").select(
+        "period", "bin", F.coalesce("frac", F.lit(0.0)).alias("frac")
+    )
+    w = W.partitionBy("bin").orderBy("period")
+    # lag first and filter the NULL (first period) BEFORE flooring:
+    # greatest() skips nulls in Spark, so flooring inline would turn
+    # "no previous period" into "previous frac = ε" and emit a bogus
+    # first-period PSI
+    paired = dense.select(
+        "period", "bin", "frac", F.lag("frac").over(w).alias("prev_frac")
+    ).where(F.col("prev_frac").isNotNull())
+    return (
+        paired.select(
+            "period",
+            F.greatest(F.col("frac"), F.lit(eps)).alias("cur"),
+            F.greatest(F.col("prev_frac"), F.lit(eps)).alias("prev"),
+        )
+        .groupBy("period")
+        .agg(
+            F.round(
+                F.sum((F.col("cur") - F.col("prev")) * F.log(F.col("cur") / F.col("prev"))),
+                4,
+            ).alias("psi")
+        )
+    )

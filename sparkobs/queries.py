@@ -2750,3 +2750,42 @@ def anomaly_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metric_anomalies(
         hourly, ["event_type"], ts_col="bucket_ts", value_col="value"
     )
+
+
+@query(
+    "psi_drift_hourly_events",
+    oracle="""
+    WITH binned AS (
+      SELECT date_trunc('hour', ts) AS period,
+             least(10, greatest(0, CAST(floor(value / 10.0) AS INT))) AS bin
+      FROM events),
+    counts AS (SELECT period, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+    totals AS (SELECT period, sum(c) AS n FROM counts GROUP BY 1),
+    fracs AS (SELECT counts.period, bin, c / n AS frac
+              FROM counts JOIN totals ON counts.period = totals.period),
+    grid AS (SELECT p.period, b.bin
+             FROM (SELECT DISTINCT period FROM totals) p
+             CROSS JOIN (SELECT unnest(generate_series(0, 10)) AS bin) b),
+    dense AS (SELECT grid.period, grid.bin, coalesce(frac, 0.0) AS frac
+              FROM grid LEFT JOIN fracs
+                ON grid.period = fracs.period AND grid.bin = fracs.bin),
+    paired AS (SELECT period, bin, frac,
+                      lag(frac) OVER (PARTITION BY bin ORDER BY period) AS prev_frac
+               FROM dense)
+    SELECT period,
+           round(sum((greatest(frac, 1e-6) - greatest(prev_frac, 1e-6))
+                     * ln(greatest(frac, 1e-6) / greatest(prev_frac, 1e-6))), 4) AS psi
+    FROM paired WHERE prev_frac IS NOT NULL
+    GROUP BY period
+    """,
+)
+def psi_drift_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift via PSI (extension of OP-39/40): hourly PSI of
+    the events value column against the previous hour over 10 fixed
+    bins — catches shape changes row counts and schemas miss. Fixed
+    data-independent bins keep it two hash aggs + one lag window."""
+    from sparkobs.operators.state import distribution_drift_psi
+
+    return distribution_drift_psi(
+        load_table(spark, sf_dir, "events"), "ts", "value", n_bins=10, lo=0.0, hi=100.0
+    )

@@ -154,3 +154,21 @@ def test_metric_anomalies_planted_spike(spark):
     )
     for r in metric_anomalies(flat, ["k"]).collect():
         assert r.zscore is None and r.is_anomaly is None
+
+
+def test_distribution_drift_psi_planted_shift(spark):
+    from datetime import datetime
+
+    from sparkobs.operators.state import distribution_drift_psi
+
+    # hour 0 and hour 1: identical uniform spread -> PSI ~ 0;
+    # hour 2: all mass jumps to the top bin -> large PSI
+    rows = []
+    for h in (0, 1):
+        rows += [(datetime(2024, 1, 1, h), float(v)) for v in range(0, 100, 5)]
+    rows += [(datetime(2024, 1, 1, 2), 95.0)] * 20
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r.period.hour: r.psi for r in distribution_drift_psi(df, "ts", "value").collect()}
+    assert 0 not in out  # first period has no baseline
+    assert out[1] == 0.0  # identical distributions
+    assert out[2] > 1.0  # full shift: way past the 0.25 "shifted" bar
