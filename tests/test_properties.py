@@ -11,6 +11,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from sparkobs.operators.profile import duplicate_count, profile
 from sparkobs.operators.text import text_stats
 from sparkobs.operators.metrics import fanin_stats, to_metrics_long
@@ -163,3 +165,54 @@ def test_connected_components_match_union_find(spark, edges):
         union(a, b)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=60),
+    one_in=st.integers(1, 7),
+    parts=st.integers(1, 6),
+)
+@settings(**SETTINGS)
+def test_hash_sample_partitioning_invariant(spark, keys, one_in, parts):
+    # the selection must be a pure function of the key — identical under
+    # any partitioning/row order (Dataset.sample is NOT; this is the
+    # property that makes the sample reproducible on a cluster)
+    from sparkobs.operators.sampling import hash_sample
+
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    a = sorted(r.k for r in hash_sample(df, "k", one_in).collect())
+    b = sorted(
+        r.k for r in hash_sample(df.repartition(parts), "k", one_in).collect()
+    )
+    assert a == b
+    # rate sanity: one_in=1 keeps everything
+    if one_in == 1:
+        assert a == sorted(keys)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Nd", "Zs")),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_pii_scrub_idempotent(spark, texts):
+    # scrubbing already-scrubbed text must change nothing: placeholders
+    # contain no digits or @, so no pattern can re-fire
+    from sparkobs.operators.text import pii_scrub
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    once = pii_scrub(df)
+    twice = pii_scrub(
+        once.select("doc_id", F.col("scrubbed_text").alias("text"))
+    )
+    a = {r.doc_id: r.scrubbed_text for r in once.collect()}
+    b = {r.doc_id: r.scrubbed_text for r in twice.collect()}
+    assert a == b
+    for r in twice.collect():
+        assert r.n_email == 0 or "<EMAIL>" not in a[r.doc_id]
