@@ -246,33 +246,27 @@ def minhash_signatures(
     sh = tokenize(df, id_col, text_col).select(
         "id", F.explode(shingle_expr("__toks", n)).alias("sh")
     )
+    # the per-seed min aggregates ship as ONE generated SQL array expr —
+    # node-by-node Column construction costs a py4j round-trip per node
+    # (the repo-wide pattern: see ivf_quantize / simhash)
     if hash_fn == "xx64":
-        mins = [
-            F.min(F.xxhash64(F.col("sh"), F.lit(seed))).alias(f"h{seed}")
-            for seed in range(num_hashes)
-        ]
+        sig_sql = "array(" + ", ".join(
+            f"min(xxhash64(sh, {seed}))" for seed in range(num_hashes)
+        ) + ")"
     elif hash_fn == "md5":
         mod = 10**17
-
-        def _h15(col):
-            return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % mod
-
-        sh = sh.select(
+        sh = sh.selectExpr(
             "id",
             "sh",
-            _h15(F.col("sh")).alias("__a"),
-            _h15(F.concat(F.lit("x"), F.col("sh"))).alias("__b"),
+            f"CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT) % {mod} AS __a",
+            f"CAST(conv(substring(md5(concat('x', sh)), 1, 15), 16, 10) AS BIGINT) % {mod} AS __b",
         )
-        mins = [
-            F.min(F.col("__a") + seed * F.col("__b")).alias(f"h{seed}")
-            for seed in range(num_hashes)
-        ]
+        sig_sql = "array(" + ", ".join(
+            f"min(__a + {seed} * __b)" for seed in range(num_hashes)
+        ) + ")"
     else:
         raise ValueError(f"hash_fn must be xx64|md5, got {hash_fn}")
-    agg = sh.groupBy("id").agg(*mins)
-    return agg.select(
-        "id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("signature")
-    )
+    return sh.groupBy("id").agg(F.expr(sig_sql).alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -300,35 +294,30 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, n, num_hashes, id_col, text_col, hash_fn)
 
-    def _bucket(cols):
+    def _bucket_sql(cols: list[str]) -> str:
         # band bucket key: any deterministic combiner works. Portable
         # mode derives an 8-byte key from md5 of the '|'-joined members
         # (15 hex chars parsed base-16) — reproducible across engines
         # AND as cheap to shuffle/compare as the xxhash64 key
+        joined = ", ".join(cols)
         if hash_fn == "md5":
-            return F.conv(
-                F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
-            ).cast("long")
-        return F.xxhash64(*cols)
-
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        _bucket(
-                            [
-                                F.col("signature")[bi * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
+            return (
+                "CAST(conv(substring(md5(concat_ws('|', "
+                + joined
+                + ")), 1, 15), 16, 10) AS BIGINT)"
             )
-        ).alias("bb"),
+        return f"xxhash64({joined})"
+
+    band_structs = ", ".join(
+        f"struct({bi} AS band, "
+        + _bucket_sql(
+            [f"signature[{bi * rows_per_band + r}]" for r in range(rows_per_band)]
+        )
+        + " AS bucket)"
+        for bi in range(bands)
+    )
+    banded = sig.select(
+        "id", F.expr(f"explode(array({band_structs}))").alias("bb")
     ).select("id", "bb.band", "bb.bucket")
     cand = (
         banded.alias("a")
