@@ -45,6 +45,16 @@ HEADLINE = [
     "near_dup_groups_documents",
     "near_dup_groups_lsh",
     "chunk_documents",
+    # round-3 additions
+    "repetition_stats_documents",
+    "pii_scrub_documents",
+    "hash_sample_orders",
+    "quality_topk_per_source",
+    "anomaly_hourly_events",
+    "psi_drift_hourly_events",
+    "decode_synth_media",
+    "streaming_dedup_documents",
+    "minhash_lsh_pairs_xx64",
 ]
 
 

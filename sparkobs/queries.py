@@ -508,7 +508,11 @@ def argmax_entity_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH snap AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS run_ts, 'orders' AS table_name,
              CAST(count(*) AS BIGINT) AS row_count
-      FROM orders GROUP BY 1)
+      FROM orders GROUP BY 1
+      UNION ALL
+      SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP), 'lineitem',
+             CAST(count(*) AS BIGINT)
+      FROM lineitem GROUP BY 1)
     SELECT run_ts, table_name, row_count,
            lag(row_count) OVER (PARTITION BY table_name ORDER BY run_ts) AS prev_count,
            row_count - lag(row_count) OVER (PARTITION BY table_name ORDER BY run_ts) AS delta
@@ -516,29 +520,38 @@ def argmax_entity_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def snapshot_count_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run-over-run count delta (OP-38/39): monthly order counts as the
-    run history, lag-window delta; ref snowflake_table_monitor.py:97-113
-    (fixing its str-subtraction TypeError, SURVEY.md §8.3)."""
+    """Run-over-run count delta (OP-38/39): monthly counts of TWO
+    monitored tables as the run history, lag-window delta per table —
+    multi-table history keeps the window genuinely partitioned (a
+    single literal table_name constant-folds the partition spec away
+    into a single-partition WindowExec). Ref
+    snowflake_table_monitor.py:97-113 (fixing its str-subtraction
+    TypeError, SURVEY.md §8.3)."""
     from pyspark.sql import functions as F
 
     from sparkobs.operators.state import count_delta
 
-    snaps = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("run_ts"))
-        .agg(F.count(F.lit(1)).alias("row_count"))
-        .select("run_ts", F.lit("orders").alias("table_name"), "row_count")
+    def snap(table, ts_col):
+        return (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.date_trunc("month", F.col(ts_col)).alias("run_ts"))
+            .agg(F.count(F.lit(1)).alias("row_count"))
+            .select("run_ts", F.lit(table).alias("table_name"), "row_count")
+        )
+
+    return count_delta(
+        snap("orders", "o_orderdate").unionByName(snap("lineitem", "l_shipdate"))
     )
-    return count_delta(snaps)
 
 
 @query(
     "schema_drift_hourly",
     oracle="""
     WITH snap AS (
-      SELECT date_trunc('hour', ts) AS run_ts, 'events' AS table_name,
+      SELECT date_trunc('hour', ts) AS run_ts,
+             'events_' || CAST(user_id % 2 AS VARCHAR) AS table_name,
              list_sort(list(DISTINCT event_type)) AS cols
-      FROM events GROUP BY 1),
+      FROM events GROUP BY 1, 2),
     w AS (
       SELECT run_ts, table_name, cols,
              lag(cols) OVER (PARTITION BY table_name ORDER BY run_ts) AS pc
@@ -559,11 +572,20 @@ def schema_drift_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sparkobs.operators.state import schema_drift
 
+    # two monitored "tables" (streams split by user parity) so the
+    # per-table lag window stays genuinely partitioned — a single
+    # literal table_name constant-folds the partition spec away into a
+    # single-partition WindowExec
     snaps = (
         load_table(spark, sf_dir, "events")
-        .groupBy(F.date_trunc("hour", F.col("ts")).alias("run_ts"))
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("run_ts"),
+            F.concat(
+                F.lit("events_"), (F.col("user_id") % 2).cast("string")
+            ).alias("table_name"),
+        )
         .agg(F.array_sort(F.collect_set("event_type")).alias("columns"))
-        .select("run_ts", F.lit("events").alias("table_name"), "columns")
+        .select("run_ts", "table_name", "columns")
     )
     return schema_drift(snaps)
 
@@ -2788,4 +2810,20 @@ def psi_drift_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return distribution_drift_psi(
         load_table(spark, sf_dir, "events"), "ts", "value", n_bins=10, lo=0.0, hi=100.0
+    )
+
+
+@query("minhash_lsh_pairs_xx64")
+def minhash_lsh_pairs_xx64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs in the PRODUCTION hash tier (xxhash64 — 8-byte
+    JVM-side signature hashes, the 100 TB default). Engine-specific
+    hash → rows-only here; the algorithm is value-hash-certified via
+    its portable md5 twin (minhash_lsh_pairs) and recall-tested vs the
+    exact tier. Registered so the bench tracks the production tier's
+    speed alongside the certified one."""
+    from sparkobs.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=3, num_hashes=32, bands=8, threshold=0.2, hash_fn="xx64",
     )
