@@ -58,6 +58,7 @@ _PRIORITY: list[str] = [
     "quality_topk_per_source",
     "anomaly_hourly_events",
     "psi_drift_hourly_events",
+    "resize_synth_media",
     # round-2 additions never yet inside the driver window
     "near_dup_groups_documents",
     "jdbc_roundtrip_nation",

@@ -300,6 +300,106 @@ def decode_real(media: DataFrame) -> DataFrame:
     return media.select("id", "content").mapInPandas(kernel, DECODE_SCHEMA)
 
 
+def resize_media(
+    media: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """REAL image resize (extension: the decode → transform stage of a
+    multimodal training pipeline): decode each payload with the stdlib
+    kernels (:func:`_decode_one` formats), nearest-neighbor resample to
+    ``out_w × out_h``, and emit the resized dimensions + pixel mean.
+    Nearest-neighbor (``src_idx = floor(dst_idx · src/dst)``) is chosen
+    because it is exactly reproducible — no filter kernel, no float
+    accumulation order — so the whole decode+resize path is
+    value-checkable across engines. Arrow-batched ``mapInPandas``;
+    non-image or undecodable payloads become typed error rows.
+    """
+
+    def kernel(batches):
+        import io
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def decode_pixels(b: bytes):
+            # reuse the scalar decoder for container parsing, then
+            # re-extract the pixel matrix for the formats that yield one
+            if b[:2] in (b"P5", b"P6"):
+                pos, fields = 2, []
+                while len(fields) < 3 and pos < len(b):
+                    while pos < len(b) and b[pos : pos + 1].isspace():
+                        pos += 1
+                    if b[pos : pos + 1] == b"#":
+                        while pos < len(b) and b[pos] != 0x0A:
+                            pos += 1
+                        continue
+                    start = pos
+                    while pos < len(b) and not b[pos : pos + 1].isspace():
+                        pos += 1
+                    fields.append(int(b[start:pos]))
+                pos += 1
+                w, h, _ = fields
+                nch = 3 if b[:2] == b"P6" else 1
+                px = np.frombuffer(b, np.uint8, count=w * h * nch, offset=pos)
+                return px.reshape(h, w, nch)
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                import zlib
+
+                pos, width = 8, None
+                idat, meta = [], None
+                while pos + 8 <= len(b):
+                    (ln,) = struct.unpack_from(">I", b, pos)
+                    typ = b[pos + 4 : pos + 8]
+                    data = b[pos + 8 : pos + 8 + ln]
+                    pos += 12 + ln
+                    if typ == b"IHDR":
+                        meta = struct.unpack(">IIBBBBB", data)
+                    elif typ == b"IDAT":
+                        idat.append(data)
+                    elif typ == b"IEND":
+                        break
+                width, height, bitd, ctype, _c, _f, inter = meta
+                nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+                if nch is None or bitd != 8 or inter != 0:
+                    raise ValueError("unsupported png")
+                raw = zlib.decompress(b"".join(idat))
+                return _png_unfilter(raw, width, height, nch).reshape(
+                    height, width, nch
+                )
+            raise ValueError("not a resizable image payload")
+
+        for pdf in batches:
+            rows = []
+            for _id, content in zip(pdf["id"], pdf["content"]):
+                try:
+                    import numpy as np
+
+                    px = decode_pixels(bytes(content))
+                    h, w, nch = px.shape
+                    yi = np.floor(np.arange(out_h) * h / out_h).astype(int)
+                    xi = np.floor(np.arange(out_w) * w / out_w).astype(int)
+                    res = px[yi][:, xi]
+                    rows.append(
+                        (int(_id), out_w, out_h, int(nch),
+                         float(res.astype(np.float64).mean()), None)
+                    )
+                except Exception as exc:
+                    rows.append((int(_id), None, None, None, None,
+                                 f"{type(exc).__name__}: {exc}"))
+            import pandas as pd
+
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "width", "height", "n_channels", "mean_value", "error"],
+            )
+
+    return media.select("id", "content").mapInPandas(
+        kernel,
+        "id bigint, width int, height int, n_channels int, "
+        "mean_value double, error string",
+    )
+
+
 def synth_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic REAL media payloads derived from a text corpus —
     the cross-engine certification rig for :func:`decode_real`.

@@ -2827,3 +2827,34 @@ def minhash_lsh_pairs_xx64(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         n=3, num_hashes=32, bands=8, threshold=0.2, hash_fn="xx64",
     )
+
+
+@query(
+    "resize_synth_media",
+    oracle="""
+    WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+    mv AS (SELECT doc_id,
+                  list_sum(list_transform(generate_series(0, 7),
+                                          i -> ord(substr(h, 4*i + 1, 1)))) / 8.0
+                    AS mean_value
+           FROM m)
+    SELECT doc_id AS id, CAST(8 AS INT) AS width, CAST(1 AS INT) AS height,
+           CAST(1 AS INT) AS n_channels, mean_value, CAST(NULL AS VARCHAR) AS error
+    FROM mv
+    UNION ALL
+    SELECT doc_id, CAST(8 AS INT), CAST(1 AS INT), CAST(1 AS INT), mean_value,
+           CAST(NULL AS VARCHAR)
+    FROM mv
+    """,
+)
+def resize_synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode+resize certification (extension: multimodal
+    transform): the synthetic 32x1 PGM and PNG payloads are decoded and
+    nearest-neighbor-resized to 8x1 — source pixel i*4 for output i —
+    so DuckDB predicts the resized mean from every 4th md5 hex char.
+    Both container paths (netpbm parse; PNG inflate+unfilter) feed the
+    same resample kernel."""
+    from sparkobs.operators.multimodal import resize_media, synth_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(synth_media(docs), out_w=8, out_h=1)

@@ -458,7 +458,28 @@ def test_decode_real_png(spark):
     assert rows[4].format == "png" and "unsupported png" in rows[4].error
 
 
-def test_decode_real_stdlib_formats(spark):
+def test_resize_media_2d_nearest_neighbor(spark):
+    from sparkobs.operators.multimodal import resize_media
+
+    # 4x4 grayscale PGM with distinct quadrant values; 2x2 nearest-
+    # neighbor resize picks source pixels (0,0),(0,2),(2,0),(2,2)
+    pix = bytes(
+        [10, 10, 20, 20,
+         10, 10, 20, 20,
+         30, 30, 40, 40,
+         30, 30, 40, 40]
+    )
+    pgm = b"P5\n4 4\n255\n" + pix
+    rgb = b"P6\n2 2\n255\n" + bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    media = spark.createDataFrame(
+        [(1, pgm), (2, rgb), (3, b"not an image")], "id bigint, content binary"
+    )
+    rows = {r.id: r for r in resize_media(media, 2, 2).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].n_channels) == (2, 2, 1)
+    assert rows[1].mean_value == (10 + 20 + 30 + 40) / 4.0
+    # 2x2 -> 2x2 is identity for RGB
+    assert rows[2].mean_value == (255 + 255 + 255 + 9 * 3) / 12.0
+    assert rows[3].error is not None and rows[3].mean_value is None
     from sparkobs.operators.multimodal import decode_real
 
     payloads = [
