@@ -59,6 +59,7 @@ _PRIORITY: list[str] = [
     "anomaly_hourly_events",
     "psi_drift_hourly_events",
     "resize_synth_media",
+    "winnowing_fingerprints_documents",
     # round-2 additions never yet inside the driver window
     "near_dup_groups_documents",
     "jdbc_roundtrip_nation",

@@ -124,6 +124,56 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xx64",
+) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (the MOSS
+    scheme): hash every character ``k``-gram, then keep the MINIMUM
+    hash of each sliding window of ``window`` consecutive k-gram
+    hashes — guarantees any shared substring of length ≥ k+window−1
+    contributes at least one common fingerprint, at ~1/window the
+    storage of all k-grams. Output: (id, sorted distinct fingerprint
+    array) — overlap of fingerprint sets localizes copied spans, which
+    whole-document hashes (:func:`fingerprint`) cannot.
+
+    Pure Catalyst: one generated expression per row (transform over a
+    position sequence + sliding array_min), no shuffle at all.
+    ``hash_fn="xx64"`` is the JVM-fast default; ``"md5"`` is the
+    engine-portable mode (15-hex-char base-16 parse, same convention
+    as the dedup tiers) the DuckDB oracle checks.
+    """
+    if hash_fn == "xx64":
+        gram_hash = f"xxhash64(substring(text_, i, {k}))"
+    elif hash_fn == "md5":
+        gram_hash = (
+            f"CAST(conv(substring(md5(substring(text_, i, {k})), 1, 15), 16, 10) AS BIGINT)"
+        )
+    else:
+        raise ValueError(f"hash_fn must be xx64|md5, got {hash_fn}")
+    n_grams = f"greatest(1, length(text_) - {k - 1})"
+    fp_sql = (
+        "array_sort(array_distinct(transform("
+        f"sequence(1, greatest(1, size(hashes_) - {window - 1})), "
+        f"j -> array_min(slice(hashes_, j, {window})))))"
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col).alias("text_"),
+        )
+        .selectExpr(
+            id_col,
+            f"transform(sequence(1, {n_grams}), i -> {gram_hash}) AS hashes_",
+        )
+        .selectExpr(id_col, f"{fp_sql} AS fingerprints")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,

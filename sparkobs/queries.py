@@ -2858,3 +2858,33 @@ def resize_synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return resize_media(synth_media(docs), out_w=8, out_h=1)
+
+
+@query(
+    "winnowing_fingerprints_documents",
+    oracle="""
+    WITH g AS (SELECT doc_id, text,
+                      greatest(1, length(text) - 7) AS ng
+               FROM documents),
+    h AS (SELECT doc_id, ng,
+                 list_transform(generate_series(1, ng),
+                   i -> """ + _hex15_sql("md5(substr(text, CAST(i AS INT), 8))") + """)
+                   AS hashes
+          FROM g)
+    SELECT doc_id,
+           list_sort(list_distinct(list_transform(
+             generate_series(1, greatest(1, ng - 3)),
+             j -> list_min(hashes[j:j+3])))) AS fingerprints
+    FROM h
+    """,
+)
+def winnowing_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (extension: the MOSS scheme —
+    char 8-grams, window 4) in the portable md5 mode, value-hash-checked
+    against the identical pipeline in DuckDB; xx64 is the production
+    hash tier."""
+    from sparkobs.operators.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=8, window=4, hash_fn="md5"
+    )

@@ -245,6 +245,36 @@ def test_hash_sample_deterministic_and_key_coherent(spark):
     assert hash_sample(df, "k", 1).count() == 10000
 
 
+def test_winnowing_shared_substring_guarantee(spark):
+    from sparkobs.operators.text import winnowing_fingerprints
+
+    # winnowing guarantee: a shared substring of length >= k+window-1
+    # (= 11 here) produces at least one common fingerprint; disjoint
+    # texts share none (w.h.p.)
+    shared = "abcdefghijklmnop"  # 16 chars >> 11
+    df = spark.createDataFrame(
+        [
+            (1, "xxx " + shared + " yyy"),
+            (2, "zzz " + shared + " qqq"),
+            (3, "totally unrelated content with no overlap at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fps = {
+        r.doc_id: set(r.fingerprints)
+        for r in winnowing_fingerprints(df, k=8, window=4).collect()
+    }
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    # identical docs -> identical fingerprint sets; md5 mode agrees on
+    # the structure
+    fps_md5 = {
+        r.doc_id: set(r.fingerprints)
+        for r in winnowing_fingerprints(df, k=8, window=4, hash_fn="md5").collect()
+    }
+    assert fps_md5[1] & fps_md5[2] and not (fps_md5[1] & fps_md5[3])
+
+
 def test_pii_scrub_planted(spark):
     from sparkobs.operators.text import pii_scrub
 
