@@ -53,6 +53,8 @@ HEADLINE = [
     "anomaly_hourly_events",
     "psi_drift_hourly_events",
     "decode_synth_media",
+    "resize_synth_media",
+    "winnowing_fingerprints_documents",
     "streaming_dedup_documents",
     "minhash_lsh_pairs_xx64",
 ]
