@@ -60,6 +60,7 @@ _PRIORITY: list[str] = [
     "psi_drift_hourly_events",
     "resize_synth_media",
     "winnowing_fingerprints_documents",
+    "streaming_near_dup_candidates",
     # round-2 additions never yet inside the driver window
     "near_dup_groups_documents",
     "jdbc_roundtrip_nation",

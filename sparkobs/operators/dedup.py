@@ -269,6 +269,48 @@ def minhash_signatures(
     return sh.groupBy("id").agg(F.expr(sig_sql).alias("signature"))
 
 
+def minhash_banded(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xx64",
+) -> DataFrame:
+    """(id, band, bucket) LSH band-bucket rows for a corpus — the
+    joinable INDEX form of the MinHash signatures. Band bucket key:
+    any deterministic combiner works; the portable (md5) mode derives
+    an 8-byte key from md5 of the '|'-joined members (15 hex chars
+    parsed base-16) — reproducible across engines AND as cheap to
+    shuffle/compare as the xxhash64 key. Used by the batch pair join
+    and by stream-vs-index candidate generation."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, n, num_hashes, id_col, text_col, hash_fn)
+
+    def _bucket_sql(cols: list[str]) -> str:
+        joined = ", ".join(cols)
+        if hash_fn == "md5":
+            return (
+                "CAST(conv(substring(md5(concat_ws('|', "
+                + joined
+                + ")), 1, 15), 16, 10) AS BIGINT)"
+            )
+        return f"xxhash64({joined})"
+
+    band_structs = ", ".join(
+        f"struct({bi} AS band, "
+        + _bucket_sql(
+            [f"signature[{bi * rows_per_band + r}]" for r in range(rows_per_band)]
+        )
+        + " AS bucket)"
+        for bi in range(bands)
+    )
+    return sig.select(
+        "id", F.expr(f"explode(array({band_structs}))").alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     n: int = 3,
@@ -291,34 +333,7 @@ def minhash_lsh_pairs(
     xxhash64 shingle join keys — it only tests shingle equality
     within Spark, so portability doesn't apply there.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, n, num_hashes, id_col, text_col, hash_fn)
-
-    def _bucket_sql(cols: list[str]) -> str:
-        # band bucket key: any deterministic combiner works. Portable
-        # mode derives an 8-byte key from md5 of the '|'-joined members
-        # (15 hex chars parsed base-16) — reproducible across engines
-        # AND as cheap to shuffle/compare as the xxhash64 key
-        joined = ", ".join(cols)
-        if hash_fn == "md5":
-            return (
-                "CAST(conv(substring(md5(concat_ws('|', "
-                + joined
-                + ")), 1, 15), 16, 10) AS BIGINT)"
-            )
-        return f"xxhash64({joined})"
-
-    band_structs = ", ".join(
-        f"struct({bi} AS band, "
-        + _bucket_sql(
-            [f"signature[{bi * rows_per_band + r}]" for r in range(rows_per_band)]
-        )
-        + " AS bucket)"
-        for bi in range(bands)
-    )
-    banded = sig.select(
-        "id", F.expr(f"explode(array({band_structs}))").alias("bb")
-    ).select("id", "bb.band", "bb.bucket")
+    banded = minhash_banded(df, n, num_hashes, bands, id_col, text_col, hash_fn)
     cand = (
         banded.alias("a")
         .join(

@@ -2888,3 +2888,69 @@ def winnowing_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFr
     return winnowing_fingerprints(
         load_table(spark, sf_dir, "documents"), k=8, window=4, hash_fn="md5"
     )
+
+
+@query(
+    "streaming_near_dup_candidates",
+    oracle="WITH " + _minhash_pair_ctes() + """
+    , banded2 AS (SELECT doc_id AS id, band, bucket FROM banded)
+    SELECT DISTINCT a.id AS stream_id, b.id AS index_id
+    FROM banded2 a JOIN banded2 b
+      ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.id % 2 = 1 AND b.id % 2 = 0
+    """,
+)
+def streaming_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest near-dup screening (extension: dedup × OP-53):
+    odd-id documents arrive as a file-source micro-batch stream and are
+    checked against a STATIC MinHash band index built from the even-id
+    reference corpus — per batch, band the new docs with the identical
+    portable signature pipeline and broadcast-join them against the
+    index (foreachBatch, the standard stream-static enrichment shape;
+    candidate generation per doc is batch-boundary-independent, so the
+    emitted candidate set is deterministic). The oracle replays the
+    same banding on both parities in DuckDB. At 100 TB the index is a
+    bucketed table and each micro-batch joins only its colliding
+    buckets; exact-Jaccard verification runs downstream on candidates
+    exactly as in minhash_lsh_pairs."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.dedup import minhash_banded
+
+    stage_dir = _stage_documents(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    index = minhash_banded(
+        docs.where(F.col("doc_id") % 2 == 0), hash_fn="md5"
+    ).withColumnRenamed("id", "index_id")
+
+    import tempfile
+    import uuid
+
+    out_dir = tempfile.mkdtemp(prefix=f"sparkobs_snd_{uuid.uuid4().hex[:8]}_")
+
+    def enrich(batch_df, batch_id):
+        cands = (
+            minhash_banded(
+                batch_df.where(F.col("doc_id") % 2 == 1), hash_fn="md5"
+            )
+            .withColumnRenamed("id", "stream_id")
+            .join(F.broadcast(index), ["band", "bucket"])
+            .select("stream_id", "index_id")
+            .distinct()
+        )
+        cands.write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .parquet(stage_dir)
+        .writeStream.foreachBatch(enrich)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_near_dup did not drain in 300s")
+    q.stop()
+    return spark.read.parquet(out_dir).distinct()
