@@ -94,6 +94,10 @@ _PRIORITY: list[str] = [
     "profile_lineitem_approx",
     "bucket_monitor_metrics",
     "decode_real_media",
+    # simple aggregations — acceptable overflow past the 50-entry gate
+    # (locally oracle-verified; tools/check_oracle.py covers the rest)
+    "entropy_lineitem_columns",
+    "fd_check_orders",
 ]
 
 

@@ -226,3 +226,60 @@ def preview(df: DataFrame, n: int = 10, order_cols: list[str] | None = None) -> 
     if order_cols:
         return df.orderBy(*[F.asc(c) for c in order_cols]).limit(n)
     return df.limit(n)
+
+
+def column_entropy(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Shannon entropy (bits) of each categorical column — the
+    "how informative is this column" profile metric: 0 for constants,
+    log2(distinct) for uniform. One grouped count per column unioned
+    long-format (map-side partial aggs), entropy = −Σ p·log2 p over the
+    value frequencies.
+    """
+    outs = []
+    for c in columns:
+        freqs = df.groupBy(F.col(c).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        # 1-row broadcast total instead of an empty-partition window
+        # (which would funnel the frequencies through one partition)
+        total = freqs.agg(F.sum("cnt").alias("n"))
+        outs.append(
+            freqs.crossJoin(F.broadcast(total))
+            .select(
+                F.lit(c).alias("column"),
+                (
+                    -(F.col("cnt") / F.col("n"))
+                    * F.log2(F.col("cnt") / F.col("n"))
+                ).alias("term"),
+            )
+            .groupBy("column")
+            .agg(F.round(F.sum("term"), 4).alias("entropy_bits"))
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def fd_violations(df: DataFrame, determinant: str, dependent: str) -> DataFrame:
+    """Functional-dependency check: does ``determinant → dependent``
+    hold? Returns one row with the number of determinant values mapping
+    to MORE than one dependent value and the total violating row count
+    — the data-quality probe for "is this really a key/lookup
+    relationship". Single grouped count_distinct keyed by the
+    determinant.
+    """
+    per = df.groupBy(determinant).agg(
+        F.count_distinct(F.col(dependent)).alias("n_dep"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return per.agg(
+        F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("violating_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_dep") > 1, F.col("n_rows"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("violating_rows"),
+    )

@@ -2954,3 +2954,52 @@ def streaming_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
         raise RuntimeError("streaming_near_dup did not drain in 300s")
     q.stop()
     return spark.read.parquet(out_dir).distinct()
+
+
+@query(
+    "entropy_lineitem_columns",
+    oracle="""
+    WITH f AS (SELECT 'l_returnflag' AS col, l_returnflag AS v, count(*) AS cnt
+               FROM lineitem GROUP BY 2
+               UNION ALL
+               SELECT 'l_linestatus', l_linestatus, count(*) FROM lineitem GROUP BY 2),
+    t AS (SELECT col, sum(cnt) AS n FROM f GROUP BY 1)
+    SELECT f.col AS "column",
+           round(sum(-(cnt / n) * log2(cnt / n)), 4) AS entropy_bits
+    FROM f JOIN t ON f.col = t.col
+    GROUP BY 1
+    """,
+)
+def entropy_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of categorical columns (extension: profiling) —
+    constants score 0, uniform scores log2(distinct); the
+    "is this column informative" metric."""
+    from sparkobs.operators.profile import column_entropy
+
+    return column_entropy(
+        load_table(spark, sf_dir, "lineitem"), ["l_returnflag", "l_linestatus"]
+    )
+
+
+@query(
+    "fd_check_orders",
+    oracle="""
+    WITH per AS (SELECT o_custkey, count(DISTINCT o_orderstatus) AS n_dep,
+                        count(*) AS n_rows
+                 FROM orders GROUP BY 1)
+    SELECT CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_keys,
+           CAST(coalesce(sum(CASE WHEN n_dep > 1 THEN n_rows END), 0) AS BIGINT) AS violating_rows
+    FROM per
+    """,
+)
+def fd_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency probe (extension: profiling): does
+    o_custkey -> o_orderstatus hold? Counts determinant values mapping
+    to more than one dependent value (it won't hold — customers have
+    orders in several statuses — which is exactly what the probe
+    reports)."""
+    from sparkobs.operators.profile import fd_violations
+
+    return fd_violations(
+        load_table(spark, sf_dir, "orders"), "o_custkey", "o_orderstatus"
+    )
