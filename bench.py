@@ -91,6 +91,23 @@ def main() -> None:
     warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "2")))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+
+    baseline_tables = {t.name for t in spark.catalog.listTables()}
+
+    def _release_session_state():
+        # queries that persist intermediates (LSH candidate frames) or
+        # register memory-sink tables would otherwise accumulate cached
+        # blocks across the ~150 executions of a full bench, degrading
+        # the queries that run late in the session — measure each from
+        # a clean cache state
+        from sparkobs.operators.dedup import unpersist_candidates
+
+        unpersist_candidates()
+        spark.catalog.clearCache()
+        for t in spark.catalog.listTables():
+            if t.name not in baseline_tables and t.tableType == "TEMPORARY":
+                spark.catalog.dropTempView(t.name)
+
     for name in HEADLINE:
         fn = qs[name]
         # untimed warm-up rep(s): the first execution of a query pays
@@ -105,6 +122,7 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = df.count()
             runs.append(time.perf_counter() - t0)
+        _release_session_state()
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
         spread[name] = round(runs[-1] - runs[0], 3)
