@@ -435,7 +435,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
-    max_local_edges: int = 2_000_000,
+    max_local_edges: int = 250_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list — the step that
     turns near-dup PAIRS into dedup GROUPS (one canonical doc per
@@ -467,9 +467,14 @@ def connected_components(
     ``max_local_edges`` rows (counted after the pair pipeline runs
     once), the components are solved with driver-side union-find
     instead — O(E α(E)) on one core beats 2·diameter scheduled jobs by
-    seconds, the same size-threshold reasoning as broadcast joins. A
-    100 TB dedup graph exceeds the bound and takes the distributed
-    loop; set ``max_local_edges=0`` to force it.
+    seconds, the same size-threshold reasoning as broadcast joins.
+    The default (250k edges ≈ tens of MB of int tuples) is sized so
+    the driver-side copy cannot itself become the memory problem the
+    distributed loop avoids, and edges stream to the driver
+    partition-by-partition as plain tuples (``toLocalIterator``), not
+    as a single ``collect()`` of Row objects. A 100 TB dedup graph
+    exceeds the bound and takes the distributed loop; set
+    ``max_local_edges=0`` to force it.
     """
     # persist the RAW edges first: the symmetrizing union references
     # them twice, and without this cache the (possibly expensive)
@@ -477,7 +482,10 @@ def connected_components(
     # persist the symmetrized list every iteration joins against
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
     if raw.count() <= max_local_edges:
-        pairs = [(r.u, r.v) for r in raw.collect()]
+        # stream partition-by-partition and keep plain 2-tuples: a Row
+        # object costs ~10x the heap of a tuple, and a single collect()
+        # would hold both representations at once
+        pairs = [(r[0], r[1]) for r in raw.toLocalIterator(prefetchPartitions=True)]
         raw.unpersist()
         return _union_find_local(
             pairs, edges.sparkSession, edges.schema[src].dataType

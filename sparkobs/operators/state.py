@@ -89,10 +89,16 @@ def metric_anomalies(
     or zero variance emit NULL z (no verdict), not a spurious flag.
     The continuous-monitoring counterpart is the same expression over a
     watermarked sliding window.
+
+    The ROWS frame is ordered by (ts, value): the value tiebreak makes
+    the trailing baseline deterministic even when a key carries
+    duplicate timestamps (ts alone would leave the frame
+    partition-order-dependent). (ts, value) duplicates are identical
+    rows, so any frame choice among them yields the same baseline.
     """
     w = (
         W.partitionBy(*key_cols)
-        .orderBy(ts_col)
+        .orderBy(ts_col, value_col)
         .rowsBetween(-trailing, -1)
     )
     mean = F.avg(value_col).over(w)
