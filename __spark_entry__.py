@@ -122,5 +122,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-def oracle_sql() -> dict[str, str]:
-    return Q.ORACLE_SQL
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """Oracle SQL per query. A few oracles (the FS-listing family) stat
+    the data directory itself via DuckDB read_blob and carry an
+    ``{SF_DIR}`` placeholder; the driver runs correctness at sf0.01, so
+    the no-arg call (the driver contract) substitutes that path.
+    tools/check_oracle.py passes its actual sf dir."""
+    return {n: sql.replace("{SF_DIR}", sf_dir) for n, sql in Q.ORACLE_SQL.items()}

@@ -211,6 +211,122 @@ def table_profile(df: DataFrame, table_name: str, exact: bool = True) -> DataFra
     return profile(df, exact=exact).select(F.lit(table_name).alias("table_name"), "*")
 
 
+def certify_approx_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    rsd: float = 0.05,
+    accuracy: int = 10000,
+    hll_sigma: float = 3.0,
+) -> DataFrame:
+    """Certify the sketch-based (100 TB) profile mode against its exact
+    twin, per column, IN the engine — the output is hash-checkable even
+    though the sketches themselves are approximate.
+
+    Emits one row per numeric column:
+
+    - the stats that are exact in BOTH modes (counts, nulls, min, max,
+      mean, std) — value-compared against the oracle directly;
+    - ``hll_ok``: |approx_count_distinct / count_distinct − 1| ≤
+      ``hll_sigma``·``rsd`` (HLL's relative standard deviation bound);
+    - ``p25_ok``/``median_ok``/``p75_ok``: the exact CDF interval of
+      each ``percentile_approx`` result value, [count(x < v)/n,
+      count(x ≤ v)/n], intersects [q − ε, q + ε] with ε = 2/accuracy —
+      the documented rank-error guarantee with a 2× safety margin.
+
+    A DuckDB oracle states the exact stats plus literal TRUE flags; a
+    sketch drifting out of its documented bound turns a flag false and
+    fails the value hash. Two passes over the data (sketch pass, then
+    rank-verification pass against the broadcast 1-row sketch result) —
+    certification cost, not production cost; production scale mode is
+    ``profile(exact=False)`` (single pass).
+    """
+    cols = columns if columns is not None else numeric_columns(df)
+    if not cols:
+        raise ValueError("certify_approx_profile() needs numeric columns")
+
+    aggs = []
+    for c in cols:
+        dc = F.col(c).cast("double")
+        aggs += [
+            F.count(dc).alias(f"{c}__n"),
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(
+                f"{c}__n_nulls"
+            ),
+            F.min(dc).alias(f"{c}__min_val"),
+            F.max(dc).alias(f"{c}__max_val"),
+            F.round(F.avg(dc), ROUND_DIGITS).alias(f"{c}__mean_val"),
+            F.round(F.stddev(dc), ROUND_DIGITS).alias(f"{c}__std_val"),
+            F.approx_count_distinct(c, rsd).alias(f"{c}__hll"),
+            F.percentile_approx(
+                dc,
+                F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+                F.lit(accuracy),
+            ).alias(f"{c}__apcts"),
+        ]
+    # exact distincts kept OUT of the percentile aggregate (Expand
+    # rewrite pitfall, see profile()); 1×1 cross join is free
+    sketch = df.agg(*aggs).crossJoin(
+        df.agg(*[F.count_distinct(F.col(c)).alias(f"{c}__nd") for c in cols])
+    )
+
+    # rank-verification pass: every data row sees the 1-row sketch via
+    # broadcast; exact CDF counts of each approx percentile value
+    rank_aggs = []
+    for c in cols:
+        dc = F.col(c).cast("double")
+        for qi, q in enumerate((25, 50, 75)):
+            v = F.col(f"{c}__apcts")[qi]
+            rank_aggs += [
+                F.sum((dc <= v).cast("long")).alias(f"{c}__le{q}"),
+                F.sum((dc < v).cast("long")).alias(f"{c}__lt{q}"),
+            ]
+    carried = [f for c in cols for f in (
+        f"{c}__n", f"{c}__n_rows", f"{c}__n_nulls", f"{c}__min_val",
+        f"{c}__max_val", f"{c}__mean_val", f"{c}__std_val", f"{c}__hll",
+        f"{c}__nd",
+    )]
+    wide = df.crossJoin(F.broadcast(sketch)).agg(
+        *rank_aggs, *[F.first(f).alias(f) for f in carried]
+    )
+
+    eps = 2.0 / accuracy
+    per_col = []
+    for c in cols:
+        n = F.col(f"{c}__n").cast("double")
+        hll_ok = (
+            F.abs(
+                F.col(f"{c}__hll").cast("double")
+                / F.col(f"{c}__nd").cast("double")
+                - 1.0
+            )
+            <= hll_sigma * rsd
+        )
+        flags = {}
+        for q in (25, 50, 75):
+            qf = q / 100.0
+            flags[q] = (
+                (F.col(f"{c}__lt{q}").cast("double") / n <= qf + eps)
+                & (F.col(f"{c}__le{q}").cast("double") / n >= qf - eps)
+            )
+        per_col.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__n_rows").alias("n_rows"),
+                F.col(f"{c}__n_nulls").alias("n_nulls"),
+                F.col(f"{c}__min_val").alias("min_val"),
+                F.col(f"{c}__max_val").alias("max_val"),
+                F.col(f"{c}__mean_val").alias("mean_val"),
+                F.col(f"{c}__std_val").alias("std_val"),
+                hll_ok.alias("hll_ok"),
+                flags[25].alias("p25_ok"),
+                flags[50].alias("median_ok"),
+                flags[75].alias("p75_ok"),
+            )
+        )
+    return wide.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
+
+
 def preview(df: DataFrame, n: int = 10, order_cols: list[str] | None = None) -> DataFrame:
     """Head-n preview — the ``with_preview=True`` half of the profile
     sink contract (OP-13; ref databand_tracking_template.py:23-28 logs

@@ -1125,31 +1125,114 @@ def label_centroid_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Phase 4 — object-store listing source (OP-07/08/09/10/41) — rows-only
-# (no DuckDB analog for filesystem metadata; unit-tested instead)
+# Phase 4 — object-store listing source (OP-07/08/09/10/41)
+#
+# Hash-checked against DuckDB's own filesystem introspection
+# (read_blob's filename/size/last_modified columns): both engines stat
+# the SAME files, so every derived metric is value-comparable. The
+# oracle templates carry an {SF_DIR} placeholder substituted by
+# oracle_sql() (driver contract: literal sf0.01) and by
+# tools/check_oracle.py (the runtime sf dir). DuckDB truncates mtimes
+# to whole seconds, so both sides format timestamps to second
+# precision.
 # ---------------------------------------------------------------------------
 
 
-@query("listing_key_metrics")
+def _content_type_case_sql(key_expr: str) -> str:
+    """DuckDB CASE mirroring sparkobs.sources.listing.content_type_expr
+    (generated from the same extension→MIME dict, so the two can't
+    drift)."""
+    from sparkobs.sources.listing import CONTENT_TYPE_BY_EXT, DEFAULT_CONTENT_TYPE
+
+    whens = " ".join(
+        f"WHEN '{ext}' THEN '{mime}'" for ext, mime in CONTENT_TYPE_BY_EXT.items()
+    )
+    return (
+        f"CASE lower(string_split({key_expr}, '.')[-1]) {whens} "
+        f"ELSE '{DEFAULT_CONTENT_TYPE}' END"
+    )
+
+
+@query(
+    "listing_key_metrics",
+    oracle="""
+    SELECT string_split(filename, '/')[-1] AS key,
+           'file:' || filename AS path,
+           CAST(size AS BIGINT) AS size_bytes,
+           round(size / 1048576.0, 4) AS size_mb,
+           strftime(last_modified, '%Y-%m-%d %H:%M:%S') AS last_modified,
+           """ + _content_type_case_sql("string_split(filename, '/')[-1]") + """
+             AS content_type,
+           CAST(NULL AS VARCHAR) AS storage_class,
+           CAST(NULL AS MAP(VARCHAR, VARCHAR)) AS user_metadata,
+           CAST(NULL AS INT) AS parts_count
+    FROM read_blob('{SF_DIR}/*')
+    """,
+)
 def listing_key_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-object metadata metrics (OP-09); ref s3_key_monitor.py:72-89."""
+    """Per-object metadata metrics (OP-09); ref s3_key_monitor.py:72-89.
+    Hash-checked: DuckDB stats the same directory via read_blob."""
     from sparkobs.sources.listing import key_metrics, list_files
 
     return key_metrics(list_files(spark, sf_dir))
 
 
-@query("listing_prefix_stats")
+@query(
+    "listing_prefix_stats",
+    oracle="""
+    WITH l AS (
+      SELECT 'file:' || filename AS path,
+             regexp_replace('file:' || filename, '/[^/]*$', '') AS prefix,
+             string_split(filename, '/')[-1] AS key,
+             size, last_modified
+      FROM read_blob('{SF_DIR}/*.parquet')),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY prefix
+                                   ORDER BY size DESC, path DESC) AS rn
+      FROM l)
+    SELECT prefix,
+           CAST(count(*) AS BIGINT) AS n_objects,
+           CAST(sum(size) AS BIGINT) AS total_bytes,
+           round(avg(size) / 1048576.0, 4) AS mean_size_mb,
+           CAST(max(size) AS BIGINT) AS max_bytes,
+           max(CASE WHEN rn = 1 THEN key END) AS largest_key,
+           strftime(max(last_modified), '%Y-%m-%d %H:%M:%S') AS last_modified
+    FROM r GROUP BY prefix
+    """,
+)
 def listing_prefix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-prefix aggregation over a distributed binaryFile listing
-    (OP-07/08/41); ref s3_key_monitor.py:94-138."""
+    (OP-07/08/41); ref s3_key_monitor.py:94-138. The registered query
+    formats the latest mtime to whole seconds (DuckDB's stat
+    granularity) for cross-engine hashing; the operator itself keeps
+    millisecond timestamps."""
+    from pyspark.sql import functions as F
+
     from sparkobs.sources.listing import list_files_distributed, prefix_stats
 
-    return prefix_stats(list_files_distributed(spark, sf_dir, glob="*.parquet"))
+    return prefix_stats(
+        list_files_distributed(spark, sf_dir, glob="*.parquet")
+    ).withColumn(
+        "last_modified", F.date_format("last_modified", "yyyy-MM-dd HH:mm:ss")
+    )
 
 
-@query("listing_storage_stats")
+@query(
+    "listing_storage_stats",
+    oracle="""
+    WITH l AS (SELECT 'file:' || filename AS path, size
+               FROM read_blob('{SF_DIR}/*'))
+    SELECT CAST(count(*) AS BIGINT) AS n_objects,
+           CAST(sum(size) AS BIGINT) AS total_bytes,
+           round(sum(size) / 1048576.0, 4) AS total_mb,
+           (SELECT path FROM l ORDER BY size DESC, path DESC LIMIT 1)
+             AS largest_object
+    FROM l
+    """,
+)
 def listing_storage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whole-store capacity stats (OP-10); ref redshift_database_monitor.py:50-57."""
+    """Whole-store capacity stats (OP-10); ref redshift_database_monitor.py:50-57.
+    Hash-checked: DuckDB stats the same directory via read_blob."""
     from sparkobs.sources.listing import list_files, storage_stats
 
     return storage_stats(list_files(spark, sf_dir))
@@ -1669,11 +1752,32 @@ def set_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.intersect(b)
 
 
-@query("bucket_monitor_metrics")
+@query(
+    "bucket_monitor_metrics",
+    oracle="""
+    WITH l AS (
+      SELECT regexp_replace('file:' || filename, '/[^/]*$', '') AS prefix,
+             size
+      FROM read_blob('{SF_DIR}/*.parquet')),
+    agg AS (
+      SELECT prefix, count(*) AS n, sum(size) AS tb,
+             round(avg(size) / 1048576.0, 4) AS mmb
+      FROM l GROUP BY prefix)
+    SELECT prefix AS entity, 'n_objects' AS metric, CAST(n AS DOUBLE) AS value
+    FROM agg
+    UNION ALL SELECT prefix, 'total_bytes', CAST(tb AS DOUBLE) FROM agg
+    UNION ALL SELECT prefix, 'mean_size_mb', mmb FROM agg
+    UNION ALL SELECT '<store>', 'n_objects',
+                     (SELECT CAST(count(*) AS DOUBLE) FROM l)
+    UNION ALL SELECT '<store>', 'total_mb',
+                     (SELECT round(sum(size) / 1048576.0, 4) FROM l)
+    """,
+)
 def bucket_monitor_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-monitor composition over a distributed listing (OP-07/08 +
-    OP-12 fan-in); ref s3_bucket_monitor.py:42-135 — rows-only (FS
-    metadata has no DuckDB analog)."""
+    OP-12 fan-in); ref s3_bucket_monitor.py:42-135. Hash-checked:
+    DuckDB replays the per-prefix and whole-store rollup over the same
+    files via read_blob."""
     from sparkobs.monitors import bucket_monitor
 
     return bucket_monitor(spark, sf_dir, glob="*.parquet")
@@ -1840,14 +1944,37 @@ def topk_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("profile_lineitem_approx")
-def profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB profile mode (OP-36 scale form): single-pass HLL
-    distinct + approx percentile sketches — approximate by design →
-    rows-only; accuracy bounds unit-tested vs the exact profile."""
-    from sparkobs.operators.profile import table_profile
+def _approx_certify_oracle_one(col: str) -> str:
+    d = f"CAST({col} AS DOUBLE)"
+    return f"""
+    SELECT '{col}' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
+           min({d}) AS min_val,
+           max({d}) AS max_val,
+           round(avg({d}), 4) AS mean_val,
+           round(stddev_samp({d}), 4) AS std_val,
+           true AS hll_ok, true AS p25_ok, true AS median_ok, true AS p75_ok
+    FROM lineitem"""
 
-    return table_profile(load_table(spark, sf_dir, "lineitem"), "lineitem", exact=False)
+
+@query(
+    "profile_lineitem_approx",
+    oracle=" UNION ALL ".join(
+        _approx_certify_oracle_one(c) for c in LINEITEM_NUMERIC
+    ),
+)
+def profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB profile mode (OP-36 scale form), CERTIFIED: HLL
+    distinct and percentile_approx sketches are bound-checked in-engine
+    against their exact twins (see certify_approx_profile), so this row
+    is value-hash-checked — the exact-in-both-modes stats compare
+    directly and the within-documented-error flags must all come back
+    true to match the oracle's literal TRUEs. The raw sketch profile is
+    ``table_profile(df, name, exact=False)`` (single pass)."""
+    from sparkobs.operators.profile import certify_approx_profile
+
+    return certify_approx_profile(load_table(spark, sf_dir, "lineitem"))
 
 
 @query(

@@ -65,7 +65,7 @@ def main() -> int:
         )
 
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    oracles = entrymod.oracle_sql(os.path.realpath(sf_dir))
     failed, passed, rows_only = [], [], []
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
