@@ -2784,22 +2784,33 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_orderstatus")
 
 
-def _stage_documents(spark: SparkSession, sf_dir: str, n_files: int = 2) -> str:
+def _stage_documents(
+    spark: SparkSession, sf_dir: str, n_files: int = 2, spread: bool = False
+) -> str:
     """Stage the documents table as a deterministic multi-file parquet
     directory for file-source streams (same mtime-keyed cache scheme as
-    _stage_events)."""
+    _stage_events). ``spread=True`` hash-partitions on doc_id instead
+    of coalescing — near-dup documents are ADJACENT in the corpus, so
+    coalesce keeps whole dup clusters inside one file; the hash spread
+    puts them in different files (= different micro-batches), which is
+    what cross-batch incremental-index tests need. Both assignments are
+    deterministic."""
     import hashlib
     import os
     import tempfile
 
     src = os.path.join(os.path.realpath(sf_dir), "documents.parquet")
     mtime = int(os.stat(src).st_mtime_ns) if os.path.exists(src) else 0
-    key = hashlib.sha256(f"{src}:{mtime}:{n_files}".encode()).hexdigest()[:16]
+    key = hashlib.sha256(
+        f"{src}:{mtime}:{n_files}:{spread}".encode()
+    ).hexdigest()[:16]
     stage_dir = os.path.join(tempfile.gettempdir(), f"sparkobs_docstream_{key}")
     if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
-        load_table(spark, sf_dir, "documents").coalesce(n_files).write.mode(
-            "overwrite"
-        ).parquet(stage_dir)
+        docs = load_table(spark, sf_dir, "documents")
+        docs = (
+            docs.repartition(n_files, "doc_id") if spread else docs.coalesce(n_files)
+        )
+        docs.write.mode("overwrite").parquet(stage_dir)
     return stage_dir
 
 
@@ -3114,6 +3125,84 @@ def streaming_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         index.unpersist()
     return spark.read.parquet(out_dir).distinct()
+
+
+@query(
+    "streaming_incremental_band_index",
+    oracle="WITH " + _minhash_pair_ctes() + """
+    SELECT ia AS id_a, ib AS id_b FROM cand
+    """,
+)
+def streaming_incremental_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup with an INCREMENTALLY GROWING band index
+    (extension: dedup × OP-53; the follow-on to
+    streaming_near_dup_candidates' static index): documents arrive in
+    micro-batches (maxFilesPerTrigger=1 over a 4-file stage); per batch
+    the new docs are MinHash-banded, joined against the index
+    accumulated from all PRIOR batches — so a doc in batch N is caught
+    as a near-dup candidate of any colliding doc from batches < N —
+    plus the in-batch self-collisions, and then UPSERTED into the index
+    (parquet append). The emitted candidate set is batch-order
+    independent: a colliding pair is discovered exactly when its later
+    member arrives, so the union over batches equals one-shot batch
+    banding over the whole corpus — which is exactly what the DuckDB
+    oracle replays. At 100 TB the index is a bucket-partitioned table
+    and each micro-batch joins only its colliding buckets; the append
+    becomes a partition-local upsert."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.dedup import minhash_banded
+
+    stage_dir = _stage_documents(spark, sf_dir, n_files=4, spread=True)
+    key = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), f"sparkobs_sibi_{key}")
+    index_dir = os.path.join(base, "index")
+    out_dir = os.path.join(base, "cands")
+    shutil.rmtree(base, ignore_errors=True)
+
+    band_schema = "id bigint, band int, bucket bigint"
+    spark.createDataFrame([], band_schema).write.parquet(index_dir)
+
+    def ingest(batch_df, batch_id):
+        banded = minhash_banded(batch_df, hash_fn="md5").persist()
+        banded.count()
+        index = spark.read.schema(band_schema).parquet(index_dir)
+        # rename sidesteps self-join column ambiguity (banded appears on
+        # both sides for the in-batch collisions)
+        other = index.unionByName(banded).withColumnRenamed("id", "id2")
+        cands = (
+            banded.join(other, ["band", "bucket"])
+            .where(F.col("id") != F.col("id2"))
+            .select(
+                F.least("id", "id2").alias("id_a"),
+                F.greatest("id", "id2").alias("id_b"),
+            )
+            .distinct()
+        )
+        cands.write.mode("append").parquet(out_dir)
+        banded.write.mode("append").parquet(index_dir)
+        banded.unpersist()
+
+    q = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+        .writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_incremental_band_index did not drain in 300s")
+    q.stop()
+    return spark.read.schema("id_a bigint, id_b bigint").parquet(out_dir).distinct()
 
 
 @query(

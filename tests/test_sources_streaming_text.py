@@ -537,3 +537,40 @@ def test_resize_media_2d_nearest_neighbor(spark):
     # corrupt payloads become typed error rows, not task failures
     assert rows[5].error is not None and rows[5].format is None
     assert rows[6].error is not None
+
+
+def test_streaming_incremental_band_index_cross_batch(spark, sf_dir):
+    """The incremental index stream must (a) reproduce one-shot batch
+    banding exactly and (b) actually catch pairs ACROSS micro-batches —
+    a doc arriving in batch N collides with an index entry from an
+    earlier batch (the stage splits docs over 4 files, one per batch)."""
+    import glob as globmod
+
+    from sparkobs.operators.dedup import minhash_banded
+    from sparkobs.queries import SPARK_QUERIES, _stage_documents
+
+    result = SPARK_QUERIES["streaming_incremental_band_index"](spark, sf_dir)
+    got = {(r.id_a, r.id_b) for r in result.collect()}
+
+    banded = minhash_banded(load_table(spark, sf_dir, "documents"), hash_fn="md5")
+    other = banded.withColumnRenamed("id", "id2")
+    expected = {
+        (r.id_a, r.id_b)
+        for r in banded.join(other, ["band", "bucket"])
+        .where(F.col("id") < F.col("id2"))
+        .select(F.col("id").alias("id_a"), F.col("id2").alias("id_b"))
+        .distinct()
+        .collect()
+    }
+    assert got == expected
+    assert got, "corpus has no colliding pairs; test data regressed"
+
+    stage = _stage_documents(spark, sf_dir, n_files=4, spread=True)
+    file_of = {}
+    for i, part in enumerate(sorted(globmod.glob(stage + "/part-*"))):
+        for r in spark.read.parquet(part).select("doc_id").collect():
+            file_of[r.doc_id] = i
+    assert any(file_of[a] != file_of[b] for a, b in got), (
+        "no candidate pair spans two micro-batches — the incremental "
+        "index never caught a cross-batch duplicate"
+    )
