@@ -1,0 +1,20 @@
+# sparkobs developer targets. The driver gate certifies only the first
+# 50 registry entries per round; `make sweep` runs the FULL registry
+# through the DuckDB oracle so entries outside the gate window cannot
+# silently rot.
+
+.PHONY: test sweep bench smoke verify
+
+test:
+	python -m pytest tests/ -x -q
+
+sweep:
+	python tools/check_oracle.py
+
+bench:
+	python bench.py
+
+smoke:
+	python -c "from sparkobs.session import get_spark; import __spark_entry__ as e; print(e.entry(get_spark('smoke')).count())"
+
+verify: test sweep smoke

@@ -42,9 +42,10 @@ def canon(rows, colnames):
     return out
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filters = sys.argv[2:]
+def main(argv: list[str] | None = None) -> int:
+    args = sys.argv[1:] if argv is None else argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    filters = args[1:]
 
     import __spark_entry__ as entrymod
 

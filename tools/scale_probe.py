@@ -1,0 +1,152 @@
+"""10× scale probe: measure wall-clock scaling of operators from sf0.1
+to an sf1-equivalent corpus built by deterministic self-union.
+
+/root/testdata is read-only and the driver's generator is not
+available, so "sf1" is staged as 10 tagged copies of the sf0.1 tables
+(documents: doc_id offset per copy + a per-copy token appended to the
+text so near-dup density stays at the corpus's natural rate instead of
+everything gaining 9 identical twins; events: event_id offset, same
+hour buckets → 10× rows per window bucket, the realistic growth mode
+for the windowed monitors).
+
+Usage:
+    python tools/scale_probe.py            # all probes
+    python tools/scale_probe.py winnow psi # name filters
+
+Prints a markdown table (paste into SCALE.md) of p50-of-2 warm-run
+seconds at 1× and 10× and the ratio. Nothing here feeds the driver
+gate — it is a measurement harness.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("SPARKOBS_PROBE_COPIES", "10"))
+
+
+def stage_10x(spark):
+    """Deterministic COPIES× self-union of documents + events, cached as
+    parquet in /tmp keyed by source dir and copy count."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    key = hashlib.sha256(
+        f"{os.path.realpath(SF_DIR)}:{COPIES}".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), f"sparkobs_probe_{key}")
+    docs_dir = os.path.join(base, "documents")
+    ev_dir = os.path.join(base, "events")
+    if not os.path.exists(os.path.join(ev_dir, "_SUCCESS")):
+        shutil.rmtree(base, ignore_errors=True)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        tagged = None
+        for i in range(COPIES):
+            c = docs.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000_000)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" probecopy{i}")).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            tagged = c if tagged is None else tagged.unionByName(c)
+        tagged.write.mode("overwrite").parquet(docs_dir)
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        bigev = None
+        for i in range(COPIES):
+            c = ev.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * 1_000_000_000)
+            )
+            bigev = c if bigev is None else bigev.unionByName(c)
+        bigev.write.mode("overwrite").parquet(ev_dir)
+    return docs_dir, ev_dir
+
+
+def probes():
+    """name → (fn(docs_df, events_df) -> DataFrame). Each probe is timed
+    as plan + execution + count at 1× and 10×."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.multimodal import resize_media, synth_media
+    from sparkobs.operators.state import distribution_drift_psi, metric_anomalies
+    from sparkobs.operators.text import chunk_documents, winnowing_fingerprints
+
+    def winnow(docs, ev):
+        return winnowing_fingerprints(docs, k=8, window=4, hash_fn="xx64")
+
+    def resize(docs, ev):
+        return resize_media(synth_media(docs), out_w=8, out_h=1)
+
+    def psi(docs, ev):
+        return distribution_drift_psi(ev, "ts", "value", n_bins=10, lo=0.0, hi=100.0)
+
+    def anomaly(docs, ev):
+        hourly = ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+        ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+        return metric_anomalies(
+            hourly, ["event_type"], ts_col="bucket_ts", trailing=24
+        )
+
+    def chunk(docs, ev):
+        return chunk_documents(docs)
+
+    return {
+        "winnowing_xx64": winnow,
+        "resize_synth": resize,
+        "psi_drift": psi,
+        "metric_anomalies": anomaly,
+        "chunk_documents": chunk,
+    }
+
+
+def time_df(make):
+    runs = []
+    make().count()  # warm-up: codegen compile
+    for _ in range(2):
+        t0 = time.perf_counter()
+        make().count()
+        runs.append(time.perf_counter() - t0)
+    return round(sorted(runs)[0], 2)
+
+
+def main() -> int:
+    filters = sys.argv[1:]
+    from sparkobs.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev1 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    docs_dir, ev_dir = stage_10x(spark)
+    docs10 = spark.read.parquet(docs_dir)
+    ev10 = spark.read.parquet(ev_dir)
+
+    print(f"| operator | 1× ({docs1.count()} docs / {ev1.count()} ev) "
+          f"| {COPIES}× | ratio |")
+    print("|---|---|---|---|")
+    worst = 0.0
+    for name, fn in probes().items():
+        if filters and not any(f in name for f in filters):
+            continue
+        t1 = time_df(lambda: fn(docs1, ev1))
+        t10 = time_df(lambda: fn(docs10, ev10))
+        ratio = t10 / max(t1, 1e-9)
+        worst = max(worst, ratio)
+        print(f"| {name} | {t1} s | {t10} s | {ratio:.1f}× |")
+    print(f"\n# worst ratio {worst:.1f}× at {COPIES}× data "
+          f"({'OK: sub-linear headroom' if worst < COPIES else 'SUPER-LINEAR — investigate'})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
