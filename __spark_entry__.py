@@ -48,60 +48,62 @@ def entry(spark: SparkSession) -> DataFrame:
 GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
-    # round-3 additions
-    "minhash_lsh_pairs",
-    "simhash_documents",
-    "near_dup_groups_lsh",
-    "repetition_stats_documents",
-    "hash_sample_orders",
-    "decode_synth_media",
-    "pii_scrub_documents",
-    "stratified_sample_orders",
-    "streaming_dedup_documents",
-    "collect_metric_lists_supplier",
-    "quality_topk_per_source",
-    "anomaly_hourly_events",
-    "psi_drift_hourly_events",
-    "resize_synth_media",
-    "winnowing_fingerprints_documents",
-    "streaming_near_dup_candidates",
-    # round-2 additions never yet inside the driver window
-    "near_dup_groups_documents",
-    "jdbc_roundtrip_nation",
-    "jdbc_monitor_nation",
-    "cosine_topk_ivf",
-    "embedding_near_dup_pairs_lsh",
-    "embedding_near_dup_pairs",
-    "chunk_documents",
-    "contamination_check",
-    "source_quota_cap",
-    "ngram_jaccard_pairs_hi",
-    "streaming_session_events",
-    "streaming_sliding_events",
-    "asof_join_events_orders",
-    "asof_join_forward",
-    "zip_join_nation_supplier",
-    "flatten_struct_events",
-    "set_except_users",
-    "set_intersect_users",
-    "rollup_lineitem",
-    "cube_lineitem",
-    "pivot_returnflag_linestatus",
-    "salted_group_count_suppkey",
-    "topk_orders_per_status",
-    "top_shingles",
-    "grouped_percentiles_orders",
-    "mode_columns_lineitem",
-    "corr_lineitem",
-    "pipeline_filtered_corpus",
-    "profile_preview_orders",
-    "profile_lineitem_approx",
-    "bucket_monitor_metrics",
-    "decode_real_media",
-    # simple aggregations — acceptable overflow past the 50-entry gate
-    # (locally oracle-verified; tools/check_oracle.py covers the rest)
-    "entropy_lineitem_columns",
-    "fd_check_orders",
+    # --- round-4 new/changed queries (must certify this round) ---
+    "collect_metric_lists_supplier",         # array→csv serialization fix
+    "winnowing_fingerprints_documents",      # array→csv serialization fix
+    "listing_key_metrics",                   # new read_blob oracle
+    "listing_prefix_stats",                  # new read_blob oracle
+    "listing_storage_stats",                 # new read_blob oracle
+    "bucket_monitor_metrics",                # new read_blob oracle
+    "profile_lineitem_approx",               # new certified-sketch shape
+    "streaming_incremental_band_index",      # new query
+    "streaming_near_dup_candidates",         # index persist / out-dir reuse
+    "anomaly_hourly_events",                 # deterministic frame ordering
+    "near_dup_groups_documents",             # union-find collect path change
+    "near_dup_groups_lsh",                   # union-find collect path change
+    # --- stalest certified entries (last driver-checked in r2) ---
+    # (the handful left out — sample_scan, decode_stub_media,
+    # frame_sample_media, cosine_topk_lsh, argmax_order_per_status,
+    # histogram_returnflag, embedding_norms — rotate into the r5 gate;
+    # all are locally green via `make sweep`)
+    "profile_lineitem_stats",
+    "pricing_summary",
+    "revenue_per_nation",
+    "shape_summary_all",
+    "record_count_lineitem",
+    "limited_scan_topk",
+    "sql_monitor_lineitem",
+    "database_monitor_metrics",
+    "lookup_join_fill_nation",
+    "metrics_fanin_supplier",
+    "argmax_entity_supplier",
+    "argmax_order",
+    "null_counts_orders",
+    "distinct_counts_lineitem",
+    "duplicate_count_lineitem",
+    "grouped_distinct_parts",
+    "group_agg_orders",
+    "histogram_quantity",
+    "json_extract_events",
+    "scalar_string_funcs",
+    "timestamp_format_orders",
+    "schema_drift_hourly",
+    "snapshot_count_delta",
+    "window_tumbling_hourly",
+    "window_sliding",
+    "window_session_per_user",
+    "streaming_tumbling_events",
+    "streaming_count_drift",
+    "exact_dedup_documents",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "text_stats_documents",
+    "quality_score_documents",
+    "language_id_documents",
+    "token_count_regex_documents",
+    "fingerprint_documents",
+    "binary_stats_media",
+    "label_centroid_stats",
 ]
 
 
