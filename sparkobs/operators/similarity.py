@@ -587,3 +587,51 @@ def embedding_near_dup_pairs(
         .repartition(n_part)
         .mapInPandas(pairs, "id_a bigint, id_b bigint, cosine double")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    band_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): embedding near-dup pairs at cosine >=
+    ``threshold`` -> connected components -> every vector mapped to its
+    group representative (lowest id); the representative is kept, the
+    rest of the group are the semantic duplicates to drop.
+
+    Output: (vec_id, rep_id, is_kept) for ALL input vectors —
+    singletons are their own representatives, so the result is a
+    keep/drop verdict for the whole corpus, joinable back onto the
+    training table by id.
+
+    Scale shape: the paper's k-means + within-cluster all-pairs step is
+    replaced by the hyperplane-LSH pair tier
+    (:func:`embedding_near_dup_pairs_lsh`) — the same "compare only
+    plausibly-close vectors" pruning as a plain equi-join on band
+    buckets, with no centroid fit and no n_cluster² corner. Candidates
+    are exact-cosine-verified, then the component closure
+    (:func:`sparkobs.operators.dedup.connected_components`) makes
+    keep-one-per-group transitive: A≈B and B≈C drop to one doc even
+    when A and C never collide in a band. Everything is joins + one
+    component loop; no broadcast matrix, nothing quadratic.
+    """
+    from sparkobs.operators.dedup import connected_components
+
+    pairs = embedding_near_dup_pairs_lsh(
+        df, threshold, num_planes, band_planes, id_col, vec_col
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    rep = F.coalesce(F.col("component"), F.col("vec_id"))
+    return (
+        df.select(F.col(id_col).alias("vec_id"))
+        .join(comp.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            rep.alias("rep_id"),
+            (rep == F.col("vec_id")).alias("is_kept"),
+        )
+    )

@@ -2567,10 +2567,12 @@ def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_pairs_oracle(threshold: float, dim: int = 64, num_planes: int = 12, band_planes: int = 4) -> str:
-    """DuckDB mirror of embedding_near_dup_pairs_lsh (deterministic
-    hyperplanes inlined; candidates from band buckets, exact cosine
-    filter at threshold)."""
+def _lsh_pairs_ctes(threshold: float, dim: int = 64, num_planes: int = 12, band_planes: int = 4) -> str:
+    """DuckDB CTE chain mirroring embedding_near_dup_pairs_lsh
+    (deterministic hyperplanes inlined; candidates from band buckets,
+    exact cosine filter at threshold); ends in a
+    ``pairs(id_a, id_b, cosine)`` CTE for reuse by the group/dedup
+    oracles."""
     from sparkobs.operators.similarity import _hyperplane
 
     planes = [_hyperplane(dim, p) for p in range(num_planes)]
@@ -2592,7 +2594,7 @@ def _lsh_pairs_oracle(threshold: float, dim: int = 64, num_planes: int = 12, ban
         for bi in range(bands)
     )
     return f"""
-    WITH p AS (SELECT [{plane_lits}] AS planes),
+    p AS (SELECT [{plane_lits}] AS planes),
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS norm FROM v),
     sig AS (SELECT vec_id, e, norm, {bit_exprs} FROM n, p),
@@ -2601,16 +2603,26 @@ def _lsh_pairs_oracle(threshold: float, dim: int = 64, num_planes: int = 12, ban
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM banded a JOIN banded b
-        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
-    SELECT c.id_a, c.id_b,
-           round(list_sum(list_transform(range(1, {dim}+1), i -> na.e[i] * nb.e[i]))
-                 / (na.norm * nb.norm), 6) AS cosine
-    FROM cand c
-    JOIN n na ON na.vec_id = c.id_a
-    JOIN n nb ON nb.vec_id = c.id_b
-    WHERE round(list_sum(list_transform(range(1, {dim}+1), i -> na.e[i] * nb.e[i]))
-                / (na.norm * nb.norm), 6) >= {threshold}
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT c.id_a, c.id_b,
+             round(list_sum(list_transform(range(1, {dim}+1), i -> na.e[i] * nb.e[i]))
+                   / (na.norm * nb.norm), 6) AS cosine
+      FROM cand c
+      JOIN n na ON na.vec_id = c.id_a
+      JOIN n nb ON nb.vec_id = c.id_b
+      WHERE round(list_sum(list_transform(range(1, {dim}+1), i -> na.e[i] * nb.e[i]))
+                  / (na.norm * nb.norm), 6) >= {threshold})
     """
+
+
+def _lsh_pairs_oracle(threshold: float, dim: int = 64, num_planes: int = 12, band_planes: int = 4) -> str:
+    """Complete DuckDB mirror of embedding_near_dup_pairs_lsh."""
+    return (
+        "WITH "
+        + _lsh_pairs_ctes(threshold, dim, num_planes, band_planes)
+        + " SELECT id_a, id_b, cosine FROM pairs"
+    )
 
 
 @query("embedding_near_dup_pairs_lsh", oracle=_lsh_pairs_oracle(0.35))
@@ -2622,6 +2634,36 @@ def embedding_near_dup_pairs_lsh_q(spark: SparkSession, sf_dir: str) -> DataFram
     from sparkobs.operators.similarity import embedding_near_dup_pairs_lsh
 
     return embedding_near_dup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+@query(
+    "semantic_dedup_embeddings",
+    oracle="WITH RECURSIVE " + _lsh_pairs_ctes(0.35) + """,
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    nodes AS (SELECT DISTINCT u FROM sym),
+    allr AS (SELECT u, v FROM reach UNION SELECT u, u FROM nodes),
+    comp AS (SELECT u AS vec_id, min(v) AS component FROM allr GROUP BY u)
+    SELECT e.vec_id,
+           coalesce(c.component, e.vec_id) AS rep_id,
+           coalesce(c.component, e.vec_id) = e.vec_id AS is_kept
+    FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
+    """,
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (extension: embedding dedup
+    end-to-end): LSH-candidate cosine pairs >= 0.35 -> connected
+    components -> keep the lowest-id representative per group; every
+    vector gets a (rep_id, is_kept) verdict. Oracle = the same
+    deterministic hyperplane pipeline + recursive-CTE closure in
+    DuckDB."""
+    from sparkobs.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
         load_table(spark, sf_dir, "embeddings"), threshold=0.35
     )
 
@@ -2721,7 +2763,7 @@ def decode_synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pii_scrub_documents",
-    oracle="""
+    oracle=r"""
     WITH t0 AS (SELECT doc_id,
                        text || ' contact u' || CAST(doc_id AS VARCHAR)
                             || '@example.com or call 555-123-4567 at 10.0.0.1'
@@ -2736,8 +2778,8 @@ def decode_synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                   regexp_replace(t, '(\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}', '<PHONE>', 'g') AS t
            FROM s1),
     s3 AS (SELECT doc_id, n_email, n_phone,
-                  CAST(len(regexp_extract_all(t, '\\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4,
-                  regexp_replace(t, '\\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\\b', '<IPV4>', 'g') AS t
+                  CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+                  regexp_replace(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g') AS t
            FROM s2)
     SELECT doc_id, n_email, n_phone, n_ipv4, t AS scrubbed_text FROM s3
     """,

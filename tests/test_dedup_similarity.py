@@ -357,3 +357,28 @@ def test_source_quota_cap_exact(spark):
         per.setdefault(r.source, []).append(r.doc_id)
     assert sorted(per["a"]) == [0, 1, 2, 3, 4]
     assert sorted(per["b"]) == [30, 31, 32, 33, 34]
+
+
+def test_semantic_dedup_groups_and_singletons(spark):
+    """Planted near-identical vectors collapse to one kept rep
+    (transitively: A~B, B~C => one group even if A,C are farther);
+    far-away vectors stay their own kept singletons."""
+    from sparkobs.operators.similarity import semantic_dedup
+
+    # varied components (an all-equal vector sits exactly ON many ±1
+    # hyperplanes — a degenerate knife-edge for sign-bit LSH)
+    base = [0.9, -0.3, 0.5, 1.2, -0.7, 0.4, 0.1, -1.1]
+    tilt = [x * 1.02 + d for x, d in zip(base, [0.01, -0.02, 0.0, 0.02, 0.01, 0.0, -0.01, 0.02])]
+    tilt2 = [x * 0.97 - d for x, d in zip(base, [0.02, 0.0, 0.01, -0.01, 0.02, 0.01, 0.0, -0.02])]
+    far = [-x for x in base]  # antipodal: cosine -1
+    rows = [(0, base), (1, tilt), (2, tilt2), (3, far)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {
+        r.vec_id: (r.rep_id, r.is_kept)
+        for r in semantic_dedup(df, threshold=0.95, num_planes=8, band_planes=2).collect()
+    }
+    assert len(out) == 4  # verdict for EVERY vector
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)
+    assert out[2] == (0, False)
+    assert out[3] == (3, True)
