@@ -717,3 +717,76 @@ def contamination_check(
         .where(F.col("n_shared_shingles") >= min_shared)
         .select(F.col("id").alias(id_col), "n_shared_shingles")
     )
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-span coverage — the per-token signal
+    behind exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499):
+    a token position is *duplicated* when some word ``n``-gram covering
+    it also occurs in ≥ ``min_docs`` distinct documents. Per doc:
+    how many tokens sit inside such shared spans, and the fraction.
+
+    Output: (doc_id, n_tokens, dup_tokens, dup_span_frac) for every
+    document; docs shorter than ``n`` tokens have no spans (0 / 0.0).
+
+    Scale shape: positional shingle explode → n-gram document frequency
+    (map-side combine on 16-byte ``md5`` keys — never the raw n-gram
+    string through the shuffle) → only duplicated shingles (bounded by
+    true duplication volume, a tiny fraction of a deduped corpus) join
+    back and re-explode their ``n`` covered positions for the distinct
+    count. The suffix-array pass of the paper is replaced by the
+    fixed-``n`` approximation, which is one explode + two shuffles —
+    no global sort, no suffix automaton.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "").alias("t"),
+    )
+    occ = toks.where(F.size("t") >= n).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - n + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, n))),
+            )
+        ).alias("pos0", "k"),
+    )
+    # document frequency per shingle; only cross-doc duplicated ones
+    # survive to the coverage join
+    dup = (
+        occ.groupBy("k")
+        .agg(F.count_distinct("id").alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("k")
+    )
+    covered = (
+        occ.join(dup, "k")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos0") + 1, F.col("pos0") + n)
+            ).alias("cp"),
+        )
+        .groupBy("id")
+        .agg(F.count_distinct("cp").alias("dup_tokens"))
+    )
+    base = toks.select("id", F.size("t").alias("n_tokens"))
+    return (
+        base.join(covered, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 4),
+            ).otherwise(F.lit(0.0)).alias("dup_span_frac"),
+        )
+    )

@@ -99,40 +99,66 @@ def asof_join(
     )
 
 
-def global_row_index(df: DataFrame, order_cols: list[str], index_col: str = "__idx") -> DataFrame:
-    """Distributed 1-based global row index under an explicit ordering —
-    NO single-partition window.
-
-    Plan: range-repartition + sort on the order columns, stamp
-    ``spark_partition_id``, then index = per-partition ``row_number``
-    (parallel) + the partition's cumulative offset. Offsets come from a
-    per-partition count aggregate (~numPartitions rows) whose one-row-
-    per-partition cumulative window is trivially cheap; both branches
-    hang off the SAME range exchange, which Catalyst's ReuseExchange
-    dedupes, so the partition ids are consistent between them.
+def _with_partition_offsets(df: DataFrame, order: list, part_agg) -> DataFrame:
+    """Shared plumbing for global-scan operators (row index, running
+    sum): range-repartition + sort on the order columns, stamp
+    ``spark_partition_id``, and attach ``__off`` = the sum of
+    ``part_agg`` over all EARLIER partitions. Offsets come from a
+    per-partition aggregate (~numPartitions rows) folded by a broadcast
+    triangular self-join (NOT a window — keeps the plan free of
+    empty-partitionBy WindowExec); both branches hang off the SAME
+    range exchange, which Catalyst's ReuseExchange dedupes, so the
+    partition ids are consistent between them.
     """
-    order = [F.asc(c) for c in order_cols]
     with_pid = (
         df.repartitionByRange(*order)
         .sortWithinPartitions(*order)
         .withColumn("__pid", F.spark_partition_id())
     )
-    sizes = with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-    # cumulative offsets via a broadcast triangular self-join over the
-    # ~numPartitions-row sizes frame (NOT a window — keeps the whole
-    # plan free of empty-partitionBy WindowExec)
+    sizes = with_pid.groupBy("__pid").agg(part_agg.alias("__n"))
     prev = sizes.select(F.col("__pid").alias("__pid2"), F.col("__n").alias("__n2"))
     offsets = (
         sizes.join(F.broadcast(prev), F.col("__pid2") < F.col("__pid"), "left")
         .groupBy("__pid")
         .agg(F.coalesce(F.sum("__n2"), F.lit(0)).alias("__off"))
     )
+    return with_pid.join(F.broadcast(offsets), "__pid")
+
+
+def global_row_index(df: DataFrame, order_cols: list[str], index_col: str = "__idx") -> DataFrame:
+    """Distributed 1-based global row index under an explicit ordering —
+    NO single-partition window: index = per-partition ``row_number``
+    (parallel) + the partition's cumulative count offset
+    (:func:`_with_partition_offsets`).
+    """
+    order = [F.asc(c) for c in order_cols]
+    base = _with_partition_offsets(df, order, F.count(F.lit(1)))
     w = W.partitionBy("__pid").orderBy(*order)
-    return (
-        with_pid.join(F.broadcast(offsets), "__pid")
-        .withColumn(index_col, F.row_number().over(w) + F.col("__off"))
-        .drop("__pid", "__off")
+    return base.withColumn(
+        index_col, F.row_number().over(w) + F.col("__off")
+    ).drop("__pid", "__off")
+
+
+def global_running_sum(
+    df: DataFrame, order_cols: list[str], value_col: str, out_col: str = "__cum"
+) -> DataFrame:
+    """Distributed INCLUSIVE running sum of ``value_col`` under an
+    explicit global ordering — the token-stream offset primitive for
+    sequence packing. Same exchange-reuse plan as
+    :func:`global_row_index`: per-partition running-sum window
+    (parallel) + broadcast per-partition sum offsets; no
+    single-partition window anywhere.
+    """
+    order = [F.asc(c) for c in order_cols]
+    base = _with_partition_offsets(df, order, F.sum(value_col))
+    w = (
+        W.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, 0)
     )
+    return base.withColumn(
+        out_col, F.sum(value_col).over(w) + F.col("__off")
+    ).drop("__pid", "__off")
 
 
 def zip_join(left: DataFrame, right: DataFrame, order_left: list[str], order_right: list[str]) -> DataFrame:

@@ -345,3 +345,51 @@ def quality_topk_per_source(
         .where(F.col("__rn") <= k)
         .select(F.col(id_col), F.col(group_col), "quality", F.col("__rn").alias("rank"))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-split sequence packing — the standard LLM-pretraining
+    batching step: documents are laid end-to-end into one global token
+    stream (ordered by ``id_col``) and the stream is cut every
+    ``budget`` tokens; each cut is one fixed-length training sequence
+    ("pack"). Per document: its offset in the stream and which packs
+    its tokens land in (a doc spans multiple packs when a cut falls
+    inside it).
+
+    Output: (doc_id, n_tokens, token_start, pack_first, pack_last,
+    n_packs); ``token_start`` is the 0-based stream offset, packs are
+    0-based.
+
+    Scale shape: the only global state is the inclusive token cumsum,
+    computed by :func:`sparkobs.operators.joins.global_running_sum` —
+    per-partition window + broadcast partition offsets off one reused
+    range exchange; NO single-partition window. Everything after the
+    cumsum is row-local arithmetic.
+    """
+    from sparkobs.operators.joins import global_running_sum
+
+    toks = df.select(
+        F.col(id_col),
+        F.size(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    cum = global_running_sum(toks, [id_col], "n_tokens", out_col="__cum")
+    start = F.col("__cum") - F.col("n_tokens")
+    pack_first = F.floor(start / budget)
+    pack_last = F.when(
+        F.col("n_tokens") > 0, F.floor((F.col("__cum") - 1) / budget)
+    ).otherwise(pack_first)
+    return cum.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        start.cast("long").alias("token_start"),
+        pack_first.cast("long").alias("pack_first"),
+        pack_last.cast("long").alias("pack_last"),
+        (pack_last - pack_first + 1).cast("long").alias("n_packs"),
+    )

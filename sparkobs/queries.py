@@ -2459,6 +2459,78 @@ def near_dup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_sequences_documents",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id,
+                         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                              x -> x <> '')) AS BIGINT) AS n_tokens
+                  FROM documents),
+    cum AS (SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS c
+            FROM toks)
+    SELECT doc_id, n_tokens,
+           CAST(c - n_tokens AS BIGINT) AS token_start,
+           CAST((c - n_tokens) // 512 AS BIGINT) AS pack_first,
+           CAST(CASE WHEN n_tokens > 0 THEN (c - 1) // 512
+                     ELSE (c - n_tokens) // 512 END AS BIGINT) AS pack_last,
+           CAST(CASE WHEN n_tokens > 0 THEN (c - 1) // 512
+                     ELSE (c - n_tokens) // 512 END
+                - (c - n_tokens) // 512 + 1 AS BIGINT) AS n_packs
+    FROM cum
+    """,
+)
+def pack_sequences_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing (extension: LLM-pretraining
+    batching): documents laid end-to-end by doc_id, token stream cut
+    every 512 tokens; per doc its stream offset and spanned packs.
+    Oracle = the same running-sum arithmetic as one DuckDB window."""
+    from sparkobs.operators.text import pack_sequences
+
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"), budget=512
+    )
+
+
+@query(
+    "dup_span_coverage_documents",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                  FROM documents),
+    occ AS (SELECT doc_id, i AS pos0, md5(array_to_string(t[i:i+4], ' ')) AS k
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+                  FROM toks WHERE len(t) >= 5)),
+    dup AS (SELECT k FROM occ GROUP BY k HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (SELECT doc_id, count(DISTINCT cp) AS dup_tokens
+            FROM (SELECT o.doc_id, unnest(generate_series(o.pos0, o.pos0 + 4)) AS cp
+                  FROM occ o JOIN dup d ON o.k = d.k)
+            GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(len(b.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CASE WHEN len(b.t) > 0
+                THEN round(coalesce(c.dup_tokens, 0) / len(b.t), 4)
+                ELSE 0.0 END AS dup_span_frac
+    FROM toks b LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def dup_span_coverage_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span coverage (extension: exact-
+    substring-dedup signal, Lee et al. 2022): fraction of each doc's
+    token positions covered by a 5-gram that also occurs in >=1 other
+    document. Oracle = identical positional-shingle pipeline in DuckDB
+    (md5 shingle keys on both sides; Spark's 0-based posexplode and
+    DuckDB's 1-based slice index denote the same token positions)."""
+    from sparkobs.operators.dedup import duplicated_ngram_spans
+
+    return duplicated_ngram_spans(
+        load_table(spark, sf_dir, "documents"), n=5, min_docs=2
+    )
+
+
+@query(
     "near_dup_groups_lsh",
     oracle="WITH RECURSIVE " + _minhash_pair_ctes() + """,
     sym AS (SELECT id_a AS u, id_b AS v FROM pairs

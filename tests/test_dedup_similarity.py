@@ -382,3 +382,24 @@ def test_semantic_dedup_groups_and_singletons(spark):
     assert out[1] == (0, False)
     assert out[2] == (0, False)
     assert out[3] == (3, True)
+
+
+def test_duplicated_ngram_spans_planted(spark):
+    """A 5-gram shared verbatim between two docs marks exactly its
+    covered positions; a doc with no shared 5-gram reports 0; overlap
+    positions are counted once (distinct)."""
+    from sparkobs.operators.dedup import duplicated_ngram_spans
+
+    shared = "alpha beta gamma delta epsilon"  # 5 tokens, one 5-gram
+    rows = [
+        (0, shared + " zeta eta theta"),          # 8 tokens, positions 1-5 dup
+        (1, "prefix words here " + shared),       # 8 tokens, positions 4-8 dup
+        (2, "totally unrelated text with no repeated grams at all"),
+        (3, "tiny doc"),                          # < 5 tokens: no spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in duplicated_ngram_spans(df, n=5).collect()}
+    assert (out[0].n_tokens, out[0].dup_tokens, out[0].dup_span_frac) == (8, 5, 0.625)
+    assert (out[1].n_tokens, out[1].dup_tokens, out[1].dup_span_frac) == (8, 5, 0.625)
+    assert (out[2].dup_tokens, out[2].dup_span_frac) == (0, 0.0)
+    assert (out[3].n_tokens, out[3].dup_tokens) == (2, 0)

@@ -117,3 +117,22 @@ def test_global_row_index_dense_and_ordered(spark):
     rows = idx.collect()
     assert sorted(r["__idx"] for r in rows) == list(range(1, 5001))
     assert all(r["__idx"] == r["v"] + 1 for r in rows)
+
+
+def test_global_running_sum_partition_invariant(spark):
+    from sparkobs.operators.joins import global_running_sum
+
+    rows = [(i, (i * 7) % 5 + 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    expect, acc = {}, 0
+    for i, v in rows:  # rows are already in k order
+        acc += v
+        expect[i] = acc
+    for parts in (1, 7):
+        got = {
+            r.k: r.c
+            for r in global_running_sum(
+                df.repartition(parts), ["k"], "v", out_col="c"
+            ).collect()
+        }
+        assert got == expect

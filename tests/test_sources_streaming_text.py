@@ -574,3 +574,22 @@ def test_streaming_incremental_band_index_cross_batch(spark, sf_dir):
         "no candidate pair spans two micro-batches — the incremental "
         "index never caught a cross-batch duplicate"
     )
+
+
+def test_pack_sequences_spans_and_offsets(spark):
+    """Docs laid end-to-end: offsets are the running sum, and a doc
+    straddling a budget boundary spans two packs."""
+    from sparkobs.operators.text import pack_sequences
+
+    rows = [
+        (0, "a b c d e f"),        # 6 tokens -> [0, 6)
+        (1, "g h i j"),            # 4 tokens -> [6, 10): crosses the 8-cut
+        (2, "k l"),                # 2 tokens -> [10, 12)
+        (3, ""),                   # 0 tokens -> empty at 12
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in pack_sequences(df, budget=8).collect()}
+    assert (out[0].token_start, out[0].pack_first, out[0].pack_last, out[0].n_packs) == (0, 0, 0, 1)
+    assert (out[1].token_start, out[1].pack_first, out[1].pack_last, out[1].n_packs) == (6, 0, 1, 2)
+    assert (out[2].token_start, out[2].pack_first, out[2].pack_last, out[2].n_packs) == (10, 1, 1, 1)
+    assert (out[3].n_tokens, out[3].n_packs) == (0, 1)
