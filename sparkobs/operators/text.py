@@ -393,3 +393,38 @@ def pack_sequences(
         pack_last.cast("long").alias("pack_last"),
         (pack_last - pack_first + 1).cast("long").alias("n_packs"),
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary head: the ``k`` most frequent whitespace
+    tokens with occurrence and document counts — the quick "what is
+    this corpus made of" probe (and the input to stopword-list or
+    tokenizer-merge decisions).
+
+    One explode → one hash agg keyed by token (map-side partial
+    combine absorbs the Zipf head BEFORE the shuffle, so hot tokens
+    ship one partial row per input partition, not one row per
+    occurrence) → global top-k via orderBy().limit(), which Catalyst
+    executes as TakeOrderedAndProject (per-partition heaps — no full
+    sort). Ties break on the token string for determinism.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        ).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(k)
+    )

@@ -1421,6 +1421,154 @@ def streaming_count_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tbl)
 
 
+def _stage_format(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    fmt: str,
+    options: dict | None = None,
+    n_files: int = 2,
+) -> str:
+    """Stage a parquet table in another file format (csv/json/orc) for
+    the format-connector round-trip queries; same resolved-path+mtime
+    cache key discipline as _stage_events."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(os.path.realpath(sf_dir), f"{table}.parquet")
+    mtime = int(os.stat(src).st_mtime_ns) if os.path.exists(src) else 0
+    key = hashlib.sha256(f"{src}:{mtime}:{fmt}".encode()).hexdigest()[:16]
+    stage_dir = os.path.join(tempfile.gettempdir(), f"sparkobs_fmt_{key}")
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        from sparkobs.sources.files import write_format
+
+        write_format(
+            load_table(spark, sf_dir, table),
+            stage_dir,
+            fmt,
+            n_files=n_files,
+            **(options or {}),
+        )
+    return stage_dir
+
+
+_ORDERS_DDL = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+_EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+@query(
+    "csv_roundtrip_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 4) AS sum_total,
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_orderdate,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM orders GROUP BY 1
+    """,
+)
+def csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source connector round-trip (extension: file formats beyond
+    parquet): orders staged as headered CSV, read back through
+    sources.files.read_csv (explicit schema, FAILFAST), aggregated.
+    The oracle aggregates the ORIGINAL parquet — a value-hash match
+    certifies CSV write+parse fidelity for ints, doubles, strings and
+    timestamps end-to-end."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.sources.files import read_csv
+
+    stage = _stage_format(spark, sf_dir, "orders", "csv", {"header": True})
+    return (
+        read_csv(spark, stage, _ORDERS_DDL)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_total"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+                "min_orderdate"
+            ),
+            F.count_distinct("o_orderpriority").alias("n_priorities"),
+        )
+    )
+
+
+@query(
+    "jsonl_roundtrip_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+    FROM events GROUP BY 1
+    """,
+)
+def jsonl_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source connector round-trip (extension: crawl-shard
+    format): events staged as JSONL, read back through
+    sources.files.read_jsonl (explicit schema — only schema fields are
+    materialized), aggregated; oracle = the original parquet.
+    Certifies timestamp serialization fidelity through the JSON text
+    format on top of numeric/string fidelity."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.sources.files import read_jsonl
+
+    stage = _stage_format(spark, sf_dir, "events", "json")
+    return (
+        read_jsonl(spark, stage, _EVENTS_DDL)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        )
+    )
+
+
+@query(
+    "orc_roundtrip_part",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(p_retailprice), 4) AS sum_retail,
+           CAST(count(DISTINCT p_type) AS BIGINT) AS n_types,
+           CAST(max(p_size) AS BIGINT) AS max_size
+    FROM part GROUP BY 1
+    """,
+)
+def orc_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source connector round-trip (extension: columnar format
+    beyond parquet): part staged as ORC, read back (schema from the
+    ORC footer; stripe-level pruning), aggregated; oracle = the
+    original parquet."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.sources.files import read_orc
+
+    stage = _stage_format(spark, sf_dir, "part", "orc")
+    return (
+        read_orc(spark, stage)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 4).alias("sum_retail"),
+            F.count_distinct("p_type").alias("n_types"),
+            F.max("p_size").cast("long").alias("max_size"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Monitor compositions (OP-11/12/13) + struct flatten (OP-51)
 # ---------------------------------------------------------------------------
@@ -2456,6 +2604,30 @@ def near_dup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_groups(
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
     )
+
+
+@query(
+    "vocab_topk_documents",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(list_filter(string_split_regex(text, '\s+'),
+                                            x -> x <> '')) AS token
+                  FROM documents)
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM toks GROUP BY token
+    ORDER BY n_occurrences DESC, token LIMIT 20
+    """,
+)
+def vocab_topk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head (extension: corpus census): top-20 tokens
+    by occurrence count with document frequency; deterministic
+    tie-break on the token string. Plan: map-side-combined hash agg +
+    TakeOrderedAndProject."""
+    from sparkobs.operators.text import vocab_topk
+
+    return vocab_topk(load_table(spark, sf_dir, "documents"), k=20)
 
 
 @query(

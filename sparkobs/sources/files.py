@@ -1,0 +1,96 @@
+"""File-format connectors beyond parquet: CSV, JSON-lines, ORC.
+
+The reference pulls tabular data out of warehouses and object stores;
+real training corpora additionally arrive as CSV/TSV dumps, JSONL crawl
+shards, and ORC exports. These wrappers are thin by design — Spark's
+native readers ARE the connector — but they pin the two decisions that
+matter at 100 TB:
+
+- **Explicit schemas, always.** Schema inference is a full extra pass
+  over the data (CSV/JSON sample-scan every file before the real read);
+  at fleet scale that doubles ingest cost and silently drifts types
+  between runs. ``read_csv``/``read_jsonl`` therefore *require* a
+  schema and raise otherwise.
+- **FAILFAST by default.** PERMISSIVE mode (Spark's default) nulls out
+  corrupt rows and keeps going — a silent-data-loss trap in a training
+  pipeline. Fail loudly; callers that want quarantine semantics pass
+  ``mode="PERMISSIVE"`` plus a ``columnNameOfCorruptRecord`` and deal
+  with the quarantine column explicitly.
+
+Formats stay splittable/parallel: CSV and JSONL split by newline, ORC
+by stripe; one large file still fans out across executors. Column
+pruning reaches ORC natively (ReadSchema) and CSV/JSON at the parse
+level (only requested fields are materialized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def _require_schema(schema, caller: str):
+    if schema is None:
+        raise ValueError(
+            f"{caller}: an explicit schema is required — inference "
+            "sample-scans every file before the real read (a full extra "
+            "pass at 100 TB) and can drift types between runs. Pass the "
+            "DDL string or StructType."
+        )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType,
+    header: bool = True,
+    mode: str = "FAILFAST",
+    **options,
+) -> DataFrame:
+    """CSV/TSV source with mandatory schema and fail-loud parsing.
+
+    Quoted fields (embedded delimiters/quotes) follow RFC 4180 via
+    Spark's univocity parser; pass ``sep="\\t"`` for TSV,
+    ``multiLine=True`` only when fields embed newlines (that option
+    makes files non-splittable — leave it off unless required).
+    """
+    _require_schema(schema, "read_csv")
+    return (
+        spark.read.options(header=header, mode=mode, **options)
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType,
+    mode: str = "FAILFAST",
+    **options,
+) -> DataFrame:
+    """Newline-delimited JSON source with mandatory schema.
+
+    Only the schema's fields are materialized by the parser; extra
+    keys in the records are skipped, absent keys become NULL (the
+    crawl-shard contract: producers may add fields freely).
+    """
+    _require_schema(schema, "read_jsonl")
+    return spark.read.options(mode=mode, **options).schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC source. Self-describing (schema in the footer, like
+    parquet), so no schema argument; predicate pushdown and column
+    pruning reach the stripe level natively."""
+    return spark.read.options(**options).orc(path)
+
+
+def write_format(
+    df: DataFrame, path: str, fmt: str, n_files: int | None = None, **options
+) -> None:
+    """Write ``df`` as ``fmt`` (csv/json/orc/parquet). ``n_files``
+    coalesces for small staged outputs; leave None at scale so writers
+    stay one-task-per-partition."""
+    out = df.coalesce(n_files) if n_files else df
+    out.write.mode("overwrite").options(**options).format(fmt).save(path)

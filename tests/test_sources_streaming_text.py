@@ -593,3 +593,35 @@ def test_pack_sequences_spans_and_offsets(spark):
     assert (out[1].token_start, out[1].pack_first, out[1].pack_last, out[1].n_packs) == (6, 0, 1, 2)
     assert (out[2].token_start, out[2].pack_first, out[2].pack_last, out[2].n_packs) == (10, 1, 1, 1)
     assert (out[3].n_tokens, out[3].n_packs) == (0, 1)
+
+
+def test_read_csv_schema_required_quoting_and_failfast(spark, tmp_path):
+    import pytest
+
+    from sparkobs.sources.files import read_csv, write_format
+
+    df = spark.createDataFrame(
+        [(1, 'a,b "quoted"'), (2, "plain")], "id bigint, s string"
+    )
+    p = str(tmp_path / "csv")
+    write_format(df, p, "csv", n_files=1, header=True)
+    with pytest.raises(ValueError, match="schema"):
+        read_csv(spark, p, None)
+    back = {r.id: r.s for r in read_csv(spark, p, "id bigint, s string").collect()}
+    assert back == {1: 'a,b "quoted"', 2: "plain"}  # RFC 4180 quoting survives
+    bad = tmp_path / "bad.csv"
+    bad.write_text("id,s\nnotanint,x\n")
+    with pytest.raises(Exception):  # FAILFAST: corrupt rows raise, never null out
+        read_csv(spark, str(bad), "id bigint, s string").collect()
+
+
+def test_read_jsonl_schema_projection(spark, tmp_path):
+    from sparkobs.sources.files import read_jsonl
+
+    p = tmp_path / "a.json"
+    p.write_text('{"id": 1, "s": "x", "extra": 9}\n{"id": 2}\n')
+    rows = {
+        r.id: r.s
+        for r in read_jsonl(spark, str(p), "id bigint, s string").collect()
+    }
+    assert rows == {1: "x", 2: None}  # extra keys skipped, absent keys NULL
