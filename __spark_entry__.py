@@ -49,6 +49,15 @@ GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
     # --- round-4 new/changed queries (must certify this round) ---
+    "semantic_dedup_embeddings",             # new SemDeDup-style query
+    "dup_span_coverage_documents",           # new substring-dedup signal
+    "pack_sequences_documents",              # new sequence packing
+    "vocab_topk_documents",                  # new vocab census
+    "csv_roundtrip_orders",                  # new CSV connector
+    "jsonl_roundtrip_events",                # new JSONL connector
+    "orc_roundtrip_part",                    # new ORC connector
+    "partitioned_prune_documents",           # new partitioned sink+prune
+    "bucketed_join_orders_lineitem",         # new bucketed co-located join
     "collect_metric_lists_supplier",         # array→csv serialization fix
     "winnowing_fingerprints_documents",      # array→csv serialization fix
     "listing_key_metrics",                   # new read_blob oracle
@@ -62,10 +71,13 @@ _PRIORITY: list[str] = [
     "near_dup_groups_documents",             # union-find collect path change
     "near_dup_groups_lsh",                   # union-find collect path change
     # --- stalest certified entries (last driver-checked in r2) ---
-    # (the handful left out — sample_scan, decode_stub_media,
-    # frame_sample_media, cosine_topk_lsh, argmax_order_per_status,
-    # histogram_returnflag, embedding_norms — rotate into the r5 gate;
-    # all are locally green via `make sweep`)
+    # (left out, rotating into the r5 gate — all locally green via
+    # `make sweep`: sample_scan, decode_stub_media, frame_sample_media,
+    # cosine_topk_lsh, argmax_order_per_status, histogram_returnflag,
+    # embedding_norms, text_stats_documents, quality_score_documents,
+    # language_id_documents, token_count_regex_documents,
+    # fingerprint_documents, binary_stats_media, label_centroid_stats,
+    # scalar_string_funcs, timestamp_format_orders)
     "profile_lineitem_stats",
     "pricing_summary",
     "revenue_per_nation",
@@ -85,8 +97,6 @@ _PRIORITY: list[str] = [
     "group_agg_orders",
     "histogram_quantity",
     "json_extract_events",
-    "scalar_string_funcs",
-    "timestamp_format_orders",
     "schema_drift_hourly",
     "snapshot_count_delta",
     "window_tumbling_hourly",
@@ -97,13 +107,6 @@ _PRIORITY: list[str] = [
     "exact_dedup_documents",
     "ngram_jaccard_pairs",
     "cosine_topk",
-    "text_stats_documents",
-    "quality_score_documents",
-    "language_id_documents",
-    "token_count_regex_documents",
-    "fingerprint_documents",
-    "binary_stats_media",
-    "label_centroid_stats",
 ]
 
 

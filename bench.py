@@ -57,6 +57,12 @@ HEADLINE = [
     "winnowing_fingerprints_documents",
     "streaming_dedup_documents",
     "minhash_lsh_pairs_xx64",
+    # round-4 additions
+    "semantic_dedup_embeddings",
+    "dup_span_coverage_documents",
+    "pack_sequences_documents",
+    "vocab_topk_documents",
+    "jsonl_roundtrip_events",
 ]
 
 

@@ -91,3 +91,47 @@ def write_metrics(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """Partitioned corpus sink: hive-style ``col=value/`` directory
+    layout, so downstream scans that filter on a partition column read
+    ONLY the matching directories (partition pruning — the plan shows
+    ``PartitionFilters``, and a pruned scan never opens the other
+    partitions' files). The layout decision IS the 100 TB lever: a
+    corpus partitioned by (source, lang) turns per-slice reads from
+    full scans into directory listings.
+
+    Keep partition columns low-cardinality (each value is a directory;
+    high-cardinality keys belong in bucketing, not partitioning).
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+) -> None:
+    """Bucketed-table sink: pre-shuffles rows into ``n_buckets`` files
+    by hash of ``bucket_cols`` and records the layout in the catalog,
+    so a later join or aggregation on those columns runs with NO
+    exchange — the shuffle is paid once at write time and amortized
+    over every subsequent query (the fact-to-fact join strategy when
+    neither side broadcasts; plan-pinned in tests).
+
+    Written as an EXTERNAL table (explicit ``path``) so file placement
+    is the caller's; ``sortBy`` the same columns so merge joins skip
+    the per-bucket sort too.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .option("path", path)
+        .saveAsTable(name)
+    )

@@ -1569,6 +1569,116 @@ def orc_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_key(sf_dir: str, table: str, tag: str) -> str:
+    """Cache key for staged layouts: resolved path + source mtime + tag
+    (same discipline as _stage_events)."""
+    import hashlib
+    import os
+
+    src = os.path.join(os.path.realpath(sf_dir), f"{table}.parquet")
+    mtime = int(os.stat(src).st_mtime_ns) if os.path.exists(src) else 0
+    return hashlib.sha256(f"{src}:{mtime}:{tag}".encode()).hexdigest()[:16]
+
+
+@query(
+    "partitioned_prune_documents",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE lang = 'en' GROUP BY 1
+    """,
+)
+def partitioned_prune_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned corpus sink + pruned read (extension: curated-corpus
+    layout): documents written hive-partitioned by lang, then a
+    lang='en' slice aggregated THROUGH the partitioned layout — the
+    scan lists only the lang=en directory (PartitionFilters;
+    plan-pinned in tests). Oracle = the same filter over the original
+    parquet, so the partition round-trip is value-hash-certified."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sparkobs.io import write_partitioned
+
+    key = _stage_key(sf_dir, "documents", "part_lang")
+    stage = os.path.join(tempfile.gettempdir(), f"sparkobs_part_{key}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        write_partitioned(
+            load_table(spark, sf_dir, "documents"), stage, ["lang"]
+        )
+    return (
+        spark.read.parquet(stage)
+        .where(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "bucketed_join_orders_lineitem",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def bucketed_join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (extension: the fact-to-fact join
+    strategy when neither side broadcasts): orders and lineitem are
+    written as 8-bucket tables hashed+sorted on the order key, then
+    joined with NO exchange on either side — the shuffle was paid once
+    at write time (plan-pinned: no Exchange in the join plan). Oracle =
+    the plain join over the original parquet."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sparkobs.io import write_bucketed_table
+
+    key = _stage_key(sf_dir, "lineitem", "bucket8")
+    base = os.path.join(tempfile.gettempdir(), f"sparkobs_bucket_{key}")
+    o_name, l_name = f"orders_b_{key}", f"lineitem_b_{key}"
+    catalog = {t.name for t in spark.catalog.listTables()}
+    if o_name not in catalog or not os.path.exists(
+        os.path.join(base, "orders")
+    ):
+        write_bucketed_table(
+            load_table(spark, sf_dir, "orders"),
+            o_name,
+            os.path.join(base, "orders"),
+            ["o_orderkey"],
+        )
+        write_bucketed_table(
+            load_table(spark, sf_dir, "lineitem"),
+            l_name,
+            os.path.join(base, "lineitem"),
+            ["l_orderkey"],
+        )
+    return (
+        spark.table(o_name)
+        .join(
+            spark.table(l_name),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Monitor compositions (OP-11/12/13) + struct flatten (OP-51)
 # ---------------------------------------------------------------------------

@@ -168,3 +168,29 @@ def test_repetition_no_cartesian_no_python(spark):
     plan = physical_plan(df)
     assert "BatchEvalPython" not in plan
     assert_no_cartesian(df)
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    # the lang='en' slice must reach the scan as a PartitionFilter
+    # (directory-level pruning), not a row-level post-filter
+    from sparkobs.plans import physical_plan
+
+    df = Q.SPARK_QUERIES["partitioned_prune_documents"](spark, SF)
+    plan = physical_plan(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*lang[^\]]*\]", plan)
+    assert m, f"no partition filter on lang in:\n{plan[:2000]}"
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # both sides pre-bucketed on the join key: the join must run with
+    # ZERO shuffles — the whole point of paying the shuffle at write
+    from sparkobs.plans import physical_plan
+
+    df = Q.SPARK_QUERIES["bucketed_join_orders_lineitem"](spark, SF)
+    df.count()  # materialize through AQE so the final plan is real
+    plan = physical_plan(df)
+    join_part = plan.split("HashAggregate")[-1]  # below the final agg
+    assert "Exchange" not in join_part, f"unexpected shuffle:\n{plan[:3000]}"
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan

@@ -40,11 +40,12 @@ def stage_10x(spark):
     from pyspark.sql import functions as F
 
     key = hashlib.sha256(
-        f"{os.path.realpath(SF_DIR)}:{COPIES}".encode()
+        f"{os.path.realpath(SF_DIR)}:{COPIES}:v2".encode()
     ).hexdigest()[:16]
     base = os.path.join(tempfile.gettempdir(), f"sparkobs_probe_{key}")
     docs_dir = os.path.join(base, "documents")
     ev_dir = os.path.join(base, "events")
+    emb_dir = os.path.join(base, "embeddings")
     if not os.path.exists(os.path.join(ev_dir, "_SUCCESS")):
         shutil.rmtree(base, ignore_errors=True)
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -67,28 +68,60 @@ def stage_10x(spark):
             )
             bigev = c if bigev is None else bigev.unionByName(c)
         bigev.write.mode("overwrite").parquet(ev_dir)
-    return docs_dir, ev_dir
+        # embeddings: rotate the vector by i positions per copy —
+        # norm-preserving and decorrelating (rotations of a random
+        # vector are ~orthogonal), so the 10× corpus grows with NEW
+        # points at natural near-dup density instead of every vector
+        # gaining 9 identical twins (the adversarial all-dup mode,
+        # measured separately for minhash in SCALE.md)
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        dim = len(emb.select("embedding").head()["embedding"])
+        bigemb = None
+        for i in range(COPIES):
+            rot = (
+                F.concat(
+                    F.slice(F.col("embedding"), i + 1, dim - i),
+                    F.slice(F.col("embedding"), 1, i),
+                )
+                if i
+                else F.col("embedding")
+            )
+            c = emb.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000_000)).alias("vec_id"),
+                rot.alias("embedding"),
+                "label",
+            )
+            bigemb = c if bigemb is None else bigemb.unionByName(c)
+        bigemb.write.mode("overwrite").parquet(emb_dir)
+    return docs_dir, ev_dir, emb_dir
 
 
 def probes():
-    """name → (fn(docs_df, events_df) -> DataFrame). Each probe is timed
-    as plan + execution + count at 1× and 10×."""
+    """name → (fn(docs_df, events_df, emb_df) -> DataFrame). Each probe
+    is timed as plan + execution + count at 1× and 10×."""
     from pyspark.sql import functions as F
 
+    from sparkobs.operators.dedup import duplicated_ngram_spans
     from sparkobs.operators.multimodal import resize_media, synth_media
+    from sparkobs.operators.similarity import semantic_dedup
     from sparkobs.operators.state import distribution_drift_psi, metric_anomalies
-    from sparkobs.operators.text import chunk_documents, winnowing_fingerprints
+    from sparkobs.operators.text import (
+        chunk_documents,
+        pack_sequences,
+        vocab_topk,
+        winnowing_fingerprints,
+    )
 
-    def winnow(docs, ev):
+    def winnow(docs, ev, emb):
         return winnowing_fingerprints(docs, k=8, window=4, hash_fn="xx64")
 
-    def resize(docs, ev):
+    def resize(docs, ev, emb):
         return resize_media(synth_media(docs), out_w=8, out_h=1)
 
-    def psi(docs, ev):
+    def psi(docs, ev, emb):
         return distribution_drift_psi(ev, "ts", "value", n_bins=10, lo=0.0, hi=100.0)
 
-    def anomaly(docs, ev):
+    def anomaly(docs, ev, emb):
         hourly = ev.groupBy(
             "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
         ).agg(F.count(F.lit(1)).cast("double").alias("value"))
@@ -96,8 +129,20 @@ def probes():
             hourly, ["event_type"], ts_col="bucket_ts", trailing=24
         )
 
-    def chunk(docs, ev):
+    def chunk(docs, ev, emb):
         return chunk_documents(docs)
+
+    def dup_span(docs, ev, emb):
+        return duplicated_ngram_spans(docs, n=5)
+
+    def pack(docs, ev, emb):
+        return pack_sequences(docs, budget=512)
+
+    def vocab(docs, ev, emb):
+        return vocab_topk(docs, k=20)
+
+    def semdedup(docs, ev, emb):
+        return semantic_dedup(emb, threshold=0.35)
 
     return {
         "winnowing_xx64": winnow,
@@ -105,6 +150,10 @@ def probes():
         "psi_drift": psi,
         "metric_anomalies": anomaly,
         "chunk_documents": chunk,
+        "dup_span_coverage": dup_span,
+        "pack_sequences": pack,
+        "vocab_topk": vocab,
+        "semantic_dedup": semdedup,
     }
 
 
@@ -127,9 +176,11 @@ def main() -> int:
 
     docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     ev1 = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    docs_dir, ev_dir = stage_10x(spark)
+    emb1 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    docs_dir, ev_dir, emb_dir = stage_10x(spark)
     docs10 = spark.read.parquet(docs_dir)
     ev10 = spark.read.parquet(ev_dir)
+    emb10 = spark.read.parquet(emb_dir)
 
     print(f"| operator | 1× ({docs1.count()} docs / {ev1.count()} ev) "
           f"| {COPIES}× | ratio |")
@@ -138,8 +189,8 @@ def main() -> int:
     for name, fn in probes().items():
         if filters and not any(f in name for f in filters):
             continue
-        t1 = time_df(lambda: fn(docs1, ev1))
-        t10 = time_df(lambda: fn(docs10, ev10))
+        t1 = time_df(lambda: fn(docs1, ev1, emb1))
+        t10 = time_df(lambda: fn(docs10, ev10, emb10))
         ratio = t10 / max(t1, 1e-9)
         worst = max(worst, ratio)
         print(f"| {name} | {t1} s | {t10} s | {ratio:.1f}× |")
