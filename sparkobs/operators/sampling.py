@@ -69,3 +69,46 @@ def stratified_hash_sample(
     for g, n in rates.items():
         divisor = F.when(F.col(group_col) == g, F.lit(n)).otherwise(divisor)
     return df.where(h % divisor == 0)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: tuple = (("train", 98), ("val", 1), ("test", 1)),
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: the md5-mod
+    bucket of a stable key is mapped onto weight ranges, so every
+    engine, run, and partitioning assigns the same row to the same
+    split — and all rows sharing the key land in the SAME split (key
+    by the dedup-group representative and near-duplicates can never
+    leak across the train/eval boundary).
+
+    ``splits`` is ordered (name, weight) pairs; a key whose bucket
+    (mod total weight) falls in [0, w0) gets the first name, [w0,
+    w0+w1) the second, and so on. Pure row-local expression — no
+    shuffle, composes with pushdown like the scan itself.
+    """
+    weights = [w for _, w in splits]
+    if any(w < 1 for w in weights):
+        raise ValueError(f"split weights must be >= 1, got {splits}")
+    total = sum(weights)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    bucket = h % total
+    bounds, acc = [], 0
+    for name, w in splits:
+        acc += w
+        bounds.append((name, acc))
+    expr = None
+    for name, ub in reversed(bounds):
+        expr = (
+            F.lit(name)
+            if expr is None
+            else F.when(bucket < ub, F.lit(name)).otherwise(expr)
+        )
+    return df.withColumn(out_col, expr)

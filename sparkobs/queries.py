@@ -3083,6 +3083,41 @@ def hash_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "split_assign_documents",
+    oracle=f"""
+    WITH b AS (SELECT *,
+                      ({_hex15_sql("md5(CAST(doc_id AS VARCHAR))")}) % 100 AS bucket
+               FROM documents)
+    SELECT CASE WHEN bucket < 98 THEN 'train'
+                WHEN bucket < 99 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY 1
+    """,
+)
+def split_assign_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test split assignment (extension:
+    eval-split hygiene): md5-mod buckets over doc_id, key-coherent so
+    duplicates sharing the key can never straddle the train/eval
+    boundary; summarized per split. Oracle = the same bucket arithmetic
+    in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        split_assign(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
     "decode_synth_media",
     oracle="""
     WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),

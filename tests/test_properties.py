@@ -216,3 +216,17 @@ def test_pii_scrub_idempotent(spark, texts):
     assert a == b
     for r in twice.collect():
         assert r.n_email == 0 or "<EMAIL>" not in a[r.doc_id]
+
+
+def test_split_assign_partition_invariant_and_exhaustive(spark):
+    """Every row gets exactly one split; the assignment is identical
+    under different partitionings; weights are roughly honored."""
+    from sparkobs.operators.sampling import split_assign
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r.k: r.split for r in split_assign(df, "k").collect()}
+    b = {r.k: r.split for r in split_assign(df.repartition(13), "k").collect()}
+    assert a == b
+    assert set(a.values()) == {"train", "val", "test"}
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert n_train > 1800  # ~98% of 2000, loose bound
