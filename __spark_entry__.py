@@ -50,6 +50,7 @@ GATE_SIZE = 50
 _PRIORITY: list[str] = [
     # --- round-4 new/changed queries (must certify this round) ---
     "semantic_dedup_embeddings",             # new SemDeDup-style query
+    "semantic_dedup_ivf_embeddings",         # new clustered-corpus tier
     "dup_span_coverage_documents",           # new substring-dedup signal
     "pack_sequences_documents",              # new sequence packing
     "vocab_topk_documents",                  # new vocab census
@@ -58,6 +59,7 @@ _PRIORITY: list[str] = [
     "orc_roundtrip_part",                    # new ORC connector
     "partitioned_prune_documents",           # new partitioned sink+prune
     "bucketed_join_orders_lineitem",         # new bucketed co-located join
+    "split_assign_documents",                # new split assignment
     "collect_metric_lists_supplier",         # array→csv serialization fix
     "winnowing_fingerprints_documents",      # array→csv serialization fix
     "listing_key_metrics",                   # new read_blob oracle
@@ -77,7 +79,8 @@ _PRIORITY: list[str] = [
     # embedding_norms, text_stats_documents, quality_score_documents,
     # language_id_documents, token_count_regex_documents,
     # fingerprint_documents, binary_stats_media, label_centroid_stats,
-    # scalar_string_funcs, timestamp_format_orders)
+    # scalar_string_funcs, timestamp_format_orders, json_extract_events,
+    # histogram_quantity)
     "profile_lineitem_stats",
     "pricing_summary",
     "revenue_per_nation",
@@ -95,8 +98,6 @@ _PRIORITY: list[str] = [
     "duplicate_count_lineitem",
     "grouped_distinct_parts",
     "group_agg_orders",
-    "histogram_quantity",
-    "json_extract_events",
     "schema_drift_hourly",
     "snapshot_count_delta",
     "window_tumbling_hourly",

@@ -59,6 +59,7 @@ HEADLINE = [
     "minhash_lsh_pairs_xx64",
     # round-4 additions
     "semantic_dedup_embeddings",
+    "semantic_dedup_ivf_embeddings",
     "dup_span_coverage_documents",
     "pack_sequences_documents",
     "vocab_topk_documents",

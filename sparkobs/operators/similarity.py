@@ -160,6 +160,30 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return comps
 
 
+def auto_plane_params(
+    n_rows: int, n_bands: int = 3, target_bucket: int = 256
+) -> tuple[int, int]:
+    """Corpus-size-aware hyperplane-LSH banding: (num_planes,
+    band_planes) such that expected band-bucket occupancy stays
+    ~``target_bucket`` regardless of corpus size.
+
+    A band key has ``2^band_planes`` values, so FIXED band_planes means
+    bucket occupancy — and with it candidate-pair volume, which is
+    quadratic in occupancy — grows linearly with the corpus: measured
+    49× wall-clock at 10× data with 4-bit bands (SCALE.md). Scaling
+    ``band_planes ≈ log2(n / target_bucket)`` keeps occupancy constant,
+    making candidate volume ~3·n·target_bucket/2 — LINEAR in n. The
+    price is per-band recall ~p^band_planes (p = per-plane agreement
+    probability, (1 - θ/π)); hold recall by raising ``n_bands``
+    alongside if the threshold is low. At SemDeDup-style thresholds
+    (≥0.95, p ≈ 0.9) three 8-bit bands still catch ≥~80% of true pairs.
+    """
+    import math
+
+    bp = max(4, math.ceil(math.log2(max(2.0, n_rows / target_bucket))))
+    return n_bands * bp, bp
+
+
 def cosine_topk_lsh(
     df: DataFrame,
     k: int = 5,
@@ -485,7 +509,7 @@ def query_ivf_index(
 def embedding_near_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.95,
-    num_planes: int = 12,
+    num_planes: int | None = 12,
     band_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -499,7 +523,15 @@ def embedding_near_dup_pairs_lsh(
     ≥1 of 3 bands with high probability; deterministic planes, so the
     result is reproducible and DuckDB-oracle-checkable). Output:
     (id_a < id_b, cosine).
+
+    ``num_planes=None`` sizes the banding from the corpus
+    (:func:`auto_plane_params`, one count job) — REQUIRED past ~10k
+    vectors: fixed 4-bit bands have 16 buckets per band, so occupancy
+    and with it candidate volume (quadratic in occupancy) grow with
+    the corpus (measured 49× wall-clock at 10× data; SCALE.md).
     """
+    if num_planes is None:
+        num_planes, band_planes = auto_plane_params(df.count())
     n = _with_norm(df, id_col, vec_col)
     # same vector-free candidate plumbing as cosine_topk_lsh: the
     # self-join + distinct see only (id, band, key); vectors join back
@@ -592,10 +624,13 @@ def embedding_near_dup_pairs(
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,
-    num_planes: int = 12,
+    num_planes: int | None = 12,
     band_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tier: str = "lsh",
+    n_clusters: int | None = 16,
+    n_probe: int = 2,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): embedding near-dup pairs at cosine >=
@@ -612,7 +647,9 @@ def semantic_dedup(
     replaced by the hyperplane-LSH pair tier
     (:func:`embedding_near_dup_pairs_lsh`) — the same "compare only
     plausibly-close vectors" pruning as a plain equi-join on band
-    buckets, with no centroid fit and no n_cluster² corner. Candidates
+    buckets, with no centroid fit and no n_cluster² corner
+    (``num_planes=None`` auto-sizes the banding to the corpus — the
+    setting to use at scale, see :func:`auto_plane_params`). Candidates
     are exact-cosine-verified, then the component closure
     (:func:`sparkobs.operators.dedup.connected_components`) makes
     keep-one-per-group transitive: A≈B and B≈C drop to one doc even
@@ -621,9 +658,19 @@ def semantic_dedup(
     """
     from sparkobs.operators.dedup import connected_components
 
-    pairs = embedding_near_dup_pairs_lsh(
-        df, threshold, num_planes, band_planes, id_col, vec_col
-    )
+    if tier == "ivf":
+        # clustered-corpus tier (the paper's own shape): quantize +
+        # per-bucket BLAS — use when the corpus has cluster structure,
+        # where sign-LSH hot buckets go quadratic (SCALE.md)
+        pairs = embedding_near_dup_pairs_ivf(
+            df, threshold, n_clusters, n_probe, id_col, vec_col
+        )
+    elif tier == "lsh":
+        pairs = embedding_near_dup_pairs_lsh(
+            df, threshold, num_planes, band_planes, id_col, vec_col
+        )
+    else:
+        raise ValueError(f"tier must be lsh|ivf, got {tier!r}")
     comp = connected_components(pairs.select("id_a", "id_b"))
     rep = F.coalesce(F.col("component"), F.col("vec_id"))
     return (
@@ -634,4 +681,85 @@ def semantic_dedup(
             rep.alias("rep_id"),
             (rep == F.col("vec_id")).alias("is_kept"),
         )
+    )
+
+
+def embedding_near_dup_pairs_ivf(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int | None = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs for CLUSTERED corpora — the SemDeDup
+    shape itself: coarse-quantize (deterministic IVF centroids), then
+    compare within each bucket with ONE dense BLAS matmul per bucket.
+
+    Why a separate tier: sign-LSH candidate volume explodes when the
+    corpus has cluster structure — a tight cluster agrees with most
+    hyperplanes, so its members pile into one band bucket regardless
+    of how many band bits are used (measured: 103M candidates from
+    20k label-clustered vectors, 52× wall-clock at 10× data; SCALE.md).
+    Real embedding corpora ARE clustered. Here the same within-cluster
+    comparison runs at BLAS throughput inside an Arrow-batched grouped
+    kernel (~100× the per-pair Catalyst expression cost), and bucket
+    occupancy is controlled by ``n_clusters``, not data geometry.
+
+    ``n_probe`` sends each vector to its n_probe nearest centroids so
+    pairs straddling a Voronoi boundary still co-bucket (recall knob;
+    SemDeDup proper uses 1 and accepts boundary misses).
+    ``n_clusters=None`` sizes buckets to ~2k vectors (one count job) —
+    per-bucket work is O(bucket²) floats, so occupancy must be capped
+    by the cluster count, the same contract as any IVF index.
+
+    Output: (id_a < id_b, cosine ≥ threshold) — same schema as the
+    LSH tier; deterministic, DuckDB-oracle-checkable.
+    """
+    import math
+
+    if n_clusters is None:
+        n_clusters = max(16, math.ceil(df.count() / 2048))
+    quantized, _cents = ivf_quantize(df, n_clusters, n_probe, id_col, vec_col)
+    # explode over transform-to-struct, NOT explode("probes") directly:
+    # the bare column gets its (huge, CodegenFallback) quantizer
+    # expression collapsed into GenerateExec where it evaluates
+    # interpreted — measured 155 s vs 2 s on 500 rows; the transform
+    # wrapper keeps the quantizer in the projection below (same shape
+    # cosine_topk_ivf uses for its entries explode)
+    member = quantized.select(
+        "id",
+        "vn",
+        F.explode(
+            F.transform("probes", lambda p: F.struct(p.alias("g")))
+        ).alias("e"),
+    ).select("id", "vn", F.col("e.g").alias("g"))
+    thr = threshold
+
+    def bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        cols = ["id_a", "id_b", "cosine"]
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=cols)
+        m = np.array(pdf["vn"].tolist(), dtype=np.float64)
+        ids = pdf["id"].to_numpy()
+        sims = np.round(m @ m.T, 6)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        s = sims[iu, ju]
+        keep = s >= thr
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cosine": s[keep],
+            }
+        )
+
+    return (
+        member.groupBy("g")
+        .applyInPandas(bucket_pairs, "id_a bigint, id_b bigint, cosine double")
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -3023,6 +3023,69 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semantic_dedup_ivf_embeddings",
+    oracle="""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    n AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS vn
+      FROM v),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vn AS cv
+      FROM n ORDER BY vec_id LIMIT 16),
+    dots AS (
+      SELECT n.vec_id, n.vn, c.cid,
+             list_sum(list_transform(range(1, len(n.vn) + 1), i -> n.vn[i] * c.cv[i])) AS d
+      FROM n, cents c),
+    member AS (
+      SELECT vec_id, cid AS g
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+            FROM dots)
+      WHERE rn <= 2),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM member a JOIN member b ON a.g = b.g AND a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN n na ON na.vec_id = c.id_a
+      JOIN n nb ON nb.vec_id = c.id_b
+      WHERE round(list_sum(list_transform(range(1, len(na.vn) + 1),
+                                          i -> na.vn[i] * nb.vn[i])), 6) >= 0.35),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    nodes AS (SELECT DISTINCT u FROM sym),
+    allr AS (SELECT u, v FROM reach UNION SELECT u, u FROM nodes),
+    comp AS (SELECT u AS vec_id, min(v) AS component FROM allr GROUP BY u)
+    SELECT e.vec_id,
+           coalesce(c.component, e.vec_id) AS rep_id,
+           coalesce(c.component, e.vec_id) = e.vec_id AS is_kept
+    FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
+    """,
+)
+def semantic_dedup_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup via the CLUSTERED-corpus tier (extension: the paper's
+    own shape): deterministic IVF quantization, per-bucket dense-BLAS
+    cosine pairs at >= 0.35 (n_probe=2 for Voronoi-boundary recall),
+    connected components, keep-lowest-id. This is the tier to use when
+    embeddings have cluster structure — sign-LSH hot buckets measured
+    52x wall-clock at 10x data there (SCALE.md). Oracle = the same
+    quantize/bucket/score pipeline + recursive-CTE closure in DuckDB."""
+    from sparkobs.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        tier="ivf",
+        n_clusters=16,
+        n_probe=2,
+    )
+
+
+@query(
     "repetition_stats_documents",
     oracle="""
     WITH toks AS (SELECT doc_id,

@@ -403,3 +403,73 @@ def test_duplicated_ngram_spans_planted(spark):
     assert (out[1].n_tokens, out[1].dup_tokens, out[1].dup_span_frac) == (8, 5, 0.625)
     assert (out[2].dup_tokens, out[2].dup_span_frac) == (0, 0.0)
     assert (out[3].n_tokens, out[3].dup_tokens) == (2, 0)
+
+
+def test_auto_plane_params_scales_bucket_bits():
+    """Band bits grow with log2(corpus) so bucket occupancy — and with
+    it candidate volume — stays bounded instead of growing with n."""
+    from sparkobs.operators.similarity import auto_plane_params
+
+    assert auto_plane_params(100) == (12, 4)  # floor at 4 bits
+    assert auto_plane_params(5_000) == (15, 5)
+    assert auto_plane_params(50_000) == (24, 8)
+    assert auto_plane_params(5_000_000) == (45, 15)
+
+
+def test_semantic_dedup_auto_banding_matches(spark):
+    from sparkobs.operators.similarity import semantic_dedup
+
+    base = [0.9, -0.3, 0.5, 1.2, -0.7, 0.4, 0.1, -1.1]
+    tilt = [x * 1.01 for x in base]
+    rows = [(0, base), (1, tilt), (2, [-x for x in base])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {
+        r.vec_id: (r.rep_id, r.is_kept)
+        for r in semantic_dedup(df, threshold=0.95, num_planes=None).collect()
+    }
+    assert out == {0: (0, True), 1: (0, False), 2: (2, True)}
+
+
+def test_embedding_near_dup_ivf_single_bucket_equals_brute(spark):
+    """n_clusters=1 puts the whole corpus in one bucket: the IVF tier
+    must then equal the exact all-pairs tier bit-for-bit."""
+    from sparkobs.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    ivf = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs_ivf(
+            emb, threshold=0.35, n_clusters=1, n_probe=1
+        ).collect()
+    }
+    assert ivf == brute
+
+
+def test_embedding_near_dup_ivf_subset_of_brute(spark):
+    """With real bucketing the IVF tier is verification-exact: every
+    reported pair is a true >=threshold pair (no false positives)."""
+    from sparkobs.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    ivf = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs_ivf(
+            emb, threshold=0.35, n_clusters=8, n_probe=2
+        ).collect()
+    }
+    assert ivf <= brute
+    assert len(ivf) > 0

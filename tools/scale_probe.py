@@ -142,7 +142,14 @@ def probes():
         return vocab_topk(docs, k=20)
 
     def semdedup(docs, ev, emb):
-        return semantic_dedup(emb, threshold=0.35)
+        # the clustered-corpus tier (quantize + per-bucket BLAS):
+        # sign-LSH measured 52× wall-clock at 10× here because the
+        # label-clustered vectors pile into hot band buckets no matter
+        # how many band bits are used (103M candidates from 20k
+        # vectors); n_clusters=None caps bucket occupancy at ~2k
+        return semantic_dedup(
+            emb, threshold=0.95, tier="ivf", n_clusters=None
+        )
 
     return {
         "winnowing_xx64": winnow,
