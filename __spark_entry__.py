@@ -60,6 +60,9 @@ _PRIORITY: list[str] = [
     "partitioned_prune_documents",           # new partitioned sink+prune
     "bucketed_join_orders_lineitem",         # new bucketed co-located join
     "split_assign_documents",                # new split assignment
+    "pack_manifest_documents",               # new pack manifest
+    "normalize_text_documents",              # new normalization
+    "streaming_jsonl_tumbling_events",       # new JSONL stream ingest
     "collect_metric_lists_supplier",         # array→csv serialization fix
     "winnowing_fingerprints_documents",      # array→csv serialization fix
     "listing_key_metrics",                   # new read_blob oracle
@@ -80,7 +83,8 @@ _PRIORITY: list[str] = [
     # language_id_documents, token_count_regex_documents,
     # fingerprint_documents, binary_stats_media, label_centroid_stats,
     # scalar_string_funcs, timestamp_format_orders, json_extract_events,
-    # histogram_quantity)
+    # histogram_quantity, argmax_order, argmax_entity_supplier,
+    # grouped_distinct_parts)
     "profile_lineitem_stats",
     "pricing_summary",
     "revenue_per_nation",
@@ -91,12 +95,9 @@ _PRIORITY: list[str] = [
     "database_monitor_metrics",
     "lookup_join_fill_nation",
     "metrics_fanin_supplier",
-    "argmax_entity_supplier",
-    "argmax_order",
     "null_counts_orders",
     "distinct_counts_lineitem",
     "duplicate_count_lineitem",
-    "grouped_distinct_parts",
     "group_agg_orders",
     "schema_drift_hourly",
     "snapshot_count_delta",

@@ -428,3 +428,83 @@ def vocab_topk(
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
         .limit(k)
     )
+
+
+def pack_manifest(
+    df: DataFrame,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-pack manifest for :func:`pack_sequences` — the writer-side
+    view: for every pack, how many documents contribute, how many
+    tokens it holds (= ``budget`` except the final pack), and the
+    contributing doc ids in stream order as a csv string (arrays don't
+    survive the driver's value-hash canonicalizer; the csv is also the
+    natural manifest-file format).
+
+    A document spanning k packs contributes a row to each: its token
+    count inside pack p is ``min(end, (p+1)·budget) − max(start,
+    p·budget)``. Plan: the pack_sequences cumsum → explode of at most
+    ``n_packs`` rows per doc (total rows = Σ n_packs ≈ n_docs +
+    n_tokens/budget) → one hash agg on pack_id. Empty docs occupy no
+    pack.
+    """
+    spans = pack_sequences(df, budget, id_col, text_col)
+    seg = spans.where(F.col("n_tokens") > 0).select(
+        F.col(id_col),
+        F.col("token_start"),
+        (F.col("token_start") + F.col("n_tokens")).alias("token_end"),
+        F.explode(
+            F.sequence(F.col("pack_first"), F.col("pack_last"))
+        ).alias("pack_id"),
+    )
+    in_pack = F.least(
+        F.col("token_end"), (F.col("pack_id") + 1) * budget
+    ) - F.greatest(F.col("token_start"), F.col("pack_id") * budget)
+    return (
+        seg.select(F.col(id_col), "pack_id", in_pack.alias("n_in_pack"))
+        .groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_in_pack").alias("n_tokens"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col(id_col).alias("d"))
+                        )
+                    ),
+                    lambda s: s["d"].cast("string"),
+                ),
+            ).alias("doc_ids"),
+        )
+    )
+
+
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Training-corpus text normalization: lowercase, strip control
+    characters, collapse whitespace runs, trim — the canonical form
+    fed to tokenizers and dedup (exact dedup on normalized text
+    catches case/whitespace variants of the same document).
+
+    One codegen'd expression pass per document, no UDF; reports the
+    size delta so curation can flag documents that were mostly
+    control/whitespace noise.
+    """
+    t = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), r"[\x00-\x1f\x7f]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        norm.alias("text_norm"),
+        (F.length(t) - F.length(norm)).cast("long").alias("n_chars_removed"),
+    )

@@ -1357,6 +1357,36 @@ def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tbl).select("window_start", "n_events", "sum_value")
 
 
+@query(
+    "streaming_jsonl_tumbling_events",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_jsonl_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous JSONL ingest (extension: crawl-shard streaming):
+    events staged as JSON-lines shards, drained through a schema-pinned
+    file-source stream into watermarked tumbling windows — results must
+    equal the batch oracle over the original parquet, certifying both
+    the JSONL parse fidelity and the stream=batch window semantics."""
+    from sparkobs.streaming.monitors import (
+        EVENTS_SCHEMA,
+        run_to_memory,
+        stream_jsonl,
+        streaming_tumbling,
+    )
+
+    stage_dir = _stage_format(spark, sf_dir, "events", "json")
+    out = streaming_tumbling(
+        stream_jsonl(spark, stage_dir, EVENTS_SCHEMA), "1 hour"
+    )
+    tbl = run_to_memory(out, "jsonl_stream", output_mode="complete", unique=True)
+    return spark.table(tbl).select("window_start", "n_events", "sum_value")
+
+
 def _stage_events_split(spark: SparkSession, sf_dir: str) -> str:
     """Two-file event stage with DETERMINISTIC batch boundaries for the
     stateful drift oracle: file 1 = even event_ids, file 2 = odd, with
@@ -2771,6 +2801,80 @@ def pack_sequences_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkobs.operators.text import pack_sequences
 
     return pack_sequences(
+        load_table(spark, sf_dir, "documents"), budget=512
+    )
+
+
+@query(
+    "normalize_text_documents",
+    oracle=r"""
+    WITH t0 AS (SELECT doc_id,
+                       text || chr(9) || ' MiXeD ' || chr(10) || '  Case ' AS t
+                FROM documents),
+    n AS (SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(t),
+                      '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS text_norm,
+                 t
+          FROM t0)
+    SELECT doc_id, text_norm,
+           CAST(len(t) - len(text_norm) AS BIGINT) AS n_chars_removed
+    FROM n
+    """,
+)
+def normalize_text_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (extension: canonical form for tokenizers +
+    dedup): planted tab/newline/mixed-case suffix per doc (so every row
+    exercises each rule), then lowercase + control-strip + whitespace
+    collapse + trim; value-hash of the normalized text against the same
+    regex pipeline in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit("\t MiXeD \n  Case ")
+        ),
+    )
+    return normalize_text(docs)
+
+
+@query(
+    "pack_manifest_documents",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id,
+                         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                              x -> x <> '')) AS BIGINT) AS n_tokens
+                  FROM documents),
+    cum AS (SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS c
+            FROM toks),
+    spans AS (SELECT doc_id,
+                     CAST(c - n_tokens AS BIGINT) AS s, CAST(c AS BIGINT) AS e,
+                     CAST((c - n_tokens) // 512 AS BIGINT) AS pf,
+                     CAST((c - 1) // 512 AS BIGINT) AS pl
+              FROM cum WHERE n_tokens > 0),
+    seg AS (SELECT doc_id, s, e, unnest(generate_series(pf, pl)) AS pack_id
+            FROM spans)
+    SELECT pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(e, (pack_id + 1) * 512) - greatest(s, pack_id * 512))
+                AS BIGINT) AS n_tokens,
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+    FROM seg GROUP BY 1
+    """,
+)
+def pack_manifest_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack manifest (extension: the writer side of sequence
+    packing): docs per pack, tokens per pack (= budget except the last
+    cut), contributing doc ids in order as csv. Oracle = the same
+    cumsum + span-intersection arithmetic in DuckDB."""
+    from sparkobs.operators.text import pack_manifest
+
+    return pack_manifest(
         load_table(spark, sf_dir, "documents"), budget=512
     )
 

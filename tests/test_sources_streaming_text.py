@@ -625,3 +625,14 @@ def test_read_jsonl_schema_projection(spark, tmp_path):
         for r in read_jsonl(spark, str(p), "id bigint, s string").collect()
     }
     assert rows == {1: "x", 2: None}  # extra keys skipped, absent keys NULL
+
+
+def test_pack_manifest_budget_cut(spark):
+    from sparkobs.operators.text import pack_manifest
+
+    rows = [(0, "a b c d e f"), (1, "g h i j"), (2, "k l"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.pack_id: r for r in pack_manifest(df, budget=8).collect()}
+    assert set(out) == {0, 1}
+    assert (out[0].n_docs, out[0].n_tokens, out[0].doc_ids) == (2, 8, "0,1")
+    assert (out[1].n_docs, out[1].n_tokens, out[1].doc_ids) == (2, 4, "1,2")
