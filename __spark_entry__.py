@@ -63,6 +63,7 @@ _PRIORITY: list[str] = [
     "pack_manifest_documents",               # new pack manifest
     "normalize_text_documents",              # new normalization
     "streaming_jsonl_tumbling_events",       # new JSONL stream ingest
+    "key_skew_stats_lineitem",               # new skew diagnostic
     "collect_metric_lists_supplier",         # array→csv serialization fix
     "winnowing_fingerprints_documents",      # array→csv serialization fix
     "listing_key_metrics",                   # new read_blob oracle
@@ -84,7 +85,7 @@ _PRIORITY: list[str] = [
     # fingerprint_documents, binary_stats_media, label_centroid_stats,
     # scalar_string_funcs, timestamp_format_orders, json_extract_events,
     # histogram_quantity, argmax_order, argmax_entity_supplier,
-    # grouped_distinct_parts)
+    # grouped_distinct_parts, null_counts_orders)
     "profile_lineitem_stats",
     "pricing_summary",
     "revenue_per_nation",
@@ -95,7 +96,6 @@ _PRIORITY: list[str] = [
     "database_monitor_metrics",
     "lookup_join_fill_nation",
     "metrics_fanin_supplier",
-    "null_counts_orders",
     "distinct_counts_lineitem",
     "duplicate_count_lineitem",
     "group_agg_orders",

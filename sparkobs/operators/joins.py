@@ -185,3 +185,54 @@ def salted_group_count(df: DataFrame, key: str, salt_buckets: int = 16) -> DataF
     )
     partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__c"))
     return partial.groupBy(key).agg(F.sum("__c").alias("cnt"))
+
+
+def key_skew_stats(df: DataFrame, key: str, top_n: int = 5) -> DataFrame:
+    """Shuffle-health diagnostic for a prospective join/agg key: the
+    frequency distribution of ``key`` summarized as one row — total
+    rows, distinct keys, max/mean frequency, and the skew ratio
+    (max/mean; the factor by which the hottest reducer outweighs the
+    average one) — plus the ``top_n`` hottest keys as a csv string.
+
+    This is the measurement behind the salting/broadcast/LSH-tier
+    decisions documented in SCALE.md: a skew ratio near 1 shuffles
+    cleanly; 100+ means the hot keys serialize a stage and the plan
+    needs salting (:func:`salted_group_count`), AQE skew-join, or a
+    different key. One hash agg on the key (map-side combined) + one
+    tiny top-n — cost ≈ a grouped count, safe to run on 100 TB before
+    committing to a join strategy.
+    """
+    freq = df.groupBy(key).agg(F.count(F.lit(1)).alias("freq"))
+    # csv order is made deterministic by sorting the collected structs
+    # (collect_list order is not contractual): (-freq, key-string) asc
+    # = hottest first, lexical key tiebreak — mirrored in the oracle
+    hot = (
+        freq.orderBy(F.desc("freq"), F.asc(F.col(key).cast("string")))
+        .limit(top_n)
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("freq")).alias("nf"),
+                                F.col(key).cast("string").alias("k"),
+                            )
+                        )
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s["k"], (-s["nf"]).cast("string")
+                    ),
+                ),
+            ).alias("top_keys")
+        )
+    )
+    stats = freq.agg(
+        F.sum("freq").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("freq").cast("long").alias("max_freq"),
+        F.round(F.avg("freq"), 4).alias("mean_freq"),
+        F.round(F.max("freq") / F.avg("freq"), 4).alias("skew_ratio"),
+    )
+    return stats.crossJoin(hot)

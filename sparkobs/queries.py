@@ -2806,6 +2806,36 @@ def pack_sequences_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "key_skew_stats_lineitem",
+    oracle="""
+    WITH freq AS (SELECT l_suppkey AS k, count(*) AS freq
+                  FROM lineitem GROUP BY 1),
+    hot AS (SELECT string_agg(CAST(k AS VARCHAR) || ':' || CAST(freq AS VARCHAR),
+                              ',' ORDER BY freq DESC, CAST(k AS VARCHAR) ASC) AS top_keys
+            FROM (SELECT k, freq FROM freq
+                  ORDER BY freq DESC, CAST(k AS VARCHAR) ASC LIMIT 5))
+    SELECT CAST(sum(freq) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(freq) AS BIGINT) AS max_freq,
+           round(avg(freq), 4) AS mean_freq,
+           round(max(freq) / avg(freq), 4) AS skew_ratio,
+           (SELECT top_keys FROM hot) AS top_keys
+    FROM freq
+    """,
+)
+def key_skew_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg key skew diagnostic (extension: shuffle health): the
+    frequency distribution of l_suppkey as one row — the measurement
+    behind the salting / AQE-skew-join / broadcast decisions in
+    SCALE.md. One map-side-combined hash agg + a 5-row top-n."""
+    from sparkobs.operators.joins import key_skew_stats
+
+    return key_skew_stats(
+        load_table(spark, sf_dir, "lineitem"), "l_suppkey", top_n=5
+    )
+
+
+@query(
     "normalize_text_documents",
     oracle=r"""
     WITH t0 AS (SELECT doc_id,

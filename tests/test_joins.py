@@ -136,3 +136,14 @@ def test_global_running_sum_partition_invariant(spark):
             ).collect()
         }
         assert got == expect
+
+
+def test_key_skew_stats_planted_hot_key(spark):
+    from sparkobs.operators.joins import key_skew_stats
+
+    rows = [(7,)] * 90 + [(1,), (2,), (3,), (4,), (5,)]
+    df = spark.createDataFrame(rows, "k bigint")
+    r = key_skew_stats(df, "k", top_n=2).collect()[0]
+    assert (r.n_rows, r.n_keys, r.max_freq) == (95, 6, 90)
+    assert abs(r.skew_ratio - round(90 / (95 / 6), 4)) < 1e-9
+    assert r.top_keys.startswith("7:90,")
