@@ -745,9 +745,11 @@ def duplicated_ngram_spans(
     fixed-``n`` approximation, which is one explode + two shuffles —
     no global sort, no suffix automaton.
     """
+    from sparkobs.operators.text import tokens_nonempty
+
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "").alias("t"),
+        tokens_nonempty(text_col).alias("t"),
     )
     occ = toks.where(F.size("t") >= n).select(
         "id",

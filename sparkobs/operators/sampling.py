@@ -16,6 +16,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _hash64(key_col: str, salt: str):
+    """Engine-portable 63-bit hash of a key: first 15 hex chars of
+    md5(salt + key) parsed base-16 — fits a signed 64-bit int in every
+    engine (the shared predicate base of all deterministic sampling)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
 def hash_sample(
     df: DataFrame, key_col: str, one_in: int, salt: str = ""
 ) -> DataFrame:
@@ -30,11 +41,7 @@ def hash_sample(
     """
     if one_in < 1:
         raise ValueError(f"one_in must be >= 1, got {one_in}")
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    h = _hash64(key_col, salt)
     return df.where(h % one_in == 0)
 
 
@@ -60,11 +67,7 @@ def stratified_hash_sample(
     for g, n in rates.items():
         if n < 1:
             raise ValueError(f"rate for {g!r} must be >= 1, got {n}")
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    h = _hash64(key_col, salt)
     divisor = F.lit(default_one_in)
     for g, n in rates.items():
         divisor = F.when(F.col(group_col) == g, F.lit(n)).otherwise(divisor)
@@ -94,11 +97,7 @@ def split_assign(
     if any(w < 1 for w in weights):
         raise ValueError(f"split weights must be >= 1, got {splits}")
     total = sum(weights)
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    h = _hash64(key_col, salt)
     bucket = h % total
     bounds, acc = [], 0
     for name, w in splits:

@@ -31,6 +31,14 @@ def _toks(text_col: str):
     return F.split(F.col(text_col), r"\s+")
 
 
+def tokens_nonempty(text_col: str):
+    """Whitespace tokens with empties dropped (leading/trailing space
+    yields '' elements from split) — the tokenization every cross-doc
+    operator shares; DuckDB mirror:
+    ``list_filter(string_split_regex(text, '\\s+'), x -> x <> '')``."""
+    return F.filter(_toks(text_col), lambda x: x != "")
+
+
 def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document token statistics: counts, uniqueness, lengths."""
     toks = _toks(text_col)
@@ -235,7 +243,7 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     two key-local shuffles, linear in corpus size (no per-doc quadratic
     scan), then a doc_id-co-partitioned left join back.
     """
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    toks = tokens_nonempty(text_col)
     lines = F.split(F.col(text_col), "\n")
     per_doc = df.select(
         F.col(id_col),
@@ -376,7 +384,7 @@ def pack_sequences(
     toks = df.select(
         F.col(id_col),
         F.size(
-            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+            tokens_nonempty(text_col)
         ).cast("long").alias("n_tokens"),
     )
     cum = global_running_sum(toks, [id_col], "n_tokens", out_col="__cum")
@@ -416,7 +424,7 @@ def vocab_topk(
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
-            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+            tokens_nonempty(text_col)
         ).alias("token"),
     )
     return (
@@ -471,12 +479,8 @@ def pack_manifest(
             F.concat_ws(
                 ",",
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(F.col(id_col).alias("d"))
-                        )
-                    ),
-                    lambda s: s["d"].cast("string"),
+                    F.array_sort(F.collect_list(F.col(id_col))),
+                    lambda d: d.cast("string"),
                 ),
             ).alias("doc_ids"),
         )

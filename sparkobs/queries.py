@@ -1462,13 +1462,10 @@ def _stage_format(
     """Stage a parquet table in another file format (csv/json/orc) for
     the format-connector round-trip queries; same resolved-path+mtime
     cache key discipline as _stage_events."""
-    import hashlib
     import os
     import tempfile
 
-    src = os.path.join(os.path.realpath(sf_dir), f"{table}.parquet")
-    mtime = int(os.stat(src).st_mtime_ns) if os.path.exists(src) else 0
-    key = hashlib.sha256(f"{src}:{mtime}:{fmt}".encode()).hexdigest()[:16]
+    key = _stage_key(sf_dir, table, fmt)
     stage_dir = os.path.join(tempfile.gettempdir(), f"sparkobs_fmt_{key}")
     if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
         from sparkobs.sources.files import write_format
@@ -2706,6 +2703,19 @@ def decode_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_real(media)
 
 
+def _closure_ctes() -> str:
+    """Shared oracle fragment: transitive closure of an undirected pair
+    list ``pairs(id_a, id_b)`` as CTEs ``sym``/``reach``/``nodes``/
+    ``allr(u, v)`` — follow with ``SELECT u, min(v) ... GROUP BY u``
+    for min-label components. The oracle must open WITH RECURSIVE."""
+    return """sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    nodes AS (SELECT DISTINCT u FROM sym),
+    allr AS (SELECT u, v FROM reach UNION SELECT u, u FROM nodes)"""
+
+
 @query(
     "near_dup_groups_documents",
     oracle="""
@@ -2725,12 +2735,7 @@ def decode_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT ia AS id_a, ib AS id_b
       FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
       WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.2),
-    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
-            UNION SELECT id_b, id_a FROM pairs),
-    reach(u, v) AS (SELECT u, v FROM sym
-                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
-    nodes AS (SELECT DISTINCT u FROM sym),
-    allr AS (SELECT u, v FROM reach UNION SELECT u, u FROM nodes)
+    """ + _closure_ctes() + """
     SELECT u AS doc_id, min(v) AS component FROM allr GROUP BY u
     """,
 )
@@ -2948,13 +2953,8 @@ def dup_span_coverage_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "near_dup_groups_lsh",
-    oracle="WITH RECURSIVE " + _minhash_pair_ctes() + """,
-    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
-            UNION SELECT id_b, id_a FROM pairs),
-    reach(u, v) AS (SELECT u, v FROM sym
-                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
-    nodes AS (SELECT DISTINCT u FROM sym),
-    allr AS (SELECT u, v FROM reach UNION SELECT u, u FROM nodes)
+    oracle="WITH RECURSIVE " + _minhash_pair_ctes() + ",\n    "
+    + _closure_ctes() + """
     SELECT u AS doc_id, min(v) AS component FROM allr GROUP BY u
     """,
 )
@@ -3128,13 +3128,8 @@ def embedding_near_dup_pairs_lsh_q(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "semantic_dedup_embeddings",
-    oracle="WITH RECURSIVE " + _lsh_pairs_ctes(0.35) + """,
-    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
-            UNION SELECT id_b, id_a FROM pairs),
-    reach(u, v) AS (SELECT u, v FROM sym
-                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
-    nodes AS (SELECT DISTINCT u FROM sym),
-    allr AS (SELECT u, v FROM reach UNION SELECT u, u FROM nodes),
+    oracle="WITH RECURSIVE " + _lsh_pairs_ctes(0.35) + ",\n    "
+    + _closure_ctes() + """,
     comp AS (SELECT u AS vec_id, min(v) AS component FROM allr GROUP BY u)
     SELECT e.vec_id,
            coalesce(c.component, e.vec_id) AS rep_id,
@@ -3187,12 +3182,7 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN n nb ON nb.vec_id = c.id_b
       WHERE round(list_sum(list_transform(range(1, len(na.vn) + 1),
                                           i -> na.vn[i] * nb.vn[i])), 6) >= 0.35),
-    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
-            UNION SELECT id_b, id_a FROM pairs),
-    reach(u, v) AS (SELECT u, v FROM sym
-                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
-    nodes AS (SELECT DISTINCT u FROM sym),
-    allr AS (SELECT u, v FROM reach UNION SELECT u, u FROM nodes),
+    """ + _closure_ctes() + """,
     comp AS (SELECT u AS vec_id, min(v) AS component FROM allr GROUP BY u)
     SELECT e.vec_id,
            coalesce(c.component, e.vec_id) AS rep_id,
