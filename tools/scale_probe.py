@@ -105,8 +105,12 @@ def probes():
     from sparkobs.operators.multimodal import resize_media, synth_media
     from sparkobs.operators.similarity import semantic_dedup
     from sparkobs.operators.state import distribution_drift_psi, metric_anomalies
+    from sparkobs.operators.joins import key_skew_stats
+    from sparkobs.operators.sampling import split_assign
     from sparkobs.operators.text import (
         chunk_documents,
+        normalize_text,
+        pack_manifest,
         pack_sequences,
         vocab_topk,
         winnowing_fingerprints,
@@ -141,6 +145,18 @@ def probes():
     def vocab(docs, ev, emb):
         return vocab_topk(docs, k=20)
 
+    def manifest(docs, ev, emb):
+        return pack_manifest(docs, budget=512)
+
+    def norm(docs, ev, emb):
+        return normalize_text(docs)
+
+    def skew(docs, ev, emb):
+        return key_skew_stats(ev, "user_id", top_n=5)
+
+    def split(docs, ev, emb):
+        return split_assign(docs, "doc_id")
+
     def semdedup(docs, ev, emb):
         # the clustered-corpus tier (quantize + per-bucket BLAS):
         # sign-LSH measured 52× wall-clock at 10× here because the
@@ -160,6 +176,10 @@ def probes():
         "dup_span_coverage": dup_span,
         "pack_sequences": pack,
         "vocab_topk": vocab,
+        "pack_manifest": manifest,
+        "normalize_text": norm,
+        "key_skew_stats": skew,
+        "split_assign": split,
         "semantic_dedup": semdedup,
     }
 
