@@ -136,3 +136,39 @@ def argmax_per_group(
         ).alias(label_col),
         F.max(F.struct(F.col(measure_col), F.col(label_col)))[measure_col].alias(measure_col),
     )
+
+
+def referential_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Referential-integrity monitor: how many child rows point at a
+    parent key that does not exist — the data-quality check behind
+    "the fact table references dimensions that were deleted/late".
+    One row: (n_child, n_orphans, orphan_rate, n_orphan_keys).
+
+    Plan shape: LEFT ANTI join on the key — Catalyst turns it into a
+    broadcast-anti when the parent's key projection is small enough,
+    else a shuffle join that AQE skew-handles; either way only the two
+    key columns move. Run it before a production join: a non-zero rate
+    means an inner join silently drops rows and a left join fabricates
+    nulls.
+    """
+    orphans = child.select(F.col(child_key).alias("__k")).join(
+        parent.select(F.col(parent_key).alias("__k")),
+        "__k",
+        "left_anti",
+    )
+    counts = orphans.agg(
+        F.count(F.lit(1)).alias("n_orphans"),
+        F.count_distinct("__k").alias("n_orphan_keys"),
+    )
+    total = child.agg(F.count(F.lit(1)).alias("n_child"))
+    return total.crossJoin(counts).select(
+        F.col("n_child").cast("long"),
+        F.col("n_orphans").cast("long"),
+        F.round(F.col("n_orphans") / F.col("n_child"), 6).alias("orphan_rate"),
+        F.col("n_orphan_keys").cast("long"),
+    )

@@ -2811,6 +2811,40 @@ def pack_sequences_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fk_orphans_lineitem",
+    oracle="""
+    WITH par AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 != 0),
+    orph AS (SELECT l.l_orderkey FROM lineitem l
+             LEFT JOIN par p ON p.o_orderkey = l.l_orderkey
+             WHERE p.o_orderkey IS NULL)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+           CAST(count(*) AS BIGINT) AS n_orphans,
+           round(count(*) / (SELECT count(*) FROM lineitem), 6) AS orphan_rate,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orphan_keys
+    FROM orph
+    """,
+)
+def fk_orphans_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity monitor (extension: data quality): count
+    lineitem rows whose order key has no parent — orphans planted by
+    withholding every 10th order from the parent side (the corpus
+    itself is FK-clean, so the check must fire on a known set).
+    LEFT ANTI join, keys-only projection."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.shape import referential_orphans
+
+    return referential_orphans(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderkey") % 10 != 0
+        ),
+        "l_orderkey",
+        "o_orderkey",
+    )
+
+
+@query(
     "key_skew_stats_lineitem",
     oracle="""
     WITH freq AS (SELECT l_suppkey AS k, count(*) AS freq

@@ -147,3 +147,13 @@ def test_key_skew_stats_planted_hot_key(spark):
     assert (r.n_rows, r.n_keys, r.max_freq) == (95, 6, 90)
     assert abs(r.skew_ratio - round(90 / (95 / 6), 4)) < 1e-9
     assert r.top_keys.startswith("7:90,")
+
+
+def test_referential_orphans_planted(spark):
+    from sparkobs.operators.shape import referential_orphans
+
+    child = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k bigint")
+    parent = spark.createDataFrame([(1,), (3,)], "p bigint")
+    r = referential_orphans(child, parent, "k", "p").collect()[0]
+    assert (r.n_child, r.n_orphans, r.n_orphan_keys) == (4, 1, 1)
+    assert r.orphan_rate == 0.25
