@@ -194,3 +194,26 @@ def test_bucketed_join_has_no_exchange(spark):
     join_part = plan.split("HashAggregate")[-1]  # below the final agg
     assert "Exchange" not in join_part, f"unexpected shuffle:\n{plan[:3000]}"
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
+
+def test_pack_sequences_no_global_window_and_dup_span_no_cartesian(spark):
+    # packing's cumsum must come from the per-partition+offsets plan
+    # (no empty-partitionBy window); the dup-span join keys on shingles
+    from sparkobs.plans import assert_no_cartesian, physical_plan
+
+    df = Q.SPARK_QUERIES["pack_sequences_documents"](spark, SF)
+    plan = physical_plan(df)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__pid" in line, f"unpartitioned window: {line}"
+    ds = Q.SPARK_QUERIES["dup_span_coverage_documents"](spark, SF)
+    assert_no_cartesian(ds)
+
+
+def test_fk_orphans_keys_only_scan(spark):
+    # the anti join must move ONLY the key columns, not whole tables
+    from sparkobs.plans import scans
+
+    df = Q.SPARK_QUERIES["fk_orphans_lineitem"](spark, SF)
+    key_scans = [s for s in scans(df) if "l_orderkey" in s["schema"] or "o_orderkey" in s["schema"]]
+    assert key_scans and all(s["schema"].count(":") == 1 for s in key_scans)
