@@ -1675,7 +1675,7 @@ def bucketed_join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     base = os.path.join(tempfile.gettempdir(), f"sparkobs_bucket_{key}")
     o_name, l_name = f"orders_b_{key}", f"lineitem_b_{key}"
     catalog = {t.name for t in spark.catalog.listTables()}
-    if o_name not in catalog or not os.path.exists(
+    if not catalog >= {o_name, l_name} or not os.path.exists(
         os.path.join(base, "orders")
     ):
         write_bucketed_table(
