@@ -65,6 +65,7 @@ _PRIORITY: list[str] = [
     "streaming_jsonl_tumbling_events",       # new JSONL stream ingest
     "key_skew_stats_lineitem",               # new skew diagnostic
     "fk_orphans_lineitem",                   # new referential check
+    "cdc_compact_events",                    # new CDC compaction
     "collect_metric_lists_supplier",         # array→csv serialization fix
     "winnowing_fingerprints_documents",      # array→csv serialization fix
     "listing_key_metrics",                   # new read_blob oracle
@@ -86,7 +87,8 @@ _PRIORITY: list[str] = [
     # fingerprint_documents, binary_stats_media, label_centroid_stats,
     # scalar_string_funcs, timestamp_format_orders, json_extract_events,
     # histogram_quantity, argmax_order, argmax_entity_supplier,
-    # grouped_distinct_parts, null_counts_orders, duplicate_count_lineitem)
+    # grouped_distinct_parts, null_counts_orders, duplicate_count_lineitem,
+    # distinct_counts_lineitem)
     "profile_lineitem_stats",
     "pricing_summary",
     "revenue_per_nation",
@@ -97,7 +99,6 @@ _PRIORITY: list[str] = [
     "database_monitor_metrics",
     "lookup_join_fill_nation",
     "metrics_fanin_supplier",
-    "distinct_counts_lineitem",
     "group_agg_orders",
     "schema_drift_hourly",
     "snapshot_count_delta",

@@ -189,3 +189,30 @@ def distribution_drift_psi(
             ).alias("psi")
         )
     )
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] = (),
+) -> DataFrame:
+    """CDC compaction: collapse an append-only change log to the latest
+    row per key — the standard upsert-materialization step between a
+    raw ingest log and a queryable table. Deterministic: newest
+    ``ts_col`` wins, remaining ties broken by ``tiebreak_cols``
+    descending (pass the change-sequence column; without one, equal-ts
+    duplicates would be partition-order-dependent).
+
+    One window shuffle on the key; the rank predicate is
+    WindowGroupLimit-eligible, so each input partition keeps only its
+    per-key newest candidate BEFORE the shuffle sort completes —
+    reduce-side volume ∝ distinct keys, not log length (plan-pinned).
+    """
+    order = [F.desc(ts_col)] + [F.desc(c) for c in tiebreak_cols]
+    w = W.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

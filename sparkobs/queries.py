@@ -2811,6 +2811,31 @@ def pack_sequences_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_compact_events",
+    oracle="""
+    SELECT user_id, ts, event_type, round(value, 4) AS value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def cdc_compact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction (extension: upsert materialization): the events
+    log collapsed to each user's latest row — newest ts wins, event_id
+    breaks equal-ts ties deterministically. WindowGroupLimit prunes
+    map-side (plan-pinned)."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.state import latest_by_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return latest_by_key(ev, ["user_id"], "ts", ["event_id"]).select(
+        "user_id", "ts", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+@query(
     "fk_orphans_lineitem",
     oracle="""
     WITH par AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 != 0),

@@ -172,3 +172,25 @@ def test_distribution_drift_psi_planted_shift(spark):
     assert 0 not in out  # first period has no baseline
     assert out[1] == 0.0  # identical distributions
     assert out[2] > 1.0  # full shift: way past the 0.25 "shifted" bar
+
+
+def test_latest_by_key_deterministic_ties(spark):
+    from sparkobs.operators.state import latest_by_key
+
+    rows = [
+        (1, 10, 100, "a"),
+        (1, 20, 101, "b"),   # newest ts -> wins
+        (2, 30, 200, "c"),
+        (2, 30, 201, "d"),   # equal ts: higher seq wins
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts bigint, seq bigint, v string")
+    out = {r.k: r.v for r in latest_by_key(df, ["k"], "ts", ["seq"]).collect()}
+    assert out == {1: "b", 2: "d"}
+
+
+def test_latest_by_key_window_group_limit(spark):
+    import sparkobs.queries as Q
+
+    df = Q.SPARK_QUERIES["cdc_compact_events"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
