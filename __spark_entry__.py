@@ -66,6 +66,7 @@ _PRIORITY: list[str] = [
     "key_skew_stats_lineitem",               # new skew diagnostic
     "fk_orphans_lineitem",                   # new referential check
     "cdc_compact_events",                    # new CDC compaction
+    "streaming_cdc_latest_events",           # new stateful CDC stream
     "collect_metric_lists_supplier",         # array→csv serialization fix
     "winnowing_fingerprints_documents",      # array→csv serialization fix
     "listing_key_metrics",                   # new read_blob oracle
@@ -88,7 +89,7 @@ _PRIORITY: list[str] = [
     # scalar_string_funcs, timestamp_format_orders, json_extract_events,
     # histogram_quantity, argmax_order, argmax_entity_supplier,
     # grouped_distinct_parts, null_counts_orders, duplicate_count_lineitem,
-    # distinct_counts_lineitem)
+    # distinct_counts_lineitem, group_agg_orders)
     "profile_lineitem_stats",
     "pricing_summary",
     "revenue_per_nation",
@@ -99,7 +100,6 @@ _PRIORITY: list[str] = [
     "database_monitor_metrics",
     "lookup_join_fill_nation",
     "metrics_fanin_supplier",
-    "group_agg_orders",
     "schema_drift_hourly",
     "snapshot_count_delta",
     "window_tumbling_hourly",

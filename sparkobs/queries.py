@@ -1358,6 +1358,45 @@ def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_cdc_latest_events",
+    oracle="""
+    WITH ev AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                       event_type, round(value, 4) AS value, event_id
+                FROM events),
+    b1 AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+    l1 AS (SELECT user_id, ts_us, event_type, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts_us DESC, event_id DESC) AS rn FROM b1)
+           WHERE rn = 1),
+    l2 AS (SELECT user_id, ts_us, event_type, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts_us DESC, event_id DESC) AS rn FROM ev)
+           WHERE rn = 1
+             AND user_id IN (SELECT user_id FROM ev WHERE event_id % 2 = 1))
+    SELECT * FROM l1 UNION ALL SELECT * FROM l2
+    """,
+)
+def streaming_cdc_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC compaction (extension: continuous upsert
+    materialization): per-user latest row held in the state store,
+    re-emitted whenever the key appears in a micro-batch. Run over the
+    deterministic two-file stage (batch 1 = even event_ids, batch 2 =
+    odd), so the oracle replays both batches exactly: batch-1 latest
+    over evens, then batch-2 latest over everything for users seen in
+    the odds."""
+    from sparkobs.streaming.monitors import (
+        run_to_memory,
+        stateful_latest,
+        stream_events,
+    )
+
+    stage_dir = _stage_events_split(spark, sf_dir)
+    out = stateful_latest(stream_events(spark, stage_dir, files_per_trigger=1))
+    tbl = run_to_memory(out, "cdc_stream", output_mode="update", unique=True)
+    return spark.table(tbl)
+
+
+@query(
     "streaming_jsonl_tumbling_events",
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start,

@@ -189,3 +189,66 @@ def run_to_memory(
     finally:
         q.stop()
     return name
+
+
+LATEST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+LATEST_OUT_SCHEMA = (
+    "user_id bigint, ts_us bigint, event_type string, value double"
+)
+
+
+def stateful_latest(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Streaming CDC compaction — the continuous form of
+    :func:`sparkobs.operators.state.latest_by_key`: per key the state
+    store holds the newest (ts, seq) row seen so far; every micro-batch
+    in which a key appears emits that key's current latest row (update
+    mode). Ties on ts break by event_id, matching the batch operator,
+    so replaying the same batches always yields the same emissions.
+
+    Timestamps cross the boundary as naive-wall-clock epoch micros
+    computed from the NTZ value itself — no session-timezone
+    dependence, and directly comparable to DuckDB's ``epoch_us``.
+    """
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch["__us"] = (
+            batch["ts"].astype("datetime64[us]").astype("int64")
+        )
+        top = batch.sort_values(["__us", "event_id"]).iloc[-1]
+        best = (
+            int(top["__us"]),
+            int(top["event_id"]),
+            top["event_type"],
+            float(top["value"]),
+        )
+        if state.exists:
+            prev = tuple(state.get)
+            if (prev[0], prev[1]) > (best[0], best[1]):
+                best = prev
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "ts_us": [best[0]],
+                "event_type": [best[2]],
+                "value": [round(best[3], 4)],
+            }
+        )
+
+    return events.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=LATEST_OUT_SCHEMA,
+        stateStructType=LATEST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
