@@ -64,6 +64,12 @@ HEADLINE = [
     "pack_sequences_documents",
     "vocab_topk_documents",
     "jsonl_roundtrip_events",
+    "pack_manifest_documents",
+    "normalize_text_documents",
+    "key_skew_stats_lineitem",
+    "fk_orphans_lineitem",
+    "cdc_compact_events",
+    "streaming_cdc_latest_events",
 ]
 
 
