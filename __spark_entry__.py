@@ -67,6 +67,7 @@ _PRIORITY: list[str] = [
     "fk_orphans_lineitem",                   # new referential check
     "cdc_compact_events",                    # new CDC compaction
     "streaming_cdc_latest_events",           # new stateful CDC stream
+    "range_join_value_bands",                # new bucketed range join
     "collect_metric_lists_supplier",         # array→csv serialization fix
     "winnowing_fingerprints_documents",      # array→csv serialization fix
     "listing_key_metrics",                   # new read_blob oracle
@@ -89,13 +90,12 @@ _PRIORITY: list[str] = [
     # scalar_string_funcs, timestamp_format_orders, json_extract_events,
     # histogram_quantity, argmax_order, argmax_entity_supplier,
     # grouped_distinct_parts, null_counts_orders, duplicate_count_lineitem,
-    # distinct_counts_lineitem, group_agg_orders)
+    # distinct_counts_lineitem, group_agg_orders, limited_scan_topk)
     "profile_lineitem_stats",
     "pricing_summary",
     "revenue_per_nation",
     "shape_summary_all",
     "record_count_lineitem",
-    "limited_scan_topk",
     "sql_monitor_lineitem",
     "database_monitor_metrics",
     "lookup_join_fill_nation",

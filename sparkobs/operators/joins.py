@@ -15,6 +15,9 @@ primitives:
 - **salted aggregation** — two-stage groupBy for skewed keys: salt →
   partial agg on (key, salt) → final agg on key. AQE handles skewed
   *joins*; skewed *aggregations* still benefit from explicit salting.
+- **range join** — point-in-interval via fixed-width bucketization:
+  equi-join on bucket id + residual predicate instead of the
+  BroadcastNestedLoopJoin a raw theta join plans to.
 """
 
 from __future__ import annotations
@@ -236,3 +239,48 @@ def key_skew_stats(df: DataFrame, key: str, top_n: int = 5) -> DataFrame:
         F.round(F.max("freq") / F.avg("freq"), 4).alias("skew_ratio"),
     )
     return stats.crossJoin(hot)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Point-in-interval range join (``lo <= value <= hi``) WITHOUT the
+    nested-loop plan Spark gives a raw theta join.
+
+    Bucketization: every interval explodes to the fixed-width buckets
+    it covers (cost ∝ span/width rows per interval); every point lands
+    in exactly ONE bucket, so the equi-join on bucket id + the residual
+    range predicate produces each true pair exactly once — no
+    dedup step, no BroadcastNestedLoopJoin, and the shuffle is a plain
+    hash partition on the bucket id. Pick ``bucket_width`` near the
+    TYPICAL interval span: wider buckets mean fewer interval copies but
+    more same-bucket candidates failing the residual check; the classic
+    range-join binning trade. Both inputs keep all their columns.
+    """
+    p = points.withColumn(
+        "__b", F.floor(F.col(value_col) / bucket_width).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width).cast("long"),
+                F.floor(F.col(hi_col) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.alias("p")
+        .join(
+            iv.alias("i"),
+            (F.col("p.__b") == F.col("i.__b"))
+            & (F.col(f"p.{value_col}") >= F.col(f"i.{lo_col}"))
+            & (F.col(f"p.{value_col}") <= F.col(f"i.{hi_col}")),
+        )
+        .drop("__b")
+    )

@@ -2850,6 +2850,53 @@ def pack_sequences_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_join_value_bands",
+    oracle="""
+    WITH bands AS (SELECT s_suppkey,
+                          CAST((s_suppkey % 30) * 10.0 AS DOUBLE) AS lo,
+                          CAST((s_suppkey % 30) * 10.0
+                               + (s_suppkey % 3 + 1) * 5.0 AS DOUBLE) AS hi
+                   FROM supplier)
+    SELECT b.s_suppkey, round(b.lo, 1) AS lo, round(b.hi, 1) AS hi,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 4) AS sum_value
+    FROM bands b JOIN events e ON e.value >= b.lo AND e.value <= b.hi
+    GROUP BY 1, 2, 3
+    """,
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (extension: point-in-interval without the
+    BroadcastNestedLoopJoin a raw theta join gets): supplier-derived
+    value bands joined to event values via interval bucketization —
+    equi-join on bucket id + residual predicate, each true pair
+    produced exactly once (plan-pinned: no nested-loop join). Oracle =
+    the plain theta join in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.joins import range_join
+
+    k = F.col("s_suppkey")
+    bands = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((k % 30) * 10.0).alias("lo"),
+        ((k % 30) * 10.0 + (k % 3 + 1) * 5.0).alias("hi"),
+    )
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return (
+        range_join(ev, bands, "value", "lo", "hi", bucket_width=10.0)
+        .groupBy(
+            "s_suppkey",
+            F.round("lo", 1).alias("lo"),
+            F.round("hi", 1).alias("hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@query(
     "cdc_compact_events",
     oracle="""
     SELECT user_id, ts, event_type, round(value, 4) AS value

@@ -157,3 +157,34 @@ def test_referential_orphans_planted(spark):
     r = referential_orphans(child, parent, "k", "p").collect()[0]
     assert (r.n_child, r.n_orphans, r.n_orphan_keys) == (4, 1, 1)
     assert r.orphan_rate == 0.25
+
+
+def test_range_join_exact_and_no_nested_loop(spark):
+    """Bucketed range join equals the naive theta join and plans as an
+    equi hash join on the bucket id, not BroadcastNestedLoopJoin."""
+    from sparkobs.operators.joins import range_join
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 37)) for i in range(200)], "pid bigint, v double"
+    )
+    ivs = spark.createDataFrame(
+        [(j, float(j * 3 % 30), float(j * 3 % 30 + j % 7)) for j in range(40)],
+        "iid bigint, lo double, hi double",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(pts, ivs, "v", "lo", "hi", bucket_width=5.0).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in pts.join(
+            ivs, (pts.v >= ivs.lo) & (pts.v <= ivs.hi)
+        ).collect()
+    }
+    assert got == naive and got
+    plan = (
+        range_join(pts, ivs, "v", "lo", "hi", bucket_width=5.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
