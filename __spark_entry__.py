@@ -48,6 +48,14 @@ def entry(spark: SparkSession) -> DataFrame:
 GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
+    # --- round-4 wave-2 queries (newest, must certify this round) ---
+    "line_dedup_documents",                  # C4 boilerplate line dedup
+    "bigram_ppl_documents",                  # CCNet LM quality scoring
+    "bloom_probe_documents",                 # portable Bloom incremental dedup
+    "tfidf_topk_documents",                  # TF-IDF keywords
+    "upsample_mixture_documents",            # fractional-epoch mixing
+    "inverted_index_documents",              # postings index
+    "search_and_documents",                  # conjunctive search
     # --- round-4 new/changed queries (must certify this round) ---
     "semantic_dedup_embeddings",             # new SemDeDup-style query
     "semantic_dedup_ivf_embeddings",         # new clustered-corpus tier
@@ -91,25 +99,23 @@ _PRIORITY: list[str] = [
     # histogram_quantity, argmax_order, argmax_entity_supplier,
     # grouped_distinct_parts, null_counts_orders, duplicate_count_lineitem,
     # distinct_counts_lineitem, group_agg_orders, limited_scan_topk)
+    # (rotated out for the wave-2 additions, next gate window:
+    # database_monitor_metrics, metrics_fanin_supplier,
+    # schema_drift_hourly, window_tumbling_hourly, window_sliding,
+    # streaming_count_drift, cosine_topk — all locally green via
+    # `make sweep`)
     "profile_lineitem_stats",
     "pricing_summary",
     "revenue_per_nation",
     "shape_summary_all",
     "record_count_lineitem",
     "sql_monitor_lineitem",
-    "database_monitor_metrics",
     "lookup_join_fill_nation",
-    "metrics_fanin_supplier",
-    "schema_drift_hourly",
     "snapshot_count_delta",
-    "window_tumbling_hourly",
-    "window_sliding",
     "window_session_per_user",
     "streaming_tumbling_events",
-    "streaming_count_drift",
     "exact_dedup_documents",
     "ngram_jaccard_pairs",
-    "cosine_topk",
 ]
 
 

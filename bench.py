@@ -70,6 +70,12 @@ HEADLINE = [
     "fk_orphans_lineitem",
     "cdc_compact_events",
     "streaming_cdc_latest_events",
+    # round-4 wave-2 additions
+    "line_dedup_documents",
+    "bigram_ppl_documents",
+    "bloom_probe_documents",
+    "tfidf_topk_documents",
+    "upsample_mixture_documents",
 ]
 
 

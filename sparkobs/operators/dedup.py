@@ -792,3 +792,103 @@ def duplicated_ngram_spans(
             ).otherwise(F.lit(0.0)).alias("dup_span_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-run incremental dedup: portable Bloom filter
+# ---------------------------------------------------------------------------
+#
+# The continuous-ingest shape: yesterday's corpus is 100 TB and today's
+# delta must be checked against it WITHOUT joining 100 TB. A Bloom
+# filter over the historical content hashes is a few GB of bitmap that
+# broadcasts to every executor; probes are pure expression work. False
+# positives (at the configured rate) go to an exact re-check against
+# the (partition-pruned) historical table; false negatives are
+# impossible, so nothing is ever wrongly dropped as "seen".
+#
+# Hashing is the repo's portable md5 convention (Kirsch-Mitzenmacher
+# ``pos_j = a + j·b`` from the two 15-hex-char halves of one digest),
+# so the SAME bitmap — bit for bit — can be built and probed by any
+# engine with md5() and 64-bit integers, which is what lets the DuckDB
+# oracle certify the whole pipeline by value.
+
+_BLOOM_MOD = 10**17  # both md5 halves reduced below 1e17: a + j·b
+# stays far under 2^63 for any practical k, no overflow in any engine
+
+
+def _bloom_words(
+    df: DataFrame, key_col: str, id_cols: list[str], n_hashes: int, m_bits: int
+) -> DataFrame:
+    """One row per (row, hash function): ``id_cols`` + (widx, mask).
+    32-bit words: ``1 << 31`` fits any signed integer type,
+    sidestepping engine-specific 64-bit shift overflow rules. The
+    shifts are SQL expressions (pyspark's ``shiftleft`` only takes a
+    literal shift amount)."""
+    a = F.conv(F.substring(F.md5(key_col), 1, 15), 16, 10).cast("long") % _BLOOM_MOD
+    b = F.conv(F.substring(F.md5(key_col), 16, 15), 16, 10).cast("long") % _BLOOM_MOD
+    pos = F.explode(
+        F.array(*[(a + F.lit(j) * b) % m_bits for j in range(n_hashes)])
+    ).alias("__pos")
+    return df.select(*id_cols, pos).select(
+        *id_cols,
+        F.expr("int(__pos >> 5)").alias("widx"),
+        F.expr("shiftleft(1L, int(__pos & 31))").alias("mask"),
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_words: int = 256,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Bloom bitmap over ``key_col`` as a (widx, word_bits) DataFrame
+    of at most ``m_words`` rows (32-bit words packed in longs).
+
+    One narrow k-way explode per key → one hash agg (``bit_or`` keyed
+    by word index — m_words partials per input partition regardless of
+    corpus size, so the shuffle is O(m_words), not O(rows)). The
+    result is small by construction and broadcasts to probes. Size m
+    for the historical key count: FP rate ≈ (1 − e^(−k·n/m))^k.
+    """
+    return (
+        _bloom_words(df, key_col, [], n_hashes, m_words * 32)
+        .groupBy("widx")
+        .agg(F.bit_or("mask").alias("word_bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    m_words: int = 256,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Probe every row's ``key_col`` against a :func:`bloom_build`
+    bitmap: ``maybe_seen`` = all k bits set (false positives possible
+    at the configured rate, false negatives impossible).
+
+    The bitmap side is explicitly broadcast — probing never shuffles
+    the probe corpus; a missing word row (no historical key touched
+    that word) reads as all-zero via the left join + coalesce.
+    """
+    probes = _bloom_words(
+        df.select(F.col(id_col).alias("id"), F.col(key_col)),
+        key_col,
+        ["id"],
+        n_hashes,
+        m_words * 32,
+    )
+    hit = (
+        F.coalesce(F.col("word_bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+        == F.col("mask")
+    ).cast("int")
+    return (
+        probes.join(F.broadcast(bloom), "widx", "left")
+        .select("id", hit.alias("hit"))
+        .groupBy("id")
+        .agg((F.sum("hit") == n_hashes).alias("maybe_seen"))
+        .select(F.col("id").alias(id_col), "maybe_seen")
+    )

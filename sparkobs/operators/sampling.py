@@ -111,3 +111,52 @@ def split_assign(
             else F.when(bucket < ub, F.lit(name)).otherwise(expr)
         )
     return df.withColumn(out_col, expr)
+
+
+def upsample_mixture(
+    df: DataFrame,
+    weights: dict,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize a training mixture with FRACTIONAL per-source
+    epochs: weight 2.3 → every doc of that source appears twice, and a
+    deterministic 30% (hash-selected on ``id_col``) appears a third
+    time; weight 0.4 → a 40% hash-sample. The standard "N epochs of
+    Wikipedia, 0.5 epochs of CommonCrawl" mixing step, reproducible
+    across runs/engines/partitionings.
+
+    Plan: weights become a tiny broadcast dimension (one row per
+    source); the epoch count per row is ``floor(w) + (hash_frac <
+    frac(w))`` — row-local arithmetic on the md5 hash — and the copies
+    come from ONE narrow ``explode(sequence(1, n))``: no shuffle
+    anywhere, output size = Σ n_source·w_source by construction.
+    ``epoch`` numbers the copies so downstream packing/shuffling can
+    interleave epochs instead of concatenating them.
+    """
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {s!r} must be >= 0, got {w}")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, float(w)) for s, w in sorted(weights.items())],
+        f"{source_col} string, __w double",
+    )
+    w = F.coalesce(F.col("__w"), F.lit(float(default_weight)))
+    # 4-decimal fixed-point fraction compare: frac(w) and the hash
+    # fraction are both exact integers/1e4, so the `<` is engine-exact
+    frac_sel = (_hash64(id_col, salt) % 10000) < F.round(
+        (w - F.floor(w)) * 10000
+    ).cast("long")
+    n_epochs = F.floor(w).cast("long") + frac_sel.cast("long")
+    return (
+        df.join(F.broadcast(wdf), source_col, "left")
+        .withColumn("__n", n_epochs)
+        .where(F.col("__n") >= 1)
+        .select(
+            *[c for c in df.columns],
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("__n"))).alias("epoch"),
+        )
+    )

@@ -512,3 +512,199 @@ def normalize_text(
         norm.alias("text_norm"),
         (F.length(t) - F.length(norm)).cast("long").alias("n_chars_removed"),
     )
+
+
+def drop_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    delim: str = "\n",
+) -> DataFrame:
+    """Cross-document line-level boilerplate removal — the C4/
+    RefinedWeb cleaning step: a line (nav bar, cookie banner, license
+    header) that appears verbatim in ``min_docs`` or more documents is
+    dropped from every document; the survivors are reassembled in
+    original order.
+
+    Plan shape for 100 TB: lines are keyed by ``md5(line)`` (16-byte
+    shuffle keys, never the raw string); document frequency is ONE
+    hash agg over (line_key → approx-distinct docs is not enough here,
+    exact count_distinct with partial aggregation); the boilerplate
+    SET (only lines at/above the threshold — the Zipf head, tiny
+    relative to the corpus) feeds a ``left_anti`` join, which AQE
+    converts to broadcast at runtime when it fits. Reassembly is one
+    hash agg per doc with an in-group ``array_sort`` on (pos, line) —
+    no global sort. Documents whose every line was boilerplate come
+    back with empty ``clean_text`` via the final right join (they must
+    not vanish: curation needs the "this doc was ALL boilerplate"
+    signal).
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+        )
+        .where(F.col("line") != "")
+        .withColumn("line_key", F.md5(F.col("line")))
+    )
+    boilerplate = (
+        lines.groupBy("line_key")
+        .agg(F.count_distinct("id").alias("line_doc_freq"))
+        .where(F.col("line_doc_freq") >= min_docs)
+        .select("line_key")
+    )
+    kept = lines.join(boilerplate, "line_key", "left_anti")
+    reassembled = kept.groupBy("id").agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(reassembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic keyword/
+    topic signal for corpus curation and near-dup triage.
+
+    idf uses add-one smoothing: ``ln((N+1)/(df+1))``. Two hash aggs
+    (term frequency per (doc, term); document frequency per term —
+    the tf rows are already (doc, term)-distinct so df is a plain
+    count) + one join back on the term key; the corpus size N is a
+    1-row broadcast cross join, never a collect. Ranking is a
+    per-document window (``row_number``), ties broken on the term
+    string; scores on both engines multiply the SAME doubles
+    (``tf · ln(...)`` of integer inputs), so ordering is
+    engine-reproducible.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_nonempty(text_col)).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("doc_freq") + 1)),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "score",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_docs: int = 5,
+) -> DataFrame:
+    """Term → postings-summary index: document frequency, total term
+    frequency, and the ``top_docs`` highest-tf documents per term as a
+    csv string (tf desc, doc id asc — deterministic; arrays don't
+    survive the driver's value-hash canonicalizer).
+
+    At 100 TB the materialized index IS the long (term, doc, tf) table
+    written sorted/bucketed by term — this operator is the summary
+    view over it. One explode → one (doc, term) hash agg (map-side
+    combine absorbs within-doc repeats) → one term-keyed agg; the
+    in-group top-k is ``array_sort`` + ``slice``, never a global sort.
+    """
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens_nonempty(text_col)).alias("term"),
+        )
+        .groupBy("term", "id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct((-F.col("tf")).alias("ntf"), F.col("id")))
+                    ),
+                    1,
+                    top_docs,
+                ),
+                lambda s: s["id"].cast("string"),
+            ),
+        ).alias("top_doc_ids"),
+    )
+
+
+def search_all_terms(
+    df: DataFrame,
+    terms: tuple,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conjunctive (AND) term search over the corpus: documents
+    containing EVERY term in ``terms``, scored by total occurrence
+    count. The query side of :func:`inverted_index` — expressed
+    directly over the corpus so Catalyst pushes the term filter into
+    the scan side of the explode instead of materializing postings.
+
+    One explode → ``isin`` filter (tiny term set, evaluated in
+    codegen) → one doc-keyed agg with a ``count_distinct(term) = n``
+    guard. No joins at all.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_nonempty(text_col)).alias("term"),
+    ).where(F.col("term").isin(list(terms)))
+    return (
+        toks.groupBy("id")
+        .agg(
+            F.count_distinct("term").alias("n_terms"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+        .where(F.col("n_terms") == len(terms))
+        .select(F.col("id").alias(id_col), "n_hits")
+    )

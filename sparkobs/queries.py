@@ -4019,3 +4019,259 @@ def fd_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fd_violations(
         load_table(spark, sf_dir, "orders"), "o_custkey", "o_orderstatus"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 extension wave 2 — corpus cleaning / LM scoring / search
+# ---------------------------------------------------------------------------
+
+_DOC_TOKS_CTE = (
+    "t AS (SELECT doc_id, "
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk "
+    "FROM documents)"
+)
+
+
+@query(
+    "line_dedup_documents",
+    oracle=f"""
+    WITH {_DOC_TOKS_CTE},
+    ln0 AS (SELECT doc_id,
+                   unnest(list_transform(range(0, CAST(ceil(len(tk) / 8.0) AS INT)),
+                                         i -> {{'pos': i, 'line': array_to_string(tk[i*8+1:i*8+8], ' ')}})) AS l
+            FROM t),
+    lp AS (SELECT doc_id, l.pos AS pos, l.line AS line FROM ln0 WHERE l.line <> ''),
+    bp AS (SELECT line FROM lp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+    kept AS (SELECT doc_id, pos, line FROM lp WHERE line NOT IN (SELECT line FROM bp)),
+    agg AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY pos) AS clean_text
+            FROM kept GROUP BY 1),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM lp GROUP BY 1)
+    SELECT t.doc_id,
+           coalesce(agg.clean_text, '') AS clean_text,
+           CAST(coalesce(tot.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
+    FROM t LEFT JOIN agg USING(doc_id) LEFT JOIN tot USING(doc_id)
+    """,
+)
+def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document boilerplate line removal (extension:
+    dedup). The corpus is single-line, so the query first stages each
+    document into deterministic 8-token lines (the same staging both
+    engines compute), then drops every line that appears verbatim in
+    >= 3 documents and reassembles the survivors in order."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.text import drop_boilerplate_lines, tokens_nonempty
+
+    # tokens materialize as a column FIRST: slicing inside the
+    # transform lambda must reference the attribute, not the
+    # filter(split(...)) expression — a lambda body re-evaluates its
+    # free subexpressions per element (the O(tokens²) trap documented
+    # in sparkobs/operators/lm.py doc_bigrams)
+    toks_df = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_nonempty("text").alias("__tk")
+    )
+    n_lines = F.ceil(F.size("__tk") / F.lit(8.0)).cast("int")
+    lines = F.when(
+        n_lines > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(F.col("__tk"), i * 8 + 1, 8), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = toks_df.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+    return drop_boilerplate_lines(staged, min_docs=3)
+
+
+@query(
+    "bigram_ppl_documents",
+    oracle=f"""
+    WITH {_DOC_TOKS_CTE},
+    bg0 AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(tk)),
+                                         i -> {{'w1': tk[i], 'w2': tk[i+1]}})) AS b
+            FROM t WHERE len(tk) >= 2),
+    bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+    m12 AS (SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY 1, 2),
+    m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM m12 GROUP BY 1),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM m1),
+    sc AS (SELECT doc_id,
+                  ln((c12 + 0.5) / (c1 + 0.5 * vocab_size)) AS lp
+           FROM bgf JOIN m12 USING(w1, w2) JOIN m1 USING(w1) CROSS JOIN v)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(lp), 4) AS avg_nll,
+           round(exp(-avg(lp)), 4) AS ppl
+    FROM sc GROUP BY 1
+    """,
+)
+def bigram_ppl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (extension: text analysis):
+    self-trained add-0.5-smoothed bigram model, per-document
+    perplexity — the "how surprising is this document" curation
+    signal."""
+    from sparkobs.operators.lm import bigram_perplexity
+
+    return bigram_perplexity(load_table(spark, sf_dir, "documents"))
+
+
+def _bloom_oracle(m_words: int = 256, n_hashes: int = 4) -> str:
+    m_bits = m_words * 32
+    js = ", ".join(str(j) for j in range(n_hashes))
+    mask = "(CAST(1 AS BIGINT) << CAST(p & 31 AS INT))"
+    return f"""
+    WITH sd AS (SELECT md5(text) AS d FROM documents WHERE doc_id % 2 = 0),
+    sp AS (SELECT {_hex15_sql('d')} % 100000000000000000 AS a,
+                  {_hex15_sql('d', start=16)} % 100000000000000000 AS b
+           FROM sd),
+    pos AS (SELECT (a + j * b) % {m_bits} AS p
+            FROM sp CROSS JOIN (SELECT unnest([{js}]) AS j)),
+    bm AS (SELECT p >> 5 AS widx, bit_or({mask}) AS word_bits
+           FROM pos GROUP BY 1),
+    pr AS (SELECT doc_id, md5(text) AS d FROM documents),
+    pp AS (SELECT doc_id,
+                  {_hex15_sql('d')} % 100000000000000000 AS a,
+                  {_hex15_sql('d', start=16)} % 100000000000000000 AS b
+           FROM pr),
+    ppos AS (SELECT doc_id, (a + j * b) % {m_bits} AS p
+             FROM pp CROSS JOIN (SELECT unnest([{js}]) AS j)),
+    hits AS (SELECT doc_id,
+                    CASE WHEN (coalesce(word_bits, 0) & {mask}) = {mask}
+                         THEN 1 ELSE 0 END AS hit
+             FROM ppos LEFT JOIN bm ON (p >> 5) = bm.widx)
+    SELECT doc_id, sum(hit) = {n_hashes} AS maybe_seen,
+           doc_id % 2 = 0 AS actually_seen
+    FROM hits GROUP BY 1
+    """
+
+
+@query("bloom_probe_documents", oracle=_bloom_oracle())
+def bloom_probe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental dedup via portable Bloom filter
+    (extension: dedup): the even-doc_id half of the corpus plays the
+    "previous run" whose content hashes built the bitmap; every
+    document probes it. maybe_seen false => certainly new;
+    actually_seen exposes the false-positive surface for the exact
+    re-check stage."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.dedup import bloom_build, bloom_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    bloom = bloom_build(docs.where(F.col("doc_id") % 2 == 0), "text")
+    return bloom_probe(docs, bloom, "text").select(
+        "doc_id",
+        "maybe_seen",
+        (F.col("doc_id") % 2 == 0).alias("actually_seen"),
+    )
+
+
+@query(
+    "tfidf_topk_documents",
+    oracle=f"""
+    WITH {_DOC_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    sc AS (SELECT doc_id, term, tf,
+                  round(tf * ln((n_docs + 1) / (doc_freq + 1)), 4) AS score
+           FROM tf JOIN dfq USING(term) CROSS JOIN n),
+    rk AS (SELECT doc_id, term, tf, score,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term ASC) AS rnk
+           FROM sc)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= 3
+    """,
+)
+def tfidf_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (extension: text analysis).
+    Both engines rank by the ROUNDED score with the term string as
+    tie-break, so ordering is engine-exact."""
+    from sparkobs.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "upsample_mixture_documents",
+    oracle="""
+    WITH w AS (SELECT * FROM (VALUES ('src0', CAST(2.5 AS DOUBLE)),
+                                     ('src1', CAST(0.5 AS DOUBLE))) AS v(source, wt)),
+    d AS (SELECT doc_id, source, coalesce(wt, 1.0) AS wt
+          FROM documents LEFT JOIN w USING(source)),
+    h AS (SELECT doc_id, source, wt, md5('mix' || CAST(doc_id AS VARCHAR)) AS dg FROM d),
+    e AS (SELECT doc_id, source,
+                 CAST(floor(wt) AS BIGINT)
+                 + CASE WHEN """ + _hex15_sql("dg") + """ % 10000
+                             < CAST(round((wt - floor(wt)) * 10000) AS BIGINT)
+                        THEN 1 ELSE 0 END AS n
+          FROM h)
+    SELECT doc_id, source, CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch
+    FROM e WHERE n >= 1
+    """,
+)
+def upsample_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch mixture materialization (extension: sampling):
+    src0 at 2.5 epochs, src1 at 0.5, everything else 1.0 — the
+    deterministic "N epochs of source X" data-mixing step."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.sampling import upsample_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return upsample_mixture(docs, {"src0": 2.5, "src1": 0.5}, salt="mix").select(
+        "doc_id", "source", F.col("epoch").cast("long").alias("epoch")
+    )
+
+
+@query(
+    "inverted_index_documents",
+    oracle=f"""
+    WITH {_DOC_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+    st AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+                  CAST(sum(tf) AS BIGINT) AS total_tf
+           FROM tf GROUP BY 1),
+    rk AS (SELECT term, doc_id, tf,
+                  row_number() OVER (PARTITION BY term
+                                     ORDER BY tf DESC, doc_id ASC) AS rn
+           FROM tf),
+    top AS (SELECT term,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY tf DESC, doc_id ASC) AS top_doc_ids
+            FROM rk WHERE rn <= 5 GROUP BY 1)
+    SELECT st.term, doc_freq, total_tf, top_doc_ids
+    FROM st JOIN top USING(term)
+    """,
+)
+def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term -> postings-summary inverted index (extension: search):
+    document frequency, total tf, and the 5 highest-tf docs per term
+    as a deterministic csv."""
+    from sparkobs.operators.text import inverted_index
+
+    return inverted_index(load_table(spark, sf_dir, "documents"), top_docs=5)
+
+
+@query(
+    "search_and_documents",
+    oracle=f"""
+    WITH {_DOC_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(tk) AS term FROM t)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM tok WHERE term IN ('table', 'hash')
+    GROUP BY 1 HAVING count(DISTINCT term) = 2
+    """,
+)
+def search_and_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive term search (extension: search): documents
+    containing BOTH 'table' and 'hash', scored by total occurrences."""
+    from sparkobs.operators.text import search_all_terms
+
+    return search_all_terms(
+        load_table(spark, sf_dir, "documents"), ("table", "hash")
+    )

@@ -1,0 +1,186 @@
+"""Round-4 wave-2 corpus operators: boilerplate line dedup, bigram-LM
+scoring, Bloom-filter incremental dedup, TF-IDF, mixture upsampling,
+inverted index / search."""
+
+import math
+
+from pyspark.sql import functions as F
+
+import sparkobs.queries as Q
+from sparkobs.operators.dedup import bloom_build, bloom_probe
+from sparkobs.operators.lm import bigram_perplexity
+from sparkobs.operators.sampling import upsample_mixture
+from sparkobs.operators.text import (
+    drop_boilerplate_lines,
+    search_all_terms,
+    tfidf_top_terms,
+)
+from sparkobs.plans import assert_broadcast_join, assert_no_cartesian, physical_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_boilerplate_lines_dropped_and_order_kept(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "keep me\ncookie banner\nunique tail"),
+            (2, "cookie banner\nanother keeper"),
+            (3, "cookie banner"),
+            (4, "cookie banner\ncookie banner"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in drop_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert out[1]["clean_text"] == "keep me\nunique tail"
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 2
+    assert out[2]["clean_text"] == "another keeper"
+    # all-boilerplate docs survive with empty text, not vanish
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_lines"] == 2
+
+
+def test_boilerplate_threshold_counts_docs_not_occurrences(spark):
+    # 3 occurrences inside ONE doc must not cross a min_docs=2 bar
+    df = spark.createDataFrame(
+        [(1, "x\nx\nx"), (2, "y")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in drop_boilerplate_lines(df, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "x\nx\nx"
+
+
+def test_bigram_perplexity_matches_hand_computation(spark):
+    # corpus: "a b a b" — bigrams ab, ba, ab; contexts a->2, b->1;
+    # vocab (contexts) = 2, alpha = 0.5
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    row = bigram_perplexity(df).collect()[0]
+    p_ab = (2 + 0.5) / (2 + 0.5 * 2)
+    p_ba = (1 + 0.5) / (1 + 0.5 * 2)
+    nll = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert row["n_bigrams"] == 3
+    assert row["avg_nll"] == round(nll, 4)
+    assert row["ppl"] == round(math.exp(nll), 4)
+
+
+def test_bigram_perplexity_skips_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "only"), (2, ""), (3, "two tokens")], "doc_id long, text string"
+    )
+    ids = {r["doc_id"] for r in bigram_perplexity(df).collect()}
+    assert ids == {3}
+
+
+def test_bigram_perplexity_flags_out_of_model_docs(spark):
+    # scoring a held-out doc against a trained model: unseen bigrams
+    # fall back to smoothing mass -> much higher ppl than in-model text
+    from sparkobs.operators.lm import doc_bigrams, train_bigram_model
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    model = train_bigram_model(doc_bigrams(train))
+    test = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (200, "zq xv qqq zzz pp ww")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["ppl"] for r in bigram_perplexity(test, model=model).collect()}
+    assert out[200] > out[100] * 2
+
+
+def test_bloom_no_false_negatives(spark):
+    df = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(200)], "doc_id long, text string"
+    )
+    seen = df.where(F.col("doc_id") % 2 == 0)
+    bloom = bloom_build(seen, "text")
+    out = {r["doc_id"]: r["maybe_seen"] for r in bloom_probe(df, bloom, "text").collect()}
+    for i in range(0, 200, 2):
+        assert out[i], f"false negative for seen key {i}"
+    # at 200 keys in 8192 bits the FP rate is ~1e-4: odd keys are new
+    fps = sum(1 for i in range(1, 200, 2) if out[i])
+    assert fps <= 2
+
+
+def test_bloom_probe_broadcasts_bitmap(spark):
+    df = Q.SPARK_QUERIES["bloom_probe_documents"](spark, SF)
+    assert_broadcast_join(df)
+    assert "BatchEvalPython" not in physical_plan(df)
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "shared shared rare rare rare"),
+            (2, "shared shared other"),
+            (3, "shared zebra"),
+        ],
+        "doc_id long, text string",
+    )
+    top = {
+        r["doc_id"]: r["term"]
+        for r in tfidf_top_terms(df, k=1).collect()
+    }
+    # 'shared' is in every doc (idf = ln(4/4) = 0) — never the top term
+    assert top[1] == "rare" and top[2] == "other" and top[3] == "zebra"
+
+
+def test_tfidf_uses_window_group_limit(spark):
+    df = Q.SPARK_QUERIES["tfidf_topk_documents"](spark, SF)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert_no_cartesian(df)
+
+
+def test_upsample_mixture_epoch_counts(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(400)], "doc_id long, source string"
+    )
+    out = (
+        upsample_mixture(
+            df, {"s0": 2.0, "s1": 0.5, "s2": 0.0}, id_col="doc_id"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("epoch").alias("max_epoch"),
+        )
+        .collect()
+    )
+    by_src = {r["source"]: r for r in out}
+    assert by_src["s0"]["n"] == 200 and by_src["s0"]["max_epoch"] == 2
+    assert "s2" not in by_src  # weight 0 drops the source
+    assert by_src["s3"]["n"] == 100  # default weight 1.0
+    assert 25 <= by_src["s1"]["n"] <= 75  # ~50% hash-selected
+
+
+def test_upsample_mixture_is_shuffle_free(spark):
+    df = Q.SPARK_QUERIES["upsample_mixture_documents"](spark, SF)
+    plan = physical_plan(df)
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_search_requires_all_terms(spark):
+    df = spark.createDataFrame(
+        [(1, "table hash join"), (2, "table scan"), (3, "hash hash table")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_hits"] for r in search_all_terms(df, ("table", "hash")).collect()}
+    assert set(out) == {1, 3}
+    assert out[3] == 3  # two 'hash' + one 'table'
+
+
+def test_search_has_no_joins(spark):
+    df = Q.SPARK_QUERIES["search_and_documents"](spark, SF)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+
+
+def test_line_dedup_query_no_python_no_cartesian(spark):
+    df = Q.SPARK_QUERIES["line_dedup_documents"](spark, SF)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert_no_cartesian(df)

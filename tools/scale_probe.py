@@ -167,6 +167,42 @@ def probes():
             emb, threshold=0.95, tier="ivf", n_clusters=None
         )
 
+    def line_dedup(docs, ev, emb):
+        from sparkobs.operators.text import drop_boilerplate_lines, tokens_nonempty
+
+        toks_df = docs.select("doc_id", tokens_nonempty("text").alias("__tk"))
+        n_lines = F.ceil(F.size("__tk") / F.lit(8.0)).cast("int")
+        lines = F.when(
+            n_lines > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(F.slice(F.col("__tk"), i * 8 + 1, 8), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        staged = toks_df.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+        return drop_boilerplate_lines(staged, min_docs=3)
+
+    def bigram_ppl(docs, ev, emb):
+        from sparkobs.operators.lm import bigram_perplexity
+
+        return bigram_perplexity(docs)
+
+    def bloom(docs, ev, emb):
+        from sparkobs.operators.dedup import bloom_build, bloom_probe
+
+        b = bloom_build(docs.where(F.col("doc_id") % 2 == 0), "text")
+        return bloom_probe(docs, b, "text")
+
+    def tfidf(docs, ev, emb):
+        from sparkobs.operators.text import tfidf_top_terms
+
+        return tfidf_top_terms(docs, k=3)
+
+    def upsample(docs, ev, emb):
+        from sparkobs.operators.sampling import upsample_mixture
+
+        return upsample_mixture(docs, {"src0": 2.5, "src1": 0.5})
+
     return {
         "winnowing_xx64": winnow,
         "resize_synth": resize,
@@ -181,6 +217,11 @@ def probes():
         "key_skew_stats": skew,
         "split_assign": split,
         "semantic_dedup": semdedup,
+        "line_dedup": line_dedup,
+        "bigram_ppl": bigram_ppl,
+        "bloom_probe": bloom,
+        "tfidf_topk": tfidf,
+        "upsample_mixture": upsample,
     }
 
 
