@@ -48,6 +48,14 @@ def entry(spark: SparkSession) -> DataFrame:
 GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
+    # --- round-4 wave-3 queries (newest, must certify this round) ---
+    "bpe_merges_documents",                  # distributed BPE training
+    "bpe_tokenize_documents",                # BPE train->apply round trip
+    "table_diff_orders",                     # row-level reconciliation
+    "quantile_bins_lineitem",                # equal-frequency binning
+    "quantize_embeddings_vectors",           # int8 embedding quantization
+    "cms_vocab_estimates",                   # count-min sketch
+    "zorder_tiles_events",                   # Z-order layout keys
     # --- round-4 wave-2 queries (newest, must certify this round) ---
     "line_dedup_documents",                  # C4 boilerplate line dedup
     "bigram_ppl_documents",                  # CCNet LM quality scoring
@@ -99,23 +107,19 @@ _PRIORITY: list[str] = [
     # histogram_quantity, argmax_order, argmax_entity_supplier,
     # grouped_distinct_parts, null_counts_orders, duplicate_count_lineitem,
     # distinct_counts_lineitem, group_agg_orders, limited_scan_topk)
-    # (rotated out for the wave-2 additions, next gate window:
+    # (rotated out for the wave-2/3 additions, next gate window:
     # database_monitor_metrics, metrics_fanin_supplier,
     # schema_drift_hourly, window_tumbling_hourly, window_sliding,
-    # streaming_count_drift, cosine_topk — all locally green via
-    # `make sweep`)
+    # streaming_count_drift, cosine_topk, record_count_lineitem,
+    # sql_monitor_lineitem, lookup_join_fill_nation,
+    # snapshot_count_delta, window_session_per_user,
+    # streaming_tumbling_events, ngram_jaccard_pairs — all locally
+    # green via `make sweep`)
     "profile_lineitem_stats",
     "pricing_summary",
     "revenue_per_nation",
     "shape_summary_all",
-    "record_count_lineitem",
-    "sql_monitor_lineitem",
-    "lookup_join_fill_nation",
-    "snapshot_count_delta",
-    "window_session_per_user",
-    "streaming_tumbling_events",
     "exact_dedup_documents",
-    "ngram_jaccard_pairs",
 ]
 
 

@@ -76,6 +76,12 @@ HEADLINE = [
     "bloom_probe_documents",
     "tfidf_topk_documents",
     "upsample_mixture_documents",
+    "bpe_merges_documents",
+    "table_diff_orders",
+    "quantile_bins_lineitem",
+    "quantize_embeddings_vectors",
+    "cms_vocab_estimates",
+    "zorder_tiles_events",
 ]
 
 

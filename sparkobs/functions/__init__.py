@@ -65,3 +65,30 @@ def flatten_struct(df: DataFrame, sep: str = "__") -> DataFrame:
     for f in df.schema.fields:
         rec([f.name], f.dataType)
     return df.select(*cols)
+
+
+def z_order_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
+    """Morton/Z-order interleave of two non-negative ``bits``-wide
+    integer columns into one BIGINT sort key: writing a table sorted
+    by it co-locates rows that are close in BOTH dimensions, so
+    two-sided range predicates prune file/row-group statistics instead
+    of scanning one dimension's stripes — the multi-dimensional layout
+    trick behind Delta/Iceberg Z-ordering, as a pure expression.
+
+    Built as a Σ ((x>>i & 1) << 2i) | ((y>>i & 1) << 2i+1) expression
+    tree (2·bits codegen'd terms, no UDF); callers quantize
+    non-integer dimensions first (e.g. :func:`~sparkobs.operators.
+    state.quantile_bins` edges → bucket ordinals).
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    xc = F.col(x).cast("long") if isinstance(x, str) else x.cast("long")
+    yc = F.col(y).cast("long") if isinstance(y, str) else y.cast("long")
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out

@@ -399,3 +399,72 @@ def fd_violations(df: DataFrame, determinant: str, dependent: str) -> DataFrame:
         .cast("long")
         .alias("violating_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: bounded-memory frequency estimation
+# ---------------------------------------------------------------------------
+
+_CMS_MOD = 10**17
+
+
+def _cms_cells(df: DataFrame, key_col: str, id_cols: list[str], depth: int, width: int) -> DataFrame:
+    """One row per (input row, sketch row): ``id_cols`` + (d, w). Cell
+    column per depth d is the repo's portable md5 double-hash
+    ``(a + d·b) mod width`` — bit-reproducible in any engine, so the
+    sketch itself (not just its estimates) is oracle-checkable."""
+    a = F.conv(F.substring(F.md5(key_col), 1, 15), 16, 10).cast("long") % _CMS_MOD
+    b = F.conv(F.substring(F.md5(key_col), 16, 15), 16, 10).cast("long") % _CMS_MOD
+    cell = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"), ((a + F.lit(d) * b) % width).alias("w")
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("__c")
+    return df.select(*id_cols, cell).select(
+        *id_cols, F.col("__c.d").alias("d"), F.col("__c.w").alias("w")
+    )
+
+
+def cms_build(df: DataFrame, key_col: str, depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-min sketch of ``key_col`` occurrences: a (d, w, cnt) table
+    of at most depth·width rows. One narrow depth-way explode → one
+    hash agg whose shuffle is O(depth·width) partial rows per input
+    partition — corpus size never reaches the reduce side. Estimates
+    are upper bounds (over by ≤ εN with ε ≈ e/width at the usual
+    confidence); mergeable across batches/days by cellwise sum, which
+    is what makes it the streaming/continuous-ingest frequency
+    baseline where exact top-k state would grow unboundedly."""
+    return (
+        _cms_cells(df, key_col, [], depth, width)
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    probes: DataFrame,
+    cms: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes``' distinct keys:
+    ``min`` over the key's ``depth`` sketch cells. The sketch side is
+    a broadcast (≤ depth·width rows by construction); the probe side
+    never shuffles more than its distinct keys.
+
+    ``depth``/``width`` MUST match the :func:`cms_build` call that made
+    ``cms`` — a mismatch re-hashes probes into cells the sketch never
+    populated and silently underestimates (a present key can read 0).
+    """
+    cells = _cms_cells(probes.select(key_col).distinct(), key_col, [key_col], depth, width)
+    return (
+        cells.join(F.broadcast(cms), ["d", "w"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count"))
+    )

@@ -763,3 +763,50 @@ def embedding_near_dup_pairs_ivf(
         .applyInPandas(bucket_pairs, "id_a bigint, id_b bigint, cosine double")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale = max|x|/127``,
+    ``code_i = round(x_i/scale)`` — the 4× memory cut that makes a
+    100 TB embedding corpus broadcast/cache-able for ANN, plus the
+    reconstruction-error stats that tell you whether recall will
+    survive it.
+
+    Pure row-local expression work (transform/aggregate over the
+    array — no shuffle, no UDF); codes are emitted as a csv string
+    (the driver-hashable form; a production sink would write
+    ``array<tinyint>``). Zero vectors get scale 0 and all-zero codes
+    rather than NaN.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    codes = F.when(
+        amax > 0,
+        F.transform(v, lambda x: F.round(x / (amax / F.lit(127.0))).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    recon_err = F.when(
+        amax > 0,
+        F.aggregate(
+            F.zip_with(
+                v,
+                codes,
+                lambda x, q: (x - q * (amax / F.lit(127.0)))
+                * (x - q * (amax / F.lit(127.0))),
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        ),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.round(F.sqrt(recon_err / F.size(v)), 6).alias("rms_err"),
+        F.concat_ws(",", F.transform(codes, lambda c: c.cast("string"))).alias(
+            "codes"
+        ),
+    )

@@ -216,3 +216,87 @@ def latest_by_key(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Row-level reconciliation between two versions of a table: which
+    keys were ``added``, ``removed``, or ``changed`` (and optionally
+    ``unchanged``) — the snapshot-delta operator generalized from
+    counts (:func:`count_delta`) to row identity.
+
+    Rows are compared by ``md5`` of the stringified ``compare_cols``
+    struct (all non-key columns by default), computed map-side on each
+    leg — the shuffle moves (key, 16-byte hash), never the wide rows.
+    One full outer join on the key; at 100 TB both legs pre-partition
+    on the same key so the join co-locates, and ``include_unchanged=
+    False`` (default) keeps the output ∝ churn, not table size.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in key_cols]
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        cols = F.struct(*[F.col(c).cast("string") for c in compare_cols])
+        return df.select(
+            *key_cols, F.md5(F.to_json(cols)).alias(f"__h_{tag}")
+        )
+    j = hashed(old, "old").join(hashed(new, "new"), key_cols, "full_outer")
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(*key_cols, status.alias("diff_status"))
+    if not include_unchanged:
+        out = out.where(F.col("diff_status") != "unchanged")
+    return out
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 4,
+) -> DataFrame:
+    """Equal-frequency discretization: assign every row to one of
+    ``n_bins`` quantile buckets of ``value_col`` and report per-bin
+    occupancy and value range — the binning step behind monotonic
+    feature transforms, drift baselines, and balanced range
+    partitioning.
+
+    Interior quantile edges come from ONE exact ``percentile`` pass
+    (a 1-row aggregate broadcast back via cross join — no collect);
+    edges are rounded to 4 decimals IN-QUERY so bin assignment is
+    engine-reproducible (both engines interpolate with the same
+    (n-1)·q rule, but the rounding pins the last bit). Assignment is
+    ``size(filter(edges, e -> value > e))`` — row-local, no shuffle
+    beyond the final per-bin agg. At 100 TB swap the exact percentile
+    for ``percentile_approx`` (documented sketch mode, same shape).
+    """
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = df.agg(
+        F.transform(
+            F.percentile(F.col(value_col).cast("double"), F.array(*[F.lit(q) for q in qs])),
+            lambda e: F.round(e, 4),
+        ).alias("__edges")
+    )
+    binned = df.crossJoin(F.broadcast(edges)).select(
+        F.col(value_col).cast("double").alias("v"), "__edges"
+    )
+    return (
+        binned.select(
+            (F.size(F.filter("__edges", lambda e: F.col("v") > e)) + 1).alias("bin"),
+            "v",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.min("v"), 4).alias("min_val"),
+            F.round(F.max("v"), 4).alias("max_val"),
+        )
+        .select(F.col("bin").cast("long").alias("bin"), "n_rows", "min_val", "max_val")
+    )

@@ -4275,3 +4275,301 @@ def search_and_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_all_terms(
         load_table(spark, sf_dir, "documents"), ("table", "hash")
     )
+
+
+_ORDERS_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+
+def _table_diff_oracle() -> str:
+    eq = " AND ".join(
+        f"o.{c} IS NOT DISTINCT FROM n.{c}" for c in _ORDERS_COLS[1:]
+    )
+    return f"""
+    WITH old AS (SELECT * FROM orders WHERE o_orderkey % 100 <> 2),
+    new AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 100 = 1
+                        THEN round(o_totalprice * 2, 2)
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 100 <> 0),
+    j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                 CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                      WHEN n.o_orderkey IS NULL THEN 'removed'
+                      WHEN {eq} THEN 'unchanged'
+                      ELSE 'changed' END AS diff_status
+          FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+    SELECT o_orderkey, diff_status FROM j WHERE diff_status <> 'unchanged'
+    """
+
+
+@query("table_diff_orders", oracle=_table_diff_oracle())
+def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level table reconciliation (extension: state/delta): two
+    deterministic versions of orders — keys ≡0 (mod 100) removed,
+    ≡1 changed (price doubled), ≡2 added — diffed down to
+    added/removed/changed statuses."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.state import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 100 != 2)
+    new = orders.where(F.col("o_orderkey") % 100 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 100 == 1, F.round(F.col("o_totalprice") * 2, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return table_diff(old, new, ["o_orderkey"])
+
+
+@query(
+    "quantile_bins_lineitem",
+    oracle="""
+    WITH e AS (SELECT [round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 4),
+                       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50), 4),
+                       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 4)] AS edges
+               FROM lineitem),
+    b AS (SELECT CAST(len(list_filter(edges, x -> CAST(l_extendedprice AS DOUBLE) > x)) + 1 AS BIGINT) AS bin,
+                 CAST(l_extendedprice AS DOUBLE) AS v
+          FROM lineitem CROSS JOIN e)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(v), 4) AS min_val, round(max(v), 4) AS max_val
+    FROM b GROUP BY 1
+    """,
+)
+def quantile_bins_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency quartile binning of l_extendedprice (extension:
+    profiling) — exact interior edges rounded in-query on both engines
+    so assignment is reproducible."""
+    from sparkobs.operators.state import quantile_bins
+
+    return quantile_bins(load_table(spark, sf_dir, "lineitem"), "l_extendedprice", 4)
+
+
+@query(
+    "quantize_embeddings_vectors",
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM v),
+    q AS (SELECT vec_id, e, amax,
+                 CASE WHEN amax > 0
+                      THEN list_transform(e, x -> CAST(round(x / (amax / 127.0)) AS INT))
+                      ELSE list_transform(e, x -> 0) END AS codes
+          FROM m)
+    SELECT vec_id,
+           round(CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END, 6) AS scale,
+           round(CASE WHEN amax > 0
+                      THEN sqrt(list_sum(list_transform(range(1, len(e) + 1),
+                                 i -> pow(e[i] - codes[i] * (amax / 127.0), 2))) / len(e))
+                      ELSE 0.0 END, 6) AS rms_err,
+           array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ',') AS codes
+    FROM q
+    """,
+)
+def quantize_embeddings_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization + reconstruction error (extension:
+    embeddings) — the 4× compression step before broadcast/caching a
+    corpus for ANN."""
+    from sparkobs.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+def _cms_oracle(depth: int = 4, width: int = 256) -> str:
+    ds = ", ".join(str(d) for d in range(depth))
+    return f"""
+    WITH {_DOC_TOKS_CTE},
+    tok AS (SELECT unnest(tk) AS token FROM t),
+    occ AS (SELECT token, md5(token) AS dg FROM tok),
+    h AS (SELECT token,
+                 {_hex15_sql('dg')} % 100000000000000000 AS a,
+                 {_hex15_sql('dg', start=16)} % 100000000000000000 AS b
+          FROM occ),
+    cells AS (SELECT d, (a + d * b) % {width} AS w
+              FROM h CROSS JOIN (SELECT unnest([{ds}]) AS d)),
+    cms AS (SELECT d, w, count(*) AS cnt FROM cells GROUP BY 1, 2),
+    tc AS (SELECT token, count(*) AS true_count FROM tok GROUP BY 1),
+    top AS (SELECT token, true_count FROM tc
+            ORDER BY true_count DESC, token LIMIT 20),
+    ph AS (SELECT token, true_count, md5(token) AS dg FROM top),
+    ph2 AS (SELECT token, true_count,
+                   {_hex15_sql('dg')} % 100000000000000000 AS a,
+                   {_hex15_sql('dg', start=16)} % 100000000000000000 AS b
+            FROM ph),
+    pc AS (SELECT token, true_count, d, (a + d * b) % {width} AS w
+           FROM ph2 CROSS JOIN (SELECT unnest([{ds}]) AS d)),
+    est AS (SELECT token, true_count,
+                   CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
+            FROM pc LEFT JOIN cms USING (d, w) GROUP BY 1, 2)
+    SELECT token, CAST(true_count AS BIGINT) AS true_count, est_count,
+           CAST(est_count - true_count AS BIGINT) AS overcount
+    FROM est
+    """
+
+
+@query("cms_vocab_estimates", oracle=_cms_oracle())
+def cms_vocab_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation (extension: profiling):
+    sketch every token occurrence, then estimate the top-20 vocabulary
+    tokens against their true counts — overcount is the sketch's
+    collision error, always >= 0."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.profile import cms_build, cms_estimate
+    from sparkobs.operators.text import tokens_nonempty, vocab_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_nonempty("text")).alias("token"))
+    cms = cms_build(toks, "token")
+    top = vocab_topk(docs, 20).select(
+        "token", F.col("n_occurrences").cast("long").alias("true_count")
+    )
+    est = cms_estimate(top, cms, "token")
+    return top.join(est, "token").select(
+        "token",
+        "true_count",
+        "est_count",
+        (F.col("est_count") - F.col("true_count")).cast("long").alias("overcount"),
+    )
+
+
+def _zorder_oracle(bits: int = 9) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    z = " | ".join(terms)
+    return f"""
+    WITH xy AS (SELECT CAST(user_id AS BIGINT) AS x,
+                       CAST(floor(value) AS BIGINT) AS y
+                FROM events),
+    z AS (SELECT x, y, ({z}) AS zkey FROM xy)
+    SELECT CAST(zkey >> 6 AS BIGINT) AS tile,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(zkey) AS BIGINT) AS min_zkey,
+           CAST(max(zkey) AS BIGINT) AS max_zkey
+    FROM z GROUP BY 1
+    """
+
+
+@query("zorder_tiles_events", oracle=_zorder_oracle())
+def zorder_tiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout keys (extension: storage layout): Morton-
+    interleave (user_id, floor(value)) and summarize 64-key tiles —
+    the sort key that makes two-sided range predicates prune parquet
+    row-group stats. Writing sorted by zkey is the layout step; the
+    tile summary is the oracle-checkable view."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.functions import z_order_key
+
+    ev = load_table(spark, sf_dir, "events")
+    z = ev.select(
+        z_order_key(
+            F.col("user_id"), F.floor(F.col("value")).cast("long"), bits=9
+        ).alias("zkey")
+    )
+    return (
+        z.groupBy(F.shiftright("zkey", 6).cast("long").alias("tile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("zkey").cast("long").alias("min_zkey"),
+            F.max("zkey").cast("long").alias("max_zkey"),
+        )
+    )
+
+
+def _bpe_ctes(n_merges: int) -> str:
+    """Chained-CTE replay of the BPE training loop (see
+    sparkobs/operators/bpe.py for the canonical-string merge
+    representation that makes each round ONE literal replace)."""
+    parts = [
+        _DOC_TOKS_CTE,
+        """wf AS (SELECT word, count(*) AS freq
+             FROM (SELECT unnest(tk) AS word FROM t) GROUP BY 1)""",
+        """w0 AS (SELECT freq,
+                  ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+                                                        i -> word[i]), '  ') || ' ' AS sym
+           FROM wf)""",
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""
+    p{k} AS (SELECT z[1] AS lhs, z[2] AS rhs, CAST(sum(freq) AS BIGINT) AS pair_freq
+             FROM (SELECT freq,
+                          unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS z
+                   FROM (SELECT string_split(trim(sym), '  ') AS syms, freq FROM w{k-1}))
+             GROUP BY 1, 2),
+    top{k} AS (SELECT lhs, rhs, pair_freq FROM p{k}
+               ORDER BY pair_freq DESC, lhs, rhs LIMIT 1),
+    w{k} AS (SELECT freq,
+                    replace(sym, ' ' || lhs || '  ' || rhs || ' ',
+                                 ' ' || lhs || rhs || ' ') AS sym
+             FROM w{k-1} CROSS JOIN top{k})""")
+    return ",\n".join(parts)
+
+
+_BPE_N_MERGES = 6
+
+
+def _bpe_merges_oracle(n_merges: int = _BPE_N_MERGES) -> str:
+    steps = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS step, lhs, rhs, lhs || rhs AS merged, pair_freq FROM top{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_ctes(n_merges)}\n    {steps}"
+
+
+@query("bpe_merges_documents", oracle=_bpe_merges_oracle())
+def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (extension: tokenization):
+    the first 6 learned merges over the corpus, deterministic
+    (frequency desc, pair lexicographic tie-break)."""
+    from sparkobs.operators.bpe import bpe_train
+
+    return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=_BPE_N_MERGES)
+
+
+def _bpe_tokenize_oracle(n_merges: int = _BPE_N_MERGES) -> str:
+    applies = []
+    prev = "a0"
+    for k in range(1, n_merges + 1):
+        applies.append(f"""
+    a{k} AS (SELECT doc_id, n_chars,
+                    replace(sym,
+                            (SELECT ' ' || lhs || '  ' || rhs || ' ' FROM top{k}),
+                            (SELECT ' ' || lhs || rhs || ' ' FROM top{k})) AS sym
+             FROM {prev})""")
+        prev = f"a{k}"
+    return f"""WITH {_bpe_ctes(n_merges)},
+    dw AS (SELECT doc_id, unnest(tk) AS word FROM t),
+    a0 AS (SELECT doc_id, length(word) AS n_chars,
+                  ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+                                                        i -> word[i]), '  ') || ' ' AS sym
+           FROM dw),{",".join(applies)}
+    SELECT doc_id,
+           CAST(sum(n_chars) AS BIGINT) AS n_char_symbols,
+           CAST(sum(len(string_split(trim(sym), '  '))) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(len(string_split(trim(sym), '  '))) AS BIGINT)
+                 / CAST(sum(n_chars) AS BIGINT), 4) AS compression
+    FROM {prev} GROUP BY 1"""
+
+
+@query("bpe_tokenize_documents", oracle=_bpe_tokenize_oracle())
+def bpe_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply corpus-trained BPE merges back to every document
+    (extension: tokenization): per-doc symbol counts before/after and
+    the compression ratio — the train→apply round trip, both halves
+    oracle-certified."""
+    from sparkobs.operators.bpe import bpe_apply, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(docs, n_merges=_BPE_N_MERGES).collect()
+    ]
+    return bpe_apply(docs, merges)

@@ -184,3 +184,148 @@ def test_line_dedup_query_no_python_no_cartesian(spark):
     plan = physical_plan(df)
     assert "BatchEvalPython" not in plan
     assert_no_cartesian(df)
+
+
+def test_table_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, "d")], "k long, v string"
+    )
+    from sparkobs.operators.state import table_diff
+
+    out = {r["k"]: r["diff_status"] for r in table_diff(old, new, ["k"]).collect()}
+    assert out == {1: "removed", 3: "changed", 4: "added"}
+    full = table_diff(old, new, ["k"], include_unchanged=True).collect()
+    assert {r["k"]: r["diff_status"] for r in full}[2] == "unchanged"
+
+
+def test_table_diff_null_vs_value_is_changed(spark):
+    old = spark.createDataFrame([(1, None)], "k long, v string")
+    new = spark.createDataFrame([(1, "x")], "k long, v string")
+    from sparkobs.operators.state import table_diff
+
+    assert table_diff(old, new, ["k"]).collect()[0]["diff_status"] == "changed"
+
+
+def test_quantile_bins_equal_frequency(spark):
+    from sparkobs.operators.state import quantile_bins
+
+    df = spark.range(1000).select((F.col("id") + 1).alias("v"))
+    out = {r["bin"]: r for r in quantile_bins(df, "v", 4).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for b in out.values():
+        assert 240 <= b["n_rows"] <= 260
+    assert out[1]["min_val"] == 1.0 and out[4]["max_val"] == 1000.0
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from sparkobs.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # scale = 1/127; codes = round(x*127)
+    assert out[1]["codes"] == "127,-64,32"
+    assert abs(out[1]["scale"] - 1 / 127) < 1e-6
+    assert out[1]["rms_err"] < 0.005
+    assert out[2]["codes"] == "0,0,0" and out[2]["scale"] == 0.0
+
+
+def test_cms_estimates_are_upper_bounds(spark):
+    from sparkobs.operators.profile import cms_build, cms_estimate
+
+    df = spark.createDataFrame(
+        [(f"k{i % 50}",) for i in range(1000)], "key string"
+    )
+    cms = cms_build(df, "key", depth=4, width=64)
+    est = {
+        r["key"]: r["est_count"]
+        for r in cms_estimate(df, cms, "key", depth=4, width=64).collect()
+    }
+    assert len(est) == 50
+    for k, e in est.items():
+        assert e >= 20, f"{k} underestimated: {e}"  # true count per key = 20
+    # sketch is bounded regardless of input size
+    assert cms.count() <= 4 * 64
+
+
+def test_z_order_key_locality_and_bounds(spark):
+    from sparkobs.functions import z_order_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (511, 511)], "x long, y long"
+    )
+    out = [
+        r["z"]
+        for r in df.select(z_order_key("x", "y", bits=9).alias("z")).collect()
+    ]
+    assert out[0] == 0 and out[1] == 1 and out[2] == 2
+    # interleave(3,5) = x bits 1,1 at 0,2 -> 5; y bits 1,0,1 at 1,3,5 -> 2+32 -> 39
+    assert out[3] == 39
+    assert out[4] == 2**18 - 1  # all 18 bits set
+
+
+def test_zorder_query_no_shuffle_before_agg(spark):
+    df = Q.SPARK_QUERIES["zorder_tiles_events"](spark, SF)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1  # only the agg
+
+
+def test_cms_build_bounded_shuffle(spark):
+    df = Q.SPARK_QUERIES["cms_vocab_estimates"](spark, SF)
+    assert_broadcast_join(df)
+    assert "BatchEvalPython" not in physical_plan(df)
+
+
+def test_bpe_train_hand_verified_merges(spark):
+    from sparkobs.operators.bpe import bpe_train
+
+    # corpus: 'aaab' x3, 'ab' x2
+    # round 1 pairs: (a,a)=6, (a,b)=5 -> merge aa
+    # round 2: aaab=[aa,a,b] -> (aa,a)=3, (a,b)=5 -> merge ab
+    # round 3: aaab=[aa,ab], ab=[ab] -> (aa,ab)=3 -> merge aaab
+    df = spark.createDataFrame(
+        [(1, "aaab aaab aaab ab ab")], "doc_id long, text string"
+    )
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_freq"])
+        for r in bpe_train(df, n_merges=3).orderBy("step").collect()
+    ]
+    assert got == [
+        (1, "a", "a", "aa", 6),
+        (2, "a", "b", "ab", 5),
+        (3, "aa", "ab", "aaab", 3),
+    ]
+
+
+def test_bpe_train_stops_when_fully_merged(spark):
+    from sparkobs.operators.bpe import bpe_train
+
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    out = bpe_train(df, n_merges=5).collect()
+    assert len(out) == 1  # one merge fuses everything; loop stops
+
+
+def test_bpe_apply_counts(spark):
+    from sparkobs.operators.bpe import bpe_apply
+
+    df = spark.createDataFrame([(1, "aaab ab")], "doc_id long, text string")
+    row = bpe_apply(df, [("a", "a"), ("a", "b")]).collect()[0]
+    # aaab -> [aa,a,b] -> [aa,ab] = 2 tokens; ab -> [ab] = 1
+    assert row["n_char_symbols"] == 6
+    assert row["n_bpe_tokens"] == 3
+    assert row["compression"] == 0.5
+
+
+def test_bpe_merge_is_greedy_left_to_right(spark):
+    from sparkobs.operators.bpe import bpe_apply
+
+    # 'aaa' with merge (a,a): greedy -> [aa, a], NOT [a, aa] or [aa, aa]
+    df = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    row = bpe_apply(df, [("a", "a")]).collect()[0]
+    assert row["n_bpe_tokens"] == 2
