@@ -49,6 +49,10 @@ GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
     # --- round-4 wave-3 queries (newest, must certify this round) ---
+    "hll_distinct_lineitem",                 # portable HLL sketch
+    "streaming_cms_events",                  # mergeable streaming CMS
+    "zscore_events_by_type",                 # group z-score
+    "winsorize_events_by_type",              # percentile clipping
     "bpe_merges_documents",                  # distributed BPE training
     "bpe_tokenize_documents",                # BPE train->apply round trip
     "table_diff_orders",                     # row-level reconciliation
@@ -113,12 +117,9 @@ _PRIORITY: list[str] = [
     # streaming_count_drift, cosine_topk, record_count_lineitem,
     # sql_monitor_lineitem, lookup_join_fill_nation,
     # snapshot_count_delta, window_session_per_user,
-    # streaming_tumbling_events, ngram_jaccard_pairs — all locally
-    # green via `make sweep`)
-    "profile_lineitem_stats",
-    "pricing_summary",
-    "revenue_per_nation",
-    "shape_summary_all",
+    # streaming_tumbling_events, ngram_jaccard_pairs,
+    # profile_lineitem_stats, pricing_summary, revenue_per_nation,
+    # shape_summary_all — all locally green via `make sweep`)
     "exact_dedup_documents",
 ]
 

@@ -82,6 +82,9 @@ HEADLINE = [
     "quantize_embeddings_vectors",
     "cms_vocab_estimates",
     "zorder_tiles_events",
+    "hll_distinct_lineitem",
+    "zscore_events_by_type",
+    "winsorize_events_by_type",
 ]
 
 

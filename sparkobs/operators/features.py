@@ -1,0 +1,79 @@
+"""Feature conditioning: group-wise normalization and outlier
+clipping — the last-mile transforms between profiled raw columns and
+model-ready features, kept relational so they compose with the
+profiling/drift operators upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_zscore(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    keep_cols: list[str] = (),
+) -> DataFrame:
+    """Per-group z-score normalization: ``(x − mean_g) / std_g`` with
+    the group's own moments — the standardization that makes
+    heterogeneous segments comparable (and the residual that feeds
+    anomaly scoring, cf. :func:`sparkobs.operators.state.
+    metric_anomalies`).
+
+    One window shuffle on the group key; moments are computed by the
+    same partial+final aggregation as a groupBy (Catalyst window
+    aggregates combine map-side). Constant groups (std 0) emit z = 0
+    rather than NULL/inf so downstream math never poisons."""
+    w = Window.partitionBy(*group_cols)
+    v = F.col(value_col).cast("double")
+    mean_g = F.avg(v).over(w)
+    std_g = F.stddev(v).over(w)
+    z = F.when(
+        (std_g.isNull()) | (std_g == 0), F.lit(0.0)
+    ).otherwise((v - mean_g) / std_g)
+    return df.select(
+        *group_cols,
+        *keep_cols,
+        F.round(z, 4).alias("zscore"),
+    )
+
+
+def winsorize_summary(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization report: clip ``value_col`` to the
+    group's [lo, hi] percentiles and report how many rows each tail
+    clipped and the mean before/after — the heavy-tail taming step
+    with its own audit trail.
+
+    Percentile edges come from ONE grouped exact-percentile agg
+    (per-group sketch state, not a per-group scan), rounded to 4
+    decimals in-query so the clip predicate is engine-reproducible;
+    the edges join back on the group key (broadcast when the group
+    count is small, shuffle otherwise — Catalyst/AQE decides). At
+    100 TB use ``percentile_approx`` for the edges, same shape."""
+    v = F.col(value_col).cast("double")
+    edges = df.groupBy(*group_cols).agg(
+        F.round(F.percentile(v, F.lit(lo)), 4).alias("__lo"),
+        F.round(F.percentile(v, F.lit(hi)), 4).alias("__hi"),
+    )
+    j = df.join(edges, list(group_cols))
+    clipped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    return (
+        j.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum((v < F.col("__lo")).cast("long")).alias("n_clipped_lo"),
+            F.sum((v > F.col("__hi")).cast("long")).alias("n_clipped_hi"),
+            F.round(F.avg(v), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+            F.max(F.col("__lo")).alias("p_lo"),
+            F.max(F.col("__hi")).alias("p_hi"),
+        )
+    )

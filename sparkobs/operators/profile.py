@@ -468,3 +468,84 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable HyperLogLog: oracle-certifiable distinct sketches
+# ---------------------------------------------------------------------------
+#
+# ``approx_count_distinct`` is the production 100 TB mode, but its
+# HLL++ registers are Spark-internal — a second engine can't reproduce
+# the estimate, so cross-engine certification degrades to rows-only.
+# This variant pins every step to exact integer arithmetic on the
+# repo's portable md5 hash: bucket = low 8 hash bits, rho = leading
+# zeros of the next 32 bits via LENGTH(BIN(x)) (string length, no
+# floating log), and the harmonic-mean denominator Σ 2^-reg is scaled
+# by 2^33 so it SUMS AS A BIGINT — bit-identical in any engine —
+# before the single final double division. Registers are max-mergeable
+# across batches/partitions like any HLL.
+
+_HLL_M = 256  # 2^8 buckets; std error ~1.04/sqrt(m) ≈ 6.5%
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """(bucket, reg) HLL registers of a column — ≤ m rows, mergeable
+    by cellwise max."""
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hdf = df.select(h.alias("__h"))
+    sub = F.pmod(F.shiftright(F.col("__h"), 8), F.lit(4294967296))
+    rho = F.when(sub > 0, F.lit(33) - F.length(F.bin(sub))).otherwise(F.lit(33))
+    return (
+        hdf.select((F.col("__h") % _HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """1-row distinct-count estimate from a register table, with the
+    standard small-range linear-counting correction (same branch
+    condition evaluated on both engines — integer inputs, so the
+    branch never diverges)."""
+    m = _HLL_M
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("shiftleft(1L, 33 - reg)")).alias("s_present"),
+    )
+    s_total = F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(2**33)
+    raw = F.lit(_HLL_ALPHA * m * m * 2**33) / s_total
+    v = F.lit(m) - F.col("n_present")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(m) / v)
+    ).otherwise(raw)
+    return agg.select(F.round(est, 2).alias("est_distinct"))
+
+
+def hll_distinct(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column portable-HLL distinct estimates next to the exact
+    count and relative error — the certification view. One register
+    agg + one exact distinct agg per column; at 100 TB drop the exact
+    twin and keep the sketch."""
+    outs = []
+    for c in cols:
+        est = hll_estimate(hll_registers(df, c))
+        exact = df.agg(F.count_distinct(F.col(c)).cast("long").alias("exact_distinct"))
+        outs.append(
+            est.crossJoin(F.broadcast(exact)).select(
+                F.lit(c).alias("col_name"),
+                "est_distinct",
+                "exact_distinct",
+                F.round(
+                    F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                    / F.col("exact_distinct"),
+                    4,
+                ).alias("rel_err"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

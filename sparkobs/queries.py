@@ -4573,3 +4573,209 @@ def bpe_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in bpe_train(docs, n_merges=_BPE_N_MERGES).collect()
     ]
     return bpe_apply(docs, merges)
+
+
+def _hll_col_oracle(col: str, table: str) -> str:
+    from sparkobs.operators.profile import _HLL_ALPHA, _HLL_M
+
+    m = _HLL_M
+    num = repr(_HLL_ALPHA * m * m * 2**33)
+    return f"""
+    SELECT col_name, est_distinct, exact_distinct,
+           round(abs(est_distinct - exact_distinct) / exact_distinct, 4) AS rel_err
+    FROM (
+      SELECT '{col}' AS col_name,
+             round(CASE WHEN raw <= {2.5 * m} AND v > 0
+                        THEN {float(m)} * ln({m} / v)
+                        ELSE raw END, 2) AS est_distinct,
+             exact_distinct
+      FROM (
+        SELECT {num} / s_total AS raw, {m} - n_present AS v, exact_distinct
+        FROM (
+          SELECT count(*) AS n_present,
+                 sum(CAST(1 AS BIGINT) << (33 - reg))
+                 + ({m} - count(*)) * CAST(8589934592 AS BIGINT) AS s_total
+          FROM (
+            SELECT bucket, max(rho) AS reg
+            FROM (
+              SELECT h % {m} AS bucket,
+                     CASE WHEN (h >> 8) % 4294967296 > 0
+                          THEN 33 - length(bin((h >> 8) % 4294967296))
+                          ELSE 33 END AS rho
+              FROM (SELECT {_hex15_sql('dg')} AS h
+                    FROM (SELECT md5(CAST({col} AS VARCHAR)) AS dg FROM {table}))
+            ) GROUP BY 1
+          )
+        ) CROSS JOIN (SELECT CAST(count(DISTINCT {col}) AS BIGINT) AS exact_distinct
+                      FROM {table})
+      )
+    )
+    """
+
+
+@query(
+    "hll_distinct_lineitem",
+    oracle=" UNION ALL ".join(
+        _hll_col_oracle(c, "lineitem")
+        for c in ("l_orderkey", "l_partkey", "l_suppkey")
+    ),
+)
+def hll_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog distinct sketches (extension:
+    profiling): per-column estimate vs exact with relative error —
+    the certified analog of the approx_count_distinct scale mode
+    (integer-exact register sums, see profile.py)."""
+    from sparkobs.operators.profile import hll_distinct
+
+    return hll_distinct(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_partkey", "l_suppkey"],
+    )
+
+
+def _streaming_cms_oracle(depth: int = 4, width: int = 256) -> str:
+    ds = ", ".join(str(d) for d in range(depth))
+    return f"""
+    WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+    occ AS (SELECT key, md5(key) AS dg FROM k),
+    h AS (SELECT key,
+                 {_hex15_sql('dg')} % 100000000000000000 AS a,
+                 {_hex15_sql('dg', start=16)} % 100000000000000000 AS b
+          FROM occ),
+    cells AS (SELECT d, (a + d * b) % {width} AS w
+              FROM h CROSS JOIN (SELECT unnest([{ds}]) AS d)),
+    cms AS (SELECT d, w, count(*) AS cnt FROM cells GROUP BY 1, 2),
+    probes AS (SELECT DISTINCT key FROM k),
+    ph AS (SELECT key, md5(key) AS dg FROM probes),
+    ph2 AS (SELECT key,
+                   {_hex15_sql('dg')} % 100000000000000000 AS a,
+                   {_hex15_sql('dg', start=16)} % 100000000000000000 AS b
+            FROM ph),
+    pc AS (SELECT key, d, (a + d * b) % {width} AS w
+           FROM ph2 CROSS JOIN (SELECT unnest([{ds}]) AS d)),
+    est AS (SELECT key, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
+            FROM pc LEFT JOIN cms USING (d, w) GROUP BY 1),
+    tc AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS true_count
+           FROM events GROUP BY 1)
+    SELECT est.key AS user_key, est_count,
+           CAST(true_count AS BIGINT) AS true_count
+    FROM est JOIN tc USING (key)
+    """
+
+
+@query("streaming_cms_events", oracle=_streaming_cms_oracle())
+def streaming_cms_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable count-min sketch (extension: profiling ×
+    OP-53): events arrive in micro-batches; each batch's CMS partials
+    (d, w, cnt) append to a state table, and the final sketch is the
+    CELLWISE SUM over batches — the mergeability that makes CMS the
+    bounded-state streaming frequency monitor. The merged sketch is
+    provably identical to one-shot batch sketching (the oracle
+    replays exactly that), so estimates match a batch build
+    value-for-value."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.profile import cms_build, cms_estimate
+    from sparkobs.streaming.monitors import EVENTS_SCHEMA
+
+    stage_dir = _stage_events(spark, sf_dir, n_files=4)
+    key = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:16]
+    state_dir = os.path.join(
+        tempfile.gettempdir(), f"sparkobs_scms_{key}", "cells"
+    )
+    shutil.rmtree(os.path.dirname(state_dir), ignore_errors=True)
+
+    def ingest(batch_df, batch_id):
+        batch = batch_df.select(F.col("user_id").cast("string").alias("key"))
+        cms_build(batch, "key").write.mode("append").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+        .writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_cms_events did not drain in 300s")
+    q.stop()
+
+    merged = (
+        spark.read.schema("d int, w bigint, cnt bigint")
+        .parquet(state_dir)
+        .groupBy("d", "w")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    true_counts = ev.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    return (
+        cms_estimate(ev, merged, "key")
+        .join(true_counts, "key")
+        .select(F.col("key").alias("user_key"), "est_count", "true_count")
+    )
+
+
+@query(
+    "zscore_events_by_type",
+    oracle="""
+    WITH z AS (SELECT event_type, event_id,
+                      CASE WHEN stddev_samp(value) OVER (PARTITION BY event_type) IS NULL
+                             OR stddev_samp(value) OVER (PARTITION BY event_type) = 0
+                           THEN 0.0
+                           ELSE (value - avg(value) OVER (PARTITION BY event_type))
+                                / stddev_samp(value) OVER (PARTITION BY event_type)
+                      END AS zval
+               FROM events)
+    SELECT event_type, event_id, round(zval, 4) AS zscore FROM z
+    """,
+)
+def zscore_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise z-score normalization (extension: featurization):
+    every event's value standardized within its event_type."""
+    from sparkobs.operators.features import group_zscore
+
+    return group_zscore(
+        load_table(spark, sf_dir, "events"), ["event_type"], "value",
+        keep_cols=["event_id"],
+    )
+
+
+@query(
+    "winsorize_events_by_type",
+    oracle="""
+    WITH e AS (SELECT event_type,
+                      round(quantile_cont(CAST(value AS DOUBLE), 0.05), 4) AS p_lo,
+                      round(quantile_cont(CAST(value AS DOUBLE), 0.95), 4) AS p_hi
+               FROM events GROUP BY 1),
+    j AS (SELECT events.event_type, CAST(value AS DOUBLE) AS v, p_lo, p_hi
+          FROM events JOIN e USING (event_type))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN v < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+           CAST(sum(CASE WHEN v > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+           round(avg(v), 4) AS mean_raw,
+           round(avg(least(greatest(v, p_lo), p_hi)), 4) AS mean_winsorized,
+           max(p_lo) AS p_lo, max(p_hi) AS p_hi
+    FROM j GROUP BY 1
+    """,
+)
+def winsorize_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization audit (extension: featurization): clip
+    value to each event_type's [p5, p95] and report tail clip counts
+    and the mean shift."""
+    from sparkobs.operators.features import winsorize_summary
+
+    return winsorize_summary(
+        load_table(spark, sf_dir, "events"), ["event_type"], "value"
+    )

