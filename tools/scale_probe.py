@@ -203,6 +203,49 @@ def probes():
 
         return upsample_mixture(docs, {"src0": 2.5, "src1": 0.5})
 
+    def bpe(docs, ev, emb):
+        from sparkobs.operators.bpe import bpe_train
+
+        return bpe_train(docs, n_merges=6)
+
+    def hll(docs, ev, emb):
+        from sparkobs.operators.profile import hll_distinct
+
+        return hll_distinct(ev, ["user_id", "event_id"])
+
+    def cms(docs, ev, emb):
+        from sparkobs.operators.profile import cms_build, cms_estimate
+
+        k = ev.select(F.col("user_id").cast("string").alias("key"))
+        return cms_estimate(k, cms_build(k, "key"), "key")
+
+    def zscore(docs, ev, emb):
+        from sparkobs.operators.features import group_zscore
+
+        return group_zscore(ev, ["event_type"], "value", keep_cols=["event_id"])
+
+    def winsor(docs, ev, emb):
+        from sparkobs.operators.features import winsorize_summary
+
+        return winsorize_summary(ev, ["event_type"], "value")
+
+    def tdiff(docs, ev, emb):
+        from sparkobs.operators.state import table_diff
+
+        old = ev.where(F.col("event_id") % 100 != 2)
+        new = ev.where(F.col("event_id") % 100 != 0).withColumn(
+            "value",
+            F.when(
+                F.col("event_id") % 100 == 1, F.col("value") * 2
+            ).otherwise(F.col("value")),
+        )
+        return table_diff(old, new, ["event_id"])
+
+    def quant(docs, ev, emb):
+        from sparkobs.operators.similarity import quantize_embeddings
+
+        return quantize_embeddings(emb)
+
     return {
         "winnowing_xx64": winnow,
         "resize_synth": resize,
@@ -222,6 +265,13 @@ def probes():
         "bloom_probe": bloom,
         "tfidf_topk": tfidf,
         "upsample_mixture": upsample,
+        "bpe_train": bpe,
+        "hll_distinct": hll,
+        "cms_estimate": cms,
+        "group_zscore": zscore,
+        "winsorize": winsor,
+        "table_diff": tdiff,
+        "quantize_emb": quant,
     }
 
 
