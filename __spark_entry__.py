@@ -49,6 +49,9 @@ GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
     # --- round-4 wave-3 queries (newest, must certify this round) ---
+    "streaming_join_click_purchase",         # stream-stream join
+    "markov_transitions_events",             # journey transition matrix
+    "markov_stationary_events",              # power iteration
     "hll_distinct_lineitem",                 # portable HLL sketch
     "streaming_cms_events",                  # mergeable streaming CMS
     "zscore_events_by_type",                 # group z-score
@@ -74,9 +77,7 @@ _PRIORITY: list[str] = [
     "dup_span_coverage_documents",           # new substring-dedup signal
     "pack_sequences_documents",              # new sequence packing
     "vocab_topk_documents",                  # new vocab census
-    "csv_roundtrip_orders",                  # new CSV connector
     "jsonl_roundtrip_events",                # new JSONL connector
-    "orc_roundtrip_part",                    # new ORC connector
     "partitioned_prune_documents",           # new partitioned sink+prune
     "bucketed_join_orders_lineitem",         # new bucketed co-located join
     "split_assign_documents",                # new split assignment
@@ -119,8 +120,8 @@ _PRIORITY: list[str] = [
     # snapshot_count_delta, window_session_per_user,
     # streaming_tumbling_events, ngram_jaccard_pairs,
     # profile_lineitem_stats, pricing_summary, revenue_per_nation,
-    # shape_summary_all — all locally green via `make sweep`)
-    "exact_dedup_documents",
+    # shape_summary_all, exact_dedup_documents, csv_roundtrip_orders,
+    # orc_roundtrip_part — all locally green via `make sweep`)
 ]
 
 

@@ -300,3 +300,69 @@ def quantile_bins(
         )
         .select(F.col("bin").cast("long").alias("bin"), "n_rows", "min_val", "max_val")
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Markov transition matrix of per-key journeys: order each key's
+    events by (ts, tiebreak), pair each state with its successor, and
+    estimate p(to|from) — the behavioral-analytics view of an event
+    stream (funnel leakage, loop detection, next-step prediction).
+
+    One window shuffle on the key (lead()), one hash agg on the
+    (from, to) pair; row counts shrink to |states|² immediately, so
+    everything after the first agg is negligible at any scale. The
+    tiebreak column (a unique id) makes equal-timestamp ordering
+    deterministic — the same requirement metric_anomalies documents.
+    """
+    w = W.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(tiebreak_col))
+    pairs = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(F.col(state_col)).over(w).alias("to_state"),
+        )
+        .where(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_state").agg(F.sum("n").alias("__tot"))
+    return pairs.join(totals, "from_state").select(
+        "from_state",
+        "to_state",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n") / F.col("__tot")).alias("p"),
+    )
+
+
+def stationary_distribution(
+    trans: DataFrame, n_iter: int = 5
+) -> DataFrame:
+    """``n_iter`` power-iteration steps toward the chain's stationary
+    distribution, starting uniform — the iterative-algorithm shape
+    (PageRank et al.) expressed as repeated join+agg over the
+    transition table.
+
+    The state space is |states| rows, so each step is a tiny broadcast
+    join; full double precision is carried through the iterations and
+    rounded only at the end (engine-reproducible: every step sums the
+    same ≤|states| products). Deterministic iteration count, not a
+    convergence test, so two engines always run the same plan."""
+    states = trans.select(F.col("from_state").alias("state")).union(
+        trans.select("to_state")
+    ).distinct()
+    n_states = states.agg(F.count(F.lit(1)).alias("__n"))
+    x = states.crossJoin(F.broadcast(n_states)).select(
+        "state", (F.lit(1.0) / F.col("__n")).alias("prob")
+    )
+    for _ in range(n_iter):
+        x = (
+            x.join(trans, x["state"] == trans["from_state"])
+            .groupBy(F.col("to_state").alias("state"))
+            .agg(F.sum(F.col("prob") * F.col("p")).alias("prob"))
+        )
+    return x.select("state", F.round("prob", 4).alias("prob"))

@@ -4779,3 +4779,106 @@ def winsorize_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize_summary(
         load_table(spark, sf_dir, "events"), ["event_type"], "value"
     )
+
+
+@query(
+    "streaming_join_click_purchase",
+    oracle="""
+    SELECT c.event_id AS left_id, p.event_id AS right_id, c.user_id
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (extension: streaming ×
+    OP-55/56): every click matched to the same user's purchases within
+    the following hour, both sides streaming. The stage drains as ONE
+    availableNow batch — with the corpus's random event order, a
+    multi-batch drain would (correctly, per late-data semantics) evict
+    state for events older than the watermark, which a batch oracle
+    can't replay; the single-batch drain keeps streaming semantics ≡
+    batch join while still exercising the stream-stream state plan."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.streaming.monitors import (
+        run_to_memory,
+        stream_events,
+        stream_stream_join_within,
+    )
+
+    stage_dir = _stage_events(spark, sf_dir, n_files=4)
+    left = stream_events(spark, stage_dir).where(F.col("event_type") == "click")
+    right = stream_events(spark, stage_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    j = stream_stream_join_within(left, right, key_col="user_id", within="1 hour")
+    name = run_to_memory(j, "ssj_click_purchase", output_mode="append", unique=True)
+    return spark.table(name)
+
+
+_MARKOV_TRANS_CTE = """
+    ord AS (SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_state
+            FROM events),
+    tr AS (SELECT event_type AS from_state, to_state, count(*) AS n
+           FROM ord WHERE to_state IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT from_state, sum(n) AS tot FROM tr GROUP BY 1),
+    p AS (SELECT from_state, to_state, CAST(n AS BIGINT) AS n, n / tot AS p
+          FROM tr JOIN tot USING (from_state))
+"""
+
+
+@query(
+    "markov_transitions_events",
+    oracle=f"""
+    WITH {_MARKOV_TRANS_CTE}
+    SELECT from_state, to_state, n, round(p, 4) AS p FROM p
+    """,
+)
+def markov_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user journey transition matrix (extension: behavioral
+    analytics): p(next event_type | event_type) with deterministic
+    (ts, event_id) ordering."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.state import transition_matrix
+
+    t = transition_matrix(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", "event_type", "event_id"
+    )
+    return t.select("from_state", "to_state", "n", F.round("p", 4).alias("p"))
+
+
+def _markov_stationary_oracle(n_iter: int = 5) -> str:
+    xs = ["""x0 AS (SELECT state, 1.0 / (SELECT count(*) FROM
+             (SELECT DISTINCT from_state AS state FROM p
+              UNION SELECT DISTINCT to_state FROM p)) AS prob
+           FROM (SELECT DISTINCT from_state AS state FROM p
+                 UNION SELECT DISTINCT to_state FROM p))"""]
+    for k in range(1, n_iter + 1):
+        xs.append(f"""
+    x{k} AS (SELECT to_state AS state, sum(prob * p.p) AS prob
+             FROM x{k-1} JOIN p ON x{k-1}.state = p.from_state
+             GROUP BY 1)""")
+    return f"""
+    WITH {_MARKOV_TRANS_CTE},
+    {",".join(xs)}
+    SELECT state, round(prob, 4) AS prob FROM x{n_iter}
+    """
+
+
+@query("markov_stationary_events", oracle=_markov_stationary_oracle())
+def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the journey chain via 5
+    power-iteration steps (extension: iterative relational
+    algorithms) — the PageRank shape over the transition table,
+    oracle-replayed as chained CTEs."""
+    from sparkobs.operators.state import stationary_distribution, transition_matrix
+
+    t = transition_matrix(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", "event_type", "event_id"
+    )
+    return stationary_distribution(t, n_iter=5)

@@ -252,3 +252,41 @@ def stateful_latest(events: DataFrame, key_col: str = "user_id") -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def stream_stream_join_within(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: every left event matched
+    to the right-stream events of the same key whose event time falls
+    in ``[left.ts, left.ts + within]`` — the click→conversion /
+    cause→effect correlation shape, fully streaming on BOTH sides
+    (the stream-static band join covers the one-sided case).
+
+    Both inputs carry watermarks and the join condition carries the
+    time range, so Spark bounds each side's state buffer to
+    watermark + range instead of holding the streams forever —
+    without both, a stream-stream join is an unbounded-state plan and
+    Spark (correctly) refuses to run it. Output is append-mode by
+    construction; matches surface once both members have arrived.
+    """
+    lw = _event_time(left).withWatermark("ts", watermark).select(
+        F.col("event_id").alias("left_id"),
+        F.col(key_col).alias("k"),
+        F.col("ts").alias("left_ts"),
+    )
+    rw = _event_time(right).withWatermark("ts", watermark).select(
+        F.col("event_id").alias("right_id"),
+        F.col(key_col).alias("rk"),
+        F.col("ts").alias("right_ts"),
+    )
+    return lw.join(
+        rw,
+        (F.col("k") == F.col("rk"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("left_id", "right_id", F.col("k").alias(key_col))

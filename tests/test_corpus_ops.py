@@ -384,3 +384,39 @@ def test_winsorize_clips_tails(spark):
     assert 3 <= row["n_clipped_lo"] <= 6 and 3 <= row["n_clipped_hi"] <= 6
     assert row["mean_winsorized"] != row["mean_raw"] or True
     assert row["p_lo"] < row["p_hi"]
+
+
+def test_transition_matrix_probabilities(spark):
+    from sparkobs.operators.state import transition_matrix
+
+    df = spark.createDataFrame(
+        [(1, 1, "a", 1), (1, 2, "b", 2), (1, 3, "a", 3), (1, 4, "c", 4)],
+        "user_id long, ts long, state string, event_id long",
+    )
+    t = {
+        (r["from_state"], r["to_state"]): (r["n"], r["p"])
+        for r in transition_matrix(df, "user_id", "ts", "state", "event_id").collect()
+    }
+    # journey a->b->a->c: from 'a' goes b once, c once
+    assert t[("a", "b")] == (1, 0.5) and t[("a", "c")] == (1, 0.5)
+    assert t[("b", "a")] == (1, 1.0)
+
+
+def test_stationary_distribution_two_state_chain(spark):
+    from sparkobs.operators.state import stationary_distribution
+
+    # p(a->b)=1, p(b->a)=1: period-2 chain; from uniform start the
+    # distribution stays (0.5, 0.5) at every step
+    trans = spark.createDataFrame(
+        [("a", "b", 1, 1.0), ("b", "a", 1, 1.0)],
+        "from_state string, to_state string, n long, p double",
+    )
+    out = {r["state"]: r["prob"] for r in stationary_distribution(trans, 4).collect()}
+    assert out == {"a": 0.5, "b": 0.5}
+
+
+def test_markov_query_single_window_shuffle(spark):
+    df = Q.SPARK_QUERIES["markov_transitions_events"](spark, SF)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert_no_cartesian(df)
