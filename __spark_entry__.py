@@ -49,6 +49,10 @@ GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
     # --- round-4 wave-3 queries (newest, must certify this round) ---
+    "funnel_events",                         # ordered funnel
+    "cohort_retention_events",               # cohort matrix
+    "resample_locf_events",                  # time-series gap fill
+    "fuzzy_match_supplier_customer",         # record linkage
     "streaming_join_click_purchase",         # stream-stream join
     "markov_transitions_events",             # journey transition matrix
     "markov_stationary_events",              # power iteration
@@ -76,13 +80,9 @@ _PRIORITY: list[str] = [
     "semantic_dedup_ivf_embeddings",         # new clustered-corpus tier
     "dup_span_coverage_documents",           # new substring-dedup signal
     "pack_sequences_documents",              # new sequence packing
-    "vocab_topk_documents",                  # new vocab census
-    "jsonl_roundtrip_events",                # new JSONL connector
     "partitioned_prune_documents",           # new partitioned sink+prune
     "bucketed_join_orders_lineitem",         # new bucketed co-located join
-    "split_assign_documents",                # new split assignment
     "pack_manifest_documents",               # new pack manifest
-    "normalize_text_documents",              # new normalization
     "streaming_jsonl_tumbling_events",       # new JSONL stream ingest
     "key_skew_stats_lineitem",               # new skew diagnostic
     "fk_orphans_lineitem",                   # new referential check
@@ -119,6 +119,8 @@ _PRIORITY: list[str] = [
     # sql_monitor_lineitem, lookup_join_fill_nation,
     # snapshot_count_delta, window_session_per_user,
     # streaming_tumbling_events, ngram_jaccard_pairs,
+    # split_assign_documents, normalize_text_documents,
+    # vocab_topk_documents, jsonl_roundtrip_events,
     # profile_lineitem_stats, pricing_summary, revenue_per_nation,
     # shape_summary_all, exact_dedup_documents, csv_roundtrip_orders,
     # orc_roundtrip_part — all locally green via `make sweep`)

@@ -85,6 +85,10 @@ HEADLINE = [
     "hll_distinct_lineitem",
     "zscore_events_by_type",
     "winsorize_events_by_type",
+    "markov_stationary_events",
+    "cohort_retention_events",
+    "resample_locf_events",
+    "fuzzy_match_supplier_customer",
 ]
 
 

@@ -1,0 +1,149 @@
+"""Behavioral analytics over event streams: funnels, cohort
+retention, and time-series resampling — the product-analytics queries
+that sit on top of the same events table the monitors watch. All pure
+DataFrame composition; companions to the journey Markov chain in
+:mod:`sparkobs.operators.state`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: how many keys performed ``steps[0]``, then
+    ``steps[1]`` STRICTLY AFTER their first ``steps[0]``, and so on —
+    each stage anchored at the earliest qualifying time (the standard
+    first-touch funnel, immune to out-of-order repeat events).
+
+    Stage i is one filtered aggregation joined to the stage-(i−1)
+    frontier on the key — len(steps) hash aggs + joins, each shrinking
+    (the frontier only loses keys). Output per step: entering key
+    count and conversion from the previous step.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    frontier = (
+        df.where(F.col(state_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    counts = [frontier.count()]
+    for s in steps[1:]:
+        nxt = (
+            df.where(F.col(state_col) == s)
+            .select(key_col, F.col(ts_col).alias("__ts2"))
+            .join(frontier, key_col)
+            .where(F.col("__ts2") > F.col("__t"))
+            .groupBy(key_col)
+            .agg(F.min("__ts2").alias("__t"))
+        )
+        frontier = nxt
+        counts.append(frontier.count())
+    spark = df.sparkSession
+    rows = []
+    for i, (s, n) in enumerate(zip(steps, counts)):
+        conv = round(n / counts[i - 1], 4) if i > 0 and counts[i - 1] else None
+        rows.append((i + 1, s, n, conv))
+    return spark.createDataFrame(
+        rows, "step int, event_type string, n_keys bigint, conversion double"
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: keys are cohorted by the period of
+    their FIRST event; each (cohort, offset) cell counts keys active
+    ``offset`` periods later, with retention relative to cohort size.
+
+    Two hash aggs (first-event per key; distinct key per cohort×
+    period) and one broadcast-friendly join on the cohort key — the
+    matrix is |cohorts| × |offsets| rows no matter the event volume.
+    """
+    first = df.groupBy(key_col).agg(
+        F.date_trunc(granularity, F.min(ts_col)).alias("__cohort")
+    )
+    active = (
+        df.select(key_col, F.date_trunc(granularity, F.col(ts_col)).alias("__period"))
+        .distinct()
+        .join(first, key_col)
+    )
+    per_gran_days = {"week": 7, "day": 1}
+    if granularity not in per_gran_days:
+        raise ValueError(f"granularity must be one of {sorted(per_gran_days)}")
+    offset = (
+        F.datediff(F.col("__period"), F.col("__cohort"))
+        / per_gran_days[granularity]
+    ).cast("long")
+    cells = (
+        active.select("__cohort", offset.alias("offset"), key_col)
+        .groupBy("__cohort", "offset")
+        .agg(F.count_distinct(key_col).alias("n_active"))
+    )
+    sizes = first.groupBy("__cohort").agg(
+        F.count(F.lit(1)).alias("__cohort_size")
+    )
+    return cells.join(sizes, "__cohort").select(
+        F.col("__cohort").alias("cohort_start"),
+        "offset",
+        F.col("n_active").cast("long").alias("n_active"),
+        F.round(F.col("n_active") / F.col("__cohort_size"), 4).alias("retention"),
+    )
+
+
+def resample_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Per-key regular time grid with gap filling: bucket events to
+    ``step``, build each key's full bucket spine between its first and
+    last event, and carry the last observation forward (LOCF) into
+    empty buckets — the resampling that turns an irregular event
+    stream into a regular series for drift/forecast consumers.
+
+    The spine is ``explode(sequence(min, max, interval))`` per key —
+    spine size is time-range/step per key, independent of event
+    volume; the fill is one ``last_value(ignoreNulls)`` window per
+    key (a single shuffle, already keyed). ``is_gap`` marks filled
+    rows so downstream stats can weigh observed vs imputed.
+    """
+    unit = step.split()[-1].rstrip("s")  # "1 hour" / "2 days" → trunc unit
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    actual = (
+        df.select(F.col(key_col).alias("k"), bucket.alias("b"), F.col(value_col).cast("double").alias("v"))
+        .groupBy("k", "b")
+        .agg(F.round(F.avg("v"), 4).alias("v"))
+    )
+    spans = actual.groupBy("k").agg(F.min("b").alias("__lo"), F.max("b").alias("__hi"))
+    spine = spans.select(
+        "k",
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}"))
+        ).alias("b"),
+    )
+    joined = spine.join(actual, ["k", "b"], "left")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("k").alias(key_col),
+        F.col("b").alias("bucket_ts"),
+        F.last("v", ignorenulls=True).over(w).alias("value"),
+        F.col("v").isNull().alias("is_gap"),
+    )

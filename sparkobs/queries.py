@@ -4882,3 +4882,128 @@ def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"), "user_id", "ts", "event_type", "event_id"
     )
     return stationary_distribution(t, n_iter=5)
+
+
+@query(
+    "funnel_events",
+    oracle="""
+    WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+           WHERE e.event_type = 'click' GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+           WHERE e.event_type = 'purchase' GROUP BY 1)
+    SELECT CAST(1 AS INT) AS step, 'signup' AS event_type,
+           (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_keys,
+           CAST(NULL AS DOUBLE) AS conversion
+    UNION ALL
+    SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2),
+           round((SELECT count(*) FROM s2) / (SELECT count(*) FROM s1), 4)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3),
+           round((SELECT count(*) FROM s3) / (SELECT count(*) FROM s2), 4)
+    """,
+)
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch ordered funnel (extension: behavioral analytics):
+    signup → later click → later purchase, per-user anchored at each
+    stage's earliest qualifying time."""
+    from sparkobs.operators.behavior import funnel_steps
+
+    return funnel_steps(
+        load_table(spark, sf_dir, "events"), ["signup", "click", "purchase"]
+    )
+
+
+@query(
+    "cohort_retention_events",
+    oracle="""
+    WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+               FROM events GROUP BY 1),
+    a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS period FROM events),
+    j AS (SELECT f.cohort,
+                 CAST(datediff('day', f.cohort, a.period) / 7 AS BIGINT) AS "offset",
+                 a.user_id
+          FROM a JOIN f USING (user_id)),
+    cells AS (SELECT cohort, "offset", count(DISTINCT user_id) AS n_active
+              FROM j GROUP BY 1, 2),
+    sz AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1)
+    SELECT CAST(cohort AS TIMESTAMP) AS cohort_start, "offset",
+           CAST(n_active AS BIGINT) AS n_active,
+           round(n_active / cohort_size, 4) AS retention
+    FROM cells JOIN sz USING (cohort)
+    """,
+)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (extension: behavioral
+    analytics): users cohorted by first-event week, activity counted
+    per week offset."""
+    from sparkobs.operators.behavior import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "resample_locf_events",
+    oracle="""
+    WITH actual AS (SELECT event_type AS k, date_trunc('hour', ts) AS b,
+                           round(avg(value), 4) AS v
+                    FROM events GROUP BY 1, 2),
+    spans AS (SELECT k, min(b) AS lo, max(b) AS hi FROM actual GROUP BY 1),
+    spine AS (SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+              FROM spans),
+    j AS (SELECT spine.k, spine.b, actual.v
+          FROM spine LEFT JOIN actual USING (k, b))
+    SELECT k AS event_type, b AS bucket_ts,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           v IS NULL AS is_gap
+    FROM j
+    """,
+)
+def resample_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resampling with LOCF gap fill (extension: time series):
+    per event_type, a full hourly spine between first and last
+    activity with empty buckets carried forward and flagged."""
+    from sparkobs.operators.behavior import resample_fill
+
+    return resample_fill(
+        load_table(spark, sf_dir, "events"), "event_type", "ts", "value"
+    )
+
+
+@query(
+    "fuzzy_match_supplier_customer",
+    oracle="""
+    WITH l AS (SELECT DISTINCT regexp_replace(s_name, '^Supplier#', '') AS lv
+               FROM supplier),
+    r AS (SELECT DISTINCT regexp_replace(c_name, '^Customer#', '') AS rv
+          FROM customer),
+    cand AS (SELECT lv, rv, levenshtein(lv, rv) AS dist
+             FROM l JOIN r ON substr(lv, 1, 6) = substr(rv, 1, 6)
+             WHERE levenshtein(lv, rv) <= 1),
+    rk AS (SELECT lv, rv, dist,
+                  row_number() OVER (PARTITION BY lv ORDER BY dist, rv) AS rn
+           FROM cand)
+    SELECT lv AS left_value, rv AS right_value, CAST(dist AS BIGINT) AS dist
+    FROM rk WHERE rn = 1
+    """,
+)
+def fuzzy_match_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching (extension: record linkage):
+    supplier name suffixes matched to their closest customer suffix
+    within edit distance 1, candidates pruned by a 6-char blocking
+    equi-join."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.joins import fuzzy_best_match
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.regexp_replace("s_name", "^Supplier#", "").alias("sname")
+    )
+    cus = load_table(spark, sf_dir, "customer").select(
+        F.regexp_replace("c_name", "^Customer#", "").alias("cname")
+    )
+    return fuzzy_best_match(sup, cus, "sname", "cname", block_len=6, max_dist=1)

@@ -420,3 +420,80 @@ def test_markov_query_single_window_shuffle(spark):
     plan = physical_plan(df)
     assert "BatchEvalPython" not in plan
     assert_no_cartesian(df)
+
+
+def test_funnel_strict_ordering(spark):
+    from sparkobs.operators.behavior import funnel_steps
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "signup"), (1, 2, "click"), (1, 3, "purchase"),
+            (2, 1, "signup"), (2, 2, "click"),
+            (3, 5, "click"), (3, 6, "signup"),  # click BEFORE signup: no stage 2
+        ],
+        "user_id long, ts long, event_type string",
+    )
+    out = {r["step"]: r for r in funnel_steps(df, ["signup", "click", "purchase"]).collect()}
+    assert out[1]["n_keys"] == 3
+    assert out[2]["n_keys"] == 2 and out[2]["conversion"] == round(2 / 3, 4)
+    assert out[3]["n_keys"] == 1 and out[3]["conversion"] == 0.5
+
+
+def test_cohort_retention_matrix(spark):
+    import datetime
+
+    from sparkobs.operators.behavior import cohort_retention
+
+    d = datetime.datetime
+    df = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1)), (1, d(2024, 1, 8)),   # week0 cohort, active wk0+wk1
+            (2, d(2024, 1, 2)),                        # week0 cohort, wk0 only
+            (3, d(2024, 1, 9)),                        # week1 cohort
+        ],
+        "user_id long, ts timestamp",
+    )
+    cells = {
+        (r["cohort_start"].day, r["offset"]): (r["n_active"], r["retention"])
+        for r in cohort_retention(df).collect()
+    }
+    assert cells[(1, 0)] == (2, 1.0)
+    assert cells[(1, 1)] == (1, 0.5)
+    assert cells[(8, 0)] == (1, 1.0)
+
+
+def test_resample_fills_gaps_with_locf(spark):
+    import datetime
+
+    from sparkobs.operators.behavior import resample_fill
+
+    d = datetime.datetime
+    df = spark.createDataFrame(
+        [("a", d(2024, 1, 1, 0, 10), 10.0), ("a", d(2024, 1, 1, 3, 5), 40.0)],
+        "k string, ts timestamp, v double",
+    )
+    rows = sorted(
+        resample_fill(df, "k", "ts", "v").collect(), key=lambda r: r["bucket_ts"]
+    )
+    assert len(rows) == 4  # hours 0..3
+    assert [r["value"] for r in rows] == [10.0, 10.0, 10.0, 40.0]
+    assert [r["is_gap"] for r in rows] == [False, True, True, False]
+
+
+def test_fuzzy_match_prefers_lowest_distance(spark):
+    from sparkobs.operators.joins import fuzzy_best_match
+
+    left = spark.createDataFrame([("abcdef1",)], "name string")
+    right = spark.createDataFrame(
+        [("abcdef1",), ("abcdef2",), ("zzzzzz1",)], "name string"
+    )
+    out = fuzzy_best_match(left, right, "name", "name", block_len=6, max_dist=1).collect()
+    assert len(out) == 1
+    assert out[0]["right_value"] == "abcdef1" and out[0]["dist"] == 0
+
+
+def test_fuzzy_match_blocking_prunes_candidates(spark):
+    df = Q.SPARK_QUERIES["fuzzy_match_supplier_customer"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
