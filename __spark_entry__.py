@@ -49,6 +49,7 @@ GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
     # --- round-4 wave-3 queries (newest, must certify this round) ---
+    "session_stats_events",                  # gap-rule sessionization
     "funnel_events",                         # ordered funnel
     "cohort_retention_events",               # cohort matrix
     "resample_locf_events",                  # time-series gap fill
@@ -78,7 +79,6 @@ _PRIORITY: list[str] = [
     # --- round-4 new/changed queries (must certify this round) ---
     "semantic_dedup_embeddings",             # new SemDeDup-style query
     "semantic_dedup_ivf_embeddings",         # new clustered-corpus tier
-    "dup_span_coverage_documents",           # new substring-dedup signal
     "pack_sequences_documents",              # new sequence packing
     "partitioned_prune_documents",           # new partitioned sink+prune
     "bucketed_join_orders_lineitem",         # new bucketed co-located join
@@ -119,6 +119,7 @@ _PRIORITY: list[str] = [
     # sql_monitor_lineitem, lookup_join_fill_nation,
     # snapshot_count_delta, window_session_per_user,
     # streaming_tumbling_events, ngram_jaccard_pairs,
+    # dup_span_coverage_documents,
     # split_assign_documents, normalize_text_documents,
     # vocab_topk_documents, jsonl_roundtrip_events,
     # profile_lineitem_stats, pricing_summary, revenue_per_nation,

@@ -147,3 +147,56 @@ def resample_fill(
         F.last("v", ignorenulls=True).over(w).alias("value"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-rule session assignment: within each key's (ts, tiebreak)
+    order, a new session starts whenever the gap to the previous event
+    exceeds ``gap_seconds`` — the event-level companion to the
+    session-WINDOW aggregates in :mod:`sparkobs.operators.windows`
+    (those give per-window rollups; this labels every event with its
+    session ordinal so arbitrary per-session analysis can follow).
+
+    One window shuffle on the key; the session ordinal is a running
+    sum of session-start flags (lag + cumulative sum — both ride the
+    same window). Timestamps compare as exact integer microseconds
+    (``unix_micros``) so the gap predicate is engine-reproducible.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(tiebreak_col))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    is_new = (prev.isNull() | ((us - prev) > gap_seconds * 1_000_000)).cast("long")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.select(
+        F.col(key_col),
+        F.col(tiebreak_col),
+        us.alias("__us"),
+        F.sum(is_new).over(running).alias("session_idx"),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-session rollup over :func:`sessionize`: event count and
+    exact duration in microseconds (integer arithmetic end to end)."""
+    s = sessionize(df, key_col, ts_col, tiebreak_col, gap_seconds)
+    return s.groupBy(key_col, "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("__us") - F.min("__us")).cast("long").alias("duration_us"),
+    ).select(
+        key_col,
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "n_events",
+        "duration_us",
+    )

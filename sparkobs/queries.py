@@ -5007,3 +5007,33 @@ def fuzzy_match_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame
         F.regexp_replace("c_name", "^Customer#", "").alias("cname")
     )
     return fuzzy_best_match(sup, cus, "sname", "cname", block_len=6, max_dist=1)
+
+
+@query(
+    "session_stats_events",
+    oracle="""
+    WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                      lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS prev_us
+               FROM events),
+    m AS (SELECT user_id, event_id, us,
+                 CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM o),
+    s AS (SELECT user_id, us,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM m)
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(us) - min(us) AS BIGINT) AS duration_us
+    FROM s GROUP BY 1, 2
+    """,
+)
+def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-rule sessionization (extension: behavioral analytics):
+    30-minute-gap sessions per user with exact integer-microsecond
+    durations."""
+    from sparkobs.operators.behavior import session_stats
+
+    return session_stats(load_table(spark, sf_dir, "events"))

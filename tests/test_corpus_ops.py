@@ -497,3 +497,28 @@ def test_fuzzy_match_blocking_prunes_candidates(spark):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_sessionize_gap_rule(spark):
+    import datetime
+
+    from sparkobs.operators.behavior import session_stats
+
+    d = datetime.datetime
+    df = spark.createDataFrame(
+        [
+            (1, 1, d(2024, 1, 1, 0, 0)),
+            (1, 2, d(2024, 1, 1, 0, 10)),   # same session (10 min gap)
+            (1, 3, d(2024, 1, 1, 2, 0)),    # new session (110 min gap)
+            (2, 4, d(2024, 1, 1, 5, 0)),
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    out = {
+        (r["user_id"], r["session_idx"]): r
+        for r in session_stats(df).collect()
+    }
+    assert out[(1, 1)]["n_events"] == 2
+    assert out[(1, 1)]["duration_us"] == 600_000_000
+    assert out[(1, 2)]["n_events"] == 1 and out[(1, 2)]["duration_us"] == 0
+    assert out[(2, 1)]["n_events"] == 1
