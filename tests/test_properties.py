@@ -230,3 +230,112 @@ def test_split_assign_partition_invariant_and_exhaustive(spark):
     assert set(a.values()) == {"train", "val", "test"}
     n_train = sum(1 for v in a.values() if v == "train")
     assert n_train > 1800  # ~98% of 2000, loose bound
+
+
+@given(
+    seen=st.sets(st.text(min_size=1, max_size=8), min_size=1, max_size=20),
+    probe=st.sets(st.text(min_size=1, max_size=8), min_size=1, max_size=20),
+)
+@settings(**SETTINGS)
+def test_bloom_never_false_negative(spark, seen, probe):
+    from sparkobs.operators.dedup import bloom_build, bloom_probe
+
+    sdf = spark.createDataFrame([(k,) for k in sorted(seen)], "k string")
+    pdf = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(sorted(probe))], "doc_id long, k string"
+    )
+    bloom = bloom_build(sdf, "k")
+    out = {r["doc_id"]: r["maybe_seen"] for r in bloom_probe(pdf, bloom, "k").collect()}
+    for i, k in enumerate(sorted(probe)):
+        if k in seen:
+            assert out[i], f"false negative for {k!r}"
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=20), min_size=1, max_size=6
+    )
+)
+@settings(**SETTINGS)
+def test_bpe_compression_monotone_in_merges(spark, texts):
+    from sparkobs.operators.bpe import bpe_apply, bpe_train
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    if all(not t.strip() for t in texts):
+        return
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(df, n_merges=3).orderBy("step").collect()
+    ]
+    prev = None
+    for k in range(len(merges) + 1):
+        total = (
+            bpe_apply(df, merges[:k])
+            .agg(F.sum("n_bpe_tokens").alias("t"))
+            .collect()[0]["t"]
+        )
+        if prev is not None:
+            assert total <= prev, "more merges must never grow token count"
+        prev = total
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda r: r,
+    ),
+    parts=st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_sessionize_partition_and_order_invariant(spark, rows, parts):
+    import datetime
+
+    from sparkobs.operators.behavior import session_stats
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (k, i, base + datetime.timedelta(seconds=s))
+        for i, (k, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "user_id long, event_id long, ts timestamp")
+    a = sorted(map(tuple, session_stats(df, gap_seconds=600).collect()))
+    b = sorted(
+        map(
+            tuple,
+            session_stats(df.repartition(parts).orderBy(F.desc("event_id")), gap_seconds=600).collect(),
+        )
+    )
+    assert a == b
+
+
+@given(
+    weights=st.dictionaries(
+        st.sampled_from(["s0", "s1", "s2"]),
+        st.floats(min_value=0, max_value=3, allow_nan=False),
+        max_size=3,
+    )
+)
+@settings(**SETTINGS)
+def test_upsample_mixture_counts_exact(spark, weights):
+    import hashlib
+
+    from sparkobs.operators.sampling import upsample_mixture
+
+    rows = [(i, f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = upsample_mixture(df, weights, salt="mix").groupBy("doc_id").count().collect()
+    got = {r["doc_id"]: r["count"] for r in out}
+    import math
+
+    for i, src in rows:
+        w = weights.get(src, 1.0)
+        frac_sel = int(
+            int(hashlib.md5(f"mix{i}".encode()).hexdigest()[:15], 16) % 10**17 % 10000
+            < round((w - math.floor(w)) * 10000)
+        )
+        expect = math.floor(w) + frac_sel
+        assert got.get(i, 0) == expect, (i, src, w)
