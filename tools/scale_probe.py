@@ -246,6 +246,31 @@ def probes():
 
         return quantize_embeddings(emb)
 
+    def sessionize_p(docs, ev, emb):
+        from sparkobs.operators.behavior import session_stats
+
+        return session_stats(ev)
+
+    def resample(docs, ev, emb):
+        from sparkobs.operators.behavior import resample_fill
+
+        return resample_fill(ev, "event_type", "ts", "value")
+
+    def cohort(docs, ev, emb):
+        from sparkobs.operators.behavior import cohort_retention
+
+        return cohort_retention(ev)
+
+    def markov(docs, ev, emb):
+        from sparkobs.operators.state import (
+            stationary_distribution,
+            transition_matrix,
+        )
+
+        return stationary_distribution(
+            transition_matrix(ev, "user_id", "ts", "event_type", "event_id"), 5
+        )
+
     return {
         "winnowing_xx64": winnow,
         "resize_synth": resize,
@@ -272,6 +297,10 @@ def probes():
         "winsorize": winsor,
         "table_diff": tdiff,
         "quantize_emb": quant,
+        "sessionize": sessionize_p,
+        "resample_locf": resample,
+        "cohort_retention": cohort,
+        "markov_stationary": markov,
     }
 
 
