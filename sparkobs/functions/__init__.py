@@ -84,6 +84,18 @@ def z_order_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
         raise ValueError(f"bits must be in [1, 31], got {bits}")
     xc = F.col(x).cast("long") if isinstance(x, str) else x.cast("long")
     yc = F.col(y).cast("long") if isinstance(y, str) else y.cast("long")
+    # out-of-range inputs would silently alias distant rows onto the
+    # same key (x=1 and x=513 at bits=9 interleave identically),
+    # quietly defeating the pruning the key exists for — fail instead;
+    # callers quantize/clamp first
+    bound = F.lit(2**bits)
+    oob = (xc < 0) | (xc >= bound) | (yc < 0) | (yc >= bound)
+    xc = F.when(
+        oob,
+        F.raise_error(
+            F.lit(f"z_order_key input out of [0, 2^{bits}) — quantize first")
+        ).cast("long"),
+    ).otherwise(xc)
     terms = []
     for i in range(bits):
         terms.append(F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i))

@@ -30,22 +30,27 @@ def funnel_steps(
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
+    # each frontier is materialized (eager localCheckpoint) before the
+    # next stage builds on it: the per-stage .count() would otherwise
+    # re-execute every earlier stage's scan+agg from scratch — O(n²)
+    # full-corpus work for an n-step funnel
     frontier = (
         df.where(F.col(state_col) == steps[0])
         .groupBy(key_col)
         .agg(F.min(ts_col).alias("__t"))
+        .localCheckpoint(eager=True)
     )
     counts = [frontier.count()]
     for s in steps[1:]:
-        nxt = (
+        frontier = (
             df.where(F.col(state_col) == s)
             .select(key_col, F.col(ts_col).alias("__ts2"))
             .join(frontier, key_col)
             .where(F.col("__ts2") > F.col("__t"))
             .groupBy(key_col)
             .agg(F.min("__ts2").alias("__t"))
+            .localCheckpoint(eager=True)
         )
-        frontier = nxt
         counts.append(frontier.count())
     spark = df.sparkSession
     rows = []
@@ -121,7 +126,16 @@ def resample_fill(
     key (a single shuffle, already keyed). ``is_gap`` marks filled
     rows so downstream stats can weigh observed vs imputed.
     """
-    unit = step.split()[-1].rstrip("s")  # "1 hour" / "2 days" → trunc unit
+    qty, _, unit_raw = step.partition(" ")
+    unit = unit_raw.rstrip("s")
+    if qty != "1" or unit not in ("minute", "hour", "day", "week"):
+        # a multi-unit step ("2 days") would date_trunc to the base
+        # unit but stride the spine by 2 — actual buckets on odd days
+        # would never join and read as gaps; only single calendar
+        # units keep bucketing and spine aligned
+        raise ValueError(
+            f"step must be '1 minute|hour|day|week', got {step!r}"
+        )
     bucket = F.date_trunc(unit, F.col(ts_col))
     actual = (
         df.select(F.col(key_col).alias("k"), bucket.alias("b"), F.col(value_col).cast("double").alias("v"))
@@ -167,6 +181,8 @@ def sessionize(
     sum of session-start flags (lag + cumulative sum — both ride the
     same window). Timestamps compare as exact integer microseconds
     (``unix_micros``) so the gap predicate is engine-reproducible.
+    Every input column rides along unchanged — the point is labeling
+    events, not projecting them away.
     """
     w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(tiebreak_col))
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -174,9 +190,7 @@ def sessionize(
     is_new = (prev.isNull() | ((us - prev) > gap_seconds * 1_000_000)).cast("long")
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.select(
-        F.col(key_col),
-        F.col(tiebreak_col),
-        us.alias("__us"),
+        "*",
         F.sum(is_new).over(running).alias("session_idx"),
     )
 
@@ -191,9 +205,10 @@ def session_stats(
     """Per-session rollup over :func:`sessionize`: event count and
     exact duration in microseconds (integer arithmetic end to end)."""
     s = sessionize(df, key_col, ts_col, tiebreak_col, gap_seconds)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     return s.groupBy(key_col, "session_idx").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        (F.max("__us") - F.min("__us")).cast("long").alias("duration_us"),
+        (F.max(us) - F.min(us)).cast("long").alias("duration_us"),
     ).select(
         key_col,
         F.col("session_idx").cast("long").alias("session_idx"),

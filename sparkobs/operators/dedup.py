@@ -855,6 +855,10 @@ def bloom_build(
         _bloom_words(df, key_col, [], n_hashes, m_words * 32)
         .groupBy("widx")
         .agg(F.bit_or("mask").alias("word_bits"))
+        # parameters ride along so a probe with mismatched m/k fails
+        # loudly instead of silently false-negating (cf. cms_estimate)
+        .withColumn("__m_words", F.lit(m_words))
+        .withColumn("__n_hashes", F.lit(n_hashes))
     )
 
 
@@ -873,7 +877,24 @@ def bloom_probe(
     The bitmap side is explicitly broadcast — probing never shuffles
     the probe corpus; a missing word row (no historical key touched
     that word) reads as all-zero via the left join + coalesce.
+    ``m_words``/``n_hashes`` must match the build; a bitmap carrying
+    its build parameters (any :func:`bloom_build` output) is checked
+    and a mismatch raises — probing with the wrong geometry would
+    silently produce false NEGATIVES, the one error class a Bloom
+    filter must never make.
     """
+    if "__m_words" in bloom.columns:
+        meta = bloom.select("__m_words", "__n_hashes").limit(1).collect()
+        if meta and (
+            meta[0]["__m_words"] != m_words or meta[0]["__n_hashes"] != n_hashes
+        ):
+            raise ValueError(
+                f"bloom bitmap was built with m_words={meta[0]['__m_words']}, "
+                f"n_hashes={meta[0]['__n_hashes']} but probe uses "
+                f"m_words={m_words}, n_hashes={n_hashes} — mismatched "
+                "geometry produces false negatives"
+            )
+        bloom = bloom.drop("__m_words", "__n_hashes")
     probes = _bloom_words(
         df.select(F.col(id_col).alias("id"), F.col(key_col)),
         key_col,

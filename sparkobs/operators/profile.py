@@ -495,7 +495,10 @@ def hll_registers(df: DataFrame, col: str) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
     ).cast("long")
-    hdf = df.select(h.alias("__h"))
+    # NULL keys hash to NULL and would form a phantom 257th bucket
+    # (n_present can exceed m, making the empty-bucket count negative)
+    # — and count_distinct excludes NULLs, so so must the sketch
+    hdf = df.where(F.col(col).isNotNull()).select(h.alias("__h"))
     sub = F.pmod(F.shiftright(F.col("__h"), 8), F.lit(4294967296))
     rho = F.when(sub > 0, F.lit(33) - F.length(F.bin(sub))).otherwise(F.lit(33))
     return (

@@ -277,6 +277,8 @@ def quantile_bins(
     beyond the final per-bin agg. At 100 TB swap the exact percentile
     for ``percentile_approx`` (documented sketch mode, same shape).
     """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     qs = [i / n_bins for i in range(1, n_bins)]
     edges = df.agg(
         F.transform(
@@ -351,17 +353,36 @@ def stationary_distribution(
     join; full double precision is carried through the iterations and
     rounded only at the end (engine-reproducible: every step sums the
     same ≤|states| products). Deterministic iteration count, not a
-    convergence test, so two engines always run the same plan."""
+    convergence test, so two engines always run the same plan.
+
+    Absorbing states (no outgoing transitions) get an implicit
+    self-loop with p=1 before iterating — without it the inner join
+    would silently DROP their probability mass each step (a chain with
+    a terminal 'churn' state would converge to an empty frame, not to
+    all-mass-on-churn)."""
     states = trans.select(F.col("from_state").alias("state")).union(
         trans.select("to_state")
     ).distinct()
+    selfloops = (
+        states.join(
+            trans.select("from_state").distinct(),
+            states["state"] == F.col("from_state"),
+            "left_anti",
+        )
+        .select(
+            F.col("state").alias("from_state"),
+            F.col("state").alias("to_state"),
+            F.lit(1.0).alias("p"),
+        )
+    )
+    taug = trans.select("from_state", "to_state", "p").unionByName(selfloops)
     n_states = states.agg(F.count(F.lit(1)).alias("__n"))
     x = states.crossJoin(F.broadcast(n_states)).select(
         "state", (F.lit(1.0) / F.col("__n")).alias("prob")
     )
     for _ in range(n_iter):
         x = (
-            x.join(trans, x["state"] == trans["from_state"])
+            x.join(taug, x["state"] == taug["from_state"])
             .groupBy(F.col("to_state").alias("state"))
             .agg(F.sum(F.col("prob") * F.col("p")).alias("prob"))
         )

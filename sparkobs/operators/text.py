@@ -540,10 +540,17 @@ def drop_boilerplate_lines(
     not vanish: curation needs the "this doc was ALL boilerplate"
     signal).
     """
+    import re as _re
+
+    # split() treats its pattern as a regex but reassembly uses the
+    # literal delimiter — escape so delim="|" or "." can't explode
+    # every character
     lines = (
         df.select(
             F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+            F.posexplode(
+                F.split(F.col(text_col), _re.escape(delim))
+            ).alias("pos", "line"),
         )
         .where(F.col("line") != "")
         .withColumn("line_key", F.md5(F.col("line")))
@@ -695,6 +702,8 @@ def search_all_terms(
     codegen) → one doc-keyed agg with a ``count_distinct(term) = n``
     guard. No joins at all.
     """
+    terms = tuple(dict.fromkeys(terms))  # a duplicate term would make
+    # count_distinct == len(terms) unsatisfiable and return no rows
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens_nonempty(text_col)).alias("term"),

@@ -4853,15 +4853,21 @@ def markov_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _markov_stationary_oracle(n_iter: int = 5) -> str:
-    xs = ["""x0 AS (SELECT state, 1.0 / (SELECT count(*) FROM
-             (SELECT DISTINCT from_state AS state FROM p
-              UNION SELECT DISTINCT to_state FROM p)) AS prob
-           FROM (SELECT DISTINCT from_state AS state FROM p
-                 UNION SELECT DISTINCT to_state FROM p))"""]
+    # mirror the operator's absorbing-state self-loops: a state with
+    # no outgoing transitions keeps its mass instead of dropping it
+    xs = [
+        """st AS (SELECT DISTINCT from_state AS state FROM p
+              UNION SELECT DISTINCT to_state FROM p),
+    paug AS (SELECT from_state, to_state, p FROM p
+             UNION ALL
+             SELECT state, state, 1.0 FROM st
+             WHERE state NOT IN (SELECT from_state FROM p)),
+    x0 AS (SELECT state, 1.0 / (SELECT count(*) FROM st) AS prob FROM st)"""
+    ]
     for k in range(1, n_iter + 1):
         xs.append(f"""
-    x{k} AS (SELECT to_state AS state, sum(prob * p.p) AS prob
-             FROM x{k-1} JOIN p ON x{k-1}.state = p.from_state
+    x{k} AS (SELECT to_state AS state, sum(prob * paug.p) AS prob
+             FROM x{k-1} JOIN paug ON x{k-1}.state = paug.from_state
              GROUP BY 1)""")
     return f"""
     WITH {_MARKOV_TRANS_CTE},

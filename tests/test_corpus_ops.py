@@ -522,3 +522,76 @@ def test_sessionize_gap_rule(spark):
     assert out[(1, 1)]["duration_us"] == 600_000_000
     assert out[(1, 2)]["n_events"] == 1 and out[(1, 2)]["duration_us"] == 0
     assert out[(2, 1)]["n_events"] == 1
+
+
+def test_stationary_absorbing_state_keeps_mass(spark):
+    from sparkobs.operators.state import stationary_distribution
+
+    # a -> b, b absorbing: all mass must end up on b, not vanish
+    trans = spark.createDataFrame(
+        [("a", "b", 1, 1.0)], "from_state string, to_state string, n long, p double"
+    )
+    out = {r["state"]: r["prob"] for r in stationary_distribution(trans, 5).collect()}
+    assert out == {"b": 1.0}
+
+
+def test_boilerplate_regex_metachar_delimiter(spark):
+    df = spark.createDataFrame(
+        [(1, "a|b"), (2, "c|b"), (3, "d|b")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in drop_boilerplate_lines(df, min_docs=3, delim="|").collect()
+    }
+    assert out[1]["clean_text"] == "a" and out[1]["n_lines"] == 2
+
+
+def test_bloom_geometry_mismatch_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "k")], "doc_id long, text string")
+    bloom = bloom_build(df, "text", m_words=512)
+    with pytest.raises(ValueError, match="geometry"):
+        bloom_probe(df, bloom, "text", m_words=256)
+
+
+def test_z_order_rejects_out_of_range(spark):
+    import pytest
+
+    from sparkobs.functions import z_order_key
+
+    df = spark.createDataFrame([(513, 0)], "x long, y long")
+    with pytest.raises(Exception, match="quantize"):
+        df.select(z_order_key("x", "y", bits=9)).collect()
+
+
+def test_search_with_duplicate_terms(spark):
+    df = spark.createDataFrame([(1, "table scan")], "doc_id long, text string")
+    out = search_all_terms(df, ("table", "table")).collect()
+    assert len(out) == 1 and out[0]["n_hits"] == 1
+
+
+def test_sessionize_keeps_payload_columns(spark):
+    import datetime
+
+    from sparkobs.operators.behavior import sessionize
+
+    df = spark.createDataFrame(
+        [(1, 1, datetime.datetime(2024, 1, 1), "click", 5.0)],
+        "user_id long, event_id long, ts timestamp, event_type string, value double",
+    )
+    row = sessionize(df).collect()[0]
+    assert row["event_type"] == "click" and row["value"] == 5.0
+    assert row["session_idx"] == 1
+
+
+def test_hll_ignores_nulls(spark):
+    from sparkobs.operators.profile import hll_distinct, hll_registers
+
+    df = spark.createDataFrame(
+        [(None,)] * 50 + [(float(i),) for i in range(100)], "k double"
+    )
+    assert hll_registers(df, "k").count() <= 256
+    row = hll_distinct(df, ["k"]).collect()[0]
+    assert row["exact_distinct"] == 100
+    assert row["rel_err"] < 0.25

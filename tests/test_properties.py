@@ -333,9 +333,11 @@ def test_upsample_mixture_counts_exact(spark, weights):
 
     for i, src in rows:
         w = weights.get(src, 1.0)
+        # Spark's F.round is HALF_UP; Python round() is half-even —
+        # emulate HALF_UP so .5 fraction boundaries can't flake
         frac_sel = int(
             int(hashlib.md5(f"mix{i}".encode()).hexdigest()[:15], 16) % 10**17 % 10000
-            < round((w - math.floor(w)) * 10000)
+            < math.floor((w - math.floor(w)) * 10000 + 0.5)
         )
         expect = math.floor(w) + frac_sel
         assert got.get(i, 0) == expect, (i, src, w)
