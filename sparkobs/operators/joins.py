@@ -262,6 +262,12 @@ def range_join(
     more same-bucket candidates failing the residual check; the classic
     range-join binning trade. Both inputs keep all their columns.
     """
+    if bucket_width <= 0:
+        # width 0 would floor-divide to ±Inf bucket ids and ask
+        # sequence() for a ~2^64-element array (or collapse every
+        # interval into one bucket — the cross product this operator
+        # exists to avoid)
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
     p = points.withColumn(
         "__b", F.floor(F.col(value_col) / bucket_width).cast("long")
     )

@@ -92,10 +92,19 @@ def split_assign(
     (mod total weight) falls in [0, w0) gets the first name, [w0,
     w0+w1) the second, and so on. Pure row-local expression — no
     shuffle, composes with pushdown like the scan itself.
+
+    Rows with a NULL key are DROPPED (same contract as hash_sample):
+    a NULL hashes to NULL, every range predicate is unknown, and the
+    row would otherwise silently fall through to the LAST split —
+    contaminating exactly the eval set with exactly the broken-key
+    rows.
     """
+    if not splits:
+        raise ValueError("splits must not be empty")
     weights = [w for _, w in splits]
     if any(w < 1 for w in weights):
         raise ValueError(f"split weights must be >= 1, got {splits}")
+    df = df.where(F.col(key_col).isNotNull())
     total = sum(weights)
     h = _hash64(key_col, salt)
     bucket = h % total

@@ -149,26 +149,28 @@ def referential_orphans(
     "the fact table references dimensions that were deleted/late".
     One row: (n_child, n_orphans, orphan_rate, n_orphan_keys).
 
-    Plan shape: LEFT ANTI join on the key — Catalyst turns it into a
-    broadcast-anti when the parent's key projection is small enough,
-    else a shuffle join that AQE skew-handles; either way only the two
-    key columns move. Run it before a production join: a non-zero rate
-    means an inner join silently drops rows and a left join fabricates
-    nulls.
+    Plan shape: ONE pass over the child — a LEFT join against the
+    parent's deduplicated key projection (broadcast when small, else
+    shuffle + AQE skew handling), then a single conditional aggregate
+    for total/orphan counts. A separate total-count branch would scan
+    the 100 TB child twice (the two subtrees share no exchange, so
+    ReuseExchange never applies); only the two key columns move.
+    Run it before a production join: a non-zero rate means an inner
+    join silently drops rows and a left join fabricates nulls.
     """
-    orphans = child.select(F.col(child_key).alias("__k")).join(
-        parent.select(F.col(parent_key).alias("__k")),
-        "__k",
-        "left_anti",
+    joined = child.select(F.col(child_key).alias("__k")).join(
+        parent.select(F.col(parent_key).alias("__p")).distinct(),
+        F.col("__k") == F.col("__p"),
+        "left",
     )
-    counts = orphans.agg(
-        F.count(F.lit(1)).alias("n_orphans"),
-        F.count_distinct("__k").alias("n_orphan_keys"),
-    )
-    total = child.agg(F.count(F.lit(1)).alias("n_child"))
-    return total.crossJoin(counts).select(
-        F.col("n_child").cast("long"),
-        F.col("n_orphans").cast("long"),
-        F.round(F.col("n_orphans") / F.col("n_child"), 6).alias("orphan_rate"),
-        F.col("n_orphan_keys").cast("long"),
+    is_orphan = F.col("__p").isNull()
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_child"),
+        F.sum(is_orphan.cast("long")).cast("long").alias("n_orphans"),
+        F.round(
+            F.sum(is_orphan.cast("long")) / F.count(F.lit(1)), 6
+        ).alias("orphan_rate"),
+        F.count_distinct(F.when(is_orphan, F.col("__k"))).cast("long").alias(
+            "n_orphan_keys"
+        ),
     )

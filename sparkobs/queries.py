@@ -1316,17 +1316,14 @@ def frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stage_events(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     """Stage the events table as a small multi-file parquet directory
-    for the file-source streams. Cache key = hash of the RESOLVED
-    sf_dir + the source parquet's mtime, so a changed source or two
+    for the file-source streams. Cache key = _stage_key's resolved
+    path + source mtime + file count, so a changed source or two
     datasets sharing a basename never reuse each other's stage
     (ADVICE r01: basename-only keys served stale results)."""
-    import hashlib
     import os
     import tempfile
 
-    src = os.path.join(os.path.realpath(sf_dir), "events.parquet")
-    mtime = int(os.stat(src).st_mtime_ns) if os.path.exists(src) else 0
-    key = hashlib.sha256(f"{src}:{mtime}:{n_files}".encode()).hexdigest()[:16]
+    key = _stage_key(sf_dir, "events", str(n_files))
     stage_dir = os.path.join(tempfile.gettempdir(), f"sparkobs_stream_{key}")
     if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
         load_table(spark, sf_dir, "events").coalesce(n_files).write.mode(
@@ -1504,7 +1501,10 @@ def _stage_format(
     import os
     import tempfile
 
-    key = _stage_key(sf_dir, table, fmt)
+    # options + file count are part of the identity: a header=False
+    # staging of the same table must not reuse a header=True stage
+    tag = f"{fmt}:{n_files}:{sorted((options or {}).items())!r}"
+    key = _stage_key(sf_dir, table, tag)
     stage_dir = os.path.join(tempfile.gettempdir(), f"sparkobs_fmt_{key}")
     if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
         from sparkobs.sources.files import write_format
@@ -1710,12 +1710,18 @@ def bucketed_join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from sparkobs.io import write_bucketed_table
 
-    key = _stage_key(sf_dir, "lineitem", "bucket8")
+    # the key covers BOTH source tables' mtimes, and the rebuild check
+    # covers BOTH stage directories — a half-deleted stage or a
+    # regenerated orders.parquet must trigger a rebuild, not a stale
+    # read
+    key = _stage_key(
+        sf_dir, "orders", "bucket8:" + _stage_key(sf_dir, "lineitem", "bucket8")
+    )
     base = os.path.join(tempfile.gettempdir(), f"sparkobs_bucket_{key}")
     o_name, l_name = f"orders_b_{key}", f"lineitem_b_{key}"
     catalog = {t.name for t in spark.catalog.listTables()}
-    if not catalog >= {o_name, l_name} or not os.path.exists(
-        os.path.join(base, "orders")
+    if not catalog >= {o_name, l_name} or not all(
+        os.path.exists(os.path.join(base, t)) for t in ("orders", "lineitem")
     ):
         write_bucketed_table(
             load_table(spark, sf_dir, "orders"),
