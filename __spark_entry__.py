@@ -49,6 +49,7 @@ GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
     # --- round-4 wave-3 queries (newest, must certify this round) ---
+    "curation_funnel_documents",             # capstone pipeline audit
     "session_stats_events",                  # gap-rule sessionization
     "funnel_events",                         # ordered funnel
     "cohort_retention_events",               # cohort matrix
@@ -82,7 +83,6 @@ _PRIORITY: list[str] = [
     "pack_sequences_documents",              # new sequence packing
     "partitioned_prune_documents",           # new partitioned sink+prune
     "bucketed_join_orders_lineitem",         # new bucketed co-located join
-    "pack_manifest_documents",               # new pack manifest
     "streaming_jsonl_tumbling_events",       # new JSONL stream ingest
     "key_skew_stats_lineitem",               # new skew diagnostic
     "fk_orphans_lineitem",                   # new referential check
@@ -119,7 +119,7 @@ _PRIORITY: list[str] = [
     # sql_monitor_lineitem, lookup_join_fill_nation,
     # snapshot_count_delta, window_session_per_user,
     # streaming_tumbling_events, ngram_jaccard_pairs,
-    # dup_span_coverage_documents,
+    # dup_span_coverage_documents, pack_manifest_documents,
     # split_assign_documents, normalize_text_documents,
     # vocab_topk_documents, jsonl_roundtrip_events,
     # profile_lineitem_stats, pricing_summary, revenue_per_nation,

@@ -5049,3 +5049,113 @@ def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkobs.operators.behavior import session_stats
 
     return session_stats(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "curation_funnel_documents",
+    oracle="""
+    WITH RECURSIVE
+    raw AS (SELECT doc_id, text FROM documents),
+    q AS (SELECT doc_id, text,
+                 len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_unique,
+                 len(list_filter(toks, x -> x in ('the', 'a'))) AS n_stop
+          FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks
+                FROM raw)),
+    kept AS (SELECT doc_id, text FROM q
+             WHERE round(least(1.0, n_tokens / 50.0) * 0.4
+                         + (n_unique / n_tokens) * 0.4
+                         + (1.0 - n_stop / n_tokens) * 0.2, 4) >= 0.6),
+    ex_kept AS (SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text),
+    toks2 AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM ex_kept),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(t) >= 3
+                       THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                                         i -> array_to_string(t[i:i+2], ' ')))
+                       ELSE [array_to_string(t, ' ')] END AS s
+           FROM toks2),
+    exs AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM exs GROUP BY 1),
+    inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+              FROM exs a JOIN exs b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT ia AS id_a, ib AS id_b
+              FROM inter JOIN sizes sa ON sa.doc_id = ia
+                         JOIN sizes sb ON sb.doc_id = ib
+              WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    nodes AS (SELECT DISTINCT u FROM sym),
+    allr AS (SELECT u, v FROM reach UNION SELECT u, u FROM nodes),
+    comp AS (SELECT u AS doc_id, min(v) AS component FROM allr GROUP BY u),
+    surv AS (SELECT e.doc_id FROM ex_kept e LEFT JOIN comp c USING (doc_id)
+             WHERE c.component IS NULL OR c.component = e.doc_id),
+    sp AS (SELECT doc_id,
+                  ("""
+    + _hex15_sql("md5(CAST(doc_id AS VARCHAR))")
+    + """) % 100 AS b
+           FROM surv)
+    SELECT * FROM (
+      SELECT CAST(1 AS INT) AS stage_idx, 'raw' AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs FROM raw
+      UNION ALL SELECT 2, 'quality_kept', CAST(count(*) AS BIGINT) FROM kept
+      UNION ALL SELECT 3, 'exact_deduped', CAST(count(*) AS BIGINT) FROM ex_kept
+      UNION ALL SELECT 4, 'near_dup_kept', CAST(count(*) AS BIGINT) FROM surv
+      UNION ALL SELECT 5, 'train', CAST(count(*) AS BIGINT) FROM sp WHERE b < 98
+      UNION ALL SELECT 6, 'val', CAST(count(*) AS BIGINT) FROM sp WHERE b = 98
+      UNION ALL SELECT 7, 'test', CAST(count(*) AS BIGINT) FROM sp WHERE b = 99
+    )
+    """,
+)
+def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone corpus-curation funnel (extension: pipeline
+    composition): quality filter → exact dedup → near-dup keep-one →
+    train/val/test split, reported as per-stage surviving-document
+    counts — the audit trail a production curation run ships with its
+    output. ONE lazy plan (a union of stage aggregates over shared
+    subtrees); unlike funnel_steps there are no driver-side counts."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        ngram_jaccard_pairs,
+    )
+    from sparkobs.operators.sampling import split_assign
+    from sparkobs.operators.text import quality_score
+
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = quality_score(raw, keep_cols=("text",))
+    kept = scored.where(F.col("quality") >= 0.6).select("doc_id", "text")
+    ex_kept = exact_dedup(kept, ["text"]).select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(ex_kept, n=3, threshold=0.5)
+    comps = connected_components(pairs)
+    dropped = comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    surv = ex_kept.join(dropped, "doc_id", "left_anti").select("doc_id")
+    sp = split_assign(surv, "doc_id")
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+
+    out = stage(1, "raw", raw)
+    for i, (name, d) in enumerate(
+        [
+            ("quality_kept", kept),
+            ("exact_deduped", ex_kept),
+            ("near_dup_kept", surv),
+            ("train", sp.where(F.col("split") == "train")),
+            ("val", sp.where(F.col("split") == "val")),
+            ("test", sp.where(F.col("split") == "test")),
+        ],
+        start=2,
+    ):
+        out = out.unionByName(stage(i, name, d))
+    return out
