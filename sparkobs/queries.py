@@ -4444,15 +4444,15 @@ def cms_vocab_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _zorder_oracle(bits: int = 9) -> str:
+def _zorder_oracle(bits: int = 11) -> str:
     terms = []
     for i in range(bits):
         terms.append(f"(((x >> {i}) & 1) << {2 * i})")
         terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
     z = " | ".join(terms)
     return f"""
-    WITH xy AS (SELECT CAST(user_id AS BIGINT) AS x,
-                       CAST(floor(value) AS BIGINT) AS y
+    WITH xy AS (SELECT CAST(user_id AS BIGINT) % 2048 AS x,
+                       least(CAST(floor(value) AS BIGINT), 2047) AS y
                 FROM events),
     z AS (SELECT x, y, ({z}) AS zkey FROM xy)
     SELECT CAST(zkey >> 6 AS BIGINT) AS tile,
@@ -4474,10 +4474,14 @@ def zorder_tiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sparkobs.functions import z_order_key
 
+    # quantize defensively: ids wrap mod 2^11, values clamp — the
+    # z_order_key guard raises on out-of-range inputs by design
     ev = load_table(spark, sf_dir, "events")
     z = ev.select(
         z_order_key(
-            F.col("user_id"), F.floor(F.col("value")).cast("long"), bits=9
+            F.col("user_id") % 2048,
+            F.least(F.floor(F.col("value")).cast("long"), F.lit(2047)),
+            bits=11,
         ).alias("zkey")
     )
     return (
