@@ -59,6 +59,7 @@ _PRIORITY: list[str] = [
     "markov_transitions_events",             # journey transition matrix
     "markov_stationary_events",              # power iteration
     "hll_distinct_lineitem",                 # portable HLL sketch
+    "hll_grouped_users_by_type",             # grouped HLL rollup
     "streaming_cms_events",                  # mergeable streaming CMS
     "zscore_events_by_type",                 # group z-score
     "winsorize_events_by_type",              # percentile clipping
@@ -83,7 +84,6 @@ _PRIORITY: list[str] = [
     "pack_sequences_documents",              # new sequence packing
     "partitioned_prune_documents",           # new partitioned sink+prune
     "bucketed_join_orders_lineitem",         # new bucketed co-located join
-    "streaming_jsonl_tumbling_events",       # new JSONL stream ingest
     "key_skew_stats_lineitem",               # new skew diagnostic
     "fk_orphans_lineitem",                   # new referential check
     "cdc_compact_events",                    # new CDC compaction
@@ -120,6 +120,7 @@ _PRIORITY: list[str] = [
     # snapshot_count_delta, window_session_per_user,
     # streaming_tumbling_events, ngram_jaccard_pairs,
     # dup_span_coverage_documents, pack_manifest_documents,
+    # streaming_jsonl_tumbling_events,
     # split_assign_documents, normalize_text_documents,
     # vocab_topk_documents, jsonl_roundtrip_events,
     # profile_lineitem_stats, pricing_summary, revenue_per_nation,

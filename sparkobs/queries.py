@@ -5163,3 +5163,49 @@ def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionByName(stage(i, name, d))
     return out
+
+
+def _hll_grouped_oracle(group_col: str, col: str, table: str) -> str:
+    from sparkobs.operators.profile import _HLL_ALPHA, _HLL_M
+
+    m = _HLL_M
+    num = repr(_HLL_ALPHA * m * m * 2**33)
+    return f"""
+    WITH h0 AS (SELECT {group_col} AS g, md5(CAST({col} AS VARCHAR)) AS dg
+                FROM {table} WHERE {col} IS NOT NULL),
+    h AS (SELECT g, {_hex15_sql('dg')} AS hv FROM h0),
+    regs AS (SELECT g, hv % {m} AS bucket,
+                    max(CASE WHEN (hv >> 8) % 4294967296 > 0
+                             THEN 33 - length(bin((hv >> 8) % 4294967296))
+                             ELSE 33 END) AS reg
+             FROM h GROUP BY 1, 2),
+    agg AS (SELECT g, count(*) AS n_present,
+                   sum(CAST(1 AS BIGINT) << (33 - reg))
+                   + ({m} - count(*)) * CAST(8589934592 AS BIGINT) AS s_total
+            FROM regs GROUP BY 1),
+    est AS (SELECT g,
+                   round(CASE WHEN {num} / s_total <= {2.5 * m}
+                               AND {m} - n_present > 0
+                              THEN {float(m)} * ln({m} / ({m} - n_present))
+                              ELSE {num} / s_total END, 2) AS est_distinct
+            FROM agg),
+    ex AS (SELECT {group_col} AS g, CAST(count(DISTINCT {col}) AS BIGINT) AS exact_distinct
+           FROM {table} GROUP BY 1)
+    SELECT est.g AS {group_col}, est_distinct, exact_distinct,
+           round(abs(est_distinct - exact_distinct) / exact_distinct, 4) AS rel_err
+    FROM est JOIN ex USING (g)
+    """
+
+
+@query(
+    "hll_grouped_users_by_type",
+    oracle=_hll_grouped_oracle("event_type", "user_id", "events"),
+)
+def hll_grouped_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group portable-HLL distinct sketches (extension: profiling):
+    distinct users per event_type, estimate vs exact — the grouped
+    register tables that roll up across time partitions by cellwise
+    max."""
+    from sparkobs.operators.profile import hll_grouped
+
+    return hll_grouped(load_table(spark, sf_dir, "events"), ["event_type"], "user_id")

@@ -595,3 +595,19 @@ def test_hll_ignores_nulls(spark):
     row = hll_distinct(df, ["k"]).collect()[0]
     assert row["exact_distinct"] == 100
     assert row["rel_err"] < 0.25
+
+
+def test_hll_grouped_rollup_equals_direct(spark):
+    # per-day register tables merged by cellwise max must equal the
+    # registers computed over the union — the time-partition rollup
+    from sparkobs.operators.profile import hll_grouped
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(500)] + [("b", i) for i in range(250, 600)],
+        "g string, k long",
+    )
+    out = {r["g"]: r for r in hll_grouped(df, ["g"], "k").collect()}
+    assert out["a"]["exact_distinct"] == 500
+    assert out["b"]["exact_distinct"] == 350
+    for r in out.values():
+        assert r["rel_err"] < 0.25
