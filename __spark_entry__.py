@@ -49,6 +49,8 @@ GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
     # --- round-4 wave-3 queries (newest, must certify this round) ---
+    "hist_quantiles_lineitem",               # portable quantile sketch
+    "group_sample_orders_by_status",         # per-group k-sample
     "curation_funnel_documents",             # capstone pipeline audit
     "session_stats_events",                  # gap-rule sessionization
     "funnel_events",                         # ordered funnel
@@ -84,9 +86,7 @@ _PRIORITY: list[str] = [
     "pack_sequences_documents",              # new sequence packing
     "partitioned_prune_documents",           # new partitioned sink+prune
     "bucketed_join_orders_lineitem",         # new bucketed co-located join
-    "key_skew_stats_lineitem",               # new skew diagnostic
     "fk_orphans_lineitem",                   # new referential check
-    "cdc_compact_events",                    # new CDC compaction
     "streaming_cdc_latest_events",           # new stateful CDC stream
     "range_join_value_bands",                # new bucketed range join
     "collect_metric_lists_supplier",         # array→csv serialization fix
@@ -120,7 +120,8 @@ _PRIORITY: list[str] = [
     # snapshot_count_delta, window_session_per_user,
     # streaming_tumbling_events, ngram_jaccard_pairs,
     # dup_span_coverage_documents, pack_manifest_documents,
-    # streaming_jsonl_tumbling_events,
+    # streaming_jsonl_tumbling_events, key_skew_stats_lineitem,
+    # cdc_compact_events,
     # split_assign_documents, normalize_text_documents,
     # vocab_topk_documents, jsonl_roundtrip_events,
     # profile_lineitem_stats, pricing_summary, revenue_per_nation,

@@ -21,7 +21,7 @@ union into one metrics stream (OP-12) with a fixed schema.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Row
+from pyspark.sql import DataFrame, Row, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -608,3 +608,76 @@ def hll_grouped(
             ).alias("rel_err"),
         )
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 100,
+    qs: tuple = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Engine-portable approximate quantiles from a fixed-bin
+    histogram: bin counts → cumulative distribution → linear
+    interpolation inside the target bin. The third mergeable sketch
+    next to HLL (distinct) and CMS (frequency): histograms from
+    different partitions/days merge by binwise SUM, and any quantile
+    of any range is then arithmetic over ≤ n_bins numbers.
+
+    Unlike ``percentile_approx`` (whose KLL sketch internals no other
+    engine reproduces), every step here is exact integer counting +
+    one final interpolation over identical doubles, so the estimate is
+    value-certifiable cross-engine. Error is bounded by the bin width
+    (hi−lo)/n_bins; values outside [lo, hi] clamp into the edge bins
+    (the standard fixed-range histogram contract, cf.
+    :func:`numeric_histogram`).
+    """
+    if hi <= lo or n_bins < 1:
+        raise ValueError(f"need hi > lo and n_bins >= 1, got {lo}, {hi}, {n_bins}")
+    width = (hi - lo) / n_bins
+    v = F.col(col).cast("double")
+    bin_id = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((v - lo) / width).cast("int")),
+    )
+    hist = (
+        df.where(v.isNotNull())
+        .select(bin_id.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wspec = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wspec).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    outs = []
+    for q in qs:
+        # first bin whose cumulative count reaches q·total, then
+        # interpolate by the fraction of that bin's count needed
+        target = F.ceil(F.lit(q) * F.col("total"))
+        cand = cum.where(F.col("cum") >= target).orderBy("bin").limit(1)
+        est = cand.select(
+            F.lit(q).alias("quantile"),
+            F.round(
+                F.lit(lo)
+                + (
+                    F.col("bin")
+                    + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+                )
+                * width,
+                4,
+            ).alias("est_value"),
+        )
+        outs.append(est)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

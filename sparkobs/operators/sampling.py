@@ -169,3 +169,34 @@ def upsample_mixture(
             F.explode(F.sequence(F.lit(1).cast("long"), F.col("__n"))).alias("epoch"),
         )
     )
+
+
+def group_hash_topk_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-k deterministic sample per group: the k rows whose
+    salted key hash ranks lowest within the group — reservoir
+    sampling's job (fixed-size per-group samples) without reservoir
+    sampling's order-dependence. Reproducible across runs, engines,
+    and partitionings; ``salt`` picks an independent sample.
+
+    One rank window on the group key; the ``rank <= k`` predicate is
+    WindowGroupLimit-eligible, so each map task keeps only its local
+    top-k candidates BEFORE the shuffle — reduce-side volume is
+    O(groups·k), not group size. Groups smaller than k return whole.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    h = _hash64(key_col, salt)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

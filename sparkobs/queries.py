@@ -5209,3 +5209,82 @@ def hll_grouped_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkobs.operators.profile import hll_grouped
 
     return hll_grouped(load_table(spark, sf_dir, "events"), ["event_type"], "user_id")
+
+
+def _hist_quantiles_oracle(
+    col: str, table: str, lo: float, hi: float, n_bins: int, qs: tuple
+) -> str:
+    width = (hi - lo) / n_bins
+    arms = []
+    for q in qs:
+        arms.append(f"""
+    SELECT CAST({q} AS DOUBLE) AS quantile,
+           round({lo!r} + (bin + (ceil(CAST({q} AS DOUBLE) * total) - (cum - cnt)) / cnt)
+                 * {width!r}, 4) AS est_value
+    FROM cum WHERE cum >= ceil(CAST({q} AS DOUBLE) * total) ORDER BY bin LIMIT 1""")
+    body = "\n    UNION ALL".join(f"(SELECT * FROM ({a}))" for a in arms)
+    return f"""
+    WITH v AS (SELECT CAST({col} AS DOUBLE) AS v FROM {table}
+               WHERE {col} IS NOT NULL),
+    hist AS (SELECT least({n_bins - 1},
+                          greatest(0, CAST(floor((v - {lo!r}) / {width!r}) AS INT))) AS bin,
+                    count(*) AS cnt
+             FROM v GROUP BY 1),
+    cum AS (SELECT bin, cnt,
+                   sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                   sum(cnt) OVER () AS total
+            FROM hist)
+    {body}
+    """
+
+
+@query(
+    "hist_quantiles_lineitem",
+    oracle=_hist_quantiles_oracle(
+        "l_extendedprice", "lineitem", 900.0, 105000.0, 100, (0.25, 0.5, 0.75)
+    ),
+)
+def hist_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable histogram-quantile sketch (extension: profiling): the
+    third mergeable sketch next to HLL and CMS — fixed-bin counts →
+    cumulative → in-bin interpolation, every step exact integer
+    counting so the estimate certifies cross-engine (unlike
+    percentile_approx's KLL internals)."""
+    from sparkobs.operators.profile import histogram_quantiles
+
+    return histogram_quantiles(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        900.0,
+        105000.0,
+        100,
+        (0.25, 0.5, 0.75),
+    )
+
+
+@query(
+    "group_sample_orders_by_status",
+    oracle=f"""
+    WITH h AS (SELECT o_orderkey, o_orderstatus,
+                      {_hex15_sql("md5(CAST(o_orderkey AS VARCHAR))")} AS hv
+               FROM orders),
+    rk AS (SELECT o_orderkey, o_orderstatus,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY hv, o_orderkey) AS rn
+           FROM h)
+    SELECT o_orderkey, o_orderstatus FROM rk WHERE rn <= 50
+    """,
+)
+def group_sample_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-50 deterministic sample per order status (extension:
+    sampling) — fixed-size per-group samples via salted hash rank,
+    reservoir semantics without order-dependence."""
+    from sparkobs.operators.sampling import group_hash_topk_sample
+
+    return group_hash_topk_sample(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        "o_orderstatus",
+        "o_orderkey",
+        50,
+    )

@@ -611,3 +611,36 @@ def test_hll_grouped_rollup_equals_direct(spark):
     assert out["b"]["exact_distinct"] == 350
     for r in out.values():
         assert r["rel_err"] < 0.25
+
+
+def test_hist_quantiles_near_exact(spark):
+    from sparkobs.operators.profile import histogram_quantiles
+
+    df = spark.range(10000).select((F.col("id") + 1).cast("double").alias("v"))
+    out = {r["quantile"]: r["est_value"] for r in
+           histogram_quantiles(df, "v", 0.0, 10000.0, 100, (0.25, 0.5, 0.75)).collect()}
+    # bin width 100 bounds the error
+    assert abs(out[0.25] - 2500) <= 100
+    assert abs(out[0.5] - 5000) <= 100
+    assert abs(out[0.75] - 7500) <= 100
+
+
+def test_group_hash_sample_exact_k_and_invariant(spark):
+    from sparkobs.operators.sampling import group_hash_topk_sample
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(300)], "k long, g string"
+    )
+    out = group_hash_topk_sample(df, "g", "k", 10)
+    sizes = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {"g0": 10, "g1": 10, "g2": 10}
+    # partitioning-invariant: same rows regardless of layout
+    a = sorted((r["g"], r["k"]) for r in out.collect())
+    b = sorted(
+        (r["g"], r["k"])
+        for r in group_hash_topk_sample(df.repartition(7), "g", "k", 10).collect()
+    )
+    assert a == b
+    # small groups return whole
+    tiny = spark.createDataFrame([(1, "x")], "k long, g string")
+    assert group_hash_topk_sample(tiny, "g", "k", 10).count() == 1
