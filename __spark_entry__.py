@@ -49,6 +49,8 @@ GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
     # --- round-4 wave-3 queries (newest, must certify this round) ---
+    "shipping_priority_q3",                  # classic OLAP top-k
+    "returned_items_q10",                    # classic OLAP top-k
     "hist_quantiles_lineitem",               # portable quantile sketch
     "group_sample_orders_by_status",         # per-group k-sample
     "curation_funnel_documents",             # capstone pipeline audit
@@ -81,8 +83,6 @@ _PRIORITY: list[str] = [
     "inverted_index_documents",              # postings index
     "search_and_documents",                  # conjunctive search
     # --- round-4 new/changed queries (must certify this round) ---
-    "semantic_dedup_embeddings",             # new SemDeDup-style query
-    "semantic_dedup_ivf_embeddings",         # new clustered-corpus tier
     "pack_sequences_documents",              # new sequence packing
     "partitioned_prune_documents",           # new partitioned sink+prune
     "bucketed_join_orders_lineitem",         # new bucketed co-located join
@@ -121,7 +121,8 @@ _PRIORITY: list[str] = [
     # streaming_tumbling_events, ngram_jaccard_pairs,
     # dup_span_coverage_documents, pack_manifest_documents,
     # streaming_jsonl_tumbling_events, key_skew_stats_lineitem,
-    # cdc_compact_events,
+    # cdc_compact_events, semantic_dedup_embeddings,
+    # semantic_dedup_ivf_embeddings,
     # split_assign_documents, normalize_text_documents,
     # vocab_topk_documents, jsonl_roundtrip_events,
     # profile_lineitem_stats, pricing_summary, revenue_per_nation,
