@@ -85,6 +85,8 @@ HEADLINE = [
     "hll_distinct_lineitem",
     "zscore_events_by_type",
     "winsorize_events_by_type",
+    "shipping_priority_q3",
+    "returned_items_q10",
     "markov_stationary_events",
     "cohort_retention_events",
     "resample_locf_events",
