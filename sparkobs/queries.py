@@ -5385,3 +5385,54 @@ def returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "audio_frame_rms_media",
+    oracle="""
+    WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+    fr AS (SELECT doc_id, h, n, unnest(range(0, 4)) AS frame_idx FROM b),
+    r AS (SELECT doc_id, frame_idx,
+                 round(sqrt(list_sum(list_transform(generate_series(1, 16),
+                    j -> pow(CASE WHEN frame_idx * 16 + j <= n THEN
+                            (strpos('0123456789ABCDEF', substr(h, 2*(frame_idx*16+j)-1, 1)) - 1) * 16
+                            + (strpos('0123456789ABCDEF', substr(h, 2*(frame_idx*16+j), 1)) - 1)
+                          ELSE 0 END - 128.0, 2))) / 16.0), 4) AS rms
+          FROM fr)
+    SELECT doc_id AS id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(16 AS INT) AS n_samples, rms
+    FROM r
+    """,
+)
+def audio_frame_rms_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio DSP through the driver contract (extension:
+    multimodal): each document's first 64 bytes become the PCM payload
+    of a valid u8/mono/8kHz WAV (fixed-size header built JVM-side as a
+    binary literal), then the Arrow-batched kernel parses the RIFF
+    container and computes per-16-sample-frame RMS. The oracle
+    recomputes each frame from hex byte arithmetic — squared-integer
+    sums are float64-exact, so the whole decode→frame→RMS path is
+    value-hash-certified."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.multimodal import audio_frame_features
+
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + 64)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data"
+        + struct.pack("<I", 64)
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit(header),
+        F.substring(F.concat(F.encode("text", "UTF-8"), F.lit(bytes(64))), 1, 64),
+    )
+    media = docs.select(F.col("doc_id").alias("id"), payload.alias("content"))
+    return audio_frame_features(media, frame_size=16)

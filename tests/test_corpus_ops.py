@@ -644,3 +644,31 @@ def test_group_hash_sample_exact_k_and_invariant(spark):
     # small groups return whole
     tiny = spark.createDataFrame([(1, "x")], "k long, g string")
     assert group_hash_topk_sample(tiny, "g", "k", 10).count() == 1
+
+
+def test_audio_frame_rms_hand_computed(spark):
+    import struct
+
+    from sparkobs.operators.multimodal import audio_frame_features
+
+    # 32 u8 samples: first frame all 128 (silence -> rms 0), second
+    # frame alternating 0/255 -> rms sqrt((128^2 + 127^2)/2)
+    pcm = bytes([128] * 16 + [0, 255] * 8)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    df = spark.createDataFrame([(1, bytearray(wav))], "id long, content binary")
+    out = {r["frame_idx"]: r["rms"] for r in audio_frame_features(df).collect()}
+    assert out[0] == 0.0
+    assert out[1] == round((((-128.0) ** 2 + 127.0**2) / 2) ** 0.5, 4)
+
+
+def test_audio_frame_skips_undecodable(spark):
+    from sparkobs.operators.multimodal import audio_frame_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a wav"))], "id long, content binary"
+    )
+    assert audio_frame_features(df).count() == 0
