@@ -271,6 +271,34 @@ def probes():
             transition_matrix(ev, "user_id", "ts", "event_type", "event_id"), 5
         )
 
+    def audio(docs, ev, emb):
+        import struct
+
+        from sparkobs.operators.multimodal import audio_frame_features
+
+        header = (
+            b"RIFF" + struct.pack("<I", 100) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", 64)
+        )
+        payload = F.concat(
+            F.lit(header),
+            F.substring(F.concat(F.encode("text", "UTF-8"), F.lit(bytes(64))), 1, 64),
+        )
+        return audio_frame_features(
+            docs.select(F.col("doc_id").alias("id"), payload.alias("content"))
+        )
+
+    def hist_q(docs, ev, emb):
+        from sparkobs.operators.profile import histogram_quantiles
+
+        return histogram_quantiles(ev, "value", 0.0, 600.0, 100)
+
+    def gsample(docs, ev, emb):
+        from sparkobs.operators.sampling import group_hash_topk_sample
+
+        return group_hash_topk_sample(ev, "event_type", "event_id", 50)
+
     return {
         "winnowing_xx64": winnow,
         "resize_synth": resize,
@@ -301,6 +329,9 @@ def probes():
         "resample_locf": resample,
         "cohort_retention": cohort,
         "markov_stationary": markov,
+        "audio_frame_rms": audio,
+        "hist_quantiles": hist_q,
+        "group_hash_sample": gsample,
     }
 
 
