@@ -49,6 +49,10 @@ GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
     # --- round-4 wave-3 queries (newest, must certify this round) ---
+    "hashed_vectors_documents",              # feature-hashing vectorizer
+    "sparse_cosine_pairs_documents",         # sparse ANN
+    "vocab_jsd_documents",                   # vocabulary drift
+    "corr_matrix_lineitem",                  # correlation matrix
     "audio_frame_rms_media",                 # audio DSP certification
     "shipping_priority_q3",                  # classic OLAP top-k
     "returned_items_q10",                    # classic OLAP top-k
@@ -89,10 +93,6 @@ _PRIORITY: list[str] = [
     "bucketed_join_orders_lineitem",         # new bucketed co-located join
     "fk_orphans_lineitem",                   # new referential check
     "streaming_cdc_latest_events",           # new stateful CDC stream
-    "collect_metric_lists_supplier",         # array→csv serialization fix
-    "winnowing_fingerprints_documents",      # array→csv serialization fix
-    "listing_key_metrics",                   # new read_blob oracle
-    "listing_prefix_stats",                  # new read_blob oracle
     "listing_storage_stats",                 # new read_blob oracle
     "bucket_monitor_metrics",                # new read_blob oracle
     "profile_lineitem_approx",               # new certified-sketch shape
@@ -122,7 +122,9 @@ _PRIORITY: list[str] = [
     # dup_span_coverage_documents, pack_manifest_documents,
     # streaming_jsonl_tumbling_events, key_skew_stats_lineitem,
     # cdc_compact_events, semantic_dedup_embeddings,
-    # range_join_value_bands,
+    # range_join_value_bands, collect_metric_lists_supplier,
+    # winnowing_fingerprints_documents, listing_key_metrics,
+    # listing_prefix_stats,
     # semantic_dedup_ivf_embeddings,
     # split_assign_documents, normalize_text_documents,
     # vocab_topk_documents, jsonl_roundtrip_events,

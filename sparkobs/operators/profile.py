@@ -681,3 +681,32 @@ def histogram_quantiles(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations for a column set, long format
+    (col_a, col_b, pearson) for every unordered pair — the
+    multicollinearity probe over profiled numerics. ONE aggregation
+    pass computes all n·(n−1)/2 coefficients (each is a handful of
+    running sums that share the same partial+final hash agg); never a
+    per-pair scan."""
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    wide = df.agg(
+        *[
+            F.round(
+                F.corr(F.col(a).cast("double"), F.col(b).cast("double")), 4
+            ).alias(f"{a}__{b}")
+            for a, b in pairs
+        ]
+    )
+    structs = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"{a}__{b}").alias("pearson"),
+        )
+        for a, b in pairs
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

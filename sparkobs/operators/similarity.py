@@ -810,3 +810,86 @@ def quantize_embeddings(
             "codes"
         ),
     )
+
+
+def hashed_tf_vectors(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashed sparse document vectors, LONG form (id, dim_idx,
+    weight): each token hashes to a dimension with a ±1 sign (the
+    hashing-trick sign that makes collisions cancel in expectation),
+    signed counts are L2-normalized per document. The text→vector
+    bridge when no embedding model is in the loop — the output feeds
+    the same similarity operators as model embeddings, and the long
+    form IS the inverted index for sparse cosine.
+
+    Portable md5 hashing (dimension = hash mod dim, sign = next hash
+    bit) and integer signed counts (norm = sqrt of an exact integer
+    sum), so the vectors are value-reproducible cross-engine. Signed
+    counts that cancel to zero are dropped (they carry no weight and
+    their presence would differ from a sparse representation's).
+    One explode → one (id, dim) hash agg → one per-id norm join.
+    """
+    hv = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        ).alias("token"),
+    )
+    signed = toks.select(
+        "id",
+        (hv % dim).alias("dim_idx"),
+        F.when(F.shiftright(hv, 32) % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("s"),
+    )
+    counts = (
+        signed.groupBy("id", "dim_idx")
+        .agg(F.sum("s").alias("c"))
+        .where(F.col("c") != 0)
+    )
+    norms = counts.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("__norm")
+    )
+    return counts.join(norms, "id").select(
+        F.col("id").alias(id_col),
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        (F.col("c") / F.col("__norm")).alias("weight"),
+    )
+
+
+def sparse_cosine_pairs(
+    vecs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs cosine similarity over LONG-form normalized sparse
+    vectors (:func:`hashed_tf_vectors`): candidate pairs come from an
+    equi-join on the dimension index — documents sharing no dimension
+    are never compared (the sparse analog of the LSH bucket join) —
+    and the dot product of unit vectors IS the cosine.
+
+    Shuffle is keyed by dim_idx; Zipf-hot dimensions behave like hot
+    shingles in the n-gram join (AQE skew-split handles moderate skew;
+    at extreme scale drop the top-df dimensions the way prefix
+    filtering drops hot shingles). Output: (id_a, id_b, cos ≥
+    threshold), each pair exactly once.
+    """
+    a = vecs.select(
+        F.col(id_col).alias("ia"), "dim_idx", F.col("weight").alias("wa")
+    )
+    b = vecs.select(
+        F.col(id_col).alias("ib"), "dim_idx", F.col("weight").alias("wb")
+    )
+    return (
+        a.join(b, "dim_idx")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.round(F.sum(F.col("wa") * F.col("wb")), 4).alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .select(
+            F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "cos"
+        )
+    )

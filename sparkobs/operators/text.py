@@ -717,3 +717,42 @@ def search_all_terms(
         .where(F.col("n_terms") == len(terms))
         .select(F.col("id").alias(id_col), "n_hits")
     )
+
+
+def vocab_jsd(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpora's token
+    distributions — the vocabulary-drift metric between corpus
+    versions (crawl N vs N+1, train vs eval): 0 = identical mixes,
+    ln(2) = disjoint vocabularies. The categorical companion to the
+    numeric PSI drift monitor.
+
+    One token agg per side, a full outer join on the token key, one
+    sum — every term uses the 0·ln(0)=0 convention via explicit
+    null/zero guards so one-sided tokens contribute their full
+    half-divergence instead of NaN."""
+    def dist(df: DataFrame, name: str) -> DataFrame:
+        c = (
+            df.select(F.explode(tokens_nonempty(text_col)).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(f"n_{name}"))
+        )
+        t = c.agg(F.sum(f"n_{name}").alias(f"tot_{name}"))
+        return c.crossJoin(F.broadcast(t)).select(
+            "token", (F.col(f"n_{name}") / F.col(f"tot_{name}")).alias(f"p_{name}")
+        )
+    j = dist(df_a, "a").join(dist(df_b, "b"), "token", "full_outer")
+    p = F.coalesce(F.col("p_a"), F.lit(0.0))
+    q = F.coalesce(F.col("p_b"), F.lit(0.0))
+    m = (p + q) / 2
+    term = F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0)) + F.when(
+        q > 0, q * F.log(q / m)
+    ).otherwise(F.lit(0.0))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_union"),
+        F.sum((p > 0).cast("long") * (q > 0).cast("long")).cast("long").alias("vocab_shared"),
+        F.round(F.sum(term) / 2, 6).alias("jsd_nats"),
+    )

@@ -5436,3 +5436,146 @@ def audio_frame_rms_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = docs.select(F.col("doc_id").alias("id"), payload.alias("content"))
     return audio_frame_features(media, frame_size=16)
+
+
+_HASHED_VEC_CTES = f"""
+    tok AS (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS token
+            FROM documents),
+    hv AS (SELECT doc_id, {_hex15_sql('dg')} AS h
+           FROM (SELECT doc_id, md5(token) AS dg FROM tok)),
+    signed AS (SELECT doc_id, h % 64 AS dim_idx,
+                      CASE WHEN (h >> 32) % 2 = 0 THEN 1 ELSE -1 END AS s
+               FROM hv),
+    counts AS (SELECT doc_id, dim_idx, CAST(sum(s) AS BIGINT) AS c
+               FROM signed GROUP BY 1, 2 HAVING sum(s) <> 0),
+    norms AS (SELECT doc_id, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm
+              FROM counts GROUP BY 1),
+    vecs AS (SELECT counts.doc_id, dim_idx, c / nrm AS weight
+             FROM counts JOIN norms USING (doc_id))
+"""
+
+
+@query(
+    "hashed_vectors_documents",
+    oracle=f"""
+    WITH {_HASHED_VEC_CTES}
+    SELECT doc_id, CAST(dim_idx AS INT) AS dim_idx,
+           round(weight, 6) AS weight
+    FROM vecs
+    """,
+)
+def hashed_vectors_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed sparse document vectors (extension: text →
+    vector bridge): signed hashing-trick counts, L2-normalized, long
+    form — embeddings without a model, integer-exact and
+    cross-engine-reproducible."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.similarity import hashed_tf_vectors
+
+    return hashed_tf_vectors(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "dim_idx", F.round("weight", 6).alias("weight")
+    )
+
+
+@query(
+    "sparse_cosine_pairs_documents",
+    oracle=f"""
+    WITH {_HASHED_VEC_CTES},
+    pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  round(sum(a.weight * b.weight), 4) AS cos
+           FROM vecs a JOIN vecs b
+             ON a.dim_idx = b.dim_idx AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+    SELECT id_a, id_b, cos FROM pr WHERE cos >= 0.9
+    """,
+)
+def sparse_cosine_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse cosine document similarity (extension: similarity
+    without embeddings): dimension-index equi-join over the hashed
+    vectors — documents sharing no dimension never meet; unit-vector
+    dot = cosine."""
+    from sparkobs.operators.similarity import hashed_tf_vectors, sparse_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(hashed_tf_vectors(docs), threshold=0.9)
+
+
+@query(
+    "vocab_jsd_documents",
+    oracle="""
+    WITH ta AS (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')) AS token
+                FROM documents WHERE doc_id % 2 = 0),
+    tb AS (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x <> '')) AS token
+           FROM documents WHERE doc_id % 2 = 1),
+    ca AS (SELECT token, count(*) AS n FROM ta GROUP BY 1),
+    cb AS (SELECT token, count(*) AS n FROM tb GROUP BY 1),
+    pa AS (SELECT token, n / (SELECT sum(n) FROM ca) AS p FROM ca),
+    pb AS (SELECT token, n / (SELECT sum(n) FROM cb) AS p FROM cb),
+    j AS (SELECT coalesce(pa.p, 0.0) AS p, coalesce(pb.p, 0.0) AS q
+          FROM pa FULL OUTER JOIN pb USING (token))
+    SELECT CAST(count(*) AS BIGINT) AS vocab_union,
+           CAST(sum(CASE WHEN p > 0 AND q > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_shared,
+           round(sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END
+                     + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0.0 END) / 2,
+                 6) AS jsd_nats
+    FROM j
+    """,
+)
+def vocab_jsd_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between corpus versions (extension: drift):
+    Jensen-Shannon divergence of the token mixes of the even- and
+    odd-doc_id halves — the categorical companion to PSI."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.text import vocab_jsd
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_jsd(
+        docs.where(F.col("doc_id") % 2 == 0), docs.where(F.col("doc_id") % 2 == 1)
+    )
+
+
+@query(
+    "corr_matrix_lineitem",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             round(corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 4) AS pearson
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount',
+             round(corr(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)), 4)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', 'l_tax',
+             round(corr(CAST(l_quantity AS DOUBLE), CAST(l_tax AS DOUBLE)), 4)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount',
+             round(corr(CAST(l_extendedprice AS DOUBLE), CAST(l_discount AS DOUBLE)), 4)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_tax',
+             round(corr(CAST(l_extendedprice AS DOUBLE), CAST(l_tax AS DOUBLE)), 4)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', 'l_tax',
+             round(corr(CAST(l_discount AS DOUBLE), CAST(l_tax AS DOUBLE)), 4)
+      FROM lineitem
+    )
+    """,
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson matrix over lineitem measures (extension:
+    profiling) — all 6 coefficients in ONE aggregation pass."""
+    from sparkobs.operators.profile import corr_matrix
+
+    return corr_matrix(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )

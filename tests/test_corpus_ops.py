@@ -672,3 +672,59 @@ def test_audio_frame_skips_undecodable(spark):
         [(1, bytearray(b"not a wav"))], "id long, content binary"
     )
     assert audio_frame_features(df).count() == 0
+
+
+def test_vocab_jsd_bounds(spark):
+    from sparkobs.operators.text import vocab_jsd
+
+    same = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    r = vocab_jsd(same, same).collect()[0]
+    assert r["jsd_nats"] == 0.0 and r["vocab_shared"] == 3
+    import math
+
+    disjoint = vocab_jsd(
+        spark.createDataFrame([(1, "a a")], "doc_id long, text string"),
+        spark.createDataFrame([(2, "b b")], "doc_id long, text string"),
+    ).collect()[0]
+    assert disjoint["vocab_shared"] == 0
+    assert abs(disjoint["jsd_nats"] - math.log(2)) < 1e-6
+
+
+def test_corr_matrix_pairs(spark):
+    from sparkobs.operators.profile import corr_matrix
+
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i), float(-i)) for i in range(50)],
+        "a double, b double, c double",
+    )
+    out = {(r["col_a"], r["col_b"]): r["pearson"] for r in corr_matrix(df, ["a", "b", "c"]).collect()}
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] == -1.0
+    assert len(out) == 3
+
+
+def test_hashed_vectors_unit_norm_and_determinism(spark):
+    from sparkobs.operators.similarity import hashed_tf_vectors
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha")], "doc_id long, text string"
+    )
+    v = hashed_tf_vectors(df)
+    norm = v.agg(F.round(F.sum(F.col("weight") * F.col("weight")), 6)).collect()[0][0]
+    assert norm == 1.0
+    a = sorted(map(tuple, v.collect()))
+    b = sorted(map(tuple, hashed_tf_vectors(df.repartition(4)).collect()))
+    assert a == b
+
+
+def test_sparse_cosine_identical_docs(spark):
+    from sparkobs.operators.similarity import hashed_tf_vectors, sparse_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z"), (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["cos"] for r in
+           sparse_cosine_pairs(hashed_tf_vectors(df), 0.9).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) not in out
