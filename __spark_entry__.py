@@ -49,6 +49,8 @@ GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
     # --- round-4 wave-3 queries (newest, must certify this round) ---
+    "contract_checks_orders",                # data-contract suite
+    "join_size_lineitem_orders",             # join-explosion diagnostic
     "hashed_vectors_documents",              # feature-hashing vectorizer
     "sparse_cosine_pairs_documents",         # sparse ANN
     "vocab_jsd_documents",                   # vocabulary drift
@@ -93,8 +95,6 @@ _PRIORITY: list[str] = [
     "bucketed_join_orders_lineitem",         # new bucketed co-located join
     "fk_orphans_lineitem",                   # new referential check
     "streaming_cdc_latest_events",           # new stateful CDC stream
-    "listing_storage_stats",                 # new read_blob oracle
-    "bucket_monitor_metrics",                # new read_blob oracle
     "profile_lineitem_approx",               # new certified-sketch shape
     "streaming_incremental_band_index",      # new query
     "streaming_near_dup_candidates",         # index persist / out-dir reuse
@@ -124,7 +124,8 @@ _PRIORITY: list[str] = [
     # cdc_compact_events, semantic_dedup_embeddings,
     # range_join_value_bands, collect_metric_lists_supplier,
     # winnowing_fingerprints_documents, listing_key_metrics,
-    # listing_prefix_stats,
+    # listing_prefix_stats, listing_storage_stats,
+    # bucket_monitor_metrics,
     # semantic_dedup_ivf_embeddings,
     # split_assign_documents, normalize_text_documents,
     # vocab_topk_documents, jsonl_roundtrip_events,

@@ -1,0 +1,109 @@
+"""Declarative data-quality check suites — the dbt-tests /
+Great-Expectations shape on top of the profiling operators: a table's
+CONTRACT (nullability, uniqueness, accepted values, ranges, row-count
+bounds) declared as data, evaluated in as few passes as the check mix
+allows, reported long-form so every table's results union into one
+quality stream (the same sink discipline as the metric operators).
+
+Check grammar (type, column, params):
+
+- ``("not_null", col)`` — no NULLs in col
+- ``("unique", col)`` — col values are distinct (NULLs ignored)
+- ``("accepted_values", col, (v1, v2, ...))`` — col ⊆ the value set
+- ``("range", col, lo, hi)`` — lo <= col <= hi (NULLs don't violate;
+  pair with not_null to forbid them)
+- ``("row_count_between", lo, hi)`` — table size bounds
+
+Scale shape: every check except ``unique`` is a conditional SUM in
+ONE shared aggregation pass over the table; ``unique`` checks need a
+per-column distinct (grouped by the checked column, counted over the
+groups) and run as one extra aggregate per unique-checked column.
+Violation COUNTS (not just pass/fail booleans) come back so a failing
+contract quantifies its own blast radius.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def run_checks(df: DataFrame, checks: list[tuple]) -> DataFrame:
+    """Evaluate a check suite; returns (check_idx, check_type,
+    column, violations, passed) — one row per declared check, in
+    declaration order via check_idx."""
+    if not checks:
+        raise ValueError("check suite must not be empty")
+    agg_exprs = []
+    unique_cols = []
+    specs = []
+    for idx, chk in enumerate(checks):
+        typ = chk[0]
+        if typ == "not_null":
+            col = chk[1]
+            agg_exprs.append(
+                F.sum(F.col(col).isNull().cast("long")).alias(f"__v{idx}")
+            )
+            specs.append((idx, typ, col, "agg"))
+        elif typ == "accepted_values":
+            col, vals = chk[1], chk[2]
+            agg_exprs.append(
+                F.sum(
+                    (~F.col(col).isin(list(vals)) & F.col(col).isNotNull()).cast("long")
+                ).alias(f"__v{idx}")
+            )
+            specs.append((idx, typ, col, "agg"))
+        elif typ == "range":
+            col, lo, hi = chk[1], chk[2], chk[3]
+            agg_exprs.append(
+                F.sum(
+                    ((F.col(col) < lo) | (F.col(col) > hi)).cast("long")
+                ).alias(f"__v{idx}")
+            )
+            specs.append((idx, typ, col, "agg"))
+        elif typ == "row_count_between":
+            lo, hi = chk[1], chk[2]
+            agg_exprs.append(F.count(F.lit(1)).alias(f"__n{idx}"))
+            specs.append((idx, typ, None, ("count", lo, hi)))
+        elif typ == "unique":
+            col = chk[1]
+            unique_cols.append((idx, col))
+            specs.append((idx, typ, col, "unique"))
+        else:
+            raise ValueError(f"unknown check type {typ!r}")
+
+    wide = df.agg(*agg_exprs) if agg_exprs else None
+    uniq = {}
+    for idx, col in unique_cols:
+        # duplicate-VALUE count: rows beyond the first per value
+        uniq[idx] = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(
+                F.coalesce(F.sum(F.col("__c") - 1), F.lit(0)).alias(f"__v{idx}")
+            )
+        )
+    for u in uniq.values():
+        wide = u if wide is None else wide.crossJoin(u)
+
+    rows = []
+    for idx, typ, col, mode in specs:
+        if mode == "agg" or mode == "unique":
+            viol = F.coalesce(F.col(f"__v{idx}"), F.lit(0))
+        else:
+            _, lo, hi = mode
+            n = F.col(f"__n{idx}")
+            viol = F.when((n >= lo) & (n <= hi), F.lit(0)).otherwise(
+                F.abs(n - F.when(n < lo, F.lit(lo)).otherwise(F.lit(hi)))
+            )
+        rows.append(
+            F.struct(
+                F.lit(idx).alias("check_idx"),
+                F.lit(typ).alias("check_type"),
+                F.lit(col if col is not None else "").alias("column"),
+                viol.cast("long").alias("violations"),
+                (viol == 0).alias("passed"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")

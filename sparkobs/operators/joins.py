@@ -336,3 +336,70 @@ def fuzzy_best_match(
         .where(F.col("__rn") == 1)
         .select("left_value", "right_value", F.col("dist").cast("long").alias("dist"))
     )
+
+
+def join_size_diagnostic(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    top_n: int = 5,
+) -> DataFrame:
+    """Pre-flight join-explosion diagnostic: the EXACT output
+    cardinality of ``left ⋈ right`` on the key (Σ over shared keys of
+    n_left·n_right) plus how concentrated it is — before paying for
+    the join itself. A 100 TB join that explodes does so on a handful
+    of hot keys; this shows them while the plan is still cheap to
+    change (salt, filter, or pre-aggregate).
+
+    Cost: one count-agg per side (shuffle on the key, rows ∝ distinct
+    keys), one join of the two COUNT tables (never the data), one sum.
+    Output row: est_join_rows, n_shared_keys, top-key concentration
+    (share of output owed to the ``top_n`` hottest keys) and those
+    keys as csv.
+    """
+    lc = left.groupBy(F.col(left_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__nl")
+    )
+    rc = right.groupBy(F.col(right_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__nr")
+    )
+    contrib = lc.join(rc, "__k").select(
+        "__k", (F.col("__nl") * F.col("__nr")).alias("__rows")
+    )
+    top = (
+        contrib.orderBy(F.desc("__rows"), F.asc("__k"))
+        .limit(top_n)
+        .agg(
+            F.sum("__rows").alias("__top_rows"),
+            # explicit in-agg sort: collect_list order after a limit is
+            # not a contract, even when it happens to come back sorted
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("__rows")).alias("nr"),
+                                F.col("__k").alias("k"),
+                            )
+                        )
+                    ),
+                    lambda s: s["k"].cast("string"),
+                ),
+            ).alias("top_keys"),
+        )
+    )
+    totals = contrib.agg(
+        F.coalesce(F.sum("__rows"), F.lit(0)).cast("long").alias("est_join_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_shared_keys"),
+    )
+    return totals.crossJoin(F.broadcast(top)).select(
+        "est_join_rows",
+        "n_shared_keys",
+        F.when(
+            F.col("est_join_rows") > 0,
+            F.round(F.col("__top_rows") / F.col("est_join_rows"), 4),
+        ).otherwise(F.lit(0.0)).alias("top_key_share"),
+        F.coalesce(F.col("top_keys"), F.lit("")).alias("top_keys"),
+    )

@@ -5579,3 +5579,101 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     )
+
+
+@query(
+    "contract_checks_orders",
+    oracle="""
+    SELECT * FROM (
+      SELECT CAST(0 AS INT) AS check_idx, 'not_null' AS check_type,
+             'o_orderkey' AS "column",
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+             sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+      FROM orders
+      UNION ALL
+      SELECT 1, 'unique', 'o_orderkey',
+             CAST(coalesce((SELECT sum(c - 1) FROM
+                    (SELECT count(*) AS c FROM orders
+                     WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)), 0) AS BIGINT),
+             coalesce((SELECT sum(c - 1) FROM
+                    (SELECT count(*) AS c FROM orders
+                     WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)), 0) = 0
+      UNION ALL
+      SELECT 2, 'accepted_values', 'o_orderstatus',
+             CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('O', 'F', 'P')
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             sum(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O', 'F', 'P')
+                      THEN 1 ELSE 0 END) = 0
+      FROM orders
+      UNION ALL
+      SELECT 3, 'range', 'o_totalprice',
+             CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 200000
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 200000
+                      THEN 1 ELSE 0 END) = 0
+      FROM orders
+      UNION ALL
+      SELECT 4, 'row_count_between', '',
+             CAST(CASE WHEN count(*) BETWEEN 100 AND 100000000 THEN 0
+                       WHEN count(*) < 100 THEN 100 - count(*)
+                       ELSE count(*) - 100000000 END AS BIGINT),
+             count(*) BETWEEN 100 AND 100000000
+      FROM orders
+    )
+    """,
+)
+def contract_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data contract over orders (extension: quality
+    suites): nullability, key uniqueness, accepted statuses, a price
+    range (intentionally tight — violation counts quantify the blast
+    radius) and row-count bounds, evaluated in one shared agg pass +
+    one uniqueness agg."""
+    from sparkobs.operators.checks import run_checks
+
+    return run_checks(
+        load_table(spark, sf_dir, "orders"),
+        [
+            ("not_null", "o_orderkey"),
+            ("unique", "o_orderkey"),
+            ("accepted_values", "o_orderstatus", ("O", "F", "P")),
+            ("range", "o_totalprice", 0, 200000),
+            ("row_count_between", 100, 100000000),
+        ],
+    )
+
+
+@query(
+    "join_size_lineitem_orders",
+    oracle="""
+    WITH lc AS (SELECT l_orderkey AS k, count(*) AS nl FROM lineitem GROUP BY 1),
+    rc AS (SELECT o_orderkey AS k, count(*) AS nr FROM orders GROUP BY 1),
+    contrib AS (SELECT lc.k, nl * nr AS rows_k FROM lc JOIN rc USING (k)),
+    top AS (SELECT sum(rows_k) AS top_rows,
+                   string_agg(CAST(k AS VARCHAR), ',' ORDER BY rows_k DESC, k) AS top_keys
+            FROM (SELECT k, rows_k FROM contrib
+                  ORDER BY rows_k DESC, k LIMIT 5)),
+    tot AS (SELECT CAST(coalesce(sum(rows_k), 0) AS BIGINT) AS est_join_rows,
+                   CAST(count(*) AS BIGINT) AS n_shared_keys
+            FROM contrib)
+    SELECT est_join_rows, n_shared_keys,
+           CASE WHEN est_join_rows > 0
+                THEN round(top_rows / est_join_rows, 4) ELSE 0.0 END AS top_key_share,
+           coalesce(top_keys, '') AS top_keys
+    FROM tot CROSS JOIN top
+    """,
+)
+def join_size_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-explosion diagnostic (extension: planning): the exact
+    lineitem⋈orders output cardinality and its hottest-key
+    concentration, computed from the two COUNT tables — never the
+    data."""
+    from sparkobs.operators.joins import join_size_diagnostic
+
+    return join_size_diagnostic(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+    )

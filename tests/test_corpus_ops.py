@@ -728,3 +728,47 @@ def test_sparse_cosine_identical_docs(spark):
            sparse_cosine_pairs(hashed_tf_vectors(df), 0.9).collect()}
     assert out[(1, 2)] == 1.0
     assert (1, 3) not in out
+
+
+def test_run_checks_violation_counts(spark):
+    from sparkobs.operators.checks import run_checks
+
+    df = spark.createDataFrame(
+        [(1, "ok", 5.0), (2, "ok", 50.0), (2, "bad", -1.0), (None, "ok", 5.0)],
+        "k long, status string, v double",
+    )
+    out = {r["check_idx"]: r for r in run_checks(df, [
+        ("not_null", "k"),
+        ("unique", "k"),
+        ("accepted_values", "status", ("ok",)),
+        ("range", "v", 0, 10),
+        ("row_count_between", 1, 3),
+    ]).collect()}
+    assert out[0]["violations"] == 1 and not out[0]["passed"]
+    assert out[1]["violations"] == 1  # k=2 twice -> one extra row
+    assert out[2]["violations"] == 1  # 'bad'
+    assert out[3]["violations"] == 2  # 50.0 and -1.0
+    assert out[4]["violations"] == 1 and not out[4]["passed"]  # 4 rows > 3
+
+
+def test_run_checks_all_green(spark):
+    from sparkobs.operators.checks import run_checks
+
+    df = spark.createDataFrame([(1,), (2,)], "k long")
+    out = run_checks(df, [("not_null", "k"), ("unique", "k")]).collect()
+    assert all(r["passed"] and r["violations"] == 0 for r in out)
+
+
+def test_join_size_diagnostic_exact(spark):
+    from sparkobs.operators.joins import join_size_diagnostic
+
+    left = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k long")
+    right = spark.createDataFrame([(1,), (1,), (1,), (2,)], "k long")
+    row = join_size_diagnostic(left, right, "k", "k", top_n=1).collect()[0]
+    # key 1: 2*3=6 rows; key 2: 1*1=1; key 3 unmatched
+    assert row["est_join_rows"] == 7
+    assert row["n_shared_keys"] == 2
+    assert row["top_keys"] == "1"
+    assert row["top_key_share"] == round(6 / 7, 4)
+    exact = left.join(right, "k").count()
+    assert exact == row["est_join_rows"]
