@@ -53,11 +53,15 @@ _PRIORITY: list[str] = [
     "join_size_lineitem_orders",             # join-explosion diagnostic
     "hashed_vectors_documents",              # feature-hashing vectorizer
     "sparse_cosine_pairs_documents",         # sparse ANN
+    "sparse_cosine_pairs_pruned_documents",  # df-pruned sparse ANN tier
+    "bloom_semi_join_lineitem_orders",       # bloom-pruned semi join
+    "canonical_dedup_documents",             # keep-best survivor selection
     "vocab_jsd_documents",                   # vocabulary drift
     "corr_matrix_lineitem",                  # correlation matrix
     "audio_frame_rms_media",                 # audio DSP certification
-    "shipping_priority_q3",                  # classic OLAP top-k
-    "returned_items_q10",                    # classic OLAP top-k
+    # shipping_priority_q3 / returned_items_q10 rotated to the r5 gate
+    # (plain OLAP joins/aggs, lowest-risk entries; locally green via
+    # `make sweep`)
     "hist_quantiles_lineitem",               # portable quantile sketch
     "group_sample_orders_by_status",         # per-group k-sample
     "curation_funnel_documents",             # capstone pipeline audit
@@ -97,7 +101,8 @@ _PRIORITY: list[str] = [
     "streaming_cdc_latest_events",           # new stateful CDC stream
     "profile_lineitem_approx",               # new certified-sketch shape
     "streaming_incremental_band_index",      # new query
-    "streaming_near_dup_candidates",         # index persist / out-dir reuse
+    # streaming_near_dup_candidates rotated out (certified r3; the
+    # round-4 change was perf-only index persist/out-dir reuse)
     "anomaly_hourly_events",                 # deterministic frame ordering
     "near_dup_groups_documents",             # union-find collect path change
     "near_dup_groups_lsh",                   # union-find collect path change

@@ -91,6 +91,12 @@ HEADLINE = [
     "cohort_retention_events",
     "resample_locf_events",
     "fuzzy_match_supplier_customer",
+    # round-4 late additions (sparse_cosine_pairs_pruned_documents is
+    # certified at sf0.01 but its median-df oracle twin is quadratic on
+    # the tiny-vocab corpus at sf0.1 — the absolute-cap production tier
+    # is probed in tools/scale_probe.py instead; see SCALE.md)
+    "bloom_semi_join_lineitem_orders",
+    "canonical_dedup_documents",
 ]
 
 

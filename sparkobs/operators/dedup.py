@@ -22,7 +22,7 @@ driver-side loops; every stage is a shuffle-parallel DataFrame op.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -913,3 +913,120 @@ def bloom_probe(
         .agg((F.sum("hit") == n_hashes).alias("maybe_seen"))
         .select(F.col("id").alias(id_col), "maybe_seen")
     )
+
+
+def bloom_member_expr(
+    bloom: DataFrame,
+    key_col: str,
+    m_words: int = 1024,
+    n_hashes: int = 4,
+) -> Column:
+    """Boolean Column: "``key_col`` is probably in the bloomed key
+    set" — the bitmap is collected (≤ ``m_words`` rows, tiny by
+    construction) and inlined as a LITERAL array, so the membership
+    test is a pure JVM expression evaluated inside the fact table's
+    scan stage: zero shuffle, zero join, survives whole-stage codegen
+    and rides predicate order with the other filters. This — not
+    :func:`bloom_probe`'s join (which exists for per-row audit
+    output) — is the 100 TB shape for pruning a huge fact scan by a
+    dimension key set before any join is attempted.
+
+    False positives pass (remove them with the exact join that
+    follows); false negatives are impossible, so no matching row is
+    ever lost. Hashing is the same portable md5 double-hash as
+    :func:`bloom_build`, so any engine can reproduce the decision
+    bit for bit.
+    """
+    if "__m_words" in bloom.columns:
+        meta = bloom.select("__m_words", "__n_hashes").limit(1).collect()
+        if meta and (
+            meta[0]["__m_words"] != m_words or meta[0]["__n_hashes"] != n_hashes
+        ):
+            raise ValueError(
+                f"bloom bitmap was built with m_words={meta[0]['__m_words']}, "
+                f"n_hashes={meta[0]['__n_hashes']} but the membership "
+                f"expression uses m_words={m_words}, n_hashes={n_hashes}"
+            )
+        bloom = bloom.drop("__m_words", "__n_hashes")
+    words = [0] * m_words
+    for r in bloom.collect():
+        words[r["widx"]] = r["word_bits"]
+    arr = F.lit(words)
+    pow2 = F.lit([1 << i for i in range(32)])
+    m_bits = m_words * 32
+    key = F.col(key_col).cast("string")
+    a = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % _BLOOM_MOD
+    b = F.conv(F.substring(F.md5(key), 16, 15), 16, 10).cast("long") % _BLOOM_MOD
+    cond = None
+    for j in range(n_hashes):
+        p = (a + F.lit(j) * b) % m_bits
+        word = F.element_at(arr, F.shiftright(p, 5).cast("int") + 1)
+        bit = F.element_at(pow2, p.bitwiseAND(F.lit(31)).cast("int") + 1)
+        t = word.bitwiseAND(bit) == bit
+        cond = t if cond is None else cond & t
+    return cond
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_words: int = 1024,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Semi join ``fact`` ⋉ ``dim`` with Bloom pre-pruning: build the
+    portable bitmap over the dimension's (string-cast) keys, prune the
+    fact scan with the inlined :func:`bloom_member_expr` (no shuffle
+    of the fact), then remove false positives with an exact LEFT SEMI
+    join — by then the surviving side is a small fraction of the fact,
+    so the exact join's shuffle is over survivors only. Result rows
+    are exactly the plain semi join's (Bloom never drops a match).
+    """
+    keys = dim.select(F.col(dim_key).cast("string").alias("__k")).distinct()
+    bloom = bloom_build(keys, "__k", m_words=m_words, n_hashes=n_hashes)
+    pruned = fact.where(
+        bloom_member_expr(bloom, fact_key, m_words=m_words, n_hashes=n_hashes)
+    )
+    return pruned.join(
+        keys, pruned[fact_key].cast("string") == keys["__k"], "left_semi"
+    )
+
+
+def keep_best_canonical(
+    df: DataFrame,
+    groups: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-survivor selection — the step AFTER near-dup
+    clustering in a curation pipeline: within each duplicate group
+    keep the highest-``score_col`` document (ties broken by lowest
+    id, so the choice is deterministic); documents in no group are
+    their own canonical. Output: (id, component, is_canonical) for
+    EVERY input document — filter ``is_canonical`` for the deduped
+    corpus, or keep the full frame as the curation audit trail.
+
+    ``groups`` is any (id, component) assignment, e.g.
+    :func:`near_dup_groups`. Cost: one broadcast-or-shuffle join to
+    attach scores, one window shuffle partitioned by component (group
+    count « corpus count), one anti join for singletons — no step
+    touches more than the corpus once.
+    """
+    scored = groups.join(df.select(id_col, score_col), id_col)
+    w = W.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    grouped = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .select(id_col, "component", (F.col("__rn") == 1).alias("is_canonical"))
+    )
+    singles = (
+        df.join(groups.select(id_col), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.col(id_col).alias("component"),
+            F.lit(True).alias("is_canonical"),
+        )
+    )
+    return grouped.unionByName(singles)

@@ -864,6 +864,7 @@ def sparse_cosine_pairs(
     vecs: DataFrame,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    max_df: float | None = None,
 ) -> DataFrame:
     """All-pairs cosine similarity over LONG-form normalized sparse
     vectors (:func:`hashed_tf_vectors`): candidate pairs come from an
@@ -872,10 +873,21 @@ def sparse_cosine_pairs(
     and the dot product of unit vectors IS the cosine.
 
     Shuffle is keyed by dim_idx; Zipf-hot dimensions behave like hot
-    shingles in the n-gram join (AQE skew-split handles moderate skew;
-    at extreme scale drop the top-df dimensions the way prefix
-    filtering drops hot shingles). Output: (id_a, id_b, cos ≥
-    threshold), each pair exactly once.
+    shingles in the n-gram join. With a FIXED hash dimension every
+    posting list grows linearly with the corpus, so the plain dim-join
+    degenerates toward all-pairs at scale (the sf0.1→sf1 probe showed
+    the cliff). ``max_df`` is the production tier: candidate pairs are
+    generated only from dimensions whose document frequency is ≤
+    ``max_df`` (exactly how PPJoin prefix filtering drops hot
+    shingles), then each candidate pair is scored EXACTLY over its
+    full vectors — no false positives, exact cosines; the only
+    recall loss is pairs sharing *hot dimensions exclusively*. Use an
+    ABSOLUTE cap: it bounds candidate volume at dim·cap²/2 regardless
+    of corpus size (a relative cap such as the median df does not —
+    see SCALE.md; on a degenerate tiny-vocab corpus where every dim
+    is hot, densify and use the embedding LSH/IVF tiers instead).
+    ``max_df=None`` keeps the exact oracle tier. Output: (id_a,
+    id_b, cos ≥ threshold), each pair once.
     """
     a = vecs.select(
         F.col(id_col).alias("ia"), "dim_idx", F.col("weight").alias("wa")
@@ -883,13 +895,38 @@ def sparse_cosine_pairs(
     b = vecs.select(
         F.col(id_col).alias("ib"), "dim_idx", F.col("weight").alias("wb")
     )
-    return (
-        a.join(b, "dim_idx")
+    if max_df is None:
+        return (
+            a.join(b, "dim_idx")
+            .where(F.col("ia") < F.col("ib"))
+            .groupBy("ia", "ib")
+            .agg(F.round(F.sum(F.col("wa") * F.col("wb")), 4).alias("cos"))
+            .where(F.col("cos") >= threshold)
+            .select(
+                F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "cos"
+            )
+        )
+    # production tier: rare-dim candidate generation + exact rescore.
+    # The dim-frequency table has at most `dim` rows — broadcast it.
+    rare = (
+        vecs.groupBy("dim_idx")
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df") <= max_df)
+        .select("dim_idx")
+    )
+    pa = a.join(F.broadcast(rare), "dim_idx").select("dim_idx", "ia")
+    pb = b.join(F.broadcast(rare), "dim_idx").select("dim_idx", "ib")
+    cand = (
+        pa.join(pb, "dim_idx")
         .where(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+        .distinct()
+    )
+    return (
+        cand.join(a.select("ia", "dim_idx", "wa"), "ia")
+        .join(b.select("ib", "dim_idx", "wb"), ["ib", "dim_idx"])
         .groupBy("ia", "ib")
         .agg(F.round(F.sum(F.col("wa") * F.col("wb")), 4).alias("cos"))
         .where(F.col("cos") >= threshold)
-        .select(
-            F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "cos"
-        )
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "cos")
     )

@@ -2797,6 +2797,51 @@ def near_dup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "canonical_dedup_documents",
+    oracle="""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(t) >= 3
+                       THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                                         i -> array_to_string(t[i:i+2], ' ')))
+                       ELSE [array_to_string(t, ' ')] END AS s
+           FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
+    inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (
+      SELECT ia AS id_a, ib AS id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+      WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.2),
+    """ + _closure_ctes() + """,
+    comp AS (SELECT u AS doc_id, min(v) AS component FROM allr GROUP BY u),
+    ranked AS (SELECT c.doc_id, c.component,
+                      row_number() OVER (PARTITION BY c.component
+                                         ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+               FROM comp c JOIN documents d USING (doc_id)),
+    grouped AS (SELECT doc_id, component, rn = 1 AS is_canonical FROM ranked),
+    singles AS (SELECT doc_id, doc_id AS component, TRUE AS is_canonical
+                FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM comp))
+    SELECT * FROM grouped UNION ALL SELECT * FROM singles
+    """,
+)
+def canonical_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection (extension: dedup curation): the
+    near-dup groups of `near_dup_groups_documents` resolved to one
+    kept document per group — highest n_chars wins, ties to lowest
+    doc_id; ungrouped docs keep themselves. The full (doc_id,
+    component, is_canonical) frame is the curation audit trail;
+    filtering is_canonical yields the deduped corpus."""
+    from sparkobs.operators.dedup import keep_best_canonical, near_dup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = near_dup_groups(docs, n=3, threshold=0.2)
+    return keep_best_canonical(docs, groups, "n_chars")
+
+
+@query(
     "vocab_topk_documents",
     oracle=r"""
     WITH toks AS (SELECT doc_id,
@@ -2958,6 +3003,100 @@ def fk_orphans_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "l_orderkey",
         "o_orderkey",
+    )
+
+
+_BLOOM_SJ_M_WORDS = 8192
+_BLOOM_SJ_HASHES = 4
+
+
+def _bloom_semi_join_oracle() -> str:
+    m_bits = _BLOOM_SJ_M_WORDS * 32
+    js = ", ".join(str(j) for j in range(_BLOOM_SJ_HASHES))
+    mask = "(CAST(1 AS BIGINT) << CAST(p & 31 AS INT))"
+    return f"""
+    WITH dk AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k
+                FROM orders WHERE o_orderpriority = '1-URGENT'),
+    sp AS (SELECT {_hex15_sql('d')} % 100000000000000000 AS a,
+                  {_hex15_sql('d', start=16)} % 100000000000000000 AS b
+           FROM (SELECT md5(k) AS d FROM dk)),
+    pos AS (SELECT (a + j * b) % {m_bits} AS p
+            FROM sp CROSS JOIN (SELECT unnest([{js}]) AS j)),
+    bm AS (SELECT p >> 5 AS widx, bit_or({mask}) AS word_bits
+           FROM pos GROUP BY 1),
+    fk AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+    fp_ AS (SELECT l_orderkey, cnt,
+                   {_hex15_sql('d')} % 100000000000000000 AS a,
+                   {_hex15_sql('d', start=16)} % 100000000000000000 AS b
+            FROM (SELECT l_orderkey, cnt,
+                         md5(CAST(l_orderkey AS VARCHAR)) AS d FROM fk)),
+    ppos AS (SELECT l_orderkey, cnt, (a + j * b) % {m_bits} AS p
+             FROM fp_ CROSS JOIN (SELECT unnest([{js}]) AS j)),
+    probed AS (SELECT l_orderkey, any_value(cnt) AS cnt,
+                      sum(CASE WHEN (coalesce(word_bits, 0) & {mask}) = {mask}
+                               THEN 1 ELSE 0 END) = {_BLOOM_SJ_HASHES} AS pass
+               FROM ppos LEFT JOIN bm ON (p >> 5) = bm.widx
+               GROUP BY 1),
+    matched AS (SELECT l_orderkey FROM probed
+                WHERE CAST(l_orderkey AS VARCHAR) IN (SELECT k FROM dk))
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_fact,
+           CAST(sum(CASE WHEN pass THEN cnt ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+           CAST(sum(CASE WHEN l_orderkey IN (SELECT l_orderkey FROM matched)
+                         THEN cnt ELSE 0 END) AS BIGINT) AS n_match,
+           round((sum(CASE WHEN pass THEN cnt ELSE 0 END)
+                  - sum(CASE WHEN l_orderkey IN (SELECT l_orderkey FROM matched)
+                             THEN cnt ELSE 0 END))
+                 / (sum(cnt)
+                    - sum(CASE WHEN l_orderkey IN (SELECT l_orderkey FROM matched)
+                               THEN cnt ELSE 0 END)), 6) AS fp_rate_nonmatch
+    FROM probed
+    """
+
+
+@query("bloom_semi_join_lineitem_orders", oracle=_bloom_semi_join_oracle())
+def bloom_semi_join_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join audit (extension: 100 TB join pruning):
+    the urgent-orders key set becomes a portable bitmap, inlined as a
+    literal-array expression into the lineitem scan
+    (:func:`sparkobs.operators.dedup.bloom_member_expr` — zero
+    shuffle, zero join on the fact side), with the exact semi join
+    removing false positives afterwards. Output certifies the bitmap
+    decision bit for bit: fact rows, bloom survivors, true matches,
+    and the FP rate over non-matching rows."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.dedup import bloom_build, bloom_member_expr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    keys = dim.select(F.col("o_orderkey").cast("string").alias("__k")).distinct()
+    bloom = bloom_build(
+        keys, "__k", m_words=_BLOOM_SJ_M_WORDS, n_hashes=_BLOOM_SJ_HASHES
+    )
+    passing = bloom_member_expr(
+        bloom, "l_orderkey", m_words=_BLOOM_SJ_M_WORDS, n_hashes=_BLOOM_SJ_HASHES
+    )
+    base = li.agg(
+        F.count("*").alias("n_fact"),
+        F.sum(passing.cast("long")).alias("n_bloom_pass"),
+    )
+    n_match = (
+        li.join(
+            keys, li["l_orderkey"].cast("string") == keys["__k"], "left_semi"
+        )
+        .agg(F.count("*").alias("n_match"))
+    )
+    return base.crossJoin(n_match).select(
+        "n_fact",
+        "n_bloom_pass",
+        "n_match",
+        F.round(
+            (F.col("n_bloom_pass") - F.col("n_match"))
+            / (F.col("n_fact") - F.col("n_match")),
+            6,
+        ).alias("fp_rate_nonmatch"),
     )
 
 
@@ -5501,6 +5640,52 @@ def sparse_cosine_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents")
     return sparse_cosine_pairs(hashed_tf_vectors(docs), threshold=0.9)
+
+
+@query(
+    "sparse_cosine_pairs_pruned_documents",
+    oracle=f"""
+    WITH {_HASHED_VEC_CTES},
+    dfreq AS (SELECT dim_idx, count(*) AS df FROM vecs GROUP BY 1),
+    rare AS (SELECT dim_idx FROM dfreq
+             WHERE df <= (SELECT median(df) FROM dfreq)),
+    cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+             FROM vecs a JOIN rare USING (dim_idx)
+             JOIN vecs b ON a.dim_idx = b.dim_idx AND a.doc_id < b.doc_id),
+    pr AS (SELECT c.ia AS id_a, c.ib AS id_b,
+                  round(sum(a.weight * b.weight), 4) AS cos
+           FROM cand c
+           JOIN vecs a ON a.doc_id = c.ia
+           JOIN vecs b ON b.doc_id = c.ib AND b.dim_idx = a.dim_idx
+           GROUP BY 1, 2)
+    SELECT id_a, id_b, cos FROM pr WHERE cos >= 0.9
+    """,
+)
+def sparse_cosine_pairs_pruned_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DF-pruned sparse cosine (extension: similarity at scale):
+    certifies the candidate-prune + exact-rescore MACHINERY of
+    :func:`sparse_cosine_pairs` by value — candidate pairs come only
+    from dimensions at or below the median document frequency (prefix
+    filter analog), then candidates are rescored EXACTLY over full
+    vectors, so every emitted cosine equals the exact tier's. The
+    median cap keeps full recall on this corpus; the PRODUCTION
+    setting is an ABSOLUTE ``max_df`` cap, which bounds candidate
+    volume at dim·cap²/2 independent of corpus size (a relative cap
+    does not bound the join — see SCALE.md). The cap is one tiny
+    eager agg (≤ dim rows)."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.similarity import hashed_tf_vectors, sparse_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = hashed_tf_vectors(docs)
+    med = (
+        vecs.groupBy("dim_idx")
+        .agg(F.count("*").alias("df"))
+        .agg(F.expr("median(df)").alias("m"))
+        .first()[0]
+    )
+    return sparse_cosine_pairs(vecs, threshold=0.9, max_df=med)
 
 
 @query(

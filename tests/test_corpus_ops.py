@@ -110,6 +110,58 @@ def test_bloom_probe_broadcasts_bitmap(spark):
     assert "BatchEvalPython" not in physical_plan(df)
 
 
+def test_bloom_semi_join_matches_exact_semi_join(spark):
+    from sparkobs.operators.dedup import bloom_member_expr, bloom_semi_join
+
+    fact = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    dim = spark.range(0, 1000, 9).select(F.col("id").alias("dk"))
+    got = sorted(r["k"] for r in bloom_semi_join(fact, dim, "k", "dk", m_words=64).collect())
+    want = sorted(
+        r["k"] for r in fact.join(dim, fact["k"] == dim["dk"], "left_semi").collect()
+    )
+    assert got == want
+    # the membership expression is a pure filter: no join, no shuffle,
+    # no Python on the fact side
+    keys = dim.select(F.col("dk").cast("string").alias("__k")).distinct()
+    bl = bloom_build(keys, "__k", m_words=64)
+    pruned = fact.where(bloom_member_expr(bl, "k", m_words=64))
+    plan = physical_plan(pruned)
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bloom_member_expr_geometry_mismatch_raises(spark):
+    import pytest
+
+    from sparkobs.operators.dedup import bloom_member_expr
+
+    keys = spark.range(5).select(F.col("id").cast("string").alias("__k"))
+    bl = bloom_build(keys, "__k", m_words=64)
+    with pytest.raises(ValueError, match="m_words"):
+        bloom_member_expr(bl, "__k", m_words=128)
+
+
+def test_keep_best_canonical_picks_highest_score(spark):
+    from sparkobs.operators.dedup import keep_best_canonical
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 7)],
+        "doc_id long, n_chars long",
+    )
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, component long"
+    )
+    out = {r["doc_id"]: (r["component"], r["is_canonical"]) for r in
+           keep_best_canonical(docs, groups, "n_chars").collect()}
+    # 2 and 3 tie on score — lowest id wins deterministically
+    assert out[2] == (1, True)
+    assert out[1] == (1, False) and out[3] == (1, False)
+    # ungrouped doc is its own canonical
+    assert out[4] == (4, True)
+
+
 def test_tfidf_ranks_distinctive_terms_first(spark):
     df = spark.createDataFrame(
         [
@@ -728,6 +780,36 @@ def test_sparse_cosine_identical_docs(spark):
            sparse_cosine_pairs(hashed_tf_vectors(df), 0.9).collect()}
     assert out[(1, 2)] == 1.0
     assert (1, 3) not in out
+
+
+def test_sparse_cosine_pruned_exact_rescore(spark):
+    """The df-pruned tier must rescore candidates over FULL vectors:
+    pairs it emits carry the exact cosine (same value as the exact
+    tier), and with a cap admitting every dim it matches exactly."""
+    from sparkobs.operators.similarity import hashed_tf_vectors, sparse_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y z common"),
+            (2, "x y z common"),
+            (3, "other words common entirely"),
+            (4, "other words common entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    vecs = hashed_tf_vectors(df)
+    exact = {(r["id_a"], r["id_b"]): r["cos"] for r in
+             sparse_cosine_pairs(vecs, 0.5).collect()}
+    pruned_all = {(r["id_a"], r["id_b"]): r["cos"] for r in
+                  sparse_cosine_pairs(vecs, 0.5, max_df=10).collect()}
+    assert pruned_all == exact
+    # cap=3 drops the dim of "common" (df=4); emitted pairs keep exact
+    # cosines (subset, never different values)
+    pruned = {(r["id_a"], r["id_b"]): r["cos"] for r in
+              sparse_cosine_pairs(vecs, 0.5, max_df=3).collect()}
+    assert set(pruned) <= set(exact)
+    assert all(exact[k] == v for k, v in pruned.items())
+    assert pruned[(1, 2)] == 1.0 and pruned[(3, 4)] == 1.0
 
 
 def test_run_checks_violation_counts(spark):

@@ -299,6 +299,63 @@ def probes():
 
         return group_hash_topk_sample(ev, "event_type", "event_id", 50)
 
+    def sparse_cos(docs, ev, emb):
+        from sparkobs.operators.similarity import (
+            hashed_tf_vectors,
+            sparse_cosine_pairs,
+        )
+
+        return sparse_cosine_pairs(hashed_tf_vectors(docs), 0.9)
+
+    def sparse_cos_pruned(docs, ev, emb):
+        # ABSOLUTE df cap: candidates bounded by dim·cap²/2 regardless
+        # of corpus size. On this tiny-vocab synthetic corpus every
+        # dimension is hot, so the cap empties the candidate set (the
+        # recorded worst case — recall 0 here, full candidate bound);
+        # a natural Zipf vocabulary keeps its discriminative tail
+        # under the cap. A relative (median) cap does NOT bound the
+        # join: the r4 probe showed it still degenerating at 10×.
+        from sparkobs.operators.similarity import (
+            hashed_tf_vectors,
+            sparse_cosine_pairs,
+        )
+
+        return sparse_cosine_pairs(hashed_tf_vectors(docs), 0.9, max_df=300)
+
+    def bloom_semi(docs, ev, emb):
+        from sparkobs.operators.dedup import bloom_semi_join
+
+        dim = ev.where(F.col("event_type") == "purchase").select("user_id")
+        return bloom_semi_join(ev, dim, "user_id", "user_id")
+
+    def jsd(docs, ev, emb):
+        from sparkobs.operators.text import vocab_jsd
+
+        return vocab_jsd(
+            docs.where(F.col("doc_id") % 2 == 0),
+            docs.where(F.col("doc_id") % 2 == 1),
+        )
+
+    def checks_p(docs, ev, emb):
+        from sparkobs.operators.checks import run_checks
+
+        return run_checks(
+            ev,
+            [
+                ("not_null", "event_id"),
+                ("unique", "event_id"),
+                ("accepted_values", "event_type",
+                 ("click", "error", "purchase", "signup", "view")),
+                ("range", "value", 0, 1000),
+                ("row_count_between", 1, 10**12),
+            ],
+        )
+
+    def jdiag(docs, ev, emb):
+        from sparkobs.operators.joins import join_size_diagnostic
+
+        return join_size_diagnostic(ev, ev, "user_id", "user_id")
+
     return {
         "winnowing_xx64": winnow,
         "resize_synth": resize,
@@ -332,6 +389,12 @@ def probes():
         "audio_frame_rms": audio,
         "hist_quantiles": hist_q,
         "group_hash_sample": gsample,
+        "sparse_cosine": sparse_cos,
+        "sparse_cosine_pruned": sparse_cos_pruned,
+        "bloom_semi_join": bloom_semi,
+        "vocab_jsd": jsd,
+        "contract_checks": checks_p,
+        "join_size_diag": jdiag,
     }
 
 
