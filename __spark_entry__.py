@@ -57,13 +57,17 @@ _PRIORITY: list[str] = [
     "bloom_semi_join_lineitem_orders",       # bloom-pruned semi join
     "canonical_dedup_documents",             # keep-best survivor selection
     "vocab_jsd_documents",                   # vocabulary drift
-    "corr_matrix_lineitem",                  # correlation matrix
+    "ewma_hourly_events",                    # bit-exact EWMA fold
+    "heavy_hitters_tokens_documents",        # Misra-Gries + exact recount
+    # corr_matrix_lineitem rotated to the r5 gate (builtin corr on
+    # both engines, rounded in-query — lowest cross-engine risk)
     "audio_frame_rms_media",                 # audio DSP certification
     # shipping_priority_q3 / returned_items_q10 rotated to the r5 gate
     # (plain OLAP joins/aggs, lowest-risk entries; locally green via
     # `make sweep`)
     "hist_quantiles_lineitem",               # portable quantile sketch
-    "group_sample_orders_by_status",         # per-group k-sample
+    # group_sample_orders_by_status rotated to the r5 gate (same
+    # certified md5-mod machinery as hash_sample_orders, pass r3)
     "curation_funnel_documents",             # capstone pipeline audit
     "session_stats_events",                  # gap-rule sessionization
     "funnel_events",                         # ordered funnel

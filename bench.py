@@ -97,6 +97,8 @@ HEADLINE = [
     # is probed in tools/scale_probe.py instead; see SCALE.md)
     "bloom_semi_join_lineitem_orders",
     "canonical_dedup_documents",
+    "ewma_hourly_events",
+    "heavy_hitters_tokens_documents",
 ]
 
 

@@ -710,3 +710,53 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         for a, b in pairs
     ]
     return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def heavy_hitters(df: DataFrame, key_col: str, k: int = 20, capacity: int | None = None) -> DataFrame:
+    """EXACT heavy hitters — every key with count strictly >
+    n/``k`` — at 100 TB cost: a per-partition Misra-Gries pass prunes
+    the candidate space to ≤ ``capacity`` keys per partition WITHOUT
+    shuffling the full key universe (the way an exact groupBy-count
+    top-k must), then ONE exact recount of only the candidates
+    (broadcast join) produces exact counts. Misra-Gries never drops a
+    key whose partition count exceeds n_p/capacity, and any global
+    heavy hitter exceeds that in at least one partition (pigeonhole),
+    so the candidate set has zero false negatives for capacity ≥ k;
+    the default capacity 4·k just trims false positives. The output —
+    exact keys, exact counts, integer threshold arithmetic
+    (count·k > n) — is DETERMINISTIC regardless of partitioning; only
+    the intermediate candidate set varies, and it never surfaces.
+
+    The per-partition pass is Arrow-batched and vectorized: each
+    batch is counted with pandas ``value_counts`` (C speed), and only
+    the ≤ unique-keys batch summary touches the Python dict, which is
+    trimmed by the standard weighted-merge rule (subtract the
+    (capacity+1)-th largest weight, drop ≤ 0).
+    """
+    capacity = capacity or 4 * k
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for key, cnt in pdf["__key"].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            if len(counters) > capacity:
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    key: c - cut for key, c in counters.items() if c > cut
+                }
+        yield pd.DataFrame({"__key": list(counters.keys())})
+
+    keyed = df.select(F.col(key_col).cast("string").alias("__key"))
+    cand = keyed.mapInPandas(mg, "__key string").distinct()
+    n = keyed.agg(F.count("*").alias("__n"))
+    return (
+        keyed.join(F.broadcast(cand), "__key")
+        .groupBy("__key")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .where(F.col("cnt") * k > F.col("__n"))
+        .select(F.col("__key").alias(key_col), "cnt")
+    )

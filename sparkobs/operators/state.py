@@ -191,6 +191,51 @@ def distribution_drift_psi(
     )
 
 
+def ewma_smooth(
+    series: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    trailing: int = 24,
+) -> DataFrame:
+    """Exponentially weighted moving average per key — the smoothing
+    companion to :func:`metric_anomalies`' z-score: EWMA tracks the
+    level a noisy metric is settling toward, so level shifts separate
+    from one-off spikes. Each row's smoothed value folds the trailing
+    ``trailing`` observations (inclusive of the current one, frame
+    order = (ts, value) for the same determinism argument as
+    metric_anomalies) through the standard recursion
+    ``acc ← acc + α·(x − acc)``, seeded with the oldest value in the
+    frame — a bounded-window restatement of the infinite EWMA that
+    keeps the float operation sequence fixed and finite, so any
+    engine reproduces it bit for bit (DuckDB: ``list_reduce`` over
+    the same frame list).
+
+    One window shuffle on the key; the fold runs over an in-row array
+    of ≤ ``trailing`` elements — no self-join, no recursion, no
+    Python.
+    """
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy(ts_col, value_col)
+        .rowsBetween(-(trailing - 1), 0)
+    )
+    lst = F.collect_list(F.col(value_col).cast("double")).over(w)
+    ewma = F.aggregate(
+        F.slice(lst, 2, F.size(lst) - 1),
+        F.element_at(lst, 1),
+        lambda acc, x: acc + F.lit(alpha) * (x - acc),
+    )
+    return series.select(
+        *key_cols,
+        F.col(ts_col),
+        F.col(value_col),
+        F.round(ewma, 4).alias("ewma"),
+        F.round(F.col(value_col) - ewma, 4).alias("residual"),
+    )
+
+
 def latest_by_key(
     df: DataFrame,
     key_cols: list[str],

@@ -3834,6 +3834,80 @@ def anomaly_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ewma_hourly_events",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(count(*) AS DOUBLE) AS value
+      FROM events GROUP BY 1, 2),
+    lsts AS (
+      SELECT event_type, bucket_ts, value,
+             list(value) OVER (PARTITION BY event_type
+                               ORDER BY bucket_ts, value
+                               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS lst
+      FROM hourly)
+    SELECT event_type, bucket_ts, value,
+           round(list_reduce(lst, (a, x) -> a + 0.25 * (x - a)), 4) AS ewma,
+           round(value - list_reduce(lst, (a, x) -> a + 0.25 * (x - a)), 4) AS residual
+    FROM lsts
+    """,
+)
+def ewma_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA level tracking (extension: monitoring): hourly event counts
+    per type smoothed with the standard ``acc ← acc + α(x − acc)``
+    recursion over a bounded 24-observation frame — the level-shift
+    detector that complements the z-score's spike detector. The fold
+    runs over an in-row array on both engines (Spark ``aggregate``,
+    DuckDB ``list_reduce``), so the float sequence is identical bit
+    for bit."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.state import ewma_smooth
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    return ewma_smooth(
+        hourly, ["event_type"], ts_col="bucket_ts", value_col="value"
+    )
+
+
+@query(
+    "heavy_hitters_tokens_documents",
+    oracle=r"""
+    WITH toks AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                            x -> x <> '')) AS token
+                  FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks)
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY token
+    HAVING count(*) * 40 > (SELECT total FROM n)
+    """,
+)
+def heavy_hitters_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over the token stream (extension: corpus
+    census at scale): every token occurring in more than 1/40th of all
+    token positions. A per-partition Misra-Gries pass bounds the
+    candidate space without shuffling the full vocabulary, then one
+    exact recount of candidates — deterministic output regardless of
+    partitioning; the oracle is the plain frequency filter."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.profile import heavy_hitters
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+        ).alias("token")
+    )
+    return heavy_hitters(toks, "token", k=40)
+
+
+@query(
     "psi_drift_hourly_events",
     oracle="""
     WITH binned AS (

@@ -156,6 +156,39 @@ def test_metric_anomalies_planted_spike(spark):
         assert r.zscore is None and r.is_anomaly is None
 
 
+def test_ewma_smooth_tracks_level_shift(spark):
+    from datetime import datetime
+
+    from sparkobs.operators.state import ewma_smooth
+
+    # steady 100 then a step to 200: ewma converges toward 200 but
+    # lags it; the first row's ewma is its own value (fold seed)
+    rows = [("m", datetime(2024, 1, 1, h), 100.0) for h in range(5)]
+    rows += [("m", datetime(2024, 1, 1, 5 + h), 200.0) for h in range(5)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {r.ts.hour: r for r in ewma_smooth(df, ["k"], "ts", "value").collect()}
+    assert out[0].ewma == 100.0 and out[0].residual == 0.0
+    assert out[4].ewma == 100.0
+    # step: acc <- 100 + 0.25*(200-100) = 125
+    assert out[5].ewma == 125.0 and out[5].residual == 75.0
+    assert 100.0 < out[9].ewma < 200.0
+    assert out[9].ewma > out[5].ewma  # monotone approach to new level
+
+
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    from sparkobs.operators.profile import heavy_hitters
+
+    # key 'a' holds 40% of rows, 'b' 11%; everything else is rare.
+    rows = (
+        [("a",)] * 400 + [("b",)] * 110 + [(f"r{i}",) for i in range(490)]
+    )
+    df = spark.createDataFrame(rows, "tok string")
+    for frame in (df, df.repartition(13)):
+        got = {r["tok"]: r["cnt"] for r in heavy_hitters(frame, "tok", k=10).collect()}
+        # threshold n/k = 100: 'a' and 'b' qualify, nothing else
+        assert got == {"a": 400, "b": 110}
+
+
 def test_distribution_drift_psi_planted_shift(spark):
     from datetime import datetime
 

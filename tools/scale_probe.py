@@ -328,6 +328,24 @@ def probes():
         dim = ev.where(F.col("event_type") == "purchase").select("user_id")
         return bloom_semi_join(ev, dim, "user_id", "user_id")
 
+    def ewma(docs, ev, emb):
+        from sparkobs.operators.state import ewma_smooth
+
+        hourly = ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+        ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+        return ewma_smooth(hourly, ["event_type"], "bucket_ts", "value")
+
+    def hh(docs, ev, emb):
+        from sparkobs.operators.profile import heavy_hitters
+
+        toks = docs.select(
+            F.explode(
+                F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+            ).alias("token")
+        )
+        return heavy_hitters(toks, "token", k=40)
+
     def jsd(docs, ev, emb):
         from sparkobs.operators.text import vocab_jsd
 
@@ -392,6 +410,8 @@ def probes():
         "sparse_cosine": sparse_cos,
         "sparse_cosine_pruned": sparse_cos_pruned,
         "bloom_semi_join": bloom_semi,
+        "ewma_hourly": ewma,
+        "heavy_hitters": hh,
         "vocab_jsd": jsd,
         "contract_checks": checks_p,
         "join_size_diag": jdiag,
