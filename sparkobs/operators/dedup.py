@@ -918,7 +918,7 @@ def bloom_probe(
 def bloom_member_expr(
     bloom: DataFrame,
     key_col: str,
-    m_words: int = 1024,
+    m_words: int = 256,
     n_hashes: int = 4,
 ) -> Column:
     """Boolean Column: "``key_col`` is probably in the bloomed key
@@ -937,19 +937,19 @@ def bloom_member_expr(
     :func:`bloom_build`, so any engine can reproduce the decision
     bit for bit.
     """
-    if "__m_words" in bloom.columns:
-        meta = bloom.select("__m_words", "__n_hashes").limit(1).collect()
-        if meta and (
-            meta[0]["__m_words"] != m_words or meta[0]["__n_hashes"] != n_hashes
-        ):
+    # ONE collect: the geometry check reads the metadata columns off
+    # the collected rows instead of running the bitmap-build job a
+    # second time via a separate limit(1) probe
+    rows = bloom.collect()
+    if rows and "__m_words" in rows[0].__fields__:
+        if rows[0]["__m_words"] != m_words or rows[0]["__n_hashes"] != n_hashes:
             raise ValueError(
-                f"bloom bitmap was built with m_words={meta[0]['__m_words']}, "
-                f"n_hashes={meta[0]['__n_hashes']} but the membership "
+                f"bloom bitmap was built with m_words={rows[0]['__m_words']}, "
+                f"n_hashes={rows[0]['__n_hashes']} but the membership "
                 f"expression uses m_words={m_words}, n_hashes={n_hashes}"
             )
-        bloom = bloom.drop("__m_words", "__n_hashes")
     words = [0] * m_words
-    for r in bloom.collect():
+    for r in rows:
         words[r["widx"]] = r["word_bits"]
     arr = F.lit(words)
     pow2 = F.lit([1 << i for i in range(32)])
@@ -972,7 +972,7 @@ def bloom_semi_join(
     dim: DataFrame,
     fact_key: str,
     dim_key: str,
-    m_words: int = 1024,
+    m_words: int = 256,
     n_hashes: int = 4,
 ) -> DataFrame:
     """Semi join ``fact`` ⋉ ``dim`` with Bloom pre-pruning: build the

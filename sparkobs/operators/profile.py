@@ -751,12 +751,27 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 20, capacity: int | None
 
     keyed = df.select(F.col(key_col).cast("string").alias("__key"))
     cand = keyed.mapInPandas(mg, "__key string").distinct()
-    n = keyed.agg(F.count("*").alias("__n"))
-    return (
-        keyed.join(F.broadcast(cand), "__key")
-        .groupBy("__key")
+    # recount pass doubles as the total count: a LEFT join against the
+    # broadcast candidates folds every non-candidate row into one NULL
+    # group, so n = sum over ALL groups — two corpus scans total (MG +
+    # recount), never a third count-only pass
+    counted = (
+        keyed.join(
+            F.broadcast(cand.withColumn("__is_cand", F.lit(True))),
+            "__key",
+            "left",
+        )
+        .groupBy(
+            F.when(F.col("__is_cand"), F.col("__key")).alias("__key")
+        )
         .agg(F.count("*").alias("cnt"))
-        .crossJoin(F.broadcast(n))
-        .where(F.col("cnt") * k > F.col("__n"))
+    )
+    # global window over `counted` only: ≤ partitions·capacity + 1
+    # rows by construction, so the single-partition move is bounded by
+    # sketch geometry, never by corpus size (WindowExec warns blindly)
+    n = F.sum("cnt").over(Window.partitionBy())
+    return (
+        counted.withColumn("__n", n)
+        .where(F.col("__key").isNotNull() & (F.col("cnt") * k > F.col("__n")))
         .select(F.col("__key").alias(key_col), "cnt")
     )

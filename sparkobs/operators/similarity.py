@@ -895,17 +895,20 @@ def sparse_cosine_pairs(
     b = vecs.select(
         F.col(id_col).alias("ib"), "dim_idx", F.col("weight").alias("wb")
     )
-    if max_df is None:
+    def score(pairs: DataFrame) -> DataFrame:
+        # single scoring contract for both tiers: the pruned tier's
+        # cosines MUST equal the exact tier's for the pairs it emits
         return (
-            a.join(b, "dim_idx")
-            .where(F.col("ia") < F.col("ib"))
-            .groupBy("ia", "ib")
+            pairs.groupBy("ia", "ib")
             .agg(F.round(F.sum(F.col("wa") * F.col("wb")), 4).alias("cos"))
             .where(F.col("cos") >= threshold)
             .select(
                 F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "cos"
             )
         )
+
+    if max_df is None:
+        return score(a.join(b, "dim_idx").where(F.col("ia") < F.col("ib")))
     # production tier: rare-dim candidate generation + exact rescore.
     # The dim-frequency table has at most `dim` rows — broadcast it.
     rare = (
@@ -922,11 +925,8 @@ def sparse_cosine_pairs(
         .select("ia", "ib")
         .distinct()
     )
-    return (
-        cand.join(a.select("ia", "dim_idx", "wa"), "ia")
-        .join(b.select("ib", "dim_idx", "wb"), ["ib", "dim_idx"])
-        .groupBy("ia", "ib")
-        .agg(F.round(F.sum(F.col("wa") * F.col("wb")), 4).alias("cos"))
-        .where(F.col("cos") >= threshold)
-        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "cos")
+    return score(
+        cand.join(a.select("ia", "dim_idx", "wa"), "ia").join(
+            b.select("ib", "dim_idx", "wb"), ["ib", "dim_idx"]
+        )
     )

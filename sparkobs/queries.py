@@ -3898,11 +3898,10 @@ def heavy_hitters_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFram
     from pyspark.sql import functions as F
 
     from sparkobs.operators.profile import heavy_hitters
+    from sparkobs.operators.text import tokens_nonempty
 
     toks = load_table(spark, sf_dir, "documents").select(
-        F.explode(
-            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
-        ).alias("token")
+        F.explode(tokens_nonempty("text")).alias("token")
     )
     return heavy_hitters(toks, "token", k=40)
 

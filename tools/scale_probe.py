@@ -338,12 +338,9 @@ def probes():
 
     def hh(docs, ev, emb):
         from sparkobs.operators.profile import heavy_hitters
+        from sparkobs.operators.text import tokens_nonempty
 
-        toks = docs.select(
-            F.explode(
-                F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
-            ).alias("token")
-        )
+        toks = docs.select(F.explode(tokens_nonempty("text")).alias("token"))
         return heavy_hitters(toks, "token", k=40)
 
     def jsd(docs, ev, emb):
