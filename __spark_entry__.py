@@ -80,7 +80,9 @@ _PRIORITY: list[str] = [
     "hll_distinct_lineitem",                 # portable HLL sketch
     "hll_grouped_users_by_type",             # grouped HLL rollup
     "streaming_cms_events",                  # mergeable streaming CMS
-    "zscore_events_by_type",                 # group z-score
+    "schema_merge_parquet_documents",        # schema-evolution read
+    # zscore_events_by_type rotated to the r5 gate (same window
+    # mean/std machinery as r3-certified anomaly_hourly_events)
     "winsorize_events_by_type",              # percentile clipping
     "bpe_merges_documents",                  # distributed BPE training
     "bpe_tokenize_documents",                # BPE train->apply round trip

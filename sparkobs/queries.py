@@ -1647,6 +1647,73 @@ def _stage_key(sf_dir: str, table: str, tag: str) -> str:
 
 
 @query(
+    "schema_merge_parquet_documents",
+    oracle="""
+    WITH merged AS (
+      SELECT doc_id, text, lang, CAST(NULL AS VARCHAR) AS source,
+             CAST(NULL AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT)
+      FROM documents WHERE doc_id % 2 = 1),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(doc_id) AS BIGINT) AS doc_id,
+             CAST(count(text) AS BIGINT) AS text,
+             CAST(count(lang) AS BIGINT) AS lang,
+             CAST(count(source) AS BIGINT) AS source,
+             CAST(count(n_chars) AS BIGINT) AS n_chars
+      FROM merged)
+    SELECT col_name, n_nonnull, (SELECT n_rows FROM stats) AS n_rows
+    FROM (
+      SELECT 'doc_id' AS col_name, doc_id AS n_nonnull FROM stats
+      UNION ALL SELECT 'text', text FROM stats
+      UNION ALL SELECT 'lang', lang FROM stats
+      UNION ALL SELECT 'source', source FROM stats
+      UNION ALL SELECT 'n_chars', n_chars FROM stats)
+    """,
+)
+def schema_merge_parquet_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (extension: file formats): the corpus is
+    staged as two parquet GENERATIONS — gen 1 (even doc_ids) written
+    before `source`/`n_chars` existed, gen 2 (odd doc_ids) with the
+    full schema — then read as ONE frame via ``mergeSchema``
+    (footer-union only, no data pass). Output: per-column non-null
+    census proving older files surface the added columns as nulls;
+    oracle = the same union painted from the original table."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sparkobs.sources.files import read_parquet_merged
+
+    key = _stage_key(sf_dir, "documents", "schema_evolution:v1")
+    stage = os.path.join(tempfile.gettempdir(), f"sparkobs_evo_{key}")
+    if not os.path.exists(os.path.join(stage, "gen2", "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        docs.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text", "lang"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "gen1"))
+        docs.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "text", "lang", "source", F.col("n_chars").cast("long")
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "gen2"))
+    merged = read_parquet_merged(spark, os.path.join(stage, "gen*"))
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    wide = merged.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.count(F.col(c)).alias(c) for c in cols],
+    )
+    pairs = [
+        F.struct(F.lit(c).alias("col_name"), F.col(c).alias("n_nonnull"))
+        for c in cols
+    ]
+    return wide.select(
+        F.explode(F.array(*pairs)).alias("s"), F.col("__n").alias("n_rows")
+    ).select("s.col_name", "s.n_nonnull", "n_rows")
+
+
+@query(
     "partitioned_prune_documents",
     oracle="""
     SELECT source,

@@ -86,6 +86,21 @@ def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
     return spark.read.options(**options).orc(path)
 
 
+def read_parquet_merged(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Parquet read across SCHEMA GENERATIONS: ``mergeSchema=true``
+    unions the footers of every file, so a directory written by
+    evolving jobs (columns added over time) reads as one frame with
+    the union schema and nulls where an older file lacks a column.
+    The footer merge costs one extra driver-side pass over file
+    metadata — never the data — so it is safe at any corpus size;
+    leave it off (Spark's default) on single-generation tables to
+    skip even that. Column RENAMES are not unified (old + new both
+    appear); handle those with an explicit select."""
+    return (
+        spark.read.options(mergeSchema="true", **options).parquet(path)
+    )
+
+
 def write_format(
     df: DataFrame, path: str, fmt: str, n_files: int | None = None, **options
 ) -> None:

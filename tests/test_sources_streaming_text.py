@@ -627,6 +627,22 @@ def test_read_jsonl_schema_projection(spark, tmp_path):
     assert rows == {1: "x", 2: None}  # extra keys skipped, absent keys NULL
 
 
+def test_read_parquet_merged_unions_generations(spark, tmp_path):
+    from sparkobs.sources.files import read_parquet_merged
+
+    spark.createDataFrame([(1, "a")], "id bigint, s string").write.parquet(
+        str(tmp_path / "gen1")
+    )
+    spark.createDataFrame(
+        [(2, "b", 7.0)], "id bigint, s string, score double"
+    ).write.parquet(str(tmp_path / "gen2"))
+    out = {r.id: r for r in
+           read_parquet_merged(spark, str(tmp_path / "gen*")).collect()}
+    assert set(out[1].asDict()) == {"id", "s", "score"}
+    assert out[1].score is None  # older generation: added column is NULL
+    assert out[2].score == 7.0
+
+
 def test_pack_manifest_budget_cut(spark):
     from sparkobs.operators.text import pack_manifest
 
