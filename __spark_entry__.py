@@ -50,7 +50,9 @@ GATE_SIZE = 50
 _PRIORITY: list[str] = [
     # --- round-4 wave-3 queries (newest, must certify this round) ---
     "contract_checks_orders",                # data-contract suite
-    "join_size_lineitem_orders",             # join-explosion diagnostic
+    "retention_purge_events",                # governance purge audit
+    # join_size_lineitem_orders rotated to the r5 gate (plain COUNT
+    # arithmetic both engines — lowest cross-engine risk)
     "hashed_vectors_documents",              # feature-hashing vectorizer
     "sparse_cosine_pairs_documents",         # sparse ANN
     "sparse_cosine_pairs_pruned_documents",  # df-pruned sparse ANN tier

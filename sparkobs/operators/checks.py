@@ -107,3 +107,60 @@ def run_checks(df: DataFrame, checks: list[tuple]) -> DataFrame:
             )
         )
     return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+def retention_purge(
+    df: DataFrame,
+    key_col: str,
+    tombstones: DataFrame | None = None,
+    ts_col: str | None = None,
+    cutoff: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Governance purge — the deletion half of the compliance story
+    whose redaction half is PII scrubbing: drop every row whose key
+    appears in ``tombstones`` (right-to-be-forgotten erasure) and/or
+    whose ``ts_col`` is strictly before ``cutoff`` (retention window),
+    and return ``(kept, audit)`` where the audit frame is one row of
+    counts — n_input, n_erased_key, n_expired, n_kept — the record a
+    deletion obligation requires. A row matching both causes counts as
+    erased (key obligations outrank retention bookkeeping).
+
+    The tombstone side is broadcast (erasure lists are small by
+    nature); both predicates evaluate in ONE pass over the corpus —
+    the kept frame is a filter, the audit a conditional aggregate, no
+    anti-join + recount double scan. At 100 TB pair this with a
+    partitioned layout on date so the retention predicate prunes whole
+    partitions before the scan.
+    """
+    erased = F.lit(False)
+    if tombstones is not None:
+        keys = tombstones.select(
+            F.col(tombstones.columns[0]).alias("__tomb")
+        ).distinct()
+        df = df.join(
+            F.broadcast(keys.withColumn("__hit", F.lit(True))),
+            df[key_col] == keys["__tomb"],
+            "left",
+        ).drop("__tomb")
+        erased = F.coalesce(F.col("__hit"), F.lit(False))
+    expired = (
+        (F.col(ts_col) < F.lit(cutoff).cast("timestamp"))
+        if ts_col is not None and cutoff is not None
+        else F.lit(False)
+    )
+    flagged = df.withColumn("__erased", erased).withColumn(
+        "__expired", ~erased & expired
+    )
+    kept = (
+        flagged.where(~F.col("__erased") & ~F.col("__expired"))
+        .drop("__erased", "__expired", "__hit")
+    )
+    audit = flagged.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.col("__erased").cast("long")).alias("n_erased_key"),
+        F.sum(F.col("__expired").cast("long")).alias("n_expired"),
+        F.sum(
+            (~F.col("__erased") & ~F.col("__expired")).cast("long")
+        ).alias("n_kept"),
+    )
+    return kept, audit

@@ -5970,6 +5970,40 @@ def contract_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "retention_purge_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id % 100 = 7 AS erased,
+             user_id % 100 <> 7 AND ts < TIMESTAMP '2024-01-08 00:00:00' AS expired
+      FROM events)
+    SELECT CAST(count(*) AS BIGINT) AS n_input,
+           CAST(sum(CASE WHEN erased THEN 1 ELSE 0 END) AS BIGINT) AS n_erased_key,
+           CAST(sum(CASE WHEN expired THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+           CAST(sum(CASE WHEN NOT erased AND NOT expired THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM flagged
+    """,
+)
+def retention_purge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance purge audit (extension: compliance): erase every
+    event of the tombstoned users (user_id % 100 == 7 plays the
+    right-to-be-forgotten list) and expire rows before the retention
+    cutoff, in ONE conditional-aggregate pass — the audit row a
+    deletion obligation requires. The kept frame (same single-pass
+    plan) feeds downstream; the query certifies the audit counts."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.checks import retention_purge
+
+    ev = load_table(spark, sf_dir, "events")
+    tombs = ev.select("user_id").where(F.col("user_id") % 100 == 7)
+    _, audit = retention_purge(
+        ev, "user_id", tombstones=tombs, ts_col="ts",
+        cutoff="2024-01-08 00:00:00",
+    )
+    return audit
+
+
+@query(
     "join_size_lineitem_orders",
     oracle="""
     WITH lc AS (SELECT l_orderkey AS k, count(*) AS nl FROM lineitem GROUP BY 1),

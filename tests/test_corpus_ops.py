@@ -812,6 +812,33 @@ def test_sparse_cosine_pruned_exact_rescore(spark):
     assert pruned[(1, 2)] == 1.0 and pruned[(3, 4)] == 1.0
 
 
+def test_retention_purge_kept_and_audit(spark):
+    from datetime import datetime
+
+    from sparkobs.operators.checks import retention_purge
+
+    rows = [
+        (1, datetime(2024, 1, 10)),   # kept
+        (7, datetime(2024, 1, 10)),   # tombstoned
+        (2, datetime(2023, 12, 1)),   # expired
+        (7, datetime(2023, 12, 1)),   # tombstoned AND old -> counts erased
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    tombs = spark.createDataFrame([(7,)], "user_id long")
+    kept, audit = retention_purge(
+        ev, "user_id", tombstones=tombs, ts_col="ts", cutoff="2024-01-01 00:00:00"
+    )
+    assert [(r.user_id, r.ts.day) for r in kept.collect()] == [(1, 10)]
+    assert set(kept.columns) == {"user_id", "ts"}  # no helper cols leak
+    a = audit.collect()[0]
+    assert (a.n_input, a.n_erased_key, a.n_expired, a.n_kept) == (4, 2, 1, 1)
+    # tombstones-only and cutoff-only modes
+    k2, a2 = retention_purge(ev, "user_id", tombstones=tombs)
+    assert a2.collect()[0].n_kept == 2 and k2.count() == 2
+    _, a3 = retention_purge(ev, "user_id", ts_col="ts", cutoff="2024-01-01 00:00:00")
+    assert a3.collect()[0].n_expired == 2
+
+
 def test_run_checks_violation_counts(spark):
     from sparkobs.operators.checks import run_checks
 
