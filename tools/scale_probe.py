@@ -343,6 +343,25 @@ def probes():
         toks = docs.select(F.explode(tokens_nonempty("text")).alias("token"))
         return heavy_hitters(toks, "token", k=40)
 
+    def purge(docs, ev, emb):
+        from sparkobs.operators.checks import retention_purge
+
+        tombs = ev.select("user_id").where(F.col("user_id") % 100 == 7)
+        _, audit = retention_purge(
+            ev, "user_id", tombstones=tombs, ts_col="ts",
+            cutoff="2024-01-08 00:00:00",
+        )
+        return audit
+
+    def canon(docs, ev, emb):
+        # LSH tier for the grouping stage: the exact tier is linear at
+        # 10x here (9.8x measured) but its absolute pair-join cost
+        # dwarfs the survivor-selection window this probe targets
+        from sparkobs.operators.dedup import keep_best_canonical, near_dup_groups
+
+        groups = near_dup_groups(docs, n=3, threshold=0.2, tier="lsh")
+        return keep_best_canonical(docs, groups, "n_chars")
+
     def jsd(docs, ev, emb):
         from sparkobs.operators.text import vocab_jsd
 
@@ -409,6 +428,8 @@ def probes():
         "bloom_semi_join": bloom_semi,
         "ewma_hourly": ewma,
         "heavy_hitters": hh,
+        "retention_purge": purge,
+        "canonical_dedup": canon,
         "vocab_jsd": jsd,
         "contract_checks": checks_p,
         "join_size_diag": jdiag,
