@@ -341,3 +341,31 @@ def test_upsample_mixture_counts_exact(spark, weights):
         )
         expect = math.floor(w) + frac_sel
         assert got.get(i, 0) == expect, (i, src, w)
+
+
+@given(
+    keys=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1,
+        max_size=80,
+    ),
+    k=st.integers(2, 6),
+    parts=st.integers(1, 7),
+)
+@settings(**SETTINGS)
+def test_heavy_hitters_exact_under_any_partitioning(spark, keys, k, parts):
+    """The Misra-Gries candidate pass must never lose a true heavy
+    hitter (count·k > n) and the recount must produce EXACTLY the
+    plain frequency-filter answer, for any data skew and any
+    partition layout."""
+    from collections import Counter
+
+    from sparkobs.operators.profile import heavy_hitters
+
+    df = spark.createDataFrame([(x,) for x in keys], "tok string").repartition(
+        parts
+    )
+    got = {r["tok"]: r["cnt"] for r in heavy_hitters(df, "tok", k=k).collect()}
+    n = len(keys)
+    want = {key: c for key, c in Counter(keys).items() if c * k > n}
+    assert got == want
