@@ -99,6 +99,8 @@ HEADLINE = [
     "canonical_dedup_documents",
     "ewma_hourly_events",
     "heavy_hitters_tokens_documents",
+    "retention_purge_events",
+    "schema_merge_parquet_documents",
 ]
 
 
