@@ -141,6 +141,10 @@ def test_bloom_member_expr_geometry_mismatch_raises(spark):
     bl = bloom_build(keys, "__k", m_words=64)
     with pytest.raises(ValueError, match="m_words"):
         bloom_member_expr(bl, "__k", m_words=128)
+    # default-to-default composition must NOT raise (geometries align)
+    df = spark.range(10).select(F.col("id").cast("string").alias("__k"))
+    n = df.where(bloom_member_expr(bloom_build(keys, "__k"), "__k")).count()
+    assert n >= 5  # all built keys pass; FPs allowed, never FNs
 
 
 def test_keep_best_canonical_picks_highest_score(spark):
