@@ -143,8 +143,14 @@ def retention_purge(
             "left",
         ).drop("__tomb")
         erased = F.coalesce(F.col("__hit"), F.lit(False))
+    # NULL-safe: a NULL timestamp must read as "not expired", not as
+    # SQL NULL — otherwise the row fails BOTH the kept filter and the
+    # audit's conditional sums and silently vanishes from a governance
+    # operator (n_erased_key + n_expired + n_kept < n_input).
     expired = (
-        (F.col(ts_col) < F.lit(cutoff).cast("timestamp"))
+        F.coalesce(
+            F.col(ts_col) < F.lit(cutoff).cast("timestamp"), F.lit(False)
+        )
         if ts_col is not None and cutoff is not None
         else F.lit(False)
     )

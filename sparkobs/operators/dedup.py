@@ -898,7 +898,7 @@ def bloom_probe(
     probes = _bloom_words(
         df.select(F.col(id_col).alias("id"), F.col(key_col)),
         key_col,
-        ["id"],
+        ["id", key_col],
         n_hashes,
         m_words * 32,
     )
@@ -906,11 +906,19 @@ def bloom_probe(
         F.coalesce(F.col("word_bits"), F.lit(0)).bitwiseAND(F.col("mask"))
         == F.col("mask")
     ).cast("int")
+    # Per-(id, key) first: if id_col is not unique, summing hits by id
+    # alone mixes partial hits from different keys (two keys each
+    # setting 2 of 4 bits would spuriously read maybe_seen). min(hit)
+    # per (id, key) is 1 iff every hash bit is set, and is immune to
+    # duplicated probe rows; the second grouping collapses a repeated
+    # id to "any of its keys maybe seen" — one output row per id.
     return (
         probes.join(F.broadcast(bloom), "widx", "left")
-        .select("id", hit.alias("hit"))
+        .select("id", F.col(key_col).alias("__key"), hit.alias("hit"))
+        .groupBy("id", "__key")
+        .agg((F.min("hit") == 1).alias("key_seen"))
         .groupBy("id")
-        .agg((F.sum("hit") == n_hashes).alias("maybe_seen"))
+        .agg(F.max("key_seen").alias("maybe_seen"))
         .select(F.col("id").alias(id_col), "maybe_seen")
     )
 
@@ -950,6 +958,20 @@ def bloom_member_expr(
             )
     words = [0] * m_words
     for r in rows:
+        if not 0 <= r["widx"] < m_words:
+            # a foreign bitmap (no __m_words metadata) built with a
+            # LARGER geometry shows up here as an out-of-range word
+            # index — raise the same descriptive error as the metadata
+            # path instead of an opaque IndexError. (A SMALLER foreign
+            # bitmap is undetectable from sparse word rows alone:
+            # metadata-less bitmaps MUST share this expression's
+            # geometry or membership tests silently false-negate.)
+            raise ValueError(
+                f"bloom bitmap word index {r['widx']} is outside "
+                f"m_words={m_words} — the bitmap was built with a "
+                "different geometry; mismatched geometry produces "
+                "false negatives"
+            )
         words[r["widx"]] = r["word_bits"]
     arr = F.lit(words)
     pow2 = F.lit([1 << i for i in range(32)])

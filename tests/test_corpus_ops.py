@@ -104,6 +104,43 @@ def test_bloom_no_false_negatives(spark):
     assert fps <= 2
 
 
+def test_bloom_probe_non_unique_id_no_spurious_hit(spark):
+    """ADVICE r4: two DIFFERENT keys sharing an id must not pool their
+    partial bit hits into a spurious maybe_seen=true. With a tiny
+    bitmap the per-key partial hits are near-guaranteed; the (id, key)
+    grouping keeps them separate, and a duplicated (id, key) probe row
+    must not break the all-bits test either."""
+    seen = spark.createDataFrame([(f"seen-{i}",) for i in range(4)], "text string")
+    bloom = bloom_build(seen, "text", m_words=64)
+    # id 1: two distinct unseen keys (partial hits may overlap bits);
+    # id 2: one seen key probed twice (duplicate rows); id 3: unseen
+    probe = spark.createDataFrame(
+        [(1, "novel-a"), (1, "novel-b"), (2, "seen-0"), (2, "seen-0"), (3, "novel-c")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["maybe_seen"]
+        for r in bloom_probe(probe, bloom, "text", m_words=64).collect()
+    }
+    assert out[2] is True  # seen key stays seen even duplicated
+    # unseen keys: with 4 keys in 2048 bits FP odds are ~1e-8 per key
+    assert out[1] is False and out[3] is False
+    assert len(out) == 3  # one row per id
+
+
+def test_bloom_member_expr_foreign_larger_bitmap_raises(spark):
+    """ADVICE r4: a metadata-less bitmap built with LARGER geometry
+    must raise the descriptive geometry ValueError, not IndexError."""
+    import pytest
+
+    from sparkobs.operators.dedup import bloom_member_expr
+
+    keys = spark.createDataFrame([(f"k-{i}",) for i in range(200)], "__k string")
+    foreign = bloom_build(keys, "__k", m_words=256).drop("__m_words", "__n_hashes")
+    with pytest.raises(ValueError, match="geometry"):
+        bloom_member_expr(foreign, "__k", m_words=8)
+
+
 def test_bloom_probe_broadcasts_bitmap(spark):
     df = Q.SPARK_QUERIES["bloom_probe_documents"](spark, SF)
     assert_broadcast_join(df)
@@ -432,13 +469,16 @@ def test_group_zscore_moments(spark):
 def test_winsorize_clips_tails(spark):
     from sparkobs.operators.features import winsorize_summary
 
+    # asymmetric tail: one huge outlier so clipping provably LOWERS
+    # the mean (1..99 uniform + 10000)
     df = spark.createDataFrame(
-        [("a", float(i)) for i in range(1, 101)], "g string, v double"
+        [("a", float(i)) for i in range(1, 100)] + [("a", 10000.0)],
+        "g string, v double",
     )
     row = winsorize_summary(df, ["g"], "v", lo=0.05, hi=0.95).collect()[0]
     assert row["n_rows"] == 100
     assert 3 <= row["n_clipped_lo"] <= 6 and 3 <= row["n_clipped_hi"] <= 6
-    assert row["mean_winsorized"] != row["mean_raw"] or True
+    assert row["mean_winsorized"] < row["mean_raw"] - 50
     assert row["p_lo"] < row["p_hi"]
 
 
@@ -841,6 +881,28 @@ def test_retention_purge_kept_and_audit(spark):
     assert a2.collect()[0].n_kept == 2 and k2.count() == 2
     _, a3 = retention_purge(ev, "user_id", ts_col="ts", cutoff="2024-01-01 00:00:00")
     assert a3.collect()[0].n_expired == 2
+
+
+def test_retention_purge_null_timestamp_is_kept_not_lost(spark):
+    """ADVICE r4: a NULL ts must read as "not expired" — the row is
+    KEPT and the audit invariant n_erased+n_expired+n_kept == n_input
+    holds (previously the NULL predicate dropped the row from BOTH
+    the kept frame and every audit bucket)."""
+    from datetime import datetime
+
+    from sparkobs.operators.checks import retention_purge
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 10)), (2, None), (3, datetime(2023, 1, 1))],
+        "user_id long, ts timestamp",
+    )
+    kept, audit = retention_purge(
+        ev, "user_id", ts_col="ts", cutoff="2024-01-01 00:00:00"
+    )
+    assert sorted(r.user_id for r in kept.collect()) == [1, 2]
+    a = audit.collect()[0]
+    assert (a.n_input, a.n_erased_key, a.n_expired, a.n_kept) == (3, 0, 1, 2)
+    assert a.n_erased_key + a.n_expired + a.n_kept == a.n_input
 
 
 def test_run_checks_violation_counts(spark):
