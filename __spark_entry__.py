@@ -48,6 +48,45 @@ def entry(spark: SparkSession) -> DataFrame:
 GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
+    # --- r5 gate: retire the certification debt. These 28 registry
+    # entries have NEVER appeared green in any CORRECTNESS_r*.json
+    # (21 never gated + 7 whose last gated run errored; 2 are
+    # rows-only by design). All locally green via `make sweep`.
+    # After r5 every oracle-able entry is driver-certified >= once.
+    "collect_metric_lists_supplier",   # r3 ERR (driver array hash) -> CSV-serialized, re-prove first
+    "winnowing_fingerprints_documents",  # r3 ERR (same) -> CSV-serialized
+    "listing_key_metrics",             # FS-listing family: read_blob
+    "listing_prefix_stats",            # oracles written in r4, never
+    "listing_storage_stats",           # driver-proven
+    "bucket_monitor_metrics",
+    "semantic_dedup_embeddings",
+    "semantic_dedup_ivf_embeddings",
+    "csv_roundtrip_orders",
+    "jsonl_roundtrip_events",
+    "orc_roundtrip_part",
+    "streaming_jsonl_tumbling_events",
+    "shipping_priority_q3",
+    "returned_items_q10",
+    "corr_matrix_lineitem",
+    "join_size_lineitem_orders",
+    "zscore_events_by_type",
+    "group_sample_orders_by_status",
+    "split_assign_documents",
+    "vocab_topk_documents",
+    "normalize_text_documents",
+    "pack_manifest_documents",
+    "dup_span_coverage_documents",
+    "key_skew_stats_lineitem",
+    "cdc_compact_events",
+    "range_join_value_bands",
+    "sample_scan",                     # rows-only by design (seeded)
+    "minhash_lsh_pairs_xx64",          # rows-only by design (scale twin)
+    # --- round-5 new queries (certify on first gating) ---
+    # (round-4 wave list below rotated out — all driver-certified
+    # green in CORRECTNESS_r04.json)
+]
+
+_R4_CERTIFIED_ROTATED_OUT = [
     # --- round-4 wave-3 queries (newest, must certify this round) ---
     "contract_checks_orders",                # data-contract suite
     "retention_purge_events",                # governance purge audit

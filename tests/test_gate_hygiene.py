@@ -1,0 +1,81 @@
+"""Gate bookkeeping as an enforced invariant, not comments.
+
+The driver certifies only the FIRST ``GATE_SIZE`` registry entries per
+round. ``_PRIORITY`` in ``__spark_entry__.py`` rotates waves through
+that window; round 4 showed the failure mode — entries whose gated run
+errored (or that never entered the window) quietly accumulating as
+"locally green, never driver-proven". These tests fail the build when
+the rotation leaves certifiable debt outside the gate.
+
+No SparkSession needed: pure registry + JSON bookkeeping.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _certified_green() -> set[str]:
+    """Names that got a green row in ANY driver CORRECTNESS round."""
+    ok = set()
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(f) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            if (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("hash_match", True)
+            ):
+                ok.add(name)
+    return ok
+
+
+def _registry():
+    import sys
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+    from sparkobs import queries as Q
+
+    return entrymod, Q
+
+
+def test_priority_fits_gate_window():
+    entrymod, _ = _registry()
+    assert len(entrymod._PRIORITY) <= entrymod.GATE_SIZE, (
+        f"_PRIORITY holds {len(entrymod._PRIORITY)} names but the driver "
+        f"gate checks only the first {entrymod.GATE_SIZE} — the overflow "
+        "is silently uncertified this round"
+    )
+
+
+def test_priority_names_exist_in_registry():
+    entrymod, Q = _registry()
+    ghosts = [n for n in entrymod._PRIORITY if n not in Q.SPARK_QUERIES]
+    assert not ghosts, f"_PRIORITY names not in the registry: {ghosts}"
+
+
+def test_no_uncertified_entry_left_outside_the_gate():
+    """Every registry entry that has never been driver-certified green
+    must sit inside the current gate window (so this round certifies
+    it) — debt may never silently persist past the round that can
+    retire it. Entries without an oracle are held to the same bar:
+    the driver still records a rows-only row for them."""
+    entrymod, Q = _registry()
+    green = _certified_green()
+    gate = set(list(entrymod.queries())[: entrymod.GATE_SIZE])
+    debt = [
+        n
+        for n in Q.SPARK_QUERIES
+        if n not in green and n not in gate
+    ]
+    assert not debt, (
+        "registry entries never certified by any driver round AND "
+        f"outside the current gate window: {debt} — add them to "
+        "_PRIORITY (or drop them from the registry)"
+    )
