@@ -94,12 +94,40 @@ def shingle_expr(tokens_col: str, n: int):
     ).otherwise(F.array(F.concat_ws(" ", t)))
 
 
+#: Hard cap on corpus rows for the EXACT all-pairs-by-shingle tiers.
+#: Their candidate stage is a self-join keyed on the shingle, so work
+#: is Σ df(shingle)² over distinct shingles — fine as a ground-truth /
+#: small-corpus tier, quadratic-in-the-hot-key at web scale. Past the
+#: cap callers must switch to the banded MinHash-LSH tier, whose
+#: candidate count is collision-bounded, not pair-bounded.
+DEFAULT_MAX_EXACT_DOCS = 100_000
+
+
+def _guard_exact_tier(df: DataFrame, max_rows: int, caller: str) -> None:
+    """Corpus-size guard for the exact shingle-self-join tiers (the
+    dedup twin of ``similarity._guard_corpus``): raise with a pointer
+    to the LSH tier instead of launching a shuffle that is
+    Σ df(shingle)²-bound under hot-shingle skew."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{caller}: corpus has {n} rows > max_corpus_docs={max_rows}; "
+            "the exact tier self-joins on raw shingles (work grows with "
+            "the square of each shingle's document frequency) and is only "
+            "intended for ground-truth / small-corpus runs. Use "
+            "minhash_lsh_pairs (banded candidates + exact verify) for "
+            "larger corpora, or raise max_corpus_docs explicitly if the "
+            "shingle frequency profile is known to be flat."
+        )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_corpus_docs: int = DEFAULT_MAX_EXACT_DOCS,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs (tier 2).
 
@@ -111,7 +139,11 @@ def ngram_jaccard_pairs(
     on hot shingles; at 100 TB run tier 3 (MinHash LSH) for candidate
     generation and this only on candidates. AQE skew-join splitting is
     on for the hot-key case.
+
+    Guarded: raises if the corpus exceeds ``max_corpus_docs`` (the
+    exact-tier contract); the scale tier is minhash_lsh_pairs.
     """
+    _guard_exact_tier(df, max_corpus_docs, "ngram_jaccard_pairs")
     # the set size rides along with every exploded shingle row, so the
     # per-pair Jaccard needs NO size-lookup joins after the self-join —
     # sizes become grouping keys (constant per id, free in the hash agg)
@@ -152,6 +184,7 @@ def ngram_jaccard_pairs_prefix(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_corpus_docs: int = DEFAULT_MAX_EXACT_DOCS,
 ) -> DataFrame:
     """Exact n-gram-Jaccard pairs with PPJoin-style prefix filtering —
     the high-threshold exact tier.
@@ -163,7 +196,12 @@ def ngram_jaccard_pairs_prefix(
     Candidates are then verified with the full intersection join.
     Same result as :func:`ngram_jaccard_pairs` (tested); far fewer
     candidate pairs when t is high.
+
+    Guarded: raises if the corpus exceeds ``max_corpus_docs`` (prefix
+    filtering shrinks candidates ~t but the join is still keyed on raw
+    prefix shingles); the scale tier is minhash_lsh_pairs.
     """
+    _guard_exact_tier(df, max_corpus_docs, "ngram_jaccard_pairs_prefix")
     shingled = tokenize(df, id_col, text_col).select(
         "id", shingle_expr("__toks", n).alias("shs")
     ).select(

@@ -155,6 +155,25 @@ def test_prefix_filtered_equals_plain_jaccard(spark):
     assert plain == pref
 
 
+def test_exact_jaccard_tiers_guarded_past_corpus_cap(spark):
+    """The exact shingle-self-join tiers must refuse oversized corpora
+    with a pointer to the LSH tier instead of launching a
+    Σ df(shingle)²-bound shuffle."""
+    import pytest
+
+    from sparkobs.operators.dedup import ngram_jaccard_pairs_prefix
+
+    d = spark.range(20).selectExpr(
+        "id as doc_id", "concat('w', id, ' x y z common suffix words') as text"
+    )
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(d, max_corpus_docs=10).collect()
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs_prefix(d, max_corpus_docs=10).collect()
+    # inside the cap both tiers still run
+    assert ngram_jaccard_pairs(d, threshold=0.9, max_corpus_docs=100).count() >= 0
+
+
 def test_cosine_ivf_recall(spark):
     from sparkobs.operators.similarity import cosine_topk_ivf
 
