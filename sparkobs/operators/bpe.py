@@ -22,8 +22,11 @@ Scale shape (100 TB corpus):
 - the corpus is touched ONCE (word-frequency hash agg); every
   training round runs over the distinct-word table, which is orders
   of magnitude smaller and further shrinks as merges fuse symbols;
-- each round is one pair-count hash agg + a TakeOrdered(1) — the only
-  driver data is the single winning pair per round;
+- each round is one pair-count hash agg + a TakeOrdered — the only
+  driver data is the round's few winning pairs; with ``batch_size=B``
+  each round merges up to B symbol-disjoint pairs at exact counts, so
+  a 30k-merge vocabulary costs ~30k/B driver rounds (B=1 is classic
+  sequential BPE and the oracle mode);
 - lineage is truncated with an eager ``localCheckpoint`` per round
   (the iterative-plan growth fix proven in
   :func:`sparkobs.operators.dedup.connected_components`);
@@ -72,39 +75,86 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+#: driver rounds of the most recent :func:`bpe_train` call — probe
+#: instrumentation (scale_probe asserts batching cuts this ~B×).
+LAST_TRAIN_ROUNDS = 0
+
+
+def _select_disjoint(top_rows, budget: int) -> list[tuple]:
+    """Greedy symbol-disjoint selection from a (freq desc, lhs, rhs)
+    ordered candidate list: a pair is taken only if neither symbol
+    appears in any already-taken pair. Disjoint pairs cannot share a
+    symbol position in any word, so applying them in one round leaves
+    each other's occurrence counts untouched — the counts collected
+    for the round stay exact for every selected pair."""
+    used: set[str] = set()
+    picked: list[tuple] = []
+    for r in top_rows:
+        lhs, rhs = r["lhs"], r["rhs"]
+        if lhs in used or rhs in used:
+            continue
+        picked.append((lhs, rhs, int(r["pair_freq"])))
+        used.add(lhs)
+        used.add(rhs)
+        if len(picked) >= budget:
+            break
+    return picked
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
+    batch_size: int = 1,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
     table (step, lhs, rhs, merged, pair_freq) — deterministic: ties on
     pair frequency break on (lhs, rhs) lexicographically.
 
+    ``batch_size=1`` (default) is CLASSIC sequential BPE — one driver
+    round per merge, the oracle-exact mode. ``batch_size=B`` is the
+    scale mode: each driver round collects the top candidate pairs
+    once and takes up to B of them that are pairwise SYMBOL-DISJOINT
+    (no shared lhs/rhs), so their collected frequencies remain exact
+    under each other's application and all B replaces fold into one
+    codegen'd rewrite + one checkpoint. A 30k-merge vocabulary then
+    costs ~30k/B driver rounds instead of 30k scheduled jobs — the
+    standard fast-BPE batching; it can diverge from the sequential
+    merge ORDER only where a merge would have spawned a new pair hot
+    enough to outrank the round's remaining candidates. The round's
+    TOP pair is always selected, so every round makes the same first
+    choice sequential BPE would.
+
     Stops early if the vocabulary runs out of adjacent pairs (every
     word fused to one symbol)."""
+    global LAST_TRAIN_ROUNDS
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     spark = df.sparkSession
     words = word_frequencies(df, text_col).localCheckpoint(eager=True)
     merges: list[tuple] = []
-    for step in range(1, n_merges + 1):
+    rounds = 0
+    while len(merges) < n_merges:
+        budget = min(batch_size, n_merges - len(merges))
+        # over-fetch so the disjointness filter still finds ~budget
+        # pairs; bounded driver data either way (a few KB)
         top = (
             _pair_counts(words)
             .orderBy(F.desc("pair_freq"), F.asc("lhs"), F.asc("rhs"))
-            .limit(1)
+            .limit(max(4 * budget, 16))
             .collect()
         )
         if not top:
             break
-        lhs, rhs, freq = top[0]["lhs"], top[0]["rhs"], top[0]["pair_freq"]
-        merges.append((step, lhs, rhs, lhs + rhs, int(freq)))
-        words = words.withColumn(
-            "sym",
-            F.replace(
-                F.col("sym"),
-                F.lit(f" {lhs}  {rhs} "),
-                F.lit(f" {lhs}{rhs} "),
-            ),
-        ).localCheckpoint(eager=True)
+        rounds += 1
+        sym = F.col("sym")
+        for lhs, rhs, freq in _select_disjoint(top, budget):
+            merges.append((len(merges) + 1, lhs, rhs, lhs + rhs, freq))
+            sym = F.replace(
+                sym, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
+            )
+        words = words.withColumn("sym", sym).localCheckpoint(eager=True)
+    LAST_TRAIN_ROUNDS = rounds
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, merged string, pair_freq bigint"
     )

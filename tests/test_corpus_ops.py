@@ -404,6 +404,55 @@ def test_bpe_train_stops_when_fully_merged(spark):
     assert len(out) == 1  # one merge fuses everything; loop stops
 
 
+def test_bpe_train_batched_disjoint_pairs_match_sequential(spark):
+    """When the hot pairs are symbol-disjoint, batched training (one
+    driver round) must learn exactly the merges sequential training
+    learns in n rounds — and in ~B× fewer driver rounds."""
+    from sparkobs.operators import bpe
+
+    # three disjoint hot pairs: (a,b), (c,d), (e,f) — no shared symbol
+    df = spark.createDataFrame(
+        [(1, "ab ab ab ab cd cd cd ef ef")], "doc_id long, text string"
+    )
+    seq = [
+        (r["lhs"], r["rhs"], r["pair_freq"])
+        for r in bpe.bpe_train(df, n_merges=3).orderBy("step").collect()
+    ]
+    seq_rounds = bpe.LAST_TRAIN_ROUNDS
+    bat = [
+        (r["lhs"], r["rhs"], r["pair_freq"])
+        for r in bpe.bpe_train(df, n_merges=3, batch_size=8).orderBy("step").collect()
+    ]
+    bat_rounds = bpe.LAST_TRAIN_ROUNDS
+    assert seq == bat == [("a", "b", 4), ("c", "d", 3), ("e", "f", 2)]
+    assert seq_rounds == 3 and bat_rounds == 1
+
+
+def test_bpe_train_batched_skips_overlapping_pairs_in_round(spark):
+    """A candidate sharing a symbol with an already-selected pair must
+    wait for the next round (its count would be stale): corpus 'aaab'
+    — (a,a) wins, (a,b) shares 'a' so round 1 takes ONLY (a,a); the
+    batch mode still converges to the sequential merge table."""
+    from sparkobs.operators import bpe
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab aaab ab ab")], "doc_id long, text string"
+    )
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_freq"])
+        for r in bpe.bpe_train(df, n_merges=3, batch_size=4).orderBy("step").collect()
+    ]
+    # same merges as the sequential hand-verified test above — every
+    # round's candidates overlap on 'a'/'aa', so batching degrades to
+    # one merge per round with EXACT counts, never a stale count
+    assert got == [
+        (1, "a", "a", "aa", 6),
+        (2, "a", "b", "ab", 5),
+        (3, "aa", "ab", "aaab", 3),
+    ]
+    assert bpe.LAST_TRAIN_ROUNDS == 3
+
+
 def test_bpe_apply_counts(spark):
     from sparkobs.operators.bpe import bpe_apply
 
