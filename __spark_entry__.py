@@ -82,6 +82,7 @@ _PRIORITY: list[str] = [
     "sample_scan",                     # rows-only by design (seeded)
     "minhash_lsh_pairs_xx64",          # rows-only by design (scale twin)
     # --- round-5 new queries (certify on first gating) ---
+    "storage_capacity_stats",          # rows-only (live FS gauge)
     # (round-4 wave list below rotated out — all driver-certified
     # green in CORRECTNESS_r04.json)
 ]

@@ -1242,6 +1242,18 @@ def listing_storage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return storage_stats(list_files(spark, sf_dir))
 
 
+@query("storage_capacity_stats")
+def storage_capacity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-level capacity / free / percent-used gauge (OP-10 percent-
+    capacity parity; ref redshift_database_monitor.py:111-116) via
+    Hadoop FileSystem.getStatus — live filesystem state, so rows-only
+    (DuckDB cannot observe the same instant); value sanity is pinned
+    by unit test instead."""
+    from sparkobs.sources.listing import fs_status
+
+    return fs_status(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Phase 7b — multimodal binary columns (extension)
 # ---------------------------------------------------------------------------

@@ -194,3 +194,40 @@ def storage_stats(listing: DataFrame) -> DataFrame:
             "largest_object"
         ),
     )
+
+
+FS_STATUS_SCHEMA = T.StructType(
+    [
+        T.StructField("store", T.StringType(), False),
+        T.StructField("capacity_bytes", T.LongType(), True),
+        T.StructField("used_bytes", T.LongType(), True),
+        T.StructField("remaining_bytes", T.LongType(), True),
+        T.StructField("percent_used", T.DoubleType(), True),
+    ]
+)
+
+
+def fs_status(spark: SparkSession, root: str) -> DataFrame:
+    """Store-level capacity / used / free / percent-used via Hadoop
+    ``FileSystem.getStatus`` — the percent-capacity analog of the
+    reference's Redshift disk gauge (redshift_database_monitor.py:
+    111-116), answered by whatever filesystem backs ``root`` (local
+    disk, HDFS NameNode totals, ...). Stores that don't report
+    capacity (object stores are logically unbounded) yield TYPED NULL
+    columns rather than fake numbers — the same honest-null convention
+    as the listing's S3-only metadata columns.
+
+    One metadata RPC; no listing, no scan. Always exactly one row.
+    """
+    cap = used = rem = pct = None
+    try:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(root)
+        st = jpath.getFileSystem(conf).getStatus(jpath)
+        cap, used, rem = st.getCapacity(), st.getUsed(), st.getRemaining()
+        if cap and cap > 0:
+            pct = round(100.0 * (cap - rem) / cap, 4)
+    except Exception:
+        pass  # typed-null row: the store has no capacity concept
+    return spark.createDataFrame([(root, cap, used, rem, pct)], FS_STATUS_SCHEMA)

@@ -62,6 +62,39 @@ def test_storage_stats(spark, tree):
     assert r.largest_object.endswith("two.bin")
 
 
+def test_fs_status_capacity_gauge(spark, tree):
+    """OP-10 percent-capacity parity (ref redshift_database_monitor.py:
+    111-116): local disk reports real capacity/used/free; the derived
+    percent is internally consistent with them."""
+    from sparkobs.sources.listing import fs_status
+
+    r = fs_status(spark, tree).collect()[0]
+    assert r.store == tree
+    assert r.capacity_bytes > 0
+    assert 0 <= r.remaining_bytes <= r.capacity_bytes
+    assert 0.0 <= r.percent_used <= 100.0
+    assert (
+        abs(
+            r.percent_used
+            - 100.0 * (r.capacity_bytes - r.remaining_bytes) / r.capacity_bytes
+        )
+        < 0.001
+    )
+
+
+def test_fs_status_typed_null_fallback(spark):
+    """A store with no capacity concept yields typed NULLs, never fake
+    numbers — and the schema stays stable for downstream unions."""
+    from sparkobs.sources.listing import fs_status
+
+    df = fs_status(spark, "nosuchscheme://bucket/prefix")
+    r = df.collect()[0]
+    assert r.capacity_bytes is None and r.percent_used is None
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types["capacity_bytes"] == "bigint"
+    assert types["percent_used"] == "double"
+
+
 def test_key_metrics_basename_and_mb(spark, tree):
     rows = {r.key: r for r in key_metrics(list_files(spark, tree)).collect()}
     assert rows["one.bin"].size_bytes == 100
