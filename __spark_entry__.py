@@ -83,6 +83,21 @@ _PRIORITY: list[str] = [
     "minhash_lsh_pairs_xx64",          # rows-only by design (scale twin)
     # --- round-5 new queries (certify on first gating) ---
     "storage_capacity_stats",          # rows-only (live FS gauge)
+    "local_supplier_volume_q5",        # TPC-H Q5 star join
+    "forecast_revenue_q6",             # TPC-H Q6 scan-agg
+    "late_shipment_priority_q4",       # TPC-H Q4 EXISTS semi join
+    "promo_revenue_q14",               # TPC-H Q14 conditional ratio
+    "large_orders_q18",                # TPC-H Q18 having-join
+    "rollup_revenue_region_nation",    # ROLLUP grouping sets
+    "pivot_priority_by_status",        # pivot long->wide
+    "unpivot_order_measures",          # stack wide->long
+    "top_customers_per_nation",        # WindowGroupLimit top-k
+    "token_entropy_documents",         # unigram entropy
+    "gopher_quality_documents",        # Gopher rule screen
+    "gram_matrix_embeddings",          # distributed gramian
+    "pca_project_embeddings",          # rows-only (eigh has no SQL twin)
+    "cdc_agg_maintain_events",         # incremental agg maintenance
+    "monitor_health_events",           # monitor-of-monitors
     # (round-4 wave list below rotated out — all driver-certified
     # green in CORRECTNESS_r04.json)
 ]

@@ -930,3 +930,111 @@ def sparse_cosine_pairs(
             b.select("ib", "dim_idx", "wb"), ["ib", "dim_idx"]
         )
     )
+
+
+def gram_matrix(
+    df: DataFrame, vec_col: str = "embedding", upper_only: bool = True
+) -> DataFrame:
+    """Exact Gram (scatter) matrix of the embedding column: G[i][j] =
+    Σ over rows of v[i]·v[j] — the one-pass sufficient statistic for
+    PCA / whitening / covariance over a 100 TB embedding corpus.
+
+    Shape: each partition folds its rows into ONE dim×dim float64
+    partial via BLAS (``X.T @ X`` per Arrow batch), emits
+    dim·(dim+1)/2 upper-triangle cells, and a single hash agg sums
+    partials — shuffle volume is O(partitions · dim²), independent of
+    row count (the classic tree-aggregated gramian, re-expressed as
+    mapInPandas + groupBy so Catalyst schedules it).
+
+    Output: (i, j, dot) with 1-based i ≤ j (full square when
+    ``upper_only=False``, reconstructed by symmetry — still only the
+    triangle is shuffled).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches):
+        acc = None
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if X.size == 0:
+                continue
+            g = X.T @ X
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            iu, ju = np.triu_indices(acc.shape[0])
+            yield pd.DataFrame(
+                {"i": iu + 1, "j": ju + 1, "part": acc[iu, ju]}
+            )
+
+    cells = df.select(vec_col).mapInPandas(partial, "i int, j int, part double")
+    tri = (
+        cells.groupBy("i", "j")
+        .agg(F.round(F.sum("part"), 4).alias("dot"))
+    )
+    if upper_only:
+        return tri
+    lower = tri.where(F.col("i") != F.col("j")).select(
+        F.col("j").alias("i"), F.col("i").alias("j"), "dot"
+    )
+    return tri.unionByName(lower)
+
+
+def pca_project(
+    df: DataFrame,
+    n_components: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every vector onto the top principal axes of the
+    (uncentered) Gram matrix — the distributed PCA shape: the dim×dim
+    gramian is the ONLY thing collected (tiny at any corpus size), the
+    eigendecomposition is driver-side numpy, and the projection is a
+    broadcast matrix multiply per Arrow batch. No row ever leaves its
+    executor.
+
+    Deterministic: eigenvector sign is fixed by making each
+    component's largest-magnitude coordinate positive (numpy's eigh
+    sign is otherwise arbitrary) and components are ordered by
+    eigenvalue descending. Output: (id, pc1..pcK, all round 4).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = gram_matrix(df, vec_col).collect()
+    dim = max(r["j"] for r in rows)
+    G = np.zeros((dim, dim))
+    for r in rows:
+        G[r["i"] - 1, r["j"] - 1] = r["dot"]
+        G[r["j"] - 1, r["i"] - 1] = r["dot"]
+    vals, vecs = np.linalg.eigh(G)
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order]
+    for k in range(comps.shape[1]):
+        m = np.argmax(np.abs(comps[:, k]))
+        if comps[m, k] < 0:
+            comps[:, k] = -comps[:, k]
+    spark = df.sparkSession
+    bcomp = spark.sparkContext.broadcast(comps)
+    out_cols = [f"pc{k + 1}" for k in range(n_components)]
+
+    def project(batches):
+        C = bcomp.value
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            P = X @ C if X.size else np.zeros((0, C.shape[1]))
+            out = {"id": pdf[id_col].to_numpy()}
+            for k, c in enumerate(out_cols):
+                out[c] = np.round(P[:, k], 4)
+            yield pd.DataFrame(out)
+
+    schema = "id bigint, " + ", ".join(f"{c} double" for c in out_cols)
+    return (
+        df.select(id_col, vec_col)
+        .mapInPandas(project, schema)
+        .select(F.col("id").alias(id_col), *out_cols)
+    )

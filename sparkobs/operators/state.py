@@ -432,3 +432,127 @@ def stationary_distribution(
             .agg(F.sum(F.col("prob") * F.col("p")).alias("prob"))
         )
     return x.select("state", F.round("prob", 4).alias("prob"))
+
+
+def cdc_agg_maintain(
+    base_agg: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental aggregate maintenance: apply a CDC change batch to a
+    maintained (key → n_rows, sum_value) aggregate WITHOUT rescanning
+    the base table — the materialized-view-maintenance shape that makes
+    a 100 TB rollup refreshable from a day's changes.
+
+    ``changes`` rows carry ``op_col`` ∈ {'insert', 'delete', 'update'}
+    plus ``value_col`` (the new value; for updates also
+    ``__old_value``, the replaced value). Counts move by ±1 for
+    insert/delete and 0 for update; sums move by +value, −value, and
+    value − old respectively. The change batch collapses to one delta
+    row per key (map-side combine over the changes only), then a
+    single outer join merges deltas into the base aggregate; groups
+    whose maintained count reaches 0 drop out, exactly as a recompute
+    would drop them. Maintained result ≡ full recompute (oracle-
+    checked query), at the cost of scanning only the changes.
+    """
+    d_n = (
+        F.when(F.col(op_col) == "insert", F.lit(1))
+        .when(F.col(op_col) == "delete", F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    d_sum = (
+        F.when(F.col(op_col) == "insert", F.col(value_col))
+        .when(F.col(op_col) == "delete", -F.col(value_col))
+        .otherwise(F.col(value_col) - F.col("__old_value"))
+    )
+    deltas = (
+        changes.groupBy(*key_cols)
+        .agg(
+            F.sum(d_n).alias("__dn"),
+            F.sum(d_sum).alias("__dsum"),
+        )
+    )
+    merged = base_agg.join(deltas, key_cols, "full_outer").select(
+        *key_cols,
+        (F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0))).alias("n_rows"),
+        (
+            F.coalesce(F.col("sum_value"), F.lit(0.0))
+            + F.coalesce(F.col("__dsum"), F.lit(0.0))
+        ).alias("sum_value"),
+    )
+    return merged.where(F.col("n_rows") > 0).select(
+        *key_cols,
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+def monitor_health(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    user_col: str | None = None,
+    trailing: int = 24,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Monitor-of-monitors (the reference's monitor-health DAG shape,
+    databand_airflow_monitor.py:102-115, recast as ONE lazy plan): fan
+    a fact stream into several per-hour metric series — row count,
+    mean value, distinct actors — stack them long-form, and run the
+    trailing-window z-score anomaly screen over every (metric, key)
+    series at once.
+
+    One aggregation pass builds all metrics (single shuffle on
+    (key, hour)); the unpivot is a pure projection; the anomaly screen
+    is one window shuffle on (metric, key). Output: (metric_name,
+    key, bucket_ts, value, zscore, is_anomaly) — the same long-form
+    contract as the metric sink, so monitors' health lands in the same
+    stream the monitors themselves write to.
+    """
+    # mean = round(round(sum, 4) / n, 4), not round(avg, 4): engines
+    # sum doubles in different orders, and for low-precision inputs
+    # (money-like 2-decimal values) the TRUE mean can sit exactly on a
+    # .00005 rounding boundary, where a 1-ulp summation difference
+    # flips the rounded digit. The true SUM of such inputs is never on
+    # the 4-decimal half-grid, so rounding it first is stable, and the
+    # subsequent single IEEE division of identical doubles is exact.
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("m_row_count"),
+        F.round(
+            F.round(F.sum(value_col), 4) / F.count(F.lit(1)), 4
+        ).alias("m_mean_value"),
+    ]
+    if user_col is not None:
+        aggs.append(
+            F.count_distinct(F.col(user_col)).cast("double").alias("m_distinct_actors")
+        )
+    hourly = df.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"),
+    ).agg(*aggs)
+    metric_cols = [c for c in hourly.columns if c.startswith("m_")]
+    stack = F.expr(
+        "stack({n}, {args}) as (metric_name, value)".format(
+            n=len(metric_cols),
+            args=", ".join(f"'{c[2:]}', {c}" for c in metric_cols),
+        )
+    )
+    series = hourly.select("key", "bucket_ts", stack)
+    return metric_anomalies(
+        series,
+        ["metric_name", "key"],
+        ts_col="bucket_ts",
+        value_col="value",
+        trailing=trailing,
+        z_threshold=z_threshold,
+    ).select(
+        "metric_name",
+        "key",
+        "bucket_ts",
+        "value",
+        "zscore",
+        "is_anomaly",
+    )

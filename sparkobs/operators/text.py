@@ -756,3 +756,105 @@ def vocab_jsd(
         F.sum((p > 0).cast("long") * (q > 0).cast("long")).cast("long").alias("vocab_shared"),
         F.round(F.sum(term) / 2, 6).alias("jsd_nats"),
     )
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram (token) Shannon entropy in bits — the
+    repetition/diversity signal quality pipelines threshold on (a doc
+    repeating one phrase has entropy ≈ 0; natural prose sits well
+    above it).
+
+    One explode + one (id, token) hash agg + one id agg, using the
+    identity H = log2(N) − (Σ c·log2 c)/N so the per-token pass needs
+    only counts (no per-token probability column, no second join).
+    Map-side combine handles the hot tokens; nothing is collected.
+    """
+    counts = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens_nonempty(text_col)).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log2("c")).alias("clogc"),
+            F.count(F.lit(1)).alias("uniq"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n").cast("long").alias("n_tokens"),
+            F.col("uniq").cast("long").alias("n_unique_tokens"),
+            F.round(F.log2("n") - F.col("clogc") / F.col("n"), 4).alias(
+                "entropy_bits"
+            ),
+        )
+    )
+
+
+#: Gopher-style document quality rule bounds (Rae et al. 2021 §A1.1,
+#: public paper): word-count window, mean-word-length window, minimum
+#: lexical diversity, minimum distinct stopwords. Bounds are
+#: parameters; these defaults are the published ones except the word
+#: minimum (50 in the paper — kept here) and the stopword list, which
+#: reuses this corpus's QUALITY_STOPWORDS.
+GOPHER_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "min_unique_frac": 0.2,
+    "min_distinct_stopwords": 2,
+}
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **bounds,
+) -> DataFrame:
+    """Gopher-rule quality screen: one boolean per rule plus the
+    conjunction, computed in a single narrow projection (no shuffle,
+    no UDF — every rule is a Catalyst array/length expression, so the
+    screen rides the scan at any corpus size).
+
+    Rules (all bounds overridable by keyword):
+    - ``ok_n_words``: token count within [min_words, max_words]
+    - ``ok_mean_word_len``: mean token length within bounds
+    - ``ok_unique_frac``: distinct/total tokens ≥ min_unique_frac
+    - ``ok_stopwords``: ≥ min_distinct_stopwords distinct stopwords
+    ``passes_gopher`` is the AND of the four.
+    """
+    b = {**GOPHER_DEFAULTS, **bounds}
+    toks = tokens_nonempty(text_col)
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    mean_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ) / n
+    stop_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    n_stop_distinct = F.expr(
+        f"size(array_distinct(filter(split({text_col}, '\\\\s+'),"
+        f" t -> t in ({stop_list}))))"
+    )
+    ok_words = (n >= b["min_words"]) & (n <= b["max_words"])
+    ok_len = (mean_len >= b["min_mean_word_len"]) & (
+        mean_len <= b["max_mean_word_len"]
+    )
+    ok_uniq = (uniq / n) >= b["min_unique_frac"]
+    ok_stop = n_stop_distinct >= b["min_distinct_stopwords"]
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(uniq / n, 4).alias("unique_frac"),
+        n_stop_distinct.cast("long").alias("n_distinct_stopwords"),
+        ok_words.alias("ok_n_words"),
+        ok_len.alias("ok_mean_word_len"),
+        ok_uniq.alias("ok_unique_frac"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_len & ok_uniq & ok_stop).alias("passes_gopher"),
+    )

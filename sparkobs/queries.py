@@ -6048,3 +6048,561 @@ def join_size_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "o_orderkey",
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 10 — round-5 wave: OLAP breadth (TPC-H shapes, rollup/pivot/
+# unpivot/rank), quality rules, entropy, distributed PCA, incremental
+# aggregate maintenance, monitor-of-monitors.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "local_supplier_volume_q5",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): 6-table star join with
+    the customer-and-supplier-share-a-nation constraint. The three
+    dimension tables broadcast (region filter prunes before the join);
+    the two fact joins shuffle on the order key then the supp key —
+    the revenue agg is partial+final on nation (25 groups)."""
+    from pyspark.sql import functions as F
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "forecast_revenue_q6",
+    oracle="""
+    SELECT round(coalesce(sum(l_extendedprice * l_discount), 0), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure scan-filter-agg —
+    every predicate pushes to the parquet scan, no shuffle beyond the
+    single partial+final global agg. The query Catalyst should turn
+    into a one-stage footer-to-scalar plan."""
+    from pyspark.sql import functions as F
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.coalesce(F.sum(F.col("l_extendedprice") * F.col("l_discount")), F.lit(0.0)),
+            2,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "late_shipment_priority_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def late_shipment_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking), adapted to this
+    schema's columns: orders in a half-year window having at least one
+    line item shipped more than 90 days after the order date, counted
+    by priority. EXISTS = LEFT SEMI join (no row multiplication, no
+    distinct): one shuffle on the order key, then a 5-group agg."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "promo_revenue_q14",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
+    """,
+)
+def promo_revenue_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): month-filtered lineitem
+    joined to part, conditional-aggregate ratio. The part table
+    broadcasts (it's a dimension); the month filter pushes to the fact
+    scan, so the join input is ~1/80th of lineitem."""
+    from pyspark.sql import functions as F
+
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "large_orders_q18",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(big.sum_qty, 2) AS sum_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY 1
+          HAVING sum(l_quantity) > 300) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large volume customers): orders whose total
+    quantity exceeds the threshold. The HAVING aggregate runs FIRST
+    (partial+final on the order key) so the joins only see the
+    handful of qualifying keys — never the full lineitem."""
+    from pyspark.sql import functions as F
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .where(F.col("__sq") > 300)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("__sq", 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "rollup_revenue_region_nation",
+    oracle="""
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           round(sum(s_acctbal), 2) AS total_acctbal,
+           CAST(count(*) AS BIGINT) AS n_suppliers
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (region → nation → grand
+    total) in one pass — Catalyst's Expand operator emits the three
+    grouping sets map-side, so the cube costs ONE shuffle, not three
+    queries. NULL grouping levels are labeled 'ALL' for a stable
+    cross-engine contract."""
+    from pyspark.sql import functions as F
+
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "total_acctbal",
+            "n_suppliers",
+        )
+    )
+
+
+@query(
+    "pivot_priority_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS urgent,
+           CAST(count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS high,
+           CAST(count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS medium,
+           CAST(count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS not_specified,
+           CAST(count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): order counts by status × priority using the
+    DataFrame pivot API with an EXPLICIT value list — no extra
+    distinct-values job, deterministic column order, and the pivot
+    compiles to the same single-pass conditional aggregation the
+    oracle spells out."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", pri)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = dict(
+        zip(pri, ["urgent", "high", "medium", "not_specified", "low"])
+    )
+    out = wide
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in renames.values()],
+    )
+
+
+@query(
+    "unpivot_order_measures",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderstatus,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             round(sum(o_totalprice), 2) AS sum_total,
+             round(avg(o_totalprice), 4) AS mean_total
+      FROM orders GROUP BY 1)
+    SELECT o_orderstatus, 'n_orders' AS metric_name, n_orders AS value FROM agg
+    UNION ALL
+    SELECT o_orderstatus, 'sum_total', sum_total FROM agg
+    UNION ALL
+    SELECT o_orderstatus, 'mean_total', mean_total FROM agg
+    """,
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): per-status order measures melted into the
+    long-form (key, metric_name, value) metric-stream contract via
+    ``stack`` — a pure projection after the one aggregation pass, no
+    join, no union of re-scans (the oracle's UNION ALL re-reads the
+    agg CTE three times; the engine reads it once)."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        F.round(F.avg("o_totalprice"), 4).alias("mean_total"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.expr(
+            "stack(3, 'n_orders', n_orders, 'sum_total', sum_total,"
+            " 'mean_total', mean_total) as (metric_name, value)"
+        ),
+    )
+
+
+@query(
+    "top_customers_per_nation",
+    oracle="""
+    SELECT n_name, c_name, round(c_acctbal, 2) AS acctbal,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT n_name, c_name, c_acctbal,
+                 row_number() OVER (PARTITION BY n_name
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rnk
+          FROM customer JOIN nation ON c_nationkey = n_nationkey)
+    WHERE rnk <= 3
+    """,
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window with a deterministic
+    tiebreak. rank<=K right after row_number compiles to
+    WindowGroupLimit: each partition keeps a K-row heap per group
+    BEFORE the shuffle, so the exchange moves ≤ K·groups rows, not
+    the table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "n_name",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+@query(
+    "token_entropy_documents",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, u.t AS tok
+      FROM documents,
+           unnest(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '')) AS u(t)),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_unique_tokens,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy_bits
+    FROM c GROUP BY doc_id
+    """,
+)
+def token_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (extension: text quality).
+    H = log2(N) − Σc·log2(c)/N so one count pass suffices."""
+    from sparkobs.operators.text import token_entropy
+
+    return token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "gopher_quality_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             len(list_distinct(toks)) AS uniq,
+             list_sum(list_transform(toks, x -> length(x))) AS chars,
+             len(list_distinct(list_filter(toks, x -> x IN ('the', 'a')))) AS nstop
+      FROM t)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_words,
+           round(chars * 1.0 / n, 4) AS mean_word_len,
+           round(uniq * 1.0 / n, 4) AS unique_frac,
+           CAST(nstop AS BIGINT) AS n_distinct_stopwords,
+           (n >= 50 AND n <= 100000) AS ok_n_words,
+           (chars * 1.0 / n >= 3.0 AND chars * 1.0 / n <= 10.0) AS ok_mean_word_len,
+           (uniq * 1.0 / n >= 0.2) AS ok_unique_frac,
+           (nstop >= 2) AS ok_stopwords,
+           ((n >= 50 AND n <= 100000)
+            AND (chars * 1.0 / n >= 3.0 AND chars * 1.0 / n <= 10.0)
+            AND (uniq * 1.0 / n >= 0.2)
+            AND (nstop >= 2)) AS passes_gopher
+    FROM s
+    """,
+)
+def gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality screen (extension: text quality; Rae et al.
+    2021 §A1.1): four published document-quality rules evaluated as
+    pure scan-side expressions — no shuffle, no UDF."""
+    from sparkobs.operators.text import gopher_quality_flags
+
+    return gopher_quality_flags(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "gram_matrix_embeddings",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings)
+    SELECT a.i AS i, b.i AS j, round(sum(a.x * b.x), 4) AS dot
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    """,
+)
+def gram_matrix_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix of the embedding corpus (extension:
+    linear algebra over embeddings): per-partition BLAS partials,
+    O(partitions·dim²) shuffle — row count never crosses the wire.
+    The oracle checks every upper-triangle cell value."""
+    from sparkobs.operators.similarity import gram_matrix
+
+    return gram_matrix(load_table(spark, sf_dir, "embeddings"))
+
+
+@query("pca_project_embeddings")
+def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection (rows-only: eigendecomposition has no
+    SQL twin; determinism is sign-fixed and unit-tested, and the
+    gramian it derives from IS oracle-checked in
+    gram_matrix_embeddings). Only the dim×dim gramian is collected."""
+    from sparkobs.operators.similarity import pca_project
+
+    return pca_project(load_table(spark, sf_dir, "embeddings"), n_components=2)
+
+
+@query(
+    "cdc_agg_maintain_events",
+    oracle="""
+    WITH eff AS (
+      SELECT event_type,
+             CASE WHEN event_id % 10 = 1 THEN value * 2 ELSE value END AS value
+      FROM events
+      WHERE (event_id % 10 < 7 AND event_id % 10 <> 3) OR event_id % 10 = 7)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 2) AS sum_value
+    FROM eff GROUP BY 1
+    """,
+)
+def cdc_agg_maintain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (extension: materialized-view
+    refresh): a per-type (count, sum) aggregate maintained from a CDC
+    batch of inserts/deletes/updates WITHOUT rescanning the base. The
+    oracle recomputes the post-change table from scratch — maintained
+    ≡ recomputed is the correctness contract."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.state import cdc_agg_maintain
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(F.col("event_id") % 10 < 7)
+    base_agg = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("value").alias("sum_value")
+    )
+    inserts = ev.where(F.col("event_id") % 10 == 7).select(
+        "event_type",
+        F.lit("insert").alias("op"),
+        F.col("value"),
+        F.lit(None).cast("double").alias("__old_value"),
+    )
+    deletes = ev.where(F.col("event_id") % 10 == 3).select(
+        "event_type",
+        F.lit("delete").alias("op"),
+        F.col("value"),
+        F.lit(None).cast("double").alias("__old_value"),
+    )
+    updates = ev.where(F.col("event_id") % 10 == 1).select(
+        "event_type",
+        F.lit("update").alias("op"),
+        (F.col("value") * 2).alias("value"),
+        F.col("value").alias("__old_value"),
+    )
+    changes = inserts.unionByName(deletes).unionByName(updates)
+    return cdc_agg_maintain(base_agg, changes, ["event_type"])
+
+
+@query(
+    "monitor_health_events",
+    oracle="""
+    WITH h AS (
+      SELECT event_type AS key, date_trunc('hour', ts) AS bucket_ts,
+             CAST(count(*) AS DOUBLE) AS m_row_count,
+             round(round(sum(value), 4) / count(*), 4) AS m_mean_value,
+             CAST(count(DISTINCT user_id) AS DOUBLE) AS m_distinct_actors
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT key, bucket_ts, 'row_count' AS metric_name, m_row_count AS value FROM h
+      UNION ALL
+      SELECT key, bucket_ts, 'mean_value', m_mean_value FROM h
+      UNION ALL
+      SELECT key, bucket_ts, 'distinct_actors', m_distinct_actors FROM h),
+    scored AS (
+      SELECT metric_name, key, bucket_ts, value,
+             avg(value) OVER w AS m,
+             stddev_samp(value) OVER w AS sd,
+             count(value) OVER w AS n
+      FROM s
+      WINDOW w AS (PARTITION BY metric_name, key ORDER BY bucket_ts
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT metric_name, key, bucket_ts, value,
+           round(CASE WHEN n >= 2 AND sd > 0 THEN (value - m) / sd END, 4) AS zscore,
+           CASE WHEN n >= 2 AND sd > 0 THEN abs((value - m) / sd) > 2.0 END AS is_anomaly
+    FROM scored
+    """,
+)
+def monitor_health_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitor-of-monitors (ref databand_airflow_monitor.py:102-115
+    analog): three per-hour metric series fanned out of ONE
+    aggregation pass, stacked long-form, anomaly-screened per
+    (metric, key) — a single lazy plan end to end."""
+    from sparkobs.operators.state import monitor_health
+
+    return monitor_health(
+        load_table(spark, sf_dir, "events"),
+        key_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        user_col="user_id",
+    )

@@ -996,3 +996,124 @@ def test_join_size_diagnostic_exact(spark):
     assert row["top_key_share"] == round(6 / 7, 4)
     exact = left.join(right, "k").count()
     assert exact == row["est_join_rows"]
+
+
+def test_token_entropy_hand_values(spark):
+    from sparkobs.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert out[1]["entropy_bits"] == 0.0       # one symbol: H = 0
+    assert out[2]["entropy_bits"] == 2.0       # uniform over 4: H = 2
+    assert out[3]["entropy_bits"] == 1.0       # uniform over 2: H = 1
+    assert out[2]["n_tokens"] == 4 and out[2]["n_unique_tokens"] == 4
+
+
+def test_gopher_flags_rules(spark):
+    from sparkobs.operators.text import gopher_quality_flags
+
+    long_ok = "the a " + " ".join(f"word{i}" for i in range(60))
+    short = "the a tiny doc"
+    repetitive = "the a " + "spam " * 80
+    no_stop = " ".join(f"tok{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, long_ok), (2, short), (3, repetitive), (4, no_stop)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert out[1]["passes_gopher"] is True
+    assert out[2]["ok_n_words"] is False and out[2]["passes_gopher"] is False
+    assert out[3]["ok_unique_frac"] is False and out[3]["passes_gopher"] is False
+    assert out[4]["ok_stopwords"] is False and out[4]["passes_gopher"] is False
+    # bounds are overridable
+    loose = gopher_quality_flags(df, min_words=2).collect()
+    assert {r["doc_id"]: r["ok_n_words"] for r in loose}[2] is True
+
+
+def test_gram_matrix_exact_small(spark):
+    import numpy as np
+
+    from sparkobs.operators.similarity import gram_matrix
+
+    vecs = [(1, [1.0, 2.0, 0.0]), (2, [0.0, 1.0, 3.0]), (3, [2.0, 0.0, 1.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>").repartition(3)
+    X = np.array([v for _, v in vecs])
+    G = X.T @ X
+    out = {(r["i"], r["j"]): r["dot"] for r in gram_matrix(df).collect()}
+    for i in range(3):
+        for j in range(i, 3):
+            assert abs(out[(i + 1, j + 1)] - G[i, j]) < 1e-9
+    # full-square mode reconstructs symmetry
+    full = {(r["i"], r["j"]): r["dot"] for r in gram_matrix(df, upper_only=False).collect()}
+    assert len(full) == 9 and full[(2, 1)] == full[(1, 2)]
+
+
+def test_pca_project_recovers_dominant_axis(spark):
+    from sparkobs.operators.similarity import pca_project
+
+    # points spread along axis 0 with tiny noise on axis 1: pc1 must
+    # align with axis 0 (sign-fixed → positive direction)
+    rows = [(i, [float(i - 50), 0.01 * ((i * 7) % 5 - 2), 0.0]) for i in range(101)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in pca_project(df, 2).collect()}
+    assert len(out) == 101
+    # pc1 ordering mirrors the dominant coordinate (monotone in i)
+    pc1 = [out[i][0] for i in range(101)]
+    assert pc1 == sorted(pc1) or pc1 == sorted(pc1, reverse=True)
+    # deterministic across invocations (sign fixing)
+    again = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in pca_project(df, 2).collect()}
+    assert again == out
+
+
+def test_cdc_agg_maintain_matches_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.state import cdc_agg_maintain
+
+    base = spark.createDataFrame(
+        [("a", 1.5), ("a", 2.5), ("b", 4.0), ("c", 7.0)], "g string, value double"
+    )
+    base_agg = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("value").alias("sum_value")
+    )
+    changes = spark.createDataFrame(
+        [
+            ("a", "insert", 3.0, None),
+            ("b", "update", 6.0, 4.0),   # 4.0 -> 6.0
+            ("c", "delete", 7.0, None),  # group c empties out
+            ("d", "insert", 9.0, None),  # brand-new group
+        ],
+        "g string, op string, value double, __old_value double",
+    )
+    out = {r["g"]: (r["n_rows"], r["sum_value"]) for r in
+           cdc_agg_maintain(base_agg, changes, ["g"]).collect()}
+    assert out == {"a": (3, 7.0), "b": (1, 6.0), "d": (1, 9.0)}
+    assert "c" not in out  # zero-count group dropped, like a recompute
+
+
+def test_monitor_health_single_plan_flags_spike(spark):
+    from datetime import datetime
+
+    from sparkobs.operators.state import monitor_health
+
+    rows = []
+    for h in range(30):
+        n = (100 + h % 3) if h != 29 else 1  # collapse in the last hour
+        # (h%3 jitter: a zero-variance baseline yields NULL z by design)
+        for k in range(n):
+            rows.append((h * 1000 + k, datetime(2024, 1, 1, h % 24, 0, 0)
+                         if h < 24 else datetime(2024, 1, 2, h - 24, 0, 0),
+                         k % 7, "click", 5.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = monitor_health(df, "event_type", "ts", "value", user_col="user_id", trailing=24)
+    anomalies = out.where("is_anomaly").collect()
+    assert any(
+        r["metric_name"] in ("row_count", "distinct_actors") for r in anomalies
+    )
+    # three metrics per hour bucket
+    assert out.select("metric_name").distinct().count() == 3
