@@ -105,6 +105,22 @@ HEADLINE = [
     "heavy_hitters_tokens_documents",
     "retention_purge_events",
     "schema_merge_parquet_documents",
+    # round-5 additions
+    "local_supplier_volume_q5",
+    "forecast_revenue_q6",
+    "late_shipment_priority_q4",
+    "promo_revenue_q14",
+    "large_orders_q18",
+    "rollup_revenue_region_nation",
+    "pivot_priority_by_status",
+    "unpivot_order_measures",
+    "top_customers_per_nation",
+    "token_entropy_documents",
+    "gopher_quality_documents",
+    "gram_matrix_embeddings",
+    "pca_project_embeddings",
+    "cdc_agg_maintain_events",
+    "monitor_health_events",
 ]
 
 

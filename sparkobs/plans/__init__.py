@@ -68,3 +68,13 @@ def assert_partial_final_agg(df: DataFrame) -> None:
     """Partial+final hash aggregation (map-side combine before shuffle)."""
     plan = physical_plan(df)
     assert plan.count("HashAggregate") >= 2, "expected partial+final HashAggregate"
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of Exchange (shuffle) nodes, counted from the formatted
+    plan's detail section so tree-summary lines don't double-count."""
+    import re
+
+    return len(
+        re.findall(r"^\(\d+\) Exchange", physical_plan(df), flags=re.MULTILINE)
+    )

@@ -217,3 +217,36 @@ def test_fk_orphans_keys_only_scan(spark):
     df = Q.SPARK_QUERIES["fk_orphans_lineitem"](spark, SF)
     key_scans = [s for s in scans(df) if "l_orderkey" in s["schema"] or "o_orderkey" in s["schema"]]
     assert key_scans and all(s["schema"].count(":") == 1 for s in key_scans)
+
+
+def test_round5_olap_plans_scale_worthy(spark):
+    from sparkobs.plans import physical_plan
+
+    # Q6: predicates reach the scan; one exchange (final agg) total
+    from sparkobs.plans import count_exchanges
+
+    df = Q.SPARK_QUERIES["forecast_revenue_q6"](spark, SF)
+    assert_pushdown(df, "l_shipdate")
+    assert count_exchanges(df) == 1
+    # Q5: six-table star join — no cartesian anywhere
+    assert_no_cartesian(Q.SPARK_QUERIES["local_supplier_volume_q5"](spark, SF))
+    # Q4: EXISTS compiles to a semi join (no row multiplication)
+    assert "LeftSemi" in physical_plan(
+        Q.SPARK_QUERIES["late_shipment_priority_q4"](spark, SF)
+    )
+
+
+def test_top_customers_window_group_limit(spark):
+    from sparkobs.plans import physical_plan
+
+    p = physical_plan(Q.SPARK_QUERIES["top_customers_per_nation"](spark, SF))
+    assert "WindowGroupLimit" in p  # per-partition K-heaps before the shuffle
+
+
+def test_gram_matrix_single_shuffle_no_row_transfer(spark):
+    from sparkobs.plans import physical_plan
+
+    from sparkobs.plans import count_exchanges
+
+    # one exchange, keyed by (i, j) cells — O(partitions·dim²), not rows
+    assert count_exchanges(Q.SPARK_QUERIES["gram_matrix_embeddings"](spark, SF)) == 1
