@@ -98,6 +98,12 @@ _PRIORITY: list[str] = [
     "pca_project_embeddings",          # rows-only (eigh has no SQL twin)
     "cdc_agg_maintain_events",         # incremental agg maintenance
     "monitor_health_events",           # monitor-of-monitors
+    "volume_shipping_q7",              # TPC-H Q7 bilateral trade
+    "customer_distribution_q13",       # TPC-H Q13 outer-join histogram
+    "small_qty_revenue_q17",           # TPC-H Q17 decorrelated subquery
+    "global_sales_opportunity_q22",    # TPC-H Q22 anti join + scalar
+    "streaming_monitor_health_events", # streaming metric collection twin
+    "bpe_merges_batched_documents",    # rows-only (batched scale mode)
     # (round-4 wave list below rotated out — all driver-certified
     # green in CORRECTNESS_r04.json)
 ]

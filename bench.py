@@ -121,6 +121,11 @@ HEADLINE = [
     "pca_project_embeddings",
     "cdc_agg_maintain_events",
     "monitor_health_events",
+    "volume_shipping_q7",
+    "customer_distribution_q13",
+    "small_qty_revenue_q17",
+    "global_sales_opportunity_q22",
+    "streaming_monitor_health_events",
 ]
 
 

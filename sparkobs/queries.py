@@ -6606,3 +6606,271 @@ def monitor_health_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value",
         user_col="user_id",
     )
+
+
+@query(
+    "volume_shipping_q7",
+    oracle="""
+    SELECT supp_nation, cust_nation, yr,
+           round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS yr,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2'))
+        AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01')
+    GROUP BY 1, 2, 3
+    """,
+)
+def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade between two
+    nations by ship year. Both nation legs broadcast (the pair filter
+    prunes them to 2 rows each BEFORE the join); the OR-pair predicate
+    evaluates post-join on two dictionary columns — no plan blowup."""
+    from pyspark.sql import functions as F
+
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pair = ("NATION_2", "NATION_7")
+    n1 = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        s.join(l, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "customer_distribution_q13",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY 1)
+    GROUP BY c_count
+    """,
+)
+def customer_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order distribution): outer join so
+    zero-order customers survive with count 0, then a histogram of the
+    per-customer counts — two cheap aggs on top of one shuffle join."""
+    from pyspark.sql import functions as F
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "small_qty_revenue_q17",
+    oracle="""
+    WITH pa AS (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS lim
+                FROM lineitem GROUP BY 1)
+    SELECT round(coalesce(sum(l_extendedprice), 0) / 7.0, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa   ON pk = l_partkey
+    WHERE p_brand = 'Brand#2' AND l_quantity < lim
+    """,
+)
+def small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    per-part average becomes a pre-aggregated (part → 0.2·avg) side
+    joined back to lineitem — one extra hash agg instead of a
+    re-executed subquery per row. Quantities are integer-valued, so
+    the sum/n/×0.2 chain is bit-identical across engines and the
+    strict < comparison cannot straddle an ulp."""
+    from pyspark.sql import functions as F
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#2")
+    pa = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("lim")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa, F.col("pk") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("lim"))
+        .agg(
+            F.round(
+                F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 2
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "global_sales_opportunity_q22",
+    oracle="""
+    WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0),
+    eligible AS (
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer, avg_bal
+      WHERE c_acctbal > ab
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT'))
+    SELECT CAST(c_nationkey AS INT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM eligible GROUP BY 1
+    """,
+)
+def global_sales_opportunity_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity), adapted: above-
+    average-balance customers with no urgent orders, by nation. The
+    scalar average is a 1-row broadcast cross join (evaluated once,
+    inlined into the filter); NOT EXISTS is a LEFT ANTI join."""
+    from pyspark.sql import functions as F
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__ab"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "streaming_monitor_health_events",
+    oracle="""
+    WITH h AS (
+      SELECT event_type AS key, date_trunc('hour', ts) AS bucket_ts,
+             CAST(count(*) AS DOUBLE) AS m_row_count,
+             round(round(sum(round(value, 4)), 4) / count(*), 4) AS m_mean_value
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT key, bucket_ts, 'row_count' AS metric_name, m_row_count AS value FROM h
+      UNION ALL
+      SELECT key, bucket_ts, 'mean_value', m_mean_value FROM h),
+    scored AS (
+      SELECT metric_name, key, bucket_ts, value,
+             avg(value) OVER w AS m,
+             stddev_samp(value) OVER w AS sd,
+             count(value) OVER w AS n
+      FROM s
+      WINDOW w AS (PARTITION BY metric_name, key ORDER BY bucket_ts
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT metric_name, key, bucket_ts, value,
+           round(CASE WHEN n >= 2 AND sd > 0 THEN (value - m) / sd END, 4) AS zscore,
+           CASE WHEN n >= 2 AND sd > 0 THEN abs((value - m) / sd) > 2.0 END AS is_anomaly
+    FROM scored
+    """,
+)
+def streaming_monitor_health_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of monitor_health_events: the metric series are
+    COLLECTED BY A STREAM (watermarked hourly agg over the file
+    micro-batch source, complete mode into a memory sink), then the
+    anomaly screen runs as a batch window over the drained series —
+    the lambda-free shape for "monitor the monitors" where collection
+    is continuous and scoring is a cheap follow-up query. Both sides
+    round values at ingest (symmetric no-op on the 2-decimal parquet
+    doubles) so the series are bit-identical."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.state import metric_anomalies
+    from sparkobs.streaming.monitors import (
+        _event_time,
+        _to_ntz,
+        run_to_memory,
+        stream_events,
+    )
+
+    stage_dir = _stage_events(spark, sf_dir)
+    ev = _event_time(stream_events(spark, stage_dir))
+    hourly = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.col("event_type").alias("key"),
+            F.window("ts", "1 hour").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("m_row_count"),
+            F.round(
+                F.round(F.sum(F.round("value", 4)), 4) / F.count(F.lit(1)), 4
+            ).alias("m_mean_value"),
+        )
+    )
+    tbl = run_to_memory(
+        hourly, "monitor_health_stream", output_mode="complete", unique=True
+    )
+    series = spark.table(tbl).select(
+        "key",
+        _to_ntz("w.start").alias("bucket_ts"),
+        F.expr(
+            "stack(2, 'row_count', m_row_count, 'mean_value', m_mean_value)"
+            " as (metric_name, value)"
+        ),
+    )
+    return metric_anomalies(
+        series, ["metric_name", "key"], ts_col="bucket_ts", value_col="value"
+    ).select("metric_name", "key", "bucket_ts", "value", "zscore", "is_anomaly")
+
+
+@query("bpe_merges_batched_documents")
+def bpe_merges_batched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training (rows-only: the batched merge ORDER is the
+    engine's own scale contract — symbol-disjoint top-B per driver
+    round — with no tractable SQL twin; the B=1 sequential mode IS
+    oracle-certified in bpe_merges_documents, and batched-vs-
+    sequential equivalence on disjoint corpora is unit-tested)."""
+    from sparkobs.operators.bpe import bpe_train
+
+    return bpe_train(
+        load_table(spark, sf_dir, "documents"), n_merges=6, batch_size=3
+    )
