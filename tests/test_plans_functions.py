@@ -250,3 +250,26 @@ def test_gram_matrix_single_shuffle_no_row_transfer(spark):
 
     # one exchange, keyed by (i, j) cells — O(partitions·dim²), not rows
     assert count_exchanges(Q.SPARK_QUERIES["gram_matrix_embeddings"](spark, SF)) == 1
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark):
+    from sparkobs.plans import physical_plan
+
+    p = physical_plan(Q.SPARK_QUERIES["global_sales_opportunity_q22"](spark, SF))
+    assert "LeftAnti" in p           # NOT EXISTS → anti join
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p  # the scalar cross join broadcasts
+
+
+def test_q13_outer_join_keeps_zero_order_customers(spark):
+    # semantic pin, not just plan: customers with no (non-urgent)
+    # orders must appear in the c_count=0 bucket
+    df = Q.SPARK_QUERIES["customer_distribution_q13"](spark, SF)
+    rows = {r["c_count"]: r["custdist"] for r in df.collect()}
+    assert sum(rows.values()) > 0
+    import duckdb
+
+    n_customers = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/customer.parquet')"
+    ).fetchone()[0]
+    assert sum(rows.values()) == n_customers  # outer join lost nobody
