@@ -165,6 +165,7 @@ def bpe_apply(
     merges: list[tuple],
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_chain: int = 512,
 ) -> DataFrame:
     """Tokenize every document with an ordered merge list (``(lhs,
     rhs)`` pairs, e.g. ``[(r["lhs"], r["rhs"]) for r in
@@ -174,14 +175,49 @@ def bpe_apply(
     One explode + a per-word chain of ``len(merges)`` literal
     replaces + one doc-keyed agg — the merge list is driver-side by
     construction (n_merges rows), so this is broadcast-free narrow
-    work."""
+    work. A real 30k-merge vocabulary cannot live in ONE expression
+    tree (analysis/codegen recursion scales with chain depth), so the
+    chain folds in ``max_chain``-sized segments with an eager
+    localCheckpoint between segments — ≤ n_merges/max_chain
+    materializations of the narrow (id, n_chars, sym) projection,
+    still no joins and no Python."""
     w = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens_nonempty(text_col)).alias("word"),
     )
     s = F.concat(F.lit(" "), F.array_join(F.expr(_CHARS_EXPR), "  "), F.lit(" "))
-    for lhs, rhs in merges:
-        s = F.replace(s, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} "))
+    if len(merges) <= max_chain:
+        for lhs, rhs in merges:
+            s = F.replace(s, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} "))
+    else:
+        w = w.select(
+            "id", F.length("word").alias("__nc"), s.alias("__sym")
+        )
+        for i in range(0, len(merges), max_chain):
+            seg = F.col("__sym")
+            for lhs, rhs in merges[i : i + max_chain]:
+                seg = F.replace(seg, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} "))
+            w = w.withColumn("__sym", seg).localCheckpoint(eager=True)
+        return (
+            w.select(
+                "id",
+                F.col("__nc").alias("n_chars"),
+                F.size(F.split(F.trim("__sym"), "  ")).alias("n_sym"),
+            )
+            .groupBy("id")
+            .agg(
+                F.sum("n_chars").cast("long").alias("n_char_symbols"),
+                F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+            )
+            .select(
+                F.col("id").alias(id_col),
+                "n_char_symbols",
+                "n_bpe_tokens",
+                F.round(
+                    F.col("n_bpe_tokens") / F.col("n_char_symbols"), 4
+                ).alias("compression"),
+            )
+        )
     return (
         w.select(
             "id",

@@ -1117,3 +1117,17 @@ def test_monitor_health_single_plan_flags_spike(spark):
     )
     # three metrics per hour bucket
     assert out.select("metric_name").distinct().count() == 3
+
+
+def test_bpe_apply_chunked_chain_equals_single_chain(spark):
+    """Deep merge lists fold in segments with checkpoints between —
+    result must be identical to the single-expression chain."""
+    from sparkobs.operators.bpe import bpe_apply
+
+    df = spark.createDataFrame(
+        [(1, "aaab ab abab"), (2, "bbaa aab")], "doc_id long, text string"
+    )
+    merges = [("a", "a"), ("a", "b"), ("aa", "ab"), ("b", "b"), ("ab", "ab")]
+    one = sorted(map(tuple, bpe_apply(df, merges).collect()))
+    chunked = sorted(map(tuple, bpe_apply(df, merges, max_chain=2).collect()))
+    assert one == chunked
