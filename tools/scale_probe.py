@@ -40,7 +40,7 @@ def stage_10x(spark):
     from pyspark.sql import functions as F
 
     key = hashlib.sha256(
-        f"{os.path.realpath(SF_DIR)}:{COPIES}:v2".encode()
+        f"{os.path.realpath(SF_DIR)}:{COPIES}:v3".encode()
     ).hexdigest()[:16]
     base = os.path.join(tempfile.gettempdir(), f"sparkobs_probe_{key}")
     docs_dir = os.path.join(base, "documents")
@@ -78,14 +78,21 @@ def stage_10x(spark):
         dim = len(emb.select("embedding").head()["embedding"])
         bigemb = None
         for i in range(COPIES):
+            r = i % dim
             rot = (
                 F.concat(
-                    F.slice(F.col("embedding"), i + 1, dim - i),
-                    F.slice(F.col("embedding"), 1, i),
+                    F.slice(F.col("embedding"), r + 1, dim - r),
+                    F.slice(F.col("embedding"), 1, r),
                 )
-                if i
+                if r
                 else F.col("embedding")
             )
+            if i >= dim:
+                # rotations repeat after dim copies — negate the second
+                # lap (norm-preserving, cosine flips sign) so a >dim×
+                # staging (the 100× probe) still adds NEW points rather
+                # than exact twins of the first lap
+                rot = F.transform(rot, lambda x: -x)
             c = emb.select(
                 (F.col("vec_id") + F.lit(i * 1_000_000_000)).alias("vec_id"),
                 rot.alias("embedding"),
@@ -390,6 +397,30 @@ def probes():
 
         return join_size_diagnostic(ev, ev, "user_id", "user_id")
 
+    def minhash_lsh(docs, ev, emb):
+        from sparkobs.operators.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(docs, n=3, threshold=0.5, hash_fn="xx64")
+
+    def near_dup_lsh(docs, ev, emb):
+        from sparkobs.operators.dedup import near_dup_groups
+
+        return near_dup_groups(docs, n=3, threshold=0.2, tier="lsh")
+
+    def bpe_batched(docs, ev, emb):
+        # batching contract: ~B× fewer driver rounds than merges.
+        # LAST_TRAIN_ROUNDS is printed alongside the timing table.
+        from sparkobs.operators import bpe
+
+        out = bpe.bpe_train(docs, n_merges=24, batch_size=8)
+        out.count()
+        print(
+            f"# bpe_train_batched: {bpe.LAST_TRAIN_ROUNDS} driver rounds "
+            f"for 24 merges (batch_size=8)",
+            file=sys.stderr,
+        )
+        return out
+
     return {
         "winnowing_xx64": winnow,
         "resize_synth": resize,
@@ -433,6 +464,9 @@ def probes():
         "vocab_jsd": jsd,
         "contract_checks": checks_p,
         "join_size_diag": jdiag,
+        "minhash_lsh_pairs": minhash_lsh,
+        "near_dup_groups_lsh": near_dup_lsh,
+        "bpe_train_batched": bpe_batched,
     }
 
 
