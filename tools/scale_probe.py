@@ -30,6 +30,17 @@ sys.path.insert(0, "/root/repo")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 COPIES = int(os.environ.get("SPARKOBS_PROBE_COPIES", "10"))
+# Document staging mode:
+# - "tagged" (default): one copy-id token appended per copy. Prevents
+#   EXACT twins but every copy stays a NEAR-dup of its siblings
+#   (Jaccard ≈ (S−3)/(S+3) for 3-shingles) — so near-dup outputs grow
+#   ~quadratically in COPIES: the adversarial worst case for pair
+#   tiers, useful to measure output-bound behavior.
+# - "natural": every 5th token is rewritten per copy, pushing
+#   cross-copy Jaccard below typical thresholds (~60% of shingles
+#   change) — corpus grows with NEW documents at the base corpus's
+#   natural dup density: the realistic 100 TB growth mode.
+DOCS_MODE = os.environ.get("SPARKOBS_PROBE_DOCS_MODE", "tagged")
 
 
 def stage_10x(spark):
@@ -40,7 +51,7 @@ def stage_10x(spark):
     from pyspark.sql import functions as F
 
     key = hashlib.sha256(
-        f"{os.path.realpath(SF_DIR)}:{COPIES}:v3".encode()
+        f"{os.path.realpath(SF_DIR)}:{COPIES}:{DOCS_MODE}:v4".encode()
     ).hexdigest()[:16]
     base = os.path.join(tempfile.gettempdir(), f"sparkobs_probe_{key}")
     docs_dir = os.path.join(base, "documents")
@@ -51,9 +62,23 @@ def stage_10x(spark):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         tagged = None
         for i in range(COPIES):
+            if DOCS_MODE == "natural" and i:
+                toks = F.split(F.col("text"), r"\s+")
+                text_i = F.array_join(
+                    F.zip_with(
+                        toks,
+                        F.sequence(F.lit(0), F.size(toks) - 1),
+                        lambda t, j: F.when(
+                            j % 5 == 0, F.concat(t, F.lit(f"_c{i}"))
+                        ).otherwise(t),
+                    ),
+                    " ",
+                )
+            else:
+                text_i = F.concat(F.col("text"), F.lit(f" probecopy{i}"))
             c = docs.select(
                 (F.col("doc_id") + F.lit(i * 1_000_000_000)).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(f" probecopy{i}")).alias("text"),
+                text_i.alias("text"),
                 "lang",
                 "source",
                 "n_chars",
