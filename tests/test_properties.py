@@ -369,3 +369,90 @@ def test_heavy_hitters_exact_under_any_partitioning(spark, keys, k, parts):
     n = len(keys)
     want = {key: c for key, c in Counter(keys).items() if c * k > n}
     assert got == want
+
+
+@given(
+    base=st.lists(
+        st.tuples(st.sampled_from("abc"), st.floats(-100, 100, allow_nan=False)),
+        min_size=0,
+        max_size=12,
+    ),
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from("abcd"),
+            st.sampled_from(["insert", "delete", "update"]),
+            st.floats(-100, 100, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+)
+@settings(**SETTINGS)
+def test_cdc_agg_maintain_equals_recompute(spark, base, ops):
+    """Maintained aggregate == recompute over the post-change table,
+    for ANY base and ANY applicable change batch (deletes/updates only
+    target rows that exist; inserts are unrestricted)."""
+    from sparkobs.operators.state import cdc_agg_maintain
+
+    state = list(base)  # the true post-change table, maintained in python
+    changes = []
+    for g, op, v in ops:
+        rows_g = [x for x in state if x[0] == g]
+        if op == "insert":
+            changes.append((g, "insert", v, None))
+            state.append((g, v))
+        elif op == "delete" and rows_g:
+            old = rows_g[0]
+            changes.append((g, "delete", old[1], None))
+            state.remove(old)
+        elif op == "update" and rows_g:
+            old = rows_g[0]
+            changes.append((g, "update", v, old[1]))
+            state.remove(old)
+            state.append((g, v))
+    base_agg = (
+        spark.createDataFrame(base or [("zz", 0.0)], "g string, value double")
+        .where(F.lit(bool(base)))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("value").alias("sum_value"))
+    )
+    ch = spark.createDataFrame(
+        changes or [("zz", "insert", 0.0, None)],
+        "g string, op string, value double, __old_value double",
+    ).where(F.lit(bool(changes)))
+    got = {
+        r["g"]: (r["n_rows"], r["sum_value"])
+        for r in cdc_agg_maintain(base_agg, ch, ["g"]).collect()
+    }
+    want = {}
+    for g, v in state:
+        n, s = want.get(g, (0, 0.0))
+        want[g] = (n + 1, s + v)
+    want = {g: (n, round(s, 2)) for g, (n, s) in want.items() if n > 0}
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][0] == want[g][0]
+        assert abs(got[g][1] - want[g][1]) < 1e-6
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=24), min_size=1, max_size=6
+    )
+)
+@settings(**SETTINGS)
+def test_token_entropy_bounds(spark, texts):
+    """0 <= H <= log2(n_unique) for every document; single-token docs
+    have H == 0; docs with no tokens produce no row."""
+    from sparkobs.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = token_entropy(df).collect()
+    ids_with_tokens = {i for i, t in enumerate(texts) if t.split()}
+    assert {r["doc_id"] for r in rows} == ids_with_tokens
+    for r in rows:
+        assert -5e-5 <= r["entropy_bits"] <= math.log2(max(r["n_unique_tokens"], 1)) + 5e-5
+        if r["n_unique_tokens"] == 1:
+            assert r["entropy_bits"] == 0.0
