@@ -273,3 +273,24 @@ def test_q13_outer_join_keeps_zero_order_customers(spark):
         f"SELECT count(*) FROM read_parquet('{SF}/customer.parquet')"
     ).fetchone()[0]
     assert sum(rows.values()) == n_customers  # outer join lost nobody
+
+
+def test_rollup_levels_complete(spark):
+    # ROLLUP (region, nation) = leaf rows + one subtotal per region +
+    # one grand total; 'ALL' labels never collide with real names
+    df = Q.SPARK_QUERIES["rollup_revenue_region_nation"](spark, SF)
+    rows = df.collect()
+    regions = {r["region"] for r in rows if r["region"] != "ALL"}
+    leaf = [r for r in rows if r["region"] != "ALL" and r["nation"] != "ALL"]
+    region_sub = [r for r in rows if r["region"] != "ALL" and r["nation"] == "ALL"]
+    grand = [r for r in rows if r["region"] == "ALL"]
+    assert len(grand) == 1 and grand[0]["nation"] == "ALL"
+    assert len(region_sub) == len(regions)
+    assert len(rows) == len(leaf) + len(region_sub) + 1
+    # subtotals are consistent: suppliers per region == sum over its nations
+    per_region = {}
+    for r in leaf:
+        per_region[r["region"]] = per_region.get(r["region"], 0) + r["n_suppliers"]
+    for r in region_sub:
+        assert per_region[r["region"]] == r["n_suppliers"]
+    assert grand[0]["n_suppliers"] == sum(per_region.values())
