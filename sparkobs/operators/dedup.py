@@ -1011,7 +1011,13 @@ def bloom_member_expr(
                 "false negatives"
             )
         words[r["widx"]] = r["word_bits"]
-    arr = F.lit(words)
+    # NOT F.lit(words): a python-list literal ships element-by-element
+    # through py4j (~3.5 s measured for 8192 longs, dominating the
+    # whole operator). A from_json over one string constant-folds to
+    # the identical array Literal before execution at ~0 cost.
+    import json as _json
+
+    arr = F.from_json(F.lit(_json.dumps(words)), "array<bigint>")
     pow2 = F.lit([1 << i for i in range(32)])
     m_bits = m_words * 32
     key = F.col(key_col).cast("string")
