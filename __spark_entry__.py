@@ -51,8 +51,14 @@ _PRIORITY: list[str] = [
     # --- r5 gate: retire the certification debt. These 28 registry
     # entries have NEVER appeared green in any CORRECTNESS_r*.json
     # (21 never gated + 7 whose last gated run errored; 2 are
-    # rows-only by design). All locally green via `make sweep`.
+    # rows-only by design). All locally green via `make sweep` and
+    # via `ORACLE_CHECK_VANILLA=1` (driver-session simulation).
     # After r5 every oracle-able entry is driver-certified >= once.
+    # r6 ROTATION PLAN: once CORRECTNESS_r05 lands green, this whole
+    # list retires; fill the r6 gate with (a) any r5 failures first,
+    # (b) new r6 queries, (c) the stalest r2-certified entries
+    # (profile/pricing/revenue/shape families) for re-certification.
+    # tests/test_gate_hygiene.py enforces that nothing new stays out.
     "collect_metric_lists_supplier",   # r3 ERR (driver array hash) -> CSV-serialized, re-prove first
     "winnowing_fingerprints_documents",  # r3 ERR (same) -> CSV-serialized
     "listing_key_metrics",             # FS-listing family: read_blob
