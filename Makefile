@@ -3,13 +3,16 @@
 # through the DuckDB oracle so entries outside the gate window cannot
 # silently rot.
 
-.PHONY: test sweep bench smoke verify
+.PHONY: test sweep gate bench smoke verify
 
 test:
 	python -m pytest tests/ -x -q
 
 sweep:
 	python tools/check_oracle.py
+
+gate:
+	python tools/check_oracle.py /root/testdata/sf0.01 --gate
 
 bench:
 	python bench.py

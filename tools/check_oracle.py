@@ -6,6 +6,7 @@ column names, and an order-insensitive value hash (values stringified
 with repr after per-cell normalization). Run me before every commit:
 
     python tools/check_oracle.py [sf_dir] [name_filter ...]
+    python tools/check_oracle.py [sf_dir] --gate   # only the driver's 50-entry window
 """
 
 from __future__ import annotations
@@ -66,6 +67,12 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     qs = entrymod.queries()
+    # --gate: restrict to exactly the driver's certification window
+    # (the first GATE_SIZE registry entries) — what CORRECTNESS_r{N}
+    # will actually check this round
+    if "--gate" in filters:
+        filters = [f for f in filters if f != "--gate"]
+        qs = dict(list(qs.items())[: entrymod.GATE_SIZE])
     oracles = entrymod.oracle_sql(os.path.realpath(sf_dir))
     failed, passed, rows_only = [], [], []
     for name, fn in qs.items():
