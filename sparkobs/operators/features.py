@@ -77,3 +77,38 @@ def winsorize_summary(
             F.max(F.col("__hi")).alias("p_hi"),
         )
     )
+
+
+def group_minmax_norm(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group min-max normalization to [0, 1] (the bounded-range
+    companion to :func:`group_zscore`): one window pass computes the
+    group extrema, the scaled value is pure row-local arithmetic.
+    Constant groups (max == min) yield 0.0, not NULL/inf — the same
+    degenerate-group convention as the z-score operator.
+
+    Cross-engine note: (v − min)/(max − min) is a single IEEE
+    expression over order-independent aggregates, so it is
+    bit-identical across engines before the in-query round — no
+    summation-order hazard at all.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*group_cols)
+    lo = F.min(value_col).over(w)
+    hi = F.max(value_col).over(w)
+    scaled = F.when(hi > lo, (F.col(value_col) - lo) / (hi - lo)).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        *group_cols,
+        *(keep_cols or []),
+        F.col(value_col),
+        F.round(scaled, 4).alias("v_norm"),
+        F.round(lo, 4).alias("g_min"),
+        F.round(hi, 4).alias("g_max"),
+    )

@@ -775,3 +775,77 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 20, capacity: int | None
         .where(F.col("__key").isNotNull() & (F.col("cnt") * k > F.col("__n")))
         .select(F.col("__key").alias(key_col), "cnt")
     )
+
+
+def histogram2d(
+    df: DataFrame,
+    x_expr,
+    y_col: str,
+    y_lo: float,
+    y_hi: float,
+    y_bins: int,
+) -> DataFrame:
+    """2-D histogram: a categorical/derived x dimension × fixed-edge
+    numeric y bins — the heatmap aggregation (hour-of-day × value
+    band, segment × latency band). Data-independent y edges, so like
+    the 1-D histograms this is ONE shuffle with no pre-pass and the
+    cell count is bounded by x_cardinality·y_bins regardless of rows.
+    Out-of-range y values clamp into the edge bins (closed outer
+    edges), NULLs are dropped.
+
+    ``x_expr`` is any Column (e.g. ``F.hour("ts")``).
+    """
+    width = (y_hi - y_lo) / y_bins
+    raw = F.floor((F.col(y_col) - F.lit(y_lo)) / F.lit(width)).cast("int")
+    ybin = F.least(F.greatest(raw, F.lit(0)), F.lit(y_bins - 1))
+    return (
+        df.where(F.col(y_col).isNotNull())
+        .groupBy(x_expr.alias("x"), ybin.alias("y_bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "x",
+            F.col("y_bin").cast("long").alias("y_bin"),
+            F.round(F.lit(y_lo) + F.col("y_bin") * F.lit(width), 4).alias("y_lo"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+def chi_square_independence(
+    df: DataFrame, col_a, col_b
+) -> DataFrame:
+    """Pearson χ² test of independence between two categorical
+    dimensions, computed relationally: one contingency aggregation
+    (map-side combine), two marginal re-aggregations OF THE CELLS
+    (never the data), expected = row·col/N, χ² = Σ(o−e)²/e. One row:
+    (chi2, dof, n, n_cells). The input is scanned ONCE; everything
+    after operates on ≤ |A|·|B| cells, so the statistic costs the
+    same as a group-count at any table size.
+
+    ``col_a``/``col_b`` are Columns (expressions allowed).
+    """
+    cells = df.groupBy(col_a.alias("a"), col_b.alias("b")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    row_tot = cells.groupBy("a").agg(F.sum("o").alias("ra"))
+    col_tot = cells.groupBy("b").agg(F.sum("o").alias("cb"))
+    n_tot = cells.agg(F.sum("o").alias("n"), F.count(F.lit(1)).alias("n_cells"))
+    joined = (
+        cells.join(F.broadcast(row_tot), "a")
+        .join(F.broadcast(col_tot), "b")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    e = F.col("ra") * F.col("cb") / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    return (
+        joined.groupBy()
+        .agg(
+            F.round(F.sum(term), 4).alias("chi2"),
+            (
+                (F.count_distinct(F.col("a")) - 1)
+                * (F.count_distinct(F.col("b")) - 1)
+            ).cast("long").alias("dof"),
+            F.max("n").cast("long").alias("n"),
+            F.max("n_cells").cast("long").alias("n_cells"),
+        )
+    )

@@ -858,3 +858,42 @@ def gopher_quality_flags(
         ok_stop.alias("ok_stopwords"),
         (ok_words & ok_len & ok_uniq & ok_stop).alias("passes_gopher"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_freq: int = 2,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: the OLS slope of
+    log(freq) on log(rank) (natural logs), plus vocabulary size and
+    the head token — a one-number corpus-health signal (natural
+    language sits near slope −1; template/boilerplate corpora flatten,
+    spam steepens).
+
+    One token count pass (map-side combine), one rank window over the
+    VOCABULARY (≪ corpus; further cut by ``min_freq``), and a
+    built-in ``regr_slope`` aggregate — ranks break ties (freq desc,
+    token asc) so the fit is deterministic and engine-reproducible.
+    """
+    from pyspark.sql import Window as W
+
+    counts = (
+        df.select(F.explode(tokens_nonempty(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= min_freq)
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.desc("freq"), F.asc("tok"))),
+    )
+    return ranked.agg(
+        F.round(
+            F.expr("regr_slope(ln(freq), ln(rank))"), 4
+        ).alias("zipf_slope"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.min_by("tok", "rank").alias("top_token"),
+        F.max("freq").cast("long").alias("top_freq"),
+    )

@@ -1,0 +1,234 @@
+"""Round-6 registry queue — implemented, unit-tested, oracle-ready.
+
+These queries are NOT in ``sparkobs.queries.SPARK_QUERIES`` yet: the
+driver certifies only the first ``GATE_SIZE`` (50) registry entries per
+round and the round-5 gate is exactly full, so registering them now
+would create certification debt that ``tests/test_gate_hygiene.py``
+(rightly) rejects. They are held here with their DuckDB oracles and
+exercised by ``tests/test_r6_queue.py`` against the same checker logic
+the driver uses; promoting one = move its entry into ``queries.py``
+with the ``@query`` decorator and give it a ``_PRIORITY`` slot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkobs.io import load_table
+
+R6_QUEUE: dict[str, tuple] = {}
+
+
+def _queue(name: str, oracle: str | None = None):
+    def deco(fn):
+        R6_QUEUE[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+@_queue(
+    "market_share_q8",
+    oracle="""
+    SELECT yr,
+           round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share,
+           round(sum(volume), 2) AS total_volume
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             n1.n_name AS supp_nation,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region   ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01')
+    GROUP BY yr
+    """,
+)
+def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's share of a
+    region's import volume by order year — conditional-sum ratio over
+    a 6-table star join, nation/region legs broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_regionkey").alias("rk2")
+    )
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .join(F.broadcast(r), F.col("rk2") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+        )
+    )
+
+
+@_queue(
+    "top_supplier_q15",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS sk,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY 1)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON s_suppkey = sk
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarter revenue per supplier,
+    keep the maximum-revenue supplier(s). The max is a 1-row broadcast
+    (no collect, no second scan of lineitem — the revenue agg is
+    reused for both the max and the filter legs)."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = l.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(s, F.col("s_suppkey") == F.col("sk"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@_queue(
+    "zipf_fit_documents",
+    oracle="""
+    WITH counts AS (
+      SELECT t.tok, count(*) AS freq
+      FROM (SELECT u.t AS tok
+            FROM documents,
+                 unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS u(t)) t
+      GROUP BY 1 HAVING count(*) >= 2),
+    ranked AS (
+      SELECT tok, freq,
+             row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+      FROM counts)
+    SELECT round(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           min_by(tok, rank) AS top_token,
+           CAST(max(freq) AS BIGINT) AS top_freq
+    FROM ranked
+    """,
+)
+def zipf_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf-law fit (extension: corpus health)."""
+    from sparkobs.operators.text import zipf_fit
+
+    return zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+@_queue(
+    "minmax_norm_events_by_type",
+    oracle="""
+    SELECT event_type, event_id, value,
+           round(CASE WHEN mx > mn THEN (value - mn) / (mx - mn) ELSE 0.0 END, 4)
+             AS v_norm,
+           round(mn, 4) AS g_min,
+           round(mx, 4) AS g_max
+    FROM (SELECT event_type, event_id, value,
+                 min(value) OVER (PARTITION BY event_type) AS mn,
+                 max(value) OVER (PARTITION BY event_type) AS mx
+          FROM events)
+    """,
+)
+def minmax_norm_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max normalization (extension: featurization)."""
+    from sparkobs.operators.features import group_minmax_norm
+
+    return group_minmax_norm(
+        load_table(spark, sf_dir, "events"),
+        ["event_type"],
+        "value",
+        keep_cols=["event_id"],
+    )
+
+
+@_queue(
+    "hist2d_hour_value_events",
+    oracle="""
+    SELECT CAST(hour(ts) AS INT) AS x,
+           CAST(least(greatest(CAST(floor(value / 60.0) AS INT), 0), 9) AS BIGINT)
+             AS y_bin,
+           round(CAST(least(greatest(CAST(floor(value / 60.0) AS INT), 0), 9) * 60.0 AS DOUBLE), 4)
+             AS y_lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+)
+def hist2d_hour_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D heatmap histogram: hour-of-day x value band (extension:
+    profiling)."""
+    from sparkobs.operators.profile import histogram2d
+
+    return histogram2d(
+        load_table(spark, sf_dir, "events"),
+        F.hour("ts").cast("int"),
+        "value",
+        y_lo=0.0,
+        y_hi=600.0,
+        y_bins=10,
+    )
+
+
+@_queue(
+    "chi_square_events_type_hour",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS a, hour(ts) AS b, CAST(count(*) AS DOUBLE) AS o
+      FROM events GROUP BY 1, 2),
+    ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+    cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
+    nt AS (SELECT sum(o) AS n, count(*) AS n_cells FROM cells)
+    SELECT round(sum((o - ra * cb / n) * (o - ra * cb / n) / (ra * cb / n)), 4)
+             AS chi2,
+           CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT) AS dof,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(n_cells) AS BIGINT) AS n_cells
+    FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nt
+    """,
+)
+def chi_square_events_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence of event_type x hour-of-day
+    (extension: statistical profiling)."""
+    from sparkobs.operators.profile import chi_square_independence
+
+    return chi_square_independence(
+        load_table(spark, sf_dir, "events"), F.col("event_type"), F.hour("ts")
+    )
