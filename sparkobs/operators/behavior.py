@@ -215,3 +215,35 @@ def session_stats(
         "n_events",
         "duration_us",
     )
+
+
+def debounce_first_of_burst(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    order_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Debounce: collapse each burst of same-key events to its FIRST
+    row — a row survives iff it starts a new session under the gap
+    rule (previous same-key event is ≥ ``gap_seconds`` older, or none
+    exists). Session-START semantics, not "gap to previous kept row":
+    the gap rule is a pure lag window, so it is one shuffle, identical
+    in any engine, and exactly the burst definition sessionization
+    already uses — debounce(gap) keeps precisely one row per session
+    window. ``order_col`` breaks equal-timestamp ties
+    deterministically.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, order_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    # integer-microsecond gap (unix_micros), the same exactness
+    # convention as sessionize — never float seconds
+    gap_us = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
+        prev.cast("timestamp")
+    )
+    keep = prev.isNull() | (gap_us >= F.lit(gap_seconds) * 1_000_000)
+    return (
+        df.withColumn("__keep", keep)
+        .where(F.col("__keep"))
+        .drop("__keep")
+    )

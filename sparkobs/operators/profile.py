@@ -849,3 +849,63 @@ def chi_square_independence(
             F.max("n_cells").cast("long").alias("n_cells"),
         )
     )
+
+
+def gini_concentration(df: DataFrame, key_col: str) -> DataFrame:
+    """Gini coefficient of the key-frequency distribution — the
+    inequality number behind "10% of users produce 90% of events" /
+    "a handful of domains dominate the crawl". 0 = perfectly even,
+    →1 = fully concentrated.
+
+    One count aggregation (map-side combine) over the data, then rank
+    + closed-form Gini over the KEY TABLE only:
+    G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n with xᵢ ascending. Ties can rank
+    in any order without changing the sum (equal x share the same
+    contribution over any permutation of their consecutive ranks), so
+    the statistic is deterministic under any tiebreak.
+    """
+    from pyspark.sql import Window as W
+
+    freq = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("freq"))
+    ranked = freq.withColumn(
+        "i", F.row_number().over(W.orderBy(F.asc("freq"), F.asc(key_col)))
+    )
+    return ranked.agg(
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("freq")))
+            / (F.count(F.lit(1)) * F.sum("freq"))
+            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)),
+            4,
+        ).alias("gini"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("freq").cast("long").alias("n_rows"),
+        F.max("freq").cast("long").alias("max_freq"),
+    )
+
+
+def grouped_mad(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Median absolute deviation per group — the robust spread twin of
+    stddev (outlier-insensitive, the right denominator for robust
+    z-scores). Two exact-percentile passes: the group median, then the
+    median of |v − median| (joined back via the group key — the median
+    table is group-sized, broadcastable). At 100 TB swap exact
+    percentile for ``percentile_approx`` on both passes (the sketch
+    mode documented for the profile operators).
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.round(
+            F.percentile(F.col(value_col).cast("double"), F.lit(0.5)), 4
+        ).alias("median_val")
+    )
+    dev = df.join(F.broadcast(med), group_cols).select(
+        *group_cols,
+        F.abs(F.col(value_col) - F.col("median_val")).alias("__ad"),
+        "median_val",
+    )
+    return dev.groupBy(*group_cols).agg(
+        F.max("median_val").alias("median_val"),
+        F.round(F.percentile(F.col("__ad"), F.lit(0.5)), 4).alias("mad"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )

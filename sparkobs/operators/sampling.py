@@ -200,3 +200,42 @@ def group_hash_topk_sample(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row draws u ∈ (0,1) from the
+    md5 of its key (engine-portable, partition-invariant — the same
+    derivation as hash_sample) and keeps score u^(1/w); the k largest
+    scores ARE a weighted sample without replacement. One narrow
+    projection + TakeOrderedAndProject — no shuffle beyond the top-k
+    heaps, reproducible on any engine from (salt, key, weight).
+    Non-positive weights never win (score pinned to −1).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**15 + 2))
+    w = F.col(weight_col).cast("double")
+    score = F.when(w > 0, F.pow(u, 1.0 / w)).otherwise(F.lit(-1.0))
+    return (
+        df.select(
+            F.col(key_col),
+            w.alias("weight"),
+            F.round(score, 10).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(key_col))
+        .limit(k)
+    )

@@ -897,3 +897,71 @@ def zipf_fit(
         F.min_by("tok", "rank").alias("top_token"),
         F.max("freq").cast("long").alias("top_freq"),
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over adjacent
+    token pairs: PMI = ln(c_ab · N_uni² / (N_bi · c_a · c_b)) — the
+    classic collocation-mining signal (phrases worth fusing into
+    single tokens before BPE).
+
+    Linear, not quadratic: only ADJACENT pairs are counted (one
+    zip_with explode), unigram counts come from the same token pass,
+    and the PMI arithmetic runs over the bigram VOCABULARY only. One
+    broadcast of the two scalar totals; top-k is
+    TakeOrderedAndProject with a deterministic (score, lhs, rhs)
+    tiebreak.
+    """
+    from pyspark.sql import Window as W  # noqa: F401  (parity with siblings)
+
+    toks = df.select(tokens_nonempty(text_col).alias("__tk"))
+    n1 = F.greatest(F.size("__tk") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("__tk", 1, n1),
+        F.slice(F.col("__tk"), 2, n1),
+        lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+    )
+    bi = (
+        toks.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(tokens_nonempty(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = uni.agg(
+        F.sum("c").alias("n_uni"),
+    ).crossJoin(
+        toks.select(n1.alias("__n")).agg(F.sum("__n").alias("n_bi"))
+    )
+    scored = (
+        bi.join(F.broadcast(uni.selectExpr("tok as lhs", "c as c_a")), "lhs")
+        .join(F.broadcast(uni.selectExpr("tok as rhs", "c as c_b")), "rhs")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "lhs",
+            "rhs",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(
+                F.log(
+                    F.col("c_ab")
+                    * F.col("n_uni")
+                    * F.col("n_uni")
+                    / (F.col("n_bi") * F.col("c_a") * F.col("c_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("lhs"), F.asc("rhs")
+    ).limit(k)

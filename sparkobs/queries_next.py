@@ -232,3 +232,142 @@ def chi_square_events_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square_independence(
         load_table(spark, sf_dir, "events"), F.col("event_type"), F.hour("ts")
     )
+
+
+def _hex15(col_sql: str) -> str:
+    from sparkobs.queries import _hex15_sql
+
+    return _hex15_sql(col_sql)
+
+
+@_queue(
+    "debounce_events_user_type",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, round(value, 4) AS value
+    FROM (
+      SELECT event_id, user_id, event_type, ts, value,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+    WHERE prev_ts IS NULL
+       OR epoch_us(ts) - epoch_us(prev_ts) >= 600 * 1000000
+    """,
+)
+def debounce_events_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst debounce (extension: event hygiene): keep only the first
+    event of each (user, type) burst under a 10-minute gap rule."""
+    from sparkobs.operators.behavior import debounce_first_of_burst
+
+    ev = load_table(spark, sf_dir, "events")
+    out = debounce_first_of_burst(
+        ev, ["user_id", "event_type"], "ts", "event_id", gap_seconds=600
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", "ts", F.round("value", 4).alias("value")
+    )
+
+
+@_queue(
+    "gini_user_activity_events",
+    oracle="""
+    WITH freq AS (SELECT user_id, count(*) AS freq FROM events GROUP BY 1),
+    ranked AS (
+      SELECT freq, row_number() OVER (ORDER BY freq ASC, user_id ASC) AS i
+      FROM freq)
+    SELECT round(2.0 * sum(i * freq) / (count(*) * sum(freq))
+                 - (count(*) + 1.0) / count(*), 4) AS gini,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(freq) AS BIGINT) AS n_rows,
+           CAST(max(freq) AS BIGINT) AS max_freq
+    FROM ranked
+    """,
+)
+def gini_user_activity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event concentration (extension:
+    skew diagnostics)."""
+    from sparkobs.operators.profile import gini_concentration
+
+    return gini_concentration(load_table(spark, sf_dir, "events"), "user_id")
+
+
+@_queue(
+    "mad_events_by_type",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median_val
+      FROM events GROUP BY 1)
+    SELECT e.event_type, max(m.median_val) AS median_val,
+           round(quantile_cont(abs(e.value - m.median_val), 0.5), 4) AS mad,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY 1
+    """,
+)
+def mad_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type (extension: robust
+    statistics)."""
+    from sparkobs.operators.profile import grouped_mad
+
+    return grouped_mad(load_table(spark, sf_dir, "events"), ["event_type"], "value")
+
+
+@_queue(
+    "bigram_pmi_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS tk
+      FROM documents),
+    bi AS (
+      SELECT u.p.lhs AS lhs, u.p.rhs AS rhs, count(*) AS c_ab
+      FROM (SELECT list_zip(tk[1:len(tk)-1], tk[2:len(tk)]) AS ps FROM toks
+            WHERE len(tk) >= 2) z,
+           unnest(list_transform(ps, q -> {'lhs': q[1], 'rhs': q[2]})) AS u(p)
+      GROUP BY 1, 2 HAVING count(*) >= 5),
+    uni AS (
+      SELECT u.t AS tok, count(*) AS c
+      FROM toks, unnest(tk) AS u(t) GROUP BY 1),
+    tot AS (
+      SELECT (SELECT sum(c) FROM uni) AS n_uni,
+             (SELECT sum(greatest(len(tk) - 1, 0)) FROM toks) AS n_bi)
+    SELECT lhs, rhs, CAST(c_ab AS BIGINT) AS c_ab,
+           round(ln(c_ab * n_uni * n_uni
+                    / (n_bi * ua.c * ub.c)), 4) AS pmi
+    FROM bi
+    JOIN uni ua ON ua.tok = lhs
+    JOIN uni ub ON ub.tok = rhs
+    CROSS JOIN tot
+    ORDER BY pmi DESC, lhs ASC, rhs ASC
+    LIMIT 20
+    """,
+)
+def bigram_pmi_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by PMI over adjacent token pairs
+    (extension: phrase mining)."""
+    from sparkobs.operators.text import bigram_pmi
+
+    return bigram_pmi(load_table(spark, sf_dir, "documents"), k=20, min_count=5)
+
+
+@_queue(
+    "weighted_sample_documents",
+    oracle=f"""
+    SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+           round(pow(u, 1.0 / n_chars), 10) AS score
+    FROM (
+      SELECT doc_id, n_chars,
+             ({_hex15("md5('ws' || CAST(doc_id AS VARCHAR))")} + 1.0)
+               / (power(16, 15) + 2) AS u
+      FROM documents)
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 50
+    """,
+)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis-Spirakis weighted sample of 50 docs by
+    length (extension: weighted sampling)."""
+    from sparkobs.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        load_table(spark, sf_dir, "documents"), "n_chars", k=50
+    )

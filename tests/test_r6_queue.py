@@ -45,3 +45,73 @@ def test_r6_queue_entry_matches_oracle(spark, oracle_con, name):
     assert len(s_rows) == len(d_rows), f"{name}: row count"
     assert sorted(sdf.columns) == sorted(d_cols), f"{name}: columns"
     assert canon(s_rows, sdf.columns) == canon(d_rows, d_cols), f"{name}: values"
+
+
+def test_debounce_keeps_burst_starts_only(spark):
+    from datetime import datetime
+
+    from sparkobs.operators.behavior import debounce_first_of_burst
+
+    rows = [
+        (1, 7, "click", datetime(2024, 1, 1, 0, 0, 0)),   # burst start
+        (2, 7, "click", datetime(2024, 1, 1, 0, 3, 0)),   # +3m  -> dropped
+        (3, 7, "click", datetime(2024, 1, 1, 0, 6, 0)),   # +3m from #2 -> dropped (chain)
+        (4, 7, "click", datetime(2024, 1, 1, 1, 0, 0)),   # new burst
+        (5, 7, "view", datetime(2024, 1, 1, 0, 1, 0)),    # other key untouched
+        (6, 8, "click", datetime(2024, 1, 1, 0, 2, 0)),   # other user untouched
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    kept = sorted(
+        r.event_id
+        for r in debounce_first_of_burst(
+            df, ["user_id", "event_type"], "ts", "event_id", gap_seconds=600
+        ).collect()
+    )
+    assert kept == [1, 4, 5, 6]
+
+
+def test_weighted_sample_prefers_heavy_rows_and_is_deterministic(spark):
+    from sparkobs.operators.sampling import weighted_sample
+
+    rows = [(i, 1000.0 if i < 20 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars double")
+    got = [r.doc_id for r in weighted_sample(df, "n_chars", k=25).collect()]
+    # the 20 heavy rows (1000x weight) should dominate the sample
+    assert sum(1 for d in got if d < 20) >= 18
+    again = [r.doc_id for r in weighted_sample(df, "n_chars", k=25).collect()]
+    assert got == again
+    # non-positive weights never selected
+    z = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 5.0)], "doc_id long, n_chars double"
+    )
+    top = [r.doc_id for r in weighted_sample(z, "n_chars", k=1).collect()]
+    assert top == [3]
+
+
+def test_gini_extremes(spark):
+    from sparkobs.operators.profile import gini_concentration
+
+    even = spark.createDataFrame(
+        [(u, i) for u in range(10) for i in range(5)], "user_id long, x long"
+    )
+    r = gini_concentration(even, "user_id").collect()[0]
+    assert r["gini"] == 0.0 and r["n_keys"] == 10 and r["n_rows"] == 50
+    skewed = spark.createDataFrame(
+        [(0, i) for i in range(96)] + [(u, 0) for u in range(1, 5)],
+        "user_id long, x long",
+    )
+    g = gini_concentration(skewed, "user_id").collect()[0]["gini"]
+    assert g > 0.7  # one user holds 96% of rows
+
+
+def test_grouped_mad_hand_values(spark):
+    from sparkobs.operators.profile import grouped_mad
+
+    # group a: 1..9 -> median 5, |v-5| = 0..4 -> MAD 2
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 10)], "g string, value double"
+    )
+    r = grouped_mad(df, ["g"], "value").collect()[0]
+    assert (r["median_val"], r["mad"], r["n_rows"]) == (5.0, 2.0, 9)
