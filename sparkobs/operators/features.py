@@ -112,3 +112,44 @@ def group_minmax_norm(
         F.round(lo, 4).alias("g_min"),
         F.round(hi, 4).alias("g_max"),
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Leave-one-out target encoding: each row's categorical feature
+    becomes the mean target of its category EXCLUDING the row itself —
+    the standard leakage-safe encoding for high-cardinality
+    categoricals. One category aggregation (broadcastable — category-
+    sized, not row-sized) joined back; the LOO arithmetic is row-local.
+    Singleton categories yield NULL (no peers to average), never a
+    self-leak.
+
+    Parity: the category sum is rounded (4) before the row-local
+    subtraction/division, so both engines divide identical doubles —
+    the raw sum differs across engines by summation order. The LOO
+    output is deliberately NOT rounded: the division's result is
+    bit-identical by construction, while rounding it would diverge on
+    exact .00005 boundaries (cents/(n−1) hits them), because Spark
+    rounds the double's exact binary expansion and DuckDB multiplies
+    by 10⁴ first — two different answers for a boundary value.
+    """
+    agg = df.groupBy(cat_col).agg(
+        F.round(F.sum(target_col), 4).alias("__s"),
+        F.count(target_col).alias("__n"),
+    )
+    j = df.join(F.broadcast(agg), cat_col)
+    loo = F.when(
+        F.col("__n") > 1,
+        (F.col("__s") - F.col(target_col)) / (F.col("__n") - 1),
+    )
+    return j.select(
+        F.col(cat_col),
+        *(keep_cols or []),
+        F.col(target_col),
+        loo.alias("te_loo"),
+        F.col("__n").cast("long").alias("cat_n"),
+    )

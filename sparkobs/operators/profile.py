@@ -909,3 +909,53 @@ def grouped_mad(
         F.round(F.percentile(F.col("__ad"), F.lit(0.5)), 4).alias("mad"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
+
+
+def ks_drift_binned(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 100,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance over fixed bins: bin both
+    samples on the same data-independent edges, build the two empirical
+    CDFs with a cumulative window over the BIN TABLE (≤ n_bins+1 rows),
+    and take D = max |cdf_a − cdf_b| — the distribution-shift test that
+    PSI's fixed-floor log terms approximate, exact up to bin width.
+    Two hash aggs over the data; everything after is bin-table-sized.
+    Out-of-range values clamp into the edge bins so both tails count.
+    """
+    from pyspark.sql import Window as W
+
+    width = (hi - lo) / n_bins
+    def binned(df, tag):
+        raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")
+        b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(f"c_{tag}"))
+        )
+    cells = binned(df_a, "a").join(binned(df_b, "b"), "bin", "full_outer").select(
+        F.coalesce("bin", F.lit(0)).alias("bin"),
+        F.coalesce("c_a", F.lit(0)).alias("c_a"),
+        F.coalesce("c_b", F.lit(0)).alias("c_b"),
+    )
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = cells.agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    cdfs = cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        (F.sum("c_a").over(w) / F.col("n_a")).alias("cdf_a"),
+        (F.sum("c_b").over(w) / F.col("n_b")).alias("cdf_b"),
+        "n_a",
+        "n_b",
+    )
+    return cdfs.agg(
+        F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 4).alias("ks_d"),
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+    )

@@ -371,3 +371,128 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(
         load_table(spark, sf_dir, "documents"), "n_chars", k=50
     )
+
+
+def _merkle_side_sql(pred: str, tag: str) -> str:
+    """DuckDB bucket summary over orders rows matching ``pred`` —
+    md5-portable twin of state.merkle_bucket_summary(hash_fn='md5')."""
+    key_h = _hex15("md5(CAST(o_orderkey AS VARCHAR))")
+    row_h = _hex15(
+        "md5(CAST(o_orderkey AS VARCHAR) || chr(31) || "
+        "CAST(o_orderstatus AS VARCHAR) || chr(31) || "
+        "CAST(round(o_totalprice, 2) AS VARCHAR))"
+    )
+    return f"""
+      SELECT ({key_h}) % 64 AS bucket,
+             count(*) AS n_{tag},
+             bit_xor({row_h}) AS sig_{tag}
+      FROM (SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE {pred})
+      GROUP BY 1"""
+
+
+@_queue(
+    "merkle_diff_orders",
+    oracle=f"""
+    WITH a AS ({_merkle_side_sql("o_orderkey % 100 <> 1", "old")}),
+    b AS ({_merkle_side_sql("o_orderkey % 100 <> 0", "new")})
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+           CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+    FROM a FULL OUTER JOIN b USING (bucket)
+    WHERE coalesce(sig_old <> sig_new, TRUE)
+       OR coalesce(n_old, 0) <> coalesce(n_new, 0)
+    """,
+)
+def merkle_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style anti-entropy bucket diff (extension: table
+    reconciliation at scale): two order snapshots exchange 64 bucket
+    signatures; only buckets whose XOR-of-row-hashes or count differs
+    need row-level diffing. md5-portable hash mode so the decision is
+    engine-reproducible bit for bit."""
+    from sparkobs.operators.state import merkle_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    old = o.where(F.col("o_orderkey") % 100 != 1)
+    new = o.where(F.col("o_orderkey") % 100 != 0)
+    return merkle_diff(
+        old,
+        new,
+        ["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+        n_buckets=64,
+        hash_fn="md5",
+    )
+
+
+@_queue(
+    "ks_drift_events_halves",
+    oracle="""
+    WITH a AS (
+      SELECT least(greatest(CAST(floor(value / 6.0) AS INT), 0), 99) AS bin,
+             count(*) AS c_a
+      FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1),
+    b AS (
+      SELECT least(greatest(CAST(floor(value / 6.0) AS INT), 0), 99) AS bin,
+             count(*) AS c_b
+      FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL GROUP BY 1),
+    cells AS (
+      SELECT coalesce(a.bin, b.bin) AS bin,
+             coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+      FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+    tot AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM cells),
+    cdfs AS (
+      SELECT sum(c_a) OVER (ORDER BY bin) * 1.0 / n_a AS cdf_a,
+             sum(c_b) OVER (ORDER BY bin) * 1.0 / n_b AS cdf_b,
+             n_a, n_b
+      FROM cells CROSS JOIN tot)
+    SELECT round(max(abs(cdf_a - cdf_b)), 4) AS ks_d,
+           CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b
+    FROM cdfs
+    """,
+)
+def ks_drift_events_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov distance between the even
+    and odd event halves (extension: distribution-shift testing, the
+    exact-up-to-bin-width companion of PSI)."""
+    from pyspark.sql import functions as F_  # noqa: F401
+
+    from sparkobs.operators.profile import ks_drift_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_drift_binned(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        "value",
+        lo=0.0,
+        hi=600.0,
+        n_bins=100,
+    )
+
+
+@_queue(
+    "target_encode_events_type",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, round(sum(value), 4) AS s, count(value) AS n
+      FROM events GROUP BY 1)
+    SELECT e.event_type, e.event_id, e.value,
+           CASE WHEN n > 1 THEN (s - e.value) / (n - 1) END AS te_loo,
+           CAST(n AS BIGINT) AS cat_n
+    FROM events e JOIN agg USING (event_type)
+    """,
+)
+def target_encode_events_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type by value
+    (extension: leakage-safe ML featurization)."""
+    from sparkobs.operators.features import target_encode_loo
+
+    return target_encode_loo(
+        load_table(spark, sf_dir, "events"),
+        "event_type",
+        "value",
+        keep_cols=["event_id"],
+    )
