@@ -959,3 +959,18 @@ def ks_drift_binned(
         F.max("n_a").cast("long").alias("n_a"),
         F.max("n_b").cast("long").alias("n_b"),
     )
+
+
+def hll_merge_estimate(regs_list: list[DataFrame]) -> DataFrame:
+    """Merge any number of portable-HLL register tables (cellwise max —
+    the property that makes HLL the cross-run / cross-partition
+    distinct sketch: union of sketches ≡ sketch of the union, no raw
+    data revisited) and estimate the merged distinct count. Each input
+    is ≤ m rows, so the merge costs nothing at any corpus size.
+    """
+    merged = regs_list[0]
+    for r in regs_list[1:]:
+        merged = merged.unionByName(r)
+    return hll_estimate(
+        merged.groupBy("bucket").agg(F.max("reg").alias("reg"))
+    )

@@ -965,3 +965,51 @@ def bigram_pmi(
     return scored.orderBy(
         F.desc("pmi"), F.asc("lhs"), F.asc("rhs")
     ).limit(k)
+
+
+def vocab_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    head_share: float = 0.5,
+    torso_share: float = 0.9,
+) -> DataFrame:
+    """Head / torso / tail segmentation of the vocabulary by cumulative
+    frequency share — the budgeting view behind "the top N tokens
+    cover X% of the corpus" decisions (embedding table sizing, stopword
+    cutoffs, quantization vocab). One token count pass over the data;
+    ranking and cumulative shares run over the VOCABULARY only.
+    A token is 'head' while the cumulative share up to and including it
+    is ≤ head_share, 'torso' until torso_share, else 'tail'. Output is
+    one row per segment: token count, occurrence mass, share.
+    """
+    from sparkobs.operators.joins import global_running_sum
+
+    counts = (
+        df.select(F.explode(tokens_nonempty(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        # descending-frequency global order expressed as an ASC sort
+        # key so the DISTRIBUTED running sum applies (per-partition
+        # windows + broadcast offsets — a web-scale vocabulary never
+        # funnels through a single-partition window)
+        .withColumn("__negf", -F.col("freq"))
+    )
+    tot = counts.agg(F.sum("freq").alias("__tot"))
+    ranked = global_running_sum(
+        counts, ["__negf", "tok"], "freq", out_col="__cum"
+    ).crossJoin(F.broadcast(tot)).withColumn(
+        "cum_share", F.col("__cum") / F.col("__tot")
+    )
+    seg = (
+        F.when(F.col("cum_share") <= head_share, F.lit("head"))
+        .when(F.col("cum_share") <= torso_share, F.lit("torso"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ranked.groupBy(seg.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("freq").cast("long").alias("occurrences"),
+            F.round(F.sum("freq") / F.max("__tot"), 4).alias("share"),
+        )
+    )

@@ -496,3 +496,109 @@ def target_encode_events_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         keep_cols=["event_id"],
     )
+
+
+@_queue(
+    "vocab_segments_documents",
+    oracle="""
+    WITH counts AS (
+      SELECT u.t AS tok, count(*) AS freq
+      FROM documents,
+           unnest(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '')) AS u(t)
+      GROUP BY 1),
+    tot AS (SELECT sum(freq) AS tt FROM counts),
+    ranked AS (
+      SELECT freq,
+             sum(freq) OVER (ORDER BY freq DESC, tok ASC) * 1.0 / tt AS cum_share,
+             tt
+      FROM counts CROSS JOIN tot)
+    SELECT CASE WHEN cum_share <= 0.5 THEN 'head'
+                WHEN cum_share <= 0.9 THEN 'torso'
+                ELSE 'tail' END AS segment,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(freq) AS BIGINT) AS occurrences,
+           round(sum(freq) * 1.0 / max(tt), 4) AS share
+    FROM ranked GROUP BY 1
+    """,
+)
+def vocab_segments_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/torso/tail vocabulary segmentation by cumulative frequency
+    share (extension: corpus budgeting)."""
+    from sparkobs.operators.text import vocab_segments
+
+    return vocab_segments(load_table(spark, sf_dir, "documents"))
+
+
+@_queue(
+    "compaction_plan_sf_dir",
+    oracle="""
+    WITH l AS (SELECT 'file:' || filename AS path, CAST(size AS BIGINT) AS length
+               FROM read_blob('{SF_DIR}/*')),
+    cum AS (SELECT path, length,
+                   sum(length) OVER (ORDER BY path) AS c
+            FROM l)
+    SELECT CAST(floor((c - length) / 2000000.0) AS BIGINT) AS group_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(length) AS BIGINT) AS total_bytes,
+           min(path) AS first_path,
+           max(path) AS last_path
+    FROM cum GROUP BY 1
+    """,
+)
+def compaction_plan_sf_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan over the data directory's listing
+    (extension: lake maintenance): ~2 MB merge groups in path order,
+    planned with the distributed prefix sum. DuckDB stats the same
+    files via read_blob, so the plan is value-checked end to end."""
+    from sparkobs.sources.listing import compaction_plan, list_files
+
+    return compaction_plan(
+        list_files(spark, sf_dir).select("path", "length"),
+        target_bytes=2_000_000,
+    )
+
+
+@_queue(
+    "robust_outliers_events",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+      FROM events GROUP BY 1),
+    mad AS (
+      SELECT e.event_type,
+             max(m.med) AS med,
+             round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad
+      FROM events e JOIN med m USING (event_type) GROUP BY 1)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN mad > 0
+                         AND abs(e.value - m.med) / (1.4826 * mad) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           max(m.med) AS med,
+           max(m.mad) AS mad
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY 1
+    """,
+)
+def robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (MAD-based) outlier counts per event type (extension:
+    outlier-insensitive monitoring — the consistent-estimator z-score
+    |v − median| / (1.4826·MAD) > 3.5, immune to the outliers it
+    hunts, unlike mean/stddev z-scores)."""
+    from pyspark.sql import functions as F_  # noqa: F401
+
+    from sparkobs.operators.profile import grouped_mad
+
+    ev = load_table(spark, sf_dir, "events")
+    mad = grouped_mad(ev, ["event_type"], "value")
+    j = ev.join(F.broadcast(mad), "event_type")
+    is_out = (F.col("mad") > 0) & (
+        F.abs(F.col("value") - F.col("median_val")) / (1.4826 * F.col("mad")) > 3.5
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(is_out.cast("long")).alias("n_outliers"),
+        F.max("median_val").alias("med"),
+        F.max("mad").alias("mad"),
+    )

@@ -231,3 +231,37 @@ def fs_status(spark: SparkSession, root: str) -> DataFrame:
     except Exception:
         pass  # typed-null row: the store has no capacity concept
     return spark.createDataFrame([(root, cap, used, rem, pct)], FS_STATUS_SCHEMA)
+
+
+def compaction_plan(listing: DataFrame, target_bytes: int) -> DataFrame:
+    """Small-file compaction plan: group files (in path order) into
+    merge groups of ≈ ``target_bytes`` — the maintenance job every
+    streaming-ingested lake needs (thousands of tiny part files →
+    row-group-sized outputs). Group id = floor(exclusive-prefix-sum /
+    target), so a group closes once it crosses the target; the prefix
+    sum is the DISTRIBUTED running-sum primitive (per-partition
+    windows + broadcast offsets — a million-file listing never
+    funnels through one partition). Output: one row per planned group
+    with file count, total bytes, and the first/last path bounds.
+    """
+    from sparkobs.operators.joins import global_running_sum
+
+    cum = global_running_sum(listing, ["path"], "length", out_col="__cum")
+    gid = F.floor((F.col("__cum") - F.col("length")) / F.lit(target_bytes))
+    return (
+        cum.select(gid.alias("group_id"), "path", "length")
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("length").cast("long").alias("total_bytes"),
+            F.min("path").alias("first_path"),
+            F.max("path").alias("last_path"),
+        )
+        .select(
+            F.col("group_id").cast("long").alias("group_id"),
+            "n_files",
+            "total_bytes",
+            "first_path",
+            "last_path",
+        )
+    )

@@ -39,7 +39,7 @@ def test_r6_queue_entry_matches_oracle(spark, oracle_con, name):
     if oracle is None:
         assert len(s_rows) >= 0
         return
-    res = oracle_con.execute(oracle)
+    res = oracle_con.execute(oracle.replace("{SF_DIR}", os.path.realpath(SF)))
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
     assert len(s_rows) == len(d_rows), f"{name}: row count"
