@@ -167,3 +167,25 @@ def test_target_encode_loo_excludes_self(spark):
     assert out[("a", 1.0)].te_loo == 4.0   # (2+6)/2
     assert out[("a", 6.0)].te_loo == 1.5   # (1+2)/2
     assert out[("b", 9.0)].te_loo is None  # singleton: no peers, no leak
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    """The merge property that makes HLL the cross-run sketch: cellwise
+    max of two register tables estimates the UNION's distinct count —
+    bit-identically to sketching the union directly."""
+    from sparkobs.operators.profile import (
+        hll_estimate,
+        hll_merge_estimate,
+        hll_registers,
+    )
+
+    a = spark.range(0, 6000).selectExpr("id as k")          # 0..5999
+    b = spark.range(3000, 9000).selectExpr("id as k")       # 3000..8999
+    merged = hll_merge_estimate(
+        [hll_registers(a, "k"), hll_registers(b, "k")]
+    ).collect()[0]["est_distinct"]
+    direct = hll_estimate(
+        hll_registers(a.unionByName(b), "k")
+    ).collect()[0]["est_distinct"]
+    assert merged == direct  # merge == sketch-of-union, exactly
+    assert abs(merged - 9000) / 9000 < 0.15  # and it's a sane estimate
