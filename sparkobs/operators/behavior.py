@@ -247,3 +247,36 @@ def debounce_first_of_burst(
         .where(F.col("__keep"))
         .drop("__keep")
     )
+
+
+def top_event_ngrams(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    order_col: str = "event_id",
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Most common length-``n`` event sequences (journey n-grams): per
+    key, events order into a sequence; every window of ``n``
+    consecutive states becomes one n-gram; top-k by count. The
+    sequence windows come from ``lead`` over the per-key ordering —
+    one shuffle on the key, no per-user collect, no explode of whole
+    journeys. Deterministic (count desc, then the n-gram lexically).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    steps = [F.col(state_col)] + [
+        F.lead(state_col, i).over(w) for i in range(1, n)
+    ]
+    gram = F.concat_ws(">", *steps)
+    complete = steps[-1].isNotNull()
+    return (
+        df.select(gram.alias("ngram"), complete.alias("__c"))
+        .where(F.col("__c"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+        .select("ngram", F.col("n_occurrences").cast("long").alias("n_occurrences"))
+    )

@@ -974,3 +974,46 @@ def hll_merge_estimate(regs_list: list[DataFrame]) -> DataFrame:
     return hll_estimate(
         merged.groupBy("bucket").agg(F.max("reg").alias("reg"))
     )
+
+
+def mutual_information(df: DataFrame, col_a, col_b) -> DataFrame:
+    """Mutual information (nats) between two categorical dimensions —
+    the effect-size companion to :func:`chi_square_independence`
+    (χ² says "dependent", MI says "by how many bits"). Same
+    contingency machinery: one cell aggregation over the data, then
+    MI = Σ p_ab·ln(p_ab·N² / (ra·cb·N)) over cells only. Also reports
+    the normalized variant MI/min(H_a, H_b) ∈ [0,1].
+    """
+    cells = df.groupBy(col_a.alias("a"), col_b.alias("b")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    row_tot = cells.groupBy("a").agg(F.sum("o").alias("ra"))
+    col_tot = cells.groupBy("b").agg(F.sum("o").alias("cb"))
+    n_tot = cells.agg(F.sum("o").alias("n"))
+    joined = (
+        cells.join(F.broadcast(row_tot), "a")
+        .join(F.broadcast(col_tot), "b")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    mi_term = (F.col("o") / F.col("n")) * F.log(
+        F.col("o") * F.col("n") / (F.col("ra") * F.col("cb"))
+    )
+    ha_term = row_tot.crossJoin(F.broadcast(n_tot)).agg(
+        F.sum(-(F.col("ra") / F.col("n")) * F.log(F.col("ra") / F.col("n"))).alias("h_a")
+    )
+    hb_term = col_tot.crossJoin(F.broadcast(n_tot)).agg(
+        F.sum(-(F.col("cb") / F.col("n")) * F.log(F.col("cb") / F.col("n"))).alias("h_b")
+    )
+    return (
+        joined.agg(F.round(F.sum(mi_term), 4).alias("mi_nats"))
+        .crossJoin(F.broadcast(ha_term))
+        .crossJoin(F.broadcast(hb_term))
+        .select(
+            "mi_nats",
+            F.round("h_a", 4).alias("h_a"),
+            F.round("h_b", 4).alias("h_b"),
+            F.round(
+                F.col("mi_nats") / F.least(F.round("h_a", 4), F.round("h_b", 4)), 4
+            ).alias("mi_normalized"),
+        )
+    )

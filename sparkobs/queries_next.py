@@ -602,3 +602,93 @@ def robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("median_val").alias("med"),
         F.max("mad").alias("mad"),
     )
+
+
+@_queue(
+    "top_event_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS s0,
+             lead(event_type, 1) OVER w AS s1,
+             lead(event_type, 2) OVER w AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT s0 || '>' || s1 || '>' || s2 AS ngram,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM seq WHERE s2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, ngram ASC
+    LIMIT 20
+    """,
+)
+def top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user journeys (extension: behavioral n-gram
+    mining via per-key lead windows — no journey collect)."""
+    from sparkobs.operators.behavior import top_event_ngrams
+
+    return top_event_ngrams(load_table(spark, sf_dir, "events"), n=3, k=20)
+
+
+@_queue(
+    "percent_rank_orders_by_status",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice, 2) AS o_totalprice,
+           percent_rank() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS pr,
+           cume_dist() OVER (PARTITION BY o_orderstatus
+                             ORDER BY o_totalprice, o_orderkey) AS cd
+    FROM orders
+    """,
+)
+def percent_rank_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic ranking coverage: percent_rank + cume_dist per status
+    with a deterministic tiebreak (extension: window-function breadth
+    — the relative-standing view of each order within its status)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        # deliberately UNROUNDED: (rank−1)/(n−1) and rank/n are single
+        # divisions of identical integers — bit-identical across
+        # engines, while rounding diverges when a power-of-two group
+        # size puts the exact value on a rounding boundary
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@_queue(
+    "mutual_info_events_type_hour",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS a, hour(ts) AS b, CAST(count(*) AS DOUBLE) AS o
+      FROM events GROUP BY 1, 2),
+    ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+    cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
+    nt AS (SELECT sum(o) AS n FROM cells),
+    mi AS (
+      SELECT round(sum((o / n) * ln(o * n / (ra * cb))), 4) AS mi_nats
+      FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nt),
+    ha AS (SELECT round(sum(-(ra / n) * ln(ra / n)), 4) AS h_a
+           FROM ra CROSS JOIN nt),
+    hb AS (SELECT round(sum(-(cb / n) * ln(cb / n)), 4) AS h_b
+           FROM cb CROSS JOIN nt)
+    SELECT mi_nats, h_a, h_b,
+           round(mi_nats / least(h_a, h_b), 4) AS mi_normalized
+    FROM mi CROSS JOIN ha CROSS JOIN hb
+    """,
+)
+def mutual_info_events_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day
+    (extension: dependence effect size, the bits behind the chi-square
+    verdict)."""
+    from sparkobs.operators.profile import mutual_information
+
+    return mutual_information(
+        load_table(spark, sf_dir, "events"), F.col("event_type"), F.hour("ts")
+    )
