@@ -56,8 +56,12 @@ _PRIORITY: list[str] = [
     # After r5 every oracle-able entry is driver-certified >= once.
     # r6 ROTATION PLAN: once CORRECTNESS_r05 lands green, this whole
     # list retires; fill the r6 gate with (a) any r5 failures first,
-    # (b) new r6 queries, (c) the stalest r2-certified entries
-    # (profile/pricing/revenue/shape families) for re-certification.
+    # (b) the 20 oracle-tested queries staged in
+    #     sparkobs/queries_next.py (promote = move into queries.py
+    #     with @query + a slot here; tests/test_r6_queue.py already
+    #     holds them to the checker's comparison),
+    # (c) the stalest r2-certified entries (profile/pricing/revenue/
+    #     shape families) for re-certification.
     # tests/test_gate_hygiene.py enforces that nothing new stays out.
     "collect_metric_lists_supplier",   # r3 ERR (driver array hash) -> CSV-serialized, re-prove first
     "winnowing_fingerprints_documents",  # r3 ERR (same) -> CSV-serialized
