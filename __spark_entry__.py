@@ -48,74 +48,68 @@ def entry(spark: SparkSession) -> DataFrame:
 GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
-    # --- r5 gate: retire the certification debt. These 28 registry
-    # entries have NEVER appeared green in any CORRECTNESS_r*.json
-    # (21 never gated + 7 whose last gated run errored; 2 are
-    # rows-only by design). All locally green via `make sweep` and
-    # via `ORACLE_CHECK_VANILLA=1` (driver-session simulation).
-    # After r5 every oracle-able entry is driver-certified >= once.
-    # r6 ROTATION PLAN: once CORRECTNESS_r05 lands green, this whole
-    # list retires; fill the r6 gate with (a) any r5 failures first,
-    # (b) the 20 oracle-tested queries staged in
-    #     sparkobs/queries_next.py (promote = move into queries.py
-    #     with @query + a slot here; tests/test_r6_queue.py already
-    #     holds them to the checker's comparison),
-    # (c) the stalest r2-certified entries (profile/pricing/revenue/
-    #     shape families) for re-certification.
-    # tests/test_gate_hygiene.py enforces that nothing new stays out.
-    "collect_metric_lists_supplier",   # r3 ERR (driver array hash) -> CSV-serialized, re-prove first
-    "winnowing_fingerprints_documents",  # r3 ERR (same) -> CSV-serialized
-    "listing_key_metrics",             # FS-listing family: read_blob
-    "listing_prefix_stats",            # oracles written in r4, never
-    "listing_storage_stats",           # driver-proven
-    "bucket_monitor_metrics",
-    "semantic_dedup_embeddings",
-    "semantic_dedup_ivf_embeddings",
-    "csv_roundtrip_orders",
-    "jsonl_roundtrip_events",
-    "orc_roundtrip_part",
-    "streaming_jsonl_tumbling_events",
-    "shipping_priority_q3",
-    "returned_items_q10",
-    "corr_matrix_lineitem",
-    "join_size_lineitem_orders",
-    "zscore_events_by_type",
-    "group_sample_orders_by_status",
-    "split_assign_documents",
-    "vocab_topk_documents",
-    "normalize_text_documents",
-    "pack_manifest_documents",
-    "dup_span_coverage_documents",
-    "key_skew_stats_lineitem",
-    "cdc_compact_events",
-    "range_join_value_bands",
-    "sample_scan",                     # rows-only by design (seeded)
-    "minhash_lsh_pairs_xx64",          # rows-only by design (scale twin)
-    # --- round-5 new queries (certify on first gating) ---
-    "storage_capacity_stats",          # rows-only (live FS gauge)
-    "local_supplier_volume_q5",        # TPC-H Q5 star join
-    "forecast_revenue_q6",             # TPC-H Q6 scan-agg
-    "late_shipment_priority_q4",       # TPC-H Q4 EXISTS semi join
-    "promo_revenue_q14",               # TPC-H Q14 conditional ratio
-    "large_orders_q18",                # TPC-H Q18 having-join
-    "rollup_revenue_region_nation",    # ROLLUP grouping sets
-    "pivot_priority_by_status",        # pivot long->wide
-    "unpivot_order_measures",          # stack wide->long
-    "top_customers_per_nation",        # WindowGroupLimit top-k
-    "token_entropy_documents",         # unigram entropy
-    "gopher_quality_documents",        # Gopher rule screen
-    "gram_matrix_embeddings",          # distributed gramian
-    "pca_project_embeddings",          # rows-only (eigh has no SQL twin)
-    "cdc_agg_maintain_events",         # incremental agg maintenance
-    "monitor_health_events",           # monitor-of-monitors
-    "volume_shipping_q7",              # TPC-H Q7 bilateral trade
-    "customer_distribution_q13",       # TPC-H Q13 outer-join histogram
-    "small_qty_revenue_q17",           # TPC-H Q17 decorrelated subquery
-    "global_sales_opportunity_q22",    # TPC-H Q22 anti join + scalar
-    "streaming_monitor_health_events", # streaming metric collection twin
-    "bpe_merges_batched_documents",    # rows-only (batched scale mode)
-    # (round-4 wave list below rotated out — all driver-certified
-    # green in CORRECTNESS_r04.json)
+    # --- r6 gate. Composition:
+    #   1-20: the promoted round-6 wave (staged+oracle-tested in r5,
+    #         registered this round — never driver-certified);
+    #  21-24: NEW certification twins + compaction execution (three
+    #         formerly rows-only entries get an oracle contract;
+    #         compaction_execute is rows-only by design);
+    #  25-26: re-certification of entries whose QUERY CHANGED this
+    #         round (Q17 pre-agg pruning; unpivot mean rounding
+    #         convention);
+    #  27-50: the STALEST r2-certified entries, re-certified (nothing
+    #         else in the registry is uncertified — r5 retired the
+    #         debt; tests/test_gate_hygiene.py enforces it stays so).
+    "market_share_q8",                 # TPC-H Q8 6-table star
+    "top_supplier_q15",                # TPC-H Q15 max-revenue supplier
+    "zipf_fit_documents",              # corpus Zipf-law regression
+    "minmax_norm_events_by_type",      # grouped min-max featurization
+    "hist2d_hour_value_events",        # 2-D heatmap histogram
+    "chi_square_events_type_hour",     # chi-square independence
+    "debounce_events_user_type",       # burst debounce
+    "gini_user_activity_events",       # Gini concentration
+    "mad_events_by_type",              # median absolute deviation
+    "bigram_pmi_documents",            # PMI collocations
+    "weighted_sample_documents",       # Efraimidis-Spirakis sample
+    "merkle_diff_orders",              # Merkle bucket reconciliation
+    "ks_drift_events_halves",          # binned two-sample KS
+    "target_encode_events_type",       # leave-one-out target encoding
+    "vocab_segments_documents",        # head/torso/tail vocabulary
+    "compaction_plan_sf_dir",          # small-file compaction plan
+    "robust_outliers_events",          # MAD z-score outlier screen
+    "top_event_trigrams",              # journey trigram mining
+    "percent_rank_orders_by_status",   # percent_rank/cume_dist
+    "mutual_info_events_type_hour",    # mutual information
+    "minhash_xx64_parity_documents",   # NEW: xx64-vs-md5 pair parity
+    "bpe_batched_parity_documents",    # NEW: batched-vs-seq merge set
+    "pca_variance_embeddings",         # NEW: projected SS = eigenvalues
+    "compaction_execute_documents",    # NEW: rows-only execution twin
+    "small_qty_revenue_q17",           # RE-CERT: pre-agg now pruned
+    "unpivot_order_measures",          # RE-CERT: stable mean rounding
+    "profile_lineitem_stats",          # --- stalest (r2) below ---
+    "pricing_summary",
+    "revenue_per_nation",
+    "shape_summary_all",
+    "record_count_lineitem",
+    "database_monitor_metrics",
+    "metrics_fanin_supplier",
+    "schema_drift_hourly",
+    "window_tumbling_hourly",
+    "window_sliding",
+    "streaming_count_drift",
+    "cosine_topk",
+    "sql_monitor_lineitem",
+    "lookup_join_fill_nation",
+    "snapshot_count_delta",
+    "window_session_per_user",
+    "streaming_tumbling_events",
+    "ngram_jaccard_pairs",
+    "exact_dedup_documents",
+    "text_stats_documents",
+    "quality_score_documents",
+    "language_id_documents",
+    "token_count_regex_documents",
+    "fingerprint_documents",
 ]
 
 _R4_CERTIFIED_ROTATED_OUT = [

@@ -83,7 +83,12 @@ LAST_TRAIN_ROUNDS = 0
 def _select_disjoint(top_rows, budget: int) -> list[tuple]:
     """Greedy symbol-disjoint selection from a (freq desc, lhs, rhs)
     ordered candidate list: a pair is taken only if neither symbol
-    appears in any already-taken pair. Disjoint pairs cannot share a
+    appears in any already-taken pair — where "appears" includes each
+    taken pair's MERGED output symbol, so a homograph candidate (e.g.
+    ('abc','d') while ('ab','c') is selected and 'abc' already exists
+    in the vocab from an earlier round) waits for the next round
+    rather than consuming occurrences the earlier replace creates
+    mid-round. Disjoint pairs then cannot share or produce a common
     symbol position in any word, so applying them in one round leaves
     each other's occurrence counts untouched — the counts collected
     for the round stay exact for every selected pair."""
@@ -96,6 +101,7 @@ def _select_disjoint(top_rows, budget: int) -> list[tuple]:
         picked.append((lhs, rhs, int(r["pair_freq"])))
         used.add(lhs)
         used.add(rhs)
+        used.add(lhs + rhs)
         if len(picked) >= budget:
             break
     return picked

@@ -107,11 +107,13 @@ def _guard_exact_tier(df: DataFrame, max_rows: int, caller: str) -> None:
     """Corpus-size guard for the exact shingle-self-join tiers (the
     dedup twin of ``similarity._guard_corpus``): raise with a pointer
     to the LSH tier instead of launching a shuffle that is
-    Σ df(shingle)²-bound under hot-shingle skew."""
-    n = df.count()
+    Σ df(shingle)²-bound under hot-shingle skew. The probe itself is
+    bounded: ``limit(max_rows+1)`` means a mis-called 100 TB input
+    costs one partial scan to reject, not a full count."""
+    n = df.limit(max_rows + 1).count()
     if n > max_rows:
         raise ValueError(
-            f"{caller}: corpus has {n} rows > max_corpus_docs={max_rows}; "
+            f"{caller}: corpus has > max_corpus_docs={max_rows} rows; "
             "the exact tier self-joins on raw shingles (work grows with "
             "the square of each shingle's document frequency) and is only "
             "intended for ground-truth / small-corpus runs. Use "

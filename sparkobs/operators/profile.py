@@ -1012,8 +1012,16 @@ def mutual_information(df: DataFrame, col_a, col_b) -> DataFrame:
             "mi_nats",
             F.round("h_a", 4).alias("h_a"),
             F.round("h_b", 4).alias("h_b"),
-            F.round(
-                F.col("mi_nats") / F.least(F.round("h_a", 4), F.round("h_b", 4)), 4
-            ).alias("mi_normalized"),
+            # constant column ⇒ its entropy is 0 ⇒ MI is 0 and the
+            # 0/0 ratio is defined as 0.0 (no dependence is possible
+            # with a degenerate marginal) instead of a silent NULL
+            F.when(
+                F.least(F.round("h_a", 4), F.round("h_b", 4)) > 0,
+                F.round(
+                    F.col("mi_nats") / F.least(F.round("h_a", 4), F.round("h_b", 4)), 4
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mi_normalized"),
         )
     )

@@ -47,11 +47,13 @@ def _guard_corpus(df: DataFrame, max_rows: int, caller: str) -> int:
     """Row-count guard for tiers that materialize the corpus on the
     driver. Raises past ``max_rows`` with a pointer to the distributed
     tiers (cosine_topk_lsh / cosine_topk_ivf) instead of OOM-ing the
-    driver mid-collect."""
-    n = df.count()
+    driver mid-collect. The probe is bounded (``limit(max_rows+1)``):
+    rejecting a mis-called 100 TB input costs one partial scan, not a
+    full count. Returns the probed count (capped at max_rows + 1)."""
+    n = df.limit(max_rows + 1).count()
     if n > max_rows:
         raise ValueError(
-            f"{caller}: corpus has {n} rows > max_corpus_rows={max_rows}; "
+            f"{caller}: corpus has > max_corpus_rows={max_rows} rows; "
             "this tier broadcasts the full corpus matrix and is only valid "
             "while it fits in memory. Use cosine_topk_lsh or cosine_topk_ivf "
             "(fully distributed) for larger corpora, or raise max_corpus_rows "
@@ -982,6 +984,98 @@ def gram_matrix(
     return tri.unionByName(lower)
 
 
+def principal_axes(
+    df: DataFrame, n_components: int, vec_col: str = "embedding"
+):
+    """Top principal axes of the uncentered Gram matrix: collect the
+    dim×dim gramian (the only driver data), eigendecompose, order by
+    eigenvalue descending, and fix each eigenvector's sign by making
+    its largest-magnitude coordinate positive. Returns ``(components
+    [dim × k], eigenvalues [k])`` as numpy arrays."""
+    import numpy as np
+
+    rows = gram_matrix(df, vec_col).collect()
+    dim = max(r["j"] for r in rows)
+    G = np.zeros((dim, dim))
+    for r in rows:
+        G[r["i"] - 1, r["j"] - 1] = r["dot"]
+        G[r["j"] - 1, r["i"] - 1] = r["dot"]
+    vals, vecs = np.linalg.eigh(G)
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order]
+    for k in range(comps.shape[1]):
+        m = np.argmax(np.abs(comps[:, k]))
+        if comps[m, k] < 0:
+            comps[:, k] = -comps[:, k]
+    return comps, vals[order]
+
+
+def pca_variance_check(
+    df: DataFrame,
+    n_components: int = 2,
+    vec_col: str = "embedding",
+    rel_tol: float = 1e-3,
+) -> DataFrame:
+    """Certification invariant for :func:`pca_project`: for the
+    uncentered gramian G = XᵀX with eigenpairs (λ_k, u_k), the
+    projected sum of squares Σ_rows (x·u_k)² equals u_kᵀGu_k = λ_k
+    EXACTLY in real arithmetic — so recomputing the projections
+    distributed (unrounded) and summing their squares must reproduce
+    the driver-side eigenvalues to within floating-point noise. This
+    turns the eigendecomposition (which has no SQL twin) into a
+    scalar cross-engine contract: (n_components, n_mismatch=0).
+
+    A mismatch means the distributed projection disagrees with the
+    collected gramian — a partition-fold or broadcast bug, exactly
+    what a rows-only check cannot see."""
+    import numpy as np
+    import pandas as pd
+
+    comps, eigvals = principal_axes(df, n_components, vec_col)
+    spark = df.sparkSession
+    bcomp = spark.sparkContext.broadcast(comps)
+    k = comps.shape[1]
+
+    def partial_ss(batches):
+        C = bcomp.value
+        acc = np.zeros(C.shape[1])
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if X.size:
+                acc += ((X @ C) ** 2).sum(axis=0)
+        yield pd.DataFrame(
+            {"component": np.arange(1, C.shape[1] + 1), "ss_part": acc}
+        )
+
+    ss = (
+        df.select(vec_col)
+        .mapInPandas(partial_ss, "component int, ss_part double")
+        .groupBy("component")
+        .agg(F.sum("ss_part").alias("proj_ss"))
+    )
+    eig = spark.createDataFrame(
+        [(i + 1, float(v)) for i, v in enumerate(eigvals)],
+        "component int, eigenvalue double",
+    )
+    bad = F.abs(F.col("proj_ss") - F.col("eigenvalue")) / F.greatest(
+        F.abs(F.col("eigenvalue")), F.lit(1.0)
+    ) > F.lit(rel_tol)
+    return (
+        ss.join(F.broadcast(eig), "component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.sum(bad.cast("long")).cast("long").alias("n_mismatch"),
+        )
+        .select(
+            F.coalesce("n_components", F.lit(0)).alias("n_components"),
+            F.coalesce("n_mismatch", F.lit(0)).alias("n_mismatch"),
+            F.lit(int(k)).cast("long").alias("n_requested"),
+        )
+    )
+
+
 def pca_project(
     df: DataFrame,
     n_components: int = 2,
@@ -1003,19 +1097,7 @@ def pca_project(
     import numpy as np
     import pandas as pd
 
-    rows = gram_matrix(df, vec_col).collect()
-    dim = max(r["j"] for r in rows)
-    G = np.zeros((dim, dim))
-    for r in rows:
-        G[r["i"] - 1, r["j"] - 1] = r["dot"]
-        G[r["j"] - 1, r["i"] - 1] = r["dot"]
-    vals, vecs = np.linalg.eigh(G)
-    order = np.argsort(vals)[::-1][:n_components]
-    comps = vecs[:, order]
-    for k in range(comps.shape[1]):
-        m = np.argmax(np.abs(comps[:, k]))
-        if comps[m, k] < 0:
-            comps[:, k] = -comps[:, k]
+    comps, _ = principal_axes(df, n_components, vec_col)
     spark = df.sparkSession
     bcomp = spark.sparkContext.broadcast(comps)
     out_cols = [f"pc{k + 1}" for k in range(n_components)]
@@ -1032,7 +1114,8 @@ def pca_project(
                 out[c] = np.round(P[:, k], 4)
             yield pd.DataFrame(out)
 
-    schema = "id bigint, " + ", ".join(f"{c} double" for c in out_cols)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"id {id_type}, " + ", ".join(f"{c} double" for c in out_cols)
     return (
         df.select(id_col, vec_col)
         .mapInPandas(project, schema)

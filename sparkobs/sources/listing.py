@@ -244,12 +244,8 @@ def compaction_plan(listing: DataFrame, target_bytes: int) -> DataFrame:
     funnels through one partition). Output: one row per planned group
     with file count, total bytes, and the first/last path bounds.
     """
-    from sparkobs.operators.joins import global_running_sum
-
-    cum = global_running_sum(listing, ["path"], "length", out_col="__cum")
-    gid = F.floor((F.col("__cum") - F.col("length")) / F.lit(target_bytes))
     return (
-        cum.select(gid.alias("group_id"), "path", "length")
+        compaction_assign(listing, target_bytes)
         .groupBy("group_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_files"),
@@ -264,4 +260,81 @@ def compaction_plan(listing: DataFrame, target_bytes: int) -> DataFrame:
             "first_path",
             "last_path",
         )
+    )
+
+
+def compaction_assign(listing: DataFrame, target_bytes: int) -> DataFrame:
+    """Per-file group assignment behind :func:`compaction_plan`:
+    (path, length, group_id) via the same distributed exclusive
+    prefix sum — the piece an *executor* of the plan needs (which
+    files go into which output), where the plan itself only reports
+    per-group summaries."""
+    from sparkobs.operators.joins import global_running_sum
+
+    cum = global_running_sum(listing, ["path"], "length", out_col="__cum")
+    gid = F.floor((F.col("__cum") - F.col("length")) / F.lit(target_bytes))
+    return cum.select("path", "length", gid.cast("long").alias("group_id"))
+
+
+def compaction_execute(
+    spark: SparkSession,
+    listing: DataFrame,
+    target_bytes: int,
+    out_dir: str,
+) -> DataFrame:
+    """EXECUTE a small-file compaction plan over same-schema parquet
+    files: bin-pack the listed files into ≈``target_bytes`` groups (in
+    path order, exactly as :func:`compaction_plan` reports them), then
+    rewrite each group as ONE output file.
+
+    Scale shape: no driver loop over groups — ONE read of all listed
+    files tags each row with its source file (``input_file_name``),
+    a broadcast join maps file → group_id (the listing is metadata,
+    always broadcastable), and ``repartition(group_id) +
+    partitionBy(group_id)`` makes every group exactly one write task
+    producing exactly one file. The shuffle moves each row once — the
+    minimum any rewrite pays — and group count scales with total
+    bytes / target, never with file count.
+
+    Returns the post-write audit: per group, files merged, rows
+    written, and output files found on disk (1 per group when
+    healthy), so callers can assert row preservation before swapping
+    directories.
+    """
+    # scheme-insensitive path key: Hadoop listings say file:/x,
+    # input_file_name says file:///x
+    norm = lambda c: F.regexp_replace(c, "^[a-z0-9+.-]+:/+", "/")  # noqa: E731
+    assign = compaction_assign(listing, target_bytes).select(
+        norm(F.col("path")).alias("__src"), "group_id"
+    )
+    paths = [r["path"] for r in listing.select("path").collect()]
+    rows = (
+        spark.read.parquet(*paths)
+        .withColumn("__src", norm(F.input_file_name()))
+        .join(F.broadcast(assign), "__src")
+    )
+    n_groups = assign.select("group_id").distinct().count()
+    (
+        rows.drop("__src")
+        .repartition(max(n_groups, 1), "group_id")
+        .write.mode("overwrite")
+        .partitionBy("group_id")
+        .parquet(out_dir)
+    )
+    merged = rows.groupBy("group_id").agg(
+        F.countDistinct("__src").cast("long").alias("n_files_in"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    out_files = (
+        list_files(spark, out_dir)
+        .where(F.col("path").rlike("group_id=") & ~F.col("path").rlike("_SUCCESS"))
+        .select(
+            F.regexp_extract("path", "group_id=(\\d+)", 1).cast("long").alias("group_id"),
+            "path",
+        )
+        .groupBy("group_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_files_out"))
+    )
+    return merged.join(out_files, "group_id").select(
+        "group_id", "n_files_in", "n_rows", "n_files_out"
     )

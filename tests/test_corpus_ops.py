@@ -1131,3 +1131,60 @@ def test_bpe_apply_chunked_chain_equals_single_chain(spark):
     one = sorted(map(tuple, bpe_apply(df, merges).collect()))
     chunked = sorted(map(tuple, bpe_apply(df, merges, max_chain=2).collect()))
     assert one == chunked
+
+
+def test_pca_project_string_id_column(spark):
+    from sparkobs.operators.similarity import pca_project
+
+    rows = [(f"doc-{i}", [float(i), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "name string, embedding array<double>")
+    out = pca_project(df, 1, id_col="name").collect()
+    assert sorted(r["name"] for r in out) == sorted(f"doc-{i}" for i in range(10))
+    assert all(isinstance(r["pc1"], float) for r in out)
+
+
+def test_pca_variance_check_invariant_holds(spark):
+    from sparkobs.operators.similarity import pca_variance_check
+
+    rows = [
+        (i, [float(i - 50), 0.3 * ((i * 7) % 11 - 5), 0.05 * (i % 3)])
+        for i in range(101)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(7)
+    r = pca_variance_check(df, n_components=3).collect()[0]
+    assert (r["n_components"], r["n_mismatch"], r["n_requested"]) == (3, 0, 3)
+
+
+def test_select_disjoint_blocks_merged_output_homographs():
+    from sparkobs.operators.bpe import _select_disjoint
+
+    rows = [
+        {"lhs": "ab", "rhs": "c", "pair_freq": 10},
+        # 'abc' is the merged output of the first pick: selecting
+        # ('abc', 'd') in the SAME round would consume occurrences the
+        # first replace creates mid-round -> must be deferred
+        {"lhs": "abc", "rhs": "d", "pair_freq": 9},
+        {"lhs": "x", "rhs": "y", "pair_freq": 8},
+    ]
+    picked = _select_disjoint(rows, budget=3)
+    assert [(l, r) for l, r, _ in picked] == [("ab", "c"), ("x", "y")]
+
+
+def test_compaction_execute_preserves_rows_one_file_per_group(spark, tmp_path):
+    import os
+
+    from sparkobs.sources.listing import compaction_execute, list_files
+
+    src = os.path.join(str(tmp_path), "frags")
+    out = os.path.join(str(tmp_path), "compacted")
+    spark.range(2000).selectExpr("id", "id % 7 AS v").repartition(10).write.parquet(src)
+    listing = list_files(spark, src).where("path LIKE '%.parquet'")
+    audit = compaction_execute(spark, listing, target_bytes=6 * 1024, out_dir=out)
+    rows = audit.collect()
+    assert sum(r["n_rows"] for r in rows) == 2000
+    assert all(r["n_files_out"] == 1 for r in rows)
+    assert sum(r["n_files_in"] for r in rows) == 10
+    # the rewritten dataset is the same data
+    assert spark.read.parquet(out).selectExpr("sum(v)").collect()[0][0] == \
+        spark.range(2000).selectExpr("sum(id % 7)").collect()[0][0]
+    assert 1 < len(rows) <= 10

@@ -20,13 +20,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _certified_green() -> set[str]:
-    """Names that got a green row in ANY driver CORRECTNESS round."""
+    """Names that got a green row in ANY driver CORRECTNESS round. A
+    recorded rows-only row (err None, rows_match None — the driver ran
+    the query, no oracle exists) is that entry's certification
+    CEILING, so it counts: rows-only-by-design entries must pass the
+    gate once, not occupy a slot forever."""
     ok = set()
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         with open(f) as fh:
             rows = json.load(fh)
         for name, row in rows.items():
-            if (
+            if row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                ok.add(name)  # recorded rows-only run
+            elif (
                 row.get("err") is None
                 and row.get("rows_match")
                 and row.get("hash_match", True)

@@ -1,8 +1,8 @@
-"""The round-6 registry queue is held to the SAME bar as registered
-queries — every entry runs against its DuckDB oracle with the
-checker's own comparison (row count, sorted columns, order-insensitive
-value hash) at sf0.001, so promotion into queries.py is a move, not a
-debugging session."""
+"""The round-6 wave (promoted from the staging queue into the
+registry) stays held to the checker's own comparison (row count,
+sorted columns, order-insensitive value hash) against DuckDB at
+sf0.001 — a fast in-suite mirror of the driver gate for the newest
+queries, plus hand-value unit tests for their operators."""
 
 import os
 import sys
@@ -16,7 +16,30 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 from check_oracle import TABLES, canon  # noqa: E402
 
-from sparkobs.queries_next import R6_QUEUE  # noqa: E402
+from sparkobs.queries import ORACLE_SQL, SPARK_QUERIES  # noqa: E402
+
+R6_WAVE = [
+    "market_share_q8",
+    "top_supplier_q15",
+    "zipf_fit_documents",
+    "minmax_norm_events_by_type",
+    "hist2d_hour_value_events",
+    "chi_square_events_type_hour",
+    "debounce_events_user_type",
+    "gini_user_activity_events",
+    "mad_events_by_type",
+    "bigram_pmi_documents",
+    "weighted_sample_documents",
+    "merkle_diff_orders",
+    "ks_drift_events_halves",
+    "target_encode_events_type",
+    "vocab_segments_documents",
+    "compaction_plan_sf_dir",
+    "robust_outliers_events",
+    "top_event_trigrams",
+    "percent_rank_orders_by_status",
+    "mutual_info_events_type_hour",
+]
 
 SF = "/root/testdata/sf0.001"
 
@@ -31,9 +54,9 @@ def oracle_con():
     return con
 
 
-@pytest.mark.parametrize("name", sorted(R6_QUEUE))
+@pytest.mark.parametrize("name", sorted(R6_WAVE))
 def test_r6_queue_entry_matches_oracle(spark, oracle_con, name):
-    fn, oracle = R6_QUEUE[name]
+    fn, oracle = SPARK_QUERIES[name], ORACLE_SQL.get(name)
     sdf = fn(spark, SF)
     s_rows = sdf.collect()
     if oracle is None:

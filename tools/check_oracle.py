@@ -45,6 +45,11 @@ def canon(rows, colnames):
 
 def main(argv: list[str] | None = None) -> int:
     args = sys.argv[1:] if argv is None else argv
+    # --gate works in ANY position (including as the sole argument) —
+    # strip it before positional parsing so it is never mistaken for
+    # the sf_dir operand
+    gate_only = "--gate" in args
+    args = [a for a in args if a != "--gate"]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     filters = args[1:]
 
@@ -70,8 +75,7 @@ def main(argv: list[str] | None = None) -> int:
     # --gate: restrict to exactly the driver's certification window
     # (the first GATE_SIZE registry entries) — what CORRECTNESS_r{N}
     # will actually check this round
-    if "--gate" in filters:
-        filters = [f for f in filters if f != "--gate"]
+    if gate_only:
         qs = dict(list(qs.items())[: entrymod.GATE_SIZE])
     oracles = entrymod.oracle_sql(os.path.realpath(sf_dir))
     failed, passed, rows_only = [], [], []
