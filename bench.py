@@ -126,6 +126,31 @@ HEADLINE = [
     "small_qty_revenue_q17",
     "global_sales_opportunity_q22",
     "streaming_monitor_health_events",
+    # round-6 additions (the promoted wave + certification twins)
+    "market_share_q8",
+    "top_supplier_q15",
+    "zipf_fit_documents",
+    "minmax_norm_events_by_type",
+    "hist2d_hour_value_events",
+    "chi_square_events_type_hour",
+    "debounce_events_user_type",
+    "gini_user_activity_events",
+    "mad_events_by_type",
+    "bigram_pmi_documents",
+    "weighted_sample_documents",
+    "merkle_diff_orders",
+    "ks_drift_events_halves",
+    "target_encode_events_type",
+    "vocab_segments_documents",
+    "compaction_plan_sf_dir",
+    "robust_outliers_events",
+    "top_event_trigrams",
+    "percent_rank_orders_by_status",
+    "mutual_info_events_type_hour",
+    "minhash_xx64_parity_documents",
+    "bpe_batched_parity_documents",
+    "pca_variance_embeddings",
+    "compaction_execute_documents",
 ]
 
 

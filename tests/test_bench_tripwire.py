@@ -1,0 +1,65 @@
+"""Bench regression tripwire: separate code regressions from bench-
+methodology noise at COMMIT time instead of judge time.
+
+``bench.py`` rewrites ``BENCH_full.json`` (per-query p50 + max-min
+spread) on every run; ``BENCH_baseline.json`` is the frozen copy of
+the last accepted round's table (refresh it deliberately via
+``make bench-baseline`` after reviewing a new bench run). The test
+flags any query whose current p50 exceeds 3× its baseline p50, above
+a 0.5 s floor and with both runs' recorded spreads added as the noise
+allowance — i.e. only regressions too large to be shared-VM jitter.
+
+Round 5 showed why this must be spread-aware and floor-ed: clearing
+cached blocks between queries tripled some sub-second readings while
+the per-query cold cost actually improved 17%.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CURRENT = os.path.join(REPO, "BENCH_full.json")
+BASELINE = os.path.join(REPO, "BENCH_baseline.json")
+
+#: regressions smaller than this are shared-VM noise, never flagged
+FLOOR_SEC = 0.5
+#: flag only p50 blowups past this factor (spread-adjusted)
+FACTOR = 3.0
+
+
+def _load(path):
+    with open(path) as fh:
+        return json.load(fh)
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(CURRENT) and os.path.exists(BASELINE)),
+    reason="needs both BENCH_full.json (run `python bench.py`) and "
+    "BENCH_baseline.json (frozen via `make bench-baseline`)",
+)
+def test_no_unexplained_per_query_regression():
+    cur, base = _load(CURRENT), _load(BASELINE)
+    if cur.get("sf") != base.get("sf"):
+        pytest.skip(
+            f"current bench ran at sf={cur.get('sf')} but the baseline "
+            f"is sf={base.get('sf')} — not comparable"
+        )
+    cq, bq = cur["queries"], base["queries"]
+    cs, bs = cur.get("spread", {}), base.get("spread", {})
+    offenders = []
+    for name, b50 in bq.items():
+        c50 = cq.get(name)
+        if c50 is None:
+            continue  # query dropped/renamed — SURVEY/gate hygiene covers that
+        allowance = FACTOR * b50 + bs.get(name, 0.0) + cs.get(name, 0.0)
+        if c50 > max(allowance, FLOOR_SEC):
+            offenders.append(f"{name}: {b50:.3f}s -> {c50:.3f}s")
+    assert not offenders, (
+        "per-query p50 regressions beyond 3x + recorded spread "
+        "(investigate, then either fix or refresh the baseline with "
+        "`make bench-baseline`): " + "; ".join(offenders)
+    )

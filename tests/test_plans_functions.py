@@ -294,3 +294,38 @@ def test_rollup_levels_complete(spark):
     for r in region_sub:
         assert per_region[r["region"]] == r["n_suppliers"]
     assert grand[0]["n_suppliers"] == sum(per_region.values())
+
+
+def test_q17_preagg_sees_only_brand_qualifying_lineitem(spark):
+    from sparkobs.plans import physical_plan
+
+    # Both legs — the revenue scan AND the 0.2*avg pre-aggregate —
+    # must derive from the lineitem ⋈ broadcast(part) frame: an
+    # unfiltered per-part average is a full-lineitem shuffle at 100 TB.
+    # Two broadcast joins of the filtered part side ⇒ the agg subtree
+    # contains the brand filter.
+    df = Q.SPARK_QUERIES["small_qty_revenue_q17"](spark, SF)
+    p = physical_plan(df)
+    assert p.count("BroadcastHashJoin") >= 2
+    assert_pushdown(df, "p_brand")
+    assert_no_cartesian(df)
+
+
+def test_r6_wave_plan_discipline(spark):
+    from sparkobs.plans import count_exchanges, physical_plan
+
+    # Q8: 6-table star — dimension legs broadcast, no cartesian
+    q8 = Q.SPARK_QUERIES["market_share_q8"](spark, SF)
+    assert_no_cartesian(q8)
+    assert physical_plan(q8).count("BroadcastHashJoin") >= 3
+    # Q15: the max-revenue filter is a 1-row broadcast, not a rescan
+    q15 = Q.SPARK_QUERIES["top_supplier_q15"](spark, SF)
+    p15 = physical_plan(q15)
+    assert "CartesianProduct" not in p15
+    assert "BroadcastExchange" in p15 or "BroadcastNestedLoopJoin" in p15
+    # debounce: one shuffle (the per-key window) and nothing else
+    dbc = Q.SPARK_QUERIES["debounce_events_user_type"](spark, SF)
+    assert count_exchanges(dbc) == 1
+    # minmax normalization: one shuffle for the per-group window
+    mmx = Q.SPARK_QUERIES["minmax_norm_events_by_type"](spark, SF)
+    assert count_exchanges(mmx) <= 2

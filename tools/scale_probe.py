@@ -128,6 +128,52 @@ def stage_10x(spark):
     return docs_dir, ev_dir, emb_dir
 
 
+FACT_QUERIES = (
+    "volume_shipping_q7",
+    "small_qty_revenue_q17",
+    "large_orders_q18",
+)
+
+
+def stage_fact_sf_dir(spark) -> str:
+    """COPIES× lineitem+orders staged as a full sf-dir mirror: the two
+    fact tables are self-unioned with CONSISTENT orderkey offsets (so
+    referential integrity and join selectivity survive), every
+    dimension table is symlinked unchanged — exactly the 100 TB growth
+    mode, where facts grow and dimensions do not. Registry queries run
+    on the mirror via their normal (spark, sf_dir) contract."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    key = hashlib.sha256(
+        f"{os.path.realpath(SF_DIR)}:{COPIES}:facts:v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), f"sparkobs_probe_facts_{key}")
+    marker = os.path.join(base, "_STAGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base)
+        l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        bigl = bigo = None
+        for i in range(COPIES):
+            off = i * 10_000_000_000
+            li = l.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(off))
+            oi = o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(off))
+            bigl = li if bigl is None else bigl.unionByName(li)
+            bigo = oi if bigo is None else bigo.unionByName(oi)
+        bigl.write.mode("overwrite").parquet(os.path.join(base, "lineitem.parquet"))
+        bigo.write.mode("overwrite").parquet(os.path.join(base, "orders.parquet"))
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "events", "documents", "embeddings"):
+            src = os.path.join(os.path.realpath(SF_DIR), f"{t}.parquet")
+            if os.path.exists(src):
+                os.symlink(src, os.path.join(base, f"{t}.parquet"))
+        open(marker, "w").close()
+    return base
+
+
 def probes():
     """name → (fn(docs_df, events_df, emb_df) -> DataFrame). Each probe
     is timed as plan + execution + count at 1× and 10×."""
@@ -446,6 +492,62 @@ def probes():
         )
         return out
 
+    _cdc_base_memo: dict[int, object] = {}
+
+    def cdc_maintain(docs, ev, emb):
+        # change-batch scaling contract: the maintained agg is built
+        # ONCE per scale (memoized, checkpointed — it is the standing
+        # materialized view), so the timed path is delta-agg + one
+        # outer join with the view. Keys (user_id) have the SAME
+        # cardinality at 1x and Nx (staging offsets event_id only),
+        # so a flat ratio is the pass condition.
+        from sparkobs.operators.state import cdc_agg_maintain
+
+        k = id(ev)
+        if k not in _cdc_base_memo:
+            _cdc_base_memo[k] = (
+                ev.groupBy("user_id")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("value").alias("sum_value"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        spark = ev.sparkSession
+        changes = spark.range(2000).selectExpr(
+            "id % 500 AS user_id",
+            "CASE WHEN id % 3 = 0 THEN 'insert' WHEN id % 3 = 1 "
+            "THEN 'delete' ELSE 'update' END AS op",
+            "CAST(id % 97 AS DOUBLE) AS value",
+            "CAST(id % 89 AS DOUBLE) AS __old_value",
+        )
+        return cdc_agg_maintain(_cdc_base_memo[k], changes, ["user_id"], "value")
+
+    def monitor_health_p(docs, ev, emb):
+        from sparkobs.operators.state import monitor_health
+
+        return monitor_health(
+            ev, key_col="event_type", ts_col="ts", value_col="value",
+            user_col="user_id",
+        )
+
+    def gram_d64(docs, ev, emb):
+        from sparkobs.operators.similarity import gram_matrix
+
+        return gram_matrix(emb)
+
+    def gram_d512(docs, ev, emb):
+        # the dim^2 shuffle term: same rows, 8x wider vectors (64 ->
+        # 512 dims by self-concatenation) -> 64x more gramian cells;
+        # shuffle volume is O(partitions * dim^2), row work is BLAS
+        from sparkobs.operators.similarity import gram_matrix
+
+        wide = emb.select(
+            "vec_id",
+            F.flatten(F.array_repeat(F.col("embedding"), 8)).alias("embedding"),
+        )
+        return gram_matrix(wide)
+
     return {
         "winnowing_xx64": winnow,
         "resize_synth": resize,
@@ -492,6 +594,10 @@ def probes():
         "minhash_lsh_pairs": minhash_lsh,
         "near_dup_groups_lsh": near_dup_lsh,
         "bpe_train_batched": bpe_batched,
+        "cdc_agg_maintain": cdc_maintain,
+        "monitor_health": monitor_health_p,
+        "gram_matrix_d64": gram_d64,
+        "gram_matrix_d512": gram_d512,
     }
 
 
@@ -532,6 +638,21 @@ def main() -> int:
         ratio = t10 / max(t1, 1e-9)
         worst = max(worst, ratio)
         print(f"| {name} | {t1} s | {t10} s | {ratio:.1f}× |")
+    fact_names = [n for n in FACT_QUERIES
+                  if not filters or any(f in n for f in filters)]
+    if fact_names:
+        import sparkobs.queries as Q
+
+        fact_dir = stage_fact_sf_dir(spark)
+        print(f"\n| fact query | 1× lineitem | {COPIES}× lineitem | ratio |")
+        print("|---|---|---|---|")
+        for name in fact_names:
+            fn = Q.SPARK_QUERIES[name]
+            t1 = time_df(lambda: fn(spark, SF_DIR))
+            tN = time_df(lambda: fn(spark, fact_dir))
+            ratio = tN / max(t1, 1e-9)
+            worst = max(worst, ratio)
+            print(f"| {name} | {t1} s | {tN} s | {ratio:.1f}× |")
     print(f"\n# worst ratio {worst:.1f}× at {COPIES}× data "
           f"({'OK: sub-linear headroom' if worst < COPIES else 'SUPER-LINEAR — investigate'})")
     return 0
