@@ -280,3 +280,201 @@ def top_event_ngrams(
         .limit(k)
         .select("ngram", F.col("n_occurrences").cast("long").alias("n_occurrences"))
     )
+
+
+def activity_islands(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Gaps-and-islands: per key, maximal runs of CONSECUTIVE active
+    buckets (the classic streak/uptime shape — "longest continuous
+    activity streak", "how fragmented is this feed"). Islands come
+    from the textbook bucket_index − row_number constant: consecutive
+    buckets share it, any gap starts a new island. One distinct over
+    (key, bucket) — volume inside a bucket collapses map-side — then
+    one window over the bucket series. Output per key: island count,
+    longest/mean island length, active bucket count.
+
+    The bucket index is an NTZ-safe ``timestampdiff`` from a fixed
+    literal epoch — never ``unix_timestamp``, whose session-timezone
+    interpretation of naive timestamps varies across harnesses."""
+    hours = F.expr(
+        f"timestampdiff({bucket.upper()}, timestamp'2000-01-01 00:00:00', "
+        f"date_trunc('{bucket}', {ts_col}))"
+    )
+    active = (
+        df.select(*key_cols, hours.alias("__h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*key_cols).orderBy("__h")
+    grp = active.select(
+        *key_cols,
+        "__h",
+        (F.col("__h") - F.row_number().over(w)).alias("__island"),
+    )
+    islands = grp.groupBy(*key_cols, "__island").agg(
+        F.count(F.lit(1)).alias("__len")
+    )
+    return islands.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max("__len").cast("long").alias("longest_streak"),
+        F.round(
+            F.round(F.sum("__len"), 4) / F.count(F.lit(1)), 4
+        ).alias("mean_streak"),
+        F.sum("__len").cast("long").alias("active_buckets"),
+    )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 10,
+) -> DataFrame:
+    """Pairwise association rules over (basket, item) observations —
+    market-basket support/confidence/lift for ordered item pairs
+    a → b: which behaviors co-occur beyond chance. Distributed
+    shape: one distinct to basket-item pairs, a self-join keyed on
+    the basket to enumerate co-occurrences (bounded by the per-basket
+    distinct-item count, not corpus size), and broadcast marginals + a 1-row broadcast basket total (no driver collect).
+    All three measures are single expressions over exact integer
+    counts, bit-identical on any engine. Output: (item_a, item_b,
+    n_both, support, confidence, lift) for pairs with n_both ≥
+    ``min_support``."""
+    pairs = df.select(
+        F.col(basket_col).alias("__k"), F.col(item_col).alias("__i")
+    ).distinct()
+    nb = pairs.agg(F.count_distinct("__k").cast("double").alias("__nb_total"))
+    marg = pairs.groupBy("__i").agg(F.count(F.lit(1)).alias("__ni"))
+    co = (
+        pairs.alias("l")
+        .join(pairs.alias("r"), "__k")
+        .where(F.col("l.__i") != F.col("r.__i"))
+        .groupBy(
+            F.col("l.__i").alias("item_a"), F.col("r.__i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= min_support)
+    )
+    ma = marg.select(F.col("__i").alias("item_a"), F.col("__ni").alias("__na"))
+    mb = marg.select(F.col("__i").alias("item_b"), F.col("__ni").alias("__nb"))
+    return (
+        co.join(F.broadcast(ma), "item_a")
+        .join(F.broadcast(mb), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(F.col("n_both") / F.col("__nb_total"), 4).alias("support"),
+            F.round(F.col("n_both") / F.col("__na"), 4).alias("confidence"),
+            F.round(
+                F.col("n_both") * F.col("__nb_total")
+                / (F.col("__na") * F.col("__nb")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+def ab_conversion_ztest(
+    df: DataFrame,
+    unit_col: str,
+    convert_expr,
+    variant_expr,
+) -> DataFrame:
+    """Two-proportion A/B z-test on a DETERMINISTIC unit split: per
+    variant, exposed units and converted units (a unit converts if
+    ANY of its rows satisfies ``convert_expr``), then the pooled
+    two-proportion z statistic between variants 0 and 1 — the
+    go/no-go number for any hash-bucketed experiment.
+
+    ``variant_expr`` should be a deterministic expression over the
+    unit (e.g. the portable md5 split), so assignment is reproducible
+    across engines and runs. Every output is a single arithmetic
+    expression over exact integer counts — bit-identical anywhere.
+    Output: one row (n_0, conv_0, rate_0, n_1, conv_1, rate_1,
+    z_score)."""
+    units = (
+        df.groupBy(F.col(unit_col).alias("__u"))
+        .agg(
+            F.max(convert_expr.cast("long")).alias("__c"),
+            F.first(variant_expr).alias("__v"),
+        )
+    )
+    wide = units.agg(
+        F.sum((F.col("__v") == 0).cast("long")).cast("double").alias("n0"),
+        F.sum(((F.col("__v") == 0) & (F.col("__c") == 1)).cast("long"))
+        .cast("double")
+        .alias("c0"),
+        F.sum((F.col("__v") == 1).cast("long")).cast("double").alias("n1"),
+        F.sum(((F.col("__v") == 1) & (F.col("__c") == 1)).cast("long"))
+        .cast("double")
+        .alias("c1"),
+    )
+    p_pool = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(
+        p_pool * (1 - p_pool) * (1 / F.col("n0") + 1 / F.col("n1"))
+    )
+    return wide.select(
+        F.col("n0").cast("long").alias("n_0"),
+        F.col("c0").cast("long").alias("conv_0"),
+        F.round(F.col("c0") / F.col("n0"), 4).alias("rate_0"),
+        F.col("n1").cast("long").alias("n_1"),
+        F.col("c1").cast("long").alias("conv_1"),
+        F.round(F.col("c1") / F.col("n1"), 4).alias("rate_1"),
+        (
+            F.when(
+                se > 0,
+                F.round(
+                    (F.col("c0") / F.col("n0") - F.col("c1") / F.col("n1")) / se, 4
+                ),
+            ).otherwise(F.lit(0.0))
+            + F.lit(0.0)  # -0.0 -> 0.0: engines round to signed zero differently
+        ).alias("z_score"),
+    )
+
+
+def rfm_scores(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM customer scoring: per key, Recency (latest activity),
+    Frequency (row count), Monetary (summed amount), each quartiled
+    into 1..n_tiles via ntile with DETERMINISTIC tiebreaks (the key
+    itself) — the segmentation backbone behind lifecycle marketing
+    and churn screens. One aggregation over the data; the three ntile
+    windows run over the KEY table. ntile's equal-division rule is
+    identical across engines, so scores are reproducible anywhere.
+    Output: (key, last_ts, frequency, monetary, r_score, f_score,
+    m_score, rfm_segment)."""
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.max(ts_col).alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum(amount_col), 2).alias("monetary"),
+    )
+    r_w = Window.orderBy(F.desc("last_ts"), F.asc("key"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("key"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("key"))
+    return per_key.select(
+        "key",
+        "last_ts",
+        "frequency",
+        "monetary",
+        F.ntile(n_tiles).over(r_w).alias("r_score"),
+        F.ntile(n_tiles).over(f_w).alias("f_score"),
+        F.ntile(n_tiles).over(m_w).alias("m_score"),
+    ).withColumn(
+        "rfm_segment",
+        F.concat_ws(
+            "",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

@@ -837,10 +837,22 @@ def chi_square_independence(
     )
     e = F.col("ra") * F.col("cb") / F.col("n")
     term = (F.col("o") - e) * (F.col("o") - e) / e
+    # EMPTY contingency cells (absent from the grouped frame) each
+    # contribute (0-e)^2/e = e to chi-square; since the expected
+    # counts over ALL r*c cells sum to n, the missing-cell mass is
+    # n - sum(e over observed cells) -- added without densifying the
+    # grid. A dense table (n_cells = r*c) keeps the exact-zero
+    # correction so its value is reproducible bit for bit.
+    dense = F.max("n_cells") == F.count_distinct(F.col("a")) * F.count_distinct(
+        F.col("b")
+    )
+    missing_mass = F.when(dense, F.lit(0.0)).otherwise(
+        F.max("n") - F.sum(e)
+    )
     return (
         joined.groupBy()
         .agg(
-            F.round(F.sum(term), 4).alias("chi2"),
+            F.round(F.sum(term) + missing_mass, 4).alias("chi2"),
             (
                 (F.count_distinct(F.col("a")) - 1)
                 * (F.count_distinct(F.col("b")) - 1)
@@ -1024,4 +1036,121 @@ def mutual_information(df: DataFrame, col_a, col_b) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("mi_normalized"),
         )
+    )
+
+
+def cramers_v(df: DataFrame, col_a, col_b) -> DataFrame:
+    """Cramér's V effect size for a categorical pair — the [0, 1]
+    normalization of :func:`chi_square_independence`
+    (V = √(χ²/(N·min(r−1, c−1)))) that makes dependence strengths
+    comparable across tables of different shapes. Same relational
+    scan shape: ONE contingency aggregation, everything downstream on
+    ≤ |A|·|B| cells. Degenerate inputs (a constant column ⇒
+    min(r−1, c−1) = 0) define V = 0.0, matching the normalized-MI
+    convention. One row: (chi2, dof, n, v)."""
+    base = chi_square_independence(df, col_a, col_b)
+    # dof = (r-1)(c-1); min(r-1, c-1) recovered from the cell geometry
+    cells = df.groupBy(col_a.alias("a"), col_b.alias("b")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    geo = cells.agg(
+        (F.count_distinct("a") - 1).alias("rm1"),
+        (F.count_distinct("b") - 1).alias("cm1"),
+    )
+    k = F.least(F.col("rm1"), F.col("cm1"))
+    return base.crossJoin(F.broadcast(geo)).select(
+        "chi2",
+        "dof",
+        "n",
+        F.when(
+            k > 0, F.round(F.sqrt(F.col("chi2") / (F.col("n") * k)), 4)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v"),
+    )
+
+
+def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Spearman rank correlation with textbook AVERAGE ranks for ties
+    — the monotone-dependence twin of Pearson r, robust to outliers
+    and nonlinearity.
+
+    Distributed shape: ranks come from the VALUE tables, not a global
+    sort of the data — per column, one frequency aggregation, a
+    distributed running sum over the (much smaller) distinct-value
+    table, and a broadcast-eligible join back
+    (avg_rank = cum − freq + (freq+1)/2). The correlation itself is
+    one pass of exact sufficient statistics: ranks are half-integers,
+    so every Σ term is exact in float64 at certification scale and the
+    final expression is a single arithmetic tree over identical
+    doubles on any engine (bit-identical, rounded 4dp for the
+    contract). One row: (rho, n_rows)."""
+    from sparkobs.operators.joins import global_running_sum
+
+    def ranked(col: str, out: str) -> DataFrame:
+        freq = df.groupBy(F.col(col).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__f")
+        )
+        cum = global_running_sum(freq, ["__v"], "__f", out_col="__c")
+        return cum.select(
+            "__v",
+            (
+                F.col("__c") - F.col("__f") + (F.col("__f") + 1) / 2.0
+            ).alias(out),
+        )
+    ra, rb = ranked(col_a, "__ra"), ranked(col_b, "__rb")
+    j = (
+        df.select(F.col(col_a).alias("__va"), F.col(col_b).alias("__vb"))
+        .join(ra.withColumnRenamed("__v", "__va"), "__va")
+        .join(rb.withColumnRenamed("__v", "__vb"), "__vb")
+    )
+    stats = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("__ra").alias("sa"),
+        F.sum("__rb").alias("sb"),
+        F.sum(F.col("__ra") * F.col("__ra")).alias("saa"),
+        F.sum(F.col("__rb") * F.col("__rb")).alias("sbb"),
+        F.sum(F.col("__ra") * F.col("__rb")).alias("sab"),
+    )
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    den = F.sqrt(
+        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+        * (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+    )
+    return stats.select(
+        (F.when(den > 0, F.round(num / den, 4)).otherwise(F.lit(0.0)) + F.lit(0.0)).alias("rho"),
+        F.col("n").cast("long").alias("n_rows"),
+    )
+
+
+def benford_screen(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-digit screen — the classic fabricated-
+    numbers / data-quality test for positive, scale-spanning measures.
+    Per leading digit d ∈ 1..9: observed count, observed share,
+    Benford's expected share log10(1 + 1/d), and the absolute
+    deviation.
+
+    The leading digit is extracted from the engine's fixed
+    ``%.2f`` rendering (identical digits for money-like doubles on
+    any engine) rather than via log10/power arithmetic, whose libm
+    last-ulp differences flip digits on exact powers of ten. One
+    count aggregation; everything downstream is 9 rows."""
+    digit = F.regexp_extract(
+        F.format_string("%.2f", F.abs(F.col(col))), "([1-9])", 1
+    )
+    counts = (
+        df.where(F.col(col).isNotNull() & (F.abs(F.col(col)) >= 1e-9))
+        .groupBy(digit.cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_values"))
+        .where(F.col("digit").isNotNull())
+    )
+    tot = counts.agg(F.sum("n_values").alias("__n"))
+    exp_share = F.round(F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 4)
+    obs_share = F.round(F.col("n_values") / F.col("__n"), 4)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n_values").cast("long").alias("n_values"),
+        obs_share.alias("obs_share"),
+        exp_share.alias("exp_share"),
+        F.round(F.abs(obs_share - exp_share), 4).alias("abs_dev"),
     )

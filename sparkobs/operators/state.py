@@ -645,3 +645,182 @@ def merkle_diff(
         .where(F.col("differs"))
         .drop("differs")
     )
+
+
+def acf_lag1(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Lag-1 autocorrelation of each key's bucketed count series — the
+    self-similarity number behind "is this metric momentum or noise"
+    (high ACF ⇒ trends/regimes; ~0 ⇒ white noise; negative ⇒
+    oscillation). Per key: bucket counts (one hash agg over the data),
+    one lag window over the SERIES (bucket count, not row count), and
+    the Pearson statistic computed from exact integer sufficient sums
+    — every Σ term is an integer in float64 range, so the final
+    single-expression value is bit-identical on any engine (rounded
+    4dp). Output: (keys..., n_buckets, n_pairs, acf1)."""
+    series = df.groupBy(
+        *key_cols, F.date_trunc(bucket, F.col(ts_col)).alias("__b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("__y"))
+    w = W.partitionBy(*key_cols).orderBy("__b")
+    pairs = series.select(
+        *key_cols,
+        F.col("__y"),
+        F.lag("__y").over(w).alias("__x"),
+    )
+    stats = pairs.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.count("__x").cast("double").alias("m"),
+        F.sum("__x").alias("sx"),
+        F.sum(F.when(F.col("__x").isNotNull(), F.col("__y"))).alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(
+            F.when(F.col("__x").isNotNull(), F.col("__y") * F.col("__y"))
+        ).alias("syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den2 = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return stats.select(
+        *key_cols,
+        "n_buckets",
+        F.col("m").cast("long").alias("n_pairs"),
+        (
+            F.when(den2 > 0, F.round(num / F.sqrt(den2), 4)).otherwise(F.lit(0.0))
+            + F.lit(0.0)  # -0.0 -> 0.0: engines round to signed zero differently
+        ).alias("acf1"),
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """CUSUM changepoint score per key: the maximum |running deviation
+    from the series mean| over the bucketed count series, and WHERE it
+    peaks — level shifts produce a pronounced V/Λ in
+    Sᵢ = Σ₁..ᵢ(yₜ − ȳ), with the apex at the shift point; stable
+    series keep max|S| near 0.
+
+    Exactness: Sᵢ is computed as cumᵢ − i·(Y/n) — the cumulative sum
+    and i are exact integers, Y/n is one division of identical
+    doubles, so the whole expression is bit-identical across engines
+    (rounded 4dp). The windows run over the bucket SERIES, never the
+    raw rows. Output: (keys..., n_buckets, cusum_max,
+    changepoint_ts) with the earliest peaking bucket as the
+    deterministic tiebreak."""
+    series = df.groupBy(
+        *key_cols, F.date_trunc(bucket, F.col(ts_col)).alias("__b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("__y"))
+    wk = W.partitionBy(*key_cols)
+    wcum = wk.orderBy("__b").rowsBetween(W.unboundedPreceding, 0)
+    scored = series.select(
+        *key_cols,
+        "__b",
+        (
+            F.sum("__y").over(wcum)
+            - F.row_number().over(wk.orderBy("__b"))
+            * (F.sum("__y").over(wk) / F.count(F.lit(1)).over(wk))
+        ).alias("__s"),
+    )
+    return (
+        scored.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.round(F.max(F.abs(F.col("__s"))), 4).alias("cusum_max"),
+            F.min_by("__b", F.struct(-F.abs(F.col("__s")), F.col("__b"))).alias(
+                "changepoint_ts"
+            ),
+        )
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history build: collapse an
+    event stream of attribute observations into validity intervals —
+    one row per (key, run of equal values) with valid_from /
+    valid_to / is_current — the warehouse dimension-maintenance shape
+    (the CDC-compact companion: that keeps the LATEST row, this keeps
+    the full lineage).
+
+    Two windows over the key's ordered stream: a lag to drop
+    observations that repeat the previous value (no change ⇒ no new
+    version), then a lead for the closing timestamp. NULL valid_to =
+    open/current version."""
+    w = W.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    # null-safe change detection + an explicit first-row test: a lag
+    # of NULL is ambiguous between "first observation" and "previous
+    # value was NULL", and only the former always opens a version
+    changes = (
+        df.select(*key_cols, attr_col, ts_col, tiebreak_col)
+        .withColumn("__prev", F.lag(attr_col).over(w))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(
+            (F.col("__rn") == 1)
+            | ~F.col(attr_col).eqNullSafe(F.col("__prev"))
+        )
+    )
+    w2 = W.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    return changes.select(
+        *key_cols,
+        F.col(attr_col).alias("attr_value"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )
+
+
+def trend_slope(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Per-key linear trend of the bucketed count series: the OLS
+    slope (events per bucket per bucket) — the drift direction number
+    behind "is this metric growing". Slope is computed from EXACT
+    integer sufficient sums with x re-based to each key's first
+    bucket (an NTZ-safe timestampdiff — x values stay tiny, every Σ
+    term is an exact integer in float64, and the closed form is a
+    single expression over identical doubles: bit-identical on any
+    engine, rounded 4dp). One hash agg over the data; the regression
+    runs on the series. Output: (keys..., n_buckets, slope)."""
+    series = df.groupBy(
+        *key_cols, F.date_trunc(bucket, F.col(ts_col)).alias("__b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("__y"))
+    wk = W.partitionBy(*key_cols)
+    xs = series.select(
+        *key_cols,
+        "__y",
+        F.expr(f"timestampdiff({bucket.upper()}, min(__b) OVER "
+               f"(PARTITION BY {', '.join(key_cols)}), __b)")
+        .cast("double")
+        .alias("__x"),
+    )
+    stats = xs.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+    )
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return stats.select(
+        *key_cols,
+        F.col("m").cast("long").alias("n_buckets"),
+        (F.when(den > 0, F.round(num / den, 4)).otherwise(F.lit(0.0)) + F.lit(0.0)).alias("slope"),
+    )

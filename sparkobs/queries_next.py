@@ -45,8 +45,10 @@ def _queue(name: str, oracle: str | None = None):
     oracle="""
     SELECT n_name AS nation,
            CAST(year(o_orderdate) AS BIGINT) AS yr,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - p_retailprice * l_quantity), 2) AS profit
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               - CAST(round(p_retailprice * 100) AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) * 100) / 10000.0 AS profit
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -61,15 +63,26 @@ def product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation per order year over a 5-table join; the schema has no
     partsupp, so retail price × quantity stands in for supply cost.
     part (filtered) and nation broadcast; the orders leg is the only
-    fact-fact shuffle."""
+    fact-fact shuffle.
+
+    Money discipline: price×(1−discount) products of 2-decimal inputs
+    sit EXACTLY on the half-cent grid, so round(sum(·), 2) flips with
+    float summation order (observed at sf0.01). Profit is therefore
+    accumulated as EXACT integer 10⁻⁴-currency units (cents ×
+    discount-percent) — the bigint sum is order-independent — and the
+    single final division by 10⁴ of identical integers is bit-identical
+    on any engine, left unrounded."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%a%"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    d100 = F.round(F.col("l_discount") * 100, 0).cast("long")
+    rcents = F.round(F.col("p_retailprice") * 100, 0).cast("long")
+    scaled = cents * (100 - d100) - rcents * F.col("l_quantity").cast(
+        "long"
+    ) * 100
     return (
         l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -79,7 +92,7 @@ def product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("yr"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg((F.sum(scaled) / F.lit(10000.0)).alias("profit"))
     )
 
 
@@ -336,4 +349,397 @@ def dominant_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .distinct()
         .orderBy("s_suppkey")
+    )
+
+
+@_queue(
+    "spearman_quantity_price_lineitem",
+    oracle="""
+    WITH r AS (
+      SELECT rank() OVER (ORDER BY l_quantity)
+               + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS ra,
+             rank() OVER (ORDER BY l_extendedprice)
+               + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rb
+      FROM lineitem),
+    s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 sum(ra) AS sa, sum(rb) AS sb,
+                 sum(ra * ra) AS saa, sum(rb * rb) AS sbb,
+                 sum(ra * rb) AS sab
+          FROM r)
+    SELECT CASE WHEN (n * saa - sa * sa) * (n * sbb - sb * sb) > 0
+                THEN round((n * sab - sa * sb)
+                           / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 4)
+                ELSE 0.0 END + 0.0 AS rho,
+           CAST(n AS BIGINT) AS n_rows
+    FROM s
+    """,
+)
+def spearman_quantity_price_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and price
+    (extension: monotone-dependence profiling with textbook average
+    ranks for ties)."""
+    from sparkobs.operators.profile import spearman_corr
+
+    return spearman_corr(
+        load_table(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+
+
+@_queue(
+    "cramers_v_events_type_hour",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS a, hour(ts) AS b, CAST(count(*) AS DOUBLE) AS o
+      FROM events GROUP BY 1, 2),
+    ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+    cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
+    nt AS (SELECT sum(o) AS n, count(*) AS n_cells FROM cells),
+    agg AS (
+      SELECT round(sum((o - ra * cb / n) * (o - ra * cb / n) / (ra * cb / n))
+                   + CASE WHEN max(n_cells)
+                               = count(DISTINCT a) * count(DISTINCT b)
+                          THEN 0.0 ELSE max(n) - sum(ra * cb / n) END, 4)
+               AS chi2,
+             CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT)
+               AS dof,
+             CAST(max(n) AS BIGINT) AS n,
+             least(count(DISTINCT a) - 1, count(DISTINCT b) - 1) AS k
+      FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nt)
+    SELECT chi2, dof, n,
+           CASE WHEN k > 0 THEN round(sqrt(chi2 / (n * k)), 4)
+                ELSE 0.0 END AS v
+    FROM agg
+    """,
+)
+def cramers_v_events_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for event_type × hour-of-day (extension:
+    shape-normalized dependence, comparable across tables)."""
+    from sparkobs.operators.profile import cramers_v
+
+    return cramers_v(
+        load_table(spark, sf_dir, "events"), F.col("event_type"), F.hour("ts")
+    )
+
+
+@_queue(
+    "benford_totalprice_orders",
+    oracle="""
+    WITH c AS (
+      SELECT TRY_CAST(regexp_extract(printf('%.2f', abs(o_totalprice)),
+                                     '([1-9])', 1) AS INT) AS digit,
+             count(*) AS n_values
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1e-9
+      GROUP BY 1),
+    c2 AS (SELECT digit, n_values FROM c WHERE digit IS NOT NULL),
+    t AS (SELECT sum(n_values) AS nn FROM c2)
+    SELECT digit, CAST(n_values AS BIGINT) AS n_values,
+           round(n_values / nn, 4) AS obs_share,
+           round(ln(1 + 1.0 / digit) / ln(10), 4) AS exp_share,
+           round(abs(round(n_values / nn, 4)
+                     - round(ln(1 + 1.0 / digit) / ln(10), 4)), 4) AS abs_dev
+    FROM c2 CROSS JOIN t
+    """,
+)
+def benford_totalprice_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals (extension:
+    fabricated-numbers / data-quality testing)."""
+    from sparkobs.operators.profile import benford_screen
+
+    return benford_screen(load_table(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@_queue(
+    "trend_slope_hourly_events",
+    oracle="""
+    WITH series AS (
+      SELECT event_type, date_trunc('hour', ts) AS b,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    xs AS (
+      SELECT event_type, y,
+             CAST(date_diff('hour',
+                            min(b) OVER (PARTITION BY event_type), b) AS DOUBLE)
+               AS x
+      FROM series),
+    s AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS m,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM xs GROUP BY 1)
+    SELECT event_type, CAST(m AS BIGINT) AS n_buckets,
+           CASE WHEN m * sxx - sx * sx > 0
+                THEN round((m * sxy - sx * sy) / (m * sxx - sx * sx), 4)
+                ELSE 0.0 END + 0.0 AS slope
+    FROM s
+    """,
+)
+def trend_slope_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of hourly volume (extension: drift
+    direction via OLS over exact integer sufficient sums)."""
+    from sparkobs.operators.state import trend_slope
+
+    return trend_slope(
+        load_table(spark, sf_dir, "events"), ["event_type"], "ts"
+    )
+
+
+@_queue(
+    "acf1_hourly_events",
+    oracle="""
+    WITH series AS (
+      SELECT event_type, date_trunc('hour', ts) AS b,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT event_type, y,
+             lag(y) OVER (PARTITION BY event_type ORDER BY b) AS x
+      FROM series),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(count(x) AS DOUBLE) AS m,
+             sum(x) AS sx,
+             sum(CASE WHEN x IS NOT NULL THEN y END) AS sy,
+             sum(x * x) AS sxx,
+             sum(CASE WHEN x IS NOT NULL THEN y * y END) AS syy,
+             sum(x * y) AS sxy
+      FROM pairs GROUP BY 1)
+    SELECT event_type, n_buckets, CAST(m AS BIGINT) AS n_pairs,
+           CASE WHEN (m * sxx - sx * sx) * (m * syy - sy * sy) > 0
+                THEN round((m * sxy - sx * sy)
+                           / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)), 4)
+                ELSE 0.0 END + 0.0 AS acf1
+    FROM s
+    """,
+)
+def acf1_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each type's hourly count series
+    (extension: momentum-vs-noise classification of a metric)."""
+    from sparkobs.operators.state import acf_lag1
+
+    return acf_lag1(load_table(spark, sf_dir, "events"), ["event_type"], "ts")
+
+
+@_queue(
+    "cusum_changepoint_events",
+    oracle="""
+    WITH series AS (
+      SELECT event_type, date_trunc('hour', ts) AS b,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    scored AS (
+      SELECT event_type, b,
+             sum(y) OVER (PARTITION BY event_type ORDER BY b
+                          ROWS UNBOUNDED PRECEDING)
+               - row_number() OVER (PARTITION BY event_type ORDER BY b)
+                 * (sum(y) OVER (PARTITION BY event_type)
+                    / count(*) OVER (PARTITION BY event_type)) AS s
+      FROM series),
+    ranked AS (
+      SELECT event_type, b, s,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(s) DESC, b ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nb,
+             max(abs(s)) OVER (PARTITION BY event_type) AS mx
+      FROM scored)
+    SELECT event_type, CAST(nb AS BIGINT) AS n_buckets,
+           round(mx, 4) AS cusum_max, b AS changepoint_ts
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint score + location per event type (extension:
+    level-shift detection over the hourly series)."""
+    from sparkobs.operators.state import cusum_changepoint
+
+    return cusum_changepoint(
+        load_table(spark, sf_dir, "events"), ["event_type"], "ts"
+    )
+
+
+@_queue(
+    "rfm_scores_orders",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey AS key, max(o_orderdate) AS last_ts,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY 1)
+    SELECT key, last_ts, frequency, monetary,
+           ntile(4) OVER (ORDER BY last_ts DESC, key ASC) AS r_score,
+           ntile(4) OVER (ORDER BY frequency DESC, key ASC) AS f_score,
+           ntile(4) OVER (ORDER BY monetary DESC, key ASC) AS m_score,
+           CAST(ntile(4) OVER (ORDER BY last_ts DESC, key ASC) AS VARCHAR)
+             || CAST(ntile(4) OVER (ORDER BY frequency DESC, key ASC) AS VARCHAR)
+             || CAST(ntile(4) OVER (ORDER BY monetary DESC, key ASC) AS VARCHAR)
+             AS rfm_segment
+    FROM per_key
+    """,
+)
+def rfm_scores_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer quartile scores from
+    orders (extension: lifecycle segmentation with deterministic
+    ntile tiebreaks)."""
+    from sparkobs.operators.behavior import rfm_scores
+
+    return rfm_scores(
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+    )
+
+
+@_queue(
+    "activity_islands_events",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT event_type,
+             date_diff('hour', TIMESTAMP '2000-01-01 00:00:00',
+                       date_trunc('hour', ts)) AS h
+      FROM events),
+    grp AS (
+      SELECT event_type, h,
+             h - row_number() OVER (PARTITION BY event_type ORDER BY h)
+               AS island
+      FROM active),
+    islands AS (
+      SELECT event_type, island, count(*) AS len
+      FROM grp GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           round(round(sum(len), 4) / count(*), 4) AS mean_streak,
+           CAST(sum(len) AS BIGINT) AS active_buckets
+    FROM islands GROUP BY 1
+    """,
+)
+def activity_islands_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands activity streaks per event type (extension:
+    continuity/uptime profiling of a feed)."""
+    from sparkobs.operators.behavior import activity_islands
+
+    return activity_islands(
+        load_table(spark, sf_dir, "events"), ["event_type"], "ts"
+    )
+
+
+@_queue(
+    "assoc_rules_event_types",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT user_id AS k, event_type AS i FROM events),
+    nb AS (SELECT CAST(count(DISTINCT k) AS DOUBLE) AS nbt FROM pairs),
+    marg AS (SELECT i, count(*) AS ni FROM pairs GROUP BY 1),
+    co AS (
+      SELECT l.i AS item_a, r.i AS item_b, count(*) AS n_both
+      FROM pairs l JOIN pairs r ON l.k = r.k AND l.i <> r.i
+      GROUP BY 1, 2 HAVING count(*) >= 10)
+    SELECT item_a, item_b, CAST(n_both AS BIGINT) AS n_both,
+           round(n_both / nbt, 4) AS support,
+           round(n_both / ma.ni, 4) AS confidence,
+           round(n_both * nbt / (ma.ni * mb.ni), 4) AS lift
+    FROM co
+    JOIN marg ma ON ma.i = item_a
+    JOIN marg mb ON mb.i = item_b
+    CROSS JOIN nb
+    """,
+)
+def assoc_rules_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules between event types per user basket
+    (extension: market-basket support/confidence/lift)."""
+    from sparkobs.operators.behavior import association_rules
+
+    return association_rules(
+        load_table(spark, sf_dir, "events"), "user_id", "event_type",
+        min_support=10,
+    )
+
+
+@_queue(
+    "scd2_user_state_events",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+    v AS (
+      SELECT user_id, event_type AS attr_value, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM changes)
+    SELECT user_id, attr_value, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM v
+    """,
+)
+def scd2_user_state_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 validity intervals of each user's observed state
+    (extension: dimension-history maintenance — the full-lineage
+    companion of CDC compaction)."""
+    from sparkobs.operators.state import scd2_history
+
+    return scd2_history(
+        load_table(spark, sf_dir, "events"),
+        ["user_id"],
+        "event_type",
+        "ts",
+        "event_id",
+    )
+
+
+def _ab_hex15(col_sql: str) -> str:
+    from sparkobs.queries import _hex15_sql
+
+    return _hex15_sql(col_sql)
+
+
+@_queue(
+    "ab_ztest_purchase_events",
+    oracle=f"""
+    WITH units AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c,
+             ({_ab_hex15("md5('ab' || CAST(user_id AS VARCHAR))")}) % 2 AS v
+      FROM events GROUP BY 1),
+    wide AS (
+      SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+             CAST(sum(CASE WHEN v = 0 AND c = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
+             CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             CAST(sum(CASE WHEN v = 1 AND c = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS c1
+      FROM units)
+    SELECT CAST(n0 AS BIGINT) AS n_0, CAST(c0 AS BIGINT) AS conv_0,
+           round(c0 / n0, 4) AS rate_0,
+           CAST(n1 AS BIGINT) AS n_1, CAST(c1 AS BIGINT) AS conv_1,
+           round(c1 / n1, 4) AS rate_1,
+           CASE WHEN ((c0 + c1) / (n0 + n1)) * (1 - (c0 + c1) / (n0 + n1))
+                     * (1 / n0 + 1 / n1) > 0
+                THEN round((c0 / n0 - c1 / n1)
+                           / sqrt(((c0 + c1) / (n0 + n1))
+                                  * (1 - (c0 + c1) / (n0 + n1))
+                                  * (1 / n0 + 1 / n1)), 4)
+                ELSE 0.0 END + 0.0 AS z_score
+    FROM wide
+    """,
+)
+def ab_ztest_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test of purchase conversion between the
+    deterministic md5 user split halves (extension: experimentation —
+    the split is engine-reproducible, so variant assignment and the
+    statistic value-check bit for bit; on a true random split the
+    expected |z| is small)."""
+    from sparkobs.operators.behavior import ab_conversion_ztest
+    from sparkobs.operators.sampling import _hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    return ab_conversion_ztest(
+        ev,
+        "user_id",
+        convert_expr=(F.col("event_type") == "purchase"),
+        variant_expr=(_hash64("user_id", "ab") % 2),
     )

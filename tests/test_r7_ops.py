@@ -1,0 +1,189 @@
+"""Hand-value unit tests for the round-7 operator wave (statistics,
+series diagnostics, behavioral shapes) — the queue's oracle tests pin
+cross-engine parity; these pin the MATH on inputs small enough to
+check by hand."""
+
+from datetime import datetime
+
+import pytest
+
+
+def test_spearman_perfect_and_inverse_monotone(spark):
+    from sparkobs.operators.profile import spearman_corr
+
+    up = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(1, 30)], "a double, b double"
+    )
+    assert spearman_corr(up, "a", "b").collect()[0]["rho"] == 1.0
+    down = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(1, 30)], "a double, b double"
+    )
+    assert spearman_corr(down, "a", "b").collect()[0]["rho"] == -1.0
+    const = spark.createDataFrame(
+        [(float(i), 7.0) for i in range(1, 30)], "a double, b double"
+    )
+    r = spearman_corr(const, "a", "b").collect()[0]
+    assert r["rho"] == 0.0 and r["n_rows"] == 29
+
+
+def test_cramers_v_extremes(spark):
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.profile import cramers_v
+
+    # perfect dependence: b == a -> V == 1
+    dep = spark.createDataFrame(
+        [(i % 3, i % 3) for i in range(300)], "a int, b int"
+    )
+    assert cramers_v(dep, F.col("a"), F.col("b")).collect()[0]["v"] == 1.0
+    # constant column -> degenerate, defined 0.0 (matches normalized-MI)
+    const = spark.createDataFrame([(i % 3, 1) for i in range(30)], "a int, b int")
+    assert cramers_v(const, F.col("a"), F.col("b")).collect()[0]["v"] == 0.0
+
+
+def test_benford_counts_first_significant_digit(spark):
+    from sparkobs.operators.profile import benford_screen
+
+    rows = [(101.0,), (19.5,), (0.92,), (923.0,), (0.0,), (None,), (-315.0,)]
+    df = spark.createDataFrame(rows, "x double")
+    got = {r["digit"]: r["n_values"] for r in benford_screen(df, "x").collect()}
+    # 101->1, 19.5->1, 0.92->9, 923->9, -315->3; zero/null dropped
+    assert got == {1: 2, 3: 1, 9: 2}
+    row1 = [r for r in benford_screen(df, "x").collect() if r["digit"] == 1][0]
+    assert row1["exp_share"] == 0.301  # log10(2)
+
+
+def test_trend_slope_recovers_linear_growth(spark):
+    from sparkobs.operators.state import trend_slope
+
+    # k events in hour k -> count series y = x + 1 exactly -> slope 1
+    rows = [
+        ("a", i, datetime(2024, 1, 1, h, 0, 0))
+        for h in range(10)
+        for i in range(h + 1)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, i long, ts timestamp")
+    r = trend_slope(df, ["event_type"], "ts").collect()[0]
+    assert (r["n_buckets"], r["slope"]) == (10, 1.0)
+
+
+def test_acf1_flat_series_is_degenerate_zero(spark):
+    from sparkobs.operators.state import acf_lag1
+
+    rows = [
+        ("a", i, datetime(2024, 1, 1, h, 0, 0))
+        for h in range(8)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, i long, ts timestamp")
+    r = acf_lag1(df, ["event_type"], "ts").collect()[0]
+    assert (r["n_buckets"], r["n_pairs"], r["acf1"]) == (8, 7, 0.0)
+
+
+def test_cusum_peaks_at_the_level_shift(spark):
+    from sparkobs.operators.state import cusum_changepoint
+
+    # 6 quiet hours (1 event) then 6 loud hours (5 events): CUSUM apex
+    # at the last pre-shift bucket
+    rows = []
+    for h in range(12):
+        for i in range(1 if h < 6 else 5):
+            rows.append(("a", i, datetime(2024, 1, 1, h, 0, 0)))
+    df = spark.createDataFrame(rows, "event_type string, i long, ts timestamp")
+    r = cusum_changepoint(df, ["event_type"], "ts").collect()[0]
+    assert r["n_buckets"] == 12
+    # mean = 3; after 6 quiet hours S = 6*(1-3) = -12 (the extreme)
+    assert r["cusum_max"] == 12.0
+    assert r["changepoint_ts"] == datetime(2024, 1, 1, 5, 0, 0)
+
+
+def test_scd2_history_collapses_runs_and_handles_nulls(spark):
+    from sparkobs.operators.state import scd2_history
+
+    rows = [
+        (1, "x", datetime(2024, 1, 1), 1),
+        (1, "x", datetime(2024, 1, 2), 2),   # repeat -> no new version
+        (1, "y", datetime(2024, 1, 3), 3),   # change
+        (1, None, datetime(2024, 1, 4), 4),  # change to NULL
+        (1, None, datetime(2024, 1, 5), 5),  # NULL repeat -> no version
+        (2, None, datetime(2024, 1, 1), 6),  # first obs IS NULL -> version
+    ]
+    df = spark.createDataFrame(rows, "k long, a string, ts timestamp, id long")
+    out = sorted(
+        (
+            (r["k"], r["attr_value"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in scd2_history(df, ["k"], "a", "ts", "id").collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert out == [
+        (1, "x", datetime(2024, 1, 1), datetime(2024, 1, 3), False),
+        (1, "y", datetime(2024, 1, 3), datetime(2024, 1, 4), False),
+        (1, None, datetime(2024, 1, 4), None, True),
+        (2, None, datetime(2024, 1, 1), None, True),
+    ]
+
+
+def test_activity_islands_splits_on_gaps(spark):
+    from sparkobs.operators.behavior import activity_islands
+
+    hours = [0, 1, 2, 5, 6, 9]  # islands: [0-2], [5-6], [9]
+    rows = [("a", i, datetime(2024, 1, 1, h, m, 0))
+            for i, h in enumerate(hours) for m in (0, 30)]
+    df = spark.createDataFrame(rows, "event_type string, i long, ts timestamp")
+    r = activity_islands(df, ["event_type"], "ts").collect()[0]
+    assert (r["n_islands"], r["longest_streak"], r["active_buckets"]) == (3, 3, 6)
+    assert r["mean_streak"] == 2.0
+
+
+def test_association_rules_lift_signs(spark):
+    from sparkobs.operators.behavior import association_rules
+
+    # users 0..19 all do A and B (perfect co-occurrence); 20..39 only C
+    rows = [(u, t) for u in range(20) for t in ("A", "B")] + [
+        (u, "C") for u in range(20, 40)
+    ]
+    df = spark.createDataFrame(rows, "u long, t string")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in association_rules(df, "u", "t", min_support=5).collect()
+    }
+    ab = got[("A", "B")]
+    assert ab["n_both"] == 20 and ab["support"] == 0.5
+    assert ab["confidence"] == 1.0 and ab["lift"] == 2.0  # 40/20
+    assert ("A", "C") not in got  # never co-occur
+
+
+def test_ab_ztest_identical_halves_z_zero(spark):
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.behavior import ab_conversion_ztest
+
+    # even users variant 0, odd variant 1; both halves convert iff u % 4 < 2
+    rows = [(u, "purchase" if u % 4 < 2 else "view") for u in range(400)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = ab_conversion_ztest(
+        df,
+        "user_id",
+        convert_expr=(F.col("event_type") == "purchase"),
+        variant_expr=(F.col("user_id") % 2),
+    ).collect()[0]
+    assert r["n_0"] == r["n_1"] == 200
+    assert r["rate_0"] == r["rate_1"] == 0.5
+    assert r["z_score"] == 0.0
+
+
+def test_rfm_scores_order_and_segments(spark):
+    from sparkobs.operators.behavior import rfm_scores
+
+    # 8 customers, descending activity: customer 0 is best on all axes
+    rows = []
+    for c in range(8):
+        for k in range(8 - c):
+            rows.append((c, datetime(2024, 1, 20 - c, 12, 0, 0), 100.0 * (8 - c)))
+    df = spark.createDataFrame(rows, "cust long, ts timestamp, amt double")
+    out = {r["key"]: r for r in rfm_scores(df, "cust", "ts", "amt").collect()}
+    assert out[0]["r_score"] == out[0]["f_score"] == out[0]["m_score"] == 1
+    assert out[0]["rfm_segment"] == "111"
+    assert out[7]["r_score"] == out[7]["f_score"] == out[7]["m_score"] == 4
+    assert out[0]["frequency"] == 8 and out[0]["monetary"] == 6400.0
