@@ -187,3 +187,34 @@ def test_rfm_scores_order_and_segments(spark):
     assert out[0]["rfm_segment"] == "111"
     assert out[7]["r_score"] == out[7]["f_score"] == out[7]["m_score"] == 4
     assert out[0]["frequency"] == 8 and out[0]["monetary"] == 6400.0
+
+
+def test_r7_olap_plan_discipline(spark):
+    from sparkobs.plans import count_exchanges, physical_plan
+    from sparkobs.queries_next import R7_QUEUE
+
+    SF = "/root/testdata/sf0.001"
+
+    # Q9: three broadcast dimension legs, no cartesian anywhere
+    p9 = physical_plan(R7_QUEUE["product_profit_q9"][0](spark, SF))
+    assert p9.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p9
+    # Q16: the supplier denylist compiles to a broadcast anti join
+    p16 = physical_plan(R7_QUEUE["supplier_variety_q16"][0](spark, SF))
+    assert "LeftAnti" in p16
+    # Q19: disjunctive predicates stay a single broadcast join pass
+    p19 = physical_plan(R7_QUEUE["disjunctive_revenue_q19"][0](spark, SF))
+    assert "BroadcastHashJoin" in p19 and "CartesianProduct" not in p19
+    # Q2: ONE (part, supplier) aggregate serves min + membership via a
+    # window — no second lineitem scan subtree
+    from sparkobs.plans import scans
+
+    assert len(scans(R7_QUEUE["min_price_supplier_q2"][0](spark, SF))) == 2
+    # Spearman: ranks come from value tables via the distributed
+    # running sum — windows are __pid-partitioned, never a global sort
+    # of the raw data (the only SinglePartition exchange allowed is
+    # the final 1-row statistic aggregation)
+    psp = physical_plan(
+        R7_QUEUE["spearman_quantity_price_lineitem"][0](spark, SF)
+    )
+    assert "hashpartitioning(__pid" in psp  # the distributed-rank exchange
