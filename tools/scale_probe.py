@@ -548,6 +548,31 @@ def probes():
         )
         return gram_matrix(wide)
 
+    def spearman_p(docs, ev, emb):
+        from sparkobs.operators.profile import spearman_corr
+
+        return spearman_corr(ev.where(F.col("value").isNotNull()), "value", "user_id")
+
+    def assoc_p(docs, ev, emb):
+        from sparkobs.operators.behavior import association_rules
+
+        return association_rules(ev, "user_id", "event_type", min_support=10)
+
+    def scd2_p(docs, ev, emb):
+        from sparkobs.operators.state import scd2_history
+
+        return scd2_history(ev, ["user_id"], "event_type", "ts", "event_id")
+
+    def islands_p(docs, ev, emb):
+        from sparkobs.operators.behavior import activity_islands
+
+        return activity_islands(ev, ["event_type"], "ts")
+
+    def rfm_p(docs, ev, emb):
+        from sparkobs.operators.behavior import rfm_scores
+
+        return rfm_scores(ev, "user_id", "ts", "value")
+
     return {
         "winnowing_xx64": winnow,
         "resize_synth": resize,
@@ -598,6 +623,11 @@ def probes():
         "monitor_health": monitor_health_p,
         "gram_matrix_d64": gram_d64,
         "gram_matrix_d512": gram_d512,
+        "spearman_corr": spearman_p,
+        "assoc_rules": assoc_p,
+        "scd2_history": scd2_p,
+        "activity_islands": islands_p,
+        "rfm_scores": rfm_p,
     }
 
 
