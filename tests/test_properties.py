@@ -456,3 +456,85 @@ def test_token_entropy_bounds(spark, texts):
         assert -5e-5 <= r["entropy_bits"] <= math.log2(max(r["n_unique_tokens"], 1)) + 5e-5
         if r["n_unique_tokens"] == 1:
             assert r["entropy_bits"] == 0.0
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-400, max_value=400).map(lambda i: i / 4.0),
+            st.integers(min_value=-400, max_value=400).map(lambda i: i / 4.0),
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_spearman_invariant_under_monotone_transforms(spark, pairs):
+    """Spearman depends only on RANKS: applying strictly increasing
+    transforms to either column must leave rho unchanged (exactly —
+    the ranks are identical integers/halves, so the sufficient sums
+    are bit-identical). Inputs come from a quarter-integer grid so the
+    float transforms stay injective — with arbitrary doubles, exp() of
+    a subnormal collapses distinct values to 1.0 and manufactures
+    ties, which changes ranks legitimately (a test artifact, not an
+    operator property)."""
+    from sparkobs.operators.profile import spearman_corr
+
+    df = spark.createDataFrame(pairs, "a double, b double")
+    base = spearman_corr(df, "a", "b").collect()[0]["rho"]
+    warped = df.selectExpr(
+        "CAST(a * 3.0 + 17.0 AS DOUBLE) AS a",      # affine, increasing
+        "CAST(exp(b / 50.0) AS DOUBLE) AS b",       # nonlinear, increasing
+    )
+    assert spearman_corr(warped, "a", "b").collect()[0]["rho"] == base
+
+
+@given(
+    hours=st.lists(st.integers(min_value=0, max_value=23), min_size=2, max_size=20),
+    k=st.integers(min_value=2, max_value=4),
+)
+@settings(**SETTINGS)
+def test_acf1_invariant_under_uniform_volume_scaling(spark, hours, k):
+    """Correlation is scale-invariant: replicating every event k times
+    multiplies every bucket count by exactly k and must leave the
+    lag-1 autocorrelation unchanged (the sufficient sums scale by k²
+    in numerator and denominator alike — exact integer arithmetic)."""
+    from datetime import datetime
+
+    from sparkobs.operators.state import acf_lag1
+
+    rows = [("a", i, datetime(2024, 1, 1, h, 0, 0)) for i, h in enumerate(hours)]
+    df = spark.createDataFrame(rows, "event_type string, i long, ts timestamp")
+    base = acf_lag1(df, ["event_type"], "ts").collect()[0]
+    scaled_rows = [
+        ("a", i * k + j, datetime(2024, 1, 1, h, 0, 0))
+        for i, h in enumerate(hours)
+        for j in range(k)
+    ]
+    scaled = spark.createDataFrame(
+        scaled_rows, "event_type string, i long, ts timestamp"
+    )
+    got = acf_lag1(scaled, ["event_type"], "ts").collect()[0]
+    assert got["acf1"] == base["acf1"]
+    assert got["n_buckets"] == base["n_buckets"]
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.01, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_benford_shares_sum_to_one(spark, vals):
+    """Observed shares over the emitted digits must total 1 (every
+    kept value lands in exactly one digit bucket) and every digit is
+    1..9."""
+    from sparkobs.operators.profile import benford_screen
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = benford_screen(df, "x").collect()
+    assert all(1 <= r["digit"] <= 9 for r in rows)
+    assert sum(r["n_values"] for r in rows) == len(vals)
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-3
