@@ -478,3 +478,42 @@ def rfm_scores(
             F.col("m_score").cast("string"),
         ),
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    partition_cols: list[str],
+    group_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Inter-arrival time distribution: within each partition key's
+    (ts, tiebreak) order, the gap to the PREVIOUS event, aggregated
+    per group (count / mean / median / max seconds) — the cadence
+    fingerprint behind rate-limit tuning, bot screening, and session
+    gap-rule calibration.
+
+    Exactness: gaps are exact integer MICROSECOND differences; every
+    emitted second-valued statistic is a single division chain over
+    those integers (sum/n/1e6, interpolated percentile of integers,
+    max/1e6), left unrounded — identical doubles on any engine. One
+    window shuffle on the partition key, one group agg."""
+    # ordering by the micros value is ordering by ts (monotone), so the
+    # projected frame can drop the raw timestamp column
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.asc("__us"), F.asc(tiebreak_col)
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = (
+        df.select(*partition_cols, *group_cols, tiebreak_col, us.alias("__us"))
+        .withColumn("__gap", F.col("__us") - F.lag("__us").over(w))
+        .where(F.col("__gap").isNotNull())
+    )
+    return gaps.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        (F.sum("__gap") / F.count(F.lit(1)) / F.lit(1e6)).alias("mean_gap_s"),
+        (F.percentile(F.col("__gap"), F.lit(0.5)) / F.lit(1e6)).alias(
+            "p50_gap_s"
+        ),
+        (F.max("__gap") / F.lit(1e6)).alias("max_gap_s"),
+    )

@@ -743,3 +743,128 @@ def ab_ztest_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         convert_expr=(F.col("event_type") == "purchase"),
         variant_expr=(_hash64("user_id", "ab") % 2),
     )
+
+
+@_queue(
+    "emd_drift_events_halves",
+    oracle="""
+    WITH a AS (
+      SELECT least(greatest(CAST(floor(value / 6.0) AS INT), 0), 99) AS bin,
+             count(*) AS c_a
+      FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1),
+    b AS (
+      SELECT least(greatest(CAST(floor(value / 6.0) AS INT), 0), 99) AS bin,
+             count(*) AS c_b
+      FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL GROUP BY 1),
+    cells AS (
+      SELECT coalesce(a.bin, b.bin) AS bin,
+             coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+      FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+    tot AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM cells),
+    cdfs AS (
+      SELECT abs(sum(c_a) OVER (ORDER BY bin) * 1.0 / n_a
+                 - sum(c_b) OVER (ORDER BY bin) * 1.0 / n_b) AS gap,
+             n_a, n_b
+      FROM cells CROSS JOIN tot)
+    SELECT round(sum(gap) * 6.0, 4) AS emd,
+           round(max(gap), 4) AS ks_d,
+           CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b
+    FROM cdfs
+    """,
+)
+def emd_drift_events_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned earth-mover's distance between the even/odd event halves
+    (extension: drift magnitude — the integral companion of the KS
+    max-gap, from the same one-pass binned CDFs)."""
+    from sparkobs.operators.profile import emd_drift_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    return emd_drift_binned(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        "value",
+        lo=0.0,
+        hi=600.0,
+        n_bins=100,
+    )
+
+
+@_queue(
+    "interarrival_stats_events",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           sum(gap) / count(*) / 1e6 AS mean_gap_s,
+           quantile_cont(gap, 0.5) / 1e6 AS p50_gap_s,
+           max(gap) / 1e6 AS max_gap_s
+    FROM gaps WHERE gap IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def interarrival_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival time distribution within each user's
+    stream (extension: cadence profiling for rate limits, bot
+    screens, and session gap-rule calibration; all statistics are
+    single division chains over exact integer microseconds)."""
+    from sparkobs.operators.behavior import interarrival_stats
+
+    return interarrival_stats(
+        load_table(spark, sf_dir, "events"),
+        ["user_id"],
+        ["event_type"],
+        "ts",
+        "event_id",
+    )
+
+
+def _hll_est_sql(col: str, table: str) -> str:
+    from sparkobs.queries import _hll_col_oracle
+
+    return _hll_col_oracle(col, table)
+
+
+@_queue(
+    "hll_union_users_events",
+    oracle=f"""
+    SELECT est_distinct AS est_merged,
+           est_distinct AS est_whole,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM ({_hll_est_sql("user_id", "events")})
+    """,
+)
+def hll_union_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run HLL register union certification (extension: the
+    mergeability contract IN the registry — per-half register tables
+    merged cellwise must estimate exactly what one whole-table sketch
+    estimates, because max-merge of partitioned registers is the
+    whole-table register table by construction). The oracle recomputes
+    the whole-table estimate independently in SQL and pins the
+    merged == whole equality as a scalar contract."""
+    from sparkobs.operators.profile import (
+        hll_estimate,
+        hll_merge_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    half_a = hll_registers(ev.where(F.col("event_id") % 2 == 0), "user_id")
+    half_b = hll_registers(ev.where(F.col("event_id") % 2 == 1), "user_id")
+    merged = hll_merge_estimate([half_a, half_b]).select(
+        F.col("est_distinct").alias("est_merged")
+    )
+    whole = hll_estimate(hll_registers(ev, "user_id")).select(
+        F.col("est_distinct").alias("est_whole")
+    )
+    return merged.crossJoin(F.broadcast(whole)).select(
+        "est_merged",
+        "est_whole",
+        (F.col("est_merged") != F.col("est_whole"))
+        .cast("long")
+        .alias("n_mismatch"),
+    )
