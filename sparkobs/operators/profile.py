@@ -1194,11 +1194,16 @@ def emd_drift_binned(
     gap = F.abs(
         F.sum("c_a").over(w) / F.col("n_a") - F.sum("c_b").over(w) / F.col("n_b")
     )
+    # the bin table is SPARSE (only observed bins): each gap stays
+    # constant until the next observed bin, so it integrates with
+    # weight (next_bin - bin); the tail after the last observed bin
+    # has both CDFs at 1 (gap 0)
+    span = F.lead("bin", 1, n_bins).over(W.orderBy("bin")) - F.col("bin")
     cdfs = cells.crossJoin(F.broadcast(tot)).select(
-        "bin", gap.alias("gap"), "n_a", "n_b"
+        "bin", gap.alias("gap"), span.alias("span"), "n_a", "n_b"
     )
     return cdfs.agg(
-        F.round(F.sum("gap") * F.lit(width), 4).alias("emd"),
+        F.round(F.sum(F.col("gap") * F.col("span")) * F.lit(width), 4).alias("emd"),
         F.round(F.max("gap"), 4).alias("ks_d"),
         F.max("n_a").cast("long").alias("n_a"),
         F.max("n_b").cast("long").alias("n_b"),

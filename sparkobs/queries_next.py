@@ -764,9 +764,10 @@ def ab_ztest_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdfs AS (
       SELECT abs(sum(c_a) OVER (ORDER BY bin) * 1.0 / n_a
                  - sum(c_b) OVER (ORDER BY bin) * 1.0 / n_b) AS gap,
+             lead(bin, 1, 100) OVER (ORDER BY bin) - bin AS span,
              n_a, n_b
       FROM cells CROSS JOIN tot)
-    SELECT round(sum(gap) * 6.0, 4) AS emd,
+    SELECT round(sum(gap * span) * 6.0, 4) AS emd,
            round(max(gap), 4) AS ks_d,
            CAST(max(n_a) AS BIGINT) AS n_a,
            CAST(max(n_b) AS BIGINT) AS n_b

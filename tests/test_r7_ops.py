@@ -218,3 +218,31 @@ def test_r7_olap_plan_discipline(spark):
         R7_QUEUE["spearman_quantity_price_lineitem"][0](spark, SF)
     )
     assert "hashpartitioning(__pid" in psp  # the distributed-rank exchange
+
+
+def test_emd_is_exact_shift_distance(spark):
+    from sparkobs.operators.profile import emd_drift_binned
+
+    a = spark.createDataFrame([(10.0,)] * 50, "value double")
+    b = spark.createDataFrame([(70.0,)] * 30, "value double")
+    r = emd_drift_binned(a, b, "value", 0.0, 100.0, 100).collect()[0]
+    # point mass moved 60 units -> W1 = 60; KS gap = 1 over that span
+    assert (r["emd"], r["ks_d"], r["n_a"], r["n_b"]) == (60.0, 1.0, 50, 30)
+    same = emd_drift_binned(a, a, "value", 0.0, 100.0, 100).collect()[0]
+    assert same["emd"] == 0.0 and same["ks_d"] == 0.0
+
+
+def test_interarrival_hand_gaps(spark):
+    from sparkobs.operators.behavior import interarrival_stats
+
+    rows = [
+        (1, "x", datetime(2024, 1, 1, 0, 0, 0), 1),
+        (1, "x", datetime(2024, 1, 1, 0, 0, 10), 2),
+        (1, "x", datetime(2024, 1, 1, 0, 0, 40), 3),
+        (2, "x", datetime(2024, 1, 1, 0, 0, 0), 4),  # single event: no gap
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp, event_id long")
+    r = interarrival_stats(df, ["user_id"], ["event_type"], "ts", "event_id").collect()[0]
+    assert (r["n_gaps"], r["mean_gap_s"], r["p50_gap_s"], r["max_gap_s"]) == (
+        2, 20.0, 20.0, 30.0,
+    )
