@@ -329,3 +329,42 @@ def test_r6_wave_plan_discipline(spark):
     # minmax normalization: one shuffle for the per-group window
     mmx = Q.SPARK_QUERIES["minmax_norm_events_by_type"](spark, SF)
     assert count_exchanges(mmx) <= 2
+
+
+def test_gate_window_plan_hygiene(spark):
+    """Fleet-wide anti-pattern screen over the driver gate window:
+    no row-at-a-time Python UDF (BatchEvalPython) and no cartesian
+    product anywhere in any gated query's plan. Arrow-batched kernels
+    (MapInPandas / ArrowEvalPython) and 1-row broadcast scalars
+    (BroadcastNestedLoopJoin) are the sanctioned shapes and stay
+    allowed. Streaming and stage-writing queries are skipped — their
+    build step executes jobs; their plans are pinned individually."""
+    import __spark_entry__ as entrymod
+
+    from sparkobs.plans import physical_plan
+
+    SKIP_PREFIXES = ("streaming_", "compaction_execute", "csv_roundtrip",
+                     "jsonl_roundtrip", "orc_roundtrip")
+    SKIP_HEAVY = {
+        # build step trains/collects (certified + probed elsewhere)
+        "bpe_batched_parity_documents",
+        "pca_variance_embeddings",
+        "minhash_xx64_parity_documents",
+        "semantic_dedup_embeddings",
+        "semantic_dedup_ivf_embeddings",
+    }
+    qs = dict(list(entrymod.queries().items())[: entrymod.GATE_SIZE])
+    offenders = []
+    for name, fn in qs.items():
+        if name.startswith(SKIP_PREFIXES) or name in SKIP_HEAVY:
+            continue
+        try:
+            p = physical_plan(fn(spark, "/root/testdata/sf0.001"))
+        except Exception as e:  # noqa: BLE001 - surface as a failure list
+            offenders.append(f"{name}: plan build failed: {e}")
+            continue
+        if "BatchEvalPython" in p:
+            offenders.append(f"{name}: row-at-a-time Python UDF")
+        if "CartesianProduct" in p:
+            offenders.append(f"{name}: cartesian product")
+    assert not offenders, "; ".join(offenders)
