@@ -869,3 +869,65 @@ def hll_union_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_mismatch"),
     )
+
+
+@_queue(
+    "waiting_suppliers_q21",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey AS ok, l_suppkey AS sk,
+             max(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY 1, 2),
+    per_order AS (
+      SELECT ok, count(*) AS n_sup, sum(is_late) AS n_late_sup FROM l GROUP BY 1)
+    SELECT s_name,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM l
+    JOIN per_order USING (ok)
+    JOIN supplier ON s_suppkey = sk
+    WHERE is_late = 1 AND n_sup >= 2 AND n_late_sup = 1
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """,
+)
+def waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): suppliers
+    whose line was the ONLY late one on a finished multi-supplier
+    order. The classic EXISTS/NOT-EXISTS pair over self-joined
+    lineitem decorrelates into ONE (order, supplier) aggregate with a
+    per-order rollup — `exists other supplier` ⇔ n_sup ≥ 2,
+    `not exists other late supplier` ⇔ n_late_sup = 1 for the late
+    one — so lineitem is scanned once instead of three times. With no
+    commit/receipt dates in the schema, late = shipped > 90 days
+    after the order date (as in the Q12 adaptation)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
+    ).cast("long")
+    per_pair = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = per_pair.groupBy("ok").agg(
+        F.count(F.lit(1)).alias("n_sup"), F.sum("is_late").alias("n_late_sup")
+    )
+    return (
+        per_pair.join(per_order, "ok")
+        .where(
+            (F.col("is_late") == 1)
+            & (F.col("n_sup") >= 2)
+            & (F.col("n_late_sup") == 1)
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("sk"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
