@@ -573,6 +573,30 @@ def probes():
 
         return rfm_scores(ev, "user_id", "ts", "value")
 
+    def zipf_p(docs, ev, emb):
+        from sparkobs.operators.text import zipf_fit
+
+        return zipf_fit(docs)
+
+    def pmi_p(docs, ev, emb):
+        from sparkobs.operators.text import bigram_pmi
+
+        return bigram_pmi(docs, k=20, min_count=5)
+
+    def interarrival_p(docs, ev, emb):
+        from sparkobs.operators.behavior import interarrival_stats
+
+        return interarrival_stats(ev, ["user_id"], ["event_type"], "ts", "event_id")
+
+    def emd_p(docs, ev, emb):
+        from sparkobs.operators.profile import emd_drift_binned
+
+        return emd_drift_binned(
+            ev.where(F.col("event_id") % 2 == 0),
+            ev.where(F.col("event_id") % 2 == 1),
+            "value", 0.0, 600.0, 100,
+        )
+
     return {
         "winnowing_xx64": winnow,
         "resize_synth": resize,
@@ -628,6 +652,10 @@ def probes():
         "scd2_history": scd2_p,
         "activity_islands": islands_p,
         "rfm_scores": rfm_p,
+        "zipf_fit": zipf_p,
+        "bigram_pmi": pmi_p,
+        "interarrival": interarrival_p,
+        "emd_drift": emd_p,
     }
 
 
