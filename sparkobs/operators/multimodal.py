@@ -300,6 +300,60 @@ def decode_real(media: DataFrame) -> DataFrame:
     return media.select("id", "content").mapInPandas(kernel, DECODE_SCHEMA)
 
 
+def _decode_pixels(b: bytes):
+    """Pixel-matrix extraction for the raster formats the repo decodes
+    end-to-end (PGM/PPM and 8-bit non-interlaced PNG) — shared by the
+    resize and patchify kernels. Imports stay inside the function: it
+    executes in Arrow worker processes that only ship the function."""
+    import struct
+
+    import numpy as np
+    # reuse the scalar decoder for container parsing, then
+    # re-extract the pixel matrix for the formats that yield one
+    if b[:2] in (b"P5", b"P6"):
+        pos, fields = 2, []
+        while len(fields) < 3 and pos < len(b):
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if b[pos : pos + 1] == b"#":
+                while pos < len(b) and b[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(b[start:pos]))
+        pos += 1
+        w, h, _ = fields
+        nch = 3 if b[:2] == b"P6" else 1
+        px = np.frombuffer(b, np.uint8, count=w * h * nch, offset=pos)
+        return px.reshape(h, w, nch)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        import zlib
+
+        pos, width = 8, None
+        idat, meta = [], None
+        while pos + 8 <= len(b):
+            (ln,) = struct.unpack_from(">I", b, pos)
+            typ = b[pos + 4 : pos + 8]
+            data = b[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+            if typ == b"IHDR":
+                meta = struct.unpack(">IIBBBBB", data)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+        width, height, bitd, ctype, _c, _f, inter = meta
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+        if nch is None or bitd != 8 or inter != 0:
+            raise ValueError("unsupported png")
+        raw = zlib.decompress(b"".join(idat))
+        return _png_unfilter(raw, width, height, nch).reshape(
+            height, width, nch
+        )
+    raise ValueError("not a resizable image payload")
+
 def resize_media(
     media: DataFrame, out_w: int, out_h: int
 ) -> DataFrame:
@@ -321,52 +375,6 @@ def resize_media(
         import numpy as np
         import pandas as pd
 
-        def decode_pixels(b: bytes):
-            # reuse the scalar decoder for container parsing, then
-            # re-extract the pixel matrix for the formats that yield one
-            if b[:2] in (b"P5", b"P6"):
-                pos, fields = 2, []
-                while len(fields) < 3 and pos < len(b):
-                    while pos < len(b) and b[pos : pos + 1].isspace():
-                        pos += 1
-                    if b[pos : pos + 1] == b"#":
-                        while pos < len(b) and b[pos] != 0x0A:
-                            pos += 1
-                        continue
-                    start = pos
-                    while pos < len(b) and not b[pos : pos + 1].isspace():
-                        pos += 1
-                    fields.append(int(b[start:pos]))
-                pos += 1
-                w, h, _ = fields
-                nch = 3 if b[:2] == b"P6" else 1
-                px = np.frombuffer(b, np.uint8, count=w * h * nch, offset=pos)
-                return px.reshape(h, w, nch)
-            if b[:8] == b"\x89PNG\r\n\x1a\n":
-                import zlib
-
-                pos, width = 8, None
-                idat, meta = [], None
-                while pos + 8 <= len(b):
-                    (ln,) = struct.unpack_from(">I", b, pos)
-                    typ = b[pos + 4 : pos + 8]
-                    data = b[pos + 8 : pos + 8 + ln]
-                    pos += 12 + ln
-                    if typ == b"IHDR":
-                        meta = struct.unpack(">IIBBBBB", data)
-                    elif typ == b"IDAT":
-                        idat.append(data)
-                    elif typ == b"IEND":
-                        break
-                width, height, bitd, ctype, _c, _f, inter = meta
-                nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-                if nch is None or bitd != 8 or inter != 0:
-                    raise ValueError("unsupported png")
-                raw = zlib.decompress(b"".join(idat))
-                return _png_unfilter(raw, width, height, nch).reshape(
-                    height, width, nch
-                )
-            raise ValueError("not a resizable image payload")
 
         for pdf in batches:
             rows = []
@@ -374,7 +382,7 @@ def resize_media(
                 try:
                     import numpy as np
 
-                    px = decode_pixels(bytes(content))
+                    px = _decode_pixels(bytes(content))
                     h, w, nch = px.shape
                     yi = np.floor(np.arange(out_h) * h / out_h).astype(int)
                     xi = np.floor(np.arange(out_w) * w / out_w).astype(int)
@@ -525,3 +533,71 @@ def audio_frame_features(media: DataFrame, frame_size: int = 16) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
+def patchify_media(
+    media: DataFrame, patch_w: int, patch_h: int
+) -> DataFrame:
+    """ViT-style patch extraction (extension: the image → token stage
+    of a multimodal training pipeline): decode each payload and cut
+    the pixel raster into a non-overlapping ``patch_h × patch_w``
+    grid, emitting one row per complete patch with its grid position
+    and pixel mean (partial edge patches are dropped, the standard
+    ViT convention). Patch means of uint8 pixels are integer sums
+    divided by the fixed patch area — exact, so the whole
+    decode → patch path is value-checkable cross-engine on synthetic
+    payloads. Arrow-batched ``mapInPandas``; undecodable payloads
+    become typed error rows with NULL grid coordinates.
+    """
+    if patch_w < 1 or patch_h < 1:
+        raise ValueError(f"patch dims must be >= 1, got {patch_w}x{patch_h}")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _id, content in zip(pdf["id"], pdf["content"]):
+                try:
+                    px = _decode_pixels(bytes(content))
+                    h, w, nch = px.shape
+                    for py in range(h // patch_h):
+                        for pxi in range(w // patch_w):
+                            patch = px[
+                                py * patch_h : (py + 1) * patch_h,
+                                pxi * patch_w : (pxi + 1) * patch_w,
+                            ]
+                            rows.append(
+                                (
+                                    int(_id),
+                                    int(py),
+                                    int(pxi),
+                                    int(nch),
+                                    round(
+                                        float(
+                                            patch.astype(np.float64).mean()
+                                        ),
+                                        4,
+                                    ),
+                                    None,
+                                )
+                            )
+                except Exception as exc:
+                    rows.append(
+                        (int(_id), None, None, None, None,
+                         f"{type(exc).__name__}: {exc}")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "patch_row", "patch_col", "n_channels",
+                    "mean_value", "error",
+                ],
+            )
+
+    return media.select("id", "content").mapInPandas(
+        kernel,
+        "id bigint, patch_row int, patch_col int, n_channels int, "
+        "mean_value double, error string",
+    )

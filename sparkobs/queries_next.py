@@ -931,3 +931,36 @@ def waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@_queue(
+    "patchify_synth_media",
+    oracle="""
+    WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+    p AS (
+      SELECT doc_id, t.i AS patch_col,
+             round(list_sum(list_transform(generate_series(8 * t.i + 1, 8 * t.i + 8),
+                                           j -> ord(substr(h, CAST(j AS INT), 1))))
+                   / 8.0, 4) AS mean_value
+      FROM m, unnest([0, 1, 2, 3]) AS t(i))
+    SELECT doc_id AS id, CAST(0 AS INT) AS patch_row,
+           CAST(patch_col AS INT) AS patch_col, CAST(1 AS INT) AS n_channels,
+           mean_value, CAST(NULL AS VARCHAR) AS error
+    FROM p
+    UNION ALL
+    SELECT doc_id, CAST(0 AS INT), CAST(patch_col AS INT), CAST(1 AS INT),
+           mean_value, CAST(NULL AS VARCHAR)
+    FROM p
+    """,
+)
+def patchify_synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch extraction over deterministic synthetic payloads
+    (extension: multimodal tokenization): each doc's md5 raster (a
+    32×1 PGM and the same pixels as a PNG) cuts into four 8×1
+    patches whose means DuckDB predicts exactly from md5(text) — the
+    decode → patch grid → per-patch stats path is value-certified,
+    not just unit-tested."""
+    from sparkobs.operators.multimodal import patchify_media, synth_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return patchify_media(synth_media(docs), patch_w=8, patch_h=1)
