@@ -246,3 +246,24 @@ def test_interarrival_hand_gaps(spark):
     assert (r["n_gaps"], r["mean_gap_s"], r["p50_gap_s"], r["max_gap_s"]) == (
         2, 20.0, 20.0, 30.0,
     )
+
+
+def test_patchify_drops_partial_patches_and_types_errors(spark):
+    from sparkobs.operators.multimodal import patchify_media, synth_media
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    media = synth_media(docs)  # 32x1 rasters (pgm + png)
+    # patch 5x1 -> floor(32/5) = 6 complete patches per payload, the
+    # trailing 2 columns dropped (ViT convention)
+    rows = patchify_media(media, patch_w=5, patch_h=1).collect()
+    assert len(rows) == 12 and all(r["error"] is None for r in rows)
+    assert sorted({r["patch_col"] for r in rows}) == [0, 1, 2, 3, 4, 5]
+    # patch taller than the image -> zero patches, zero errors
+    assert patchify_media(media, patch_w=8, patch_h=2).count() == 0
+    # undecodable payload -> one typed error row, NULL grid coords
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"not an image"))], "id long, content binary"
+    )
+    err = patchify_media(bad, 8, 1).collect()
+    assert len(err) == 1 and err[0]["patch_row"] is None
+    assert err[0]["error"] is not None
