@@ -7086,7 +7086,9 @@ def hist2d_hour_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
     cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
     nt AS (SELECT sum(o) AS n, count(*) AS n_cells FROM cells)
-    SELECT round(sum((o - ra * cb / n) * (o - ra * cb / n) / (ra * cb / n)), 4)
+    SELECT round(sum((o - ra * cb / n) * (o - ra * cb / n) / (ra * cb / n))
+                 + CASE WHEN max(n_cells) = count(DISTINCT a) * count(DISTINCT b)
+                        THEN 0.0 ELSE max(n) - sum(ra * cb / n) END, 4)
              AS chi2,
            CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT) AS dof,
            CAST(max(n) AS BIGINT) AS n,
@@ -7707,5 +7709,6 @@ def compaction_execute_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("path").endswith(".parquet")
     )
     return compaction_execute(
-        spark, listing, target_bytes=24 * 1024, out_dir=out_dir
+        spark, listing, target_bytes=24 * 1024, out_dir=out_dir,
+        src_root=stage,
     ).orderBy("group_id")

@@ -281,6 +281,7 @@ def compaction_execute(
     listing: DataFrame,
     target_bytes: int,
     out_dir: str,
+    src_root: str | None = None,
 ) -> DataFrame:
     """EXECUTE a small-file compaction plan over same-schema parquet
     files: bin-pack the listed files into ≈``target_bytes`` groups (in
@@ -300,6 +301,13 @@ def compaction_execute(
     written, and output files found on disk (1 per group when
     healthy), so callers can assert row preservation before swapping
     directories.
+
+    ``src_root``: pass the listed files' parent directory to read the
+    WHOLE directory and let the broadcast join prune to the listed
+    files — the million-file path, where enumerating every path as a
+    reader argument would bloat the driver. Without it the listed
+    paths are enumerated explicitly (fine for maintenance-sized
+    listings).
     """
     # scheme-insensitive path key: Hadoop listings say file:/x,
     # input_file_name says file:///x
@@ -307,9 +315,13 @@ def compaction_execute(
     assign = compaction_assign(listing, target_bytes).select(
         norm(F.col("path")).alias("__src"), "group_id"
     )
-    paths = [r["path"] for r in listing.select("path").collect()]
+    if src_root is not None:
+        reader = spark.read.parquet(src_root)
+    else:
+        paths = [r["path"] for r in listing.select("path").collect()]
+        reader = spark.read.parquet(*paths)
     rows = (
-        spark.read.parquet(*paths)
+        reader
         .withColumn("__src", norm(F.input_file_name()))
         .join(F.broadcast(assign), "__src")
     )
