@@ -517,3 +517,58 @@ def interarrival_stats(
         ),
         (F.max("__gap") / F.lit(1e6)).alias("max_gap_s"),
     )
+
+
+def conversion_latency(
+    df: DataFrame,
+    key_col: str,
+    from_state: str,
+    to_state: str,
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert distribution: for every key whose first
+    ``to_state`` event comes strictly after its first ``from_state``
+    event, the latency between those anchors — the "how long from
+    first view to first purchase" number product funnels report next
+    to their counts. One filtered aggregation per anchor (first-touch,
+    as in :func:`funnel_steps`), a broadcast-sized key join, then
+    global distribution stats over exact integer microseconds (every
+    emitted second value is a division chain over identical integers
+    — engine-reproducible, unrounded). Output: one row
+    (n_from, n_converted, conversion_rate, mean_latency_s,
+    p50_latency_s, p90_latency_s, max_latency_s)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    first_from = (
+        df.where(F.col(state_col) == from_state)
+        .groupBy(key_col)
+        .agg(F.min(us).alias("__t0"))
+    )
+    first_to = (
+        df.where(F.col(state_col) == to_state)
+        .groupBy(key_col)
+        .agg(F.min(us).alias("__t1"))
+    )
+    lat = (
+        first_from.join(first_to, key_col, "left")
+        .select(
+            F.when(
+                F.col("__t1") > F.col("__t0"), F.col("__t1") - F.col("__t0")
+            ).alias("__lat")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_from"),
+        F.count("__lat").cast("long").alias("n_converted"),
+        F.round(F.count("__lat") / F.count(F.lit(1)), 4).alias(
+            "conversion_rate"
+        ),
+        (F.sum("__lat") / F.count("__lat") / F.lit(1e6)).alias("mean_latency_s"),
+        (F.percentile(F.col("__lat"), F.lit(0.5)) / F.lit(1e6)).alias(
+            "p50_latency_s"
+        ),
+        (F.percentile(F.col("__lat"), F.lit(0.9)) / F.lit(1e6)).alias(
+            "p90_latency_s"
+        ),
+        (F.max("__lat") / F.lit(1e6)).alias("max_latency_s"),
+    )

@@ -964,3 +964,36 @@ def patchify_synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return patchify_media(synth_media(docs), patch_w=8, patch_h=1)
+
+
+@_queue(
+    "conversion_latency_events",
+    oracle="""
+    WITH f0 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t0
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    f1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    lat AS (
+      SELECT CASE WHEN t1 > t0 THEN t1 - t0 END AS l
+      FROM f0 LEFT JOIN f1 USING (user_id))
+    SELECT CAST(count(*) AS BIGINT) AS n_from,
+           CAST(count(l) AS BIGINT) AS n_converted,
+           round(count(l) * 1.0 / count(*), 4) AS conversion_rate,
+           sum(l) / count(l) / 1e6 AS mean_latency_s,
+           quantile_cont(l, 0.5) / 1e6 AS p50_latency_s,
+           quantile_cont(l, 0.9) / 1e6 AS p90_latency_s,
+           max(l) / 1e6 AS max_latency_s
+    FROM lat
+    """,
+)
+def conversion_latency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view → first-purchase latency distribution (extension:
+    funnel timing — the seconds behind the funnel's counts; exact
+    integer-microsecond statistics)."""
+    from sparkobs.operators.behavior import conversion_latency
+
+    return conversion_latency(
+        load_table(spark, sf_dir, "events"), "user_id", "view", "purchase"
+    )

@@ -1188,3 +1188,9 @@ def test_compaction_execute_preserves_rows_one_file_per_group(spark, tmp_path):
     assert spark.read.parquet(out).selectExpr("sum(v)").collect()[0][0] == \
         spark.range(2000).selectExpr("sum(id % 7)").collect()[0][0]
     assert 1 < len(rows) <= 10
+    # the directory-read path (million-file mode) produces the same audit
+    out2 = os.path.join(str(tmp_path), "compacted2")
+    audit2 = compaction_execute(
+        spark, listing, target_bytes=6 * 1024, out_dir=out2, src_root=src
+    )
+    assert sorted(map(tuple, audit2.collect())) == sorted(map(tuple, rows))
