@@ -872,23 +872,26 @@ def zipf_fit(
     language sits near slope −1; template/boilerplate corpora flatten,
     spam steepens).
 
-    One token count pass (map-side combine), one rank window over the
-    VOCABULARY (≪ corpus; further cut by ``min_freq``), and a
-    built-in ``regr_slope`` aggregate — ranks break ties (freq desc,
-    token asc) so the fit is deterministic and engine-reproducible.
+    One token count pass (map-side combine), one DISTRIBUTED rank
+    over the VOCABULARY (≪ corpus; further cut by ``min_freq``) via
+    the per-partition-index + broadcast-offset primitive — a
+    web-scale vocabulary never funnels through a single-partition
+    window — and a built-in ``regr_slope`` aggregate. Ranks break
+    ties (freq desc, token asc) so the fit is deterministic and
+    engine-reproducible.
     """
-    from pyspark.sql import Window as W
+    from sparkobs.operators.joins import global_row_index
 
     counts = (
         df.select(F.explode(tokens_nonempty(text_col)).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
         .where(F.col("freq") >= min_freq)
+        # descending frequency expressed as an ASC key so the
+        # distributed index applies (same trick as vocab_segments)
+        .withColumn("__negf", -F.col("freq"))
     )
-    ranked = counts.withColumn(
-        "rank",
-        F.row_number().over(W.orderBy(F.desc("freq"), F.asc("tok"))),
-    )
+    ranked = global_row_index(counts, ["__negf", "tok"], index_col="rank")
     return ranked.agg(
         F.round(
             F.expr("regr_slope(ln(freq), ln(rank))"), 4
