@@ -448,27 +448,53 @@ def rfm_scores(
     Frequency (row count), Monetary (summed amount), each quartiled
     into 1..n_tiles via ntile with DETERMINISTIC tiebreaks (the key
     itself) — the segmentation backbone behind lifecycle marketing
-    and churn screens. One aggregation over the data; the three ntile
-    windows run over the KEY table. ntile's equal-division rule is
-    identical across engines, so scores are reproducible anywhere.
-    Output: (key, last_ts, frequency, monetary, r_score, f_score,
-    m_score, rfm_segment)."""
+    and churn screens. One aggregation over the data; the three
+    quartile ranks run over the KEY table with the DISTRIBUTED
+    global-index primitive (per-partition row_number + broadcast
+    offsets — a web-scale customer table never funnels through a
+    single-partition ntile window), and each rank maps to its tile
+    with ntile's exact equal-division rule (the first n mod t tiles
+    take the extra row), so scores stay bit-identical to the engines'
+    built-in ntile. Output: (key, last_ts, frequency, monetary,
+    r_score, f_score, m_score, rfm_segment)."""
+    from sparkobs.operators.joins import global_row_index
+
     per_key = df.groupBy(F.col(key_col).alias("key")).agg(
         F.max(ts_col).alias("last_ts"),
         F.count(F.lit(1)).cast("long").alias("frequency"),
         F.round(F.sum(amount_col), 2).alias("monetary"),
     )
-    r_w = Window.orderBy(F.desc("last_ts"), F.asc("key"))
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("key"))
-    m_w = Window.orderBy(F.desc("monetary"), F.asc("key"))
-    return per_key.select(
+
+    def ntile_from_rank(rank_col, n_col):
+        base = F.floor(n_col / n_tiles)
+        rem = n_col % n_tiles
+        cut = rem * (base + 1)
+        return (
+            F.when(rank_col <= cut, F.ceil(rank_col / (base + 1)))
+            .otherwise(rem + F.ceil((rank_col - cut) / base))
+            .cast("int")
+        )
+
+    # DESC metric order expressed as ASC keys for the distributed index
+    scored = (
+        per_key.withColumn(
+            "__neg_ts", -F.unix_micros(F.col("last_ts").cast("timestamp"))
+        )
+        .withColumn("__neg_f", -F.col("frequency"))
+        .withColumn("__neg_m", -F.col("monetary"))
+    )
+    scored = global_row_index(scored, ["__neg_ts", "key"], index_col="__r_rank")
+    scored = global_row_index(scored, ["__neg_f", "key"], index_col="__f_rank")
+    scored = global_row_index(scored, ["__neg_m", "key"], index_col="__m_rank")
+    n = per_key.agg(F.count(F.lit(1)).alias("__n"))
+    return scored.crossJoin(F.broadcast(n)).select(
         "key",
         "last_ts",
         "frequency",
         "monetary",
-        F.ntile(n_tiles).over(r_w).alias("r_score"),
-        F.ntile(n_tiles).over(f_w).alias("f_score"),
-        F.ntile(n_tiles).over(m_w).alias("m_score"),
+        ntile_from_rank(F.col("__r_rank"), F.col("__n")).alias("r_score"),
+        ntile_from_rank(F.col("__f_rank"), F.col("__n")).alias("f_score"),
+        ntile_from_rank(F.col("__m_rank"), F.col("__n")).alias("m_score"),
     ).withColumn(
         "rfm_segment",
         F.concat_ws(

@@ -876,12 +876,13 @@ def gini_concentration(df: DataFrame, key_col: str) -> DataFrame:
     contribution over any permutation of their consecutive ranks), so
     the statistic is deterministic under any tiebreak.
     """
-    from pyspark.sql import Window as W
+    from sparkobs.operators.joins import global_row_index
 
     freq = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("freq"))
-    ranked = freq.withColumn(
-        "i", F.row_number().over(W.orderBy(F.asc("freq"), F.asc(key_col)))
-    )
+    # DISTRIBUTED ascending rank (per-partition index + broadcast
+    # offsets): the key table can be web-scale (every user / domain),
+    # so it must never funnel through a single-partition window
+    ranked = global_row_index(freq, ["freq", key_col], index_col="i")
     return ranked.agg(
         F.round(
             (2.0 * F.sum(F.col("i") * F.col("freq")))
