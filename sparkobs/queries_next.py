@@ -11,15 +11,19 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave: the remaining expressible TPC-H shapes (Q2/Q9/Q11/Q12/
-Q16/Q19/Q20 adapted to the trimmed star schema — no partsupp table,
-so lineitem's (partkey, suppkey) pairs stand in for it, exactly the
-substitution a warehouse without an inventory table would make) plus
-a statistics/ops wave: Spearman rank correlation, Cramér's V,
-Benford's-law screening, per-key trend slopes, lag-1 autocorrelation,
-CUSUM changepoint scores, RFM customer scoring, gaps-and-islands
-streaks, association rules, SCD Type-2 history, and a two-proportion
-A/B z-test on a deterministic hash split.
+This wave (24 entries): the remaining expressible TPC-H shapes
+(Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
+no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
+for it, exactly the substitution a warehouse without an inventory
+table would make; with these the engine covers all 22 TPC-H query
+shapes) plus a statistics/behavior wave: Spearman rank correlation,
+Cramér's V, Benford's-law screening, per-key trend slopes, lag-1
+autocorrelation, CUSUM changepoint scores, RFM customer scoring,
+gaps-and-islands streaks, association rules, SCD Type-2 history, a
+two-proportion A/B z-test on a deterministic hash split, binned
+earth-mover's drift, per-user inter-arrival cadence, first-touch
+conversion latency, an in-registry HLL register-union certification,
+and ViT-style image patch extraction.
 """
 
 from __future__ import annotations
