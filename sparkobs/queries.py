@@ -6738,14 +6738,18 @@ def small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddle an ulp."""
     from pyspark.sql import functions as F
 
+    from pyspark.sql import Window as W
+
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#2")
     lp = l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-    pa = lp.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (0.2 * F.avg("l_quantity")).alias("lim")
-    )
+    # the per-part average rides a WINDOW over the same frame instead
+    # of a re-aggregated self-join: ONE lineitem scan, ONE partkey
+    # shuffle (the static plan otherwise scans lineitem twice — no
+    # exchange reuse fires for the two legs)
+    lim = 0.2 * F.avg("l_quantity").over(W.partitionBy("l_partkey"))
     return (
-        lp.join(pa, F.col("pk") == F.col("l_partkey"))
+        lp.withColumn("lim", lim)
         .where(F.col("l_quantity") < F.col("lim"))
         .agg(
             F.round(
@@ -6981,11 +6985,14 @@ def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     s = load_table(spark, sf_dir, "supplier")
+    # materialized once (eager checkpoint, supplier-sized): the max
+    # leg and the filter leg otherwise EACH re-scan lineitem — the
+    # static plan has no exchange reuse across the two references
     rev = l.groupBy(F.col("l_suppkey").alias("sk")).agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "total_revenue"
         )
-    )
+    ).localCheckpoint(eager=True)
     mx = rev.agg(F.max("total_revenue").alias("__mx"))
     return (
         rev.crossJoin(F.broadcast(mx))

@@ -265,11 +265,13 @@ def important_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the per-part aggregate is reused). The share divides identical
     rounded doubles, so round(·, 6) is stable."""
     l = load_table(spark, sf_dir, "lineitem")
+    # materialized once (eager checkpoint, parts-sized): the global
+    # total and the filter leg otherwise each re-scan lineitem
     pv = l.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("part_value")
-    )
+    ).localCheckpoint(eager=True)
     tot = pv.agg(F.sum("part_value").alias("tv"))
     return (
         pv.crossJoin(F.broadcast(tot))
@@ -340,14 +342,19 @@ def dominant_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one (part, supplier) agg + a per-part total, DISTINCT
     projected at the end. Quantities are integer-valued doubles, so
     the 0.5·total comparison is exact on both engines."""
+    from pyspark.sql import Window as W
+
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     vol = l.groupBy(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
     ).agg(F.sum("l_quantity").alias("sq"))
-    tot = vol.groupBy("pk").agg(F.sum("sq").alias("tq"))
+    # per-part total via a WINDOW over the pair aggregate — no second
+    # lineitem scan, no self-join (the agg shuffle already co-located
+    # each part's pairs)
+    tq = F.sum("sq").over(W.partitionBy("pk"))
     return (
-        vol.join(tot, "pk")
+        vol.withColumn("tq", tq)
         .where((F.col("sq") > 0.5 * F.col("tq")) & (F.col("tq") > 100))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("sk"))
         .select("s_suppkey", "s_name")
@@ -914,10 +921,16 @@ def waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = (
         F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
     ).cast("long")
+    # materialized once (eager checkpoint): BOTH the per-order rollup
+    # and the final join read this frame — without it each leg re-scans
+    # lineitem⋈orders, i.e. two full fact scans at 100 TB. The frame
+    # itself is (order, supplier) pairs — orders-sized, not lineitem-
+    # sized.
     per_pair = (
         l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
         .agg(F.max(late).alias("is_late"))
+        .localCheckpoint(eager=True)
     )
     per_order = per_pair.groupBy("ok").agg(
         F.count(F.lit(1)).alias("n_sup"), F.sum("is_late").alias("n_late_sup")

@@ -297,16 +297,21 @@ def test_rollup_levels_complete(spark):
 
 
 def test_q17_preagg_sees_only_brand_qualifying_lineitem(spark):
-    from sparkobs.plans import physical_plan
+    from sparkobs.plans import physical_plan, scans
 
-    # Both legs — the revenue scan AND the 0.2*avg pre-aggregate —
-    # must derive from the lineitem ⋈ broadcast(part) frame: an
-    # unfiltered per-part average is a full-lineitem shuffle at 100 TB.
-    # Two broadcast joins of the filtered part side ⇒ the agg subtree
-    # contains the brand filter.
+    # The 0.2*avg per-part limit rides a WINDOW over the single
+    # lineitem ⋈ broadcast(part) frame: ONE lineitem scan, ONE partkey
+    # shuffle, and the brand filter reaches the part scan — an
+    # unfiltered per-part average (or a second scan for a self-join
+    # leg) is a full-lineitem re-read at 100 TB.
+    import re
+
     df = Q.SPARK_QUERIES["small_qty_revenue_q17"](spark, SF)
     p = physical_plan(df)
-    assert p.count("BroadcastHashJoin") >= 2
+    # one join NODE (formatted plans print each node twice: tree+detail)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 1
+    assert "Window" in p
+    assert len(scans(df)) == 2  # lineitem once, part once
     assert_pushdown(df, "p_brand")
     assert_no_cartesian(df)
 
