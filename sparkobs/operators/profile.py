@@ -956,6 +956,17 @@ def ks_drift_binned(
         F.coalesce("c_a", F.lit(0)).alias("c_a"),
         F.coalesce("c_b", F.lit(0)).alias("c_b"),
     )
+    return ks_from_cells(cells)
+
+
+def ks_from_cells(cells: DataFrame) -> DataFrame:
+    """CDF construction + max-gap tail of the binned KS test, shared by
+    the batch shape above and the streaming twin (which collects the
+    ``(bin, c_a, c_b)`` cells continuously and scores them after the
+    drain). Everything here is bin-table-sized — the cumulative window
+    runs over the BIN TABLE, never raw rows."""
+    from pyspark.sql import Window as W
+
     w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
     tot = cells.agg(
         F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")

@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (24 entries): the remaining expressible TPC-H shapes
+This wave (26 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -23,7 +23,10 @@ gaps-and-islands streaks, association rules, SCD Type-2 history, a
 two-proportion A/B z-test on a deterministic hash split, binned
 earth-mover's drift, per-user inter-arrival cadence, first-touch
 conversion latency, an in-registry HLL register-union certification,
-and ViT-style image patch extraction.
+and ViT-style image patch extraction. Plus the streaming stretch:
+continuous burst debounce (session-window state) and continuous
+two-sample KS drift (geometry-bounded cell state, batch-twin
+oracles for both).
 """
 
 from __future__ import annotations
@@ -1014,3 +1017,107 @@ def conversion_latency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversion_latency(
         load_table(spark, sf_dir, "events"), "user_id", "view", "purchase"
     )
+
+
+@_queue(
+    "streaming_debounce_events",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, round(value, 4) AS value
+    FROM (
+      SELECT event_id, user_id, event_type, ts, value,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+    WHERE prev_ts IS NULL
+       OR epoch_us(ts) - epoch_us(prev_ts) >= 600 * 1000000
+    """,
+)
+def streaming_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of debounce_events_user_type: bursts collapse to
+    their first row CONTINUOUSLY in session-window state (watermark
+    drops closed sessions at steady state; complete mode for the
+    drain) — must equal the batch lag-rule oracle row for row. The
+    1-microsecond gap shave that aligns Spark's session merge with the
+    ``gap >= 600 s`` batch rule lives in
+    streaming.monitors.streaming_debounce."""
+    from sparkobs.queries import _stage_events
+    from sparkobs.streaming.monitors import (
+        run_to_memory,
+        stream_events,
+        streaming_debounce,
+    )
+
+    stage_dir = _stage_events(spark, sf_dir)
+    out = streaming_debounce(
+        stream_events(spark, stage_dir),
+        ["user_id", "event_type"],
+        gap_seconds=600,
+    )
+    tbl = run_to_memory(out, "debounce_stream", output_mode="complete", unique=True)
+    return spark.table(tbl).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+
+
+@_queue(
+    "streaming_ks_drift_events",
+    oracle="""
+    WITH a AS (
+      SELECT least(greatest(CAST(floor(value / 6.0) AS INT), 0), 99) AS bin,
+             count(*) AS c_a
+      FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1),
+    b AS (
+      SELECT least(greatest(CAST(floor(value / 6.0) AS INT), 0), 99) AS bin,
+             count(*) AS c_b
+      FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL GROUP BY 1),
+    cells AS (
+      SELECT coalesce(a.bin, b.bin) AS bin,
+             coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+      FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+    tot AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM cells),
+    cdfs AS (
+      SELECT sum(c_a) OVER (ORDER BY bin) * 1.0 / n_a AS cdf_a,
+             sum(c_b) OVER (ORDER BY bin) * 1.0 / n_b AS cdf_b,
+             n_a, n_b
+      FROM cells CROSS JOIN tot)
+    SELECT round(max(abs(cdf_a - cdf_b)), 4) AS ks_d,
+           CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b
+    FROM cdfs
+    """,
+)
+def streaming_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ks_drift_events_halves — the lambda-free
+    drift-test shape: the two samples' binned counts accumulate in the
+    state store AS THE EVENTS ARRIVE (state bounded by geometry, 2 x
+    100 cells, regardless of input size), and the KS distance runs as
+    a bin-table-sized batch follow-up over the drained cells (shared
+    tail: profile.ks_from_cells)."""
+    from sparkobs.operators.profile import ks_from_cells
+    from sparkobs.queries import _stage_events
+    from sparkobs.streaming.monitors import (
+        run_to_memory,
+        stream_events,
+        streaming_binned_counts,
+    )
+
+    stage_dir = _stage_events(spark, sf_dir)
+    cells_stream = streaming_binned_counts(
+        stream_events(spark, stage_dir), lo=0.0, hi=600.0, n_bins=100
+    )
+    tbl = run_to_memory(
+        cells_stream, "ks_cells_stream", output_mode="complete", unique=True
+    )
+    cells = (
+        spark.table(tbl)
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(F.lit(0))).alias(
+                "c_a"
+            ),
+            F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(F.lit(0))).alias(
+                "c_b"
+            ),
+        )
+    )
+    return ks_from_cells(cells)

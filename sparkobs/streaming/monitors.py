@@ -109,6 +109,69 @@ def streaming_session(events: DataFrame, gap: str = "30 minutes", watermark: str
     )
 
 
+def streaming_debounce(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    gap_seconds: int = 600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Continuous burst debounce — the streaming twin of
+    :func:`sparkobs.operators.behavior.debounce_first_of_burst`: per
+    key, each burst collapses to its FIRST row, held as session-window
+    state (bounded: the watermark drops closed sessions). The session
+    gap is shaved by 1 microsecond because Spark merges an event at
+    EXACTLY ``last_ts + gap`` into the open session while the batch
+    lag rule starts a new burst at ``gap >= gap_seconds`` — the shave
+    makes the two definitions coincide at every timestamp. The burst's
+    first row rides the aggregation as ``min(struct(ts, event_id,
+    value))`` (unique (ts, event_id) order, the batch tie-break).
+    """
+    keys = key_cols or ["user_id", "event_type"]
+    gap = f"{gap_seconds * 1_000_000 - 1} microseconds"
+    return (
+        _event_time(events)
+        .withWatermark("ts", watermark)
+        .groupBy(*keys, F.session_window("ts", gap).alias("w"))
+        .agg(F.min(F.struct("ts", "event_id", "value")).alias("first"))
+        .select(
+            F.col("first.event_id").alias("event_id"),
+            *keys,
+            _to_ntz("first.ts").alias("ts"),
+            F.round("first.value", 4).alias("value"),
+        )
+    )
+
+
+def streaming_binned_counts(
+    events: DataFrame,
+    lo: float = 0.0,
+    hi: float = 600.0,
+    n_bins: int = 100,
+) -> DataFrame:
+    """Continuous two-sample histogram collection — the stream side of
+    the lambda-free KS shape: per (half, bin) counts accumulate in the
+    state store (state is bounded by geometry: 2 x ``n_bins`` cells,
+    never by input size, so no watermark is needed), and the KS
+    distance itself runs as a cheap batch follow-up over the drained
+    cells. Halves split on ``event_id`` parity; binning matches
+    profile.ks_drift_binned (clamped floor((v - lo)/width))."""
+    width = (hi - lo) / n_bins
+    bin_id = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    return (
+        events.where(F.col("value").isNotNull())
+        .groupBy(
+            (F.col("event_id") % 2).alias("half"), bin_id.alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 DRIFT_STATE_SCHEMA = T.StructType([T.StructField("prev_count", T.LongType())])
 DRIFT_OUT_SCHEMA = (
     "entity string, batch_count bigint, prev_count bigint, delta bigint"
