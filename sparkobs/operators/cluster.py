@@ -1,0 +1,158 @@
+"""Distributed Lloyd k-means over embedding columns.
+
+The reference templates never cluster, but every capability tier built
+on the embeddings table already leans on a coarse quantizer (IVF seed
+centroids in :mod:`similarity`, SemDeDup's per-cluster pruning); this
+module supplies the real iterative fit those tiers approximate: Lloyd
+iterations expressed as DataFrame aggregations — assignment is a
+broadcast join against the k-row centroid table, the update step is
+one explode + hash aggregation — so every pass is shuffle-parallel and
+nothing data-sized ever reaches the driver.
+
+Cross-engine exactness design (what makes an ITERATIVE float algorithm
+DuckDB-certifiable at all): floating-point row-set sums are summation-
+order-dependent, and in an iterative loop a last-ulp divergence in
+round 1 can flip an assignment in round 2. So the fit runs in fixed
+point end to end:
+
+- vectors quantize once to a 1e-3 grid (``round(x * 1000)`` → BIGINT;
+  round-to-integer of identical doubles is engine-stable — exact .5
+  rounds away from zero on both engines, unlike round-to-k-decimals);
+- centroids live on a 1e-5 grid: ``floor(sum * 100.0 / n)`` where the
+  per-dimension ``sum`` is an exact integer, the division is one
+  double op over identical operands, and ``floor`` is exact;
+- distances are exact integer sums of squared grid differences
+  (|v*100 − c| ≤ ~1.2e5 per dim → ≤ 9.2e11 per row at dim 64, so
+  per-cluster inertia stays inside BIGINT up to ~10M members).
+
+Every quantity either IS an integer or is a single double expression
+over bit-identical operands, so the full T-iteration trajectory —
+assignments, centroids, inertia — is reproducible bit for bit on any
+engine, which is exactly what the DuckDB oracle (unrolled iterations,
+sparkobs.queries_next) checks. Ties in assignment break to the lowest
+cluster id; seeds are the k lowest-id vectors (no RNG). Empty clusters
+drop (both engines aggregate over assigned rows only).
+
+Scale posture: per iteration the corpus is touched exactly once
+(assignment scan; the k×dim centroid table is eagerly
+``localCheckpoint``-ed after each update so Catalyst never replays the
+previous iteration's lineage into the next — the no-exchange-reuse
+trap), the update is a posexplode (×dim) into a (k·dim)-group hash
+aggregation with map-side partial aggregation, and the only driver
+materialization is the k×dim centroid table itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+VQ_SCALE = 1000      # vector grid: 1e-3
+C_SUBSCALE = 100     # centroid grid: 1e-5 (vector grid / 100)
+
+
+def quantize_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, q): the 1e-3-grid BIGINT quantization of ``vec_col``."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * VQ_SCALE).cast("bigint"),
+        ).alias("q"),
+    )
+
+
+def _assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k-row centroid table,
+    exact integer squared distance per (row, centroid), keep the
+    argmin (ties → lowest cluster id)."""
+    d = q.crossJoin(F.broadcast(cents)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with(
+                "q",
+                "cq",
+                lambda a, b: (a * C_SUBSCALE - b) * (a * C_SUBSCALE - b),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("id").orderBy("dist", "cluster")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "q", "cluster", "dist")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """Centroid update: per-dimension exact integer sums (posexplode →
+    one hash agg), re-gridded to 1e-5 with the deterministic
+    ``floor(sum * 100.0 / n)``."""
+    per_dim = assigned.select("cluster", F.posexplode("q").alias("d", "v"))
+    s = (
+        per_dim.groupBy("cluster", "d")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "c_d", F.floor(F.col("s") * float(C_SUBSCALE) / F.col("n"))
+        )
+    )
+    return s.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "c_d"))),
+            lambda x: x["c_d"],
+        ).alias("cq")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd k-means: ``iters`` assign→update rounds from the k
+    lowest-id seed vectors, then a final assignment pass for the
+    report. Returns one row per non-empty cluster:
+    (cluster, n_members, inertia, centroid_ss) where ``inertia`` is
+    the exact integer sum of squared grid distances rescaled to input
+    units (÷ 1e10) and ``centroid_ss`` is the integer sum of squared
+    centroid components — a hash-stable centroid fingerprint.
+    """
+    q = quantize_vectors(df, id_col, vec_col)
+    seeds = q.orderBy("id").limit(k)
+    # row_number over the k-row seed table only (repo convention:
+    # global windows run over key/seed tables, never raw rows)
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("id")) - 1).alias("cluster"),
+        F.transform("q", lambda x: x * C_SUBSCALE).alias("cq"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        cents = _update(_assign(q, cents)).localCheckpoint(eager=True)
+    final = _assign(q, cents)
+    css = cents.select(
+        "cluster",
+        F.aggregate(
+            F.transform("cq", lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("centroid_ss"),
+    )
+    return (
+        final.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist").alias("__iu"),
+        )
+        .join(F.broadcast(css), "cluster")
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n_members",
+            (F.col("__iu").cast("double") / F.lit(1e10)).alias("inertia"),
+            "centroid_ss",
+        )
+    )

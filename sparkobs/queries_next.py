@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (26 entries): the remaining expressible TPC-H shapes
+This wave (27 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -23,7 +23,11 @@ gaps-and-islands streaks, association rules, SCD Type-2 history, a
 two-proportion A/B z-test on a deterministic hash split, binned
 earth-mover's drift, per-user inter-arrival cadence, first-touch
 conversion latency, an in-registry HLL register-union certification,
-and ViT-style image patch extraction. Plus the streaming stretch:
+ViT-style image patch extraction, and distributed Lloyd k-means in
+fixed-point arithmetic (certified against an UNROLLED-iteration
+DuckDB oracle — see operators/cluster.py for why fixed point is what
+makes an iterative float algorithm certifiable). Plus the streaming
+stretch:
 continuous burst debounce (session-window state) and continuous
 two-sample KS drift (geometry-bounded cell state, batch-twin
 oracles for both).
@@ -1016,6 +1020,83 @@ def conversion_latency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return conversion_latency(
         load_table(spark, sf_dir, "events"), "user_id", "view", "purchase"
+    )
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB mirror of cluster.kmeans_fit with the iterations UNROLLED
+    as CTE pairs (assign d{t}/a{t}, update s{t}/c{t}) — possible only
+    because the fit runs in fixed point (see operators/cluster.py), so
+    the trajectory is bit-reproducible across engines."""
+    r = f"range(1, {dim + 1})"
+    parts = [
+        f"""v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000) AS BIGINT)) AS q
+      FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+             list_transform(q, x -> x * 100) AS cq
+      FROM v ORDER BY vec_id LIMIT {k})"""
+    ]
+
+    def assign(t: int, cents: str) -> str:
+        return f"""d{t} AS (
+      SELECT v.vec_id, v.q, c.cluster,
+             list_sum(list_transform({r},
+                      i -> (v.q[i] * 100 - c.cq[i])
+                         * (v.q[i] * 100 - c.cq[i]))) AS dist
+      FROM v CROSS JOIN {cents} c),
+    a{t} AS (
+      SELECT vec_id, q, cluster, dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cluster) AS rn
+            FROM d{t})
+      WHERE rn = 1)"""
+
+    for t in range(iters):
+        parts.append(assign(t, f"c{t}"))
+        parts.append(
+            f"""s{t + 1} AS (
+      SELECT cluster, d, sum(q[d]) AS s, count(*) AS n
+      FROM a{t}, {r} AS t(d) GROUP BY 1, 2),
+    c{t + 1} AS (
+      SELECT cluster,
+             list(CAST(floor(s * 100.0 / n) AS BIGINT) ORDER BY d) AS cq
+      FROM s{t + 1} GROUP BY 1)"""
+        )
+    parts.append(assign(iters, f"c{iters}"))
+    parts.append(
+        f"""css AS (
+      SELECT cluster, list_sum(list_transform(cq, x -> x * x)) AS ss
+      FROM c{iters})"""
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT CAST(a.cluster AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(a.dist) AS DOUBLE) / 1e10 AS inertia,
+           CAST(max(css.ss) AS BIGINT) AS centroid_ss
+    FROM a{iters} a JOIN css USING (cluster)
+    GROUP BY 1
+    """
+
+
+@_queue("kmeans_embeddings", oracle=_kmeans_oracle())
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings table (extension:
+    the clustering primitive behind IVF coarse quantizers and SemDeDup
+    pruning) — 2 fixed-point iterations from the 8 lowest-id seeds,
+    certified against the unrolled-iteration DuckDB oracle. Per
+    iteration: one broadcast-join assignment scan of the corpus + one
+    posexplode hash-agg update; centroid tables are k x dim and
+    eagerly checkpointed so iterations never replay upstream lineage."""
+    from sparkobs.operators.cluster import kmeans_fit
+
+    return kmeans_fit(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2
     )
 
 

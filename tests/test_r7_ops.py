@@ -267,3 +267,57 @@ def test_patchify_drops_partial_patches_and_types_errors(spark):
     err = patchify_media(bad, 8, 1).collect()
     assert len(err) == 1 and err[0]["patch_row"] is None
     assert err[0]["error"] is not None
+
+
+def test_kmeans_separates_two_obvious_blobs(spark):
+    from sparkobs.operators.cluster import kmeans_fit
+
+    # two tight blobs on opposite corners of a 4-d cube; k=2 must
+    # split them exactly and converge to (near) zero inertia
+    rows = [(i, [0.1 + 0.001 * i, 0.1, 0.1, 0.1]) for i in range(10)] + [
+        (100 + i, [0.9, 0.9 - 0.001 * i, 0.9, 0.9]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["cluster"]: r for r in kmeans_fit(df, k=2, iters=2).collect()}
+    assert len(out) == 2
+    assert {r["n_members"] for r in out.values()} == {10}
+    for r in out.values():
+        assert r["inertia"] < 1e-3  # within-blob spread only
+        assert r["centroid_ss"] > 0
+
+
+def test_kmeans_iterations_do_not_increase_inertia(spark):
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.cluster import kmeans_fit
+    from sparkobs.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def total_inertia(iters):
+        return (
+            kmeans_fit(emb, k=4, iters=iters)
+            .agg(F.sum("inertia").alias("s"))
+            .collect()[0]["s"]
+        )
+
+    i1, i2 = total_inertia(1), total_inertia(2)
+    # Lloyd guarantee (exact arithmetic, modulo the 1e-5 centroid
+    # re-gridding): another iteration never makes the fit worse by
+    # more than the grid's rounding slack
+    assert i2 <= i1 * (1 + 1e-6)
+
+
+def test_kmeans_empty_cluster_drops_not_errors(spark):
+    from sparkobs.operators.cluster import kmeans_fit
+
+    # 3 identical vectors, k=3: seeds coincide, everything assigns to
+    # cluster 0 (lowest id tie-break); clusters 1,2 drop
+    df = spark.createDataFrame(
+        [(i, [0.5, 0.5]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    out = kmeans_fit(df, k=3, iters=2).collect()
+    assert len(out) == 1
+    assert out[0]["cluster"] == 0 and out[0]["n_members"] == 3
+    assert out[0]["inertia"] == 0.0
