@@ -11,5 +11,6 @@ Each module rebuilds one capability area of the reference (SURVEY.md §2):
 - :mod:`dedup`     — exact + near-duplicate detection (hash / n-gram Jaccard / MinHash / SimHash)
 - :mod:`similarity`— embedding cosine top-k (brute force + LSH-bucketed)
 - :mod:`cluster`   — distributed Lloyd k-means (fixed-point, oracle-exact)
+- :mod:`graph`     — PageRank link analysis (fixed-point, oracle-exact)
 - :mod:`multimodal`— opaque binary columns + Arrow-batched decode plumbing
 """

@@ -1,0 +1,119 @@
+"""Link analysis over graphs derived from the warehouse tables.
+
+The reference templates stop at per-table monitors; a data platform
+also asks graph questions of its fact tables — which suppliers sit at
+the center of the purchase network, which customers bridge otherwise
+disjoint supplier pools (influence ranking, entity resolution
+support). This module supplies the canonical primitive, PageRank,
+expressed Spark-first: edges and ranks are DataFrames, one iteration
+is two shuffles (contribution groupBy + rank rebuild), and the
+iterative state is eagerly ``localCheckpoint``-ed so Catalyst never
+replays iteration t-1's lineage into iteration t (the
+no-exchange-reuse trap; at cluster scale the same role is played by
+persisting the rank table between supersteps).
+
+Cross-engine exactness design (same idea as operators/cluster.py):
+PageRank's float update `r = (1-d)/N + d * Σ r_u/deg_u` is summation-
+order-dependent, so an oracle would diverge in last ulps and compound
+across iterations. The fit therefore runs entirely in INTEGER
+micro-units (1e-9 of probability mass): shares are integer divisions
+``r // deg``, inflow sums are exact integers, and damping applies as
+``(85 * inflow) // 100``. Every engine computes the identical rank
+trajectory, so a DuckDB oracle with unrolled iterations certifies it
+(sparkobs.queries_next). The floor divisions leak ≤ deg units of mass
+per node per round — irrelevant for ranking, and identically on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNIT = 1_000_000_000  # 1e-9 rank micro-units
+DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
+
+
+def pagerank_fixed(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """PageRank in fixed-point arithmetic over a directed edge list
+    ``(src, dst)`` (BIGINT node ids; callers wanting undirected
+    semantics pass both directions). Returns (node, rank_units) for
+    every node that appears as a source — with symmetric edges that is
+    every node; dangling-node handling is therefore the caller's
+    encoding choice, kept out of the kernel.
+
+    ``iters`` supersteps; per superstep: contributions = one groupBy
+    on dst of the integer shares ``r // outdeg``, then a rank rebuild
+    over the node table. Edge/outdeg/node tables are checkpointed once
+    up front (they are reused every superstep), rank tables once per
+    superstep.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    outdeg = (
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    n = nodes.agg(F.count(F.lit(1)).alias("nn"))
+    ranks = (
+        nodes.crossJoin(F.broadcast(n))
+        .select("node", F.expr(f"{UNIT} div nn").alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    base = F.expr(f"{UNIT * (DAMP_DEN - DAMP_NUM) // DAMP_DEN} div nn")
+    for _ in range(iters):
+        inflow = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select("dst", F.expr("r div od").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("inf"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n))
+            .join(inflow, nodes["node"] == inflow["dst"], "left")
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(
+                        f"({DAMP_NUM} * coalesce(inf, 0)) div {DAMP_DEN}"
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("rank_units"))
+
+
+def copurchase_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Supplier–customer co-purchase graph: an undirected edge for
+    every (supplier, customer) pair connected through an order,
+    encoded into one BIGINT node space (supplier key → 2k, customer
+    key → 2k+1) and emitted in both directions."""
+    pairs = (
+        lineitem.join(
+            orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+        )
+        .select(
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+
+
+def decode_copurchase_node(df: DataFrame) -> DataFrame:
+    """Decode the 2k/2k+1 node space back to (node_type, node_key)."""
+    return df.select(
+        F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("node_key"),
+        *[c for c in df.columns if c != "node"],
+    )

@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (27 entries): the remaining expressible TPC-H shapes
+This wave (28 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -1082,6 +1082,66 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     FROM a{iters} a JOIN css USING (cluster)
     GROUP BY 1
     """
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """DuckDB mirror of graph.pagerank_fixed over the co-purchase
+    graph, iterations unrolled — exact because every rank is an
+    integer (see operators/graph.py)."""
+    parts = [
+        """b AS (
+      SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+    e AS (SELECT s AS src, c AS dst FROM b UNION ALL SELECT c, s FROM b),
+    outdeg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    n AS (SELECT count(*) AS nn FROM nodes),
+    r0 AS (SELECT node, 1000000000 // nn AS r FROM nodes CROSS JOIN n)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""i{t} AS (
+      SELECT e.dst AS node, sum(r.r // o.od) AS inf
+      FROM e JOIN r{t} r ON e.src = r.node
+             JOIN outdeg o ON o.src = e.src
+      GROUP BY 1),
+    r{t + 1} AS (
+      SELECT nodes.node,
+             150000000 // nn + (85 * coalesce(inf, 0)) // 100 AS r
+      FROM nodes CROSS JOIN n LEFT JOIN i{t} USING (node))"""
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_type,
+           CAST(node // 2 AS BIGINT) AS node_key,
+           CAST(r AS BIGINT) AS rank_units
+    FROM r{iters} ORDER BY r DESC, node LIMIT 20
+    """
+
+
+@_queue("pagerank_copurchase", oracle=_pagerank_oracle())
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier–customer co-purchase graph
+    (extension: link analysis) — 3 fixed-point supersteps, top-20
+    nodes; certified against the unrolled-iteration DuckDB oracle.
+    Integer micro-unit ranks make the iterative trajectory
+    bit-reproducible across engines (operators/graph.py)."""
+    from sparkobs.operators.graph import (
+        copurchase_edges,
+        decode_copurchase_node,
+        pagerank_fixed,
+    )
+
+    pr = pagerank_fixed(
+        copurchase_edges(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "orders"),
+        ),
+        iters=3,
+    )
+    top = pr.orderBy(F.desc("rank_units"), F.asc("node")).limit(20)
+    return decode_copurchase_node(top)
 
 
 @_queue("kmeans_embeddings", oracle=_kmeans_oracle())

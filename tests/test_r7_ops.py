@@ -321,3 +321,53 @@ def test_kmeans_empty_cluster_drops_not_errors(spark):
     assert len(out) == 1
     assert out[0]["cluster"] == 0 and out[0]["n_members"] == 3
     assert out[0]["inertia"] == 0.0
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    from sparkobs.operators.graph import pagerank_fixed
+
+    # undirected star: hub 0 <-> leaves 1..5; hub must rank highest
+    # and all leaves must tie exactly (integer arithmetic)
+    edges = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = {row["node"]: row["rank_units"] for row in pagerank_fixed(df, iters=3).collect()}
+    assert len(r) == 6
+    leaf_ranks = {r[i] for i in range(1, 6)}
+    assert len(leaf_ranks) == 1
+    assert r[0] > leaf_ranks.pop()
+
+
+def test_pagerank_regular_graph_is_uniform_and_conserves_mass(spark):
+    from sparkobs.operators.graph import pagerank_fixed
+
+    # 4-cycle (2-regular): uniform stationary distribution; ranks stay
+    # equal at every iteration, and total mass stays within the
+    # documented floor-division leak of 1e9
+    edges = []
+    for i in range(4):
+        j = (i + 1) % 4
+        edges += [(i, j), (j, i)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = pagerank_fixed(df, iters=3).collect()
+    units = [row["rank_units"] for row in rows]
+    assert len(set(units)) == 1
+    total = sum(units)
+    assert 0 <= 1_000_000_000 - total < 1000  # at most the floor leak
+
+
+def test_copurchase_edges_are_symmetric_and_disjointly_encoded(spark):
+    from pyspark.sql import functions as F
+
+    from sparkobs.io import load_table
+    from sparkobs.operators.graph import copurchase_edges
+
+    sf = "/root/testdata/sf0.001"
+    e = copurchase_edges(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders")
+    )
+    n_fwd = e.where((F.col("src") % 2 == 0)).count()
+    n_rev = e.where((F.col("src") % 2 == 1)).count()
+    assert n_fwd == n_rev and n_fwd > 0
+    # encoding keeps the two key spaces disjoint: every edge connects
+    # one even (supplier) and one odd (customer) node
+    assert e.where((F.col("src") + F.col("dst")) % 2 == 0).count() == 0
