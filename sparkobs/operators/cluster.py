@@ -108,6 +108,87 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _fit(
+    df: DataFrame, id_col: str, vec_col: str, k: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared fit loop: quantize, seed from the k lowest ids, run
+    ``iters`` assign→update rounds. Returns (q, final centroids)."""
+    q = quantize_vectors(df, id_col, vec_col)
+    seeds = q.orderBy("id").limit(k)
+    # row_number over the k-row seed table only (repo convention:
+    # global windows run over key/seed tables, never raw rows)
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("id")) - 1).alias("cluster"),
+        F.transform("q", lambda x: x * C_SUBSCALE).alias("cq"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        cents = _update(_assign(q, cents)).localCheckpoint(eager=True)
+    return q, cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """The fit's final per-row assignment: (id, cluster, dist) —
+    the membership view of :func:`kmeans_fit` for downstream
+    evaluation (purity, ARI) and per-cluster processing."""
+    q, cents = _fit(df, id_col, vec_col, k, iters)
+    return _assign(q, cents).select("id", "cluster", "dist")
+
+
+def adjusted_rand_index(assigned: DataFrame, labeled: DataFrame) -> DataFrame:
+    """Adjusted Rand Index between two partitions of one id set —
+    clustering-vs-ground-truth agreement, chance-corrected. Inputs:
+    ``assigned`` (id, cluster) and ``labeled`` (id, label).
+
+    Pair-counting form with EXACT integer combinatorics: every C(x,2)
+    is ``x*(x-1) div 2`` over integer counts, the four sufficient
+    statistics reduce over the k x L contingency table (everything
+    past the one groupBy is contingency-sized), and the statistic is
+    a single double division of bit-identical BIGINTs — cross-engine
+    reproducible, like the rest of this module. Degenerate case (both
+    partitions trivial → denominator 0) yields NULL by convention.
+    Output: (ari, n_rows, n_clusters, n_labels).
+    """
+    j = assigned.join(labeled, "id")
+    cells = j.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("nij"))
+    sij = cells.agg(F.sum(F.expr("nij * (nij - 1) div 2")).alias("sij"))
+    sa = (
+        cells.groupBy("cluster")
+        .agg(F.sum("nij").alias("a"))
+        .agg(F.sum(F.expr("a * (a - 1) div 2")).alias("sa"))
+    )
+    sb = (
+        cells.groupBy("label")
+        .agg(F.sum("nij").alias("b"))
+        .agg(F.sum(F.expr("b * (b - 1) div 2")).alias("sb"))
+    )
+    tot = cells.agg(
+        F.sum("nij").alias("n"),
+        F.countDistinct("cluster").alias("n_clusters"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+    one = sij.crossJoin(sa).crossJoin(sb).crossJoin(tot)
+    c2n = F.expr("n * (n - 1) div 2")
+    num = F.lit(2).cast("bigint") * (c2n * F.col("sij") - F.col("sa") * F.col("sb"))
+    den = c2n * (F.col("sa") + F.col("sb")) - F.lit(2).cast("bigint") * F.col(
+        "sa"
+    ) * F.col("sb")
+    # cast BOTH operands to double before dividing (not integer
+    # division-to-double): past 2^53 the two orders round differently,
+    # and the oracle mirrors this exact cast order
+    return one.select(
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias("ari"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        F.col("n_labels").cast("long").alias("n_labels"),
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -123,16 +204,7 @@ def kmeans_fit(
     units (÷ 1e10) and ``centroid_ss`` is the integer sum of squared
     centroid components — a hash-stable centroid fingerprint.
     """
-    q = quantize_vectors(df, id_col, vec_col)
-    seeds = q.orderBy("id").limit(k)
-    # row_number over the k-row seed table only (repo convention:
-    # global windows run over key/seed tables, never raw rows)
-    cents = seeds.select(
-        (F.row_number().over(Window.orderBy("id")) - 1).alias("cluster"),
-        F.transform("q", lambda x: x * C_SUBSCALE).alias("cq"),
-    ).localCheckpoint(eager=True)
-    for _ in range(iters):
-        cents = _update(_assign(q, cents)).localCheckpoint(eager=True)
+    q, cents = _fit(df, id_col, vec_col, k, iters)
     final = _assign(q, cents)
     css = cents.select(
         "cluster",

@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (28 entries): the remaining expressible TPC-H shapes
+This wave (29 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -23,11 +23,13 @@ gaps-and-islands streaks, association rules, SCD Type-2 history, a
 two-proportion A/B z-test on a deterministic hash split, binned
 earth-mover's drift, per-user inter-arrival cadence, first-touch
 conversion latency, an in-registry HLL register-union certification,
-ViT-style image patch extraction, and distributed Lloyd k-means in
-fixed-point arithmetic (certified against an UNROLLED-iteration
-DuckDB oracle — see operators/cluster.py for why fixed point is what
-makes an iterative float algorithm certifiable). Plus the streaming
-stretch:
+ViT-style image patch extraction, and an iterative-algorithm wave —
+distributed Lloyd k-means, its Adjusted-Rand-Index evaluation
+against the label column, and PageRank over the supplier–customer
+co-purchase graph — all in fixed-point arithmetic and certified
+against UNROLLED-iteration DuckDB oracles (see operators/cluster.py
+and operators/graph.py for why fixed point is what makes an
+iterative float algorithm certifiable). Plus the streaming stretch:
 continuous burst debounce (session-window state) and continuous
 two-sample KS drift (geometry-bounded cell state, batch-twin
 oracles for both).
@@ -1023,11 +1025,12 @@ def conversion_latency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """DuckDB mirror of cluster.kmeans_fit with the iterations UNROLLED
-    as CTE pairs (assign d{t}/a{t}, update s{t}/c{t}) — possible only
-    because the fit runs in fixed point (see operators/cluster.py), so
-    the trajectory is bit-reproducible across engines."""
+def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> list[str]:
+    """The unrolled-iteration CTE chain shared by the k-means oracles
+    (assign d{t}/a{t}, update s{t}/c{t}); the final assignment is
+    ``a{iters}``. Possible only because the fit runs in fixed point
+    (see operators/cluster.py), so the trajectory is bit-reproducible
+    across engines."""
     r = f"range(1, {dim + 1})"
     parts = [
         f"""v AS (
@@ -1067,6 +1070,12 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
       FROM s{t + 1} GROUP BY 1)"""
         )
     parts.append(assign(iters, f"c{iters}"))
+    return parts
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB mirror of cluster.kmeans_fit (cluster stats report)."""
+    parts = _kmeans_ctes(k, iters, dim)
     parts.append(
         f"""css AS (
       SELECT cluster, list_sum(list_transform(cq, x -> x * x)) AS ss
@@ -1081,6 +1090,41 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
            CAST(max(css.ss) AS BIGINT) AS centroid_ss
     FROM a{iters} a JOIN css USING (cluster)
     GROUP BY 1
+    """
+
+
+def _kmeans_ari_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB mirror of cluster.adjusted_rand_index over the k-means
+    assignment vs the embeddings' label column — integer pair
+    counting on the contingency table, one double division at the
+    end with the same cast-then-divide order as the Spark side."""
+    parts = _kmeans_ctes(k, iters, dim)
+    parts.append(
+        f"""cells AS (
+      SELECT a.cluster, e.label, count(*) AS nij
+      FROM a{iters} a JOIN embeddings e USING (vec_id)
+      GROUP BY 1, 2),
+    sij AS (SELECT sum(nij * (nij - 1) // 2) AS sij FROM cells),
+    sa AS (SELECT sum(a * (a - 1) // 2) AS sa
+           FROM (SELECT sum(nij) AS a FROM cells GROUP BY cluster)),
+    sb AS (SELECT sum(b * (b - 1) // 2) AS sb
+           FROM (SELECT sum(nij) AS b FROM cells GROUP BY label)),
+    tot AS (SELECT sum(nij) AS n,
+                   count(DISTINCT cluster) AS n_clusters,
+                   count(DISTINCT label) AS n_labels
+            FROM cells)"""
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT CASE WHEN (n * (n - 1) // 2) * (sa + sb) - 2 * sa * sb != 0
+                THEN CAST(2 * ((n * (n - 1) // 2) * sij - sa * sb) AS DOUBLE)
+                     / CAST((n * (n - 1) // 2) * (sa + sb) - 2 * sa * sb AS DOUBLE)
+           END AS ari,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(n_labels AS BIGINT) AS n_labels
+    FROM sij, sa, sb, tot
     """
 
 
@@ -1158,6 +1202,21 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit(
         load_table(spark, sf_dir, "embeddings"), k=8, iters=2
     )
+
+
+@_queue("kmeans_ari_embeddings", oracle=_kmeans_ari_oracle())
+def kmeans_ari_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation (extension: the score behind
+    "did the clustering recover the labels?"): Adjusted Rand Index of
+    the fixed-point k-means assignment against the embeddings' label
+    column — exact integer pair counting over the k x L contingency
+    table, certified against the shared unrolled-iteration oracle."""
+    from sparkobs.operators.cluster import adjusted_rand_index, kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, k=8, iters=2).select("id", "cluster")
+    labeled = emb.select(F.col("vec_id").alias("id"), "label")
+    return adjusted_rand_index(assigned, labeled)
 
 
 @_queue(

@@ -371,3 +371,28 @@ def test_copurchase_edges_are_symmetric_and_disjointly_encoded(spark):
     # encoding keeps the two key spaces disjoint: every edge connects
     # one even (supplier) and one odd (customer) node
     assert e.where((F.col("src") + F.col("dst")) % 2 == 0).count() == 0
+
+
+def test_adjusted_rand_index_extremes(spark):
+    from sparkobs.operators.cluster import adjusted_rand_index
+
+    ids = list(range(40))
+    part = spark.createDataFrame(
+        [(i, i % 4) for i in ids], "id long, cluster long"
+    )
+    same = spark.createDataFrame(
+        # same partition under permuted label names -> perfect ARI
+        [(i, (i % 4 + 7) * 3) for i in ids], "id long, label long"
+    )
+    assert adjusted_rand_index(part, same).collect()[0]["ari"] == 1.0
+    # one trivial side: a single cluster carries zero information,
+    # chance correction sends the index to exactly 0
+    one = spark.createDataFrame([(i, 0) for i in ids], "id long, cluster long")
+    labs = spark.createDataFrame([(i, i % 5) for i in ids], "id long, label long")
+    r = adjusted_rand_index(one, labs).collect()[0]
+    assert r["ari"] == 0.0 and r["n_clusters"] == 1 and r["n_labels"] == 5
+    # both sides trivial -> denominator 0 -> NULL by convention
+    both = adjusted_rand_index(
+        one, spark.createDataFrame([(i, 9) for i in ids], "id long, label long")
+    ).collect()[0]
+    assert both["ari"] is None

@@ -132,6 +132,10 @@ FACT_QUERIES = (
     "volume_shipping_q7",
     "small_qty_revenue_q17",
     "large_orders_q18",
+    # staged (queries_next) entries resolve via the R7 queue fallback:
+    # pagerank's edge distinct scans the 10x facts while the node set
+    # saturates — the realistic "graph derived from growing facts" mode
+    "pagerank_copurchase",
 )
 
 
@@ -597,6 +601,14 @@ def probes():
             "value", 0.0, 600.0, 100,
         )
 
+    def kmeans_p(docs, ev, emb):
+        # iterative contract: per iteration one corpus scan + one
+        # (k*dim)-group hash agg; expect ~linear in vectors (the
+        # assignment scan IS the corpus pass)
+        from sparkobs.operators.cluster import kmeans_fit
+
+        return kmeans_fit(emb, k=8, iters=2)
+
     return {
         "winnowing_xx64": winnow,
         "resize_synth": resize,
@@ -656,6 +668,7 @@ def probes():
         "bigram_pmi": pmi_p,
         "interarrival": interarrival_p,
         "emd_drift": emd_p,
+        "kmeans_fit": kmeans_p,
     }
 
 
@@ -704,8 +717,14 @@ def main() -> int:
         fact_dir = stage_fact_sf_dir(spark)
         print(f"\n| fact query | 1× lineitem | {COPIES}× lineitem | ratio |")
         print("|---|---|---|---|")
+        from sparkobs.queries_next import R7_QUEUE
+
         for name in fact_names:
-            fn = Q.SPARK_QUERIES[name]
+            fn = (
+                Q.SPARK_QUERIES[name]
+                if name in Q.SPARK_QUERIES
+                else R7_QUEUE[name][0]
+            )
             t1 = time_df(lambda: fn(spark, SF_DIR))
             tN = time_df(lambda: fn(spark, fact_dir))
             ratio = tN / max(t1, 1e-9)
