@@ -1000,6 +1000,39 @@ def hll_merge_estimate(regs_list: list[DataFrame]) -> DataFrame:
     )
 
 
+def hll_intersection_estimate(
+    regs_a: DataFrame, regs_b: DataFrame
+) -> DataFrame:
+    """Sketch-only set-intersection estimate by inclusion–exclusion:
+    |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union estimate is
+    the cellwise register max-merge (exactly the sketch of A∪B, same
+    hash). Answers the cross-run / cross-table overlap question —
+    contamination between corpus snapshots, shared users between
+    funnels — from the sketches alone, O(m) work, no raw data
+    revisited. The usual HLL caveat applies and is the caller's to
+    judge: the error is relative to the UNION size, so tiny
+    intersections of huge sets drown in sketch noise (pair with the
+    exact intersect twin while certifying, drop it at scale).
+    Output 1 row: (est_a, est_b, est_union, est_intersection)."""
+    ea = hll_estimate(regs_a).select(F.col("est_distinct").alias("est_a"))
+    eb = hll_estimate(regs_b).select(F.col("est_distinct").alias("est_b"))
+    eu = hll_merge_estimate([regs_a, regs_b]).select(
+        F.col("est_distinct").alias("est_union")
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+        )
+    )
+
+
 def mutual_information(df: DataFrame, col_a, col_b) -> DataFrame:
     """Mutual information (nats) between two categorical dimensions —
     the effect-size companion to :func:`chi_square_independence`

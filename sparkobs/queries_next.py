@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (29 entries): the remaining expressible TPC-H shapes
+This wave (30 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -888,6 +888,62 @@ def hll_union_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_merged") != F.col("est_whole"))
         .cast("long")
         .alias("n_mismatch"),
+    )
+
+
+@_queue(
+    "hll_intersection_users_events",
+    oracle=f"""
+    SELECT a.est_distinct AS est_a,
+           b.est_distinct AS est_b,
+           u.est_distinct AS est_union,
+           a.est_distinct + b.est_distinct - u.est_distinct AS est_intersection,
+           x.exact_intersection,
+           round(abs(a.est_distinct + b.est_distinct - u.est_distinct
+                     - x.exact_intersection) / x.exact_intersection, 4) AS rel_err
+    FROM ({_hll_est_sql("user_id", "(SELECT user_id FROM events WHERE event_type = 'view')")}) a,
+         ({_hll_est_sql("user_id", "(SELECT user_id FROM events WHERE event_type = 'purchase')")}) b,
+         ({_hll_est_sql("user_id", "(SELECT user_id FROM events WHERE event_type IN ('view', 'purchase'))")}) u,
+         (SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM
+            (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+             INTERSECT
+             SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) x
+    """,
+)
+def hll_intersection_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only audience-overlap estimate (extension: set algebra
+    on mergeable sketches): viewers ∩ purchasers by HLL
+    inclusion–exclusion, certified against the register-replay oracle
+    with the exact intersect twin alongside (the twin is the
+    certification aid; at 100 TB only the three sketches remain)."""
+    from sparkobs.operators.profile import (
+        hll_intersection_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    viewers = ev.where(F.col("event_type") == "view")
+    buyers = ev.where(F.col("event_type") == "purchase")
+    est = hll_intersection_estimate(
+        hll_registers(viewers, "user_id"), hll_registers(buyers, "user_id")
+    )
+    exact = (
+        viewers.select("user_id")
+        .distinct()
+        .intersect(buyers.select("user_id").distinct())
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_intersection",
+        "exact_intersection",
+        F.round(
+            F.abs(F.col("est_intersection") - F.col("exact_intersection"))
+            / F.col("exact_intersection"),
+            4,
+        ).alias("rel_err"),
     )
 
 

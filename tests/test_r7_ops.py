@@ -396,3 +396,32 @@ def test_adjusted_rand_index_extremes(spark):
         one, spark.createDataFrame([(i, 9) for i in ids], "id long, label long")
     ).collect()[0]
     assert both["ari"] is None
+
+
+def test_hll_intersection_tracks_true_overlap(spark):
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.profile import (
+        hll_intersection_estimate,
+        hll_registers,
+    )
+
+    a = spark.range(0, 2000).select(F.col("id").alias("k"))
+    b = spark.range(1000, 3000).select(F.col("id").alias("k"))
+    r = hll_intersection_estimate(
+        hll_registers(a, "k"), hll_registers(b, "k")
+    ).collect()[0]
+    # true intersection 1000, union 3000. The m=256 sketch carries
+    # ~6.5% sigma per estimate and inclusion-exclusion compounds three
+    # of them against the smaller intersection -- deterministic md5
+    # hashing makes the values reproducible, the bounds just have to
+    # respect the geometry
+    assert abs(r["est_intersection"] - 1000) / 1000 < 0.5
+    assert abs(r["est_union"] - 3000) / 3000 < 0.2
+    # disjoint sets: the estimate collapses toward 0 (may be slightly
+    # negative -- inclusion-exclusion of noisy sketches)
+    c = spark.range(5000, 7000).select(F.col("id").alias("k"))
+    r2 = hll_intersection_estimate(
+        hll_registers(a, "k"), hll_registers(c, "k")
+    ).collect()[0]
+    assert abs(r2["est_intersection"]) / 4000 < 0.2
