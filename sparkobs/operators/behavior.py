@@ -598,3 +598,110 @@ def conversion_latency(
         ),
         (F.max("__lat") / F.lit(1e6)).alias("max_latency_s"),
     )
+
+
+def km_survival(
+    durations: DataFrame,
+    duration_col: str = "duration",
+    observed_col: str = "observed",
+) -> DataFrame:
+    """Kaplan–Meier survival curve over right-censored durations —
+    the lifetime view behind churn/retention numbers: at each distinct
+    event time t with d_t observed events out of n_t subjects still at
+    risk, survival multiplies by (n_t − d_t)/n_t; censored subjects
+    leave the risk set without an event. One hash agg over subjects;
+    every window below runs over the distinct-DURATION step table
+    (repo convention), never raw rows.
+
+    Cross-engine exactness: the cumulative product rides log space,
+    but summing raw ln() doubles in a window is summation-
+    order-dependent (DuckDB's windowed sum is a segment tree, Spark's
+    a running fold). Each step's log-term is therefore QUANTIZED to an
+    integer 1e-8 grid (``floor(ln((n−d)/n)·1e8)`` — floor of identical
+    doubles is engine-stable), the cumulative window sums exact
+    integers, and one final ``exp(units/1e8)`` maps back. The ≤1e-8
+    per-step quantization bias is deterministic and identical on any
+    engine (≤1e-5 drift over 1000 steps — invisible at the 4-dp
+    output grid).
+
+    Output per death-time step: (duration, n_at_risk, n_deaths,
+    survival).
+    """
+    hist = durations.groupBy(F.col(duration_col).alias("t")).agg(
+        F.count(F.lit(1)).alias("n_t"),
+        F.sum(F.col(observed_col).cast("long")).alias("d_t"),
+    )
+    total = durations.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    steps = (
+        hist.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            F.col("n_total") - F.coalesce(F.sum("n_t").over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "__log_units",
+            # n_at_risk == d_t (everyone remaining dies here) is the
+            # curve's terminal zero: ln(0) is kept out of the window
+            # (NULL, skipped by sum) and the output pins 0.0 directly
+            F.when(
+                F.col("n_at_risk") > F.col("d_t"),
+                F.floor(
+                    F.log(
+                        (F.col("n_at_risk") - F.col("d_t"))
+                        / F.col("n_at_risk").cast("double")
+                    )
+                    * F.lit(1e8)
+                ),
+            ),
+        )
+        .withColumn("__cum_units", F.sum("__log_units").over(w_run))
+    )
+    return (
+        steps.where(F.col("d_t") > 0)
+        .select(
+            F.col("t").alias(duration_col),
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.col("d_t").cast("long").alias("n_deaths"),
+            F.when(
+                F.col("n_at_risk") > F.col("d_t"),
+                F.round(F.exp(F.col("__cum_units") / F.lit(1e8)), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("survival"),
+        )
+    )
+
+
+def churn_durations(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon_days: int = 7,
+) -> DataFrame:
+    """Per-key (duration_days, observed) for time-to-churn survival:
+    duration = whole days between a key's first and last event;
+    a key is OBSERVED churned if its last event predates the global
+    observation end by more than ``horizon_days`` (otherwise censored
+    — it may still be active). Integer microsecond arithmetic
+    throughout."""
+    spans = events.groupBy(key_col).agg(
+        F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("__t0"),
+        F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("__t1"),
+    )
+    end = events.agg(
+        F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("__end")
+    )
+    day_us = 86_400_000_000
+    return spans.crossJoin(F.broadcast(end)).select(
+        key_col,
+        F.expr(f"(__t1 - __t0) div {day_us}").alias("duration"),
+        (
+            F.col("__t1") < F.col("__end") - F.lit(horizon_days * day_us)
+        ).cast("long").alias("observed"),
+    )

@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (30 entries): the remaining expressible TPC-H shapes
+This wave (31 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -23,6 +23,9 @@ gaps-and-islands streaks, association rules, SCD Type-2 history, a
 two-proportion A/B z-test on a deterministic hash split, binned
 earth-mover's drift, per-user inter-arrival cadence, first-touch
 conversion latency, an in-registry HLL register-union certification,
+an HLL inclusion–exclusion set-intersection estimate, a Kaplan–Meier
+time-to-churn survival curve (integer-quantized log-space cumulative
+products — windowed float sums cannot cross engines),
 ViT-style image patch extraction, and an iterative-algorithm wave —
 distributed Lloyd k-means, its Adjusted-Rand-Index evaluation
 against the label column, and PageRank over the supplier–customer
@@ -888,6 +891,62 @@ def hll_union_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_merged") != F.col("est_whole"))
         .cast("long")
         .alias("n_mismatch"),
+    )
+
+
+@_queue(
+    "km_survival_events",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+      FROM events GROUP BY 1),
+    e AS (SELECT max(epoch_us(ts)) AS obs_end FROM events),
+    durs AS (
+      SELECT (t1 - t0) // 86400000000 AS t,
+             CASE WHEN t1 < obs_end - 1 * 86400000000 THEN 1 ELSE 0 END AS obs
+      FROM spans CROSS JOIN e),
+    hist AS (SELECT t, count(*) AS n_t, sum(obs) AS d_t FROM durs GROUP BY 1),
+    tot AS (SELECT count(*) AS n_total FROM durs),
+    steps AS (
+      SELECT t, n_t, d_t,
+             n_total - coalesce(sum(n_t) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS n_at_risk
+      FROM hist CROSS JOIN tot),
+    logged AS (
+      SELECT t, d_t, n_at_risk,
+             CASE WHEN n_at_risk > d_t
+                  THEN CAST(floor(ln((n_at_risk - d_t)
+                                     / CAST(n_at_risk AS DOUBLE)) * 1e8)
+                            AS BIGINT)
+             END AS lu
+      FROM steps),
+    cum AS (
+      SELECT t, d_t, n_at_risk,
+             sum(lu) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cu
+      FROM logged)
+    SELECT CAST(t AS BIGINT) AS duration,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d_t AS BIGINT) AS n_deaths,
+           CASE WHEN n_at_risk > d_t THEN round(exp(cu / 1e8), 4)
+                ELSE 0.0 END AS survival
+    FROM cum WHERE d_t > 0
+    """,
+)
+def km_survival_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-churn curve over user lifetimes
+    (extension: survival analysis — the censoring-aware view behind
+    retention): duration = first→last event in whole days, censored
+    when the last event is inside the 7-day observation horizon.
+    Certified via integer-quantized log-space cumulative products
+    (see behavior.km_survival for why raw windowed float sums cannot
+    cross engines)."""
+    from sparkobs.operators.behavior import churn_durations, km_survival
+
+    return km_survival(
+        churn_durations(
+            load_table(spark, sf_dir, "events"), "user_id", "ts", 1
+        )
     )
 
 

@@ -425,3 +425,31 @@ def test_hll_intersection_tracks_true_overlap(spark):
         hll_registers(a, "k"), hll_registers(c, "k")
     ).collect()[0]
     assert abs(r2["est_intersection"]) / 4000 < 0.2
+
+
+def test_km_survival_textbook_curve_with_censoring(spark):
+    from sparkobs.operators.behavior import km_survival
+
+    # classic worked example: deaths at 1, 2, 3; censored at 2 and 4
+    rows = [(1, 1), (2, 1), (2, 0), (3, 1), (4, 0)]
+    df = spark.createDataFrame(rows, "duration long, observed long")
+    got = [
+        (r["duration"], r["n_at_risk"], r["n_deaths"], r["survival"])
+        for r in km_survival(df).orderBy("duration").collect()
+    ]
+    # S(1)=4/5, S(2)=4/5*3/4=3/5, S(3)=3/5*1/2 (censored-at-2 leaves
+    # the risk set after t=2; censored-at-4 never becomes a step)
+    assert got == [(1, 5, 1, 0.8), (2, 4, 1, 0.6), (3, 2, 1, 0.3)]
+
+
+def test_km_survival_terminal_step_is_exact_zero(spark):
+    from sparkobs.operators.behavior import km_survival
+
+    df = spark.createDataFrame(
+        [(5, 1), (5, 1)], "duration long, observed long"
+    )
+    got = km_survival(df).collect()
+    assert len(got) == 1
+    assert (got[0]["n_at_risk"], got[0]["n_deaths"], got[0]["survival"]) == (
+        2, 2, 0.0,
+    )
