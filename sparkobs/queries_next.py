@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (31 entries): the remaining expressible TPC-H shapes
+This wave (32 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -23,7 +23,9 @@ gaps-and-islands streaks, association rules, SCD Type-2 history, a
 two-proportion A/B z-test on a deterministic hash split, binned
 earth-mover's drift, per-user inter-arrival cadence, first-touch
 conversion latency, an in-registry HLL register-union certification,
-an HLL inclusion–exclusion set-intersection estimate, a Kaplan–Meier
+an HLL inclusion–exclusion set-intersection estimate, an in-registry
+ANN recall@5 certification (IVF vs brute-force ground truth, both
+sides replayed by their registered oracles), a Kaplan–Meier
 time-to-churn survival curve (integer-quantized log-space cumulative
 products — windowed float sums cannot cross engines),
 ViT-style image patch extraction, and an iterative-algorithm wave —
@@ -891,6 +893,54 @@ def hll_union_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_merged") != F.col("est_whole"))
         .cast("long")
         .alias("n_mismatch"),
+    )
+
+
+def _ann_recall_oracle() -> str:
+    """Recall@5 of the IVF tier against brute-force ground truth —
+    composed from the two registered replay oracles (each a complete
+    WITH-query, nested as subqueries), so the quality of the
+    approximate tier is itself an oracle-certified number."""
+    from sparkobs.queries import ORACLE_SQL
+
+    brute = ORACLE_SQL["cosine_topk"]
+    ivf = ORACLE_SQL["cosine_topk_ivf"]
+    return f"""
+    SELECT CAST(b.cnt AS BIGINT) AS n_truth,
+           CAST(h.cnt AS BIGINT) AS n_hits,
+           CAST(h.cnt AS DOUBLE) / b.cnt AS recall_at_5
+    FROM (SELECT count(*) AS cnt FROM ({brute})) b,
+         (SELECT count(*) AS cnt
+          FROM ({brute}) t JOIN ({ivf}) i
+            ON t.vec_id = i.vec_id AND t.neighbor_id = i.neighbor_id) h
+    """
+
+
+@_queue("ann_recall_embeddings", oracle=_ann_recall_oracle())
+def ann_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality certification (extension: the approximate tier's
+    recall is MEASURED in-registry, not assumed): recall@5 of the
+    partition-pruned IVF neighbors against the brute-force ground
+    truth — a semi-join of the two registered queries' results. The
+    ratio is a single division of identical integers, left unrounded
+    (bit-identical by construction). At 100 TB the ground-truth side
+    runs over a query SAMPLE; at certification scale it is exact."""
+    from sparkobs.queries import SPARK_QUERIES
+
+    truth = SPARK_QUERIES["cosine_topk"](spark, sf_dir).select(
+        "vec_id", "neighbor_id"
+    )
+    approx = SPARK_QUERIES["cosine_topk_ivf"](spark, sf_dir).select(
+        "vec_id", "neighbor_id"
+    )
+    hits = truth.join(approx, ["vec_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("cnt_h")
+    )
+    tot = truth.agg(F.count(F.lit(1)).alias("cnt_t"))
+    return tot.crossJoin(F.broadcast(hits)).select(
+        F.col("cnt_t").cast("long").alias("n_truth"),
+        F.col("cnt_h").cast("long").alias("n_hits"),
+        (F.col("cnt_h").cast("double") / F.col("cnt_t")).alias("recall_at_5"),
     )
 
 
