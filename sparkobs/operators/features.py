@@ -153,3 +153,81 @@ def target_encode_loo(
         loo.alias("te_loo"),
         F.col("__n").cast("long").alias("cat_n"),
     )
+
+
+# Closed-form 2-feature OLS: the 3x3 normal equations solved by
+# Cramer's rule. Determinant formulas are shared expression TEXT so
+# callers (and cross-engine oracles) evaluate the identical arithmetic
+# over identical doubles — the sufficient statistics must come from
+# exact integer sums, which is why the inputs are integer-valued
+# BIGINT columns (quantize money to cents etc. before calling).
+OLS_DET = (
+    "(n*(sqq*sdd - sqd*sqd) - sq*(sq*sdd - sqd*sd) + sd*(sq*sqd - sqq*sd))"
+)
+OLS_DET0 = (
+    "(sy*(sqq*sdd - sqd*sqd) - sq*(sqy*sdd - sqd*sdy) + sd*(sqy*sqd - sqq*sdy))"
+)
+OLS_DET1 = (
+    "(n*(sqy*sdd - sqd*sdy) - sy*(sq*sdd - sqd*sd) + sd*(sq*sdy - sqy*sd))"
+)
+OLS_DET2 = (
+    "(n*(sqq*sdy - sqy*sqd) - sq*(sq*sdy - sqy*sd) + sy*(sq*sqd - sqq*sd))"
+)
+
+
+def ols_two_features(
+    df: DataFrame, x1_col: str, x2_col: str, y_col: str
+) -> DataFrame:
+    """OLS fit y ~ b0 + b1·x1 + b2·x2 over integer-valued BIGINT
+    columns: ONE sufficient-statistics aggregation over the data, then
+    scalar-only Cramer arithmetic on the 1-row frame. The y² sum
+    accumulates as DECIMAL(38,0) (it overflows BIGINT first); every
+    sum is exact, the one cast to double is deterministic, and the
+    coefficient expressions are fixed scalar formulas — bit-identical
+    on any engine, no rounding anywhere. Output: (intercept, beta_x1,
+    beta_x2, r2, n_rows); degenerate designs (collinear features →
+    zero determinant) surface as NULL coefficients.
+    """
+    s = df.select(
+        F.col(x1_col).alias("__q"),
+        F.col(x2_col).alias("__d"),
+        F.col(y_col).alias("__y"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("__q").cast("double").alias("sq"),
+        F.sum("__d").cast("double").alias("sd"),
+        F.sum("__y").cast("double").alias("sy"),
+        F.sum(F.expr("__q * __q")).cast("double").alias("sqq"),
+        F.sum(F.expr("__d * __d")).cast("double").alias("sdd"),
+        F.sum(F.expr("__q * __d")).cast("double").alias("sqd"),
+        F.sum(F.expr("__q * __y")).cast("double").alias("sqy"),
+        F.sum(F.expr("__d * __y")).cast("double").alias("sdy"),
+        F.sum(F.expr("CAST(__y * __y AS DECIMAL(38, 0))"))
+        .cast("double")
+        .alias("syy"),
+    )
+    b = s.select(
+        "n",
+        "sy",
+        "sqy",
+        "sdy",
+        "syy",
+        F.expr(
+            f"CASE WHEN {OLS_DET} != 0 THEN {OLS_DET0} / {OLS_DET} END"
+        ).alias("b0"),
+        F.expr(
+            f"CASE WHEN {OLS_DET} != 0 THEN {OLS_DET1} / {OLS_DET} END"
+        ).alias("b1"),
+        F.expr(
+            f"CASE WHEN {OLS_DET} != 0 THEN {OLS_DET2} / {OLS_DET} END"
+        ).alias("b2"),
+    )
+    return b.select(
+        F.col("b0").alias("intercept"),
+        F.col("b1").alias("beta_x1"),
+        F.col("b2").alias("beta_x2"),
+        F.expr("1 - (syy - b0*sy - b1*sqy - b2*sdy) / (syy - sy*sy/n)").alias(
+            "r2"
+        ),
+        F.col("n").cast("long").alias("n_rows"),
+    )

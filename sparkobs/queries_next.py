@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (32 entries): the remaining expressible TPC-H shapes
+This wave (33 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -893,6 +893,79 @@ def hll_union_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_merged") != F.col("est_whole"))
         .cast("long")
         .alias("n_mismatch"),
+    )
+
+
+# The determinant formulas are SHARED TEXT between the Spark operator
+# (features.ols_two_features, F.expr) and the DuckDB oracle: the
+# sufficient statistics are exact integers (quantity is integer-
+# valued, discount/price are 2-decimal → integer cents), converted
+# once to identical doubles, so evaluating the same expression text
+# yields bit-identical coefficients on both engines, no rounding.
+from sparkobs.operators.features import (  # noqa: E402
+    OLS_DET as _OLS_DET,
+    OLS_DET0 as _OLS_DET0,
+    OLS_DET1 as _OLS_DET1,
+    OLS_DET2 as _OLS_DET2,
+)
+
+
+@_queue(
+    "ols_pricing_lineitem",
+    oracle=f"""
+    WITH raw AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS d,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(q) AS DOUBLE) AS sq,
+             CAST(sum(d) AS DOUBLE) AS sd,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(q * q) AS DOUBLE) AS sqq,
+             CAST(sum(d * d) AS DOUBLE) AS sdd,
+             CAST(sum(q * d) AS DOUBLE) AS sqd,
+             CAST(sum(q * y) AS DOUBLE) AS sqy,
+             CAST(sum(d * y) AS DOUBLE) AS sdy,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM raw),
+    b AS (
+      SELECT n, sy, sqy, sdy, syy,
+             {_OLS_DET0} / {_OLS_DET} AS b0,
+             {_OLS_DET1} / {_OLS_DET} AS b1,
+             {_OLS_DET2} / {_OLS_DET} AS b2
+      FROM s)
+    SELECT b0 AS intercept_cents,
+           b1 AS beta_quantity_cents,
+           b2 AS beta_discount_cents,
+           1 - (syy - b0*sy - b1*sqy - b2*sdy) / (syy - sy*sy/n) AS r2,
+           CAST(n AS BIGINT) AS n_rows
+    FROM b
+    """,
+)
+def ols_pricing_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multi-feature OLS (extension: regression beyond the
+    per-key trend slope): extendedprice-in-cents regressed on quantity
+    and discount via the 3x3 normal equations, Cramer's rule — one
+    sufficient-statistics aggregation over the fact table, then
+    scalar-only arithmetic on the 1-row frame. Exact integer sums
+    (decimal accumulation for the y² term, which overflows BIGINT at
+    sf0.1) make the coefficients bit-identical cross-engine with no
+    rounding; coefficients stay in cents space."""
+    from sparkobs.operators.features import ols_two_features
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    return ols_two_features(li, "q", "d", "y").select(
+        F.col("intercept").alias("intercept_cents"),
+        F.col("beta_x1").alias("beta_quantity_cents"),
+        F.col("beta_x2").alias("beta_discount_cents"),
+        "r2",
+        "n_rows",
     )
 
 

@@ -453,3 +453,27 @@ def test_km_survival_terminal_step_is_exact_zero(spark):
     assert (got[0]["n_at_risk"], got[0]["n_deaths"], got[0]["survival"]) == (
         2, 2, 0.0,
     )
+
+
+def test_ols_recovers_exact_linear_coefficients(spark):
+    from sparkobs.operators.features import ols_two_features
+
+    # y = 10 + 2*x1 + 3*x2 exactly (integer design, no noise):
+    # the closed form must recover the coefficients and R^2 == 1
+    rows = [
+        (x1, x2, 10 + 2 * x1 + 3 * x2)
+        for x1 in range(1, 11)
+        for x2 in range(0, 7)
+    ]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+    r = ols_two_features(df, "x1", "x2", "y").collect()[0]
+    assert abs(r["intercept"] - 10) < 1e-9
+    assert abs(r["beta_x1"] - 2) < 1e-9
+    assert abs(r["beta_x2"] - 3) < 1e-9
+    assert abs(r["r2"] - 1.0) < 1e-12
+    assert r["n_rows"] == 70
+    # collinear design (x2 = 2*x1): singular normal equations -> NULL
+    col_rows = [(x1, 2 * x1, x1 * 5) for x1 in range(1, 20)]
+    cdf = spark.createDataFrame(col_rows, "x1 long, x2 long, y long")
+    c = ols_two_features(cdf, "x1", "x2", "y").collect()[0]
+    assert c["intercept"] is None and c["beta_x1"] is None
