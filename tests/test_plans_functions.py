@@ -373,3 +373,51 @@ def test_gate_window_plan_hygiene(spark):
         if "CartesianProduct" in p:
             offenders.append(f"{name}: cartesian product")
     assert not offenders, "; ".join(offenders)
+
+
+def test_iterative_wave_plan_discipline(spark):
+    from sparkobs.plans import (
+        assert_no_cartesian,
+        assert_partial_final_agg,
+        physical_plan,
+        scans,
+    )
+    from sparkobs.queries_next import R7_QUEUE
+
+    # k-means: the checkpointed centroid state truncates iteration
+    # lineage, so the FINAL plan scans the corpus exactly once, the
+    # assignment join broadcasts the k-row centroid table, and the
+    # stats agg is partial+final
+    km = R7_QUEUE["kmeans_embeddings"][0](spark, SF)
+    assert len(scans(km)) == 1
+    p = physical_plan(km)
+    assert "BroadcastExchange" in p and "CartesianProduct" not in p
+    assert_partial_final_agg(km)
+
+    # PageRank: rank/edge state is checkpointed (no parquet rescans in
+    # the final plan) and nothing degenerates into a cartesian product
+    pr = R7_QUEUE["pagerank_copurchase"][0](spark, SF)
+    assert len(scans(pr)) == 0  # everything beyond checkpoints
+    assert_no_cartesian(pr)
+
+
+def test_ols_single_scan_three_columns_one_exchange(spark):
+    from sparkobs.plans import count_exchanges, scans
+    from sparkobs.queries_next import R7_QUEUE
+
+    ols = R7_QUEUE["ols_pricing_lineitem"][0](spark, SF)
+    sc = scans(ols)
+    # one pass over lineitem reading only the three regression columns
+    assert len(sc) == 1
+    assert sc[0]["schema"].count(",") == 2
+    # sufficient statistics: one partial+final agg -> a single exchange
+    assert count_exchanges(ols) == 1
+
+
+def test_ann_recall_semi_join_no_cartesian(spark):
+    from sparkobs.plans import assert_no_cartesian, physical_plan
+    from sparkobs.queries_next import R7_QUEUE
+
+    df = R7_QUEUE["ann_recall_embeddings"][0](spark, SF)
+    assert "LeftSemi" in physical_plan(df)
+    assert_no_cartesian(df)
