@@ -538,3 +538,79 @@ def test_benford_shares_sum_to_one(spark, vals):
     assert all(1 <= r["digit"] <= 9 for r in rows)
     assert sum(r["n_values"] for r in rows) == len(vals)
     assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-3
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-0.6, max_value=0.6, allow_nan=False),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=6,
+        max_size=24,
+    ),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(**SETTINGS)
+def test_kmeans_is_exactly_row_order_invariant(spark, vecs, seed):
+    """The fixed-point claim, as a property: the fit's trajectory is a
+    pure function of the (id, vector) SET — permuting and
+    repartitioning the input must reproduce every output bit (no
+    float summation-order dependence anywhere)."""
+    import random
+
+    from sparkobs.operators.cluster import kmeans_fit
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+    a = kmeans_fit(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        k=3,
+        iters=2,
+    ).collect()
+    b = kmeans_fit(
+        spark.createDataFrame(
+            shuffled, "vec_id long, embedding array<double>"
+        ).repartition(7),
+        k=3,
+        iters=2,
+    ).collect()
+    key = lambda r: r["cluster"]  # noqa: E731
+    assert sorted(map(tuple, a), key=lambda t: t[0]) == sorted(
+        map(tuple, b), key=lambda t: t[0]
+    )
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(**SETTINGS)
+def test_pagerank_is_exactly_edge_order_invariant(spark, edges, seed):
+    """Integer micro-unit ranks are a pure function of the edge SET:
+    shuffled, duplicated, repartitioned edge lists reproduce every
+    rank bit (the kernel dedups and all sums are integer)."""
+    import random
+
+    from sparkobs.operators.graph import pagerank_fixed
+
+    sym = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    shuffled = sym + sym[: len(sym) // 2]  # duplicates must not matter
+    random.Random(seed).shuffle(shuffled)
+    a = pagerank_fixed(
+        spark.createDataFrame(sym, "src long, dst long"), iters=2
+    ).collect()
+    b = pagerank_fixed(
+        spark.createDataFrame(shuffled, "src long, dst long").repartition(5),
+        iters=2,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
