@@ -45,3 +45,40 @@ def test_r7_queue_entry_matches_oracle(spark, oracle_con, name):
     assert len(s_rows) == len(d_rows), f"{name}: row count"
     assert sorted(sdf.columns) == sorted(d_cols), f"{name}: columns"
     assert canon(s_rows, sdf.columns) == canon(d_rows, d_cols), f"{name}: values"
+
+
+SF01 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def oracle_con_01():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF01}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARKOBS_QUEUE_SF01"),
+    reason="heavier sf0.01 queue sweep — run with SPARKOBS_QUEUE_SF01=1 "
+    "before promoting the queue (the whole-queue twin of the by-hand "
+    "sf0.01 verification)",
+)
+@pytest.mark.parametrize("name", sorted(R7_QUEUE))
+def test_r7_queue_entry_matches_oracle_sf01(spark, oracle_con_01, name):
+    fn, oracle = R7_QUEUE[name]
+    sdf = fn(spark, SF01)
+    s_rows = sdf.collect()
+    if oracle is None:
+        assert len(s_rows) >= 0
+        return
+    res = oracle_con_01.execute(
+        oracle.replace("{SF_DIR}", os.path.realpath(SF01))
+    )
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    assert len(s_rows) == len(d_rows), f"{name}: row count"
+    assert sorted(sdf.columns) == sorted(d_cols), f"{name}: columns"
+    assert canon(s_rows, sdf.columns) == canon(d_rows, d_cols), f"{name}: values"
