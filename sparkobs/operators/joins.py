@@ -403,3 +403,52 @@ def join_size_diagnostic(
         ).otherwise(F.lit(0.0)).alias("top_key_share"),
         F.coalesce(F.col("top_keys"), F.lit("")).alias("top_keys"),
     )
+
+
+def cooccurrence_jaccard(
+    df: DataFrame, key_col: str, basket_col: str, top_k: int = 20
+) -> DataFrame:
+    """Related-entity mining: Jaccard similarity between keys' basket
+    SETS (suppliers related by shared customers, documents by shared
+    shingles) — the set-overlap companion of association_rules' lift.
+    One distinct pass, then a self-join THROUGH the basket (candidate
+    pairs are generated per basket, so the join is bounded by basket
+    degree — Σ deg², never keys²; cap pathological hub baskets
+    upstream the way sparse-cosine caps hot dimensions). Jaccard is a
+    single division of exact integers (|A∩B| / (|A|+|B|−|A∩B|)),
+    left unrounded — bit-identical on any engine. Deterministic
+    top-k: (jaccard desc, key1, key2).
+    """
+    b = df.select(
+        F.col(key_col).alias("__k"), F.col(basket_col).alias("__b")
+    ).distinct()
+    sz = b.groupBy("__k").agg(F.count(F.lit(1)).alias("__n"))
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.__b") == F.col("y.__b"))
+            & (F.col("x.__k") < F.col("y.__k")),
+        )
+        .groupBy(
+            F.col("x.__k").alias("k1"), F.col("y.__k").alias("k2")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    n1 = sz.select(F.col("__k").alias("k1"), F.col("__n").alias("na"))
+    n2 = sz.select(F.col("__k").alias("k2"), F.col("__n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(n1), "k1")
+        .join(F.broadcast(n2), "k2")
+        .select(
+            F.col("k1").cast("long").alias("key_a"),
+            F.col("k2").cast("long").alias("key_b"),
+            F.col("shared").cast("long").alias("n_shared"),
+            (
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "key_a", "key_b")
+        .limit(top_k)
+    )

@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (33 entries): the remaining expressible TPC-H shapes
+This wave (34 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -967,6 +967,41 @@ def ols_pricing_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r2",
         "n_rows",
     )
+
+
+@_queue(
+    "related_suppliers_jaccard",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+               FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+    sz AS (SELECT s, count(*) AS n FROM b GROUP BY 1),
+    pairs AS (SELECT a.s AS s1, b2.s AS s2, count(*) AS shared
+              FROM b a JOIN b b2 ON a.c = b2.c AND a.s < b2.s
+              GROUP BY 1, 2)
+    SELECT CAST(s1 AS BIGINT) AS key_a, CAST(s2 AS BIGINT) AS key_b,
+           CAST(shared AS BIGINT) AS n_shared,
+           CAST(shared AS DOUBLE) / (n1.n + n2.n - shared) AS jaccard
+    FROM pairs JOIN sz n1 ON n1.s = s1 JOIN sz n2 ON n2.s = s2
+    ORDER BY jaccard DESC, key_a, key_b LIMIT 20
+    """,
+)
+def related_suppliers_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-supplier mining (extension: set-overlap recommendation):
+    top-20 supplier pairs by Jaccard similarity of their customer
+    sets, candidates generated through the shared-customer join
+    (bounded by customer degree, never suppliers²). Unrounded integer
+    division — bit-identical cross-engine."""
+    from sparkobs.operators.joins import cooccurrence_jaccard
+
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+    )
+    return cooccurrence_jaccard(b, "s", "c", top_k=20)
 
 
 def _ann_recall_oracle() -> str:

@@ -188,3 +188,22 @@ def test_range_join_exact_and_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cooccurrence_jaccard_hand_sets(spark):
+    from sparkobs.operators.joins import cooccurrence_jaccard
+
+    # baskets: A={1,2,3}, B={2,3,4}, C={9} -> J(A,B)=2/4=0.5, C isolated
+    rows = (
+        [(10, x) for x in (1, 2, 3)]
+        + [(20, x) for x in (2, 3, 4)]
+        + [(30, 9)]
+        + [(10, 2)]  # duplicate observation must not inflate overlap
+    )
+    df = spark.createDataFrame(rows, "k long, b long")
+    got = cooccurrence_jaccard(df, "k", "b", top_k=10).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["key_a"], r["key_b"], r["n_shared"], r["jaccard"]) == (
+        10, 20, 2, 0.5,
+    )

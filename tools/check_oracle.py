@@ -7,6 +7,7 @@ with repr after per-cell normalization). Run me before every commit:
 
     python tools/check_oracle.py [sf_dir] [name_filter ...]
     python tools/check_oracle.py [sf_dir] --gate   # only the driver's 50-entry window
+    python tools/check_oracle.py [sf_dir] --queue  # the staged queries_next queue
 """
 
 from __future__ import annotations
@@ -49,7 +50,8 @@ def main(argv: list[str] | None = None) -> int:
     # strip it before positional parsing so it is never mistaken for
     # the sf_dir operand
     gate_only = "--gate" in args
-    args = [a for a in args if a != "--gate"]
+    queue_only = "--queue" in args
+    args = [a for a in args if a not in ("--gate", "--queue")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     filters = args[1:]
 
@@ -71,13 +73,25 @@ def main(argv: list[str] | None = None) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs = entrymod.queries()
-    # --gate: restrict to exactly the driver's certification window
-    # (the first GATE_SIZE registry entries) — what CORRECTNESS_r{N}
-    # will actually check this round
-    if gate_only:
-        qs = dict(list(qs.items())[: entrymod.GATE_SIZE])
-    oracles = entrymod.oracle_sql(os.path.realpath(sf_dir))
+    if queue_only:
+        # the staged next-round queue (sparkobs/queries_next.py),
+        # swept with the same comparison it will face after promotion
+        from sparkobs.queries_next import R7_QUEUE
+
+        qs = {n: fn for n, (fn, _) in R7_QUEUE.items()}
+        oracles = {
+            n: o.replace("{SF_DIR}", os.path.realpath(sf_dir))
+            for n, (_, o) in R7_QUEUE.items()
+            if o is not None
+        }
+    else:
+        qs = entrymod.queries()
+        # --gate: restrict to exactly the driver's certification
+        # window (the first GATE_SIZE registry entries) — what
+        # CORRECTNESS_r{N} will actually check this round
+        if gate_only:
+            qs = dict(list(qs.items())[: entrymod.GATE_SIZE])
+        oracles = entrymod.oracle_sql(os.path.realpath(sf_dir))
     failed, passed, rows_only = [], [], []
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
