@@ -614,3 +614,72 @@ def test_pagerank_is_exactly_edge_order_invariant(spark, edges, seed):
         iters=2,
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=100_000),
+        ),
+        min_size=4,
+        max_size=40,
+    ),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(**SETTINGS)
+def test_ols_is_exactly_row_order_invariant(spark, rows, seed):
+    """Exact integer sufficient statistics make the closed form a pure
+    function of the row MULTISET — shuffling and repartitioning must
+    reproduce every coefficient bit."""
+    import random
+
+    from sparkobs.operators.features import ols_two_features
+
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+    a = ols_two_features(
+        spark.createDataFrame(rows, "x1 long, x2 long, y long"), "x1", "x2", "y"
+    ).collect()
+    b = ols_two_features(
+        spark.createDataFrame(shuffled, "x1 long, x2 long, y long").repartition(5),
+        "x1",
+        "x2",
+        "y",
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+@given(
+    durs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(**SETTINGS)
+def test_km_survival_monotone_and_order_invariant(spark, durs, seed):
+    """Survival curves never increase with time, live in [0, 1], and
+    are pure functions of the duration multiset (integer-quantized
+    log-space sums have no summation-order dependence)."""
+    import random
+
+    from sparkobs.operators.behavior import km_survival
+
+    shuffled = durs[:]
+    random.Random(seed).shuffle(shuffled)
+    a = km_survival(
+        spark.createDataFrame(durs, "duration long, observed long")
+    ).orderBy("duration").collect()
+    b = km_survival(
+        spark.createDataFrame(shuffled, "duration long, observed long").repartition(3)
+    ).orderBy("duration").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    surv = [r["survival"] for r in a]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(x >= y for x, y in zip(surv, surv[1:]))
