@@ -685,3 +685,62 @@ def test_pack_manifest_budget_cut(spark):
     assert set(out) == {0, 1}
     assert (out[0].n_docs, out[0].n_tokens, out[0].doc_ids) == (2, 8, "0,1")
     assert (out[1].n_docs, out[1].n_tokens, out[1].doc_ids) == (2, 4, "1,2")
+
+
+def test_streaming_debounce_gap_boundary_matches_batch_rule(spark, tmp_path_factory):
+    """The 1 µs session-gap shave: an event EXACTLY 600 s after the
+    previous one starts a new burst (batch lag rule: gap >= 600 s),
+    while one at 599.999999 s merges. Spark's unshaved session window
+    would merge the exact-600 case — this pins the boundary on
+    hand-built data where it actually occurs (the parquet corpus never
+    lands on the boundary, so oracle certification alone can't see
+    it)."""
+    from sparkobs.streaming.monitors import run_to_memory, streaming_debounce
+
+    rows = [
+        # user 1: second event exactly 600 s later -> BOTH survive
+        (1, 1, "click", "2024-01-01 00:00:00", 1.0),
+        (2, 1, "click", "2024-01-01 00:10:00", 2.0),
+        # user 2: second event 1 µs inside the gap -> burst, first only
+        (3, 2, "click", "2024-01-01 00:00:00", 3.0),
+        (4, 2, "click", "2024-01-01 00:09:59.999999", 4.0),
+    ]
+    src = str(tmp_path_factory.mktemp("debounce_boundary"))
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).withColumn(
+        "props", F.lit("{}")
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string"
+    ).parquet(src)
+    out = streaming_debounce(stream, ["user_id", "event_type"], gap_seconds=600)
+    tbl = run_to_memory(out, "debounce_boundary", output_mode="complete", unique=True)
+    kept = sorted(r["event_id"] for r in spark.table(tbl).collect())
+    assert kept == [1, 2, 3]
+
+
+def test_streaming_binned_counts_state_is_geometry_bounded(spark, sf_dir):
+    """The KS collection stream's drained cell table never exceeds
+    2 x n_bins rows regardless of input volume, and total counts equal
+    the non-null input rows — the bounded-state contract."""
+    from sparkobs.queries import _stage_events
+    from sparkobs.streaming.monitors import (
+        run_to_memory,
+        stream_events,
+        streaming_binned_counts,
+    )
+
+    stage = _stage_events(spark, sf_dir)
+    cells = streaming_binned_counts(
+        stream_events(spark, stage), lo=0.0, hi=600.0, n_bins=25
+    )
+    tbl = run_to_memory(cells, "ks_bound", output_mode="complete", unique=True)
+    got = spark.table(tbl).collect()
+    assert len(got) <= 2 * 25
+    n_nonnull = (
+        load_table(spark, sf_dir, "events").where(F.col("value").isNotNull()).count()
+    )
+    assert sum(r["c"] for r in got) == n_nonnull
