@@ -231,3 +231,76 @@ def ols_two_features(
         ),
         F.col("n").cast("long").alias("n_rows"),
     )
+
+
+# CUPED (controlled-experiment using pre-experiment data): shared
+# expression text, same contract as the OLS block above — exact
+# integer sufficient statistics in, identical doubles out.
+CUPED_THETA = (
+    "CASE WHEN (n*sxx - sx*sx) != 0 "
+    "THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END"
+)
+CUPED_VAR_RED = (
+    "CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) != 0 "
+    "THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy)) "
+    "/ ((n*sxx - sx*sx) * (n*syy - sy*sy)) END"
+)
+CUPED_LIFT = "(sy1 / n1 - sy0 / n0)"
+CUPED_LIFT_ADJ = (
+    "CASE WHEN theta IS NOT NULL "
+    "THEN (sy1 / n1 - sy0 / n0) - theta * (sx1 / n1 - sx0 / n0) "
+    "ELSE (sy1 / n1 - sy0 / n0) END"
+)
+
+
+def cuped_lift(
+    units: DataFrame,
+    variant_col: str = "v",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Variance-reduced A/B lift via CUPED: the post-period metric Y is
+    adjusted by the pooled regression of Y on the PRE-period covariate
+    X (theta = cov(X,Y)/var(X)), which cancels between-user variance
+    the randomization already balances. One aggregation pass over the
+    per-unit table (exact integer sums; the second-moment terms
+    accumulate as DECIMAL(38,0)), then scalar shared-text formulas —
+    bit-identical cross-engine. Degenerate covariate (var X = 0) →
+    theta NULL and the adjusted lift falls back to the raw lift.
+    Output 1 row: (n_0, n_1, lift, lift_cuped, theta, var_reduction)
+    in the metric's input units.
+    """
+    v, x, y = F.col(variant_col), F.col(x_col), F.col(y_col)
+    s = units.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(F.expr(f"CAST({x_col} * {x_col} AS DECIMAL(38, 0))"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.expr(f"CAST({x_col} * {y_col} AS DECIMAL(38, 0))"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.expr(f"CAST({y_col} * {y_col} AS DECIMAL(38, 0))"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.when(v == 0, 1).otherwise(0)).cast("double").alias("n0"),
+        F.sum(F.when(v == 1, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(v == 0, x).otherwise(F.lit(0))).cast("double").alias("sx0"),
+        F.sum(F.when(v == 1, x).otherwise(F.lit(0))).cast("double").alias("sx1"),
+        F.sum(F.when(v == 0, y).otherwise(F.lit(0))).cast("double").alias("sy0"),
+        F.sum(F.when(v == 1, y).otherwise(F.lit(0))).cast("double").alias("sy1"),
+    )
+    with_theta = s.select(
+        "*",
+        F.expr(CUPED_THETA).alias("theta"),
+        F.expr(CUPED_VAR_RED).alias("var_reduction"),
+    )
+    return with_theta.select(
+        F.col("n0").cast("long").alias("n_0"),
+        F.col("n1").cast("long").alias("n_1"),
+        F.expr(CUPED_LIFT).alias("lift"),
+        F.expr(CUPED_LIFT_ADJ).alias("lift_cuped"),
+        "theta",
+        "var_reduction",
+    )

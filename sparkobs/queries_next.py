@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (34 entries): the remaining expressible TPC-H shapes
+This wave (35 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -967,6 +967,80 @@ def ols_pricing_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r2",
         "n_rows",
     )
+
+
+def _cuped_oracle() -> str:
+    from sparkobs.operators.features import (
+        CUPED_LIFT,
+        CUPED_LIFT_ADJ,
+        CUPED_THETA,
+        CUPED_VAR_RED,
+    )
+
+    split = _ab_hex15("md5('ab' || CAST(user_id AS VARCHAR))")
+    mid = "TIMESTAMP '2024-01-16 00:00:00'"
+    return f"""
+    WITH units AS (
+      SELECT user_id,
+             coalesce(sum(CASE WHEN ts < {mid}
+                               THEN CAST(round(value * 100) AS BIGINT) END),
+                      0) AS x,
+             coalesce(sum(CASE WHEN ts >= {mid}
+                               THEN CAST(round(value * 100) AS BIGINT) END),
+                      0) AS y,
+             ({split}) % 2 AS v
+      FROM events GROUP BY 1),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+             CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             CAST(sum(CASE WHEN v = 0 THEN x ELSE 0 END) AS DOUBLE) AS sx0,
+             CAST(sum(CASE WHEN v = 1 THEN x ELSE 0 END) AS DOUBLE) AS sx1,
+             CAST(sum(CASE WHEN v = 0 THEN y ELSE 0 END) AS DOUBLE) AS sy0,
+             CAST(sum(CASE WHEN v = 1 THEN y ELSE 0 END) AS DOUBLE) AS sy1
+      FROM units),
+    t AS (SELECT *, {CUPED_THETA} AS theta, {CUPED_VAR_RED} AS var_reduction
+          FROM s)
+    SELECT CAST(n0 AS BIGINT) AS n_0, CAST(n1 AS BIGINT) AS n_1,
+           {CUPED_LIFT} AS lift, {CUPED_LIFT_ADJ} AS lift_cuped,
+           theta, var_reduction
+    FROM t
+    """
+
+
+@_queue("cuped_lift_events", oracle=_cuped_oracle())
+def cuped_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B lift (extension: experimentation —
+    the estimator real platforms run next to the z-test): per-user
+    pre-period spend (first half-month, integer cents) is the CUPED
+    covariate for post-period spend, variants from the portable md5
+    split. Sufficient statistics are exact integers; theta/lift/
+    variance-reduction are shared-text scalar formulas — bit-identical
+    cross-engine, unrounded."""
+    from sparkobs.operators.features import cuped_lift
+    from sparkobs.operators.sampling import _hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    mid = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    units = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < mid, cents)), F.lit(0)
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= mid, cents)), F.lit(0)
+            ).alias("y"),
+        )
+        .withColumn("v", _hash64("user_id", "ab") % 2)
+    )
+    return cuped_lift(units, "v", "x", "y")
 
 
 @_queue(

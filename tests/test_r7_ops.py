@@ -477,3 +477,24 @@ def test_ols_recovers_exact_linear_coefficients(spark):
     cdf = spark.createDataFrame(col_rows, "x1 long, x2 long, y long")
     c = ols_two_features(cdf, "x1", "x2", "y").collect()[0]
     assert c["intercept"] is None and c["beta_x1"] is None
+
+
+def test_cuped_exact_design_theta_one_and_lift_preserved(spark):
+    from sparkobs.operators.features import cuped_lift
+
+    # y = x + 5*v with x identically distributed in both variants:
+    # pooled theta == 1 exactly, lift == lift_cuped == 5, and
+    # var_reduction == rho^2 == 33/58 (hand-computed integers)
+    rows = [(0, x, x) for x in range(10)] + [(1, x, x + 5) for x in range(10)]
+    df = spark.createDataFrame(rows, "v long, x long, y long")
+    r = cuped_lift(df, "v", "x", "y").collect()[0]
+    assert (r["n_0"], r["n_1"]) == (10, 10)
+    assert r["theta"] == 1.0
+    assert r["lift"] == 5.0 and r["lift_cuped"] == 5.0
+    assert abs(r["var_reduction"] - 33 / 58) < 1e-12
+    # constant covariate: theta NULL, adjusted lift falls back to raw
+    const = spark.createDataFrame(
+        [(v, 7, v * 3) for v in (0, 1) for _ in range(5)], "v long, x long, y long"
+    )
+    c = cuped_lift(const, "v", "x", "y").collect()[0]
+    assert c["theta"] is None and c["lift_cuped"] == c["lift"] == 3.0
