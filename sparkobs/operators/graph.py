@@ -34,7 +34,9 @@ UNIT = 1_000_000_000  # 1e-9 rank micro-units
 DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
 
 
-def pagerank_fixed(edges: DataFrame, iters: int = 3) -> DataFrame:
+def pagerank_fixed(
+    edges: DataFrame, iters: int = 3, weight_col: str | None = None
+) -> DataFrame:
     """PageRank in fixed-point arithmetic over a directed edge list
     ``(src, dst)`` (BIGINT node ids; callers wanting undirected
     semantics pass both directions). Returns (node, rank_units) for
@@ -42,15 +44,33 @@ def pagerank_fixed(edges: DataFrame, iters: int = 3) -> DataFrame:
     every node; dangling-node handling is therefore the caller's
     encoding choice, kept out of the kernel.
 
+    ``weight_col`` selects WEIGHTED PageRank: each edge carries an
+    integer weight (callers pre-aggregate to one row per (src, dst))
+    and a node's rank splits proportionally — share_e = (r·w_e) //
+    W_u with W_u the node's total out-weight, still exact integer
+    arithmetic (r ≤ 1e9 so r·w stays far inside BIGINT for any sane
+    weight). Unweighted is the same formula at w ≡ 1: (r·1) // W_u ≡
+    r // outdeg, so one kernel serves both and the unweighted oracle
+    is unchanged.
+
     ``iters`` supersteps; per superstep: contributions = one groupBy
-    on dst of the integer shares ``r // outdeg``, then a rank rebuild
-    over the node table. Edge/outdeg/node tables are checkpointed once
-    up front (they are reused every superstep), rank tables once per
-    superstep.
+    on dst of the integer shares, then a rank rebuild over the node
+    table. Edge/out-weight/node tables are checkpointed once up front
+    (they are reused every superstep), rank tables once per superstep.
     """
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    if weight_col is None:
+        e = (
+            edges.select("src", "dst")
+            .distinct()
+            .withColumn("w", F.lit(1).cast("long"))
+        )
+    else:
+        e = edges.select(
+            "src", "dst", F.col(weight_col).cast("long").alias("w")
+        )
+    e = e.localCheckpoint(eager=True)
     outdeg = (
-        e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+        e.groupBy("src").agg(F.sum("w").alias("od"))
         .localCheckpoint(eager=True)
     )
     nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
@@ -67,7 +87,7 @@ def pagerank_fixed(edges: DataFrame, iters: int = 3) -> DataFrame:
         inflow = (
             e.join(ranks, e["src"] == ranks["node"])
             .join(outdeg, "src")
-            .select("dst", F.expr("r div od").alias("share"))
+            .select("dst", F.expr("(r * w) div od").alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("inf"))
         )
@@ -105,6 +125,29 @@ def copurchase_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     )
     return pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+
+
+def copurchase_edges_weighted(
+    lineitem: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Weighted co-purchase graph: edge weight = number of DISTINCT
+    orders linking the supplier and customer (relationship strength),
+    same 2k/2k+1 node encoding, both directions."""
+    pairs = (
+        lineitem.join(
+            orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+        )
+        .groupBy(
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
+        )
+        .agg(F.count_distinct(F.col("o_orderkey")).alias("w"))
+    )
+    return pairs.select(
+        F.col("s").alias("src"), F.col("c").alias("dst"), "w"
+    ).unionAll(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"), "w")
     )
 
 

@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (35 entries): the remaining expressible TPC-H shapes
+This wave (36 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -1475,16 +1475,28 @@ def _kmeans_ari_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     """
 
 
-def _pagerank_oracle(iters: int = 3) -> str:
+def _pagerank_oracle(iters: int = 3, weighted: bool = False) -> str:
     """DuckDB mirror of graph.pagerank_fixed over the co-purchase
     graph, iterations unrolled — exact because every rank is an
-    integer (see operators/graph.py)."""
+    integer (see operators/graph.py). ``weighted`` uses the distinct
+    linking-order count as the edge weight (share = (r·w) // W,
+    identical to the unweighted formula at w ≡ 1)."""
+    if weighted:
+        b = """b AS (
+      SELECT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c,
+             count(DISTINCT o_orderkey) AS w
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1, 2)"""
+    else:
+        b = """b AS (
+      SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c, 1 AS w
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey)"""
     parts = [
-        """b AS (
-      SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
-      FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
-    e AS (SELECT s AS src, c AS dst FROM b UNION ALL SELECT c, s FROM b),
-    outdeg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+        b
+        + """,
+    e AS (SELECT s AS src, c AS dst, w FROM b
+          UNION ALL SELECT c, s, w FROM b),
+    outdeg AS (SELECT src, sum(w) AS od FROM e GROUP BY 1),
     nodes AS (SELECT DISTINCT src AS node FROM e),
     n AS (SELECT count(*) AS nn FROM nodes),
     r0 AS (SELECT node, 1000000000 // nn AS r FROM nodes CROSS JOIN n)"""
@@ -1492,7 +1504,7 @@ def _pagerank_oracle(iters: int = 3) -> str:
     for t in range(iters):
         parts.append(
             f"""i{t} AS (
-      SELECT e.dst AS node, sum(r.r // o.od) AS inf
+      SELECT e.dst AS node, sum((r.r * e.w) // o.od) AS inf
       FROM e JOIN r{t} r ON e.src = r.node
              JOIN outdeg o ON o.src = e.src
       GROUP BY 1),
@@ -1530,6 +1542,31 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "orders"),
         ),
         iters=3,
+    )
+    top = pr.orderBy(F.desc("rank_units"), F.asc("node")).limit(20)
+    return decode_copurchase_node(top)
+
+
+@_queue("pagerank_weighted_copurchase", oracle=_pagerank_oracle(weighted=True))
+def pagerank_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the co-purchase graph (extension: link
+    analysis with relationship strength): edge weight = distinct
+    linking orders, rank splits proportionally — share = (r·w) // W,
+    still exact integer micro-units, certified against the unrolled
+    weighted oracle."""
+    from sparkobs.operators.graph import (
+        copurchase_edges_weighted,
+        decode_copurchase_node,
+        pagerank_fixed,
+    )
+
+    pr = pagerank_fixed(
+        copurchase_edges_weighted(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "orders"),
+        ),
+        iters=3,
+        weight_col="w",
     )
     top = pr.orderBy(F.desc("rank_units"), F.asc("node")).limit(20)
     return decode_copurchase_node(top)

@@ -498,3 +498,28 @@ def test_cuped_exact_design_theta_one_and_lift_preserved(spark):
     )
     c = cuped_lift(const, "v", "x", "y").collect()[0]
     assert c["theta"] is None and c["lift_cuped"] == c["lift"] == 3.0
+
+
+def test_weighted_pagerank_favors_heavy_edges(spark):
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.graph import pagerank_fixed
+
+    # star: hub 0 with leaves 1..3, but the 0->1 edge carries 10x the
+    # weight -> leaf 1 receives 10/12 of the hub's rank and must
+    # outrank leaves 2,3 (which tie exactly); unweighted ranks them
+    # equal
+    edges = [(0, 1, 10), (0, 2, 1), (0, 3, 1)] + [
+        (leaf, 0, 1) for leaf in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    r = {
+        row["node"]: row["rank_units"]
+        for row in pagerank_fixed(df, iters=3, weight_col="w").collect()
+    }
+    assert r[1] > r[2] == r[3]
+    uw = {
+        row["node"]: row["rank_units"]
+        for row in pagerank_fixed(df.select("src", "dst"), iters=3).collect()
+    }
+    assert uw[1] == uw[2] == uw[3]
