@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (36 entries): the remaining expressible TPC-H shapes
+This wave (37 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -1586,6 +1586,82 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit(
         load_table(spark, sf_dir, "embeddings"), k=8, iters=2
     )
+
+
+def _kmeans_assign_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """The fit's final assignment straight from the shared CTE chain —
+    the oracle for the streaming scoring twin."""
+    ctes = ",\n    ".join(_kmeans_ctes(k, iters, dim))
+    return f"""
+    WITH {ctes}
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+           CAST(dist AS BIGINT) AS dist
+    FROM a{iters}
+    """
+
+
+@_queue("streaming_kmeans_assign_embeddings", oracle=_kmeans_assign_oracle())
+def streaming_kmeans_assign_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train batch, serve streaming: the fixed-point k-means fit runs
+    as a batch job, its k x dim INTEGER centroid table folds into the
+    scoring expression as constants (from_json literal arrays — the
+    bounded-collect pattern the IVF index uses), and embeddings then
+    stream through a STATELESS map-only nearest-centroid select
+    (append mode, no state store at all). Certified against the
+    training oracle's own assignment CTEs — the continuous scorer
+    must reproduce the fit's final assignment bit for bit."""
+    import json
+    import os
+    import tempfile
+
+    from sparkobs.operators.cluster import C_SUBSCALE, VQ_SCALE, _fit
+    from sparkobs.queries import _stage_key
+    from sparkobs.streaming.monitors import run_to_memory
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cents = _fit(emb, "vec_id", "embedding", k=8, iters=2)
+    cent_rows = cents.orderBy("cluster").collect()  # k x dim ints, bounded
+
+    key = _stage_key(sf_dir, "embeddings", "stream4")
+    stage = os.path.join(tempfile.gettempdir(), f"sparkobs_stream_emb_{key}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        emb.coalesce(4).write.mode("overwrite").parquet(stage)
+
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<float>, label int"
+    ).parquet(stage)
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * VQ_SCALE).cast("bigint"),
+    )
+    cands = []
+    for r in cent_rows:
+        cq = F.from_json(
+            F.lit(json.dumps([int(v) for v in r["cq"]])), "array<bigint>"
+        )
+        d = F.aggregate(
+            F.zip_with(
+                q, cq, lambda a, b: (a * C_SUBSCALE - b) * (a * C_SUBSCALE - b)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        cands.append(
+            F.struct(
+                d.alias("dist"),
+                F.lit(int(r["cluster"])).cast("bigint").alias("cluster"),
+            )
+        )
+    best = F.array_min(F.array(*cands))
+    out = stream.select(
+        "vec_id", best["cluster"].alias("cluster"), best["dist"].alias("dist")
+    )
+    tbl = run_to_memory(
+        out, "kmeans_serve_stream", output_mode="append", unique=True
+    )
+    return spark.table(tbl)
 
 
 @_queue("kmeans_ari_embeddings", oracle=_kmeans_ari_oracle())
