@@ -136,6 +136,7 @@ FACT_QUERIES = (
     # pagerank's edge distinct scans the 10x facts while the node set
     # saturates — the realistic "graph derived from growing facts" mode
     "pagerank_copurchase",
+    "related_suppliers_jaccard",
 )
 
 
@@ -609,6 +610,25 @@ def probes():
 
         return kmeans_fit(emb, k=8, iters=2)
 
+    def cuped_p(docs, ev, emb):
+        # one per-user agg + one sufficient-stats agg; the unit table
+        # has the SAME user cardinality at every scale (staging
+        # offsets event_id only), so the per-unit pass dominates
+        from sparkobs.operators.features import cuped_lift
+        from sparkobs.operators.sampling import _hash64
+
+        cents = F.round(F.col("value") * 100, 0).cast("long")
+        mid = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+        units = (
+            ev.groupBy("user_id")
+            .agg(
+                F.coalesce(F.sum(F.when(F.col("ts") < mid, cents)), F.lit(0)).alias("x"),
+                F.coalesce(F.sum(F.when(F.col("ts") >= mid, cents)), F.lit(0)).alias("y"),
+            )
+            .withColumn("v", _hash64("user_id", "ab") % 2)
+        )
+        return cuped_lift(units, "v", "x", "y")
+
     return {
         "winnowing_xx64": winnow,
         "resize_synth": resize,
@@ -669,6 +689,7 @@ def probes():
         "interarrival": interarrival_p,
         "emd_drift": emd_p,
         "kmeans_fit": kmeans_p,
+        "cuped_lift": cuped_p,
     }
 
 
