@@ -35,7 +35,10 @@ DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
 
 
 def pagerank_fixed(
-    edges: DataFrame, iters: int = 3, weight_col: str | None = None
+    edges: DataFrame,
+    iters: int = 3,
+    weight_col: str | None = None,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank in fixed-point arithmetic over a directed edge list
     ``(src, dst)`` (BIGINT node ids; callers wanting undirected
@@ -52,6 +55,12 @@ def pagerank_fixed(
     weight). Unweighted is the same formula at w ≡ 1: (r·1) // W_u ≡
     r // outdeg, so one kernel serves both and the unweighted oracle
     is unchanged.
+
+    ``teleport`` selects PERSONALIZED PageRank: a 1-column (node)
+    frame restricting the random surfer's restart to that subset —
+    rank init and the (1−d) base mass spread over |T| instead of N
+    (zero elsewhere), so ranks measure proximity TO the teleport set.
+    Teleport nodes must be graph nodes (the caller's contract).
 
     ``iters`` supersteps; per superstep: contributions = one groupBy
     on dst of the integer shares, then a rank rebuild over the node
@@ -76,13 +85,31 @@ def pagerank_fixed(
     nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
         eager=True
     )
-    n = nodes.agg(F.count(F.lit(1)).alias("nn"))
+    if teleport is not None:
+        tele = (
+            teleport.select(F.col(teleport.columns[0]).alias("node"))
+            .distinct()
+            .withColumn("__t", F.lit(1))
+            .localCheckpoint(eager=True)
+        )
+        n = tele.agg(F.sum("__t").alias("nn"))
+        nodes_t = nodes.join(F.broadcast(tele), "node", "left")
+        init_r = F.expr(f"CASE WHEN __t = 1 THEN {UNIT} div nn ELSE 0 END")
+        base = F.expr(
+            f"CASE WHEN __t = 1 "
+            f"THEN {UNIT * (DAMP_DEN - DAMP_NUM) // DAMP_DEN} div nn "
+            f"ELSE 0 END"
+        )
+    else:
+        n = nodes.agg(F.count(F.lit(1)).alias("nn"))
+        nodes_t = nodes
+        init_r = F.expr(f"{UNIT} div nn")
+        base = F.expr(f"{UNIT * (DAMP_DEN - DAMP_NUM) // DAMP_DEN} div nn")
     ranks = (
-        nodes.crossJoin(F.broadcast(n))
-        .select("node", F.expr(f"{UNIT} div nn").alias("r"))
+        nodes_t.crossJoin(F.broadcast(n))
+        .select("node", init_r.alias("r"))
         .localCheckpoint(eager=True)
     )
-    base = F.expr(f"{UNIT * (DAMP_DEN - DAMP_NUM) // DAMP_DEN} div nn")
     for _ in range(iters):
         inflow = (
             e.join(ranks, e["src"] == ranks["node"])
@@ -92,8 +119,8 @@ def pagerank_fixed(
             .agg(F.sum("share").alias("inf"))
         )
         ranks = (
-            nodes.crossJoin(F.broadcast(n))
-            .join(inflow, nodes["node"] == inflow["dst"], "left")
+            nodes_t.crossJoin(F.broadcast(n))
+            .join(inflow, nodes_t["node"] == inflow["dst"], "left")
             .select(
                 "node",
                 (

@@ -523,3 +523,30 @@ def test_weighted_pagerank_favors_heavy_edges(spark):
         for row in pagerank_fixed(df.select("src", "dst"), iters=3).collect()
     }
     assert uw[1] == uw[2] == uw[3]
+
+
+def test_personalized_pagerank_decays_with_distance(spark):
+    from sparkobs.operators.graph import pagerank_fixed
+
+    # undirected path 0-1-2-3-4, teleport at {0}. Near convergence
+    # (12 supersteps -- few-iteration PPR carries parity waves on a
+    # path) ranks strictly decrease with hop distance from the
+    # teleport node; the global variant instead favors midpoints.
+    path = []
+    for i in range(4):
+        path += [(i, i + 1), (i + 1, i)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    tele = spark.createDataFrame([(0,)], "node long")
+    r = {
+        row["node"]: row["rank_units"]
+        for row in pagerank_fixed(df, iters=12, teleport=tele).collect()
+    }
+    assert r[0] > r[1] > r[2] > r[3] > r[4]
+    assert 0 <= 1_000_000_000 - sum(r.values()) < 2000  # floor leak only
+    g = {
+        row["node"]: row["rank_units"]
+        for row in pagerank_fixed(df, iters=4).collect()
+    }
+    assert g[2] > g[0]  # midpoint beats endpoint globally
+    # symmetry of the global variant on the symmetric path
+    assert g[0] == g[4] and g[1] == g[3]
