@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (37 entries): the remaining expressible TPC-H shapes
+This wave (38 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -37,7 +37,9 @@ and operators/graph.py for why fixed point is what makes an
 iterative float algorithm certifiable). Plus the streaming stretch:
 continuous burst debounce (session-window state) and continuous
 two-sample KS drift (geometry-bounded cell state, batch-twin
-oracles for both).
+oracles for both). Finally, exact two-pass order-statistic
+quantiles (no global sort — bit-identical to single-pass
+``percentile`` by replaying Percentile.scala's interpolation).
 """
 
 from __future__ import annotations
@@ -1781,3 +1783,53 @@ def streaming_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ks_from_cells(cells)
+
+
+@_queue(
+    "exact_quantiles_lineitem",
+    oracle="""
+    WITH data AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+      WHERE l_extendedprice IS NOT NULL),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM data),
+    ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM data),
+    qs AS (SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.99]::DOUBLE[]) AS q),
+    t AS (SELECT q, nn.n AS n, q * (nn.n - 1) AS rk FROM qs CROSS JOIN nn),
+    pick AS (
+      SELECT t.q, t.n,
+             t.rk - floor(t.rk) AS frac,
+             ceil(t.rk) - t.rk AS wlo,
+             max(CASE WHEN ranked.rn = CAST(floor(t.rk) AS BIGINT) + 1
+                      THEN ranked.v END) AS v0,
+             max(CASE WHEN ranked.rn =
+                        least(CAST(floor(t.rk) AS BIGINT) + 2, t.n)
+                      THEN ranked.v END) AS v1
+      FROM t JOIN ranked
+        ON ranked.rn = CAST(floor(t.rk) AS BIGINT) + 1
+        OR ranked.rn = least(CAST(floor(t.rk) AS BIGINT) + 2, t.n)
+      GROUP BY 1, 2, 3, 4)
+    SELECT q,
+           CASE WHEN frac = 0 OR v0 = v1 THEN v0
+                ELSE wlo * v0 + frac * v1 END AS value,
+           n AS n_rows
+    FROM pick ORDER BY q
+    """,
+)
+def exact_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order-statistic quantiles WITHOUT a global sort
+    (extension: the 100 TB exact-percentile path): two-pass
+    histogram-bracket location (operators/profile.exact_quantiles_twopass)
+    — pass 1 bins the column, the cumulative bin table locates each
+    type-7 order statistic, pass 2 sorts only the ~n/n_bins-row
+    bracket bins. Values are left UNROUNDED: both engines pick the
+    identical order-statistic doubles and evaluate the identical
+    weight arithmetic (wlo*v0 + frac*v1 with Spark's tied-key /
+    integral-rank short-circuits), so the result is bit-identical by
+    construction — the oracle replays the same formula over a
+    row_number ranking."""
+    from sparkobs.operators.profile import exact_quantiles_twopass
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return exact_quantiles_twopass(
+        li, "l_extendedprice", qs=(0.01, 0.25, 0.5, 0.75, 0.99)
+    )

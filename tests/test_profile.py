@@ -140,3 +140,48 @@ def test_approx_profile_within_error_bounds(spark, sf_dir):
             hi = vals[min(n - 1, int((q + 0.01) * n))]
             got = getattr(a, field)
             assert lo <= got <= hi, f"{c}.{field}: {got} not in [{lo}, {hi}]"
+
+
+def test_exact_quantiles_twopass_bit_identical_to_percentile(spark):
+    # The whole point of the two-pass operator is BIT equality with
+    # single-pass percentile at any n_bins — including the tied-key
+    # and integral-rank short-circuits Percentile.scala takes and its
+    # exact two-weight interpolation (ceil(rank)-rank vs 1-frac
+    # differ by 1 ulp on ranks like 5.3).
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.profile import exact_quantiles_twopass
+
+    rng = random.Random(7)
+    cases = [
+        [rng.uniform(-1e6, 1e6) for _ in range(997)],   # general doubles
+        [float(rng.randint(0, 5)) for _ in range(500)],  # heavy ties
+        [3.14159] * 9,                                   # constant column
+        [42.0],                                          # n = 1
+    ]
+    qs = (0.0, 0.01, 0.25, 0.3, 0.5, 0.883, 0.999, 1.0)
+    for vals in cases:
+        rows = [(v,) for v in vals] + [(None,)] * 3
+        df = spark.createDataFrame(rows, "x double")
+        mine = {
+            r["q"]: r["value"]
+            for r in exact_quantiles_twopass(df, "x", qs, n_bins=13).collect()
+        }
+        ref = df.agg(F.expr(f"percentile(x, array{qs})").alias("p")).collect()[
+            0
+        ]["p"]
+        for q, r in zip(qs, ref):
+            assert mine[q] == r, (len(vals), q, mine[q], r)
+
+
+def test_exact_quantiles_twopass_counts_nulls_excluded(spark):
+    from sparkobs.operators.profile import exact_quantiles_twopass
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,), (4.0,)], "x double"
+    )
+    out = exact_quantiles_twopass(df, "x", qs=(0.5,)).collect()
+    assert out[0]["n_rows"] == 3
+    assert out[0]["value"] == 2.0
