@@ -109,6 +109,29 @@ def grouped_distinct(df: DataFrame, group_col: str, value_col: str, exact: bool 
     return df.groupBy(group_col).agg(agg.alias(f"n_distinct_{value_col}"))
 
 
+def grouped_distinct_salted(
+    df: DataFrame, group_col: str, value_col: str, n_salts: int = 32
+) -> DataFrame:
+    """Skew-proof EXACT per-group distinct count — the 100 TB escape
+    for hot grouping keys: a plain ``count_distinct`` shuffles every
+    (group, value) pair to the group's single reducer, so a key
+    holding 30% of a 100 TB fact lands on one task. Salting BY THE
+    VALUE splits each group into ``n_salts`` sub-groups
+    (``pmod(hash(value), n)``) — every distinct value maps to exactly
+    one salt, so the per-(group, salt) distinct counts are disjoint
+    and their per-group SUM is the exact answer. Two ordinary hash
+    aggregations, each with map-side partials, no reducer ever sees
+    more than ~1/n of a hot group's values. Same output contract as
+    :func:`grouped_distinct` exact mode."""
+    salted = df.groupBy(
+        F.col(group_col),
+        F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts)).alias("__salt"),
+    ).agg(F.count_distinct(F.col(value_col)).alias("__part"))
+    return salted.groupBy(group_col).agg(
+        F.sum("__part").cast("long").alias(f"n_distinct_{value_col}")
+    )
+
+
 def argmax(df: DataFrame, label_col: str, measure_col: str) -> DataFrame:
     """Global top-1 by measure, deterministic tiebreak on label (OP-34).
 

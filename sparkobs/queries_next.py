@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (38 entries): the remaining expressible TPC-H shapes
+This wave (40 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -39,7 +39,12 @@ continuous burst debounce (session-window state) and continuous
 two-sample KS drift (geometry-bounded cell state, batch-twin
 oracles for both). Finally, exact two-pass order-statistic
 quantiles (no global sort — bit-identical to single-pass
-``percentile`` by replaying Percentile.scala's interpolation).
+``percentile`` by replaying Percentile.scala's interpolation), a
+degree-ordered-oriented triangle census of the supplier
+co-occurrence graph (the skew-proof triangle count, certified
+against the naive 3-way-join oracle), and a salted two-stage exact
+COUNT DISTINCT for hot grouping keys (certified against the plain
+COUNT DISTINCT it must equal).
 """
 
 from __future__ import annotations
@@ -1833,3 +1838,70 @@ def exact_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles_twopass(
         li, "l_extendedprice", qs=(0.01, 0.25, 0.5, 0.75, 0.99)
     )
+
+
+@_queue(
+    "triangle_census_suppliers",
+    oracle="""
+    WITH os AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS n FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.n AS u, b.n AS v
+      FROM os a JOIN os b ON a.g = b.g AND a.n < b.n),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY 1),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS t
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+      FROM deg),
+    en AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+    SELECT n_nodes, n_edges, n_wedges, t AS n_triangles,
+           (3e0 * t) / n_wedges AS global_clustering
+    FROM agg, en, tri
+    """,
+)
+def triangle_census_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the supplier co-occurrence graph (extension:
+    the network-cohesion screen behind supply-chain clustering):
+    suppliers are adjacent when they serve the same order; the count
+    runs degree-ordered-oriented (operators/graph.triangle_stats) so
+    hub suppliers never enumerate degree² wedges. The oracle replays
+    the naive u<v<w 3-way join — affordable at oracle scale, exactly
+    what the oriented plan must reproduce. All-integer output plus
+    one unrounded division — bit-identical cross-engine."""
+    from sparkobs.operators.graph import cooccurrence_edges, triangle_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_suppkey")
+    return triangle_stats(edges)
+
+
+@_queue(
+    "salted_distinct_customers_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT)
+             AS n_distinct_o_custkey
+    FROM orders GROUP BY 1
+    """,
+)
+def salted_distinct_customers_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Skew-proof exact distinct customers per order priority
+    (extension: the salted two-stage COUNT DISTINCT every 100 TB
+    pipeline needs for hot keys — 5 priority values over the whole
+    fact table is exactly the shape that melts a single reducer).
+    Salting by pmod(hash(value), 32) keeps the counts disjoint, so
+    the result is EXACTLY the plain COUNT(DISTINCT) the oracle runs
+    (operators/shape.grouped_distinct_salted)."""
+    from sparkobs.operators.shape import grouped_distinct_salted
+
+    o = load_table(spark, sf_dir, "orders")
+    return grouped_distinct_salted(o, "o_orderpriority", "o_custkey")

@@ -550,3 +550,52 @@ def test_personalized_pagerank_decays_with_distance(spark):
     assert g[2] > g[0]  # midpoint beats endpoint globally
     # symmetry of the global variant on the symmetric path
     assert g[0] == g[4] and g[1] == g[3]
+
+
+def test_triangle_stats_hand_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles, 6 edges, 12 wedges, clustering 1)
+    # plus a pendant node 5 attached to 1 (adds 1 edge, 3 wedges at
+    # node 1's new degree 4: C(4,2)-C(3,2)=3, no new triangle).
+    from sparkobs.operators.graph import triangle_stats
+
+    k4 = [(u, v) for u in range(1, 5) for v in range(u + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(1, 5)], "u bigint, v bigint")
+    row = triangle_stats(edges).collect()[0]
+    assert row["n_nodes"] == 5
+    assert row["n_edges"] == 7
+    assert row["n_triangles"] == 4
+    assert row["n_wedges"] == 15
+    assert row["global_clustering"] == 3.0 * 4 / 15
+
+
+def test_cooccurrence_edges_dedupes_and_canonicalizes(spark):
+    from sparkobs.operators.graph import cooccurrence_edges
+
+    df = spark.createDataFrame(
+        [(10, 2), (10, 1), (10, 2), (20, 1), (20, 2), (30, 7)],
+        "g bigint, n bigint",
+    )
+    got = sorted((r["u"], r["v"]) for r in cooccurrence_edges(df, "g", "n").collect())
+    assert got == [(1, 2)]  # dedup across groups, u < v, singletons drop
+
+
+def test_salted_distinct_equals_plain_any_n_salts(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.shape import grouped_distinct_salted
+
+    rng = random.Random(3)
+    rows = [(rng.choice("ab"), rng.randint(0, 40)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    plain = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    for n_salts in (1, 7, 64):
+        got = {
+            r["k"]: r["n_distinct_v"]
+            for r in grouped_distinct_salted(df, "k", "v", n_salts).collect()
+        }
+        assert got == plain, n_salts
