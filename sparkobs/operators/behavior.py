@@ -705,3 +705,71 @@ def churn_durations(
             F.col("__t1") < F.col("__end") - F.lit(horizon_days * day_us)
         ).cast("long").alias("observed"),
     )
+
+
+def linear_attribution(
+    df: DataFrame,
+    conversion: str,
+    touches: tuple = ("view", "click", "signup"),
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_id",
+    channel_col: str = "event_type",
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Linear multi-touch attribution: every conversion's credit is
+    split EQUALLY across the touches that precede it (since the prior
+    conversion) in the user's journey, then rolled up per channel —
+    the marketing-analytics companion to the first-touch
+    :func:`conversion_latency`.
+
+    Spark-first shape: ONE window pass tags each touch with its next
+    conversion (running ``first(..., ignorenulls)`` over the
+    current-row→unbounded-following frame, evaluated as a reverse
+    scan — never touches²), then per-(key, conversion) windows split
+    the credit. Exactness: credit is INTEGER ``unit div n`` per touch
+    with the remainder assigned to the earliest touch, so per-channel
+    sums are exact bigints on any engine and any summation order;
+    conversions with no preceding touch carry no credit (documented
+    non-conservation), touches with no following conversion drop.
+    Ties at the same timestamp break on the event id — both engines
+    order identically.
+    """
+    ev = df.select(key_col, ts_col, event_col, channel_col).where(
+        F.col(channel_col).isin([*touches, conversion])
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, event_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    tagged = ev.withColumn(
+        "__conv",
+        F.first(
+            F.when(F.col(channel_col) == conversion, F.col(event_col)),
+            ignorenulls=True,
+        ).over(w_next),
+    ).where((F.col(channel_col) != conversion) & F.col("__conv").isNotNull())
+    w_grp = Window.partitionBy(key_col, "__conv")
+    w_rn = Window.partitionBy(key_col, "__conv").orderBy(ts_col, event_col)
+    u = F.lit(unit).cast("long")
+    credited = tagged.select(
+        F.col(channel_col),
+        F.col("__conv"),
+        F.count(F.lit(1)).over(w_grp).cast("long").alias("__n"),
+        F.row_number().over(w_rn).alias("__rn"),
+    ).select(
+        channel_col,
+        "__conv",
+        (
+            F.expr(f"{unit} div __n")
+            + F.when(
+                F.col("__rn") == 1, u - F.expr(f"{unit} div __n") * F.col("__n")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("__credit"),
+    )
+    return credited.groupBy(channel_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.count_distinct("__conv").cast("long").alias("n_conversions"),
+        F.sum("__credit").cast("long").alias("credit_units"),
+    )

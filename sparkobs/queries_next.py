@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (40 entries): the remaining expressible TPC-H shapes
+This wave (41 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -44,7 +44,9 @@ degree-ordered-oriented triangle census of the supplier
 co-occurrence graph (the skew-proof triangle count, certified
 against the naive 3-way-join oracle), and a salted two-stage exact
 COUNT DISTINCT for hot grouping keys (certified against the plain
-COUNT DISTINCT it must equal).
+COUNT DISTINCT it must equal), and linear multi-touch attribution
+(integer micro-credit units split per conversion, remainder to the
+earliest touch).
 """
 
 from __future__ import annotations
@@ -1905,3 +1907,52 @@ def salted_distinct_customers_orders(
 
     o = load_table(spark, sf_dir, "orders")
     return grouped_distinct_salted(o, "o_orderpriority", "o_custkey")
+
+
+@_queue(
+    "attribution_linear_events",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'signup', 'purchase')),
+    tagged AS (
+      SELECT *,
+             first_value(CASE WHEN event_type = 'purchase'
+                              THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS conv_id
+      FROM ev),
+    touches AS (
+      SELECT event_type, conv_id,
+             CAST(count(*) OVER (PARTITION BY user_id, conv_id)
+                  AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY user_id, conv_id
+                                ORDER BY ts, event_id) AS rn
+      FROM tagged
+      WHERE event_type <> 'purchase' AND conv_id IS NOT NULL),
+    credited AS (
+      SELECT event_type, conv_id,
+             1000000 // n
+               + CASE WHEN rn = 1 THEN 1000000 - (1000000 // n) * n
+                      ELSE 0 END AS credit
+      FROM touches)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+           CAST(sum(credit) AS BIGINT) AS credit_units
+    FROM credited GROUP BY 1
+    """,
+)
+def attribution_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution per channel (extension: the
+    credit-assignment query behind marketing-spend dashboards): each
+    purchase's credit splits equally across the user's preceding
+    view/click/signup touches, integer micro-credit units so the
+    per-channel sums cross engines exactly
+    (operators/behavior.linear_attribution)."""
+    from sparkobs.operators.behavior import linear_attribution
+
+    return linear_attribution(
+        load_table(spark, sf_dir, "events"), conversion="purchase"
+    )

@@ -599,3 +599,55 @@ def test_salted_distinct_equals_plain_any_n_salts(spark):
             for r in grouped_distinct_salted(df, "k", "v", n_salts).collect()
         }
         assert got == plain, n_salts
+
+
+def test_linear_attribution_hand_journey(spark):
+    from sparkobs.operators.behavior import linear_attribution
+
+    # user 1: view, click, PURCHASE(p1), signup, PURCHASE(p2)
+    #   -> p1 split over {view, click} (500000 each),
+    #      p2 credited wholly to signup.
+    # user 2: click with no purchase -> drops.
+    # user 3: PURCHASE with no prior touch -> no credit anywhere.
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:01:00", 1, "click"),
+        (3, "2024-01-01 00:02:00", 1, "purchase"),
+        (4, "2024-01-01 00:03:00", 1, "signup"),
+        (5, "2024-01-01 00:04:00", 1, "purchase"),
+        (6, "2024-01-01 00:00:00", 2, "click"),
+        (7, "2024-01-01 00:00:00", 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts_s string, user_id bigint, event_type string"
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id", "event_type")
+    got = {
+        r["event_type"]: (r["n_touches"], r["n_conversions"], r["credit_units"])
+        for r in linear_attribution(df, conversion="purchase").collect()
+    }
+    assert got == {
+        "view": (1, 1, 500_000),
+        "click": (1, 1, 500_000),
+        "signup": (1, 1, 1_000_000),
+    }
+
+
+def test_linear_attribution_remainder_goes_to_earliest(spark):
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.behavior import linear_attribution
+
+    # 3 touches -> 333333 each + remainder 1 to the EARLIEST (view).
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:01:00", 1, "click"),
+        (3, "2024-01-01 00:02:00", 1, "click"),
+        (4, "2024-01-01 00:03:00", 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts_s string, user_id bigint, event_type string"
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id", "event_type")
+    out = linear_attribution(df, conversion="purchase")
+    got = {r["event_type"]: r["credit_units"] for r in out.collect()}
+    assert got == {"view": 333_334, "click": 666_666}
+    assert out.agg(F.sum("credit_units")).collect()[0][0] == 1_000_000
