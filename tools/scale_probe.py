@@ -137,6 +137,15 @@ FACT_QUERIES = (
     # saturates — the realistic "graph derived from growing facts" mode
     "pagerank_copurchase",
     "related_suppliers_jaccard",
+    # exact quantiles: 3 fact scans + bracket sort (~n/n_bins rows)
+    "exact_quantiles_lineitem",
+    # triangle census: suppliers saturate while orders grow, so the
+    # co-occurrence graph DENSIFIES toward complete — wedge/triangle
+    # output grows with density, not input rows (output-bound mode)
+    "triangle_census_suppliers",
+    # salted distinct: orders grow 10x over 5 hot priority keys —
+    # exactly the skew the salt splits
+    "salted_distinct_customers_orders",
 )
 
 
@@ -629,6 +638,14 @@ def probes():
         )
         return cuped_lift(units, "v", "x", "y")
 
+    def attribution_p(docs, ev, emb):
+        # one user-partitioned window pass + two hash aggs; user
+        # cardinality is fixed under staging, so journeys get 10x
+        # longer — the window's per-partition reverse scan is linear
+        from sparkobs.operators.behavior import linear_attribution
+
+        return linear_attribution(ev, conversion="purchase")
+
     return {
         "winnowing_xx64": winnow,
         "resize_synth": resize,
@@ -690,6 +707,7 @@ def probes():
         "emd_drift": emd_p,
         "kmeans_fit": kmeans_p,
         "cuped_lift": cuped_p,
+        "attribution_linear": attribution_p,
     }
 
 
