@@ -1016,3 +1016,91 @@ def vocab_segments(
             F.round(F.sum("freq") / F.max("__tot"), 4).alias("share"),
         )
     )
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every matching document for a fixed
+    term query — the ranked-retrieval companion to the boolean
+    :func:`search_all_terms`. Scale shape: because the query terms
+    are literals, ONE corpus aggregation produces everything global —
+    N, Σdl, and every per-term document frequency (an array column) —
+    into a 1-row eager checkpoint (Catalyst would otherwise re-derive
+    it per reference); the scoring pass is then a SECOND corpus scan
+    with the stats riding a 1-row broadcast. Two scans, one per-doc
+    hash agg, no inverted-index materialization for a handful of
+    query terms.
+
+    Cross-engine exactness: the per-(doc, term) BM25 term
+    ``idf · tf(k1+1)/(tf + k1(1-b+b·dl/avgdl))`` is a float
+    expression over identical inputs, but the PER-DOC SUM over terms
+    is summation-order-dependent, so each term's contribution is
+    floored to integer 1e-4 score units first (floor is exact;
+    engines then sum identical bigints in any order). Output:
+    (doc_id, n_terms_hit, score_units) for docs matching ≥1 term —
+    score_units/10000 is the BM25 score.
+    """
+    toks = tokens_nonempty(text_col)
+
+    def tf_of(t: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("long")
+
+    stats = df.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.size(toks)).cast("long").alias("__sumdl"),
+        F.array(
+            *[
+                F.sum(F.when(tf_of(t) > 0, F.lit(1)).otherwise(F.lit(0)))
+                .cast("long")
+                .alias(f"__df{i}")
+                for i, t in enumerate(terms)
+            ]
+        ).alias("__dfts"),
+    ).localCheckpoint()  # 1 row
+    per_term = F.array(
+        *[
+            F.struct(F.lit(i).alias("idx"), tf_of(t).alias("tf"))
+            for i, t in enumerate(terms)
+        ]
+    )
+    long = (
+        df.select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("__dl"),
+            F.explode(per_term).alias("__t"),
+        )
+        .where(F.col("__t.tf") > 0)
+        .select(
+            id_col,
+            "__dl",
+            F.col("__t.idx").alias("__idx"),
+            F.col("__t.tf").alias("__tf"),
+        )
+    )
+    scored = long.crossJoin(F.broadcast(stats)).withColumn(
+        "__dft", F.element_at(F.col("__dfts"), F.col("__idx") + 1)
+    )
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__dft") + F.lit(0.5))
+        / (F.col("__dft") + F.lit(0.5))
+    )
+    num = F.col("__tf") * F.lit(k1 + 1.0)
+    den = F.col("__tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("__dl") / avgdl)
+    )
+    units = F.floor(F.lit(10000.0) * idf * (num / den)).cast("long")
+    return (
+        scored.select(id_col, units.alias("__u"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.sum("__u").cast("long").alias("score_units"),
+        )
+    )

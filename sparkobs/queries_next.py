@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (41 entries): the remaining expressible TPC-H shapes
+This wave (42 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -44,9 +44,11 @@ degree-ordered-oriented triangle census of the supplier
 co-occurrence graph (the skew-proof triangle count, certified
 against the naive 3-way-join oracle), and a salted two-stage exact
 COUNT DISTINCT for hot grouping keys (certified against the plain
-COUNT DISTINCT it must equal), and linear multi-touch attribution
+COUNT DISTINCT it must equal), linear multi-touch attribution
 (integer micro-credit units split per conversion, remainder to the
-earliest touch).
+earliest touch), and Okapi BM25 ranked retrieval (per-term
+contributions floored to integer score units so per-doc sums are
+order-independent).
 """
 
 from __future__ import annotations
@@ -1955,4 +1957,53 @@ def attribution_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return linear_attribution(
         load_table(spark, sf_dir, "events"), conversion="purchase"
+    )
+
+
+@_queue(
+    "bm25_search_documents",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    dls AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM docs),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dl) AS BIGINT) AS sumdl
+      FROM dls),
+    hits AS (
+      SELECT doc_id, dl, t.term,
+             CAST(len(list_filter(toks, x -> x = t.term)) AS BIGINT) AS tf
+      FROM dls CROSS JOIN (SELECT unnest(['data', 'vector']) AS term) t
+      WHERE len(list_filter(toks, x -> x = t.term)) > 0),
+    tdf AS (SELECT term, CAST(count(*) AS BIGINT) AS dft FROM hits GROUP BY 1),
+    scored AS (
+      SELECT doc_id,
+             CAST(floor(10000e0
+                 * ln(1e0 + (n - dft + 0.5e0) / (dft + 0.5e0))
+                 * ((tf * 2.2e0)
+                    / (tf + 1.2e0 * (1e0 - 0.75e0
+                       + 0.75e0 * (dl / (CAST(sumdl AS DOUBLE) / n))))))
+               AS BIGINT) AS u
+      FROM hits JOIN tdf USING (term) CROSS JOIN stats)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+           CAST(sum(u) AS BIGINT) AS score_units
+    FROM scored GROUP BY 1
+    """,
+)
+def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval for the query {data, vector}
+    (extension: the relevance scorer behind corpus search and
+    retrieval-based curation): every per-term contribution floors to
+    integer 1e-4 score units before the per-doc sum so channel sums
+    are order-independent bigints (operators/text.bm25_scores); the
+    oracle replays the identical parenthesized float expression, so
+    even the transcendental idf crosses engines (same doubles in,
+    same ln out, floor exact)."""
+    from sparkobs.operators.text import bm25_scores
+
+    return bm25_scores(
+        load_table(spark, sf_dir, "documents"), terms=["data", "vector"]
     )

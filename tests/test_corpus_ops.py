@@ -1194,3 +1194,43 @@ def test_compaction_execute_preserves_rows_one_file_per_group(spark, tmp_path):
         spark, listing, target_bytes=6 * 1024, out_dir=out2, src_root=src
     )
     assert sorted(map(tuple, audit2.collect())) == sorted(map(tuple, rows))
+
+
+def test_bm25_matches_hand_computation(spark):
+    import math
+
+    from sparkobs.operators.text import bm25_scores
+
+    docs = [
+        (1, "apple banana apple"),          # tf(apple)=2, dl=3
+        (2, "banana cherry"),               # no apple, dl=2
+        (3, "apple cherry cherry cherry"),  # tf(apple)=1, dl=4
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_terms_hit"], r["score_units"])
+        for r in bm25_scores(df, ["apple"]).collect()
+    }
+    n, sumdl, dft, k1, b = 3, 9, 2, 1.2, 0.75
+    avgdl = sumdl / n
+    idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+
+    def units(tf, dl):
+        return math.floor(
+            10000.0 * idf * ((tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl))))
+        )
+
+    assert got == {1: (1, units(2, 3)), 3: (1, units(1, 4))}
+
+
+def test_bm25_rarer_term_outscores_common_at_equal_tf(spark):
+    from sparkobs.operators.text import bm25_scores
+
+    docs = [(i, "common filler") for i in range(1, 9)] + [
+        (9, "common rare"),
+        (10, "common text"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["score_units"] for r in bm25_scores(df, ["rare", "common"]).collect()}
+    # doc 9 hits both; its score strictly exceeds any common-only doc
+    assert out[9] > max(v for k, v in out.items() if k != 9)

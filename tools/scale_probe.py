@@ -646,6 +646,12 @@ def probes():
 
         return linear_attribution(ev, conversion="purchase")
 
+    def bm25_p(docs, ev, emb):
+        # two corpus scans (1-row checkpointed stats + scoring pass)
+        from sparkobs.operators.text import bm25_scores
+
+        return bm25_scores(docs, terms=["data", "vector"])
+
     return {
         "winnowing_xx64": winnow,
         "resize_synth": resize,
@@ -708,6 +714,7 @@ def probes():
         "kmeans_fit": kmeans_p,
         "cuped_lift": cuped_p,
         "attribution_linear": attribution_p,
+        "bm25_search": bm25_p,
     }
 
 
