@@ -197,3 +197,54 @@ def referential_orphans(
             "n_orphan_keys"
         ),
     )
+
+
+def inclusion_coefficient(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    label_a: str | None = None,
+    label_b: str | None = None,
+) -> DataFrame:
+    """Inclusion dependency strength — the foreign-key discovery
+    primitive behind catalog intelligence: what fraction of A's
+    distinct non-null values appear in B? 1.0 = A ⊆ B (a valid FK
+    target), < 1.0 quantifies orphan keys.
+
+    Scale shape: each side reduces to its DISTINCT key set first
+    (hash agg with map-side partials — the fact table never crosses
+    the network un-deduplicated), then ONE left join of the two key
+    tables feeds a single count/sum aggregate, so neither distinct
+    set is derived twice. Output: 1 row of exact integers plus the
+    unrounded containment ratio (a single division of identical
+    bigints)."""
+    ka = (
+        df_a.select(F.col(col_a).alias("__k"))
+        .where(F.col("__k").isNotNull())
+        .distinct()
+    )
+    kb = (
+        df_b.select(F.col(col_b).alias("__k"))
+        .where(F.col("__k").isNotNull())
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        ka.join(kb, "__k", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_from_distinct"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contained"),
+        )
+        .select(
+            F.lit(label_a or col_a).alias("from_col"),
+            F.lit(label_b or col_b).alias("to_col"),
+            "n_from_distinct",
+            "n_contained",
+            (F.col("n_contained") / F.col("n_from_distinct")).alias(
+                "containment"
+            ),
+        )
+    )

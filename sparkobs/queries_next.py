@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (42 entries): the remaining expressible TPC-H shapes
+This wave (43 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -48,7 +48,8 @@ COUNT DISTINCT it must equal), linear multi-touch attribution
 (integer micro-credit units split per conversion, remainder to the
 earliest touch), and Okapi BM25 ranked retrieval (per-term
 contributions floored to integer score units so per-doc sums are
-order-independent).
+order-independent), plus inclusion-dependency FK discovery across
+the star schema.
 """
 
 from __future__ import annotations
@@ -2007,3 +2008,83 @@ def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(
         load_table(spark, sf_dir, "documents"), terms=["data", "vector"]
     )
+
+
+@_queue(
+    "inclusion_deps_star_schema",
+    oracle="""
+    SELECT 'l_orderkey' AS from_col, 'o_orderkey' AS to_col,
+           CAST(count(*) AS BIGINT) AS n_from_distinct,
+           CAST(sum(CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contained,
+           CAST(sum(CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS BIGINT) AS containment
+    FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem
+          WHERE l_orderkey IS NOT NULL) a
+    LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders
+               WHERE o_orderkey IS NOT NULL) b USING (k)
+    UNION ALL
+    SELECT 'l_partkey', 'p_partkey', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS BIGINT)
+    FROM (SELECT DISTINCT l_partkey AS k FROM lineitem
+          WHERE l_partkey IS NOT NULL) a
+    LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part
+               WHERE p_partkey IS NOT NULL) b USING (k)
+    UNION ALL
+    SELECT 'o_custkey', 'c_custkey', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS BIGINT)
+    FROM (SELECT DISTINCT o_custkey AS k FROM orders
+          WHERE o_custkey IS NOT NULL) a
+    LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer
+               WHERE c_custkey IS NOT NULL) b USING (k)
+    UNION ALL
+    SELECT 'p_partkey', 'l_partkey', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS BIGINT)
+    FROM (SELECT DISTINCT p_partkey AS k FROM part
+          WHERE p_partkey IS NOT NULL) a
+    LEFT JOIN (SELECT DISTINCT l_partkey AS k FROM lineitem
+               WHERE l_partkey IS NOT NULL) b USING (k)
+    UNION ALL
+    SELECT 'c_custkey', 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS BIGINT)
+    FROM (SELECT DISTINCT c_custkey AS k FROM customer
+          WHERE c_custkey IS NOT NULL) a
+    LEFT JOIN (SELECT DISTINCT o_custkey AS k FROM orders
+               WHERE o_custkey IS NOT NULL) b USING (k)
+    """,
+)
+def inclusion_deps_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key DISCOVERY across the star schema (extension: the
+    catalog-intelligence screen behind "which columns can join?"):
+    containment of each candidate key column's distinct values in its
+    candidate target, both directions for part/customer so orphan
+    dimensions quantify too (operators/shape.inclusion_coefficient —
+    each pair is two distinct reductions plus one left join, the fact
+    table never ships un-deduplicated). Exact integers + unrounded
+    single-division ratios."""
+    from sparkobs.operators.shape import inclusion_coefficient
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    c = load_table(spark, sf_dir, "customer")
+    pairs = [
+        (li, "l_orderkey", o, "o_orderkey"),
+        (li, "l_partkey", p, "p_partkey"),
+        (o, "o_custkey", c, "c_custkey"),
+        (p, "p_partkey", li, "l_partkey"),
+        (c, "c_custkey", o, "o_custkey"),
+    ]
+    out = None
+    for a, ca, b, cb in pairs:
+        one = inclusion_coefficient(a, ca, b, cb)
+        out = one if out is None else out.unionByName(one)
+    return out

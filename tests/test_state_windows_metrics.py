@@ -227,3 +227,16 @@ def test_latest_by_key_window_group_limit(spark):
     df = Q.SPARK_QUERIES["cdc_compact_events"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_inclusion_coefficient_directions_and_nulls(spark):
+    from sparkobs.operators.shape import inclusion_coefficient
+
+    a = spark.createDataFrame([(1,), (2,), (3,), (None,), (3,)], "k int")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "k int")
+    fwd = inclusion_coefficient(a, "k", b, "k", "a.k", "b.k").collect()[0]
+    assert (fwd["n_from_distinct"], fwd["n_contained"]) == (3, 2)
+    assert fwd["containment"] == 2 / 3
+    assert (fwd["from_col"], fwd["to_col"]) == ("a.k", "b.k")
+    rev = inclusion_coefficient(b, "k", a, "k").collect()[0]
+    assert (rev["n_from_distinct"], rev["n_contained"]) == (3, 2)
