@@ -1402,3 +1402,174 @@ def exact_quantiles_twopass(
         )
         .orderBy("q")
     )
+
+
+def exact_quantiles_grouped(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    qs: tuple = (0.25, 0.5, 0.75),
+    n_bins: int = 10_000,
+) -> DataFrame:
+    """Per-group EXACT quantiles for groups too big to buffer — the
+    grouped twin of :func:`exact_quantiles_twopass`. Spark's exact
+    ``percentile`` aggregate collects each group's values into one
+    in-memory buffer (a counts map per group), which dies when a
+    single group holds billions of rows; here every step is an
+    ordinary hash agg / join / windowed bin table, so a group's
+    values never congregate: pass 1 builds a per-group fixed-bin
+    histogram between the group's observed bounds, the per-group
+    cumulative bin table locates each type-7 order statistic, pass 2
+    sorts only the bracket (group, bin) cells. Interpolation replays
+    Percentile.scala bit for bit exactly as the ungrouped twin
+    (ceil/floor rank weights, integral-rank and tied-key
+    short-circuits). The per-group bounds and located-target tables
+    are group-table-sized — eagerly checkpointed (the
+    no-aggregate-subtree-reuse escape), never collected. Output:
+    (group, q, value, n_rows) ordered by group, q.
+    """
+    v = F.col(col).cast("double")
+    g = F.col(group_col).alias("__g")
+    data = df.where(v.isNotNull()).select(g, v.alias("__v"))
+    bounds = (
+        data.groupBy("__g")
+        .agg(
+            F.min("__v").alias("__lo"),
+            F.max("__v").alias("__hi"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .localCheckpoint()  # one row per group
+    )
+
+    def binned():
+        return data.join(bounds, "__g").select(
+            "__g",
+            "__v",
+            F.when(
+                F.col("__hi") > F.col("__lo"),
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col("__v") - F.col("__lo"))
+                            * n_bins
+                            / (F.col("__hi") - F.col("__lo"))
+                        ).cast("int"),
+                    ),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .alias("__bin"),
+        )
+
+    hist = binned().groupBy("__g", "__bin").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_prev = (
+        Window.partitionBy("__g")
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "__g",
+        "__bin",
+        F.coalesce(F.sum("__cnt").over(w_prev), F.lit(0)).alias("__before"),
+        (F.coalesce(F.sum("__cnt").over(w_prev), F.lit(0)) + F.col("__cnt")).alias(
+            "__upto"
+        ),
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    targets = (
+        bounds.select("__g", "__n", F.explode(qarr).alias("q"))
+        .select("__g", "q", "__n", (F.col("q") * (F.col("__n") - 1)).alias("__rank"))
+        .select(
+            "__g",
+            "q",
+            "__n",
+            (F.col("__rank") - F.floor("__rank")).alias("__frac"),
+            (F.ceil("__rank") - F.col("__rank")).alias("__wlo"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("__which"),
+                        (F.floor("__rank") + 1).alias("__pos"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("__which"),
+                        F.least(F.floor("__rank") + 2, F.col("__n")).alias(
+                            "__pos"
+                        ),
+                    ),
+                )
+            ).alias("__t"),
+        )
+        .select(
+            "__g", "q", "__n", "__frac", "__wlo", "__t.__which", "__t.__pos"
+        )
+    )
+    located = (
+        targets.join(
+            cum,
+            ["__g"],
+        )
+        .where(
+            (F.col("__pos") > F.col("__before"))
+            & (F.col("__pos") <= F.col("__upto"))
+        )
+        .localCheckpoint()  # 2·|qs| rows per group; runs the hist pass
+    )
+    need_bins = (
+        located.select(
+            F.col("__g").alias("__gn"), F.col("__bin").alias("__binn")
+        ).distinct()
+    )
+    w_bin = Window.partitionBy("__g", "__bin").orderBy("__v")
+    bracket = (
+        binned()
+        .join(
+            need_bins,
+            (F.col("__g") == F.col("__gn"))
+            & (F.col("__bin") == F.col("__binn")),
+        )
+        .drop("__gn", "__binn")
+        .withColumn("__rn", F.row_number().over(w_bin))
+    )
+    loc = located.select(
+        F.col("__g").alias("__gl"),
+        F.col("__bin").alias("__binl"),
+        "q",
+        "__frac",
+        "__wlo",
+        "__n",
+        "__which",
+        "__pos",
+        "__before",
+    )
+    picked = bracket.join(
+        loc,
+        (F.col("__g") == F.col("__gl"))
+        & (F.col("__bin") == F.col("__binl"))
+        & (F.col("__rn") == F.col("__pos") - F.col("__before")),
+    ).select("__g", "q", "__frac", "__wlo", "__n", "__which", "__v")
+    return (
+        picked.groupBy("__g", "q", "__frac", "__wlo", "__n")
+        .agg(
+            F.min(F.when(F.col("__which") == 0, F.col("__v"))).alias("__v0"),
+            F.min(F.when(F.col("__which") == 1, F.col("__v"))).alias("__v1"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "q",
+            F.when(
+                (F.col("__frac") == 0.0) | (F.col("__v0") == F.col("__v1")),
+                F.col("__v0"),
+            )
+            .otherwise(
+                F.col("__wlo") * F.col("__v0") + F.col("__frac") * F.col("__v1")
+            )
+            .alias("value"),
+            F.col("__n").cast("long").alias("n_rows"),
+        )
+        .orderBy(group_col, "q")
+    )

@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (43 entries): the remaining expressible TPC-H shapes
+This wave (44 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -39,7 +39,8 @@ continuous burst debounce (session-window state) and continuous
 two-sample KS drift (geometry-bounded cell state, batch-twin
 oracles for both). Finally, exact two-pass order-statistic
 quantiles (no global sort — bit-identical to single-pass
-``percentile`` by replaying Percentile.scala's interpolation), a
+``percentile`` by replaying Percentile.scala's interpolation —
+plus its per-group twin for groups too big to buffer), a
 degree-ordered-oriented triangle census of the supplier
 co-occurrence graph (the skew-proof triangle count, certified
 against the naive 3-way-join oracle), and a salted two-stage exact
@@ -1842,6 +1843,58 @@ def exact_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return exact_quantiles_twopass(
         li, "l_extendedprice", qs=(0.01, 0.25, 0.5, 0.75, 0.99)
+    )
+
+
+@_queue(
+    "exact_quantiles_grouped_lineitem",
+    oracle="""
+    WITH data AS (
+      SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM data GROUP BY 1),
+    ranked AS (
+      SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+      FROM data),
+    qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.99]::DOUBLE[]) AS q),
+    t AS (SELECT nn.g, q, nn.n, q * (nn.n - 1) AS rk FROM qs CROSS JOIN nn),
+    pick AS (
+      SELECT t.g, t.q, t.n,
+             t.rk - floor(t.rk) AS frac,
+             ceil(t.rk) - t.rk AS wlo,
+             max(CASE WHEN ranked.rn = CAST(floor(t.rk) AS BIGINT) + 1
+                      THEN ranked.v END) AS v0,
+             max(CASE WHEN ranked.rn =
+                        least(CAST(floor(t.rk) AS BIGINT) + 2, t.n)
+                      THEN ranked.v END) AS v1
+      FROM t JOIN ranked ON ranked.g = t.g
+       AND (ranked.rn = CAST(floor(t.rk) AS BIGINT) + 1
+            OR ranked.rn = least(CAST(floor(t.rk) AS BIGINT) + 2, t.n))
+      GROUP BY 1, 2, 3, 4, 5)
+    SELECT g AS l_returnflag, q,
+           CASE WHEN frac = 0 OR v0 = v1 THEN v0
+                ELSE wlo * v0 + frac * v1 END AS value,
+           n AS n_rows
+    FROM pick ORDER BY 1, 2
+    """,
+)
+def exact_quantiles_grouped_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group exact quantiles for groups too big to buffer
+    (extension: the huge-group-safe grouped percentile —
+    operators/profile.exact_quantiles_grouped): Spark's exact
+    ``percentile`` aggregate holds each group's value buffer in one
+    task's memory; the two-pass histogram-bracket variant keeps every
+    step an ordinary hash agg / join / bin-table window, so a
+    billion-row group never congregates. Bit-identical to the
+    builtin per group (same Percentile.scala interpolation replay as
+    the ungrouped twin)."""
+    from sparkobs.operators.profile import exact_quantiles_grouped
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return exact_quantiles_grouped(
+        li, "l_returnflag", "l_extendedprice", qs=(0.25, 0.5, 0.75, 0.99)
     )
 
 

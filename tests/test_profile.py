@@ -185,3 +185,36 @@ def test_exact_quantiles_twopass_counts_nulls_excluded(spark):
     out = exact_quantiles_twopass(df, "x", qs=(0.5,)).collect()
     assert out[0]["n_rows"] == 3
     assert out[0]["value"] == 2.0
+
+
+def test_exact_quantiles_grouped_bit_identical_per_group(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.profile import exact_quantiles_grouped
+
+    rng = random.Random(11)
+    rows = []
+    for gi, (n, mode) in enumerate([(400, "u"), (3, "c"), (1, "u"), (60, "t")]):
+        for _ in range(n):
+            v = (
+                rng.uniform(-1e4, 1e4)
+                if mode == "u"
+                else (9.9 if mode == "c" else float(rng.randint(0, 4)))
+            )
+            rows.append((f"g{gi}", v))
+    rows += [("g0", None), ("g3", None)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    qs = (0.0, 0.3, 0.5, 0.883, 1.0)
+    mine = {
+        (r["g"], r["q"]): (r["value"], r["n_rows"])
+        for r in exact_quantiles_grouped(df, "g", "x", qs, n_bins=11).collect()
+    }
+    ref = df.groupBy("g").agg(
+        F.expr(f"percentile(x, array{qs})").alias("p"),
+        F.count("x").alias("n"),
+    ).collect()
+    for row in ref:
+        for q, rv in zip(qs, row["p"]):
+            assert mine[(row["g"], q)] == (rv, row["n"]), (row["g"], q)
