@@ -102,16 +102,21 @@ def asof_join(
     )
 
 
-def _with_partition_offsets(df: DataFrame, order: list, part_agg) -> DataFrame:
+def _with_partition_offsets(
+    df: DataFrame, order: list, part_agg, fold: str = "sum"
+) -> DataFrame:
     """Shared plumbing for global-scan operators (row index, running
-    sum): range-repartition + sort on the order columns, stamp
-    ``spark_partition_id``, and attach ``__off`` = the sum of
-    ``part_agg`` over all EARLIER partitions. Offsets come from a
-    per-partition aggregate (~numPartitions rows) folded by a broadcast
-    triangular self-join (NOT a window — keeps the plan free of
-    empty-partitionBy WindowExec); both branches hang off the SAME
-    range exchange, which Catalyst's ReuseExchange dedupes, so the
-    partition ids are consistent between them.
+    sum/max): range-repartition + sort on the order columns, stamp
+    ``spark_partition_id``, and attach ``__off`` = the ``fold``
+    (sum | max) of ``part_agg`` over all EARLIER partitions. Offsets
+    come from a per-partition aggregate (~numPartitions rows) folded
+    by a broadcast triangular self-join (NOT a window — keeps the plan
+    free of empty-partitionBy WindowExec); both branches hang off the
+    SAME range exchange, which Catalyst's ReuseExchange dedupes, so
+    the partition ids are consistent between them. ``fold="max"``
+    leaves the first partition's offset NULL (no earlier partitions —
+    callers use null-skipping ``greatest``); ``fold="sum"`` coalesces
+    it to 0.
     """
     with_pid = (
         df.repartitionByRange(*order)
@@ -120,10 +125,13 @@ def _with_partition_offsets(df: DataFrame, order: list, part_agg) -> DataFrame:
     )
     sizes = with_pid.groupBy("__pid").agg(part_agg.alias("__n"))
     prev = sizes.select(F.col("__pid").alias("__pid2"), F.col("__n").alias("__n2"))
+    fold_expr = (
+        F.coalesce(F.sum("__n2"), F.lit(0)) if fold == "sum" else F.max("__n2")
+    )
     offsets = (
         sizes.join(F.broadcast(prev), F.col("__pid2") < F.col("__pid"), "left")
         .groupBy("__pid")
-        .agg(F.coalesce(F.sum("__n2"), F.lit(0)).alias("__off"))
+        .agg(fold_expr.alias("__off"))
     )
     return with_pid.join(F.broadcast(offsets), "__pid")
 
@@ -161,6 +169,32 @@ def global_running_sum(
     )
     return base.withColumn(
         out_col, F.sum(value_col).over(w) + F.col("__off")
+    ).drop("__pid", "__off")
+
+
+def global_running_max(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "__runmax",
+) -> DataFrame:
+    """Distributed STRICTLY-PRECEDING running max of ``value_col``
+    under an explicit global ordering — NULL for the globally first
+    row (no earlier rows). Same exchange-reuse plan as
+    :func:`global_row_index`: per-partition running-max window over
+    the ``(unboundedPreceding, -1)`` frame (parallel) + broadcast
+    max-of-earlier-partitions offsets combined with null-skipping
+    ``greatest``; no single-partition window anywhere. The primitive
+    behind arrival-order diagnostics (event-time disorder)."""
+    order = [F.asc(c) for c in order_cols]
+    base = _with_partition_offsets(df, order, F.max(value_col), fold="max")
+    w = (
+        W.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return base.withColumn(
+        out_col, F.greatest(F.max(value_col).over(w), F.col("__off"))
     ).drop("__pid", "__off")
 
 

@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (44 entries): the remaining expressible TPC-H shapes
+This wave (45 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -49,8 +49,9 @@ COUNT DISTINCT it must equal), linear multi-touch attribution
 (integer micro-credit units split per conversion, remainder to the
 earliest touch), and Okapi BM25 ranked retrieval (per-term
 contributions floored to integer score units so per-doc sums are
-order-independent), plus inclusion-dependency FK discovery across
-the star schema.
+order-independent), inclusion-dependency FK discovery across the
+star schema, and an event-time disorder diagnostic (distributed
+strictly-preceding prefix max — the watermark-tuning measurement).
 """
 
 from __future__ import annotations
@@ -2061,6 +2062,48 @@ def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(
         load_table(spark, sf_dir, "documents"), terms=["data", "vector"]
     )
+
+
+@_queue(
+    "event_disorder_events",
+    oracle="""
+    WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+    p AS (
+      SELECT us,
+             max(us) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev
+      FROM e),
+    f AS (
+      SELECT us, prev,
+             CASE WHEN prev IS NOT NULL AND us < prev
+                  THEN 1 ELSE 0 END AS is_late,
+             CASE WHEN prev IS NOT NULL AND us < prev
+                  THEN prev - us END AS lateness
+      FROM p)
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(is_late) AS BIGINT) AS n_late,
+           CAST(sum(is_late) AS BIGINT) / CAST(count(*) AS BIGINT)
+             AS late_rate,
+           CAST(max(lateness) AS BIGINT) AS max_late_us,
+           CASE WHEN sum(is_late) > 0
+                THEN CAST(sum(lateness) AS BIGINT)
+                   / CAST(sum(is_late) AS BIGINT) END AS mean_late_us
+    FROM f
+    """,
+)
+def event_disorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder diagnostic over arrival order (extension:
+    the watermark-tuning measurement — how late is late data,
+    operators/state.event_disorder_stats): the strictly-preceding
+    running max runs on the distributed prefix primitive
+    (joins.global_running_max), never a single-partition window;
+    integer-microsecond lateness with unrounded single-division
+    ratios. The oracle replays the same prefix max as one global
+    window — affordable at oracle scale."""
+    from sparkobs.operators.state import event_disorder_stats
+
+    return event_disorder_stats(load_table(spark, sf_dir, "events"))
 
 
 @_queue(

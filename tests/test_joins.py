@@ -207,3 +207,42 @@ def test_cooccurrence_jaccard_hand_sets(spark):
     assert (r["key_a"], r["key_b"], r["n_shared"], r["jaccard"]) == (
         10, 20, 2, 0.5,
     )
+
+
+def test_global_running_max_strict_prefix(spark):
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.joins import global_running_max
+
+    # arrival order 1..8 with values dipping after peaks; force many
+    # partitions so the offset fold actually exercises cross-partition
+    # combination
+    rows = [(1, 5), (2, 3), (3, 9), (4, 2), (5, 9), (6, 11), (7, 1), (8, None)]
+    df = spark.createDataFrame(rows, "a int, v int").repartition(6)
+    got = {
+        r["a"]: r["pm"]
+        for r in global_running_max(df, ["a"], "v", out_col="pm").collect()
+    }
+    assert got == {1: None, 2: 5, 3: 5, 4: 9, 5: 9, 6: 9, 7: 11, 8: 11}
+
+
+def test_event_disorder_hand_sequence(spark):
+    from sparkobs.operators.state import event_disorder_stats
+
+    # arrivals 1..5 with event times (seconds): 10, 8, 12, 12, 11 —
+    # arrivals 2 and 5 are late by 2s and 1s
+    rows = [
+        (1, "2024-01-01 00:00:10"),
+        (2, "2024-01-01 00:00:08"),
+        (3, "2024-01-01 00:00:12"),
+        (4, "2024-01-01 00:00:12"),
+        (5, "2024-01-01 00:00:11"),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts_s string").selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts"
+    )
+    r = event_disorder_stats(df).collect()[0]
+    assert (r["n_events"], r["n_late"]) == (5, 2)
+    assert r["late_rate"] == 2 / 5
+    assert r["max_late_us"] == 2_000_000
+    assert r["mean_late_us"] == 1_500_000.0
