@@ -28,6 +28,7 @@ engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 UNIT = 1_000_000_000  # 1e-9 rank micro-units
@@ -280,3 +281,79 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def min_label_components(
+    nodes: DataFrame, edges: DataFrame, rounds: int = 8
+) -> DataFrame:
+    """Connected components by FIXED-ROUND min-label propagation —
+    the entity-resolution / graph-partitioning primitive, expressed
+    so an oracle can replay it: every node starts labeled with its
+    own id; each round every node takes the min of its label and its
+    neighbors' labels (edges must be symmetric). Min-propagation is
+    DETERMINISTIC, so a fixed round count is bit-reproducible on any
+    engine — if ``rounds`` ≥ the component diameter the labels are
+    the true components, and if not, both engines produce the
+    identical intermediate labeling (certification never flakes; the
+    unconverged case just means "raise rounds"). Contrast with the
+    dedup closure (dedup.py pairs→groups), which iterates to
+    convergence for production use; this variant trades that for
+    replayability, exactly like pagerank_fixed.
+
+    The update is expressed with SELF-LOOP edges (node→node added to
+    the edge list): one round is then a single src-keyed join +
+    dst-keyed min agg that references the previous label table
+    EXACTLY ONCE — which keeps the oracle's unrolled CTE chain
+    linear (a keep-my-own-label formulation references l(t) twice
+    per round, and an inlining engine evaluates that tree
+    exponentially: 2⁸ ≈ 130 s measured at sf0.01 before this shape).
+    Isolated nodes keep their own label via their self-loop. The
+    node-table-sized label state is eagerly checkpointed per round
+    (no lineage replay across rounds). Output: (node, component).
+    """
+    lbl = nodes.select(F.col("node"), F.col("node").alias("lbl"))
+    e = (
+        edges.select("src", "dst")
+        .unionAll(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        lbl = (
+            e.join(
+                lbl.select(F.col("node").alias("src"), F.col("lbl").alias("__l")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("__l").alias("lbl"))
+            .localCheckpoint()
+        )
+    return lbl.select("node", F.col("lbl").alias("component"))
+
+
+def mutual_topk_edges(pairs: DataFrame, k: int = 3) -> DataFrame:
+    """Mutual-kNN sparsification of a weighted pair list — the
+    standard preprocessing that turns a dense similarity/co-occurrence
+    graph into one with community structure: keep edge {u, v} only
+    when v is among u's top-k strongest partners AND u is among v's.
+    Input: canonical (u, v, w) with u < v; output: symmetric (src,
+    dst) in both directions.
+
+    Per-node top-k is a per-key window (rank by weight desc with id
+    tiebreak — deterministic on any engine), never a global sort; the
+    mutuality test is a self-join on the directed survivor set, which
+    is ≤ k·|nodes| rows regardless of input density."""
+    directed = pairs.select(
+        F.col("u").alias("a"), F.col("v").alias("b"), "w"
+    ).unionAll(pairs.select(F.col("v").alias("a"), F.col("u").alias("b"), "w"))
+    wnd = W.partitionBy("a").orderBy(F.desc("w"), F.asc("b"))
+    top = (
+        directed.withColumn("__r", F.row_number().over(wnd))
+        .where(F.col("__r") <= k)
+        .select("a", "b")
+    )
+    mutual = top.join(
+        top.select(F.col("b").alias("a"), F.col("a").alias("b")),
+        ["a", "b"],
+        "semi",
+    )
+    return mutual.select(F.col("a").alias("src"), F.col("b").alias("dst"))

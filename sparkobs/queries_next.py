@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (45 entries): the remaining expressible TPC-H shapes
+This wave (46 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -50,8 +50,10 @@ COUNT DISTINCT it must equal), linear multi-touch attribution
 earliest touch), and Okapi BM25 ranked retrieval (per-term
 contributions floored to integer score units so per-doc sums are
 order-independent), inclusion-dependency FK discovery across the
-star schema, and an event-time disorder diagnostic (distributed
-strictly-preceding prefix max — the watermark-tuning measurement).
+star schema, an event-time disorder diagnostic (distributed
+strictly-preceding prefix max — the watermark-tuning measurement),
+and supplier communities via mutual-kNN sparsification + fixed-round
+min-label components (replayable by an unrolled linear CTE chain).
 """
 
 from __future__ import annotations
@@ -2062,6 +2064,84 @@ def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(
         load_table(spark, sf_dir, "documents"), terms=["data", "vector"]
     )
+
+
+def _components_oracle(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled min-label propagation — replayable because a FIXED
+    round count of min-propagation is deterministic (see
+    operators/graph.min_label_components). Self-loop formulation:
+    each round references l(t) exactly once, keeping the inlined CTE
+    tree LINEAR (the least/coalesce formulation references it twice
+    and blows up 2^rounds under CTE inlining)."""
+    parts = []
+    for t in range(rounds):
+        parts.append(
+            f"""l{t + 1} AS (
+      SELECT e.dst AS node, min(l.lbl) AS lbl
+      FROM eself e JOIN l{t} l ON l.node = e.src GROUP BY 1)"""
+        )
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+                FROM lineitem),
+    pairs AS (
+      SELECT a.s AS u, b.s AS v, CAST(count(*) AS BIGINT) AS w
+      FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s GROUP BY 1, 2),
+    directed AS (
+      SELECT u AS a, v AS b, w FROM pairs
+      UNION ALL SELECT v, u, w FROM pairs),
+    top AS (
+      SELECT a, b FROM (
+        SELECT a, b,
+               row_number() OVER (PARTITION BY a ORDER BY w DESC, b) AS r
+        FROM directed) WHERE r <= {k}),
+    mutual AS (
+      SELECT t.a, t.b FROM top t WHERE EXISTS (
+        SELECT 1 FROM top t2 WHERE t2.a = t.b AND t2.b = t.a)),
+    edges AS (SELECT a AS src, b AS dst FROM mutual),
+    nodes AS (SELECT DISTINCT s_suppkey AS node FROM supplier),
+    eself AS (SELECT src, dst FROM edges
+              UNION ALL SELECT node, node FROM nodes),
+    l0 AS (SELECT node, node AS lbl FROM nodes),
+    {chain}
+    SELECT node, lbl AS component FROM l{rounds} ORDER BY node
+    """
+
+
+@_queue("components_supplier_mutual_knn", oracle=_components_oracle())
+def components_supplier_mutual_knn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supplier communities: the dense co-occurrence graph (every
+    supplier pair shares orders at any SF) is sparsified to its
+    MUTUAL top-3 strongest partnerships (graph.mutual_topk_edges —
+    the standard kNN-graph preprocessing), then labeled by
+    fixed-round min-label propagation (graph.min_label_components,
+    8 rounds, deterministic → replayable by the unrolled oracle).
+    Isolated suppliers keep their own label. All-integer output."""
+    from sparkobs.operators.graph import (
+        min_label_components,
+        mutual_topk_edges,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    edges = mutual_topk_edges(pairs, k=3)
+    nodes = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node")
+    ).distinct()
+    return min_label_components(nodes, edges, rounds=8).orderBy("node")
 
 
 @_queue(

@@ -651,3 +651,51 @@ def test_linear_attribution_remainder_goes_to_earliest(spark):
     got = {r["event_type"]: r["credit_units"] for r in out.collect()}
     assert got == {"view": 333_334, "click": 666_666}
     assert out.agg(F.sum("credit_units")).collect()[0][0] == 1_000_000
+
+
+def test_min_label_components_two_islands_and_isolate(spark):
+    from sparkobs.operators.graph import min_label_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "node bigint")
+    # path 1-2-3, triangle 4-5-6, isolate 7 (edges symmetric)
+    und = [(1, 2), (2, 3), (4, 5), (5, 6), (4, 6)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src bigint, dst bigint"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in min_label_components(nodes, edges, rounds=4).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7}
+
+
+def test_min_label_components_fixed_rounds_partial_is_deterministic(spark):
+    from sparkobs.operators.graph import min_label_components
+
+    # a 6-path needs 5 rounds to converge; at rounds=2 node 6 has only
+    # seen labels within distance 2 — the exact intermediate state
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "node bigint")
+    und = [(i, i + 1) for i in range(1, 6)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src bigint, dst bigint"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in min_label_components(nodes, edges, rounds=2).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 3, 6: 4}
+
+
+def test_mutual_topk_edges_keeps_only_reciprocal_pairs(spark):
+    from sparkobs.operators.graph import mutual_topk_edges
+
+    # u=1 ranks {2:9, 3:8, 4:1}; with k=1 only (1,2) is 1's pick and
+    # (1,2) is also 2's pick -> mutual; 3's top is 1 but 1's isn't 3
+    pairs = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 8), (1, 4, 1), (2, 4, 2)],
+        "u bigint, v bigint, w bigint",
+    )
+    got = sorted(
+        (r["src"], r["dst"]) for r in mutual_topk_edges(pairs, k=1).collect()
+    )
+    assert got == [(1, 2), (2, 1)]
