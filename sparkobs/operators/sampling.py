@@ -239,3 +239,41 @@ def weighted_sample(
         .orderBy(F.desc("score"), F.asc(key_col))
         .limit(k)
     )
+
+
+def budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget dataset selection — the curation export shape:
+    keep the highest-quality documents whose CUMULATIVE token count
+    fits the training budget (greedy by quality, the standard
+    data-constrained selection rule). Ordering is (quality DESC, id)
+    on the 4-dp-rounded certified quality score, so the order — and
+    therefore the integer prefix sums and the cut — is identical on
+    any engine; the cumulative sum runs on the DISTRIBUTED
+    running-sum primitive (joins.global_running_sum), never a
+    single-partition window. Output: (id, n_tokens, quality,
+    cum_tokens) for the selected prefix.
+    """
+    from sparkobs.operators.joins import global_running_sum
+    from sparkobs.operators.text import quality_score
+
+    scored = quality_score(df, id_col=id_col, text_col=text_col).select(
+        id_col, "n_tokens", "quality"
+    )
+    ordered = scored.withColumn("__negq", -F.col("quality"))
+    cum = global_running_sum(
+        ordered, ["__negq", id_col], "n_tokens", out_col="cum_tokens"
+    )
+    return (
+        cum.where(F.col("cum_tokens") <= F.lit(budget_tokens))
+        .select(
+            id_col,
+            "n_tokens",
+            "quality",
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+    )

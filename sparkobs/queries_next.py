@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (46 entries): the remaining expressible TPC-H shapes
+This wave (47 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -52,8 +52,10 @@ contributions floored to integer score units so per-doc sums are
 order-independent), inclusion-dependency FK discovery across the
 star schema, an event-time disorder diagnostic (distributed
 strictly-preceding prefix max — the watermark-tuning measurement),
-and supplier communities via mutual-kNN sparsification + fixed-round
-min-label components (replayable by an unrolled linear CTE chain).
+supplier communities via mutual-kNN sparsification + fixed-round
+min-label components (replayable by an unrolled linear CTE chain),
+and token-budget dataset selection (greedy quality prefix under an
+integer cumulative-token cut).
 """
 
 from __future__ import annotations
@@ -2063,6 +2065,47 @@ def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bm25_scores(
         load_table(spark, sf_dir, "documents"), terms=["data", "vector"]
+    )
+
+
+@_queue(
+    "budget_select_documents",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      string_split_regex(text, '\\s+') AS toks
+               FROM documents),
+    m AS (SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_unique,
+                 len(list_filter(toks, x -> x in ('the', 'a'))) AS n_stop
+          FROM t),
+    q AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 round(least(1.0, n_tokens / 50.0) * 0.4
+                       + (n_unique / n_tokens) * 0.4
+                       + (1.0 - n_stop / n_tokens) * 0.2, 4) AS quality
+          FROM m),
+    c AS (SELECT doc_id, n_tokens, quality,
+                 CAST(sum(n_tokens) OVER (
+                      ORDER BY quality DESC, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens
+          FROM q)
+    SELECT doc_id, n_tokens, quality, cum_tokens
+    FROM c WHERE cum_tokens <= 5000
+    """,
+)
+def budget_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget dataset selection (extension: the curation export
+    — keep the best documents that fit the training budget): greedy
+    by the certified 4-dp quality score with id tiebreak, integer
+    prefix token sums on the distributed running-sum primitive, cut
+    at 5000 tokens (operators/sampling.budget_select). Order, sums,
+    and cut are bit-identical cross-engine because the sort key is
+    the rounded certified score and every sum is a bigint."""
+    from sparkobs.operators.sampling import budget_select
+
+    return budget_select(
+        load_table(spark, sf_dir, "documents"), budget_tokens=5000
     )
 
 

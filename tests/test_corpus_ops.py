@@ -1234,3 +1234,27 @@ def test_bm25_rarer_term_outscores_common_at_equal_tf(spark):
     out = {r["doc_id"]: r["score_units"] for r in bm25_scores(df, ["rare", "common"]).collect()}
     # doc 9 hits both; its score strictly exceeds any common-only doc
     assert out[9] > max(v for k, v in out.items() if k != 9)
+
+
+def test_budget_select_prefix_property(spark):
+    from sparkobs.operators.sampling import budget_select
+
+    docs = [
+        (1, "alpha beta gamma delta"),            # 4 tokens
+        (2, "alpha alpha alpha alpha"),           # low diversity
+        (3, "the a the a"),                       # all stopwords
+        (4, "x y z w v u t s r q p o n m l k"),   # 16 tokens, diverse
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = budget_select(df, budget_tokens=21).collect()
+    # selection is a quality-ordered PREFIX: cum_tokens increases with
+    # falling quality, never exceeds the budget, and the top-quality
+    # doc is always in
+    assert all(r["cum_tokens"] <= 21 for r in out)
+    by_q = sorted(out, key=lambda r: (-r["quality"], r["doc_id"]))
+    cums = [r["cum_tokens"] for r in by_q]
+    assert cums == sorted(cums)
+    toks = [r["n_tokens"] for r in by_q]
+    assert cums == [sum(toks[: i + 1]) for i in range(len(toks))]
+    full = budget_select(df, budget_tokens=10_000).collect()
+    assert len(full) == 4  # big-enough budget keeps everything
