@@ -699,3 +699,49 @@ def test_mutual_topk_edges_keeps_only_reciprocal_pairs(spark):
         (r["src"], r["dst"]) for r in mutual_topk_edges(pairs, k=1).collect()
     )
     assert got == [(1, 2), (2, 1)]
+
+
+def test_late_r6_wave_plan_discipline(spark):
+    from sparkobs.plans import physical_plan, scans
+    from sparkobs.queries_next import R7_QUEUE
+
+    SF = "/root/testdata/sf0.001"
+
+    # exact quantiles: the lazy plan holds only the BRACKET scan (the
+    # bounds + histogram passes ran at checkpoint time); the picked
+    # join broadcasts the located targets, nothing sort-merges
+    dq = R7_QUEUE["exact_quantiles_lineitem"][0](spark, SF)
+    pq = physical_plan(dq)
+    assert len(scans(dq)) == 1
+    assert "SortMergeJoin" not in pq
+    assert "CartesianProduct" not in pq
+
+    # BM25: stats are a checkpointed 1-row broadcast, so the lazy
+    # plan is ONE corpus scan and no shuffle join of the corpus
+    db = R7_QUEUE["bm25_search_documents"][0](spark, SF)
+    assert len(scans(db)) == 1
+    assert "SortMergeJoin" not in physical_plan(db)
+
+    # salted distinct: two hash aggregations, no Expand rewrite (the
+    # within-(group, salt) distinct is a plain two-level agg)
+    ps = physical_plan(
+        R7_QUEUE["salted_distinct_customers_orders"][0](spark, SF)
+    )
+    assert ps.count("HashAggregate") >= 4  # partial+final at each level
+    assert "CartesianProduct" not in ps
+
+    # attribution: one window pass, no cartesian, no self-join scans
+    da = R7_QUEUE["attribution_linear_events"][0](spark, SF)
+    assert len(scans(da)) == 1
+    assert "CartesianProduct" not in physical_plan(da)
+
+    # inclusion deps: each pair derives each distinct set ONCE —
+    # 2 scans per pair, 10 total for 5 pairs
+    di = R7_QUEUE["inclusion_deps_star_schema"][0](spark, SF)
+    assert len(scans(di)) == 10
+
+    # disorder: the prefix-max exchange is __pid-partitioned (the
+    # distributed primitive), not a single global-order window over
+    # the data
+    pd_ = physical_plan(R7_QUEUE["event_disorder_events"][0](spark, SF))
+    assert "hashpartitioning(__pid" in pd_
