@@ -773,3 +773,53 @@ def linear_attribution(
         F.count_distinct("__conv").cast("long").alias("n_conversions"),
         F.sum("__credit").cast("long").alias("credit_units"),
     )
+
+
+def duration_weighted_mean(
+    df: DataFrame,
+    state_col: str = "event_type",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-in-state metrics: each event's value HOLDS until the
+    user's next event, and the per-state mean weights every value by
+    how long it held — the ops metric behind "average queue depth
+    while degraded" that a plain event-count mean misrepresents
+    (frequent short-lived states dominate it).
+
+    One lead() window per user (ordered ts, then event id — both
+    engines break ties identically) then one hash agg. Exactness:
+    value quantizes to integer cents, durations are integer
+    microseconds, and the Σ(cents·dur) accumulator is DECIMAL(38,0)
+    (cents·µs products overflow bigint at ~10⁴ user-days; Spark
+    BigDecimal and DuckDB HUGEINT both sum it exactly); the final
+    mean is a single division of the two exactly-converted doubles,
+    left unrounded. Each user's LAST event has no successor and
+    carries no weight. Output: (state, total_dur_us,
+    twa_value)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(ts_col, event_col)
+    base = (
+        df.where(F.col(value_col).isNotNull())
+        .withColumn("__dur", F.lead(us, 1).over(w) - us)
+        .where(F.col("__dur").isNotNull())
+    )
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    return (
+        base.groupBy(F.col(state_col).alias("state"))
+        .agg(
+            F.sum((cents * F.col("__dur")).cast("decimal(38,0)")).alias("__cd"),
+            F.sum("__dur").cast("long").alias("total_dur_us"),
+        )
+        .select(
+            "state",
+            "total_dur_us",
+            (
+                F.col("__cd").cast("double")
+                / F.col("total_dur_us").cast("double")
+                / F.lit(100.0)
+            ).alias("twa_value"),
+        )
+    )

@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (47 entries): the remaining expressible TPC-H shapes
+This wave (48 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -54,8 +54,9 @@ star schema, an event-time disorder diagnostic (distributed
 strictly-preceding prefix max — the watermark-tuning measurement),
 supplier communities via mutual-kNN sparsification + fixed-round
 min-label components (replayable by an unrolled linear CTE chain),
-and token-budget dataset selection (greedy quality prefix under an
-integer cumulative-token cut).
+token-budget dataset selection (greedy quality prefix under an
+integer cumulative-token cut), and duration-weighted time-in-state
+means (DECIMAL(38,0) cents-microsecond accumulators).
 """
 
 from __future__ import annotations
@@ -2066,6 +2067,36 @@ def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(
         load_table(spark, sf_dir, "documents"), terms=["data", "vector"]
     )
+
+
+@_queue(
+    "time_weighted_value_events",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, value,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+               - epoch_us(ts) AS dur
+      FROM events WHERE value IS NOT NULL)
+    SELECT event_type AS state,
+           CAST(sum(dur) AS BIGINT) AS total_dur_us,
+           CAST(sum(CAST(round(value * 100) AS BIGINT) * dur) AS DOUBLE)
+             / CAST(CAST(sum(dur) AS BIGINT) AS DOUBLE) / 100e0
+             AS twa_value
+    FROM base WHERE dur IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def time_weighted_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted mean value per event type (extension:
+    time-in-state metrics — each value holds until the user's next
+    event; operators/behavior.duration_weighted_mean). Integer cents
+    × integer microseconds accumulate in DECIMAL(38,0) (bigint would
+    overflow; Spark BigDecimal ≡ DuckDB HUGEINT summation), and the
+    mean is one division of exactly-converted doubles, unrounded."""
+    from sparkobs.operators.behavior import duration_weighted_mean
+
+    return duration_weighted_mean(load_table(spark, sf_dir, "events"))
 
 
 @_queue(

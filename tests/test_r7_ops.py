@@ -745,3 +745,23 @@ def test_late_r6_wave_plan_discipline(spark):
     # the data
     pd_ = physical_plan(R7_QUEUE["event_disorder_events"][0](spark, SF))
     assert "hashpartitioning(__pid" in pd_
+
+
+def test_duration_weighted_mean_hand_timeline(spark):
+    from sparkobs.operators.behavior import duration_weighted_mean
+
+    # user 1: A(v=10) holds 2s, B(v=100) holds 1s, A(v=20) holds 3s,
+    # then a terminal event (no successor -> no weight)
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "A", 10.0),
+        (2, 1, "2024-01-01 00:00:02", "B", 100.0),
+        (3, 1, "2024-01-01 00:00:03", "A", 20.0),
+        (4, 1, "2024-01-01 00:00:06", "C", 999.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts_s string, event_type string, value double"
+    ).selectExpr("event_id", "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type", "value")
+    got = {r["state"]: (r["total_dur_us"], r["twa_value"])
+           for r in duration_weighted_mean(df).collect()}
+    # A: (10*2s + 20*3s) / 5s = 16; B: 100 over 1s; C never closes
+    assert got == {"A": (5_000_000, 16.0), "B": (1_000_000, 100.0)}
