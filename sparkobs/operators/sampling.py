@@ -277,3 +277,24 @@ def budget_select(
             F.col("cum_tokens").cast("long").alias("cum_tokens"),
         )
     )
+
+
+def epoch_shuffle_rank(
+    df: DataFrame, key_col: str, seed: str = "epoch0"
+) -> DataFrame:
+    """Deterministic training-order shuffle: rank every row by the
+    portable md5 hash of (seed + key) — the epoch shuffle a training
+    pipeline must be able to REPLAY (resume mid-epoch, re-derive any
+    batch, prove two runs saw the same order). A new seed is a fresh
+    independent permutation of the same corpus. The rank is the
+    DISTRIBUTED global index over (hash, key) (joins.global_row_index
+    — per-partition row_number + broadcast offsets, no
+    single-partition sort); the key tiebreak makes md5 collisions
+    harmless. Output: every input column plus ``shuffle_rank``
+    (1-based)."""
+    from sparkobs.operators.joins import global_row_index
+
+    hashed = df.withColumn("__h", _hash64(key_col, seed))
+    return global_row_index(
+        hashed, ["__h", key_col], index_col="shuffle_rank"
+    ).drop("__h")

@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (48 entries): the remaining expressible TPC-H shapes
+This wave (49 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -55,8 +55,10 @@ strictly-preceding prefix max — the watermark-tuning measurement),
 supplier communities via mutual-kNN sparsification + fixed-round
 min-label components (replayable by an unrolled linear CTE chain),
 token-budget dataset selection (greedy quality prefix under an
-integer cumulative-token cut), and duration-weighted time-in-state
-means (DECIMAL(38,0) cents-microsecond accumulators).
+integer cumulative-token cut), duration-weighted time-in-state
+means (DECIMAL(38,0) cents-microsecond accumulators), and a
+deterministic replayable epoch shuffle (portable md5 order on the
+distributed global index).
 """
 
 from __future__ import annotations
@@ -2067,6 +2069,33 @@ def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(
         load_table(spark, sf_dir, "documents"), terms=["data", "vector"]
     )
+
+
+def _epoch_shuffle_oracle() -> str:
+    from sparkobs.queries import _hex15_sql
+
+    h = _hex15_sql("md5('epoch1' || CAST(doc_id AS VARCHAR))")
+    return f"""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY ({h}), doc_id) AS BIGINT)
+             AS shuffle_rank
+    FROM documents
+    """
+
+
+@_queue("epoch_shuffle_documents", oracle=_epoch_shuffle_oracle())
+def epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (extension: replayable training
+    order — resume mid-epoch, re-derive any batch): rank by the
+    portable md5(seed + id) hash on the distributed global-index
+    primitive (operators/sampling.epoch_shuffle_rank). The oracle
+    replays the same hash order as one window — affordable at oracle
+    scale; the engine side never funnels through a single-partition
+    sort."""
+    from sparkobs.operators.sampling import epoch_shuffle_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle_rank(docs, "doc_id", seed="epoch1")
 
 
 @_queue(

@@ -1258,3 +1258,20 @@ def test_budget_select_prefix_property(spark):
     assert cums == [sum(toks[: i + 1]) for i in range(len(toks))]
     full = budget_select(df, budget_tokens=10_000).collect()
     assert len(full) == 4  # big-enough budget keeps everything
+
+
+def test_epoch_shuffle_is_permutation_and_seed_independent(spark):
+    from sparkobs.operators.sampling import epoch_shuffle_rank
+
+    df = spark.createDataFrame([(i,) for i in range(1, 101)], "doc_id bigint")
+    e0 = {r["doc_id"]: r["shuffle_rank"]
+          for r in epoch_shuffle_rank(df, "doc_id", "epoch0").collect()}
+    assert sorted(e0.values()) == list(range(1, 101))  # a permutation
+    # deterministic: same seed replays bit-for-bit
+    again = {r["doc_id"]: r["shuffle_rank"]
+             for r in epoch_shuffle_rank(df, "doc_id", "epoch0").collect()}
+    assert again == e0
+    # a different seed is a different permutation (not identity-equal)
+    e1 = {r["doc_id"]: r["shuffle_rank"]
+          for r in epoch_shuffle_rank(df, "doc_id", "epoch1").collect()}
+    assert e1 != e0 and sorted(e1.values()) == list(range(1, 101))
