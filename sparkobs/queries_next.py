@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (49 entries): the remaining expressible TPC-H shapes
+This wave (50 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -58,7 +58,8 @@ token-budget dataset selection (greedy quality prefix under an
 integer cumulative-token cut), duration-weighted time-in-state
 means (DECIMAL(38,0) cents-microsecond accumulators), and a
 deterministic replayable epoch shuffle (portable md5 order on the
-distributed global index).
+distributed global index), and personalized PageRank (teleport-set
+restarts, unrolled-oracle-certified like its siblings).
 """
 
 from __future__ import annotations
@@ -1589,6 +1590,86 @@ def pagerank_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=3,
         weight_col="w",
     )
+    top = pr.orderBy(F.desc("rank_units"), F.asc("node")).limit(20)
+    return decode_copurchase_node(top)
+
+
+def _ppr_oracle(iters: int = 3, k_tele: int = 5) -> str:
+    """Unrolled PERSONALIZED PageRank: rank init and the (1−d) base
+    mass restrict to the teleport set (the k lowest supplier nodes),
+    zero elsewhere — same integer arithmetic as _pagerank_oracle."""
+    parts = [
+        """b AS (
+      SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c, 1 AS w
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+    e AS (SELECT s AS src, c AS dst, w FROM b
+          UNION ALL SELECT c, s, w FROM b),
+    outdeg AS (SELECT src, sum(w) AS od FROM e GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    tele AS (SELECT node FROM nodes WHERE node % 2 = 0
+             ORDER BY node LIMIT """
+        + str(k_tele)
+        + """),
+    n AS (SELECT count(*) AS nn FROM tele),
+    nt AS (SELECT nodes.node,
+                  CASE WHEN tele.node IS NOT NULL THEN 1 ELSE 0 END AS t
+           FROM nodes LEFT JOIN tele ON tele.node = nodes.node),
+    r0 AS (SELECT node, CASE WHEN t = 1 THEN 1000000000 // nn
+                             ELSE 0 END AS r
+           FROM nt CROSS JOIN n)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""i{t} AS (
+      SELECT e.dst AS node, sum((r.r * e.w) // o.od) AS inf
+      FROM e JOIN r{t} r ON e.src = r.node
+             JOIN outdeg o ON o.src = e.src
+      GROUP BY 1),
+    r{t + 1} AS (
+      SELECT nt.node,
+             CASE WHEN t = 1 THEN 150000000 // nn ELSE 0 END
+               + (85 * coalesce(inf, 0)) // 100 AS r
+      FROM nt CROSS JOIN n LEFT JOIN i{t} USING (node))"""
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+             AS node_type,
+           CAST(node // 2 AS BIGINT) AS node_key,
+           CAST(r AS BIGINT) AS rank_units
+    FROM r{iters} ORDER BY r DESC, node LIMIT 20
+    """
+
+
+@_queue("pagerank_personalized_copurchase", oracle=_ppr_oracle())
+def pagerank_personalized_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Personalized PageRank (extension: proximity ranking — "which
+    customers sit closest to THESE suppliers"): the random surfer
+    restarts only inside the teleport set (the 5 lowest supplier
+    nodes), so ranks measure graph proximity to it; same fixed-point
+    integer kernel, certified against the unrolled teleport
+    oracle."""
+    from sparkobs.operators.graph import (
+        copurchase_edges,
+        decode_copurchase_node,
+        pagerank_fixed,
+    )
+
+    edges = copurchase_edges(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+    tele = (
+        edges.select(F.col("src").alias("node"))
+        .where(F.col("node") % 2 == 0)
+        .distinct()
+        .orderBy("node")
+        .limit(5)
+    )
+    pr = pagerank_fixed(edges, iters=3, teleport=tele)
     top = pr.orderBy(F.desc("rank_units"), F.asc("node")).limit(20)
     return decode_copurchase_node(top)
 

@@ -146,6 +146,14 @@ FACT_QUERIES = (
     # salted distinct: orders grow 10x over 5 hot priority keys —
     # exactly the skew the salt splits
     "salted_distinct_customers_orders",
+    # per-group twopass quantiles: 3 fact scans, per-group bin tables
+    "exact_quantiles_grouped_lineitem",
+    # inclusion deps: distinct reductions deepen with the facts, the
+    # key-table joins stay key-sized
+    "inclusion_deps_star_schema",
+    # mutual-kNN components: edge derivation deepens; k*nodes survivor
+    # set and 8 label rounds are node-bound
+    "components_supplier_mutual_knn",
 )
 
 
@@ -652,6 +660,32 @@ def probes():
 
         return bm25_scores(docs, terms=["data", "vector"])
 
+    def time_weighted_p(docs, ev, emb):
+        # one per-user lead window + one hash agg; journeys get 10x
+        # longer under staging (fixed user set)
+        from sparkobs.operators.behavior import duration_weighted_mean
+
+        return duration_weighted_mean(ev)
+
+    def disorder_p(docs, ev, emb):
+        # distributed prefix max: range exchange + per-partition
+        # frame window + broadcast offsets
+        from sparkobs.operators.state import event_disorder_stats
+
+        return event_disorder_stats(ev)
+
+    def budget_select_p(docs, ev, emb):
+        # quality scan + distributed running sum over the doc table
+        from sparkobs.operators.sampling import budget_select
+
+        return budget_select(docs, budget_tokens=100_000)
+
+    def epoch_shuffle_p(docs, ev, emb):
+        # md5 + distributed global index; pure scan + range exchange
+        from sparkobs.operators.sampling import epoch_shuffle_rank
+
+        return epoch_shuffle_rank(docs.select("doc_id"), "doc_id")
+
     return {
         "winnowing_xx64": winnow,
         "resize_synth": resize,
@@ -715,6 +749,10 @@ def probes():
         "cuped_lift": cuped_p,
         "attribution_linear": attribution_p,
         "bm25_search": bm25_p,
+        "time_weighted_mean": time_weighted_p,
+        "event_disorder": disorder_p,
+        "budget_select": budget_select_p,
+        "epoch_shuffle": epoch_shuffle_p,
     }
 
 
