@@ -806,11 +806,14 @@ def duration_weighted_mean(
         .withColumn("__dur", F.lead(us, 1).over(w) - us)
         .where(F.col("__dur").isNotNull())
     )
-    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    # the DECIMAL cast must wrap an OPERAND, not the product — a
+    # bigint·bigint multiply overflows before a post-hoc cast can save
+    # it (ANSI mode throws; legacy mode silently wraps)
+    cents = F.round(F.col(value_col) * 100, 0).cast("decimal(38,0)")
     return (
         base.groupBy(F.col(state_col).alias("state"))
         .agg(
-            F.sum((cents * F.col("__dur")).cast("decimal(38,0)")).alias("__cd"),
+            F.sum(cents * F.col("__dur")).alias("__cd"),
             F.sum("__dur").cast("long").alias("total_dur_us"),
         )
         .select(

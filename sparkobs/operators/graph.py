@@ -191,23 +191,29 @@ def decode_copurchase_node(df: DataFrame) -> DataFrame:
 
 
 def cooccurrence_edges(
-    df: DataFrame, group_col: str, node_col: str
+    df: DataFrame, group_col: str, node_col: str, weighted: bool = False
 ) -> DataFrame:
     """Canonical undirected edge list (u < v, distinct) between nodes
     that share a group — e.g. suppliers co-occurring in an order. The
     self-join is keyed by the group column, so its cost is bounded by
-    the per-group degree (Σ per-group pairs), never nodes²."""
+    the per-group degree (Σ per-group pairs), never nodes².
+    ``weighted`` adds ``w`` = the number of shared groups (the
+    relationship-strength weight mutual-kNN sparsification ranks
+    by)."""
     base = df.select(
         F.col(group_col).alias("__g"), F.col(node_col).alias("__n")
     ).distinct()
     a, b = base.alias("a"), base.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.__g") == F.col("b.__g")) & (F.col("a.__n") < F.col("b.__n")),
+    )
+    if weighted:
+        return joined.groupBy(
+            F.col("a.__n").alias("u"), F.col("b.__n").alias("v")
+        ).agg(F.count(F.lit(1)).cast("long").alias("w"))
     return (
-        a.join(
-            b,
-            (F.col("a.__g") == F.col("b.__g"))
-            & (F.col("a.__n") < F.col("b.__n")),
-        )
-        .select(F.col("a.__n").alias("u"), F.col("b.__n").alias("v"))
+        joined.select(F.col("a.__n").alias("u"), F.col("b.__n").alias("v"))
         .distinct()
     )
 
@@ -341,15 +347,21 @@ def mutual_topk_edges(pairs: DataFrame, k: int = 3) -> DataFrame:
     Per-node top-k is a per-key window (rank by weight desc with id
     tiebreak — deterministic on any engine), never a global sort; the
     mutuality test is a self-join on the directed survivor set, which
-    is ≤ k·|nodes| rows regardless of input density."""
-    directed = pairs.select(
+    is ≤ k·|nodes| rows regardless of input density. The pair list
+    (usually an aggregate) is checkpointed before the two-direction
+    union and the survivor set before its self-join — Catalyst reuses
+    neither subtree, so without the cuts the upstream derivation runs
+    2–4×."""
+    p = pairs.select("u", "v", "w").localCheckpoint()
+    directed = p.select(
         F.col("u").alias("a"), F.col("v").alias("b"), "w"
-    ).unionAll(pairs.select(F.col("v").alias("a"), F.col("u").alias("b"), "w"))
+    ).unionAll(p.select(F.col("v").alias("a"), F.col("u").alias("b"), "w"))
     wnd = W.partitionBy("a").orderBy(F.desc("w"), F.asc("b"))
     top = (
         directed.withColumn("__r", F.row_number().over(wnd))
         .where(F.col("__r") <= k)
         .select("a", "b")
+        .localCheckpoint()  # <= k * |nodes| rows
     )
     mutual = top.join(
         top.select(F.col("b").alias("a"), F.col("a").alias("b")),

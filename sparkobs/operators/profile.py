@@ -1263,145 +1263,24 @@ def exact_quantiles_twopass(
 ) -> DataFrame:
     """EXACT quantiles at any scale in two data passes + a bracket
     scan — the 100 TB alternative to both single-pass exact
-    ``percentile`` (a global sort/collect of the column on big data)
-    and ``percentile_approx`` (bounded error): pass 1 builds a fixed
-    n_bins histogram between the observed bounds; the cumulative bin
-    table then LOCATES each needed order statistic (the two
-    surrounding a type-7 rank (n−1)·q) in a bin; pass 2 scans only
-    the bracket bins (≈ n/n_bins rows per target), sorts WITHIN each
-    bracket partition, and picks the exact offsets. Interpolation
-    replays Percentile.scala bit-for-bit: weights are
-    `(ceil(rank)−rank)·lowerKey + (rank−floor(rank))·higherKey`
-    (NOT 1−frac, which differs by 1 ulp for ranks like 5.3), and the
-    integral-rank and tied-key (lowerKey == higherKey) cases
-    short-circuit to the raw key exactly as Spark's does — so results
-    are bit-identical to the single-pass answer. Everything between
-    the passes is bin-table-sized; no driver collect anywhere — the
-    count, bounds, and target positions ride 1-row broadcast frames.
-    Output: (q, value, n_rows) ordered by q; NULLs excluded like
+    ``percentile`` (which buffers the column's value counts in one
+    task) and ``percentile_approx`` (bounded error). Delegates to
+    :func:`exact_quantiles_grouped` under a constant group — ONE
+    implementation owns the subtle bit-parity logic (histogram
+    bracket location, Percentile.scala's ceil/floor rank weights and
+    its integral-rank + tied-key short-circuits); a 400-case stress
+    run against the builtin is bit-identical. Output:
+    (q, value, n_rows) ordered by q; NULLs excluded like
     ``percentile``.
     """
-    spark = df.sparkSession
-    v = F.col(col).cast("double")
-    data = df.where(v.isNotNull()).select(v.alias("__v"))
-    # Catalyst does not reuse an aggregate subtree referenced more
-    # than once in a plan (no static ReusedExchange) — without the
-    # eager localCheckpoints below, each reference to `bounds` and to
-    # the located bin table re-derives it FROM THE FACT SCAN (8 scans
-    # observed); with them the operator costs exactly the documented
-    # 3 scans (bounds, histogram, bracket).
-    bounds = data.agg(
-        F.min("__v").alias("__lo"),
-        F.max("__v").alias("__hi"),
-        F.count(F.lit(1)).alias("__n"),
-    ).localCheckpoint()  # 1 row
-
-    def binned():
-        # bin id from the broadcast bounds; a constant column
-        # (hi == lo) degenerates to one bin
-        return data.crossJoin(F.broadcast(bounds)).select(
-            "__v",
-            F.when(
-                F.col("__hi") > F.col("__lo"),
-                F.least(
-                    F.lit(n_bins - 1),
-                    F.greatest(
-                        F.lit(0),
-                        F.floor(
-                            (F.col("__v") - F.col("__lo"))
-                            * n_bins
-                            / (F.col("__hi") - F.col("__lo"))
-                        ).cast("int"),
-                    ),
-                ),
-            )
-            .otherwise(F.lit(0))
-            .alias("__bin"),
-        )
-
-    hist = binned().groupBy("__bin").agg(F.count(F.lit(1)).alias("__cnt"))
-    w_prev = Window.orderBy("__bin").rowsBetween(Window.unboundedPreceding, -1)
-    cum = hist.select(
-        "__bin",
-        F.coalesce(F.sum("__cnt").over(w_prev), F.lit(0)).alias("__before"),
-        (F.coalesce(F.sum("__cnt").over(w_prev), F.lit(0)) + F.col("__cnt")).alias(
-            "__upto"
-        ),
+    out = exact_quantiles_grouped(
+        df.select(F.col(col)).withColumn("__all", F.lit(0)),
+        "__all",
+        col,
+        qs,
+        n_bins,
     )
-    targets = (
-        spark.createDataFrame([(float(q),) for q in qs], "q double")
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "q",
-            "__n",
-            (F.col("q") * (F.col("__n") - 1)).alias("__rank"),
-        )
-        .select(
-            "q",
-            "__n",
-            (F.col("__rank") - F.floor("__rank")).alias("__frac"),
-            (F.ceil("__rank") - F.col("__rank")).alias("__wlo"),
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit(0).alias("__which"),
-                        (F.floor("__rank") + 1).alias("__pos"),
-                    ),
-                    F.struct(
-                        F.lit(1).alias("__which"),
-                        F.least(F.floor("__rank") + 2, F.col("__n")).alias(
-                            "__pos"
-                        ),
-                    ),
-                )
-            ).alias("__t"),
-        )
-        .select("q", "__n", "__frac", "__wlo", "__t.__which", "__t.__pos")
-    )
-    located = (
-        F.broadcast(targets)
-        .join(
-            cum,
-            (F.col("__pos") > F.col("__before"))
-            & (F.col("__pos") <= F.col("__upto")),
-        )
-        .localCheckpoint()  # <= 2*len(qs) rows; runs the histogram pass
-    )
-    need_bins = located.select("__bin").distinct()
-    w_bin = Window.partitionBy("__bin").orderBy("__v")
-    bracket = (
-        binned()
-        .join(F.broadcast(need_bins), "__bin")
-        .withColumn("__rn", F.row_number().over(w_bin))
-    )
-    picked = bracket.join(
-        F.broadcast(located),
-        (bracket["__bin"] == located["__bin"])
-        & (bracket["__rn"] == located["__pos"] - located["__before"]),
-    )
-    return (
-        picked.groupBy("q", "__frac", "__wlo", "__n")
-        .agg(
-            F.min(F.when(F.col("__which") == 0, F.col("__v"))).alias("__v0"),
-            F.min(F.when(F.col("__which") == 1, F.col("__v"))).alias("__v1"),
-        )
-        .select(
-            "q",
-            # Percentile.scala short-circuits BOTH the integral-rank case
-            # and the tied-keys case (lowerKey == higherKey) to the raw
-            # key — interpolating 0.94·k + 0.06·k would be 1 ulp low.
-            F.when(
-                (F.col("__frac") == 0.0) | (F.col("__v0") == F.col("__v1")),
-                F.col("__v0"),
-            )
-            .otherwise(
-                F.col("__wlo") * F.col("__v0") + F.col("__frac") * F.col("__v1")
-            )
-            .alias("value"),
-            F.col("__n").cast("long").alias("n_rows"),
-        )
-        .orderBy("q")
-    )
+    return out.select("q", "value", "n_rows").orderBy("q")
 
 
 def exact_quantiles_grouped(
@@ -1425,7 +1304,11 @@ def exact_quantiles_grouped(
     (ceil/floor rank weights, integral-rank and tied-key
     short-circuits). The per-group bounds and located-target tables
     are group-table-sized — eagerly checkpointed (the
-    no-aggregate-subtree-reuse escape), never collected. Output:
+    no-aggregate-subtree-reuse escape), never collected; the located
+    targets (2·|qs| rows per group) broadcast into the bracket joins,
+    which bounds the supported group cardinality at broadcast size
+    (~millions of groups) — beyond that, drop the two F.broadcast
+    hints and let AQE shuffle both sides. Output:
     (group, q, value, n_rows) ordered by group, q.
     """
     v = F.col(col).cast("double")
@@ -1528,7 +1411,7 @@ def exact_quantiles_grouped(
     bracket = (
         binned()
         .join(
-            need_bins,
+            F.broadcast(need_bins),
             (F.col("__g") == F.col("__gn"))
             & (F.col("__bin") == F.col("__binn")),
         )
@@ -1547,7 +1430,7 @@ def exact_quantiles_grouped(
         "__before",
     )
     picked = bracket.join(
-        loc,
+        F.broadcast(loc),
         (F.col("__g") == F.col("__gl"))
         & (F.col("__bin") == F.col("__binl"))
         & (F.col("__rn") == F.col("__pos") - F.col("__before")),

@@ -206,6 +206,7 @@ def inclusion_coefficient(
     col_b: str,
     label_a: str | None = None,
     label_b: str | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Inclusion dependency strength — the foreign-key discovery
     primitive behind catalog intelligence: what fraction of A's
@@ -216,20 +217,21 @@ def inclusion_coefficient(
     (hash agg with map-side partials — the fact table never crosses
     the network un-deduplicated), then ONE left join of the two key
     tables feeds a single count/sum aggregate, so neither distinct
-    set is derived twice. Output: 1 row of exact integers plus the
-    unrounded containment ratio (a single division of identical
-    bigints)."""
-    ka = (
-        df_a.select(F.col(col_a).alias("__k"))
-        .where(F.col("__k").isNotNull())
-        .distinct()
+    set is derived twice. Callers screening MANY column pairs should
+    pre-dedupe each key set once (checkpointed) and pass
+    ``distinct=False`` — a column reused across pairs then costs one
+    distinct reduction total, not one per pair. Output: 1 row of
+    exact integers plus the unrounded containment ratio (a single
+    division of identical bigints)."""
+    ka = df_a.select(F.col(col_a).alias("__k")).where(
+        F.col("__k").isNotNull()
     )
-    kb = (
-        df_b.select(F.col(col_b).alias("__k"))
-        .where(F.col("__k").isNotNull())
-        .distinct()
-        .withColumn("__hit", F.lit(1))
+    kb = df_b.select(F.col(col_b).alias("__k")).where(
+        F.col("__k").isNotNull()
     )
+    if distinct:
+        ka, kb = ka.distinct(), kb.distinct()
+    kb = kb.withColumn("__hit", F.lit(1))
     return (
         ka.join(kb, "__k", "left")
         .agg(

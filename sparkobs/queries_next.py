@@ -1661,7 +1661,7 @@ def pagerank_personalized_copurchase(
     edges = copurchase_edges(
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"),
-    )
+    ).localCheckpoint()  # referenced by tele AND the kernel — one derivation
     tele = (
         edges.select(F.col("src").alias("node"))
         .where(F.col("node") % 2 == 0)
@@ -2190,7 +2190,7 @@ def epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE value IS NOT NULL)
     SELECT event_type AS state,
            CAST(sum(dur) AS BIGINT) AS total_dur_us,
-           CAST(sum(CAST(round(value * 100) AS BIGINT) * dur) AS DOUBLE)
+           CAST(sum(CAST(round(value * 100) AS HUGEINT) * dur) AS DOUBLE)
              / CAST(CAST(sum(dur) AS BIGINT) AS DOUBLE) / 100e0
              AS twa_value
     FROM base WHERE dur IS NOT NULL
@@ -2304,23 +2304,13 @@ def components_supplier_mutual_knn(
     8 rounds, deterministic → replayable by the unrolled oracle).
     Isolated suppliers keep their own label. All-integer output."""
     from sparkobs.operators.graph import (
+        cooccurrence_edges,
         min_label_components,
         mutual_topk_edges,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    os_ = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a, b = os_.alias("a"), os_.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")),
-        )
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
-    )
+    pairs = cooccurrence_edges(li, "l_orderkey", "l_suppkey", weighted=True)
     edges = mutual_topk_edges(pairs, k=3)
     nodes = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("node")
@@ -2436,15 +2426,34 @@ def inclusion_deps_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     p = load_table(spark, sf_dir, "part")
     c = load_table(spark, sf_dir, "customer")
+    # each key column's distinct set reduces ONCE (checkpointed) and
+    # serves every pair it appears in — 6 distinct reductions for 5
+    # pairs instead of 10
+    keys = {
+        col: src.select(F.col(col))
+        .where(F.col(col).isNotNull())
+        .distinct()
+        .localCheckpoint()
+        for src, col in [
+            (li, "l_orderkey"),
+            (li, "l_partkey"),
+            (o, "o_orderkey"),
+            (o, "o_custkey"),
+            (p, "p_partkey"),
+            (c, "c_custkey"),
+        ]
+    }
     pairs = [
-        (li, "l_orderkey", o, "o_orderkey"),
-        (li, "l_partkey", p, "p_partkey"),
-        (o, "o_custkey", c, "c_custkey"),
-        (p, "p_partkey", li, "l_partkey"),
-        (c, "c_custkey", o, "o_custkey"),
+        ("l_orderkey", "o_orderkey"),
+        ("l_partkey", "p_partkey"),
+        ("o_custkey", "c_custkey"),
+        ("p_partkey", "l_partkey"),
+        ("c_custkey", "o_custkey"),
     ]
     out = None
-    for a, ca, b, cb in pairs:
-        one = inclusion_coefficient(a, ca, b, cb)
+    for ca, cb in pairs:
+        one = inclusion_coefficient(
+            keys[ca], ca, keys[cb], cb, distinct=False
+        )
         out = one if out is None else out.unionByName(one)
     return out

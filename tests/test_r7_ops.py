@@ -735,10 +735,11 @@ def test_late_r6_wave_plan_discipline(spark):
     assert len(scans(da)) == 1
     assert "CartesianProduct" not in physical_plan(da)
 
-    # inclusion deps: each pair derives each distinct set ONCE —
-    # 2 scans per pair, 10 total for 5 pairs
+    # inclusion deps: the 6 distinct key sets reduce once each into
+    # checkpoints (at query-construction time), so the lazy plan has
+    # NO base-table scans — every pair joins key tables
     di = R7_QUEUE["inclusion_deps_star_schema"][0](spark, SF)
-    assert len(scans(di)) == 10
+    assert len(scans(di)) == 0
 
     # disorder: the prefix-max exchange is __pid-partitioned (the
     # distributed primitive), not a single global-order window over
@@ -765,3 +766,22 @@ def test_duration_weighted_mean_hand_timeline(spark):
            for r in duration_weighted_mean(df).collect()}
     # A: (10*2s + 20*3s) / 5s = 16; B: 100 over 1s; C never closes
     assert got == {"A": (5_000_000, 16.0), "B": (1_000_000, 100.0)}
+
+
+def test_duration_weighted_mean_survives_bigint_overflow_regime(spark):
+    # one interval with cents*micros far beyond 2^63: value 1e7
+    # dollars held ~12 days -> product ~1e21; a long multiply throws
+    # (ANSI) or wraps — the DECIMAL operand cast must make it exact
+    from sparkobs.operators.behavior import duration_weighted_mean
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "A", 1e7),
+        (2, 1, "2024-01-13 00:00:00", "A", 1e7),
+        (3, 1, "2024-01-25 00:00:00", "Z", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts_s string, event_type string, value double"
+    ).selectExpr("event_id", "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type", "value")
+    got = {r["state"]: (r["total_dur_us"], r["twa_value"])
+           for r in duration_weighted_mean(df).collect()}
+    assert got["A"] == (2 * 12 * 86400 * 1_000_000, 1e7)
