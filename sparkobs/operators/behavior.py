@@ -826,3 +826,60 @@ def duration_weighted_mean(
             ).alias("twa_value"),
         )
     )
+
+
+def conversion_paths(
+    df: DataFrame,
+    conversion: str,
+    touches: tuple = ("view", "click", "signup"),
+    top_k: int = 15,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_id",
+    channel_col: str = "event_type",
+) -> DataFrame:
+    """Top conversion paths — the journey-mining companion to
+    :func:`linear_attribution`: the ordered channel sequence each
+    conversion saw (since the prior conversion), rolled up to the
+    ``top_k`` most common paths. Same one-window conversion tagging
+    as attribution; the path string builds from an array_sort over
+    (ts, event id, channel) structs, so tie order is identical on
+    any engine, and the global top-k is TakeOrderedAndProject over
+    the aggregated path table (count desc, path asc — deterministic),
+    never a full sort. Output: (path, n_conversions)."""
+    ev = df.select(key_col, ts_col, event_col, channel_col).where(
+        F.col(channel_col).isin([*touches, conversion])
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, event_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    tagged = ev.withColumn(
+        "__conv",
+        F.first(
+            F.when(F.col(channel_col) == conversion, F.col(event_col)),
+            ignorenulls=True,
+        ).over(w_next),
+    ).where((F.col(channel_col) != conversion) & F.col("__conv").isNotNull())
+    paths = tagged.groupBy(key_col, "__conv").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts_col).alias("t"),
+                            F.col(event_col).alias("e"),
+                            F.col(channel_col).alias("c"),
+                        )
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+        ).alias("path")
+    )
+    agg = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions")
+    )
+    return agg.orderBy(F.desc("n_conversions"), F.asc("path")).limit(top_k)

@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (50 entries): the remaining expressible TPC-H shapes
+This wave (51 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -58,8 +58,9 @@ token-budget dataset selection (greedy quality prefix under an
 integer cumulative-token cut), duration-weighted time-in-state
 means (DECIMAL(38,0) cents-microsecond accumulators), and a
 deterministic replayable epoch shuffle (portable md5 order on the
-distributed global index), and personalized PageRank (teleport-set
-restarts, unrolled-oracle-certified like its siblings).
+distributed global index), personalized PageRank (teleport-set
+restarts, unrolled-oracle-certified like its siblings), and top
+conversion paths (journey mining on the attribution tagging).
 """
 
 from __future__ import annotations
@@ -2177,6 +2178,46 @@ def epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return epoch_shuffle_rank(docs, "doc_id", seed="epoch1")
+
+
+@_queue(
+    "conversion_paths_events",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'signup', 'purchase')),
+    tagged AS (
+      SELECT *,
+             first_value(CASE WHEN event_type = 'purchase'
+                              THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS conv_id
+      FROM ev),
+    paths AS (
+      SELECT user_id, conv_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM tagged
+      WHERE event_type <> 'purchase' AND conv_id IS NOT NULL
+      GROUP BY 1, 2),
+    agg AS (SELECT path, CAST(count(*) AS BIGINT) AS n_conversions
+            FROM paths GROUP BY 1)
+    SELECT path, n_conversions FROM agg
+    ORDER BY n_conversions DESC, path LIMIT 15
+    """,
+)
+def conversion_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 conversion paths (extension: journey mining — the
+    ordered channel sequence each purchase saw since the prior one;
+    operators/behavior.conversion_paths). Path strings build from an
+    array_sort over (ts, event id, channel) structs so tie order is
+    engine-identical; the global top-k is TakeOrderedAndProject with
+    a (count desc, path) tiebreak — a deterministic result set."""
+    from sparkobs.operators.behavior import conversion_paths
+
+    return conversion_paths(
+        load_table(spark, sf_dir, "events"), conversion="purchase"
+    )
 
 
 @_queue(

@@ -785,3 +785,26 @@ def test_duration_weighted_mean_survives_bigint_overflow_regime(spark):
     got = {r["state"]: (r["total_dur_us"], r["twa_value"])
            for r in duration_weighted_mean(df).collect()}
     assert got["A"] == (2 * 12 * 86400 * 1_000_000, 1e7)
+
+
+def test_conversion_paths_hand_journeys(spark):
+    from sparkobs.operators.behavior import conversion_paths
+
+    rows = [
+        # user 1: view > click > PURCHASE, then signup > PURCHASE
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-01 00:01:00", "click"),
+        (3, 1, "2024-01-01 00:02:00", "purchase"),
+        (4, 1, "2024-01-01 00:03:00", "signup"),
+        (5, 1, "2024-01-01 00:04:00", "purchase"),
+        # user 2: view > click > PURCHASE (same path as user 1's first)
+        (6, 2, "2024-01-01 00:00:00", "view"),
+        (7, 2, "2024-01-01 00:01:00", "click"),
+        (8, 2, "2024-01-01 00:02:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts_s string, event_type string"
+    ).selectExpr("event_id", "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type")
+    got = [(r["path"], r["n_conversions"])
+           for r in conversion_paths(df, conversion="purchase").collect()]
+    assert got == [("view>click", 2), ("signup", 1)]
