@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (51 entries): the remaining expressible TPC-H shapes
+This wave (52 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -59,8 +59,10 @@ integer cumulative-token cut), duration-weighted time-in-state
 means (DECIMAL(38,0) cents-microsecond accumulators), and a
 deterministic replayable epoch shuffle (portable md5 order on the
 distributed global index), personalized PageRank (teleport-set
-restarts, unrolled-oracle-certified like its siblings), and top
-conversion paths (journey mining on the attribution tagging).
+restarts, unrolled-oracle-certified like its siblings), top
+conversion paths (journey mining on the attribution tagging), and an
+embedding-dimension ablation recall certification (Matryoshka-style
+half-dim neighbor preservation vs the full-dim ground truth).
 """
 
 from __future__ import annotations
@@ -2178,6 +2180,88 @@ def epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return epoch_shuffle_rank(docs, "doc_id", seed="epoch1")
+
+
+@_queue(
+    "dim_ablation_recall_embeddings",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    n64 AS (SELECT vec_id, e,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+            FROM v),
+    t64 AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 round(list_sum(list_transform(generate_series(1, 64),
+                         i -> a.e[i] * b.e[i])) / (a.norm * b.norm), 6)
+                   DESC, b.vec_id) AS rn
+        FROM n64 a JOIN n64 b ON a.vec_id != b.vec_id)
+      WHERE rn <= 5),
+    h AS (SELECT vec_id, e[1:32] AS e FROM v),
+    n32 AS (SELECT vec_id, e,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS norm
+            FROM h),
+    t32 AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 round(list_sum(list_transform(generate_series(1, 32),
+                         i -> a.e[i] * b.e[i])) / (a.norm * b.norm), 6)
+                   DESC, b.vec_id) AS rn
+        FROM n32 a JOIN n32 b ON a.vec_id != b.vec_id)
+      WHERE rn <= 5),
+    m AS (SELECT count(*) AS n_matched
+          FROM t64 JOIN t32 USING (vec_id, neighbor_id)),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth_pairs,
+                 CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries
+          FROM t64)
+    SELECT n_queries, n_truth_pairs,
+           CAST(n_matched AS BIGINT) AS n_matched,
+           CAST(n_matched AS BIGINT) / n_truth_pairs AS recall
+    FROM t, m
+    """,
+)
+def dim_ablation_recall_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-dimension ablation (extension: the
+    Matryoshka-truncation question — how much neighbor structure
+    survives at half the dimensions?): recall@5 of brute-force cosine
+    top-5 over the FIRST 32 components against the full-64-dim ground
+    truth, both sides the certified deterministic brute tier (rounded
+    cosine, id tiebreaks), the verdict one unrounded integer
+    division. The oracle composes the two replays."""
+    from sparkobs.operators.similarity import cosine_topk_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # both pair sets are referenced twice (semi join + the totals agg)
+    # — checkpoint the 5n-row results so the scoring pass runs once
+    full = (
+        cosine_topk_bruteforce(emb, k=5)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    half = (
+        cosine_topk_bruteforce(
+            emb.withColumn("embedding", F.slice("embedding", 1, 32)), k=5
+        )
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    matched = full.join(half, ["vec_id", "neighbor_id"], "semi")
+    t = full.agg(
+        F.count_distinct("vec_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_truth_pairs"),
+    )
+    m = matched.agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    return t.crossJoin(F.broadcast(m)).select(
+        "n_queries",
+        "n_truth_pairs",
+        "n_matched",
+        (F.col("n_matched") / F.col("n_truth_pairs")).alias("recall"),
+    )
 
 
 @_queue(
