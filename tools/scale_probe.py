@@ -686,6 +686,12 @@ def probes():
 
         return epoch_shuffle_rank(docs.select("doc_id"), "doc_id")
 
+    def conversion_paths_p(docs, ev, emb):
+        # same tagging window as attribution + a path hash agg
+        from sparkobs.operators.behavior import conversion_paths
+
+        return conversion_paths(ev, conversion="purchase")
+
     return {
         "winnowing_xx64": winnow,
         "resize_synth": resize,
@@ -753,6 +759,7 @@ def probes():
         "event_disorder": disorder_p,
         "budget_select": budget_select_p,
         "epoch_shuffle": epoch_shuffle_p,
+        "conversion_paths": conversion_paths_p,
     }
 
 
