@@ -867,3 +867,36 @@ def event_disorder_stats(
             F.col("n_late") > 0, F.col("__sum_late") / F.col("n_late")
         ).alias("mean_late_us"),
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    deleted_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics over immutable snapshots — the upsert
+    every parquet-lake maintenance job needs: rows from ``updates``
+    WIN on matching keys, unmatched update rows INSERT, unmatched
+    base rows persist, and (optionally) updates flagged true in
+    ``deleted_col`` DELETE their base row instead.
+
+    One anti join is the whole plan: result = surviving updates ∪
+    (base ANTI JOIN all-update-keys). The base side shuffles once on
+    the merge key (broadcast when the change batch is small — let AQE
+    pick), no per-column coalesce, no full-outer join. Cost scales
+    with base + changes, the minimum a snapshot rewrite pays; at
+    cluster scale write the result partitioned by the merge key range
+    for the next round's pruning.
+    """
+    upd_keys = updates.select(*key_cols)
+    survivors = (
+        updates.where(~F.coalesce(F.col(deleted_col), F.lit(False))).drop(
+            deleted_col
+        )
+        if deleted_col is not None
+        else updates
+    )
+    return survivors.unionByName(
+        base.join(upd_keys, key_cols, "left_anti")
+    )

@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (52 entries): the remaining expressible TPC-H shapes
+This wave (53 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -60,9 +60,11 @@ means (DECIMAL(38,0) cents-microsecond accumulators), and a
 deterministic replayable epoch shuffle (portable md5 order on the
 distributed global index), personalized PageRank (teleport-set
 restarts, unrolled-oracle-certified like its siblings), top
-conversion paths (journey mining on the attribution tagging), and an
+conversion paths (journey mining on the attribution tagging), an
 embedding-dimension ablation recall certification (Matryoshka-style
-half-dim neighbor preservation vs the full-dim ground truth).
+half-dim neighbor preservation vs the full-dim ground truth), and
+MERGE-INTO upsert semantics over snapshots (updates win / inserts /
+flagged deletes, one anti join).
 """
 
 from __future__ import annotations
@@ -2180,6 +2182,59 @@ def epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return epoch_shuffle_rank(docs, "doc_id", seed="epoch1")
+
+
+@_queue(
+    "merge_upsert_orders",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 1000.0 AS o_totalprice,
+             o_orderdate, o_orderpriority, FALSE AS del
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority, FALSE
+      FROM orders WHERE o_orderkey % 101 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority, TRUE
+      FROM orders WHERE o_orderkey % 103 = 0)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM upd WHERE NOT del
+    UNION ALL
+    SELECT o.* FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM upd u
+                      WHERE u.o_orderkey = o.o_orderkey)
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over snapshots (extension: the parquet-lake upsert —
+    operators/state.merge_upsert): a deterministic change batch bumps
+    every 97th order's price, inserts offset copies of every 101st,
+    and deletes every 103rd; updates win on key, unmatched updates
+    insert, flagged deletes drop their base row. One anti join is the
+    whole plan. Price bump is identical double arithmetic (+1000.0 of
+    the same input double), no rounding needed."""
+    from sparkobs.operators.state import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    bump = (
+        o.where(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("__del", F.lit(False))
+    )
+    ins = (
+        o.where(F.col("o_orderkey") % 101 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+        .withColumn("__del", F.lit(False))
+    )
+    dels = o.where(F.col("o_orderkey") % 103 == 0).withColumn(
+        "__del", F.lit(True)
+    )
+    updates = bump.unionByName(ins).unionByName(dels)
+    return merge_upsert(o, updates, ["o_orderkey"], deleted_col="__del")
 
 
 @_queue(

@@ -240,3 +240,32 @@ def test_inclusion_coefficient_directions_and_nulls(spark):
     assert (fwd["from_col"], fwd["to_col"]) == ("a.k", "b.k")
     rev = inclusion_coefficient(b, "k", a, "k").collect()[0]
     assert (rev["n_from_distinct"], rev["n_contained"]) == (3, 2)
+
+
+def test_merge_upsert_update_insert_delete_semantics(spark):
+    from sparkobs.operators.state import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True)],
+        "k bigint, v string, del boolean",
+    )
+    got = sorted(
+        (r["k"], r["v"])
+        for r in merge_upsert(base, updates, ["k"], deleted_col="del").collect()
+    )
+    # 1 persists, 2 updated, 3 deleted, 4 inserted
+    assert got == [(1, "a"), (2, "B"), (4, "d")]
+
+
+def test_merge_upsert_without_delete_flag(spark):
+    from sparkobs.operators.state import merge_upsert
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    updates = spark.createDataFrame([(2, "B")], "k bigint, v string")
+    got = sorted(
+        (r["k"], r["v"]) for r in merge_upsert(base, updates, ["k"]).collect()
+    )
+    assert got == [(1, "a"), (2, "B")]
