@@ -282,9 +282,12 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             "n_edges",
             "n_wedges",
             "n_triangles",
-            (F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")).alias(
-                "global_clustering"
-            ),
+            # a wedge-free graph (all degree <= 1) has an undefined
+            # coefficient — NULL, not a divide-by-zero (ANSI throws)
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+            ).alias("global_clustering"),
         )
     )
 

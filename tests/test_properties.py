@@ -683,3 +683,64 @@ def test_km_survival_monotone_and_order_invariant(spark, durs, seed):
     surv = [r["survival"] for r in a]
     assert all(0.0 <= s <= 1.0 for s in surv)
     assert all(x >= y for x, y in zip(surv, surv[1:]))
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 8)), max_size=16
+    )
+)
+@settings(**SETTINGS)
+def test_triangle_census_matches_brute_force(spark, edges):
+    from itertools import combinations
+
+    from sparkobs.operators.graph import triangle_stats
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not und:
+        return
+    df = spark.createDataFrame(und, "u bigint, v bigint")
+    row = triangle_stats(df).collect()[0]
+    eset = set(und)
+    nodes = sorted({n for e in und for n in e})
+    tris = sum(
+        1
+        for x, y, z in combinations(nodes, 3)
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset
+    )
+    deg = {n: 0 for n in nodes}
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    assert row["n_triangles"] == tris
+    assert row["n_edges"] == len(und)
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_wedges"] == sum(d * (d - 1) // 2 for d in deg.values())
+
+
+@given(
+    base=st.lists(st.tuples(st.integers(1, 6), st.integers(0, 9)), max_size=10),
+    upd=st.lists(st.tuples(st.integers(1, 9), st.integers(0, 9)), max_size=6),
+)
+@settings(**SETTINGS)
+def test_merge_upsert_is_idempotent_and_key_unique(spark, base, upd):
+    from sparkobs.operators.state import merge_upsert
+
+    base = list({k: v for k, v in base}.items())
+    upd = list({k: v for k, v in upd}.items())
+    if not base and not upd:
+        return
+    b = spark.createDataFrame(base or [(0, 0)], "k bigint, v int")
+    if not base:
+        b = b.where(F.lit(False))
+    u = spark.createDataFrame(upd or [(0, 0)], "k bigint, v int")
+    if not upd:
+        u = u.where(F.lit(False))
+    once = merge_upsert(b, u, ["k"])
+    twice = merge_upsert(once, u, ["k"])
+    r1 = sorted((r["k"], r["v"]) for r in once.collect())
+    r2 = sorted((r["k"], r["v"]) for r in twice.collect())
+    assert r1 == r2  # applying the same batch again changes nothing
+    expect = dict(base)
+    expect.update(dict(upd))
+    assert r1 == sorted(expect.items())  # updates win, keys unique
