@@ -170,3 +170,44 @@ def retention_purge(
         ).alias("n_kept"),
     )
     return kept, audit
+
+
+def freshness_check(
+    tables: list[tuple],
+    as_of: str,
+    sla_seconds: dict,
+) -> DataFrame:
+    """Data-freshness SLA monitor — the first question observability
+    asks of every table: when did data last arrive, and is that
+    within the expected cadence? ``tables`` is [(name, df, ts_col)],
+    ``as_of`` a replayable reference instant (never wall clock — runs
+    must be reproducible), ``sla_seconds`` the per-table allowance.
+
+    One max() aggregate per table (answerable from parquet footer
+    stats when the reader supports max pushdown) unioned into a tiny
+    verdict frame; staleness is exact integer seconds
+    (``unix_micros`` difference, floor-divided), so the SLA verdict
+    is engine-reproducible. NULL max_ts (empty table) reads as
+    infinitely stale: is_fresh = false, staleness NULL.
+    """
+    parts = []
+    for name, df, ts_col in tables:
+        mx = F.max(F.col(ts_col).cast("timestamp"))
+        staleness = F.expr(
+            f"(unix_micros(CAST('{as_of}' AS TIMESTAMP)) - "
+            f"unix_micros(max(CAST({ts_col} AS TIMESTAMP)))) div 1000000"
+        )
+        parts.append(
+            df.agg(
+                F.lit(name).alias("table_name"),
+                mx.alias("max_ts"),
+                staleness.cast("long").alias("staleness_s"),
+                F.coalesce(
+                    staleness <= F.lit(int(sla_seconds[name])), F.lit(False)
+                ).alias("is_fresh"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (53 entries): the remaining expressible TPC-H shapes
+This wave (54 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -64,7 +64,8 @@ conversion paths (journey mining on the attribution tagging), an
 embedding-dimension ablation recall certification (Matryoshka-style
 half-dim neighbor preservation vs the full-dim ground truth), and
 MERGE-INTO upsert semantics over snapshots (updates win / inserts /
-flagged deletes, one anti join).
+flagged deletes, one anti join), and a data-freshness SLA monitor
+(replayable as-of instant, exact integer staleness).
 """
 
 from __future__ import annotations
@@ -2182,6 +2183,57 @@ def epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return epoch_shuffle_rank(docs, "doc_id", seed="epoch1")
+
+
+@_queue(
+    "freshness_sla_tables",
+    oracle="""
+    SELECT 'events' AS table_name, max(ts) AS max_ts,
+           (epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+             - epoch_us(max(ts))) // 1000000 AS staleness_s,
+           ((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+             - epoch_us(max(ts))) // 1000000) <= 604800 AS is_fresh
+    FROM events
+    UNION ALL
+    SELECT 'orders', max(o_orderdate),
+           (epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+             - epoch_us(max(o_orderdate))) // 1000000,
+           ((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+             - epoch_us(max(o_orderdate))) // 1000000) <= 604800
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', max(l_shipdate),
+           (epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+             - epoch_us(max(l_shipdate))) // 1000000,
+           ((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+             - epoch_us(max(l_shipdate))) // 1000000) <= 604800
+    FROM lineitem
+    """,
+)
+def freshness_sla_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA monitor (extension: the first observability
+    question — when did data last arrive, and is it within cadence?
+    operators/checks.freshness_check): per-table max event time vs a
+    REPLAYABLE reference instant (never wall clock), staleness in
+    exact integer seconds, 7-day SLA verdict. One max() aggregate per
+    table; the events table reads fresh, the warehouse facts read
+    decades stale — both verdicts certified."""
+    from sparkobs.operators.checks import freshness_check
+
+    week = 7 * 86400
+    return freshness_check(
+        [
+            ("events", load_table(spark, sf_dir, "events"), "ts"),
+            ("orders", load_table(spark, sf_dir, "orders"), "o_orderdate"),
+            (
+                "lineitem",
+                load_table(spark, sf_dir, "lineitem"),
+                "l_shipdate",
+            ),
+        ],
+        as_of="2024-02-01 00:00:00",
+        sla_seconds={"events": week, "orders": week, "lineitem": week},
+    )
 
 
 @_queue(

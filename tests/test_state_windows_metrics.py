@@ -269,3 +269,28 @@ def test_merge_upsert_without_delete_flag(spark):
         (r["k"], r["v"]) for r in merge_upsert(base, updates, ["k"]).collect()
     )
     assert got == [(1, "a"), (2, "B")]
+
+
+def test_freshness_check_verdicts_and_empty_table(spark):
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.checks import freshness_check
+
+    fresh = spark.createDataFrame(
+        [("2024-01-01 00:00:00",)], "t string"
+    ).selectExpr("CAST(t AS TIMESTAMP) AS t")
+    stale = spark.createDataFrame(
+        [("2023-01-01 00:00:00",)], "t string"
+    ).selectExpr("CAST(t AS TIMESTAMP) AS t")
+    empty = fresh.where(F.lit(False))
+    out = {
+        r["table_name"]: (r["staleness_s"], r["is_fresh"])
+        for r in freshness_check(
+            [("a", fresh, "t"), ("b", stale, "t"), ("c", empty, "t")],
+            as_of="2024-01-02 00:00:00",
+            sla_seconds={"a": 86400 * 2, "b": 86400 * 2, "c": 86400 * 2},
+        ).collect()
+    }
+    assert out["a"] == (86400, True)
+    assert out["b"] == (86400 * 366, False)
+    assert out["c"] == (None, False)  # empty -> infinitely stale
