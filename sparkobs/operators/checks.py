@@ -211,3 +211,59 @@ def freshness_check(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def partition_gaps(
+    df: DataFrame, ts_col: str = "ts", granularity: str = "minute"
+) -> DataFrame:
+    """Partition-completeness monitor — freshness' sibling question:
+    between the table's first and last event, which time partitions
+    are MISSING entirely? (An hourly load that silently skipped a
+    window passes every freshness check; this catches it.)
+
+    The present-bucket table reduces once (distinct + checkpoint —
+    it is bounded by the time span, not the row count, and three plan
+    legs read it), the expected spine is ``explode(sequence(lo, hi))``
+    off the 1-row bounds, and the gap set is one anti join. Expected
+    count comes from integer microsecond arithmetic, not a second
+    spine scan. Output 1 row: (n_expected, n_present, n_missing,
+    first_missing, last_missing) — timestamps NULL when nothing is
+    missing.
+    """
+    step_us = {"minute": 60_000_000, "hour": 3_600_000_000}[granularity]
+    present = (
+        df.select(
+            F.date_trunc(granularity, F.col(ts_col).cast("timestamp")).alias("b")
+        )
+        .where(F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    bounds = present.agg(
+        F.min("b").alias("__lo"),
+        F.max("b").alias("__hi"),
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+    ).localCheckpoint()  # 1 row
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL 1 {granularity}")
+            )
+        ).alias("b")
+    )
+    missing = spine.join(present, "b", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_missing"),
+        F.min("b").alias("first_missing"),
+        F.max("b").alias("last_missing"),
+    )
+    return bounds.crossJoin(F.broadcast(missing)).select(
+        F.expr(
+            f"(unix_micros(__hi) - unix_micros(__lo)) div {step_us} + 1"
+        )
+        .cast("long")
+        .alias("n_expected"),
+        "n_present",
+        "n_missing",
+        "first_missing",
+        "last_missing",
+    )

@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (54 entries): the remaining expressible TPC-H shapes
+This wave (55 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -64,8 +64,9 @@ conversion paths (journey mining on the attribution tagging), an
 embedding-dimension ablation recall certification (Matryoshka-style
 half-dim neighbor preservation vs the full-dim ground truth), and
 MERGE-INTO upsert semantics over snapshots (updates win / inserts /
-flagged deletes, one anti join), and a data-freshness SLA monitor
-(replayable as-of instant, exact integer staleness).
+flagged deletes, one anti join), a data-freshness SLA monitor
+(replayable as-of instant, exact integer staleness), and a
+partition-completeness gap monitor (sequence-spine anti join).
 """
 
 from __future__ import annotations
@@ -2183,6 +2184,39 @@ def epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return epoch_shuffle_rank(docs, "doc_id", seed="epoch1")
+
+
+@_queue(
+    "partition_gaps_events",
+    oracle="""
+    WITH p AS (SELECT DISTINCT date_trunc('minute', ts) AS b
+               FROM events WHERE ts IS NOT NULL),
+    bd AS (SELECT min(b) AS lo, max(b) AS hi,
+                  CAST(count(*) AS BIGINT) AS n_present FROM p),
+    sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS b
+           FROM bd),
+    miss AS (SELECT b FROM sp
+             WHERE b NOT IN (SELECT b FROM p)),
+    ma AS (SELECT CAST(count(*) AS BIGINT) AS n_missing,
+                  min(b) AS first_missing, max(b) AS last_missing
+           FROM miss)
+    SELECT CAST((epoch_us(hi) - epoch_us(lo)) // 60000000 + 1 AS BIGINT)
+             AS n_expected,
+           n_present, n_missing, first_missing, last_missing
+    FROM bd, ma
+    """,
+)
+def partition_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-completeness monitor (extension: freshness' sibling —
+    which minute partitions between first and last event are missing
+    entirely? operators/checks.partition_gaps). One distinct bucket
+    reduction, a sequence spine off the 1-row bounds, one anti join;
+    expected count from exact integer microsecond arithmetic."""
+    from sparkobs.operators.checks import partition_gaps
+
+    return partition_gaps(
+        load_table(spark, sf_dir, "events"), "ts", "minute"
+    )
 
 
 @_queue(

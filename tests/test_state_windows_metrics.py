@@ -294,3 +294,25 @@ def test_freshness_check_verdicts_and_empty_table(spark):
     assert out["a"] == (86400, True)
     assert out["b"] == (86400 * 366, False)
     assert out["c"] == (None, False)  # empty -> infinitely stale
+
+
+def test_partition_gaps_hand_timeline(spark):
+    from sparkobs.operators.checks import partition_gaps
+
+    # minutes 0,1,2,5,7 present -> expected 8 (0..7), missing 3,4,6
+    rows = [(f"2024-01-01 00:0{m}:30",) for m in (0, 1, 2, 5, 7)]
+    df = spark.createDataFrame(rows, "t string").selectExpr(
+        "CAST(t AS TIMESTAMP) AS ts"
+    )
+    r = partition_gaps(df, "ts", "minute").collect()[0]
+    assert (r["n_expected"], r["n_present"], r["n_missing"]) == (8, 5, 3)
+    assert str(r["first_missing"]) == "2024-01-01 00:03:00"
+    assert str(r["last_missing"]) == "2024-01-01 00:06:00"
+    # gap-free table: zero missing, NULL endpoints
+    dense = spark.createDataFrame(
+        [(f"2024-01-01 00:0{m}:00",) for m in range(4)], "t string"
+    ).selectExpr("CAST(t AS TIMESTAMP) AS ts")
+    r2 = partition_gaps(dense, "ts", "minute").collect()[0]
+    assert (r2["n_missing"], r2["first_missing"], r2["last_missing"]) == (
+        0, None, None,
+    )
