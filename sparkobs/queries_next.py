@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (55 entries): the remaining expressible TPC-H shapes
+This wave (56 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -66,7 +66,8 @@ half-dim neighbor preservation vs the full-dim ground truth), and
 MERGE-INTO upsert semantics over snapshots (updates win / inserts /
 flagged deletes, one anti join), a data-freshness SLA monitor
 (replayable as-of instant, exact integer staleness), and a
-partition-completeness gap monitor (sequence-spine anti join).
+partition-completeness gap monitor (sequence-spine anti join) with
+a streaming freshness twin (one max state cell, no watermark).
 """
 
 from __future__ import annotations
@@ -2184,6 +2185,47 @@ def epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return epoch_shuffle_rank(docs, "doc_id", seed="epoch1")
+
+
+@_queue(
+    "streaming_freshness_events",
+    oracle="""
+    SELECT max(ts) AS max_ts,
+           (epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+             - epoch_us(max(ts))) // 1000000 AS staleness_s,
+           ((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+             - epoch_us(max(ts))) // 1000000) <= 604800 AS is_fresh
+    FROM events
+    """,
+)
+def streaming_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the freshness SLA monitor: the running max
+    event time accumulates CONTINUOUSLY in one state cell (no
+    watermark — a global max needs no expiry), and the
+    staleness/SLA verdict is a constant-time batch follow-up on the
+    drained row against the replayable as-of instant
+    (streaming/monitors.streaming_freshness)."""
+    from sparkobs.queries import _stage_events
+    from sparkobs.streaming.monitors import (
+        run_to_memory,
+        stream_events,
+        streaming_freshness,
+    )
+
+    stage_dir = _stage_events(spark, sf_dir)
+    out = streaming_freshness(stream_events(spark, stage_dir))
+    tbl = run_to_memory(
+        out, "freshness_stream", output_mode="complete", unique=True
+    )
+    staleness = F.expr(
+        "(unix_micros(CAST('2024-02-01 00:00:00' AS TIMESTAMP)) - "
+        "unix_micros(CAST(max_ts AS TIMESTAMP))) div 1000000"
+    )
+    return spark.table(tbl).select(
+        "max_ts",
+        staleness.cast("long").alias("staleness_s"),
+        (staleness <= F.lit(7 * 86400)).alias("is_fresh"),
+    )
 
 
 @_queue(

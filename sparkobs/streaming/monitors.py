@@ -353,3 +353,15 @@ def stream_stream_join_within(
         & (F.col("right_ts") >= F.col("left_ts"))
         & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {within}")),
     ).select("left_id", "right_id", F.col("k").alias(key_col))
+
+
+def streaming_freshness(events: DataFrame) -> DataFrame:
+    """Continuous freshness collection — the stream side of
+    checks.freshness_check: the running max event time accumulates in
+    the state store (state is ONE max cell regardless of input volume,
+    so no watermark is needed) and the staleness/SLA verdict runs as a
+    constant-time batch follow-up against the replayable as-of
+    instant. Complete mode; the drained result is a single row. No
+    watermark and no event-time cast needed — a global max needs no
+    state expiry, and the naive timestamp compares correctly as-is."""
+    return events.groupBy().agg(F.max("ts").alias("max_ts"))
