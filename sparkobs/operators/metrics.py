@@ -74,3 +74,53 @@ def argmax_entity(metrics: DataFrame) -> DataFrame:
         ),
         F.round(F.max("value"), 4).alias("max_value"),
     )
+
+
+def delta_contribution(
+    before: DataFrame,
+    after: DataFrame,
+    dim_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Metric root-cause drill-down — "revenue moved 8%: WHICH segment
+    did it": per dimension value, the metric total before vs after,
+    the delta, and each value's share of the overall delta. The
+    observability follow-up every threshold alert needs.
+
+    ``value_col`` must be exact integer units (cents — the caller
+    quantizes), so per-dim sums and the total delta are
+    order-independent bigints and the share is a single division of
+    identical integers, unrounded. Two hash aggs + one full outer
+    join on the dimension (dim-table-sized, checkpointed — the total
+    rides a 1-row broadcast off the same frame, which Catalyst would
+    otherwise re-derive). Dimension values present on only one side
+    contribute their full signed total. Output: (dim, before_units,
+    after_units, delta_units, delta_share) — share NULL when the
+    totals cancel to zero.
+    """
+    a = before.groupBy(F.col(dim_col).alias("dim")).agg(
+        F.sum(value_col).cast("long").alias("before_units")
+    )
+    b = after.groupBy(F.col(dim_col).alias("dim")).agg(
+        F.sum(value_col).cast("long").alias("after_units")
+    )
+    joined = (
+        a.join(b, "dim", "full_outer")
+        .select(
+            "dim",
+            F.coalesce("before_units", F.lit(0)).alias("before_units"),
+            F.coalesce("after_units", F.lit(0)).alias("after_units"),
+        )
+        .withColumn("delta_units", F.col("after_units") - F.col("before_units"))
+        .localCheckpoint()
+    )
+    total = joined.agg(F.sum("delta_units").cast("long").alias("__total"))
+    return joined.crossJoin(F.broadcast(total)).select(
+        "dim",
+        "before_units",
+        "after_units",
+        "delta_units",
+        F.when(
+            F.col("__total") != 0, F.col("delta_units") / F.col("__total")
+        ).alias("delta_share"),
+    )

@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (56 entries): the remaining expressible TPC-H shapes
+This wave (57 entries): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -67,7 +67,9 @@ MERGE-INTO upsert semantics over snapshots (updates win / inserts /
 flagged deletes, one anti join), a data-freshness SLA monitor
 (replayable as-of instant, exact integer staleness), and a
 partition-completeness gap monitor (sequence-spine anti join) with
-a streaming freshness twin (one max state cell, no watermark).
+a streaming freshness twin (one max state cell, no watermark), and a
+metric root-cause drill-down (per-segment delta contributions in
+exact integer cents).
 """
 
 from __future__ import annotations
@@ -2185,6 +2187,54 @@ def epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return epoch_shuffle_rank(docs, "doc_id", seed="epoch1")
+
+
+@_queue(
+    "revenue_delta_drilldown_orders",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderpriority AS dim,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS before_units
+      FROM orders WHERE year(o_orderdate) = 2000 GROUP BY 1),
+    b AS (
+      SELECT o_orderpriority AS dim,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS after_units
+      FROM orders WHERE year(o_orderdate) = 2001 GROUP BY 1),
+    j AS (
+      SELECT coalesce(a.dim, b.dim) AS dim,
+             coalesce(before_units, 0) AS before_units,
+             coalesce(after_units, 0) AS after_units,
+             coalesce(after_units, 0) - coalesce(before_units, 0)
+               AS delta_units
+      FROM a FULL OUTER JOIN b ON a.dim = b.dim),
+    t AS (SELECT CAST(sum(delta_units) AS BIGINT) AS total FROM j)
+    SELECT dim, before_units, after_units, delta_units,
+           CASE WHEN total != 0 THEN delta_units / total END AS delta_share
+    FROM j, t
+    """,
+)
+def revenue_delta_drilldown_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Metric root-cause drill-down (extension: the follow-up every
+    threshold alert needs — which segment drove the move?): 2001 vs
+    2000 revenue per order priority in exact integer cents
+    (operators/metrics.delta_contribution); per-segment deltas and
+    shares of the total move, shares as single unrounded integer
+    divisions."""
+    from sparkobs.operators.metrics import delta_contribution
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    )
+    return delta_contribution(
+        o.where(F.year("o_orderdate") == 2000),
+        o.where(F.year("o_orderdate") == 2001),
+        "o_orderpriority",
+        "cents",
+    )
 
 
 @_queue(

@@ -316,3 +316,31 @@ def test_partition_gaps_hand_timeline(spark):
     assert (r2["n_missing"], r2["first_missing"], r2["last_missing"]) == (
         0, None, None,
     )
+
+
+def test_delta_contribution_hand_values_and_one_sided_dims(spark):
+    from sparkobs.operators.metrics import delta_contribution
+
+    before = spark.createDataFrame(
+        [("a", 100), ("a", 100), ("b", 50), ("gone", 10)], "d string, v long"
+    )
+    after = spark.createDataFrame(
+        [("a", 300), ("b", 40), ("new", 20)], "d string, v long"
+    )
+    got = {r["dim"]: (r["before_units"], r["after_units"], r["delta_units"],
+                      r["delta_share"])
+           for r in delta_contribution(before, after, "d", "v").collect()}
+    # total delta = +100 -10 -10 +20 = 100
+    assert got["a"] == (200, 300, 100, 1.0)
+    assert got["b"] == (50, 40, -10, -0.1)
+    assert got["gone"] == (10, 0, -10, -0.1)
+    assert got["new"] == (0, 20, 20, 0.2)
+
+
+def test_delta_contribution_zero_total_share_is_null(spark):
+    from sparkobs.operators.metrics import delta_contribution
+
+    before = spark.createDataFrame([("a", 10), ("b", 20)], "d string, v long")
+    after = spark.createDataFrame([("a", 20), ("b", 10)], "d string, v long")
+    out = delta_contribution(before, after, "d", "v").collect()
+    assert all(r["delta_share"] is None for r in out)
