@@ -154,6 +154,8 @@ FACT_QUERIES = (
     # mutual-kNN components: edge derivation deepens; k*nodes survivor
     # set and 8 label rounds are node-bound
     "components_supplier_mutual_knn",
+    # merge upsert: one anti join, cost = base + change batch
+    "merge_upsert_orders",
 )
 
 
@@ -692,6 +694,38 @@ def probes():
 
         return conversion_paths(ev, conversion="purchase")
 
+    def freshness_p(docs, ev, emb):
+        # one max() aggregate per table
+        from sparkobs.operators.checks import freshness_check
+
+        return freshness_check(
+            [("events", ev, "ts")], "2024-02-01 00:00:00",
+            {"events": 7 * 86400},
+        )
+
+    def partition_gaps_p(docs, ev, emb):
+        # distinct bucket reduction + spine anti join (span-bounded)
+        from sparkobs.operators.checks import partition_gaps
+
+        return partition_gaps(ev, "ts", "minute")
+
+    def drilldown_p(docs, ev, emb):
+        # two hash aggs + a dim-sized full outer join
+        from pyspark.sql import functions as F
+
+        from sparkobs.operators.metrics import delta_contribution
+
+        cents = ev.withColumn(
+            "cents", F.round(F.col("value") * 100, 0).cast("long")
+        )
+        mid = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+        return delta_contribution(
+            cents.where(F.col("ts") < mid),
+            cents.where(F.col("ts") >= mid),
+            "event_type",
+            "cents",
+        )
+
     return {
         "winnowing_xx64": winnow,
         "resize_synth": resize,
@@ -760,6 +794,9 @@ def probes():
         "budget_select": budget_select_p,
         "epoch_shuffle": epoch_shuffle_p,
         "conversion_paths": conversion_paths_p,
+        "freshness_check": freshness_p,
+        "partition_gaps": partition_gaps_p,
+        "delta_drilldown": drilldown_p,
     }
 
 
