@@ -707,6 +707,39 @@ def churn_durations(
     )
 
 
+def _tag_next_conversion(
+    df: DataFrame,
+    conversion: str,
+    touches: tuple,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    channel_col: str,
+) -> DataFrame:
+    """Shared conversion tagging for :func:`linear_attribution` and
+    :func:`conversion_paths`: ONE window pass tags each touch with
+    its next conversion's event id (running ``first(...,
+    ignorenulls)`` over the current-row→unbounded-following frame,
+    evaluated as a reverse scan — never touches²), keeping only
+    touches that convert. Ties at the same timestamp break on the
+    event id, so both engines order identically."""
+    ev = df.select(key_col, ts_col, event_col, channel_col).where(
+        F.col(channel_col).isin([*touches, conversion])
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, event_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return ev.withColumn(
+        "__conv",
+        F.first(
+            F.when(F.col(channel_col) == conversion, F.col(event_col)),
+            ignorenulls=True,
+        ).over(w_next),
+    ).where((F.col(channel_col) != conversion) & F.col("__conv").isNotNull())
+
+
 def linear_attribution(
     df: DataFrame,
     conversion: str,
@@ -735,21 +768,9 @@ def linear_attribution(
     Ties at the same timestamp break on the event id — both engines
     order identically.
     """
-    ev = df.select(key_col, ts_col, event_col, channel_col).where(
-        F.col(channel_col).isin([*touches, conversion])
+    tagged = _tag_next_conversion(
+        df, conversion, touches, key_col, ts_col, event_col, channel_col
     )
-    w_next = (
-        Window.partitionBy(key_col)
-        .orderBy(ts_col, event_col)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    tagged = ev.withColumn(
-        "__conv",
-        F.first(
-            F.when(F.col(channel_col) == conversion, F.col(event_col)),
-            ignorenulls=True,
-        ).over(w_next),
-    ).where((F.col(channel_col) != conversion) & F.col("__conv").isNotNull())
     w_grp = Window.partitionBy(key_col, "__conv")
     w_rn = Window.partitionBy(key_col, "__conv").orderBy(ts_col, event_col)
     u = F.lit(unit).cast("long")
@@ -847,21 +868,9 @@ def conversion_paths(
     any engine, and the global top-k is TakeOrderedAndProject over
     the aggregated path table (count desc, path asc — deterministic),
     never a full sort. Output: (path, n_conversions)."""
-    ev = df.select(key_col, ts_col, event_col, channel_col).where(
-        F.col(channel_col).isin([*touches, conversion])
+    tagged = _tag_next_conversion(
+        df, conversion, touches, key_col, ts_col, event_col, channel_col
     )
-    w_next = (
-        Window.partitionBy(key_col)
-        .orderBy(ts_col, event_col)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    tagged = ev.withColumn(
-        "__conv",
-        F.first(
-            F.when(F.col(channel_col) == conversion, F.col(event_col)),
-            ignorenulls=True,
-        ).over(w_next),
-    ).where((F.col(channel_col) != conversion) & F.col("__conv").isNotNull())
     paths = tagged.groupBy(key_col, "__conv").agg(
         F.concat_ws(
             ">",

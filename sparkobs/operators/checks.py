@@ -191,16 +191,23 @@ def freshness_check(
     infinitely stale: is_fresh = false, staleness NULL.
     """
     parts = []
+    as_of_us = F.unix_micros(F.lit(as_of).cast("timestamp"))
     for name, df, ts_col in tables:
-        mx = F.max(F.col(ts_col).cast("timestamp"))
+        # ONE aggregate per table; staleness derives from max_ts in a
+        # follow-up select over FIXED internal column names (no
+        # re-aggregation, no user strings spliced into SQL — a ts_col
+        # needing quoting or a quoted as_of cannot break parsing;
+        # as_of enters as a bound literal). Integer `div` keeps the
+        # original floor-toward-zero truncation bit for bit.
         staleness = F.expr(
-            f"(unix_micros(CAST('{as_of}' AS TIMESTAMP)) - "
-            f"unix_micros(max(CAST({ts_col} AS TIMESTAMP)))) div 1000000"
+            "(__asof_us - unix_micros(max_ts)) div 1000000"
         )
         parts.append(
-            df.agg(
+            df.agg(F.max(F.col(ts_col).cast("timestamp")).alias("max_ts"))
+            .withColumn("__asof_us", as_of_us)
+            .select(
                 F.lit(name).alias("table_name"),
-                mx.alias("max_ts"),
+                "max_ts",
                 staleness.cast("long").alias("staleness_s"),
                 F.coalesce(
                     staleness <= F.lit(int(sla_seconds[name])), F.lit(False)

@@ -271,7 +271,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     node_stats = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        F.sum(F.expr("(d * (d - 1)) div 2")).cast("long").alias("n_wedges"),
+        # empty edge list: SUM over zero rows is NULL — pin the
+        # all-integer contract with an explicit 0
+        F.coalesce(F.sum(F.expr("(d * (d - 1)) div 2")), F.lit(0))
+        .cast("long")
+        .alias("n_wedges"),
     )
     edge_stats = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return (

@@ -118,6 +118,11 @@ def _with_partition_offsets(
     callers use null-skipping ``greatest``); ``fold="sum"`` coalesces
     it to 0.
     """
+    if fold not in ("sum", "max"):
+        raise ValueError(
+            f"fold must be 'sum' or 'max', got {fold!r} — a typo here "
+            "would silently produce wrong running aggregates"
+        )
     with_pid = (
         df.repartitionByRange(*order)
         .sortWithinPartitions(*order)

@@ -1314,21 +1314,41 @@ def exact_quantiles_grouped(
     v = F.col(col).cast("double")
     g = F.col(group_col).alias("__g")
     data = df.where(v.isNotNull()).select(g, v.alias("__v"))
+    # bounds over FINITE values only: one NaN would make __hi = NaN
+    # (NaN is largest in Spark), turning every bin expression NaN and
+    # collapsing the histogram to a single bin — i.e. silently
+    # recreating the one-task full-group sort this operator exists to
+    # avoid. Ranks (__n) still count every non-null row.
+    fin = (
+        (~F.isnan(F.col("__v")))
+        & (F.col("__v") != F.lit(float("inf")))
+        & (F.col("__v") != F.lit(float("-inf")))
+    )
     bounds = (
         data.groupBy("__g")
         .agg(
-            F.min("__v").alias("__lo"),
-            F.max("__v").alias("__hi"),
+            F.min(F.when(fin, F.col("__v"))).alias("__lo"),
+            F.max(F.when(fin, F.col("__v"))).alias("__hi"),
             F.count(F.lit(1)).alias("__n"),
         )
         .localCheckpoint()  # one row per group
     )
 
     def binned():
+        # bin assignment is monotone wrt Spark's double sort order
+        # (-Inf < finite < +Inf < NaN): -Inf → bin 0, +Inf and NaN →
+        # the top bin (the within-bin orderBy sorts +Inf < NaN, so
+        # sharing the top bin preserves the exact order statistics)
         return data.join(bounds, "__g").select(
             "__g",
             "__v",
             F.when(
+                F.isnan(F.col("__v"))
+                | (F.col("__v") == F.lit(float("inf"))),
+                F.lit(n_bins - 1),
+            )
+            .when(F.col("__v") == F.lit(float("-inf")), F.lit(0))
+            .when(
                 F.col("__hi") > F.col("__lo"),
                 F.least(
                     F.lit(n_bins - 1),

@@ -245,8 +245,11 @@ def inclusion_coefficient(
             F.lit(label_b or col_b).alias("to_col"),
             "n_from_distinct",
             "n_contained",
-            (F.col("n_contained") / F.col("n_from_distinct")).alias(
-                "containment"
-            ),
+            # all-NULL / empty from-side: containment is undefined —
+            # NULL via an explicit guard, never an ANSI 0/0
+            F.when(
+                F.col("n_from_distinct") > 0,
+                F.col("n_contained") / F.col("n_from_distinct"),
+            ).alias("containment"),
         )
     )

@@ -861,7 +861,11 @@ def event_disorder_stats(
     ).select(
         "n_events",
         "n_late",
-        (F.col("n_late") / F.col("n_events")).alias("late_rate"),
+        # same explicit guard as mean_late_us: an empty input yields
+        # NULL late_rate on both engines (and never an ANSI 0/0)
+        F.when(
+            F.col("n_events") > 0, F.col("n_late") / F.col("n_events")
+        ).alias("late_rate"),
         "max_late_us",
         F.when(
             F.col("n_late") > 0, F.col("__sum_late") / F.col("n_late")
@@ -874,6 +878,7 @@ def merge_upsert(
     updates: DataFrame,
     key_cols: list[str],
     deleted_col: str | None = None,
+    seq_col: str | None = None,
 ) -> DataFrame:
     """MERGE INTO semantics over immutable snapshots — the upsert
     every parquet-lake maintenance job needs: rows from ``updates``
@@ -881,14 +886,42 @@ def merge_upsert(
     base rows persist, and (optionally) updates flagged true in
     ``deleted_col`` DELETE their base row instead.
 
-    One anti join is the whole plan: result = surviving updates ∪
-    (base ANTI JOIN all-update-keys). The base side shuffles once on
-    the merge key (broadcast when the change batch is small — let AQE
-    pick), no per-column coalesce, no full-outer join. Cost scales
-    with base + changes, the minimum a snapshot rewrite pays; at
-    cluster scale write the result partitioned by the merge key range
-    for the next round's pruning.
+    A change batch may carry several rows per key (two successive
+    CDC updates not pre-compacted); real MERGE INTO errors on that.
+    Here the batch is COMPACTED first so the output's key-uniqueness
+    invariant always holds: latest-by-``seq_col`` wins when given,
+    else the lexicographically greatest row over the non-key columns
+    (a total, deterministic order — exact duplicates pick the same
+    row either way). The compaction window runs over the CHANGE
+    batch only, never the base. Deletes participate in compaction,
+    so a delete that is the latest change deletes the row.
+
+    After compaction one anti join is the whole plan: result =
+    surviving updates ∪ (base ANTI JOIN all-update-keys). The base
+    side shuffles once on the merge key (broadcast when the change
+    batch is small — let AQE pick), no per-column coalesce, no
+    full-outer join. Cost scales with base + changes, the minimum a
+    snapshot rewrite pays; at cluster scale write the result
+    partitioned by the merge key range for the next round's pruning.
     """
+    order_cols = (
+        [F.col(seq_col).desc_nulls_last()]
+        if seq_col is not None
+        else [
+            F.col(c).desc_nulls_last()
+            for c in updates.columns
+            if c not in key_cols
+        ]
+    )
+    if order_cols:
+        w = W.partitionBy(*key_cols).orderBy(*order_cols)
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        updates = updates.dropDuplicates(key_cols)
     upd_keys = updates.select(*key_cols)
     survivors = (
         updates.where(~F.coalesce(F.col(deleted_col), F.lit(False))).drop(
