@@ -2815,3 +2815,164 @@ def inclusion_deps_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+def _stage_events_arrival_ordered(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> str:
+    """Stage events as ``n_files`` parquet files that a file-source
+    stream is GUARANTEED to deliver in arrival (event_id) order:
+    range-split by event_id, written one file per slice in ascending
+    order with strictly increasing mtimes (FileStreamSource orders
+    new files by modification time — same-job part files can tie and
+    list in any order, which would scramble the arrival sequence the
+    disorder diagnostic measures). Same mtime-keyed cache discipline
+    as queries._stage_events."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from sparkobs.queries import _stage_key, load_table
+
+    key = _stage_key(sf_dir, "events", f"arrival{n_files}")
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"sparkobs_stream_{key}"
+    )
+    marker = os.path.join(stage_dir, "_STAGED")
+    if os.path.exists(marker):
+        return stage_dir
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    os.makedirs(stage_dir)
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    span = (hi - lo + 1 + n_files - 1) // n_files
+    base = 1_700_000_000
+    for i in range(n_files):
+        a, b = lo + i * span, lo + (i + 1) * span
+        tmp = os.path.join(stage_dir, f"__tmp{i}")
+        ev.where(
+            (F.col("event_id") >= a) & (F.col("event_id") < b)
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(stage_dir, f"chunk-{i:05d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (base + i, base + i))
+    with open(marker, "w"):
+        pass
+    return stage_dir
+
+
+@_queue(
+    "streaming_disorder_events",
+    oracle="""
+    WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+    p AS (
+      SELECT us,
+             max(us) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev
+      FROM e),
+    f AS (
+      SELECT us, prev,
+             CASE WHEN prev IS NOT NULL AND us < prev
+                  THEN 1 ELSE 0 END AS is_late,
+             CASE WHEN prev IS NOT NULL AND us < prev
+                  THEN prev - us END AS lateness
+      FROM p)
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(is_late) AS BIGINT) AS n_late,
+           CAST(sum(is_late) AS BIGINT) / CAST(count(*) AS BIGINT)
+             AS late_rate,
+           CAST(max(lateness) AS BIGINT) AS max_late_us,
+           CASE WHEN sum(is_late) > 0
+                THEN CAST(sum(lateness) AS BIGINT)
+                   / CAST(sum(is_late) AS BIGINT) END AS mean_late_us
+    FROM f
+    """,
+)
+def streaming_disorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the event-time disorder diagnostic
+    (streaming/monitors.stateful_disorder): seven integer state cells
+    carry the running prefix max and lateness accumulators across
+    micro-batches; each batch sorts its rows by event_id and folds a
+    vectorized prefix max, so the drained verdict over the 4-file
+    one-file-per-trigger arrival-ordered stage is bit-identical to
+    the batch operator's single pass — certified against the SAME
+    DuckDB oracle as event_disorder_events. Ratios derive batch-side
+    from the drained integer row, unrounded single divisions with the
+    batch twin's exact guards."""
+    from sparkobs.streaming.monitors import (
+        run_to_memory,
+        stateful_disorder,
+        stream_events,
+    )
+
+    stage_dir = _stage_events_arrival_ordered(spark, sf_dir)
+    out = stateful_disorder(
+        stream_events(spark, stage_dir, files_per_trigger=1)
+    )
+    tbl = run_to_memory(
+        out, "disorder_stream", output_mode="update", unique=True
+    )
+    last = (
+        spark.table(tbl).orderBy(F.col("upd_seq").desc()).limit(1)
+    )
+    return last.select(
+        "n_events",
+        "n_late",
+        F.when(
+            F.col("n_events") > 0, F.col("n_late") / F.col("n_events")
+        ).alias("late_rate"),
+        "max_late_us",
+        F.when(
+            F.col("n_late") > 0, F.col("sum_late_us") / F.col("n_late")
+        ).alias("mean_late_us"),
+    )
+
+
+@_queue(
+    "streaming_salted_distinct_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_user_id
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_salted_distinct_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of the skew-proof exact distinct
+    (streaming/monitors.stateful_salted_distinct): per-(group, salt)
+    state cells each hold a disjoint ~1/n shard of a group's distinct
+    value set, merged per micro-batch with a vectorized union; the
+    batch follow-up takes each cell's latest partial (max_by upd_seq)
+    and sums per group — exact, certified against the plain
+    count-distinct oracle. The salt is the SAME pmod(xxhash64) the
+    batch operator uses, so cell partials are comparable across the
+    two modes."""
+    from sparkobs.queries import _stage_events
+    from sparkobs.streaming.monitors import (
+        run_to_memory,
+        stateful_salted_distinct,
+        stream_events,
+    )
+
+    stage_dir = _stage_events(spark, sf_dir)
+    out = stateful_salted_distinct(
+        stream_events(spark, stage_dir, files_per_trigger=1)
+    )
+    tbl = run_to_memory(
+        out, "salted_distinct_stream", output_mode="update", unique=True
+    )
+    per_cell = (
+        spark.table(tbl)
+        .groupBy("entity", "salt")
+        .agg(F.max_by("n_partial", "upd_seq").alias("__np"))
+    )
+    return per_cell.groupBy("entity").agg(
+        F.sum("__np").cast("long").alias("n_distinct_user_id")
+    ).select(
+        F.col("entity").alias("event_type"), "n_distinct_user_id"
+    )

@@ -365,3 +365,174 @@ def streaming_freshness(events: DataFrame) -> DataFrame:
     watermark and no event-time cast needed — a global max needs no
     state expiry, and the naive timestamp compares correctly as-is."""
     return events.groupBy().agg(F.max("ts").alias("max_ts"))
+
+
+DISORDER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("max_us", T.LongType()),
+        T.StructField("max_event_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("max_late_us", T.LongType()),
+        T.StructField("sum_late_us", T.LongType()),
+        T.StructField("upd_seq", T.LongType()),
+    ]
+)
+DISORDER_OUT_SCHEMA = (
+    "n_events bigint, n_late bigint, max_late_us bigint, "
+    "sum_late_us bigint, upd_seq bigint"
+)
+
+
+def stateful_disorder(
+    events: DataFrame, ts_col: str = "ts", arrival_col: str = "event_id"
+) -> DataFrame:
+    """Continuous event-time disorder diagnostic — the stream side of
+    state.event_disorder_stats: how late is late data, measured as it
+    arrives, the live input to watermark tuning. State is SEVEN
+    integer cells (running event-time max, last arrival id, and five
+    accumulators) regardless of input volume, so no watermark is
+    needed on the diagnostic itself.
+
+    Exactness across micro-batch splits: each batch sorts its rows by
+    the arrival column (a vectorized argsort + prefix np.maximum.
+    accumulate — no per-row Python), seeds the prefix max from the
+    state cell, and folds the batch's lateness into the accumulators;
+    the result after ANY batch partitioning of an arrival-ordered
+    stream is bit-identical to the batch operator's single pass (the
+    queue entry certifies this against the same DuckDB oracle with a
+    4-file, one-file-per-trigger stage). Everything funnels through
+    one state cell — fine for a diagnostic whose per-batch work is a
+    sort + three vector folds; at cluster scale feed it a per-source
+    keyed variant (one cell per ingest shard) rather than sharding
+    this global one.
+
+    Update output mode: each batch emits the running verdict with an
+    update sequence number; readers take the last row (max upd_seq)
+    and derive the two unrounded ratio columns batch-side.
+    """
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        NEG = np.iinfo("int64").min  # "no predecessor" / SQL NULL ts
+        frames = [p for p in pdfs if len(p)]
+        if state.exists:
+            (mx, mx_id, n_ev, n_late, mx_late, sum_late, seq) = state.get
+        else:
+            mx, mx_id, n_ev, n_late, mx_late, sum_late, seq = (
+                None, None, 0, 0, None, 0, 0,
+            )
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True)
+            pdf = pdf.sort_values(arrival_col, kind="mergesort")
+            arr = pdf[ts_col].to_numpy("datetime64[ns]")
+            valid = ~np.isnat(arr)
+            # NULL ts maps to NEG: never late (us < prev is false when
+            # prev is NEG), never the running max — SQL NULL semantics
+            us = np.where(valid, arr.view("int64") // 1000, NEG)
+            seed = np.int64(mx) if mx is not None else NEG
+            run = np.maximum.accumulate(np.concatenate(([seed], us)))
+            prev = run[:-1]  # strictly-preceding max, seeded from state
+            late = valid & (us < prev)
+            lateness = np.where(late, prev - us, 0)
+            n_ev += len(us)
+            n_late += int(late.sum())
+            sum_late += int(lateness.sum())
+            if late.any():
+                batch_max = int(lateness.max())
+                mx_late = (
+                    batch_max if mx_late is None else max(mx_late, batch_max)
+                )
+            mx = None if int(run[-1]) == NEG else int(run[-1])
+            mx_id = int(pdf[arrival_col].iloc[-1])
+        seq += 1
+        state.update((mx, mx_id, n_ev, n_late, mx_late, sum_late, seq))
+        yield pd.DataFrame(
+            {
+                "n_events": [n_ev],
+                "n_late": [n_late],
+                "max_late_us": pd.array([mx_late], dtype="Int64"),
+                "sum_late_us": [sum_late],
+                "upd_seq": [seq],
+            }
+        )
+
+    return events.withColumn("__k", F.lit(1)).groupBy("__k").applyInPandasWithState(
+        update,
+        outputStructType=DISORDER_OUT_SCHEMA,
+        stateStructType=DISORDER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+SALTED_DISTINCT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seen", T.ArrayType(T.LongType())),
+        T.StructField("upd_seq", T.LongType()),
+    ]
+)
+SALTED_DISTINCT_OUT_SCHEMA = (
+    "entity string, salt int, n_partial bigint, upd_seq bigint"
+)
+
+
+def stateful_salted_distinct(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    n_salts: int = 8,
+) -> DataFrame:
+    """Continuous EXACT per-group distinct count with salt-sharded
+    state — the stream side of shape.grouped_distinct_salted: exact
+    streaming distinct must remember every distinct value somewhere,
+    and a naive per-group state cell puts a hot group's entire value
+    set in ONE state-store entry (the same single-reducer cliff the
+    batch op dodges). Salting the state key by ``pmod(xxhash64(value),
+    n_salts)`` splits each group's value set across ``n_salts``
+    disjoint cells — every distinct value maps to exactly one cell, so
+    the per-cell partial counts SUM to the exact answer and no cell
+    holds more than ~1/n of a hot group's values.
+
+    Each batch merges the cell's new values into its sorted state
+    array (numpy union, no per-row Python) and emits the cell's
+    running partial with an update sequence; the batch follow-up takes
+    each cell's latest row and sums per group. Memory is proportional
+    to the distinct-value count — inherent to exactness; for unbounded
+    cardinality use the HLL sketch twin instead."""
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        vals = [p[value_col].to_numpy() for p in pdfs if len(p)]
+        if state.exists:
+            seen, seq = state.get
+            seen = np.asarray(seen, dtype="int64")
+        else:
+            seen, seq = np.empty(0, dtype="int64"), 0
+        if vals:
+            seen = np.union1d(seen, np.concatenate(vals))
+        seq += 1
+        state.update((seen.tolist(), seq))
+        yield pd.DataFrame(
+            {
+                "entity": [key[0]],
+                "salt": [int(key[1])],
+                "n_partial": [int(seen.size)],
+                "upd_seq": [seq],
+            }
+        )
+
+    return events.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts)).cast("int"),
+    ).groupBy(group_col, "__salt").applyInPandasWithState(
+        update,
+        outputStructType=SALTED_DISTINCT_OUT_SCHEMA,
+        stateStructType=SALTED_DISTINCT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
