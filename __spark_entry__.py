@@ -62,13 +62,14 @@ _PRIORITY: list[str] = [
     #         debt; tests/test_gate_hygiene.py enforces it stays so).
     # r7 ROTATION PLAN: once CORRECTNESS_r06 lands green, this list
     # retires; fill the r7 gate with (a) any r6 failures first,
-    # (b) the 57 oracle-tested queries staged in
-    #     sparkobs/queries_next.py (promote = move into queries.py
+    # (b) the oracle-tested queries staged in
+    #     sparkobs/queries_next.py (59 now; len(R7_QUEUE) is
+    #     authoritative — promote = move into queries.py
     #     with @query + a slot here; tests/test_r7_queue.py holds
     #     them to the checker's comparison at sf0.001 AND — env-gated
     #     SPARKOBS_QUEUE_SF01=1 — sf0.01, and
     #     `check_oracle.py --queue` swept them in the VANILLA
-    #     driver-harness simulation at sf0.01: all green). 57 +
+    #     driver-harness simulation at sf0.01: all green). Queue +
     #     failures may exceed the 50-slot gate — promote the oldest-
     #     staged first and hold the overflow for the r8 gate (same
     #     staging discipline, no certification debt either way).

@@ -48,6 +48,20 @@ def ts_to_string(ts: Column | str) -> Column:
     return F.date_format(ts, "yyyy-MM-dd HH:mm:ss")
 
 
+def naive_us(ts: Column | str) -> Column:
+    """Integer microseconds since the NAIVE epoch (naive-as-UTC
+    convention). ``unix_micros(cast(x as timestamp))`` interprets the
+    naive datetime in the SESSION timezone, so the difference of two
+    such values shifts by 3600 s whenever the two instants straddle a
+    DST transition on a non-UTC driver — diverging from a naive-epoch
+    oracle (``epoch_us`` in DuckDB). timestampdiff over TIMESTAMP_NTZ
+    never consults the zone, so gap/staleness arithmetic built on this
+    is session-tz-independent."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return F.timestamp_diff("MICROSECOND", epoch, c.cast("timestamp_ntz"))
+
+
 def flatten_struct(df: DataFrame, sep: str = "__") -> DataFrame:
     """Recursively flatten struct columns into top-level columns with
     path-joined names (OP-51): the DataFrame analog of the reference's

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sparkobs.functions import naive_us
+
 
 def funnel_steps(
     df: DataFrame,
@@ -185,7 +187,7 @@ def sessionize(
     events, not projecting them away.
     """
     w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(tiebreak_col))
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    us = naive_us(ts_col)
     prev = F.lag(us).over(w)
     is_new = (prev.isNull() | ((us - prev) > gap_seconds * 1_000_000)).cast("long")
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -205,7 +207,7 @@ def session_stats(
     """Per-session rollup over :func:`sessionize`: event count and
     exact duration in microseconds (integer arithmetic end to end)."""
     s = sessionize(df, key_col, ts_col, tiebreak_col, gap_seconds)
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    us = naive_us(ts_col)
     return s.groupBy(key_col, "session_idx").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         (F.max(us) - F.min(us)).cast("long").alias("duration_us"),
@@ -236,11 +238,9 @@ def debounce_first_of_burst(
     """
     w = Window.partitionBy(*key_cols).orderBy(ts_col, order_col)
     prev = F.lag(F.col(ts_col)).over(w)
-    # integer-microsecond gap (unix_micros), the same exactness
-    # convention as sessionize — never float seconds
-    gap_us = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
-        prev.cast("timestamp")
-    )
+    # integer-microsecond gap on the NAIVE epoch (naive_us), the same
+    # exactness convention as sessionize — never float seconds
+    gap_us = naive_us(ts_col) - naive_us(prev)
     keep = prev.isNull() | (gap_us >= F.lit(gap_seconds) * 1_000_000)
     return (
         df.withColumn("__keep", keep)
@@ -478,7 +478,7 @@ def rfm_scores(
     # DESC metric order expressed as ASC keys for the distributed index
     scored = (
         per_key.withColumn(
-            "__neg_ts", -F.unix_micros(F.col("last_ts").cast("timestamp"))
+            "__neg_ts", -naive_us("last_ts")
         )
         .withColumn("__neg_f", -F.col("frequency"))
         .withColumn("__neg_m", -F.col("monetary"))
@@ -529,7 +529,7 @@ def interarrival_stats(
     w = Window.partitionBy(*partition_cols).orderBy(
         F.asc("__us"), F.asc(tiebreak_col)
     )
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    us = naive_us(ts_col)
     gaps = (
         df.select(*partition_cols, *group_cols, tiebreak_col, us.alias("__us"))
         .withColumn("__gap", F.col("__us") - F.lag("__us").over(w))
@@ -564,7 +564,7 @@ def conversion_latency(
     — engine-reproducible, unrounded). Output: one row
     (n_from, n_converted, conversion_rate, mean_latency_s,
     p50_latency_s, p90_latency_s, max_latency_s)."""
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    us = naive_us(ts_col)
     first_from = (
         df.where(F.col(state_col) == from_state)
         .groupBy(key_col)
@@ -691,11 +691,11 @@ def churn_durations(
     — it may still be active). Integer microsecond arithmetic
     throughout."""
     spans = events.groupBy(key_col).agg(
-        F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("__t0"),
-        F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("__t1"),
+        F.min(naive_us(ts_col)).alias("__t0"),
+        F.max(naive_us(ts_col)).alias("__t1"),
     )
     end = events.agg(
-        F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("__end")
+        F.max(naive_us(ts_col)).alias("__end")
     )
     day_us = 86_400_000_000
     return spans.crossJoin(F.broadcast(end)).select(
@@ -820,7 +820,7 @@ def duration_weighted_mean(
     left unrounded. Each user's LAST event has no successor and
     carries no weight. Output: (state, total_dur_us,
     twa_value)."""
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    us = naive_us(ts_col)
     w = Window.partitionBy(key_col).orderBy(ts_col, event_col)
     base = (
         df.where(F.col(value_col).isNotNull())

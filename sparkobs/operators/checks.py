@@ -191,20 +191,25 @@ def freshness_check(
     infinitely stale: is_fresh = false, staleness NULL.
     """
     parts = []
-    as_of_us = F.unix_micros(F.lit(as_of).cast("timestamp"))
+    as_of_ntz = F.lit(as_of).cast("timestamp_ntz")
     for name, df, ts_col in tables:
         # ONE aggregate per table; staleness derives from max_ts in a
         # follow-up select over FIXED internal column names (no
         # re-aggregation, no user strings spliced into SQL — a ts_col
         # needing quoting or a quoted as_of cannot break parsing;
-        # as_of enters as a bound literal). Integer `div` keeps the
-        # original floor-toward-zero truncation bit for bit.
+        # as_of enters as a bound literal). All arithmetic stays in
+        # TIMESTAMP_NTZ (naive-as-UTC convention): unix_micros on a
+        # session-tz TIMESTAMP would shift by the DST offset gap
+        # between the two instants on a non-UTC driver. Integer `div`
+        # keeps the original floor-toward-zero truncation bit for bit.
         staleness = F.expr(
-            "(__asof_us - unix_micros(max_ts)) div 1000000"
+            "timestampdiff(MICROSECOND, max_ts, __asof) div 1000000"
         )
         parts.append(
-            df.agg(F.max(F.col(ts_col).cast("timestamp")).alias("max_ts"))
-            .withColumn("__asof_us", as_of_us)
+            df.agg(
+                F.max(F.col(ts_col).cast("timestamp_ntz")).alias("max_ts")
+            )
+            .withColumn("__asof", as_of_ntz)
             .select(
                 F.lit(name).alias("table_name"),
                 "max_ts",
@@ -265,7 +270,8 @@ def partition_gaps(
     )
     return bounds.crossJoin(F.broadcast(missing)).select(
         F.expr(
-            f"(unix_micros(__hi) - unix_micros(__lo)) div {step_us} + 1"
+            "timestampdiff(MICROSECOND, CAST(__lo AS TIMESTAMP_NTZ), "
+            f"CAST(__hi AS TIMESTAMP_NTZ)) div {step_us} + 1"
         )
         .cast("long")
         .alias("n_expected"),

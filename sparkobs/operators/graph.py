@@ -239,11 +239,14 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     of identical integers is bit-identical on any engine).
     """
     e = edges.localCheckpoint()
+    # deg feeds three plan legs (rk_u join, rk_v join, node_stats) —
+    # same no-subtree-reuse trap as e/o, so it gets the same cut.
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint()
     )
     rk = deg.select(
         "node", (F.col("d") * F.lit(2**32).cast("long") + F.col("node")).alias("rk")

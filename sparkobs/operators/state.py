@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from sparkobs.functions import naive_us
 from pyspark.sql import Window as W
 
 
@@ -848,7 +850,7 @@ def event_disorder_stats(
     """
     from sparkobs.operators.joins import global_running_max
 
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    us = naive_us(ts_col)
     base = df.select(F.col(arrival_col).alias("__a"), us.alias("__us"))
     with_prev = global_running_max(base, ["__a"], "__us", out_col="__prev")
     late = F.col("__prev").isNotNull() & (F.col("__us") < F.col("__prev"))
@@ -889,7 +891,8 @@ def merge_upsert(
     A change batch may carry several rows per key (two successive
     CDC updates not pre-compacted); real MERGE INTO errors on that.
     Here the batch is COMPACTED first so the output's key-uniqueness
-    invariant always holds: latest-by-``seq_col`` wins when given,
+    invariant always holds: latest-by-``seq_col`` wins when given
+    (seq ties broken by the non-key columns, keeping the order total),
     else the lexicographically greatest row over the non-key columns
     (a total, deterministic order — exact duplicates pick the same
     row either way). The compaction window runs over the CHANGE
@@ -904,15 +907,17 @@ def merge_upsert(
     snapshot rewrite pays; at cluster scale write the result
     partitioned by the merge key range for the next round's pruning.
     """
-    order_cols = (
-        [F.col(seq_col).desc_nulls_last()]
-        if seq_col is not None
-        else [
-            F.col(c).desc_nulls_last()
-            for c in updates.columns
-            if c not in key_cols
-        ]
-    )
+    # seq_col alone is NOT a total order (two update rows for one key
+    # can tie on seq); append the non-key columns as tiebreak so the
+    # winner is deterministic across runs/engines, matching the
+    # seq_col=None branch's total-order contract.
+    order_cols = [
+        F.col(c).desc_nulls_last()
+        for c in updates.columns
+        if c not in key_cols and c != seq_col
+    ]
+    if seq_col is not None:
+        order_cols.insert(0, F.col(seq_col).desc_nulls_last())
     if order_cols:
         w = W.partitionBy(*key_cols).orderBy(*order_cols)
         updates = (

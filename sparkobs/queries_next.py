@@ -11,7 +11,8 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (57 entries): the remaining expressible TPC-H shapes
+This wave (59 entries — ``len(R7_QUEUE)`` is authoritative, the
+prose count drifts): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
 for it, exactly the substitution a warehouse without an inventory
@@ -2267,9 +2268,12 @@ def streaming_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = run_to_memory(
         out, "freshness_stream", output_mode="complete", unique=True
     )
+    # TIMESTAMP_NTZ arithmetic (naive-as-UTC): unix_micros over a
+    # session-tz TIMESTAMP diverges by the DST offset gap between the
+    # two instants on a non-UTC driver (the vanilla gate's session).
     staleness = F.expr(
-        "(unix_micros(CAST('2024-02-01 00:00:00' AS TIMESTAMP)) - "
-        "unix_micros(CAST(max_ts AS TIMESTAMP))) div 1000000"
+        "timestampdiff(MICROSECOND, CAST(max_ts AS TIMESTAMP_NTZ), "
+        "CAST('2024-02-01 00:00:00' AS TIMESTAMP_NTZ)) div 1000000"
     )
     return spark.table(tbl).select(
         "max_ts",

@@ -483,7 +483,7 @@ def stateful_salted_distinct(
     events: DataFrame,
     group_col: str = "event_type",
     value_col: str = "user_id",
-    n_salts: int = 8,
+    n_salts: int = 32,
 ) -> DataFrame:
     """Continuous EXACT per-group distinct count with salt-sharded
     state — the stream side of shape.grouped_distinct_salted: exact
@@ -499,9 +499,13 @@ def stateful_salted_distinct(
     Each batch merges the cell's new values into its sorted state
     array (numpy union, no per-row Python) and emits the cell's
     running partial with an update sequence; the batch follow-up takes
-    each cell's latest row and sums per group. Memory is proportional
-    to the distinct-value count — inherent to exactness; for unbounded
-    cardinality use the HLL sketch twin instead."""
+    each cell's latest row and sums per group. NULL values are dropped
+    up front — COUNT DISTINCT ignores NULLs, and a NULL would otherwise
+    form a NULL-salt cell whose Arrow frame arrives as float64+NaN and
+    miscounts. ``n_salts`` defaults to the batch twin's 32 so cell
+    partials are directly comparable across the two modes. Memory is
+    proportional to the distinct-value count — inherent to exactness;
+    for unbounded cardinality use the HLL sketch twin instead."""
 
     def update(key, pdfs, state):
         import numpy as np
@@ -514,7 +518,9 @@ def stateful_salted_distinct(
         else:
             seen, seq = np.empty(0, dtype="int64"), 0
         if vals:
-            seen = np.union1d(seen, np.concatenate(vals))
+            seen = np.union1d(
+                seen, np.concatenate(vals).astype("int64", copy=False)
+            )
         seq += 1
         state.update((seen.tolist(), seq))
         yield pd.DataFrame(
@@ -526,7 +532,7 @@ def stateful_salted_distinct(
             }
         )
 
-    return events.withColumn(
+    return events.where(F.col(value_col).isNotNull()).withColumn(
         "__salt",
         F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts)).cast("int"),
     ).groupBy(group_col, "__salt").applyInPandasWithState(
