@@ -70,7 +70,10 @@ flagged deletes, one anti join), a data-freshness SLA monitor
 partition-completeness gap monitor (sequence-spine anti join) with
 a streaming freshness twin (one max state cell, no watermark), and a
 metric root-cause drill-down (per-segment delta contributions in
-exact integer cents).
+exact integer cents), plus streaming twins for the disorder
+diagnostic (seven integer state cells, batch-identical folds over an
+arrival-ordered stage) and the salted exact distinct (32 disjoint
+value-shard cells per group, partials summed batch-side).
 """
 
 from __future__ import annotations
