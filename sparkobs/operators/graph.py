@@ -379,3 +379,48 @@ def mutual_topk_edges(pairs: DataFrame, k: int = 3) -> DataFrame:
         "semi",
     )
     return mutual.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+
+
+def reachable_set(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Hop-labeled BFS reachability — the lineage / impact-analysis
+    primitive the reference's monitor graph implies (which downstream
+    datasets does a failed source touch, and how directly?): from a
+    seed set, expand the directed edge list ``max_hops`` rounds and
+    report every reachable node with its FIRST-VISIT hop (= exact
+    shortest hop distance, so the result is set-deterministic and a
+    recursive-CTE oracle replays it as min(hop) over the bounded
+    expansion).
+
+    Each round is one frontier-keyed equi join + distinct, then an
+    anti join against the visited set — never a full transitive
+    closure (which is quadratic on dense graphs); the frontier and
+    the visited table are node-bounded and eagerly checkpointed per
+    round (Catalyst would otherwise replay round t−1 inside round t).
+    At cluster scale the edge list is the big side — it shuffles once
+    per round on its join key, or stays resident via persist when the
+    loop owns the lifecycle. Rounds are FIXED (no convergence test):
+    like pagerank_fixed/min_label_components, a bounded hop count is
+    what makes the trajectory bit-reproducible AND is the honest
+    semantic for blast-radius questions ("within 3 hops"), while an
+    exhausted-frontier early exit would add a per-round count job
+    only to optimize the already-cheap empty tail.
+
+    ``edges`` is directed (src, dst); ``seeds`` is (node). Output:
+    (node, hop) with hop 0 = the seeds themselves.
+    """
+    reach = seeds.select("node", F.lit(0).alias("hop")).localCheckpoint()
+    frontier = reach.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(reach.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).alias("hop"))
+            .localCheckpoint()
+        )
+        reach = reach.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return reach

@@ -2983,3 +2983,63 @@ def streaming_salted_distinct_events(
     ).select(
         F.col("entity").alias("event_type"), "n_distinct_user_id"
     )
+
+
+@_queue(
+    "impact_reach_supply_chain",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT src, dst FROM (
+        SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= 48
+      ) UNION ALL
+      SELECT dst, src FROM (
+        SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= 48
+      )),
+    reach(node, hop) AS (
+      SELECT s_suppkey * 2 AS node, 0 AS hop
+      FROM supplier WHERE s_nationkey = 7
+      UNION
+      SELECT e.dst, r.hop + 1 FROM reach r
+      JOIN e ON e.src = r.node WHERE r.hop < 3
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+             AS node_type,
+           node // 2 AS node_key,
+           CAST(min(hop) AS INT) AS hop
+    FROM reach GROUP BY 1, 2
+    """,
+)
+def impact_reach_supply_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast-radius reachability (extension: the lineage question the
+    reference's monitor graph implies — a source fails, which
+    downstream entities are touched, and how directly?): hop-labeled
+    BFS (operators/graph.reachable_set) over the HIGH-VOLUME slice of
+    the supplier↔customer co-purchase graph (edges only where a
+    qualifying lineitem with l_quantity ≥ 48 links the pair — the
+    full graph is near-complete and every node is one hop away),
+    seeded at nation 7's suppliers, 3 hops. First-visit hop = exact
+    shortest distance, so a bounded recursive-CTE oracle replays it
+    as min(hop) over the expansion."""
+    from sparkobs.operators.graph import (
+        copurchase_edges,
+        decode_copurchase_node,
+        reachable_set,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity") >= 48
+    )
+    o = load_table(spark, sf_dir, "orders")
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 7)
+        .select((F.col("s_suppkey") * 2).alias("node"))
+    )
+    reach = reachable_set(copurchase_edges(li, o), seeds, max_hops=3)
+    return decode_copurchase_node(reach).select(
+        "node_type", "node_key", F.col("hop").cast("int").alias("hop")
+    )

@@ -808,3 +808,31 @@ def test_conversion_paths_hand_journeys(spark):
     got = [(r["path"], r["n_conversions"])
            for r in conversion_paths(df, conversion="purchase").collect()]
     assert got == [("view>click", 2), ("signup", 1)]
+
+
+def test_reachable_set_hand_graph(spark):
+    from sparkobs.operators.graph import reachable_set
+
+    # 1 -> 2 -> 3 -> 4 -> 5 (chain), 6 isolated, 7 -> 1 (upstream of seed)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (7, 1)], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = {r["node"]: r["hop"] for r in reachable_set(edges, seeds, 3).collect()}
+    # hop 4 node (5) excluded; upstream (7) and isolated (6) unreachable
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_reachable_set_first_visit_wins_and_foreign_seed(spark):
+    from sparkobs.operators.graph import reachable_set
+
+    # diamond: 1 -> {2, 3} -> 4, plus a long way round 2 -> 5 -> 4;
+    # node 4 must record hop 2 (first visit), never 3
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (2, 5), (5, 4)],
+        "src bigint, dst bigint",
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], "node bigint")
+    got = {r["node"]: r["hop"] for r in reachable_set(edges, seeds, 3).collect()}
+    # a seed absent from the graph still reports itself at hop 0
+    assert got == {1: 0, 99: 0, 2: 1, 3: 1, 4: 2, 5: 2}
