@@ -156,6 +156,9 @@ FACT_QUERIES = (
     "components_supplier_mutual_knn",
     # merge upsert: one anti join, cost = base + change batch
     "merge_upsert_orders",
+    # BFS reachability: edge derivation deepens with the facts; the
+    # frontier/visited tables are node-bound, 3 fixed rounds
+    "impact_reach_supply_chain",
 )
 
 
