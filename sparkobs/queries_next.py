@@ -3043,3 +3043,50 @@ def impact_reach_supply_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_copurchase_node(reach).select(
         "node_type", "node_key", F.col("hop").cast("int").alias("hop")
     )
+
+
+@_queue(
+    "seasonal_profile_events",
+    oracle="""
+    WITH b AS (SELECT CAST(isodow(ts) AS INT) AS dow,
+                      CAST(hour(ts) AS INT) AS hod,
+                      CAST(value AS DOUBLE) AS v
+               FROM events),
+    m AS (SELECT dow, hod, v,
+                 avg(v) OVER (PARTITION BY dow, hod) AS mu,
+                 stddev_samp(v) OVER (PARTITION BY dow, hod) AS sd
+          FROM b)
+    SELECT dow, hod,
+           CAST(count(*) AS BIGINT) AS n,
+           round(round(sum(v), 4) / count(*), 4) AS mean_value,
+           max(abs(round(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+                              ELSE (v - mu) / sd END, 4))) AS max_abs_z
+    FROM m GROUP BY 1, 2
+    """,
+)
+def seasonal_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal expectation profile (extension: the observability
+    baseline that makes alerting calendar-aware — Tuesday 14:00 is
+    only anomalous relative to OTHER Tuesday-14:00s, not to the
+    global mean): per hour-of-week bucket (ISO dow × hour), volume,
+    the stable-convention mean, and the largest in-bucket |z|
+    (features.group_zscore over the derived calendar keys — one
+    window shuffle on a 168-key space, every moment map-side
+    combined). A bucket whose max |z| jumps is the seasonal-aware
+    alert; the 168-row profile is the broadcastable scoring table for
+    live data."""
+    from sparkobs.operators.features import group_zscore
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+        F.col("value").cast("double").alias("v"),
+    )
+    z = group_zscore(ev, ["dow", "hod"], "v", keep_cols=["v"])
+    return z.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.round(F.sum("v"), 4) / F.count(F.lit(1)), 4
+        ).alias("mean_value"),
+        F.max(F.abs(F.col("zscore"))).alias("max_abs_z"),
+    )
