@@ -938,3 +938,73 @@ def merge_upsert(
     return survivors.unionByName(
         base.join(upd_keys, key_cols, "left_anti")
     )
+
+
+def lead_lag_corr(
+    df: DataFrame,
+    ts_col: str,
+    part_col: str,
+    part_a: str,
+    part_b: str,
+    max_lag: int = 6,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Lead–lag cross-correlation between two metric series — the
+    root-cause question after a drill-down: metric A moved, did B move
+    FIRST, and by how many buckets? For every lag k ∈ [−max_lag,
+    max_lag], the Pearson correlation of A(t) against B(t−k): a peak
+    at k > 0 means B leads A by k buckets (B's past aligns with A's
+    present), k < 0 means A leads B, k = 0 is plain co-movement —
+    the acf_lag1 machinery generalized from self- to cross-series.
+
+    Plan shape: ONE hash agg buckets both series off a single scan
+    (partition filter pushed to the source), the 2·max_lag+1 lag
+    spine cross-joins onto the BUCKET table (series-sized, never the
+    raw rows), each shifted copy equi-joins back on the bucket key,
+    and the per-lag statistic reduces exact integer sufficient sums —
+    bit-identical across engines (rounded 4dp, +0.0 signed-zero
+    guard), same exactness contract as acf_lag1. Everything after
+    the first agg is bounded by time span × lags, independent of row
+    count. Output: (lag, n_pairs, xcorr) for every lag with ≥1
+    overlapping pair.
+    """
+    series = (
+        df.where(F.col(part_col).isin([part_a, part_b]))
+        .groupBy(
+            F.col(part_col).alias("__p"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("__y"))
+        .localCheckpoint()
+    )
+    sa = series.where(F.col("__p") == part_a).select("__b", F.col("__y").alias("__ya"))
+    sb = series.where(F.col("__p") == part_b).select("__b", F.col("__y").alias("__yb"))
+    spine = df.sparkSession.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    shifted = sb.crossJoin(F.broadcast(spine)).select(
+        "lag",
+        F.expr(f"timestampadd({bucket.upper()}, lag, __b)").alias("__bs"),
+        "__yb",
+    )
+    pairs = sa.join(shifted, sa["__b"] == shifted["__bs"])
+    stats = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("__yb").alias("sx"),
+        F.sum("__ya").alias("sy"),
+        F.sum(F.col("__yb") * F.col("__yb")).alias("sxx"),
+        F.sum(F.col("__ya") * F.col("__ya")).alias("syy"),
+        F.sum(F.col("__yb") * F.col("__ya")).alias("sxy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den2 = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return stats.select(
+        "lag",
+        F.col("m").cast("long").alias("n_pairs"),
+        (
+            F.when(den2 > 0, F.round(num / F.sqrt(den2), 4)).otherwise(F.lit(0.0))
+            + F.lit(0.0)  # -0.0 -> 0.0: engines round to signed zero differently
+        ).alias("xcorr"),
+    )

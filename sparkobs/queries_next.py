@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (61 entries — ``len(R7_QUEUE)`` is authoritative, the
+This wave (62 entries — ``len(R7_QUEUE)`` is authoritative, the
 prose count drifts): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
@@ -3089,4 +3089,53 @@ def seasonal_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("v"), 4) / F.count(F.lit(1)), 4
         ).alias("mean_value"),
         F.max(F.abs(F.col("zscore"))).alias("max_abs_z"),
+    )
+
+
+@_queue(
+    "lead_lag_corr_events",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS p, date_trunc('hour', ts) AS b,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2),
+    a AS (SELECT b, y AS ya FROM s WHERE p = 'click'),
+    bb AS (SELECT b, y AS yb FROM s WHERE p = 'purchase'),
+    ks AS (SELECT CAST(unnest(generate_series(-6, 6)) AS INT) AS lag),
+    pr AS (SELECT ks.lag, a.ya, bb.yb
+           FROM ks CROSS JOIN bb
+           JOIN a ON a.b = bb.b + to_hours(ks.lag)),
+    st AS (SELECT lag,
+                  CAST(count(*) AS DOUBLE) AS m,
+                  sum(yb) AS sx, sum(ya) AS sy,
+                  sum(yb * yb) AS sxx, sum(ya * ya) AS syy,
+                  sum(yb * ya) AS sxy
+           FROM pr GROUP BY 1)
+    SELECT lag, CAST(m AS BIGINT) AS n_pairs,
+           CASE WHEN (m * sxx - sx * sx) * (m * syy - sy * sy) > 0
+                THEN round((m * sxy - sx * sy)
+                           / sqrt((m * sxx - sx * sx)
+                                  * (m * syy - sy * sy)), 4)
+                ELSE 0.0 END + 0.0 AS xcorr
+    FROM st
+    """,
+)
+def lead_lag_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag cross-correlation of the click and purchase hourly
+    series (extension: the root-cause follow-up to a metric alert —
+    did the other metric move FIRST, and by how many buckets?
+    operators/state.lead_lag_corr): Pearson xcorr at every lag in
+    [−6, +6] hours from exact integer sufficient sums — bit-identical
+    cross-engine, acf_lag1's exactness contract generalized to two
+    series."""
+    from sparkobs.operators.state import lead_lag_corr
+
+    return lead_lag_corr(
+        load_table(spark, sf_dir, "events"),
+        "ts",
+        "event_type",
+        "click",
+        "purchase",
+        max_lag=6,
     )
