@@ -836,3 +836,29 @@ def test_reachable_set_first_visit_wins_and_foreign_seed(spark):
     got = {r["node"]: r["hop"] for r in reachable_set(edges, seeds, 3).collect()}
     # a seed absent from the graph still reports itself at hop 0
     assert got == {1: 0, 99: 0, 2: 1, 3: 1, 4: 2, 5: 2}
+
+
+def test_lead_lag_corr_finds_planted_lag(spark):
+    from sparkobs.operators.state import lead_lag_corr
+
+    # B's hourly volume pattern repeats in A exactly 2 hours later:
+    # xcorr must peak (1.0) at lag=+2 ("B leads A by 2 buckets").
+    rows = []
+    eid = 0
+    pattern = [1, 5, 2, 7, 3, 6, 4, 8, 2, 9, 1, 5]
+    for h, n in enumerate(pattern):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"2024-01-01 {h:02d}:30:00", "b"))
+    for h, n in enumerate(pattern):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"2024-01-01 {h + 2:02d}:30:00", "a"))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts_s string, event_type string"
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type")
+    got = {r["lag"]: r["xcorr"]
+           for r in lead_lag_corr(df, "ts", "event_type", "a", "b",
+                                  max_lag=3).collect()}
+    assert got[2] == 1.0
+    assert all(v < 1.0 for k, v in got.items() if k != 2)
