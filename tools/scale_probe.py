@@ -729,6 +729,24 @@ def probes():
             "cents",
         )
 
+    def seasonal(docs, ev, emb):
+        from sparkobs.operators.features import group_zscore
+
+        b = ev.select(
+            (F.weekday("ts") + 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+            F.col("value").cast("double").alias("v"),
+        )
+        z = group_zscore(b, ["dow", "hod"], "v", keep_cols=["v"])
+        return z.groupBy("dow", "hod").agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.abs("zscore")).alias("mz")
+        )
+
+    def lead_lag(docs, ev, emb):
+        from sparkobs.operators.state import lead_lag_corr
+
+        return lead_lag_corr(ev, "ts", "event_type", "click", "purchase")
+
     return {
         "winnowing_xx64": winnow,
         "resize_synth": resize,
@@ -742,6 +760,8 @@ def probes():
         "normalize_text": norm,
         "key_skew_stats": skew,
         "split_assign": split,
+        "seasonal_profile": seasonal,
+        "lead_lag_corr": lead_lag,
         "semantic_dedup": semdedup,
         "line_dedup": line_dedup,
         "bigram_ppl": bigram_ppl,
