@@ -24,7 +24,8 @@ contract quantifies its own blast radius.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -279,4 +280,49 @@ def partition_gaps(
         "n_missing",
         "first_missing",
         "last_missing",
+    )
+
+
+def slo_burn_rate(
+    df: DataFrame,
+    ts_col: str,
+    is_error: Column,
+    error_budget: float = 0.01,
+    bucket: str = "hour",
+) -> DataFrame:
+    """SLO error-budget burn — the SRE reading of an error-rate
+    series: per bucket, the error rate against the budget the SLO
+    allows (burn rate 1.0 = consuming budget exactly as fast as the
+    SLO grants it; 14.4 = the classic "page now" multiplier), plus
+    the RUNNING fraction of the period's budget consumed so far
+    (cumulative errors over cumulative allowance).
+
+    One hash agg buckets the stream (predicate stays in codegen),
+    then a single ordered cumulative window over the bucket SERIES
+    (time-span-bounded — the repo's accepted global-window-over-a-
+    key-table pattern, never over raw rows) —
+    every count is an exact integer and every emitted float is one
+    arithmetic expression over those identical integers, so the
+    whole frame is bit-identical cross-engine, unrounded (the repo's
+    single-expression convention). Output: (bucket_ts, n, n_err,
+    err_rate, burn_rate, budget_used_frac).
+    """
+    budget = error_budget
+    hourly = df.groupBy(
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(is_error, 1).otherwise(0)).cast("long").alias("n_err"),
+    )
+    w = W.orderBy("bucket_ts").rowsBetween(W.unboundedPreceding, 0)
+    return hourly.select(
+        "bucket_ts",
+        "n",
+        "n_err",
+        (F.col("n_err") / F.col("n")).alias("err_rate"),
+        (F.col("n_err") / F.col("n") / F.lit(budget)).alias("burn_rate"),
+        (
+            F.sum("n_err").over(w)
+            / (F.lit(budget) * F.sum("n").over(w))
+        ).alias("budget_used_frac"),
     )

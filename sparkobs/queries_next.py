@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (62 entries — ``len(R7_QUEUE)`` is authoritative, the
+This wave (63 entries — ``len(R7_QUEUE)`` is authoritative, the
 prose count drifts): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
@@ -3138,4 +3138,41 @@ def lead_lag_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click",
         "purchase",
         max_lag=6,
+    )
+
+
+@_queue(
+    "slo_burn_rate_events",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS bucket_ts,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_err
+      FROM events GROUP BY 1)
+    SELECT bucket_ts, n, n_err,
+           n_err / n AS err_rate,
+           n_err / n / CAST(0.01 AS DOUBLE) AS burn_rate,
+           sum(n_err) OVER (ORDER BY bucket_ts)
+             / (CAST(0.01 AS DOUBLE)
+                * sum(n) OVER (ORDER BY bucket_ts)) AS budget_used_frac
+    FROM h
+    """,
+)
+def slo_burn_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn monitor (extension: the SRE reading of
+    an error-rate series — operators/checks.slo_burn_rate): per hour,
+    error rate vs the 1% error budget (99% SLO) and the running
+    fraction of the period's budget consumed. Counts are exact
+    integers; every float is one arithmetic expression over identical
+    integers and the SAME budget double (the oracle CASTs the literal
+    to DOUBLE — a bare 0.01 parses as DECIMAL in DuckDB and diverges),
+    so the frame certifies unrounded."""
+    from sparkobs.operators.checks import slo_burn_rate
+
+    return slo_burn_rate(
+        load_table(spark, sf_dir, "events"),
+        "ts",
+        F.col("event_type") == "error",
+        error_budget=0.01,
     )
