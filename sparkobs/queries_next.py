@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (63 entries — ``len(R7_QUEUE)`` is authoritative, the
+This wave (64 entries — ``len(R7_QUEUE)`` is authoritative, the
 prose count drifts): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
@@ -3175,4 +3175,60 @@ def slo_burn_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("event_type") == "error",
         error_budget=0.01,
+    )
+
+
+@_queue(
+    "streaming_slo_burn_events",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS bucket_ts,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_err
+      FROM events GROUP BY 1)
+    SELECT bucket_ts, n, n_err,
+           n_err / n AS err_rate,
+           n_err / n / CAST(0.01 AS DOUBLE) AS burn_rate,
+           sum(n_err) OVER (ORDER BY bucket_ts)
+             / (CAST(0.01 AS DOUBLE)
+                * sum(n) OVER (ORDER BY bucket_ts)) AS budget_used_frac
+    FROM h
+    """,
+)
+def streaming_slo_burn_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the SLO burn monitor: per-hour total/error
+    counters accumulate in watermarked tumbling-window state
+    (streaming/monitors.streaming_error_counts — two integer cells
+    per open window); the drained integer frame gets the identical
+    batch-side burn/cumulative derivation as slo_burn_rate_events and
+    certifies against the SAME oracle."""
+    from sparkobs.queries import _stage_events
+    from sparkobs.streaming.monitors import (
+        run_to_memory,
+        stream_events,
+        streaming_error_counts,
+    )
+
+    stage_dir = _stage_events(spark, sf_dir)
+    out = streaming_error_counts(
+        stream_events(spark, stage_dir), F.col("event_type") == "error"
+    )
+    tbl = run_to_memory(
+        out, "slo_burn_stream", output_mode="complete", unique=True
+    )
+    from pyspark.sql import Window as W
+
+    h = spark.table(tbl)
+    w = W.orderBy("bucket_ts").rowsBetween(W.unboundedPreceding, 0)
+    budget = 0.01
+    return h.select(
+        "bucket_ts",
+        "n",
+        "n_err",
+        (F.col("n_err") / F.col("n")).alias("err_rate"),
+        (F.col("n_err") / F.col("n") / F.lit(budget)).alias("burn_rate"),
+        (
+            F.sum("n_err").over(w) / (F.lit(budget) * F.sum("n").over(w))
+        ).alias("budget_used_frac"),
     )

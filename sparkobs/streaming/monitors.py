@@ -542,3 +542,28 @@ def stateful_salted_distinct(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_error_counts(
+    events: DataFrame,
+    is_error: "F.Column",
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked per-window total/error counts — the streaming
+    collection half of checks.slo_burn_rate: state per window is two
+    integer counters, dropped once the watermark passes the window
+    end (bounded memory under unbounded input). Rates/burn/cumulative
+    budget derive batch-side from the drained integer frame (the
+    cumulative term needs the whole series, which only exists after
+    the drain — and integers, not rates, are what merge exactly)."""
+    return (
+        _event_time(events)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(is_error, 1).otherwise(0)).cast("long").alias("n_err"),
+        )
+        .select(_to_ntz("w.start").alias("bucket_ts"), "n", "n_err")
+    )
