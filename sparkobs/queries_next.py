@@ -73,7 +73,12 @@ metric root-cause drill-down (per-segment delta contributions in
 exact integer cents), plus streaming twins for the disorder
 diagnostic (seven integer state cells, batch-identical folds over an
 arrival-ordered stage) and the salted exact distinct (32 disjoint
-value-shard cells per group, partials summed batch-side).
+value-shard cells per group, partials summed batch-side). Late
+additions: hop-labeled BFS lineage blast radius (recursive-CTE
+oracle), an hour-of-week seasonal expectation profile, lead-lag
+cross-correlation for metric root-cause ordering (exact integer
+sufficient sums), and an SLO error-budget burn monitor in batch and
+watermarked-streaming form (both certified against one oracle).
 """
 
 from __future__ import annotations
