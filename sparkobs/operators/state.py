@@ -1008,3 +1008,53 @@ def lead_lag_corr(
             + F.lit(0.0)  # -0.0 -> 0.0: engines round to signed zero differently
         ).alias("xcorr"),
     )
+
+
+def incident_groups(
+    flags: DataFrame,
+    metric_col: str = "event_type",
+    ts_col: str = "bucket_ts",
+    gap_seconds: int = 7200,
+) -> DataFrame:
+    """Alert → incident grouping — the fatigue reducer every paging
+    pipeline ends with: simultaneous/cascading anomalies across
+    metrics collapse into ONE incident when no quiet period of
+    ``gap_seconds`` separates them. Input is the flagged bucket set
+    (metric, ts) from metric_anomalies; a new incident starts where
+    the gap from the PREVIOUS flagged bucket (any metric) exceeds the
+    threshold, incident ids are the running count of such starts, and
+    each incident reports its span, alert count, and how many
+    distinct metrics fired (the single-metric blip vs systemic-event
+    discriminator).
+
+    The windows run over the ALERT set — bounded by flagged buckets ×
+    metrics, a table that monitoring keeps small by construction (the
+    repo's accepted global-window-over-a-key-table pattern; shard by
+    incident domain upstream if alerts are genuinely unbounded). The
+    gap is exact integer microseconds on the naive epoch (naive_us),
+    and the (ts, metric) window order is total, so grouping is
+    deterministic on any engine. Output: (incident_id, started_at,
+    ended_at, n_alerts, n_metrics).
+    """
+    w = W.orderBy(ts_col, metric_col)
+    # python-side multiply: lit(7200) * lit(1e6) is an INT constant
+    # fold that overflows under ANSI mode
+    gap_us = F.lit(gap_seconds * 1_000_000).cast("long")
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    new_inc = (
+        prev_ts.isNull() | (naive_us(ts_col) - naive_us(prev_ts) > gap_us)
+    ).cast("long")
+    wc = W.orderBy(ts_col, metric_col).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    tagged = flags.select(
+        F.col(metric_col).alias("__m"),
+        F.col(ts_col).alias("__t"),
+        F.sum(new_inc).over(wc).alias("incident_id"),
+    )
+    return tagged.groupBy("incident_id").agg(
+        F.min("__t").alias("started_at"),
+        F.max("__t").alias("ended_at"),
+        F.count(F.lit(1)).cast("long").alias("n_alerts"),
+        F.count_distinct("__m").cast("long").alias("n_metrics"),
+    )

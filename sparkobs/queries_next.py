@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (64 entries — ``len(R7_QUEUE)`` is authoritative, the
+This wave (65 entries — ``len(R7_QUEUE)`` is authoritative, the
 prose count drifts): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
@@ -78,7 +78,9 @@ additions: hop-labeled BFS lineage blast radius (recursive-CTE
 oracle), an hour-of-week seasonal expectation profile, lead-lag
 cross-correlation for metric root-cause ordering (exact integer
 sufficient sums), and an SLO error-budget burn monitor in batch and
-watermarked-streaming form (both certified against one oracle).
+watermarked-streaming form (both certified against one oracle),
+and alert-to-incident grouping (quiet-gap clustering of the certified
+anomaly flags across metrics).
 """
 
 from __future__ import annotations
@@ -3237,3 +3239,66 @@ def streaming_slo_burn_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_err").over(w) / (F.lit(budget) * F.sum("n").over(w))
         ).alias("budget_used_frac"),
     )
+
+
+@_queue(
+    "incident_groups_events",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(count(*) AS DOUBLE) AS value
+      FROM events GROUP BY 1, 2),
+    scored AS (
+      SELECT event_type, bucket_ts,
+             avg(value) OVER w AS m,
+             stddev_samp(value) OVER w AS s,
+             count(value) OVER w AS n,
+             value
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+    alerts AS (
+      SELECT event_type, bucket_ts FROM scored
+      WHERE n >= 2 AND s > 0 AND abs((value - m) / s) > 2.0),
+    marked AS (
+      SELECT event_type, bucket_ts,
+             CASE WHEN lag(bucket_ts) OVER o IS NULL
+                    OR epoch_us(bucket_ts)
+                       - epoch_us(lag(bucket_ts) OVER o)
+                       > 7200000000
+                  THEN 1 ELSE 0 END AS new_inc
+      FROM alerts
+      WINDOW o AS (ORDER BY bucket_ts, event_type)),
+    tagged AS (
+      SELECT event_type, bucket_ts,
+             sum(new_inc) OVER (ORDER BY bucket_ts, event_type
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS incident_id
+      FROM marked)
+    SELECT CAST(incident_id AS BIGINT) AS incident_id,
+           min(bucket_ts) AS started_at, max(bucket_ts) AS ended_at,
+           CAST(count(*) AS BIGINT) AS n_alerts,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_metrics
+    FROM tagged GROUP BY 1
+    """,
+)
+def incident_groups_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert → incident grouping (extension: the fatigue reducer after
+    anomaly detection — operators/state.incident_groups): the certified
+    trailing-z anomaly flags (anomaly_hourly_events' exact machinery)
+    collapse into incidents wherever no 2 h quiet gap separates
+    consecutive alerts, reporting span, alert count and the distinct-
+    metric breadth per incident."""
+    from sparkobs.operators.state import incident_groups, metric_anomalies
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    flags = metric_anomalies(
+        hourly, ["event_type"], ts_col="bucket_ts", value_col="value"
+    ).where(F.col("is_anomaly"))
+    return incident_groups(flags)
