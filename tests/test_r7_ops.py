@@ -862,3 +862,25 @@ def test_lead_lag_corr_finds_planted_lag(spark):
                                   max_lag=3).collect()}
     assert got[2] == 1.0
     assert all(v < 1.0 for k, v in got.items() if k != 2)
+
+
+def test_incident_groups_gap_semantics(spark):
+    from sparkobs.operators.state import incident_groups
+
+    # alerts at 00, 01, 05 (gap 4h > 2h -> new incident), 06 across two
+    # metrics; ties at the same bucket stay in one incident
+    rows = [
+        ("a", "2024-01-01 00:00:00"),
+        ("b", "2024-01-01 00:00:00"),
+        ("a", "2024-01-01 01:00:00"),
+        ("a", "2024-01-01 05:00:00"),
+        ("b", "2024-01-01 06:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts_s string").selectExpr(
+        "event_type", "CAST(ts_s AS TIMESTAMP) AS bucket_ts"
+    )
+    got = {
+        r["incident_id"]: (r["n_alerts"], r["n_metrics"])
+        for r in incident_groups(df).collect()
+    }
+    assert got == {1: (3, 2), 2: (2, 2)}
