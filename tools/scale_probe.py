@@ -747,6 +747,22 @@ def probes():
 
         return lead_lag_corr(ev, "ts", "event_type", "click", "purchase")
 
+    def slo_burn(docs, ev, emb):
+        from sparkobs.operators.checks import slo_burn_rate
+
+        return slo_burn_rate(ev, "ts", F.col("event_type") == "error")
+
+    def incidents(docs, ev, emb):
+        from sparkobs.operators.state import incident_groups, metric_anomalies
+
+        hourly = ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+        ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+        flags = metric_anomalies(
+            hourly, ["event_type"], ts_col="bucket_ts", value_col="value"
+        ).where(F.col("is_anomaly"))
+        return incident_groups(flags)
+
     return {
         "winnowing_xx64": winnow,
         "resize_synth": resize,
@@ -762,6 +778,8 @@ def probes():
         "split_assign": split,
         "seasonal_profile": seasonal,
         "lead_lag_corr": lead_lag,
+        "slo_burn_rate": slo_burn,
+        "incident_groups": incidents,
         "semantic_dedup": semdedup,
         "line_dedup": line_dedup,
         "bigram_ppl": bigram_ppl,
