@@ -181,8 +181,9 @@ def sessionize(
 
     One window shuffle on the key; the session ordinal is a running
     sum of session-start flags (lag + cumulative sum — both ride the
-    same window). Timestamps compare as exact integer microseconds
-    (``unix_micros``) so the gap predicate is engine-reproducible.
+    same window). Timestamps compare as exact integer microseconds on
+    the NAIVE epoch (``naive_us`` — session-tz-independent, unlike a
+    unix_micros cast) so the gap predicate is engine-reproducible.
     Every input column rides along unchanged — the point is labeling
     events, not projecting them away.
     """
@@ -241,7 +242,9 @@ def debounce_first_of_burst(
     # integer-microsecond gap on the NAIVE epoch (naive_us), the same
     # exactness convention as sessionize — never float seconds
     gap_us = naive_us(ts_col) - naive_us(prev)
-    keep = prev.isNull() | (gap_us >= F.lit(gap_seconds) * 1_000_000)
+    # python-side multiply: lit(gap) * lit(1e6) is an INT constant
+    # fold that overflows under ANSI mode at gap_seconds >= 2148
+    keep = prev.isNull() | (gap_us >= F.lit(gap_seconds * 1_000_000))
     return (
         df.withColumn("__keep", keep)
         .where(F.col("__keep"))

@@ -186,8 +186,9 @@ def freshness_check(
 
     One max() aggregate per table (answerable from parquet footer
     stats when the reader supports max pushdown) unioned into a tiny
-    verdict frame; staleness is exact integer seconds
-    (``unix_micros`` difference, floor-divided), so the SLA verdict
+    verdict frame; staleness is exact integer seconds (TIMESTAMP_NTZ
+    ``timestampdiff``, floor-divided — naive-as-UTC, never the
+    session-tz-dependent unix_micros cast), so the SLA verdict
     is engine-reproducible. NULL max_ts (empty table) reads as
     infinitely stale: is_fresh = false, staleness NULL.
     """
@@ -307,14 +308,26 @@ def slo_burn_rate(
     single-expression convention). Output: (bucket_ts, n, n_err,
     err_rate, burn_rate, budget_used_frac).
     """
-    budget = error_budget
     hourly = df.groupBy(
         F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.when(is_error, 1).otherwise(0)).cast("long").alias("n_err"),
     )
+    return slo_burn_derive(hourly, error_budget)
+
+
+def slo_burn_derive(
+    hourly: DataFrame, error_budget: float = 0.01
+) -> DataFrame:
+    """Derivation half of :func:`slo_burn_rate`, shared with its
+    streaming twin (which collects the same (bucket_ts, n, n_err)
+    integers in watermarked window state and derives after the
+    drain): rates, the burn multiple, and the cumulative budget
+    fraction as single float expressions over exact integers — ONE
+    definition so the batch and streaming verdicts cannot drift."""
     w = W.orderBy("bucket_ts").rowsBetween(W.unboundedPreceding, 0)
+    budget = error_budget
     return hourly.select(
         "bucket_ts",
         "n",

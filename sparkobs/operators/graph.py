@@ -395,9 +395,11 @@ def reachable_set(
 
     Each round is one frontier-keyed equi join + distinct, then an
     anti join against the visited set — never a full transitive
-    closure (which is quadratic on dense graphs); the frontier and
-    the visited table are node-bounded and eagerly checkpointed per
-    round (Catalyst would otherwise replay round t−1 inside round t).
+    closure (which is quadratic on dense graphs); each round's new
+    frontier LEG is node-bounded and eagerly checkpointed (Catalyst
+    would otherwise replay round t−1 inside round t), while the
+    visited set stays a shallow union of those checkpointed legs —
+    prior rounds' rows are never re-checkpointed.
     At cluster scale the edge list is the big side — it shuffles once
     per round on its join key, or stays resident via persist when the
     loop owns the lifecycle. Rounds are FIXED (no convergence test):
@@ -410,17 +412,26 @@ def reachable_set(
     ``edges`` is directed (src, dst); ``seeds`` is (node). Output:
     (node, hop) with hop 0 = the seeds themselves.
     """
-    reach = seeds.select("node", F.lit(0).alias("hop")).localCheckpoint()
-    frontier = reach.select("node")
+    seed0 = seeds.select("node", F.lit(0).alias("hop")).localCheckpoint()
+    legs = [seed0]
+    visited = seed0.select("node")
+    frontier = visited
     for h in range(1, max_hops + 1):
         nxt = (
             edges.join(frontier.withColumnRenamed("node", "src"), "src")
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(reach.select("node"), "node", "left_anti")
+            .join(visited, "node", "left_anti")
             .select("node", F.lit(h).alias("hop"))
             .localCheckpoint()
         )
-        reach = reach.unionByName(nxt).localCheckpoint()
+        legs.append(nxt)
+        # only the per-round LEG is ever checkpointed — the visited set
+        # is a shallow union of checkpointed legs, so accumulating it
+        # never rewrites prior rounds' rows (no O(V·hops) re-checkpoint)
+        visited = visited.unionByName(nxt.select("node"))
         frontier = nxt.select("node")
-    return reach
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -22,8 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sparkobs.functions import naive_us
 from pyspark.sql import Window as W
+from pyspark.sql import types as T
+
+from sparkobs.functions import naive_us
 
 
 def make_snapshot(df: DataFrame, table_name: str, run_ts: str) -> DataFrame:
@@ -910,11 +912,26 @@ def merge_upsert(
     # seq_col alone is NOT a total order (two update rows for one key
     # can tie on seq); append the non-key columns as tiebreak so the
     # winner is deterministic across runs/engines, matching the
-    # seq_col=None branch's total-order contract.
+    # seq_col=None branch's total-order contract. Unorderable columns
+    # (MAP, or composites containing one) are skipped — Spark cannot
+    # sort them, and a CDC batch may legitimately carry a MAP payload;
+    # ties that differ ONLY in unorderable columns fall back to the
+    # seq order (documented residual nondeterminism, never a crash).
+    def _orderable(dt):
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
     order_cols = [
-        F.col(c).desc_nulls_last()
-        for c in updates.columns
-        if c not in key_cols and c != seq_col
+        F.col(f.name).desc_nulls_last()
+        for f in updates.schema.fields
+        if f.name not in key_cols
+        and f.name != seq_col
+        and _orderable(f.dataType)
     ]
     if seq_col is not None:
         order_cols.insert(0, F.col(seq_col).desc_nulls_last())

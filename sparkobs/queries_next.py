@@ -3148,9 +3148,10 @@ def lead_lag_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_queue(
-    "slo_burn_rate_events",
-    oracle="""
+# ONE oracle for the SLO burn pair: the batch query and the streaming
+# twin certify against the identical SQL, mirroring the shared
+# checks.slo_burn_derive derivation.
+_SLO_BURN_ORACLE = """
     WITH h AS (
       SELECT date_trunc('hour', ts) AS bucket_ts,
              CAST(count(*) AS BIGINT) AS n,
@@ -3164,8 +3165,10 @@ def lead_lag_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (CAST(0.01 AS DOUBLE)
                 * sum(n) OVER (ORDER BY bucket_ts)) AS budget_used_frac
     FROM h
-    """,
-)
+    """
+
+
+@_queue("slo_burn_rate_events", oracle=_SLO_BURN_ORACLE)
 def slo_burn_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLO error-budget burn monitor (extension: the SRE reading of
     an error-rate series — operators/checks.slo_burn_rate): per hour,
@@ -3185,24 +3188,7 @@ def slo_burn_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_queue(
-    "streaming_slo_burn_events",
-    oracle="""
-    WITH h AS (
-      SELECT date_trunc('hour', ts) AS bucket_ts,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_err
-      FROM events GROUP BY 1)
-    SELECT bucket_ts, n, n_err,
-           n_err / n AS err_rate,
-           n_err / n / CAST(0.01 AS DOUBLE) AS burn_rate,
-           sum(n_err) OVER (ORDER BY bucket_ts)
-             / (CAST(0.01 AS DOUBLE)
-                * sum(n) OVER (ORDER BY bucket_ts)) AS budget_used_frac
-    FROM h
-    """,
-)
+@_queue("streaming_slo_burn_events", oracle=_SLO_BURN_ORACLE)
 def streaming_slo_burn_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the SLO burn monitor: per-hour total/error
     counters accumulate in watermarked tumbling-window state
@@ -3224,21 +3210,9 @@ def streaming_slo_burn_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = run_to_memory(
         out, "slo_burn_stream", output_mode="complete", unique=True
     )
-    from pyspark.sql import Window as W
+    from sparkobs.operators.checks import slo_burn_derive
 
-    h = spark.table(tbl)
-    w = W.orderBy("bucket_ts").rowsBetween(W.unboundedPreceding, 0)
-    budget = 0.01
-    return h.select(
-        "bucket_ts",
-        "n",
-        "n_err",
-        (F.col("n_err") / F.col("n")).alias("err_rate"),
-        (F.col("n_err") / F.col("n") / F.lit(budget)).alias("burn_rate"),
-        (
-            F.sum("n_err").over(w) / (F.lit(budget) * F.sum("n").over(w))
-        ).alias("budget_used_frac"),
-    )
+    return slo_burn_derive(spark.table(tbl), error_budget=0.01)
 
 
 @_queue(

@@ -390,9 +390,11 @@ def stateful_disorder(
     """Continuous event-time disorder diagnostic — the stream side of
     state.event_disorder_stats: how late is late data, measured as it
     arrives, the live input to watermark tuning. State is SEVEN
-    integer cells (running event-time max, last arrival id, and five
-    accumulators) regardless of input volume, so no watermark is
-    needed on the diagnostic itself.
+    integer cells (running event-time max, the arrival-id high-water
+    mark that ENFORCES the arrival-ordered precondition — a replayed
+    or reordered batch raises instead of silently measuring the wrong
+    sequence — and five accumulators) regardless of input volume, so
+    no watermark is needed on the diagnostic itself.
 
     Exactness across micro-batch splits: each batch sorts its rows by
     the arrival column (a vectorized argsort + prefix np.maximum.
@@ -427,6 +429,19 @@ def stateful_disorder(
         if frames:
             pdf = pd.concat(frames, ignore_index=True)
             pdf = pdf.sort_values(arrival_col, kind="mergesort")
+            batch_min = int(pdf[arrival_col].iloc[0])
+            if mx_id is not None and batch_min <= mx_id:
+                # the diagnostic measures EVENT-TIME lateness along the
+                # ARRIVAL order; a batch whose ids precede the stored
+                # high-water mark means the source replayed/reordered
+                # arrivals and the accumulators would silently measure
+                # the wrong sequence — fail loudly instead
+                raise ValueError(
+                    "stateful_disorder: arrival-ordered precondition "
+                    f"violated (batch min {arrival_col}={batch_min} <= "
+                    f"state high-water {mx_id}); feed an arrival-ordered "
+                    "stage (see _stage_events_arrival_ordered)"
+                )
             arr = pdf[ts_col].to_numpy("datetime64[ns]")
             valid = ~np.isnat(arr)
             # NULL ts maps to NEG: never late (us < prev is false when
