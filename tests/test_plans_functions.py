@@ -421,3 +421,21 @@ def test_ann_recall_semi_join_no_cartesian(spark):
     df = R7_QUEUE["ann_recall_embeddings"][0](spark, SF)
     assert "LeftSemi" in physical_plan(df)
     assert_no_cartesian(df)
+
+
+def test_r6_late_wave_plans_scale_worthy(spark):
+    from sparkobs.plans import assert_no_cartesian, physical_plan
+    from sparkobs.queries_next import R7_QUEUE
+
+    # BFS reachability: frontier joins are equi joins, never a
+    # cartesian expansion of the co-purchase graph
+    assert_no_cartesian(R7_QUEUE["impact_reach_supply_chain"][0](spark, SF))
+    # lead-lag: the 13-row lag spine rides a BROADCAST onto the
+    # bucket table; the shifted join is an equi join on the bucket key
+    p = physical_plan(R7_QUEUE["lead_lag_corr_events"][0](spark, SF))
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    # SLO burn: the error predicate evaluates inside the first
+    # aggregate's scan-side project (no separate pass), one plan
+    p = physical_plan(R7_QUEUE["slo_burn_rate_events"][0](spark, SF))
+    assert "CartesianProduct" not in p
