@@ -1075,3 +1075,56 @@ def incident_groups(
         F.count(F.lit(1)).cast("long").alias("n_alerts"),
         F.count_distinct("__m").cast("long").alias("n_metrics"),
     )
+
+
+def diff_column_contributions(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Column-level drill-down of :func:`table_diff` — after the row
+    diff says N keys changed, the next question is WHICH columns drove
+    the churn (a price-restatement reads very differently from a
+    status backfill). Inner join on the key (added/removed keys have
+    no column-level story), then ONE aggregate of null-safe
+    per-column mismatch counts, unpivoted long so every table's
+    contributions union into one stream.
+
+    The comparison is ``NOT (old <=> new)`` (null-safe: NULL→value
+    and value→NULL both count as a change, NULL→NULL does not —
+    DuckDB's IS DISTINCT FROM). One co-located key join + one hash
+    agg regardless of column count; output is |compare_cols| rows.
+    Output: (column, n_mismatch, n_compared, mismatch_rate — one
+    unrounded division of exact integers).
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in key_cols]
+    o = old.select(
+        *key_cols, *[F.col(c).alias(f"__o_{c}") for c in compare_cols]
+    )
+    n = new.select(
+        *key_cols, *[F.col(c).alias(f"__n_{c}") for c in compare_cols]
+    )
+    j = o.join(n, key_cols)
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        *[
+            F.sum(
+                (~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))).cast("long")
+            ).alias(f"__m_{c}")
+            for c in compare_cols
+        ],
+    )
+    stack = F.expr(
+        "stack({}, {}) as (column, n_mismatch)".format(
+            len(compare_cols),
+            ", ".join(f"'{c}', __m_{c}" for c in compare_cols),
+        )
+    )
+    return agg.select(stack, F.col("__n").alias("n_compared")).select(
+        "column",
+        "n_mismatch",
+        "n_compared",
+        (F.col("n_mismatch") / F.col("n_compared")).alias("mismatch_rate"),
+    )

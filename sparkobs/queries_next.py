@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (65 entries — ``len(R7_QUEUE)`` is authoritative, the
+This wave (66 entries — ``len(R7_QUEUE)`` is authoritative, the
 prose count drifts): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
@@ -79,8 +79,9 @@ oracle), an hour-of-week seasonal expectation profile, lead-lag
 cross-correlation for metric root-cause ordering (exact integer
 sufficient sums), and an SLO error-budget burn monitor in batch and
 watermarked-streaming form (both certified against one oracle),
-and alert-to-incident grouping (quiet-gap clustering of the certified
-anomaly flags across metrics).
+alert-to-incident grouping (quiet-gap clustering of the certified
+anomaly flags across metrics), and a column-level diff drill-down
+(null-safe per-column mismatch counts behind table_diff's row verdict).
 """
 
 from __future__ import annotations
@@ -3276,3 +3277,63 @@ def incident_groups_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly, ["event_type"], ts_col="bucket_ts", value_col="value"
     ).where(F.col("is_anomaly"))
     return incident_groups(flags)
+
+
+@_queue(
+    "diff_columns_orders",
+    oracle="""
+    WITH old AS (SELECT * FROM orders WHERE o_orderkey % 100 <> 2),
+    new AS (SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 100 = 3 THEN 'X'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN o_orderkey % 100 = 1
+                        THEN round(o_totalprice * 2, 2)
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 100 <> 0),
+    j AS (SELECT * FROM old o JOIN new n USING (o_orderkey)),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n_compared,
+                 CAST(sum(CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey THEN 1 ELSE 0 END) AS BIGINT) AS m_custkey,
+                 CAST(sum(CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 1 ELSE 0 END) AS BIGINT) AS m_status,
+                 CAST(sum(CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 1 ELSE 0 END) AS BIGINT) AS m_price,
+                 CAST(sum(CASE WHEN o.o_orderdate IS DISTINCT FROM n.o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS m_date,
+                 CAST(sum(CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 1 ELSE 0 END) AS BIGINT) AS m_prio
+          FROM old o JOIN new n ON o.o_orderkey = n.o_orderkey)
+    SELECT u.column, u.n_mismatch, a.n_compared,
+           u.n_mismatch / a.n_compared AS mismatch_rate
+    FROM a, (
+      SELECT 'o_custkey' AS column, m_custkey AS n_mismatch FROM a
+      UNION ALL SELECT 'o_orderstatus', m_status FROM a
+      UNION ALL SELECT 'o_totalprice', m_price FROM a
+      UNION ALL SELECT 'o_orderdate', m_date FROM a
+      UNION ALL SELECT 'o_orderpriority', m_prio FROM a) u
+    """,
+)
+def diff_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level diff drill-down (extension: the follow-up to
+    table_diff_orders' row verdict — which columns drove the churn?
+    operators/state.diff_column_contributions): two deterministic
+    versions of orders (price doubled on keys ≡1, status rewritten on
+    keys ≡3 mod 100), null-safe per-column mismatch counts in one
+    aggregate pass, rates as single unrounded integer divisions."""
+    from sparkobs.operators.state import diff_column_contributions
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 100 != 2)
+    new = (
+        orders.where(F.col("o_orderkey") % 100 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 100 == 3, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 100 == 1,
+                F.round(F.col("o_totalprice") * 2, 2),
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    return diff_column_contributions(old, new, ["o_orderkey"])
