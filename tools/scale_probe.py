@@ -159,6 +159,8 @@ FACT_QUERIES = (
     # BFS reachability: edge derivation deepens with the facts; the
     # frontier/visited tables are node-bound, 3 fixed rounds
     "impact_reach_supply_chain",
+    # column diff drilldown: one co-located key join + one agg, linear
+    "diff_columns_orders",
 )
 
 
