@@ -63,7 +63,7 @@ _PRIORITY: list[str] = [
     # r7 ROTATION PLAN: once CORRECTNESS_r06 lands green, this list
     # retires; fill the r7 gate with (a) any r6 failures first,
     # (b) the oracle-tested queries staged in
-    #     sparkobs/queries_next.py (66 now; len(R7_QUEUE) is
+    #     sparkobs/queries_next.py (67 now; len(R7_QUEUE) is
     #     authoritative — promote = move into queries.py
     #     with @query + a slot here; tests/test_r7_queue.py holds
     #     them to the checker's comparison at sf0.001 AND — env-gated

@@ -108,3 +108,64 @@ def sql_monitor(spark: SparkSession, sql: str, name: str = "query") -> DataFrame
     reference runs the query twice — once for headers, once for rows,
     databand_tracking_template.py:13-17)."""
     return table_monitor(spark.sql(sql), name)
+
+
+def monitor_suite(
+    tables: list[tuple],
+    as_of: str,
+    default_sla_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Declarative per-table observability battery — the closest Spark
+    analog of the reference's UX, where each template is CONFIGURED
+    per table (s3_key_monitor.py:29-51, snowflake_table_monitor.py:
+    50-54) rather than coded: ``tables`` is [(name, df, ts_col,
+    checks)] with ``checks`` a run_checks suite (may be empty) and
+    ``ts_col`` optionally None (skips freshness). One long verdict
+    frame unions freshness SLAs and contract checks for every
+    configured table, so a whole lake's health is one DataFrame and
+    one sink write.
+
+    Shape: per table, freshness is the one-max aggregate of
+    checks.freshness_check and the contract suite is run_checks' one
+    shared aggregation pass — cost is (tables × ~2 aggregates), all
+    unioned lazily into a single job. Output: (table_name,
+    check_type, column, metric_value, passed) — metric_value is
+    staleness seconds for freshness rows and the violation count for
+    contract rows, always an exact integer in double form so the
+    frame certifies without rounding conventions.
+    """
+    from sparkobs.operators.checks import freshness_check, run_checks
+
+    parts = []
+    for name, df, ts_col, checks in tables:
+        if ts_col is not None:
+            parts.append(
+                freshness_check(
+                    [(name, df, ts_col)],
+                    as_of,
+                    {name: default_sla_seconds},
+                ).select(
+                    F.lit(name).alias("table_name"),
+                    F.lit("freshness").alias("check_type"),
+                    F.lit(ts_col).alias("column"),
+                    F.col("staleness_s").cast("double").alias("metric_value"),
+                    F.col("is_fresh").alias("passed"),
+                )
+            )
+        if checks:
+            parts.append(
+                run_checks(df, checks).select(
+                    F.lit(name).alias("table_name"),
+                    F.col("check_type"),
+                    F.col("column"),
+                    F.col("violations").cast("double").alias("metric_value"),
+                    F.col("passed"),
+                )
+            )
+    if not parts:
+        raise ValueError("monitor_suite needs at least one table with "
+                         "a ts_col or a non-empty check suite")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -11,7 +11,7 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (66 entries — ``len(R7_QUEUE)`` is authoritative, the
+This wave (67 entries — ``len(R7_QUEUE)`` is authoritative, the
 prose count drifts): the remaining expressible TPC-H shapes
 (Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
 no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
@@ -80,8 +80,10 @@ cross-correlation for metric root-cause ordering (exact integer
 sufficient sums), and an SLO error-budget burn monitor in batch and
 watermarked-streaming form (both certified against one oracle),
 alert-to-incident grouping (quiet-gap clustering of the certified
-anomaly flags across metrics), and a column-level diff drill-down
-(null-safe per-column mismatch counts behind table_diff's row verdict).
+anomaly flags across metrics), a column-level diff drill-down
+(null-safe per-column mismatch counts behind table_diff's row
+verdict), and the declarative monitor_suite capstone (freshness +
+contract batteries for configured tables as one verdict frame).
 """
 
 from __future__ import annotations
@@ -3337,3 +3339,75 @@ def diff_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return diff_column_contributions(old, new, ["o_orderkey"])
+
+
+@_queue(
+    "monitor_suite_lake",
+    oracle="""
+    SELECT 'events' AS table_name, 'freshness' AS check_type,
+           'ts' AS column,
+           CAST((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+                 - epoch_us(max(ts))) // 1000000 AS DOUBLE) AS metric_value,
+           ((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+             - epoch_us(max(ts))) // 1000000) <= 604800 AS passed
+    FROM events
+    UNION ALL
+    SELECT 'events', 'not_null', 'user_id',
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE),
+           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) = 0
+    FROM events
+    UNION ALL
+    SELECT 'events', 'accepted_values', 'event_type',
+           CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                         ('view','click','purchase','signup','error')
+                    THEN 1 ELSE 0 END) AS DOUBLE),
+           sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                    ('view','click','purchase','signup','error')
+               THEN 1 ELSE 0 END) = 0
+    FROM events
+    UNION ALL
+    SELECT 'orders', 'freshness', 'o_orderdate',
+           CAST((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+                 - epoch_us(max(o_orderdate))) // 1000000 AS DOUBLE),
+           ((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+             - epoch_us(max(o_orderdate))) // 1000000) <= 604800
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'range', 'o_totalprice',
+           CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+                    THEN 1 ELSE 0 END) AS DOUBLE),
+           sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+               THEN 1 ELSE 0 END) = 0
+    FROM orders
+    """,
+)
+def monitor_suite_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative lake-wide monitor battery (capstone: the
+    reference's configure-a-template-per-table UX as ONE DataFrame —
+    monitors.monitor_suite): freshness SLAs plus contract checks for
+    two configured tables union into a single long verdict frame.
+    Integer metric values (staleness seconds / violation counts) in
+    double form — certified without rounding conventions."""
+    from sparkobs.monitors import monitor_suite
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    return monitor_suite(
+        [
+            (
+                "events",
+                ev,
+                "ts",
+                [
+                    ("not_null", "user_id"),
+                    (
+                        "accepted_values",
+                        "event_type",
+                        ("view", "click", "purchase", "signup", "error"),
+                    ),
+                ],
+            ),
+            ("orders", orders, "o_orderdate", [("range", "o_totalprice", 0, 1000000)]),
+        ],
+        as_of="2024-02-01 00:00:00",
+    )
