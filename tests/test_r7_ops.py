@@ -884,3 +884,30 @@ def test_incident_groups_gap_semantics(spark):
         for r in incident_groups(df).collect()
     }
     assert got == {1: (3, 2), 2: (2, 2)}
+
+
+def test_diff_column_contributions_null_safe(spark):
+    from sparkobs.operators.state import diff_column_contributions
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20), (3, "c", None)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 11), (2, "b", 20), (3, "c", None), (4, "zz", 9)],
+        "k long, s string, v long",
+    )
+    got = {r["column"]: (r["n_mismatch"], r["n_compared"])
+           for r in diff_column_contributions(old, new, ["k"]).collect()}
+    # key 4 is added (not compared); NULL->'b' counts, NULL==NULL doesn't
+    assert got == {"s": (1, 3), "v": (1, 3)}
+
+
+def test_monitor_suite_requires_some_work(spark):
+    import pytest as _pytest
+
+    from sparkobs.monitors import monitor_suite
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError, match="at least one table"):
+        monitor_suite([("t", df, None, [])], as_of="2024-02-01 00:00:00")
