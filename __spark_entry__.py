@@ -48,182 +48,67 @@ def entry(spark: SparkSession) -> DataFrame:
 GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
-    # --- r6 gate. Composition:
-    #   1-20: the promoted round-6 wave (staged+oracle-tested in r5,
-    #         registered this round — never driver-certified);
-    #  21-24: NEW certification twins + compaction execution (three
-    #         formerly rows-only entries get an oracle contract;
-    #         compaction_execute is rows-only by design);
-    #  25-26: re-certification of entries whose QUERY CHANGED this
-    #         round (Q17 pre-agg pruning; unpivot mean rounding
-    #         convention);
-    #  27-50: the STALEST r2-certified entries, re-certified (nothing
-    #         else in the registry is uncertified — r5 retired the
-    #         debt; tests/test_gate_hygiene.py enforces it stays so).
-    # r7 ROTATION PLAN: once CORRECTNESS_r06 lands green, this list
-    # retires; fill the r7 gate with (a) any r6 failures first,
-    # (b) the oracle-tested queries staged in
-    #     sparkobs/queries_next.py (67 now; len(R7_QUEUE) is
-    #     authoritative — promote = move into queries.py
-    #     with @query + a slot here; tests/test_r7_queue.py holds
-    #     them to the checker's comparison at sf0.001 AND — env-gated
-    #     SPARKOBS_QUEUE_SF01=1 — sf0.01, and
-    #     `check_oracle.py --queue` swept them in the VANILLA
-    #     driver-harness simulation at sf0.01: all green). Queue +
-    #     failures may exceed the 50-slot gate — promote the oldest-
-    #     staged first and hold the overflow for the r8 gate (same
-    #     staging discipline, no certification debt either way).
-    "market_share_q8",                 # TPC-H Q8 6-table star
-    "top_supplier_q15",                # TPC-H Q15 max-revenue supplier
-    "zipf_fit_documents",              # corpus Zipf-law regression
-    "minmax_norm_events_by_type",      # grouped min-max featurization
-    "hist2d_hour_value_events",        # 2-D heatmap histogram
-    "chi_square_events_type_hour",     # chi-square independence
-    "debounce_events_user_type",       # burst debounce
-    "gini_user_activity_events",       # Gini concentration
-    "mad_events_by_type",              # median absolute deviation
-    "bigram_pmi_documents",            # PMI collocations
-    "weighted_sample_documents",       # Efraimidis-Spirakis sample
-    "merkle_diff_orders",              # Merkle bucket reconciliation
-    "ks_drift_events_halves",          # binned two-sample KS
-    "target_encode_events_type",       # leave-one-out target encoding
-    "vocab_segments_documents",        # head/torso/tail vocabulary
-    "compaction_plan_sf_dir",          # small-file compaction plan
-    "robust_outliers_events",          # MAD z-score outlier screen
-    "top_event_trigrams",              # journey trigram mining
-    "percent_rank_orders_by_status",   # percent_rank/cume_dist
-    "mutual_info_events_type_hour",    # mutual information
-    "minhash_xx64_parity_documents",   # NEW: xx64-vs-md5 pair parity
-    "bpe_batched_parity_documents",    # NEW: batched-vs-seq merge set
-    "pca_variance_embeddings",         # NEW: projected SS = eigenvalues
-    "compaction_execute_documents",    # NEW: rows-only execution twin
-    "small_qty_revenue_q17",           # RE-CERT: pre-agg now pruned
-    "unpivot_order_measures",          # RE-CERT: stable mean rounding
-    "profile_lineitem_stats",          # --- stalest (r2) below ---
-    "pricing_summary",
-    "revenue_per_nation",
-    "shape_summary_all",
-    "record_count_lineitem",
-    "database_monitor_metrics",
-    "metrics_fanin_supplier",
-    "schema_drift_hourly",
-    "window_tumbling_hourly",
-    "window_sliding",
-    "streaming_count_drift",
-    "cosine_topk",
-    "sql_monitor_lineitem",
-    "lookup_join_fill_nation",
-    "snapshot_count_delta",
-    "window_session_per_user",
-    "streaming_tumbling_events",
-    "ngram_jaccard_pairs",
-    "exact_dedup_documents",
-    "text_stats_documents",
-    "quality_score_documents",
-    "language_id_documents",
-    "token_count_regex_documents",
-    "fingerprint_documents",
+    # --- r7 gate: the 50 oldest-staged entries of the r7 queue,
+    # promoted from sparkobs/queries_next.py (r6 gate was 49/50 green
+    # + 1 rows-only by design — no failures to re-certify). Leads
+    # with the TPC-H completion (all 22 shapes now registered) and
+    # the iterative wave (k-means/ARI/PageRank — fixed-point +
+    # unrolled-CTE oracles). The 17 newest-staged entries remain in
+    # queries_next.py (len(R7_QUEUE) authoritative) and fill the r8
+    # gate first, same discipline; the r8 gate then has ~33 free
+    # slots for re-certifying the stalest registry entries.
+    "product_profit_q9",              # TPC-H Q9 product profit (5-table)
+    "shipmode_delay_q12",             # TPC-H Q12 shipmode priority
+    "disjunctive_revenue_q19",        # TPC-H Q19 disjunctive predicates
+    "min_price_supplier_q2",          # TPC-H Q2 min-cost supplier
+    "important_parts_q11",            # TPC-H Q11 decorrelated HAVING
+    "supplier_variety_q16",           # TPC-H Q16 NOT-IN + distinct agg
+    "dominant_suppliers_q20",         # TPC-H Q20 nested semi-join
+    "spearman_quantity_price_lineitem", # rank correlation
+    "cramers_v_events_type_hour",     # Cramer's V association
+    "benford_totalprice_orders",      # Benford first-digit screen
+    "trend_slope_hourly_events",      # per-key OLS trend slopes
+    "acf1_hourly_events",             # lag-1 autocorrelation
+    "cusum_changepoint_events",       # CUSUM changepoint score
+    "rfm_scores_orders",              # RFM ntile scoring
+    "activity_islands_events",        # gaps-and-islands streaks
+    "assoc_rules_event_types",        # association rules lift
+    "scd2_user_state_events",         # SCD Type-2 history
+    "ab_ztest_purchase_events",       # two-proportion A/B z-test
+    "emd_drift_events_halves",        # binned earth-mover drift
+    "interarrival_stats_events",      # inter-arrival cadence
+    "hll_union_users_events",         # HLL register-union certification
+    "ols_pricing_lineitem",           # closed-form OLS regression
+    "cuped_lift_events",              # CUPED variance reduction
+    "related_suppliers_jaccard",      # co-occurrence Jaccard pairs
+    "ann_recall_embeddings",          # ANN recall@5 certification
+    "km_survival_events",             # Kaplan-Meier survival
+    "hll_intersection_users_events",  # HLL inclusion-exclusion
+    "waiting_suppliers_q21",          # TPC-H Q21 exists/not-exists
+    "patchify_synth_media",           # ViT-style image patchify
+    "conversion_latency_events",      # first-touch conversion latency
+    "pagerank_copurchase",            # fixed-point PageRank
+    "pagerank_weighted_copurchase",   # weighted PageRank
+    "pagerank_personalized_copurchase", # personalized PageRank
+    "kmeans_embeddings",              # fixed-point Lloyd k-means
+    "streaming_kmeans_assign_embeddings", # streaming k-means assign
+    "kmeans_ari_embeddings",          # Adjusted Rand Index eval
+    "streaming_debounce_events",      # continuous burst debounce
+    "streaming_ks_drift_events",      # continuous two-sample KS
+    "exact_quantiles_lineitem",       # exact two-pass quantiles
+    "exact_quantiles_grouped_lineitem", # grouped exact quantiles
+    "triangle_census_suppliers",      # oriented triangle census
+    "salted_distinct_customers_orders", # salted exact distinct
+    "attribution_linear_events",      # linear multi-touch attribution
+    "bm25_search_documents",          # Okapi BM25 retrieval
+    "epoch_shuffle_documents",        # replayable epoch shuffle
+    "revenue_delta_drilldown_orders", # metric delta drill-down
+    "streaming_freshness_events",     # streaming freshness twin
+    "partition_gaps_events",          # partition-completeness gaps
+    "freshness_sla_tables",           # data-freshness SLA monitor
+    "merge_upsert_orders",            # MERGE-INTO upsert semantics
 ]
 
-_R4_CERTIFIED_ROTATED_OUT = [
-    # --- round-4 wave-3 queries (newest, must certify this round) ---
-    "contract_checks_orders",                # data-contract suite
-    "retention_purge_events",                # governance purge audit
-    # join_size_lineitem_orders rotated to the r5 gate (plain COUNT
-    # arithmetic both engines — lowest cross-engine risk)
-    "hashed_vectors_documents",              # feature-hashing vectorizer
-    "sparse_cosine_pairs_documents",         # sparse ANN
-    "sparse_cosine_pairs_pruned_documents",  # df-pruned sparse ANN tier
-    "bloom_semi_join_lineitem_orders",       # bloom-pruned semi join
-    "canonical_dedup_documents",             # keep-best survivor selection
-    "vocab_jsd_documents",                   # vocabulary drift
-    "ewma_hourly_events",                    # bit-exact EWMA fold
-    "heavy_hitters_tokens_documents",        # Misra-Gries + exact recount
-    # corr_matrix_lineitem rotated to the r5 gate (builtin corr on
-    # both engines, rounded in-query — lowest cross-engine risk)
-    "audio_frame_rms_media",                 # audio DSP certification
-    # shipping_priority_q3 / returned_items_q10 rotated to the r5 gate
-    # (plain OLAP joins/aggs, lowest-risk entries; locally green via
-    # `make sweep`)
-    "hist_quantiles_lineitem",               # portable quantile sketch
-    # group_sample_orders_by_status rotated to the r5 gate (same
-    # certified md5-mod machinery as hash_sample_orders, pass r3)
-    "curation_funnel_documents",             # capstone pipeline audit
-    "session_stats_events",                  # gap-rule sessionization
-    "funnel_events",                         # ordered funnel
-    "cohort_retention_events",               # cohort matrix
-    "resample_locf_events",                  # time-series gap fill
-    "fuzzy_match_supplier_customer",         # record linkage
-    "streaming_join_click_purchase",         # stream-stream join
-    "markov_transitions_events",             # journey transition matrix
-    "markov_stationary_events",              # power iteration
-    "hll_distinct_lineitem",                 # portable HLL sketch
-    "hll_grouped_users_by_type",             # grouped HLL rollup
-    "streaming_cms_events",                  # mergeable streaming CMS
-    "schema_merge_parquet_documents",        # schema-evolution read
-    # zscore_events_by_type rotated to the r5 gate (same window
-    # mean/std machinery as r3-certified anomaly_hourly_events)
-    "winsorize_events_by_type",              # percentile clipping
-    "bpe_merges_documents",                  # distributed BPE training
-    "bpe_tokenize_documents",                # BPE train->apply round trip
-    "table_diff_orders",                     # row-level reconciliation
-    "quantile_bins_lineitem",                # equal-frequency binning
-    "quantize_embeddings_vectors",           # int8 embedding quantization
-    "cms_vocab_estimates",                   # count-min sketch
-    "zorder_tiles_events",                   # Z-order layout keys
-    # --- round-4 wave-2 queries (newest, must certify this round) ---
-    "line_dedup_documents",                  # C4 boilerplate line dedup
-    "bigram_ppl_documents",                  # CCNet LM quality scoring
-    "bloom_probe_documents",                 # portable Bloom incremental dedup
-    "tfidf_topk_documents",                  # TF-IDF keywords
-    "upsample_mixture_documents",            # fractional-epoch mixing
-    "inverted_index_documents",              # postings index
-    "search_and_documents",                  # conjunctive search
-    # --- round-4 new/changed queries (must certify this round) ---
-    "pack_sequences_documents",              # new sequence packing
-    "partitioned_prune_documents",           # new partitioned sink+prune
-    "bucketed_join_orders_lineitem",         # new bucketed co-located join
-    "fk_orphans_lineitem",                   # new referential check
-    "streaming_cdc_latest_events",           # new stateful CDC stream
-    "profile_lineitem_approx",               # new certified-sketch shape
-    "streaming_incremental_band_index",      # new query
-    # streaming_near_dup_candidates rotated out (certified r3; the
-    # round-4 change was perf-only index persist/out-dir reuse)
-    "anomaly_hourly_events",                 # deterministic frame ordering
-    "near_dup_groups_documents",             # union-find collect path change
-    "near_dup_groups_lsh",                   # union-find collect path change
-    # --- stalest certified entries (last driver-checked in r2) ---
-    # (left out, rotating into the r5 gate — all locally green via
-    # `make sweep`: sample_scan, decode_stub_media, frame_sample_media,
-    # cosine_topk_lsh, argmax_order_per_status, histogram_returnflag,
-    # embedding_norms, text_stats_documents, quality_score_documents,
-    # language_id_documents, token_count_regex_documents,
-    # fingerprint_documents, binary_stats_media, label_centroid_stats,
-    # scalar_string_funcs, timestamp_format_orders, json_extract_events,
-    # histogram_quantity, argmax_order, argmax_entity_supplier,
-    # grouped_distinct_parts, null_counts_orders, duplicate_count_lineitem,
-    # distinct_counts_lineitem, group_agg_orders, limited_scan_topk)
-    # (rotated out for the wave-2/3 additions, next gate window:
-    # database_monitor_metrics, metrics_fanin_supplier,
-    # schema_drift_hourly, window_tumbling_hourly, window_sliding,
-    # streaming_count_drift, cosine_topk, record_count_lineitem,
-    # sql_monitor_lineitem, lookup_join_fill_nation,
-    # snapshot_count_delta, window_session_per_user,
-    # streaming_tumbling_events, ngram_jaccard_pairs,
-    # dup_span_coverage_documents, pack_manifest_documents,
-    # streaming_jsonl_tumbling_events, key_skew_stats_lineitem,
-    # cdc_compact_events, semantic_dedup_embeddings,
-    # range_join_value_bands, collect_metric_lists_supplier,
-    # winnowing_fingerprints_documents, listing_key_metrics,
-    # listing_prefix_stats, listing_storage_stats,
-    # bucket_monitor_metrics,
-    # semantic_dedup_ivf_embeddings,
-    # split_assign_documents, normalize_text_documents,
-    # vocab_topk_documents, jsonl_roundtrip_events,
-    # profile_lineitem_stats, pricing_summary, revenue_per_nation,
-    # shape_summary_all, exact_dedup_documents, csv_roundtrip_orders,
-    # orc_roundtrip_part — all locally green via `make sweep`)
-]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -119,7 +119,10 @@ def monitor_suite(
     analog of the reference's UX, where each template is CONFIGURED
     per table (s3_key_monitor.py:29-51, snowflake_table_monitor.py:
     50-54) rather than coded: ``tables`` is [(name, df, ts_col,
-    checks)] with ``checks`` a run_checks suite (may be empty) and
+    checks)] — or [(name, df, ts_col, checks, sla_seconds)] for
+    tables whose cadence differs from ``default_sla_seconds`` (a
+    daily-batch table and a minutely stream can share one suite) —
+    with ``checks`` a run_checks suite (may be empty) and
     ``ts_col`` optionally None (skips freshness). One long verdict
     frame unions freshness SLAs and contract checks for every
     configured table, so a whole lake's health is one DataFrame and
@@ -137,13 +140,15 @@ def monitor_suite(
     from sparkobs.operators.checks import freshness_check, run_checks
 
     parts = []
-    for name, df, ts_col, checks in tables:
+    for spec in tables:
+        name, df, ts_col, checks = spec[:4]
+        sla_seconds = spec[4] if len(spec) > 4 else default_sla_seconds
         if ts_col is not None:
             parts.append(
                 freshness_check(
                     [(name, df, ts_col)],
                     as_of,
-                    {name: default_sla_seconds},
+                    {name: sla_seconds},
                 ).select(
                     F.lit(name).alias("table_name"),
                     F.lit("freshness").alias("check_type"),

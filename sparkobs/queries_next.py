@@ -1,89 +1,43 @@
-"""Round-7 registry queue — implemented, unit-tested, oracle-ready.
+"""Round-8 registry queue — implemented, unit-tested, oracle-ready.
 
-Same staging discipline as the round-6 queue (promoted in full):
-these queries are NOT in ``sparkobs.queries.SPARK_QUERIES`` yet
-because the driver certifies only the first ``GATE_SIZE`` (50)
-registry entries per round and the round-6 gate is exactly full —
-registering them now would create certification debt that
+Same staging discipline as the round-6/7 queues (both promoted in
+full, oldest-staged first): these queries are NOT in
+``sparkobs.queries.SPARK_QUERIES`` yet because the driver certifies
+only the first ``GATE_SIZE`` (50) registry entries per round and the
+round-7 gate is exactly full with the 50 oldest-staged r7 entries —
+registering these now would create certification debt that
 ``tests/test_gate_hygiene.py`` rejects. They are held here with their
 DuckDB oracles and exercised by ``tests/test_r7_queue.py`` with the
 checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-This wave (67 entries — ``len(R7_QUEUE)`` is authoritative, the
-prose count drifts): the remaining expressible TPC-H shapes
-(Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 adapted to the trimmed star schema —
-no partsupp table, so lineitem's (partkey, suppkey) pairs stand in
-for it, exactly the substitution a warehouse without an inventory
-table would make; with these the engine covers all 22 TPC-H query
-shapes) plus a statistics/behavior wave: Spearman rank correlation,
-Cramér's V, Benford's-law screening, per-key trend slopes, lag-1
-autocorrelation, CUSUM changepoint scores, RFM customer scoring,
-gaps-and-islands streaks, association rules, SCD Type-2 history, a
-two-proportion A/B z-test on a deterministic hash split, binned
-earth-mover's drift, per-user inter-arrival cadence, first-touch
-conversion latency, an in-registry HLL register-union certification,
-an HLL inclusion–exclusion set-intersection estimate, an in-registry
-ANN recall@5 certification (IVF vs brute-force ground truth, both
-sides replayed by their registered oracles), a Kaplan–Meier
-time-to-churn survival curve (integer-quantized log-space cumulative
-products — windowed float sums cannot cross engines),
-ViT-style image patch extraction, and an iterative-algorithm wave —
-distributed Lloyd k-means, its Adjusted-Rand-Index evaluation
-against the label column, and PageRank over the supplier–customer
-co-purchase graph — all in fixed-point arithmetic and certified
-against UNROLLED-iteration DuckDB oracles (see operators/cluster.py
-and operators/graph.py for why fixed point is what makes an
-iterative float algorithm certifiable). Plus the streaming stretch:
-continuous burst debounce (session-window state) and continuous
-two-sample KS drift (geometry-bounded cell state, batch-twin
-oracles for both). Finally, exact two-pass order-statistic
-quantiles (no global sort — bit-identical to single-pass
-``percentile`` by replaying Percentile.scala's interpolation —
-plus its per-group twin for groups too big to buffer), a
-degree-ordered-oriented triangle census of the supplier
-co-occurrence graph (the skew-proof triangle count, certified
-against the naive 3-way-join oracle), and a salted two-stage exact
-COUNT DISTINCT for hot grouping keys (certified against the plain
-COUNT DISTINCT it must equal), linear multi-touch attribution
-(integer micro-credit units split per conversion, remainder to the
-earliest touch), and Okapi BM25 ranked retrieval (per-term
-contributions floored to integer score units so per-doc sums are
-order-independent), inclusion-dependency FK discovery across the
-star schema, an event-time disorder diagnostic (distributed
-strictly-preceding prefix max — the watermark-tuning measurement),
-supplier communities via mutual-kNN sparsification + fixed-round
-min-label components (replayable by an unrolled linear CTE chain),
-token-budget dataset selection (greedy quality prefix under an
-integer cumulative-token cut), duration-weighted time-in-state
-means (DECIMAL(38,0) cents-microsecond accumulators), and a
-deterministic replayable epoch shuffle (portable md5 order on the
-distributed global index), personalized PageRank (teleport-set
-restarts, unrolled-oracle-certified like its siblings), top
-conversion paths (journey mining on the attribution tagging), an
-embedding-dimension ablation recall certification (Matryoshka-style
-half-dim neighbor preservation vs the full-dim ground truth), and
-MERGE-INTO upsert semantics over snapshots (updates win / inserts /
-flagged deletes, one anti join), a data-freshness SLA monitor
-(replayable as-of instant, exact integer staleness), and a
-partition-completeness gap monitor (sequence-spine anti join) with
-a streaming freshness twin (one max state cell, no watermark), and a
-metric root-cause drill-down (per-segment delta contributions in
-exact integer cents), plus streaming twins for the disorder
-diagnostic (seven integer state cells, batch-identical folds over an
-arrival-ordered stage) and the salted exact distinct (32 disjoint
-value-shard cells per group, partials summed batch-side). Late
-additions: hop-labeled BFS lineage blast radius (recursive-CTE
-oracle), an hour-of-week seasonal expectation profile, lead-lag
-cross-correlation for metric root-cause ordering (exact integer
-sufficient sums), and an SLO error-budget burn monitor in batch and
-watermarked-streaming form (both certified against one oracle),
-alert-to-incident grouping (quiet-gap clustering of the certified
-anomaly flags across metrics), a column-level diff drill-down
-(null-safe per-column mismatch counts behind table_diff's row
-verdict), and the declarative monitor_suite capstone (freshness +
-contract batteries for configured tables as one verdict frame).
+This wave (``len(R7_QUEUE)`` is authoritative — the 17 newest-staged
+r7 entries held back by the 50-slot gate, promoted first in r8):
+an embedding-dimension ablation recall certification
+(Matryoshka-style half-dim neighbor preservation vs the full-dim
+ground truth), top conversion paths (journey mining on the
+attribution tagging), duration-weighted time-in-state means
+(DECIMAL(38,0) cents-microsecond accumulators), token-budget dataset
+selection (greedy quality prefix under an integer cumulative-token
+cut), supplier communities via mutual-kNN sparsification +
+fixed-round min-label components (replayable by an unrolled linear
+CTE chain), an event-time disorder diagnostic (distributed
+strictly-preceding prefix max) plus its streaming twin (seven
+integer state cells, batch-identical folds over an arrival-ordered
+stage), inclusion-dependency FK discovery across the star schema, a
+salted exact-distinct streaming twin (32 disjoint value-shard cells
+per group, partials summed batch-side), hop-labeled BFS lineage
+blast radius (recursive-CTE oracle), an hour-of-week seasonal
+expectation profile, lead-lag cross-correlation for metric
+root-cause ordering (exact integer sufficient sums), an SLO
+error-budget burn monitor in batch and watermarked-streaming form
+(both certified against one oracle), alert-to-incident grouping
+(quiet-gap clustering of the certified anomaly flags across
+metrics), a column-level diff drill-down (null-safe per-column
+mismatch counts behind table_diff's row verdict), and the
+declarative monitor_suite capstone (freshness + contract batteries
+for configured tables as one verdict frame).
 """
 
 from __future__ import annotations
@@ -102,2335 +56,6 @@ def _queue(name: str, oracle: str | None = None):
         return fn
 
     return deco
-
-
-@_queue(
-    "product_profit_q9",
-    oracle="""
-    SELECT n_name AS nation,
-           CAST(year(o_orderdate) AS BIGINT) AS yr,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
-               - CAST(round(p_retailprice * 100) AS BIGINT)
-                 * CAST(l_quantity AS BIGINT) * 100) / 10000.0 AS profit
-    FROM lineitem
-    JOIN part     ON p_partkey = l_partkey
-    JOIN supplier ON s_suppkey = l_suppkey
-    JOIN nation   ON s_nationkey = n_nationkey
-    JOIN orders   ON o_orderkey = l_orderkey
-    WHERE p_name LIKE '%a%'
-    GROUP BY 1, 2
-    """,
-)
-def product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape (product-type profit): profit per supplier
-    nation per order year over a 5-table join; the schema has no
-    partsupp, so retail price × quantity stands in for supply cost.
-    part (filtered) and nation broadcast; the orders leg is the only
-    fact-fact shuffle.
-
-    Money discipline: price×(1−discount) products of 2-decimal inputs
-    sit EXACTLY on the half-cent grid, so round(sum(·), 2) flips with
-    float summation order (observed at sf0.01). Profit is therefore
-    accumulated as EXACT integer 10⁻⁴-currency units (cents ×
-    discount-percent) — the bigint sum is order-independent — and the
-    single final division by 10⁴ of identical integers is bit-identical
-    on any engine, left unrounded."""
-    l = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%a%"))
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    d100 = F.round(F.col("l_discount") * 100, 0).cast("long")
-    rcents = F.round(F.col("p_retailprice") * 100, 0).cast("long")
-    scaled = cents * (100 - d100) - rcents * F.col("l_quantity").cast(
-        "long"
-    ) * 100
-    return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("long").alias("yr"),
-        )
-        .agg((F.sum(scaled) / F.lit(10000.0)).alias("profit"))
-    )
-
-
-@_queue(
-    "shipmode_delay_q12",
-    oracle="""
-    SELECT o_orderpriority,
-           CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
-                         THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
-           CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 90
-                         THEN 1 ELSE 0 END) AS BIGINT) AS ontime_lines,
-           round(avg(CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE)), 4)
-             AS mean_delay_days
-    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-    GROUP BY 1
-    """,
-)
-def shipmode_delay_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape (shipping-delay priority screen): conditional
-    late/on-time counts per order priority from the order→ship lag
-    (the schema has no ship mode or commit/receipt dates; the
-    orderdate→shipdate lag is the available delay signal). Integer
-    day-diffs make the mean exact-summable, so round(avg) is stable
-    (integer sum / integer count)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
-    return (
-        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(
-            F.sum((delay > 90).cast("long")).alias("late_lines"),
-            F.sum((delay <= 90).cast("long")).alias("ontime_lines"),
-            F.round(F.avg(delay.cast("double")), 4).alias("mean_delay_days"),
-        )
-    )
-
-
-@_queue(
-    "disjunctive_revenue_q19",
-    oracle="""
-    SELECT round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0), 2)
-             AS revenue,
-           CAST(count(*) AS BIGINT) AS n_lines
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
-           AND l_quantity BETWEEN 1 AND 20)
-       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
-           AND l_quantity BETWEEN 10 AND 35)
-       OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
-           AND l_quantity BETWEEN 20 AND 50)
-    """,
-)
-def disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19 shape (disjunctive predicate revenue): three OR'd
-    brand/size/quantity envelopes across the part join — the classic
-    test that OR predicates still prune (part-side conjuncts are
-    pushable per-branch; the cross-side residual evaluates post-join
-    without row explosion)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part")
-    q, b, z = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
-    cond = (
-        ((b == "Brand#1") & z.between(1, 15) & q.between(1, 20))
-        | ((b == "Brand#3") & z.between(10, 30) & q.between(10, 35))
-        | ((b == "Brand#5") & z.between(20, 50) & q.between(20, 50))
-    )
-    return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .where(cond)
-        .agg(
-            F.round(
-                F.coalesce(
-                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                    F.lit(0.0),
-                ),
-                2,
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-@_queue(
-    "min_price_supplier_q2",
-    oracle="""
-    WITH ps AS (
-      SELECT l_partkey AS pk, l_suppkey AS sk,
-             round(sum(l_extendedprice), 4) / sum(l_quantity) AS unit_price
-      FROM lineitem GROUP BY 1, 2),
-    mn AS (SELECT pk, min(unit_price) AS min_price FROM ps GROUP BY 1)
-    SELECT ps.pk AS p_partkey, s_name, unit_price,
-           CAST(n_suppliers AS BIGINT) AS n_suppliers
-    FROM ps
-    JOIN mn ON mn.pk = ps.pk AND ps.unit_price = mn.min_price
-    JOIN (SELECT pk, count(*) AS n_suppliers FROM ps GROUP BY 1) c
-      ON c.pk = ps.pk
-    JOIN supplier ON s_suppkey = ps.sk
-    WHERE n_suppliers >= 3
-    """,
-)
-def min_price_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape (minimum-cost supplier): for each part sold by
-    ≥3 suppliers, the supplier(s) offering the lowest average unit
-    price — the correlated-min subquery decorrelated into one
-    (part, supplier) aggregate reused for BOTH the min and the
-    membership legs (lineitem's pairs stand in for partsupp). The
-    unit price is the WEIGHTED form round(sum(price),4)/sum(qty) left
-    UNROUNDED: the rounded money sum is boundary-stable, the quantity
-    sum is an exact integer, and the single IEEE division of identical
-    doubles is bit-identical across engines — while round(avg(p/q),4)
-    lands exactly on .00005 boundaries for small groups and flips with
-    summation order."""
-    l = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
-    ps = l.groupBy(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).agg(
-        (
-            F.round(F.sum("l_extendedprice"), 4) / F.sum("l_quantity")
-        ).alias("unit_price")
-    )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("pk")
-    ranked = ps.select(
-        "pk",
-        "sk",
-        "unit_price",
-        F.min("unit_price").over(w).alias("min_price"),
-        F.count(F.lit(1)).over(w).alias("n_suppliers"),
-    )
-    return (
-        ranked.where(
-            (F.col("n_suppliers") >= 3)
-            & (F.col("unit_price") == F.col("min_price"))
-        )
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("sk"))
-        .select(
-            F.col("pk").alias("p_partkey"),
-            "s_name",
-            "unit_price",
-            F.col("n_suppliers").cast("long").alias("n_suppliers"),
-        )
-    )
-
-
-@_queue(
-    "important_parts_q11",
-    oracle="""
-    WITH pv AS (
-      SELECT l_partkey AS pk,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
-      FROM lineitem GROUP BY 1),
-    tot AS (SELECT sum(part_value) AS tv FROM pv)
-    SELECT pk AS p_partkey, part_value,
-           round(part_value / tv, 6) AS value_share
-    FROM pv CROSS JOIN tot
-    WHERE part_value > tv * 0.0005
-    """,
-)
-def important_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape (important stock): parts whose traded value
-    exceeds a fraction of the GLOBAL total — group agg + 1-row
-    broadcast scalar threshold, no rescan of lineitem for the total
-    (the per-part aggregate is reused). The share divides identical
-    rounded doubles, so round(·, 6) is stable."""
-    l = load_table(spark, sf_dir, "lineitem")
-    # materialized once (eager checkpoint, parts-sized): the global
-    # total and the filter leg otherwise each re-scan lineitem
-    pv = l.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("part_value")
-    ).localCheckpoint(eager=True)
-    tot = pv.agg(F.sum("part_value").alias("tv"))
-    return (
-        pv.crossJoin(F.broadcast(tot))
-        .where(F.col("part_value") > F.col("tv") * 0.0005)
-        .select(
-            F.col("pk").alias("p_partkey"),
-            "part_value",
-            F.round(F.col("part_value") / F.col("tv"), 6).alias("value_share"),
-        )
-    )
-
-
-@_queue(
-    "supplier_variety_q16",
-    oracle="""
-    SELECT p_brand, p_type,
-           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-    FROM lineitem
-    JOIN part ON p_partkey = l_partkey
-    WHERE p_brand <> 'Brand#4'
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-    GROUP BY 1, 2
-    """,
-)
-def supplier_variety_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape (supplier variety): distinct suppliers per
-    (brand, type) excluding one brand and an anti-joined supplier
-    denylist (negative balance stands in for the complaints filter —
-    the schema has no comments). NOT IN compiles to a broadcast anti
-    join; the distinct count is the one shuffle."""
-    l = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#4")
-    bad = (
-        load_table(spark, sf_dir, "supplier")
-        .where(F.col("s_acctbal") < 0)
-        .select("s_suppkey")
-    )
-    return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(
-            F.broadcast(bad),
-            F.col("l_suppkey") == F.col("s_suppkey"),
-            "left_anti",
-        )
-        .groupBy("p_brand", "p_type")
-        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
-    )
-
-
-@_queue(
-    "dominant_suppliers_q20",
-    oracle="""
-    WITH vol AS (
-      SELECT l_partkey AS pk, l_suppkey AS sk, sum(l_quantity) AS sq
-      FROM lineitem GROUP BY 1, 2),
-    tot AS (SELECT pk, sum(sq) AS tq FROM vol GROUP BY 1)
-    SELECT DISTINCT s_suppkey, s_name
-    FROM vol JOIN tot USING (pk)
-    JOIN supplier ON s_suppkey = sk
-    WHERE sq > 0.5 * tq AND tq > 100
-    ORDER BY s_suppkey
-    """,
-)
-def dominant_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape (suppliers with excess share): suppliers who
-    moved more than half of some part's total volume (parts above a
-    volume floor) — the nested-aggregate semi-join chain, decorrelated
-    into one (part, supplier) agg + a per-part total, DISTINCT
-    projected at the end. Quantities are integer-valued doubles, so
-    the 0.5·total comparison is exact on both engines."""
-    from pyspark.sql import Window as W
-
-    l = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
-    vol = l.groupBy(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).agg(F.sum("l_quantity").alias("sq"))
-    # per-part total via a WINDOW over the pair aggregate — no second
-    # lineitem scan, no self-join (the agg shuffle already co-located
-    # each part's pairs)
-    tq = F.sum("sq").over(W.partitionBy("pk"))
-    return (
-        vol.withColumn("tq", tq)
-        .where((F.col("sq") > 0.5 * F.col("tq")) & (F.col("tq") > 100))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("sk"))
-        .select("s_suppkey", "s_name")
-        .distinct()
-        .orderBy("s_suppkey")
-    )
-
-
-@_queue(
-    "spearman_quantity_price_lineitem",
-    oracle="""
-    WITH r AS (
-      SELECT rank() OVER (ORDER BY l_quantity)
-               + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS ra,
-             rank() OVER (ORDER BY l_extendedprice)
-               + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rb
-      FROM lineitem),
-    s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-                 sum(ra) AS sa, sum(rb) AS sb,
-                 sum(ra * ra) AS saa, sum(rb * rb) AS sbb,
-                 sum(ra * rb) AS sab
-          FROM r)
-    SELECT CASE WHEN (n * saa - sa * sa) * (n * sbb - sb * sb) > 0
-                THEN round((n * sab - sa * sb)
-                           / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 4)
-                ELSE 0.0 END + 0.0 AS rho,
-           CAST(n AS BIGINT) AS n_rows
-    FROM s
-    """,
-)
-def spearman_quantity_price_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spearman rank correlation between quantity and price
-    (extension: monotone-dependence profiling with textbook average
-    ranks for ties)."""
-    from sparkobs.operators.profile import spearman_corr
-
-    return spearman_corr(
-        load_table(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
-    )
-
-
-@_queue(
-    "cramers_v_events_type_hour",
-    oracle="""
-    WITH cells AS (
-      SELECT event_type AS a, hour(ts) AS b, CAST(count(*) AS DOUBLE) AS o
-      FROM events GROUP BY 1, 2),
-    ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
-    cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
-    nt AS (SELECT sum(o) AS n, count(*) AS n_cells FROM cells),
-    agg AS (
-      SELECT round(sum((o - ra * cb / n) * (o - ra * cb / n) / (ra * cb / n))
-                   + CASE WHEN max(n_cells)
-                               = count(DISTINCT a) * count(DISTINCT b)
-                          THEN 0.0 ELSE max(n) - sum(ra * cb / n) END, 4)
-               AS chi2,
-             CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT)
-               AS dof,
-             CAST(max(n) AS BIGINT) AS n,
-             least(count(DISTINCT a) - 1, count(DISTINCT b) - 1) AS k
-      FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nt)
-    SELECT chi2, dof, n,
-           CASE WHEN k > 0 THEN round(sqrt(chi2 / (n * k)), 4)
-                ELSE 0.0 END AS v
-    FROM agg
-    """,
-)
-def cramers_v_events_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cramér's V effect size for event_type × hour-of-day (extension:
-    shape-normalized dependence, comparable across tables)."""
-    from sparkobs.operators.profile import cramers_v
-
-    return cramers_v(
-        load_table(spark, sf_dir, "events"), F.col("event_type"), F.hour("ts")
-    )
-
-
-@_queue(
-    "benford_totalprice_orders",
-    oracle="""
-    WITH c AS (
-      SELECT TRY_CAST(regexp_extract(printf('%.2f', abs(o_totalprice)),
-                                     '([1-9])', 1) AS INT) AS digit,
-             count(*) AS n_values
-      FROM orders
-      WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1e-9
-      GROUP BY 1),
-    c2 AS (SELECT digit, n_values FROM c WHERE digit IS NOT NULL),
-    t AS (SELECT sum(n_values) AS nn FROM c2)
-    SELECT digit, CAST(n_values AS BIGINT) AS n_values,
-           round(n_values / nn, 4) AS obs_share,
-           round(ln(1 + 1.0 / digit) / ln(10), 4) AS exp_share,
-           round(abs(round(n_values / nn, 4)
-                     - round(ln(1 + 1.0 / digit) / ln(10), 4)), 4) AS abs_dev
-    FROM c2 CROSS JOIN t
-    """,
-)
-def benford_totalprice_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law first-digit screen over order totals (extension:
-    fabricated-numbers / data-quality testing)."""
-    from sparkobs.operators.profile import benford_screen
-
-    return benford_screen(load_table(spark, sf_dir, "orders"), "o_totalprice")
-
-
-@_queue(
-    "trend_slope_hourly_events",
-    oracle="""
-    WITH series AS (
-      SELECT event_type, date_trunc('hour', ts) AS b,
-             CAST(count(*) AS DOUBLE) AS y
-      FROM events GROUP BY 1, 2),
-    xs AS (
-      SELECT event_type, y,
-             CAST(date_diff('hour',
-                            min(b) OVER (PARTITION BY event_type), b) AS DOUBLE)
-               AS x
-      FROM series),
-    s AS (
-      SELECT event_type, CAST(count(*) AS DOUBLE) AS m,
-             sum(x) AS sx, sum(y) AS sy,
-             sum(x * x) AS sxx, sum(x * y) AS sxy
-      FROM xs GROUP BY 1)
-    SELECT event_type, CAST(m AS BIGINT) AS n_buckets,
-           CASE WHEN m * sxx - sx * sx > 0
-                THEN round((m * sxy - sx * sy) / (m * sxx - sx * sx), 4)
-                ELSE 0.0 END + 0.0 AS slope
-    FROM s
-    """,
-)
-def trend_slope_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type linear trend of hourly volume (extension: drift
-    direction via OLS over exact integer sufficient sums)."""
-    from sparkobs.operators.state import trend_slope
-
-    return trend_slope(
-        load_table(spark, sf_dir, "events"), ["event_type"], "ts"
-    )
-
-
-@_queue(
-    "acf1_hourly_events",
-    oracle="""
-    WITH series AS (
-      SELECT event_type, date_trunc('hour', ts) AS b,
-             CAST(count(*) AS DOUBLE) AS y
-      FROM events GROUP BY 1, 2),
-    pairs AS (
-      SELECT event_type, y,
-             lag(y) OVER (PARTITION BY event_type ORDER BY b) AS x
-      FROM series),
-    s AS (
-      SELECT event_type,
-             CAST(count(*) AS BIGINT) AS n_buckets,
-             CAST(count(x) AS DOUBLE) AS m,
-             sum(x) AS sx,
-             sum(CASE WHEN x IS NOT NULL THEN y END) AS sy,
-             sum(x * x) AS sxx,
-             sum(CASE WHEN x IS NOT NULL THEN y * y END) AS syy,
-             sum(x * y) AS sxy
-      FROM pairs GROUP BY 1)
-    SELECT event_type, n_buckets, CAST(m AS BIGINT) AS n_pairs,
-           CASE WHEN (m * sxx - sx * sx) * (m * syy - sy * sy) > 0
-                THEN round((m * sxy - sx * sy)
-                           / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)), 4)
-                ELSE 0.0 END + 0.0 AS acf1
-    FROM s
-    """,
-)
-def acf1_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lag-1 autocorrelation of each type's hourly count series
-    (extension: momentum-vs-noise classification of a metric)."""
-    from sparkobs.operators.state import acf_lag1
-
-    return acf_lag1(load_table(spark, sf_dir, "events"), ["event_type"], "ts")
-
-
-@_queue(
-    "cusum_changepoint_events",
-    oracle="""
-    WITH series AS (
-      SELECT event_type, date_trunc('hour', ts) AS b,
-             CAST(count(*) AS DOUBLE) AS y
-      FROM events GROUP BY 1, 2),
-    scored AS (
-      SELECT event_type, b,
-             sum(y) OVER (PARTITION BY event_type ORDER BY b
-                          ROWS UNBOUNDED PRECEDING)
-               - row_number() OVER (PARTITION BY event_type ORDER BY b)
-                 * (sum(y) OVER (PARTITION BY event_type)
-                    / count(*) OVER (PARTITION BY event_type)) AS s
-      FROM series),
-    ranked AS (
-      SELECT event_type, b, s,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY abs(s) DESC, b ASC) AS rn,
-             count(*) OVER (PARTITION BY event_type) AS nb,
-             max(abs(s)) OVER (PARTITION BY event_type) AS mx
-      FROM scored)
-    SELECT event_type, CAST(nb AS BIGINT) AS n_buckets,
-           round(mx, 4) AS cusum_max, b AS changepoint_ts
-    FROM ranked WHERE rn = 1
-    """,
-)
-def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM changepoint score + location per event type (extension:
-    level-shift detection over the hourly series)."""
-    from sparkobs.operators.state import cusum_changepoint
-
-    return cusum_changepoint(
-        load_table(spark, sf_dir, "events"), ["event_type"], "ts"
-    )
-
-
-@_queue(
-    "rfm_scores_orders",
-    oracle="""
-    WITH per_key AS (
-      SELECT o_custkey AS key, max(o_orderdate) AS last_ts,
-             CAST(count(*) AS BIGINT) AS frequency,
-             round(sum(o_totalprice), 2) AS monetary
-      FROM orders GROUP BY 1)
-    SELECT key, last_ts, frequency, monetary,
-           ntile(4) OVER (ORDER BY last_ts DESC, key ASC) AS r_score,
-           ntile(4) OVER (ORDER BY frequency DESC, key ASC) AS f_score,
-           ntile(4) OVER (ORDER BY monetary DESC, key ASC) AS m_score,
-           CAST(ntile(4) OVER (ORDER BY last_ts DESC, key ASC) AS VARCHAR)
-             || CAST(ntile(4) OVER (ORDER BY frequency DESC, key ASC) AS VARCHAR)
-             || CAST(ntile(4) OVER (ORDER BY monetary DESC, key ASC) AS VARCHAR)
-             AS rfm_segment
-    FROM per_key
-    """,
-)
-def rfm_scores_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM (recency/frequency/monetary) customer quartile scores from
-    orders (extension: lifecycle segmentation with deterministic
-    ntile tiebreaks)."""
-    from sparkobs.operators.behavior import rfm_scores
-
-    return rfm_scores(
-        load_table(spark, sf_dir, "orders"),
-        "o_custkey",
-        "o_orderdate",
-        "o_totalprice",
-    )
-
-
-@_queue(
-    "activity_islands_events",
-    oracle="""
-    WITH active AS (
-      SELECT DISTINCT event_type,
-             date_diff('hour', TIMESTAMP '2000-01-01 00:00:00',
-                       date_trunc('hour', ts)) AS h
-      FROM events),
-    grp AS (
-      SELECT event_type, h,
-             h - row_number() OVER (PARTITION BY event_type ORDER BY h)
-               AS island
-      FROM active),
-    islands AS (
-      SELECT event_type, island, count(*) AS len
-      FROM grp GROUP BY 1, 2)
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_islands,
-           CAST(max(len) AS BIGINT) AS longest_streak,
-           round(round(sum(len), 4) / count(*), 4) AS mean_streak,
-           CAST(sum(len) AS BIGINT) AS active_buckets
-    FROM islands GROUP BY 1
-    """,
-)
-def activity_islands_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gaps-and-islands activity streaks per event type (extension:
-    continuity/uptime profiling of a feed)."""
-    from sparkobs.operators.behavior import activity_islands
-
-    return activity_islands(
-        load_table(spark, sf_dir, "events"), ["event_type"], "ts"
-    )
-
-
-@_queue(
-    "assoc_rules_event_types",
-    oracle="""
-    WITH pairs AS (SELECT DISTINCT user_id AS k, event_type AS i FROM events),
-    nb AS (SELECT CAST(count(DISTINCT k) AS DOUBLE) AS nbt FROM pairs),
-    marg AS (SELECT i, count(*) AS ni FROM pairs GROUP BY 1),
-    co AS (
-      SELECT l.i AS item_a, r.i AS item_b, count(*) AS n_both
-      FROM pairs l JOIN pairs r ON l.k = r.k AND l.i <> r.i
-      GROUP BY 1, 2 HAVING count(*) >= 10)
-    SELECT item_a, item_b, CAST(n_both AS BIGINT) AS n_both,
-           round(n_both / nbt, 4) AS support,
-           round(n_both / ma.ni, 4) AS confidence,
-           round(n_both * nbt / (ma.ni * mb.ni), 4) AS lift
-    FROM co
-    JOIN marg ma ON ma.i = item_a
-    JOIN marg mb ON mb.i = item_b
-    CROSS JOIN nb
-    """,
-)
-def assoc_rules_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise association rules between event types per user basket
-    (extension: market-basket support/confidence/lift)."""
-    from sparkobs.operators.behavior import association_rules
-
-    return association_rules(
-        load_table(spark, sf_dir, "events"), "user_id", "event_type",
-        min_support=10,
-    )
-
-
-@_queue(
-    "scd2_user_state_events",
-    oracle="""
-    WITH ordered AS (
-      SELECT user_id, event_type, ts, event_id,
-             lag(event_type) OVER w AS prev,
-             row_number() OVER w AS rn
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    changes AS (
-      SELECT user_id, event_type, ts, event_id FROM ordered
-      WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
-    v AS (
-      SELECT user_id, event_type AS attr_value, ts AS valid_from,
-             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS valid_to
-      FROM changes)
-    SELECT user_id, attr_value, valid_from, valid_to,
-           valid_to IS NULL AS is_current
-    FROM v
-    """,
-)
-def scd2_user_state_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD Type-2 validity intervals of each user's observed state
-    (extension: dimension-history maintenance — the full-lineage
-    companion of CDC compaction)."""
-    from sparkobs.operators.state import scd2_history
-
-    return scd2_history(
-        load_table(spark, sf_dir, "events"),
-        ["user_id"],
-        "event_type",
-        "ts",
-        "event_id",
-    )
-
-
-def _ab_hex15(col_sql: str) -> str:
-    from sparkobs.queries import _hex15_sql
-
-    return _hex15_sql(col_sql)
-
-
-@_queue(
-    "ab_ztest_purchase_events",
-    oracle=f"""
-    WITH units AS (
-      SELECT user_id,
-             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c,
-             ({_ab_hex15("md5('ab' || CAST(user_id AS VARCHAR))")}) % 2 AS v
-      FROM events GROUP BY 1),
-    wide AS (
-      SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
-             CAST(sum(CASE WHEN v = 0 AND c = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
-             CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
-             CAST(sum(CASE WHEN v = 1 AND c = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS c1
-      FROM units)
-    SELECT CAST(n0 AS BIGINT) AS n_0, CAST(c0 AS BIGINT) AS conv_0,
-           round(c0 / n0, 4) AS rate_0,
-           CAST(n1 AS BIGINT) AS n_1, CAST(c1 AS BIGINT) AS conv_1,
-           round(c1 / n1, 4) AS rate_1,
-           CASE WHEN ((c0 + c1) / (n0 + n1)) * (1 - (c0 + c1) / (n0 + n1))
-                     * (1 / n0 + 1 / n1) > 0
-                THEN round((c0 / n0 - c1 / n1)
-                           / sqrt(((c0 + c1) / (n0 + n1))
-                                  * (1 - (c0 + c1) / (n0 + n1))
-                                  * (1 / n0 + 1 / n1)), 4)
-                ELSE 0.0 END + 0.0 AS z_score
-    FROM wide
-    """,
-)
-def ab_ztest_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-proportion A/B z-test of purchase conversion between the
-    deterministic md5 user split halves (extension: experimentation —
-    the split is engine-reproducible, so variant assignment and the
-    statistic value-check bit for bit; on a true random split the
-    expected |z| is small)."""
-    from sparkobs.operators.behavior import ab_conversion_ztest
-    from sparkobs.operators.sampling import _hash64
-
-    ev = load_table(spark, sf_dir, "events")
-    return ab_conversion_ztest(
-        ev,
-        "user_id",
-        convert_expr=(F.col("event_type") == "purchase"),
-        variant_expr=(_hash64("user_id", "ab") % 2),
-    )
-
-
-@_queue(
-    "emd_drift_events_halves",
-    oracle="""
-    WITH a AS (
-      SELECT least(greatest(CAST(floor(value / 6.0) AS INT), 0), 99) AS bin,
-             count(*) AS c_a
-      FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1),
-    b AS (
-      SELECT least(greatest(CAST(floor(value / 6.0) AS INT), 0), 99) AS bin,
-             count(*) AS c_b
-      FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL GROUP BY 1),
-    cells AS (
-      SELECT coalesce(a.bin, b.bin) AS bin,
-             coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
-      FROM a FULL OUTER JOIN b ON a.bin = b.bin),
-    tot AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM cells),
-    cdfs AS (
-      SELECT abs(sum(c_a) OVER (ORDER BY bin) * 1.0 / n_a
-                 - sum(c_b) OVER (ORDER BY bin) * 1.0 / n_b) AS gap,
-             lead(bin, 1, 100) OVER (ORDER BY bin) - bin AS span,
-             n_a, n_b
-      FROM cells CROSS JOIN tot)
-    SELECT round(sum(gap * span) * 6.0, 4) AS emd,
-           round(max(gap), 4) AS ks_d,
-           CAST(max(n_a) AS BIGINT) AS n_a,
-           CAST(max(n_b) AS BIGINT) AS n_b
-    FROM cdfs
-    """,
-)
-def emd_drift_events_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binned earth-mover's distance between the even/odd event halves
-    (extension: drift magnitude — the integral companion of the KS
-    max-gap, from the same one-pass binned CDFs)."""
-    from sparkobs.operators.profile import emd_drift_binned
-
-    ev = load_table(spark, sf_dir, "events")
-    return emd_drift_binned(
-        ev.where(F.col("event_id") % 2 == 0),
-        ev.where(F.col("event_id") % 2 == 1),
-        "value",
-        lo=0.0,
-        hi=600.0,
-        n_bins=100,
-    )
-
-
-@_queue(
-    "interarrival_stats_events",
-    oracle="""
-    WITH gaps AS (
-      SELECT event_type,
-             epoch_us(ts) - lag(epoch_us(ts)) OVER
-               (PARTITION BY user_id ORDER BY ts, event_id) AS gap
-      FROM events)
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_gaps,
-           sum(gap) / count(*) / 1e6 AS mean_gap_s,
-           quantile_cont(gap, 0.5) / 1e6 AS p50_gap_s,
-           max(gap) / 1e6 AS max_gap_s
-    FROM gaps WHERE gap IS NOT NULL
-    GROUP BY 1
-    """,
-)
-def interarrival_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type inter-arrival time distribution within each user's
-    stream (extension: cadence profiling for rate limits, bot
-    screens, and session gap-rule calibration; all statistics are
-    single division chains over exact integer microseconds)."""
-    from sparkobs.operators.behavior import interarrival_stats
-
-    return interarrival_stats(
-        load_table(spark, sf_dir, "events"),
-        ["user_id"],
-        ["event_type"],
-        "ts",
-        "event_id",
-    )
-
-
-def _hll_est_sql(col: str, table: str) -> str:
-    from sparkobs.queries import _hll_col_oracle
-
-    return _hll_col_oracle(col, table)
-
-
-@_queue(
-    "hll_union_users_events",
-    oracle=f"""
-    SELECT est_distinct AS est_merged,
-           est_distinct AS est_whole,
-           CAST(0 AS BIGINT) AS n_mismatch
-    FROM ({_hll_est_sql("user_id", "events")})
-    """,
-)
-def hll_union_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-run HLL register union certification (extension: the
-    mergeability contract IN the registry — per-half register tables
-    merged cellwise must estimate exactly what one whole-table sketch
-    estimates, because max-merge of partitioned registers is the
-    whole-table register table by construction). The oracle recomputes
-    the whole-table estimate independently in SQL and pins the
-    merged == whole equality as a scalar contract."""
-    from sparkobs.operators.profile import (
-        hll_estimate,
-        hll_merge_estimate,
-        hll_registers,
-    )
-
-    ev = load_table(spark, sf_dir, "events")
-    half_a = hll_registers(ev.where(F.col("event_id") % 2 == 0), "user_id")
-    half_b = hll_registers(ev.where(F.col("event_id") % 2 == 1), "user_id")
-    merged = hll_merge_estimate([half_a, half_b]).select(
-        F.col("est_distinct").alias("est_merged")
-    )
-    whole = hll_estimate(hll_registers(ev, "user_id")).select(
-        F.col("est_distinct").alias("est_whole")
-    )
-    return merged.crossJoin(F.broadcast(whole)).select(
-        "est_merged",
-        "est_whole",
-        (F.col("est_merged") != F.col("est_whole"))
-        .cast("long")
-        .alias("n_mismatch"),
-    )
-
-
-# The determinant formulas are SHARED TEXT between the Spark operator
-# (features.ols_two_features, F.expr) and the DuckDB oracle: the
-# sufficient statistics are exact integers (quantity is integer-
-# valued, discount/price are 2-decimal → integer cents), converted
-# once to identical doubles, so evaluating the same expression text
-# yields bit-identical coefficients on both engines, no rounding.
-from sparkobs.operators.features import (  # noqa: E402
-    OLS_DET as _OLS_DET,
-    OLS_DET0 as _OLS_DET0,
-    OLS_DET1 as _OLS_DET1,
-    OLS_DET2 as _OLS_DET2,
-)
-
-
-@_queue(
-    "ols_pricing_lineitem",
-    oracle=f"""
-    WITH raw AS (
-      SELECT CAST(l_quantity AS BIGINT) AS q,
-             CAST(round(l_discount * 100) AS BIGINT) AS d,
-             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
-      FROM lineitem),
-    s AS (
-      SELECT CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(q) AS DOUBLE) AS sq,
-             CAST(sum(d) AS DOUBLE) AS sd,
-             CAST(sum(y) AS DOUBLE) AS sy,
-             CAST(sum(q * q) AS DOUBLE) AS sqq,
-             CAST(sum(d * d) AS DOUBLE) AS sdd,
-             CAST(sum(q * d) AS DOUBLE) AS sqd,
-             CAST(sum(q * y) AS DOUBLE) AS sqy,
-             CAST(sum(d * y) AS DOUBLE) AS sdy,
-             CAST(sum(y * y) AS DOUBLE) AS syy
-      FROM raw),
-    b AS (
-      SELECT n, sy, sqy, sdy, syy,
-             {_OLS_DET0} / {_OLS_DET} AS b0,
-             {_OLS_DET1} / {_OLS_DET} AS b1,
-             {_OLS_DET2} / {_OLS_DET} AS b2
-      FROM s)
-    SELECT b0 AS intercept_cents,
-           b1 AS beta_quantity_cents,
-           b2 AS beta_discount_cents,
-           1 - (syy - b0*sy - b1*sqy - b2*sdy) / (syy - sy*sy/n) AS r2,
-           CAST(n AS BIGINT) AS n_rows
-    FROM b
-    """,
-)
-def ols_pricing_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Closed-form multi-feature OLS (extension: regression beyond the
-    per-key trend slope): extendedprice-in-cents regressed on quantity
-    and discount via the 3x3 normal equations, Cramer's rule — one
-    sufficient-statistics aggregation over the fact table, then
-    scalar-only arithmetic on the 1-row frame. Exact integer sums
-    (decimal accumulation for the y² term, which overflows BIGINT at
-    sf0.1) make the coefficients bit-identical cross-engine with no
-    rounding; coefficients stay in cents space."""
-    from sparkobs.operators.features import ols_two_features
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_quantity").cast("long").alias("q"),
-        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
-    )
-    return ols_two_features(li, "q", "d", "y").select(
-        F.col("intercept").alias("intercept_cents"),
-        F.col("beta_x1").alias("beta_quantity_cents"),
-        F.col("beta_x2").alias("beta_discount_cents"),
-        "r2",
-        "n_rows",
-    )
-
-
-def _cuped_oracle() -> str:
-    from sparkobs.operators.features import (
-        CUPED_LIFT,
-        CUPED_LIFT_ADJ,
-        CUPED_THETA,
-        CUPED_VAR_RED,
-    )
-
-    split = _ab_hex15("md5('ab' || CAST(user_id AS VARCHAR))")
-    mid = "TIMESTAMP '2024-01-16 00:00:00'"
-    return f"""
-    WITH units AS (
-      SELECT user_id,
-             coalesce(sum(CASE WHEN ts < {mid}
-                               THEN CAST(round(value * 100) AS BIGINT) END),
-                      0) AS x,
-             coalesce(sum(CASE WHEN ts >= {mid}
-                               THEN CAST(round(value * 100) AS BIGINT) END),
-                      0) AS y,
-             ({split}) % 2 AS v
-      FROM events GROUP BY 1),
-    s AS (
-      SELECT CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(x) AS DOUBLE) AS sx,
-             CAST(sum(y) AS DOUBLE) AS sy,
-             CAST(sum(x * x) AS DOUBLE) AS sxx,
-             CAST(sum(x * y) AS DOUBLE) AS sxy,
-             CAST(sum(y * y) AS DOUBLE) AS syy,
-             CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
-             CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
-             CAST(sum(CASE WHEN v = 0 THEN x ELSE 0 END) AS DOUBLE) AS sx0,
-             CAST(sum(CASE WHEN v = 1 THEN x ELSE 0 END) AS DOUBLE) AS sx1,
-             CAST(sum(CASE WHEN v = 0 THEN y ELSE 0 END) AS DOUBLE) AS sy0,
-             CAST(sum(CASE WHEN v = 1 THEN y ELSE 0 END) AS DOUBLE) AS sy1
-      FROM units),
-    t AS (SELECT *, {CUPED_THETA} AS theta, {CUPED_VAR_RED} AS var_reduction
-          FROM s)
-    SELECT CAST(n0 AS BIGINT) AS n_0, CAST(n1 AS BIGINT) AS n_1,
-           {CUPED_LIFT} AS lift, {CUPED_LIFT_ADJ} AS lift_cuped,
-           theta, var_reduction
-    FROM t
-    """
-
-
-@_queue("cuped_lift_events", oracle=_cuped_oracle())
-def cuped_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUPED variance-reduced A/B lift (extension: experimentation —
-    the estimator real platforms run next to the z-test): per-user
-    pre-period spend (first half-month, integer cents) is the CUPED
-    covariate for post-period spend, variants from the portable md5
-    split. Sufficient statistics are exact integers; theta/lift/
-    variance-reduction are shared-text scalar formulas — bit-identical
-    cross-engine, unrounded."""
-    from sparkobs.operators.features import cuped_lift
-    from sparkobs.operators.sampling import _hash64
-
-    ev = load_table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("long")
-    mid = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
-    units = (
-        ev.groupBy("user_id")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("ts") < mid, cents)), F.lit(0)
-            ).alias("x"),
-            F.coalesce(
-                F.sum(F.when(F.col("ts") >= mid, cents)), F.lit(0)
-            ).alias("y"),
-        )
-        .withColumn("v", _hash64("user_id", "ab") % 2)
-    )
-    return cuped_lift(units, "v", "x", "y")
-
-
-@_queue(
-    "related_suppliers_jaccard",
-    oracle="""
-    WITH b AS (SELECT DISTINCT l_suppkey AS s, o_custkey AS c
-               FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
-    sz AS (SELECT s, count(*) AS n FROM b GROUP BY 1),
-    pairs AS (SELECT a.s AS s1, b2.s AS s2, count(*) AS shared
-              FROM b a JOIN b b2 ON a.c = b2.c AND a.s < b2.s
-              GROUP BY 1, 2)
-    SELECT CAST(s1 AS BIGINT) AS key_a, CAST(s2 AS BIGINT) AS key_b,
-           CAST(shared AS BIGINT) AS n_shared,
-           CAST(shared AS DOUBLE) / (n1.n + n2.n - shared) AS jaccard
-    FROM pairs JOIN sz n1 ON n1.s = s1 JOIN sz n2 ON n2.s = s2
-    ORDER BY jaccard DESC, key_a, key_b LIMIT 20
-    """,
-)
-def related_suppliers_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Related-supplier mining (extension: set-overlap recommendation):
-    top-20 supplier pairs by Jaccard similarity of their customer
-    sets, candidates generated through the shared-customer join
-    (bounded by customer degree, never suppliers²). Unrounded integer
-    division — bit-identical cross-engine."""
-    from sparkobs.operators.joins import cooccurrence_jaccard
-
-    b = (
-        load_table(spark, sf_dir, "lineitem")
-        .join(
-            load_table(spark, sf_dir, "orders"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
-        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
-    )
-    return cooccurrence_jaccard(b, "s", "c", top_k=20)
-
-
-def _ann_recall_oracle() -> str:
-    """Recall@5 of the IVF tier against brute-force ground truth —
-    composed from the two registered replay oracles (each a complete
-    WITH-query, nested as subqueries), so the quality of the
-    approximate tier is itself an oracle-certified number."""
-    from sparkobs.queries import ORACLE_SQL
-
-    brute = ORACLE_SQL["cosine_topk"]
-    ivf = ORACLE_SQL["cosine_topk_ivf"]
-    return f"""
-    SELECT CAST(b.cnt AS BIGINT) AS n_truth,
-           CAST(h.cnt AS BIGINT) AS n_hits,
-           CAST(h.cnt AS DOUBLE) / b.cnt AS recall_at_5
-    FROM (SELECT count(*) AS cnt FROM ({brute})) b,
-         (SELECT count(*) AS cnt
-          FROM ({brute}) t JOIN ({ivf}) i
-            ON t.vec_id = i.vec_id AND t.neighbor_id = i.neighbor_id) h
-    """
-
-
-@_queue("ann_recall_embeddings", oracle=_ann_recall_oracle())
-def ann_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality certification (extension: the approximate tier's
-    recall is MEASURED in-registry, not assumed): recall@5 of the
-    partition-pruned IVF neighbors against the brute-force ground
-    truth — a semi-join of the two registered queries' results. The
-    ratio is a single division of identical integers, left unrounded
-    (bit-identical by construction). At 100 TB the ground-truth side
-    runs over a query SAMPLE; at certification scale it is exact."""
-    from sparkobs.queries import SPARK_QUERIES
-
-    truth = SPARK_QUERIES["cosine_topk"](spark, sf_dir).select(
-        "vec_id", "neighbor_id"
-    )
-    approx = SPARK_QUERIES["cosine_topk_ivf"](spark, sf_dir).select(
-        "vec_id", "neighbor_id"
-    )
-    hits = truth.join(approx, ["vec_id", "neighbor_id"], "left_semi").agg(
-        F.count(F.lit(1)).alias("cnt_h")
-    )
-    tot = truth.agg(F.count(F.lit(1)).alias("cnt_t"))
-    return tot.crossJoin(F.broadcast(hits)).select(
-        F.col("cnt_t").cast("long").alias("n_truth"),
-        F.col("cnt_h").cast("long").alias("n_hits"),
-        (F.col("cnt_h").cast("double") / F.col("cnt_t")).alias("recall_at_5"),
-    )
-
-
-@_queue(
-    "km_survival_events",
-    oracle="""
-    WITH spans AS (
-      SELECT user_id, min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
-      FROM events GROUP BY 1),
-    e AS (SELECT max(epoch_us(ts)) AS obs_end FROM events),
-    durs AS (
-      SELECT (t1 - t0) // 86400000000 AS t,
-             CASE WHEN t1 < obs_end - 1 * 86400000000 THEN 1 ELSE 0 END AS obs
-      FROM spans CROSS JOIN e),
-    hist AS (SELECT t, count(*) AS n_t, sum(obs) AS d_t FROM durs GROUP BY 1),
-    tot AS (SELECT count(*) AS n_total FROM durs),
-    steps AS (
-      SELECT t, n_t, d_t,
-             n_total - coalesce(sum(n_t) OVER (ORDER BY t
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                       0) AS n_at_risk
-      FROM hist CROSS JOIN tot),
-    logged AS (
-      SELECT t, d_t, n_at_risk,
-             CASE WHEN n_at_risk > d_t
-                  THEN CAST(floor(ln((n_at_risk - d_t)
-                                     / CAST(n_at_risk AS DOUBLE)) * 1e8)
-                            AS BIGINT)
-             END AS lu
-      FROM steps),
-    cum AS (
-      SELECT t, d_t, n_at_risk,
-             sum(lu) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cu
-      FROM logged)
-    SELECT CAST(t AS BIGINT) AS duration,
-           CAST(n_at_risk AS BIGINT) AS n_at_risk,
-           CAST(d_t AS BIGINT) AS n_deaths,
-           CASE WHEN n_at_risk > d_t THEN round(exp(cu / 1e8), 4)
-                ELSE 0.0 END AS survival
-    FROM cum WHERE d_t > 0
-    """,
-)
-def km_survival_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan–Meier time-to-churn curve over user lifetimes
-    (extension: survival analysis — the censoring-aware view behind
-    retention): duration = first→last event in whole days, censored
-    when the last event is inside the 7-day observation horizon.
-    Certified via integer-quantized log-space cumulative products
-    (see behavior.km_survival for why raw windowed float sums cannot
-    cross engines)."""
-    from sparkobs.operators.behavior import churn_durations, km_survival
-
-    return km_survival(
-        churn_durations(
-            load_table(spark, sf_dir, "events"), "user_id", "ts", 1
-        )
-    )
-
-
-@_queue(
-    "hll_intersection_users_events",
-    oracle=f"""
-    SELECT a.est_distinct AS est_a,
-           b.est_distinct AS est_b,
-           u.est_distinct AS est_union,
-           a.est_distinct + b.est_distinct - u.est_distinct AS est_intersection,
-           x.exact_intersection,
-           round(abs(a.est_distinct + b.est_distinct - u.est_distinct
-                     - x.exact_intersection) / x.exact_intersection, 4) AS rel_err
-    FROM ({_hll_est_sql("user_id", "(SELECT user_id FROM events WHERE event_type = 'view')")}) a,
-         ({_hll_est_sql("user_id", "(SELECT user_id FROM events WHERE event_type = 'purchase')")}) b,
-         ({_hll_est_sql("user_id", "(SELECT user_id FROM events WHERE event_type IN ('view', 'purchase'))")}) u,
-         (SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM
-            (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
-             INTERSECT
-             SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) x
-    """,
-)
-def hll_intersection_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-only audience-overlap estimate (extension: set algebra
-    on mergeable sketches): viewers ∩ purchasers by HLL
-    inclusion–exclusion, certified against the register-replay oracle
-    with the exact intersect twin alongside (the twin is the
-    certification aid; at 100 TB only the three sketches remain)."""
-    from sparkobs.operators.profile import (
-        hll_intersection_estimate,
-        hll_registers,
-    )
-
-    ev = load_table(spark, sf_dir, "events")
-    viewers = ev.where(F.col("event_type") == "view")
-    buyers = ev.where(F.col("event_type") == "purchase")
-    est = hll_intersection_estimate(
-        hll_registers(viewers, "user_id"), hll_registers(buyers, "user_id")
-    )
-    exact = (
-        viewers.select("user_id")
-        .distinct()
-        .intersect(buyers.select("user_id").distinct())
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
-    )
-    return est.crossJoin(F.broadcast(exact)).select(
-        "est_a",
-        "est_b",
-        "est_union",
-        "est_intersection",
-        "exact_intersection",
-        F.round(
-            F.abs(F.col("est_intersection") - F.col("exact_intersection"))
-            / F.col("exact_intersection"),
-            4,
-        ).alias("rel_err"),
-    )
-
-
-@_queue(
-    "waiting_suppliers_q21",
-    oracle="""
-    WITH l AS (
-      SELECT l_orderkey AS ok, l_suppkey AS sk,
-             max(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
-                      THEN 1 ELSE 0 END) AS is_late
-      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-      WHERE o_orderstatus = 'F'
-      GROUP BY 1, 2),
-    per_order AS (
-      SELECT ok, count(*) AS n_sup, sum(is_late) AS n_late_sup FROM l GROUP BY 1)
-    SELECT s_name,
-           CAST(count(*) AS BIGINT) AS numwait
-    FROM l
-    JOIN per_order USING (ok)
-    JOIN supplier ON s_suppkey = sk
-    WHERE is_late = 1 AND n_sup >= 2 AND n_late_sup = 1
-    GROUP BY 1
-    ORDER BY numwait DESC, s_name ASC
-    LIMIT 20
-    """,
-)
-def waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape (suppliers who kept orders waiting): suppliers
-    whose line was the ONLY late one on a finished multi-supplier
-    order. The classic EXISTS/NOT-EXISTS pair over self-joined
-    lineitem decorrelates into ONE (order, supplier) aggregate with a
-    per-order rollup — `exists other supplier` ⇔ n_sup ≥ 2,
-    `not exists other late supplier` ⇔ n_late_sup = 1 for the late
-    one — so lineitem is scanned once instead of three times. With no
-    commit/receipt dates in the schema, late = shipped > 90 days
-    after the order date (as in the Q12 adaptation)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
-    s = load_table(spark, sf_dir, "supplier")
-    late = (
-        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
-    ).cast("long")
-    # materialized once (eager checkpoint): BOTH the per-order rollup
-    # and the final join read this frame — without it each leg re-scans
-    # lineitem⋈orders, i.e. two full fact scans at 100 TB. The frame
-    # itself is (order, supplier) pairs — orders-sized, not lineitem-
-    # sized.
-    per_pair = (
-        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
-        .agg(F.max(late).alias("is_late"))
-        .localCheckpoint(eager=True)
-    )
-    per_order = per_pair.groupBy("ok").agg(
-        F.count(F.lit(1)).alias("n_sup"), F.sum("is_late").alias("n_late_sup")
-    )
-    return (
-        per_pair.join(per_order, "ok")
-        .where(
-            (F.col("is_late") == 1)
-            & (F.col("n_sup") >= 2)
-            & (F.col("n_late_sup") == 1)
-        )
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("sk"))
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.desc("numwait"), F.asc("s_name"))
-        .limit(20)
-    )
-
-
-@_queue(
-    "patchify_synth_media",
-    oracle="""
-    WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
-    p AS (
-      SELECT doc_id, t.i AS patch_col,
-             round(list_sum(list_transform(generate_series(8 * t.i + 1, 8 * t.i + 8),
-                                           j -> ord(substr(h, CAST(j AS INT), 1))))
-                   / 8.0, 4) AS mean_value
-      FROM m, unnest([0, 1, 2, 3]) AS t(i))
-    SELECT doc_id AS id, CAST(0 AS INT) AS patch_row,
-           CAST(patch_col AS INT) AS patch_col, CAST(1 AS INT) AS n_channels,
-           mean_value, CAST(NULL AS VARCHAR) AS error
-    FROM p
-    UNION ALL
-    SELECT doc_id, CAST(0 AS INT), CAST(patch_col AS INT), CAST(1 AS INT),
-           mean_value, CAST(NULL AS VARCHAR)
-    FROM p
-    """,
-)
-def patchify_synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ViT patch extraction over deterministic synthetic payloads
-    (extension: multimodal tokenization): each doc's md5 raster (a
-    32×1 PGM and the same pixels as a PNG) cuts into four 8×1
-    patches whose means DuckDB predicts exactly from md5(text) — the
-    decode → patch grid → per-patch stats path is value-certified,
-    not just unit-tested."""
-    from sparkobs.operators.multimodal import patchify_media, synth_media
-
-    docs = load_table(spark, sf_dir, "documents")
-    return patchify_media(synth_media(docs), patch_w=8, patch_h=1)
-
-
-@_queue(
-    "conversion_latency_events",
-    oracle="""
-    WITH f0 AS (
-      SELECT user_id, min(epoch_us(ts)) AS t0
-      FROM events WHERE event_type = 'view' GROUP BY 1),
-    f1 AS (
-      SELECT user_id, min(epoch_us(ts)) AS t1
-      FROM events WHERE event_type = 'purchase' GROUP BY 1),
-    lat AS (
-      SELECT CASE WHEN t1 > t0 THEN t1 - t0 END AS l
-      FROM f0 LEFT JOIN f1 USING (user_id))
-    SELECT CAST(count(*) AS BIGINT) AS n_from,
-           CAST(count(l) AS BIGINT) AS n_converted,
-           round(count(l) * 1.0 / count(*), 4) AS conversion_rate,
-           sum(l) / count(l) / 1e6 AS mean_latency_s,
-           quantile_cont(l, 0.5) / 1e6 AS p50_latency_s,
-           quantile_cont(l, 0.9) / 1e6 AS p90_latency_s,
-           max(l) / 1e6 AS max_latency_s
-    FROM lat
-    """,
-)
-def conversion_latency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-view → first-purchase latency distribution (extension:
-    funnel timing — the seconds behind the funnel's counts; exact
-    integer-microsecond statistics)."""
-    from sparkobs.operators.behavior import conversion_latency
-
-    return conversion_latency(
-        load_table(spark, sf_dir, "events"), "user_id", "view", "purchase"
-    )
-
-
-def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> list[str]:
-    """The unrolled-iteration CTE chain shared by the k-means oracles
-    (assign d{t}/a{t}, update s{t}/c{t}); the final assignment is
-    ``a{iters}``. Possible only because the fit runs in fixed point
-    (see operators/cluster.py), so the trajectory is bit-reproducible
-    across engines."""
-    r = f"range(1, {dim + 1})"
-    parts = [
-        f"""v AS (
-      SELECT vec_id,
-             list_transform(CAST(embedding AS DOUBLE[]),
-                            x -> CAST(round(x * 1000) AS BIGINT)) AS q
-      FROM embeddings),
-    c0 AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
-             list_transform(q, x -> x * 100) AS cq
-      FROM v ORDER BY vec_id LIMIT {k})"""
-    ]
-
-    def assign(t: int, cents: str) -> str:
-        return f"""d{t} AS (
-      SELECT v.vec_id, v.q, c.cluster,
-             list_sum(list_transform({r},
-                      i -> (v.q[i] * 100 - c.cq[i])
-                         * (v.q[i] * 100 - c.cq[i]))) AS dist
-      FROM v CROSS JOIN {cents} c),
-    a{t} AS (
-      SELECT vec_id, q, cluster, dist
-      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                                         ORDER BY dist, cluster) AS rn
-            FROM d{t})
-      WHERE rn = 1)"""
-
-    for t in range(iters):
-        parts.append(assign(t, f"c{t}"))
-        parts.append(
-            f"""s{t + 1} AS (
-      SELECT cluster, d, sum(q[d]) AS s, count(*) AS n
-      FROM a{t}, {r} AS t(d) GROUP BY 1, 2),
-    c{t + 1} AS (
-      SELECT cluster,
-             list(CAST(floor(s * 100.0 / n) AS BIGINT) ORDER BY d) AS cq
-      FROM s{t + 1} GROUP BY 1)"""
-        )
-    parts.append(assign(iters, f"c{iters}"))
-    return parts
-
-
-def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """DuckDB mirror of cluster.kmeans_fit (cluster stats report)."""
-    parts = _kmeans_ctes(k, iters, dim)
-    parts.append(
-        f"""css AS (
-      SELECT cluster, list_sum(list_transform(cq, x -> x * x)) AS ss
-      FROM c{iters})"""
-    )
-    ctes = ",\n    ".join(parts)
-    return f"""
-    WITH {ctes}
-    SELECT CAST(a.cluster AS BIGINT) AS cluster,
-           CAST(count(*) AS BIGINT) AS n_members,
-           CAST(sum(a.dist) AS DOUBLE) / 1e10 AS inertia,
-           CAST(max(css.ss) AS BIGINT) AS centroid_ss
-    FROM a{iters} a JOIN css USING (cluster)
-    GROUP BY 1
-    """
-
-
-def _kmeans_ari_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """DuckDB mirror of cluster.adjusted_rand_index over the k-means
-    assignment vs the embeddings' label column — integer pair
-    counting on the contingency table, one double division at the
-    end with the same cast-then-divide order as the Spark side."""
-    parts = _kmeans_ctes(k, iters, dim)
-    parts.append(
-        f"""cells AS (
-      SELECT a.cluster, e.label, count(*) AS nij
-      FROM a{iters} a JOIN embeddings e USING (vec_id)
-      GROUP BY 1, 2),
-    sij AS (SELECT sum(nij * (nij - 1) // 2) AS sij FROM cells),
-    sa AS (SELECT sum(a * (a - 1) // 2) AS sa
-           FROM (SELECT sum(nij) AS a FROM cells GROUP BY cluster)),
-    sb AS (SELECT sum(b * (b - 1) // 2) AS sb
-           FROM (SELECT sum(nij) AS b FROM cells GROUP BY label)),
-    tot AS (SELECT sum(nij) AS n,
-                   count(DISTINCT cluster) AS n_clusters,
-                   count(DISTINCT label) AS n_labels
-            FROM cells)"""
-    )
-    ctes = ",\n    ".join(parts)
-    return f"""
-    WITH {ctes}
-    SELECT CASE WHEN (n * (n - 1) // 2) * (sa + sb) - 2 * sa * sb != 0
-                THEN CAST(2 * ((n * (n - 1) // 2) * sij - sa * sb) AS DOUBLE)
-                     / CAST((n * (n - 1) // 2) * (sa + sb) - 2 * sa * sb AS DOUBLE)
-           END AS ari,
-           CAST(n AS BIGINT) AS n_rows,
-           CAST(n_clusters AS BIGINT) AS n_clusters,
-           CAST(n_labels AS BIGINT) AS n_labels
-    FROM sij, sa, sb, tot
-    """
-
-
-def _pagerank_oracle(iters: int = 3, weighted: bool = False) -> str:
-    """DuckDB mirror of graph.pagerank_fixed over the co-purchase
-    graph, iterations unrolled — exact because every rank is an
-    integer (see operators/graph.py). ``weighted`` uses the distinct
-    linking-order count as the edge weight (share = (r·w) // W,
-    identical to the unweighted formula at w ≡ 1)."""
-    if weighted:
-        b = """b AS (
-      SELECT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c,
-             count(DISTINCT o_orderkey) AS w
-      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-      GROUP BY 1, 2)"""
-    else:
-        b = """b AS (
-      SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c, 1 AS w
-      FROM lineitem JOIN orders ON o_orderkey = l_orderkey)"""
-    parts = [
-        b
-        + """,
-    e AS (SELECT s AS src, c AS dst, w FROM b
-          UNION ALL SELECT c, s, w FROM b),
-    outdeg AS (SELECT src, sum(w) AS od FROM e GROUP BY 1),
-    nodes AS (SELECT DISTINCT src AS node FROM e),
-    n AS (SELECT count(*) AS nn FROM nodes),
-    r0 AS (SELECT node, 1000000000 // nn AS r FROM nodes CROSS JOIN n)"""
-    ]
-    for t in range(iters):
-        parts.append(
-            f"""i{t} AS (
-      SELECT e.dst AS node, sum((r.r * e.w) // o.od) AS inf
-      FROM e JOIN r{t} r ON e.src = r.node
-             JOIN outdeg o ON o.src = e.src
-      GROUP BY 1),
-    r{t + 1} AS (
-      SELECT nodes.node,
-             150000000 // nn + (85 * coalesce(inf, 0)) // 100 AS r
-      FROM nodes CROSS JOIN n LEFT JOIN i{t} USING (node))"""
-        )
-    ctes = ",\n    ".join(parts)
-    return f"""
-    WITH {ctes}
-    SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_type,
-           CAST(node // 2 AS BIGINT) AS node_key,
-           CAST(r AS BIGINT) AS rank_units
-    FROM r{iters} ORDER BY r DESC, node LIMIT 20
-    """
-
-
-@_queue("pagerank_copurchase", oracle=_pagerank_oracle())
-def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the supplier–customer co-purchase graph
-    (extension: link analysis) — 3 fixed-point supersteps, top-20
-    nodes; certified against the unrolled-iteration DuckDB oracle.
-    Integer micro-unit ranks make the iterative trajectory
-    bit-reproducible across engines (operators/graph.py)."""
-    from sparkobs.operators.graph import (
-        copurchase_edges,
-        decode_copurchase_node,
-        pagerank_fixed,
-    )
-
-    pr = pagerank_fixed(
-        copurchase_edges(
-            load_table(spark, sf_dir, "lineitem"),
-            load_table(spark, sf_dir, "orders"),
-        ),
-        iters=3,
-    )
-    top = pr.orderBy(F.desc("rank_units"), F.asc("node")).limit(20)
-    return decode_copurchase_node(top)
-
-
-@_queue("pagerank_weighted_copurchase", oracle=_pagerank_oracle(weighted=True))
-def pagerank_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted PageRank over the co-purchase graph (extension: link
-    analysis with relationship strength): edge weight = distinct
-    linking orders, rank splits proportionally — share = (r·w) // W,
-    still exact integer micro-units, certified against the unrolled
-    weighted oracle."""
-    from sparkobs.operators.graph import (
-        copurchase_edges_weighted,
-        decode_copurchase_node,
-        pagerank_fixed,
-    )
-
-    pr = pagerank_fixed(
-        copurchase_edges_weighted(
-            load_table(spark, sf_dir, "lineitem"),
-            load_table(spark, sf_dir, "orders"),
-        ),
-        iters=3,
-        weight_col="w",
-    )
-    top = pr.orderBy(F.desc("rank_units"), F.asc("node")).limit(20)
-    return decode_copurchase_node(top)
-
-
-def _ppr_oracle(iters: int = 3, k_tele: int = 5) -> str:
-    """Unrolled PERSONALIZED PageRank: rank init and the (1−d) base
-    mass restrict to the teleport set (the k lowest supplier nodes),
-    zero elsewhere — same integer arithmetic as _pagerank_oracle."""
-    parts = [
-        """b AS (
-      SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c, 1 AS w
-      FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
-    e AS (SELECT s AS src, c AS dst, w FROM b
-          UNION ALL SELECT c, s, w FROM b),
-    outdeg AS (SELECT src, sum(w) AS od FROM e GROUP BY 1),
-    nodes AS (SELECT DISTINCT src AS node FROM e),
-    tele AS (SELECT node FROM nodes WHERE node % 2 = 0
-             ORDER BY node LIMIT """
-        + str(k_tele)
-        + """),
-    n AS (SELECT count(*) AS nn FROM tele),
-    nt AS (SELECT nodes.node,
-                  CASE WHEN tele.node IS NOT NULL THEN 1 ELSE 0 END AS t
-           FROM nodes LEFT JOIN tele ON tele.node = nodes.node),
-    r0 AS (SELECT node, CASE WHEN t = 1 THEN 1000000000 // nn
-                             ELSE 0 END AS r
-           FROM nt CROSS JOIN n)"""
-    ]
-    for t in range(iters):
-        parts.append(
-            f"""i{t} AS (
-      SELECT e.dst AS node, sum((r.r * e.w) // o.od) AS inf
-      FROM e JOIN r{t} r ON e.src = r.node
-             JOIN outdeg o ON o.src = e.src
-      GROUP BY 1),
-    r{t + 1} AS (
-      SELECT nt.node,
-             CASE WHEN t = 1 THEN 150000000 // nn ELSE 0 END
-               + (85 * coalesce(inf, 0)) // 100 AS r
-      FROM nt CROSS JOIN n LEFT JOIN i{t} USING (node))"""
-        )
-    ctes = ",\n    ".join(parts)
-    return f"""
-    WITH {ctes}
-    SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
-             AS node_type,
-           CAST(node // 2 AS BIGINT) AS node_key,
-           CAST(r AS BIGINT) AS rank_units
-    FROM r{iters} ORDER BY r DESC, node LIMIT 20
-    """
-
-
-@_queue("pagerank_personalized_copurchase", oracle=_ppr_oracle())
-def pagerank_personalized_copurchase(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Personalized PageRank (extension: proximity ranking — "which
-    customers sit closest to THESE suppliers"): the random surfer
-    restarts only inside the teleport set (the 5 lowest supplier
-    nodes), so ranks measure graph proximity to it; same fixed-point
-    integer kernel, certified against the unrolled teleport
-    oracle."""
-    from sparkobs.operators.graph import (
-        copurchase_edges,
-        decode_copurchase_node,
-        pagerank_fixed,
-    )
-
-    edges = copurchase_edges(
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "orders"),
-    ).localCheckpoint()  # referenced by tele AND the kernel — one derivation
-    tele = (
-        edges.select(F.col("src").alias("node"))
-        .where(F.col("node") % 2 == 0)
-        .distinct()
-        .orderBy("node")
-        .limit(5)
-    )
-    pr = pagerank_fixed(edges, iters=3, teleport=tele)
-    top = pr.orderBy(F.desc("rank_units"), F.asc("node")).limit(20)
-    return decode_copurchase_node(top)
-
-
-@_queue("kmeans_embeddings", oracle=_kmeans_oracle())
-def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd k-means over the embeddings table (extension:
-    the clustering primitive behind IVF coarse quantizers and SemDeDup
-    pruning) — 2 fixed-point iterations from the 8 lowest-id seeds,
-    certified against the unrolled-iteration DuckDB oracle. Per
-    iteration: one broadcast-join assignment scan of the corpus + one
-    posexplode hash-agg update; centroid tables are k x dim and
-    eagerly checkpointed so iterations never replay upstream lineage."""
-    from sparkobs.operators.cluster import kmeans_fit
-
-    return kmeans_fit(
-        load_table(spark, sf_dir, "embeddings"), k=8, iters=2
-    )
-
-
-def _kmeans_assign_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """The fit's final assignment straight from the shared CTE chain —
-    the oracle for the streaming scoring twin."""
-    ctes = ",\n    ".join(_kmeans_ctes(k, iters, dim))
-    return f"""
-    WITH {ctes}
-    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
-           CAST(dist AS BIGINT) AS dist
-    FROM a{iters}
-    """
-
-
-@_queue("streaming_kmeans_assign_embeddings", oracle=_kmeans_assign_oracle())
-def streaming_kmeans_assign_embeddings(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Train batch, serve streaming: the fixed-point k-means fit runs
-    as a batch job, its k x dim INTEGER centroid table folds into the
-    scoring expression as constants (from_json literal arrays — the
-    bounded-collect pattern the IVF index uses), and embeddings then
-    stream through a STATELESS map-only nearest-centroid select
-    (append mode, no state store at all). Certified against the
-    training oracle's own assignment CTEs — the continuous scorer
-    must reproduce the fit's final assignment bit for bit."""
-    import json
-    import os
-    import tempfile
-
-    from sparkobs.operators.cluster import C_SUBSCALE, VQ_SCALE, _fit
-    from sparkobs.queries import _stage_key
-    from sparkobs.streaming.monitors import run_to_memory
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    _, cents = _fit(emb, "vec_id", "embedding", k=8, iters=2)
-    cent_rows = cents.orderBy("cluster").collect()  # k x dim ints, bounded
-
-    key = _stage_key(sf_dir, "embeddings", "stream4")
-    stage = os.path.join(tempfile.gettempdir(), f"sparkobs_stream_emb_{key}")
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        emb.coalesce(4).write.mode("overwrite").parquet(stage)
-
-    stream = spark.readStream.schema(
-        "vec_id bigint, embedding array<float>, label int"
-    ).parquet(stage)
-    q = F.transform(
-        F.col("embedding").cast("array<double>"),
-        lambda x: F.round(x * VQ_SCALE).cast("bigint"),
-    )
-    cands = []
-    for r in cent_rows:
-        cq = F.from_json(
-            F.lit(json.dumps([int(v) for v in r["cq"]])), "array<bigint>"
-        )
-        d = F.aggregate(
-            F.zip_with(
-                q, cq, lambda a, b: (a * C_SUBSCALE - b) * (a * C_SUBSCALE - b)
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        cands.append(
-            F.struct(
-                d.alias("dist"),
-                F.lit(int(r["cluster"])).cast("bigint").alias("cluster"),
-            )
-        )
-    best = F.array_min(F.array(*cands))
-    out = stream.select(
-        "vec_id", best["cluster"].alias("cluster"), best["dist"].alias("dist")
-    )
-    tbl = run_to_memory(
-        out, "kmeans_serve_stream", output_mode="append", unique=True
-    )
-    return spark.table(tbl)
-
-
-@_queue("kmeans_ari_embeddings", oracle=_kmeans_ari_oracle())
-def kmeans_ari_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clustering-quality evaluation (extension: the score behind
-    "did the clustering recover the labels?"): Adjusted Rand Index of
-    the fixed-point k-means assignment against the embeddings' label
-    column — exact integer pair counting over the k x L contingency
-    table, certified against the shared unrolled-iteration oracle."""
-    from sparkobs.operators.cluster import adjusted_rand_index, kmeans_assign
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_assign(emb, k=8, iters=2).select("id", "cluster")
-    labeled = emb.select(F.col("vec_id").alias("id"), "label")
-    return adjusted_rand_index(assigned, labeled)
-
-
-@_queue(
-    "streaming_debounce_events",
-    oracle="""
-    SELECT event_id, user_id, event_type, ts, round(value, 4) AS value
-    FROM (
-      SELECT event_id, user_id, event_type, ts, value,
-             lag(ts) OVER (PARTITION BY user_id, event_type
-                           ORDER BY ts, event_id) AS prev_ts
-      FROM events)
-    WHERE prev_ts IS NULL
-       OR epoch_us(ts) - epoch_us(prev_ts) >= 600 * 1000000
-    """,
-)
-def streaming_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of debounce_events_user_type: bursts collapse to
-    their first row CONTINUOUSLY in session-window state (watermark
-    drops closed sessions at steady state; complete mode for the
-    drain) — must equal the batch lag-rule oracle row for row. The
-    1-microsecond gap shave that aligns Spark's session merge with the
-    ``gap >= 600 s`` batch rule lives in
-    streaming.monitors.streaming_debounce."""
-    from sparkobs.queries import _stage_events
-    from sparkobs.streaming.monitors import (
-        run_to_memory,
-        stream_events,
-        streaming_debounce,
-    )
-
-    stage_dir = _stage_events(spark, sf_dir)
-    out = streaming_debounce(
-        stream_events(spark, stage_dir),
-        ["user_id", "event_type"],
-        gap_seconds=600,
-    )
-    tbl = run_to_memory(out, "debounce_stream", output_mode="complete", unique=True)
-    return spark.table(tbl).select(
-        "event_id", "user_id", "event_type", "ts", "value"
-    )
-
-
-@_queue(
-    "streaming_ks_drift_events",
-    oracle="""
-    WITH a AS (
-      SELECT least(greatest(CAST(floor(value / 6.0) AS INT), 0), 99) AS bin,
-             count(*) AS c_a
-      FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1),
-    b AS (
-      SELECT least(greatest(CAST(floor(value / 6.0) AS INT), 0), 99) AS bin,
-             count(*) AS c_b
-      FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL GROUP BY 1),
-    cells AS (
-      SELECT coalesce(a.bin, b.bin) AS bin,
-             coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
-      FROM a FULL OUTER JOIN b ON a.bin = b.bin),
-    tot AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b FROM cells),
-    cdfs AS (
-      SELECT sum(c_a) OVER (ORDER BY bin) * 1.0 / n_a AS cdf_a,
-             sum(c_b) OVER (ORDER BY bin) * 1.0 / n_b AS cdf_b,
-             n_a, n_b
-      FROM cells CROSS JOIN tot)
-    SELECT round(max(abs(cdf_a - cdf_b)), 4) AS ks_d,
-           CAST(max(n_a) AS BIGINT) AS n_a,
-           CAST(max(n_b) AS BIGINT) AS n_b
-    FROM cdfs
-    """,
-)
-def streaming_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of ks_drift_events_halves — the lambda-free
-    drift-test shape: the two samples' binned counts accumulate in the
-    state store AS THE EVENTS ARRIVE (state bounded by geometry, 2 x
-    100 cells, regardless of input size), and the KS distance runs as
-    a bin-table-sized batch follow-up over the drained cells (shared
-    tail: profile.ks_from_cells)."""
-    from sparkobs.operators.profile import ks_from_cells
-    from sparkobs.queries import _stage_events
-    from sparkobs.streaming.monitors import (
-        run_to_memory,
-        stream_events,
-        streaming_binned_counts,
-    )
-
-    stage_dir = _stage_events(spark, sf_dir)
-    cells_stream = streaming_binned_counts(
-        stream_events(spark, stage_dir), lo=0.0, hi=600.0, n_bins=100
-    )
-    tbl = run_to_memory(
-        cells_stream, "ks_cells_stream", output_mode="complete", unique=True
-    )
-    cells = (
-        spark.table(tbl)
-        .groupBy("bin")
-        .agg(
-            F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(F.lit(0))).alias(
-                "c_a"
-            ),
-            F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(F.lit(0))).alias(
-                "c_b"
-            ),
-        )
-    )
-    return ks_from_cells(cells)
-
-
-@_queue(
-    "exact_quantiles_lineitem",
-    oracle="""
-    WITH data AS (
-      SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
-      WHERE l_extendedprice IS NOT NULL),
-    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM data),
-    ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM data),
-    qs AS (SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.99]::DOUBLE[]) AS q),
-    t AS (SELECT q, nn.n AS n, q * (nn.n - 1) AS rk FROM qs CROSS JOIN nn),
-    pick AS (
-      SELECT t.q, t.n,
-             t.rk - floor(t.rk) AS frac,
-             ceil(t.rk) - t.rk AS wlo,
-             max(CASE WHEN ranked.rn = CAST(floor(t.rk) AS BIGINT) + 1
-                      THEN ranked.v END) AS v0,
-             max(CASE WHEN ranked.rn =
-                        least(CAST(floor(t.rk) AS BIGINT) + 2, t.n)
-                      THEN ranked.v END) AS v1
-      FROM t JOIN ranked
-        ON ranked.rn = CAST(floor(t.rk) AS BIGINT) + 1
-        OR ranked.rn = least(CAST(floor(t.rk) AS BIGINT) + 2, t.n)
-      GROUP BY 1, 2, 3, 4)
-    SELECT q,
-           CASE WHEN frac = 0 OR v0 = v1 THEN v0
-                ELSE wlo * v0 + frac * v1 END AS value,
-           n AS n_rows
-    FROM pick ORDER BY q
-    """,
-)
-def exact_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT order-statistic quantiles WITHOUT a global sort
-    (extension: the 100 TB exact-percentile path): two-pass
-    histogram-bracket location (operators/profile.exact_quantiles_twopass)
-    — pass 1 bins the column, the cumulative bin table locates each
-    type-7 order statistic, pass 2 sorts only the ~n/n_bins-row
-    bracket bins. Values are left UNROUNDED: both engines pick the
-    identical order-statistic doubles and evaluate the identical
-    weight arithmetic (wlo*v0 + frac*v1 with Spark's tied-key /
-    integral-rank short-circuits), so the result is bit-identical by
-    construction — the oracle replays the same formula over a
-    row_number ranking."""
-    from sparkobs.operators.profile import exact_quantiles_twopass
-
-    li = load_table(spark, sf_dir, "lineitem")
-    return exact_quantiles_twopass(
-        li, "l_extendedprice", qs=(0.01, 0.25, 0.5, 0.75, 0.99)
-    )
-
-
-@_queue(
-    "exact_quantiles_grouped_lineitem",
-    oracle="""
-    WITH data AS (
-      SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
-      FROM lineitem WHERE l_extendedprice IS NOT NULL),
-    nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM data GROUP BY 1),
-    ranked AS (
-      SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
-      FROM data),
-    qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.99]::DOUBLE[]) AS q),
-    t AS (SELECT nn.g, q, nn.n, q * (nn.n - 1) AS rk FROM qs CROSS JOIN nn),
-    pick AS (
-      SELECT t.g, t.q, t.n,
-             t.rk - floor(t.rk) AS frac,
-             ceil(t.rk) - t.rk AS wlo,
-             max(CASE WHEN ranked.rn = CAST(floor(t.rk) AS BIGINT) + 1
-                      THEN ranked.v END) AS v0,
-             max(CASE WHEN ranked.rn =
-                        least(CAST(floor(t.rk) AS BIGINT) + 2, t.n)
-                      THEN ranked.v END) AS v1
-      FROM t JOIN ranked ON ranked.g = t.g
-       AND (ranked.rn = CAST(floor(t.rk) AS BIGINT) + 1
-            OR ranked.rn = least(CAST(floor(t.rk) AS BIGINT) + 2, t.n))
-      GROUP BY 1, 2, 3, 4, 5)
-    SELECT g AS l_returnflag, q,
-           CASE WHEN frac = 0 OR v0 = v1 THEN v0
-                ELSE wlo * v0 + frac * v1 END AS value,
-           n AS n_rows
-    FROM pick ORDER BY 1, 2
-    """,
-)
-def exact_quantiles_grouped_lineitem(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Per-group exact quantiles for groups too big to buffer
-    (extension: the huge-group-safe grouped percentile —
-    operators/profile.exact_quantiles_grouped): Spark's exact
-    ``percentile`` aggregate holds each group's value buffer in one
-    task's memory; the two-pass histogram-bracket variant keeps every
-    step an ordinary hash agg / join / bin-table window, so a
-    billion-row group never congregates. Bit-identical to the
-    builtin per group (same Percentile.scala interpolation replay as
-    the ungrouped twin)."""
-    from sparkobs.operators.profile import exact_quantiles_grouped
-
-    li = load_table(spark, sf_dir, "lineitem")
-    return exact_quantiles_grouped(
-        li, "l_returnflag", "l_extendedprice", qs=(0.25, 0.5, 0.75, 0.99)
-    )
-
-
-@_queue(
-    "triangle_census_suppliers",
-    oracle="""
-    WITH os AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS n FROM lineitem),
-    edges AS (
-      SELECT DISTINCT a.n AS u, b.n AS v
-      FROM os a JOIN os b ON a.g = b.g AND a.n < b.n),
-    deg AS (
-      SELECT node, CAST(count(*) AS BIGINT) AS d
-      FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
-      GROUP BY 1),
-    tri AS (
-      SELECT CAST(count(*) AS BIGINT) AS t
-      FROM edges e1
-      JOIN edges e2 ON e2.u = e1.v
-      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
-    agg AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-             CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
-      FROM deg),
-    en AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
-    SELECT n_nodes, n_edges, n_wedges, t AS n_triangles,
-           (3e0 * t) / n_wedges AS global_clustering
-    FROM agg, en, tri
-    """,
-)
-def triangle_census_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle census of the supplier co-occurrence graph (extension:
-    the network-cohesion screen behind supply-chain clustering):
-    suppliers are adjacent when they serve the same order; the count
-    runs degree-ordered-oriented (operators/graph.triangle_stats) so
-    hub suppliers never enumerate degree² wedges. The oracle replays
-    the naive u<v<w 3-way join — affordable at oracle scale, exactly
-    what the oriented plan must reproduce. All-integer output plus
-    one unrounded division — bit-identical cross-engine."""
-    from sparkobs.operators.graph import cooccurrence_edges, triangle_stats
-
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = cooccurrence_edges(li, "l_orderkey", "l_suppkey")
-    return triangle_stats(edges)
-
-
-@_queue(
-    "salted_distinct_customers_orders",
-    oracle="""
-    SELECT o_orderpriority,
-           CAST(count(DISTINCT o_custkey) AS BIGINT)
-             AS n_distinct_o_custkey
-    FROM orders GROUP BY 1
-    """,
-)
-def salted_distinct_customers_orders(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Skew-proof exact distinct customers per order priority
-    (extension: the salted two-stage COUNT DISTINCT every 100 TB
-    pipeline needs for hot keys — 5 priority values over the whole
-    fact table is exactly the shape that melts a single reducer).
-    Salting by pmod(hash(value), 32) keeps the counts disjoint, so
-    the result is EXACTLY the plain COUNT(DISTINCT) the oracle runs
-    (operators/shape.grouped_distinct_salted)."""
-    from sparkobs.operators.shape import grouped_distinct_salted
-
-    o = load_table(spark, sf_dir, "orders")
-    return grouped_distinct_salted(o, "o_orderpriority", "o_custkey")
-
-
-@_queue(
-    "attribution_linear_events",
-    oracle="""
-    WITH ev AS (
-      SELECT user_id, ts, event_id, event_type FROM events
-      WHERE event_type IN ('view', 'click', 'signup', 'purchase')),
-    tagged AS (
-      SELECT *,
-             first_value(CASE WHEN event_type = 'purchase'
-                              THEN event_id END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-               AS conv_id
-      FROM ev),
-    touches AS (
-      SELECT event_type, conv_id,
-             CAST(count(*) OVER (PARTITION BY user_id, conv_id)
-                  AS BIGINT) AS n,
-             row_number() OVER (PARTITION BY user_id, conv_id
-                                ORDER BY ts, event_id) AS rn
-      FROM tagged
-      WHERE event_type <> 'purchase' AND conv_id IS NOT NULL),
-    credited AS (
-      SELECT event_type, conv_id,
-             1000000 // n
-               + CASE WHEN rn = 1 THEN 1000000 - (1000000 // n) * n
-                      ELSE 0 END AS credit
-      FROM touches)
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_touches,
-           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
-           CAST(sum(credit) AS BIGINT) AS credit_units
-    FROM credited GROUP BY 1
-    """,
-)
-def attribution_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear multi-touch attribution per channel (extension: the
-    credit-assignment query behind marketing-spend dashboards): each
-    purchase's credit splits equally across the user's preceding
-    view/click/signup touches, integer micro-credit units so the
-    per-channel sums cross engines exactly
-    (operators/behavior.linear_attribution)."""
-    from sparkobs.operators.behavior import linear_attribution
-
-    return linear_attribution(
-        load_table(spark, sf_dir, "events"), conversion="purchase"
-    )
-
-
-@_queue(
-    "bm25_search_documents",
-    oracle="""
-    WITH docs AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(text, '\\s+'),
-                         x -> x <> '') AS toks
-      FROM documents),
-    dls AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM docs),
-    stats AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(dl) AS BIGINT) AS sumdl
-      FROM dls),
-    hits AS (
-      SELECT doc_id, dl, t.term,
-             CAST(len(list_filter(toks, x -> x = t.term)) AS BIGINT) AS tf
-      FROM dls CROSS JOIN (SELECT unnest(['data', 'vector']) AS term) t
-      WHERE len(list_filter(toks, x -> x = t.term)) > 0),
-    tdf AS (SELECT term, CAST(count(*) AS BIGINT) AS dft FROM hits GROUP BY 1),
-    scored AS (
-      SELECT doc_id,
-             CAST(floor(10000e0
-                 * ln(1e0 + (n - dft + 0.5e0) / (dft + 0.5e0))
-                 * ((tf * 2.2e0)
-                    / (tf + 1.2e0 * (1e0 - 0.75e0
-                       + 0.75e0 * (dl / (CAST(sumdl AS DOUBLE) / n))))))
-               AS BIGINT) AS u
-      FROM hits JOIN tdf USING (term) CROSS JOIN stats)
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
-           CAST(sum(u) AS BIGINT) AS score_units
-    FROM scored GROUP BY 1
-    """,
-)
-def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 ranked retrieval for the query {data, vector}
-    (extension: the relevance scorer behind corpus search and
-    retrieval-based curation): every per-term contribution floors to
-    integer 1e-4 score units before the per-doc sum so channel sums
-    are order-independent bigints (operators/text.bm25_scores); the
-    oracle replays the identical parenthesized float expression, so
-    even the transcendental idf crosses engines (same doubles in,
-    same ln out, floor exact)."""
-    from sparkobs.operators.text import bm25_scores
-
-    return bm25_scores(
-        load_table(spark, sf_dir, "documents"), terms=["data", "vector"]
-    )
-
-
-def _epoch_shuffle_oracle() -> str:
-    from sparkobs.queries import _hex15_sql
-
-    h = _hex15_sql("md5('epoch1' || CAST(doc_id AS VARCHAR))")
-    return f"""
-    SELECT doc_id,
-           CAST(row_number() OVER (ORDER BY ({h}), doc_id) AS BIGINT)
-             AS shuffle_rank
-    FROM documents
-    """
-
-
-@_queue("epoch_shuffle_documents", oracle=_epoch_shuffle_oracle())
-def epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic epoch shuffle (extension: replayable training
-    order — resume mid-epoch, re-derive any batch): rank by the
-    portable md5(seed + id) hash on the distributed global-index
-    primitive (operators/sampling.epoch_shuffle_rank). The oracle
-    replays the same hash order as one window — affordable at oracle
-    scale; the engine side never funnels through a single-partition
-    sort."""
-    from sparkobs.operators.sampling import epoch_shuffle_rank
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return epoch_shuffle_rank(docs, "doc_id", seed="epoch1")
-
-
-@_queue(
-    "revenue_delta_drilldown_orders",
-    oracle="""
-    WITH a AS (
-      SELECT o_orderpriority AS dim,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-               AS before_units
-      FROM orders WHERE year(o_orderdate) = 2000 GROUP BY 1),
-    b AS (
-      SELECT o_orderpriority AS dim,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-               AS after_units
-      FROM orders WHERE year(o_orderdate) = 2001 GROUP BY 1),
-    j AS (
-      SELECT coalesce(a.dim, b.dim) AS dim,
-             coalesce(before_units, 0) AS before_units,
-             coalesce(after_units, 0) AS after_units,
-             coalesce(after_units, 0) - coalesce(before_units, 0)
-               AS delta_units
-      FROM a FULL OUTER JOIN b ON a.dim = b.dim),
-    t AS (SELECT CAST(sum(delta_units) AS BIGINT) AS total FROM j)
-    SELECT dim, before_units, after_units, delta_units,
-           CASE WHEN total != 0 THEN delta_units / total END AS delta_share
-    FROM j, t
-    """,
-)
-def revenue_delta_drilldown_orders(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Metric root-cause drill-down (extension: the follow-up every
-    threshold alert needs — which segment drove the move?): 2001 vs
-    2000 revenue per order priority in exact integer cents
-    (operators/metrics.delta_contribution); per-segment deltas and
-    shares of the total move, shares as single unrounded integer
-    divisions."""
-    from sparkobs.operators.metrics import delta_contribution
-
-    o = load_table(spark, sf_dir, "orders").withColumn(
-        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    )
-    return delta_contribution(
-        o.where(F.year("o_orderdate") == 2000),
-        o.where(F.year("o_orderdate") == 2001),
-        "o_orderpriority",
-        "cents",
-    )
-
-
-@_queue(
-    "streaming_freshness_events",
-    oracle="""
-    SELECT max(ts) AS max_ts,
-           (epoch_us(TIMESTAMP '2024-02-01 00:00:00')
-             - epoch_us(max(ts))) // 1000000 AS staleness_s,
-           ((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
-             - epoch_us(max(ts))) // 1000000) <= 604800 AS is_fresh
-    FROM events
-    """,
-)
-def streaming_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of the freshness SLA monitor: the running max
-    event time accumulates CONTINUOUSLY in one state cell (no
-    watermark — a global max needs no expiry), and the
-    staleness/SLA verdict is a constant-time batch follow-up on the
-    drained row against the replayable as-of instant
-    (streaming/monitors.streaming_freshness)."""
-    from sparkobs.queries import _stage_events
-    from sparkobs.streaming.monitors import (
-        run_to_memory,
-        stream_events,
-        streaming_freshness,
-    )
-
-    stage_dir = _stage_events(spark, sf_dir)
-    out = streaming_freshness(stream_events(spark, stage_dir))
-    tbl = run_to_memory(
-        out, "freshness_stream", output_mode="complete", unique=True
-    )
-    # TIMESTAMP_NTZ arithmetic (naive-as-UTC): unix_micros over a
-    # session-tz TIMESTAMP diverges by the DST offset gap between the
-    # two instants on a non-UTC driver (the vanilla gate's session).
-    staleness = F.expr(
-        "timestampdiff(MICROSECOND, CAST(max_ts AS TIMESTAMP_NTZ), "
-        "CAST('2024-02-01 00:00:00' AS TIMESTAMP_NTZ)) div 1000000"
-    )
-    return spark.table(tbl).select(
-        "max_ts",
-        staleness.cast("long").alias("staleness_s"),
-        (staleness <= F.lit(7 * 86400)).alias("is_fresh"),
-    )
-
-
-@_queue(
-    "partition_gaps_events",
-    oracle="""
-    WITH p AS (SELECT DISTINCT date_trunc('minute', ts) AS b
-               FROM events WHERE ts IS NOT NULL),
-    bd AS (SELECT min(b) AS lo, max(b) AS hi,
-                  CAST(count(*) AS BIGINT) AS n_present FROM p),
-    sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS b
-           FROM bd),
-    miss AS (SELECT b FROM sp
-             WHERE b NOT IN (SELECT b FROM p)),
-    ma AS (SELECT CAST(count(*) AS BIGINT) AS n_missing,
-                  min(b) AS first_missing, max(b) AS last_missing
-           FROM miss)
-    SELECT CAST((epoch_us(hi) - epoch_us(lo)) // 60000000 + 1 AS BIGINT)
-             AS n_expected,
-           n_present, n_missing, first_missing, last_missing
-    FROM bd, ma
-    """,
-)
-def partition_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition-completeness monitor (extension: freshness' sibling —
-    which minute partitions between first and last event are missing
-    entirely? operators/checks.partition_gaps). One distinct bucket
-    reduction, a sequence spine off the 1-row bounds, one anti join;
-    expected count from exact integer microsecond arithmetic."""
-    from sparkobs.operators.checks import partition_gaps
-
-    return partition_gaps(
-        load_table(spark, sf_dir, "events"), "ts", "minute"
-    )
-
-
-@_queue(
-    "freshness_sla_tables",
-    oracle="""
-    SELECT 'events' AS table_name, max(ts) AS max_ts,
-           (epoch_us(TIMESTAMP '2024-02-01 00:00:00')
-             - epoch_us(max(ts))) // 1000000 AS staleness_s,
-           ((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
-             - epoch_us(max(ts))) // 1000000) <= 604800 AS is_fresh
-    FROM events
-    UNION ALL
-    SELECT 'orders', max(o_orderdate),
-           (epoch_us(TIMESTAMP '2024-02-01 00:00:00')
-             - epoch_us(max(o_orderdate))) // 1000000,
-           ((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
-             - epoch_us(max(o_orderdate))) // 1000000) <= 604800
-    FROM orders
-    UNION ALL
-    SELECT 'lineitem', max(l_shipdate),
-           (epoch_us(TIMESTAMP '2024-02-01 00:00:00')
-             - epoch_us(max(l_shipdate))) // 1000000,
-           ((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
-             - epoch_us(max(l_shipdate))) // 1000000) <= 604800
-    FROM lineitem
-    """,
-)
-def freshness_sla_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-freshness SLA monitor (extension: the first observability
-    question — when did data last arrive, and is it within cadence?
-    operators/checks.freshness_check): per-table max event time vs a
-    REPLAYABLE reference instant (never wall clock), staleness in
-    exact integer seconds, 7-day SLA verdict. One max() aggregate per
-    table; the events table reads fresh, the warehouse facts read
-    decades stale — both verdicts certified."""
-    from sparkobs.operators.checks import freshness_check
-
-    week = 7 * 86400
-    return freshness_check(
-        [
-            ("events", load_table(spark, sf_dir, "events"), "ts"),
-            ("orders", load_table(spark, sf_dir, "orders"), "o_orderdate"),
-            (
-                "lineitem",
-                load_table(spark, sf_dir, "lineitem"),
-                "l_shipdate",
-            ),
-        ],
-        as_of="2024-02-01 00:00:00",
-        sla_seconds={"events": week, "orders": week, "lineitem": week},
-    )
-
-
-@_queue(
-    "merge_upsert_orders",
-    oracle="""
-    WITH upd AS (
-      SELECT o_orderkey, o_custkey, o_orderstatus,
-             o_totalprice + 1000.0 AS o_totalprice,
-             o_orderdate, o_orderpriority, FALSE AS del
-      FROM orders WHERE o_orderkey % 97 = 0
-      UNION ALL
-      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
-             o_totalprice, o_orderdate, o_orderpriority, FALSE
-      FROM orders WHERE o_orderkey % 101 = 0
-      UNION ALL
-      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-             o_orderdate, o_orderpriority, TRUE
-      FROM orders WHERE o_orderkey % 103 = 0)
-    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-           o_orderdate, o_orderpriority
-    FROM upd WHERE NOT del
-    UNION ALL
-    SELECT o.* FROM orders o
-    WHERE NOT EXISTS (SELECT 1 FROM upd u
-                      WHERE u.o_orderkey = o.o_orderkey)
-    """,
-)
-def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE INTO over snapshots (extension: the parquet-lake upsert —
-    operators/state.merge_upsert): a deterministic change batch bumps
-    every 97th order's price, inserts offset copies of every 101st,
-    and deletes every 103rd; updates win on key, unmatched updates
-    insert, flagged deletes drop their base row. One anti join is the
-    whole plan. Price bump is identical double arithmetic (+1000.0 of
-    the same input double), no rounding needed."""
-    from sparkobs.operators.state import merge_upsert
-
-    o = load_table(spark, sf_dir, "orders")
-    bump = (
-        o.where(F.col("o_orderkey") % 97 == 0)
-        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
-        .withColumn("__del", F.lit(False))
-    )
-    ins = (
-        o.where(F.col("o_orderkey") % 101 == 0)
-        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
-        .withColumn("__del", F.lit(False))
-    )
-    dels = o.where(F.col("o_orderkey") % 103 == 0).withColumn(
-        "__del", F.lit(True)
-    )
-    updates = bump.unionByName(ins).unionByName(dels)
-    return merge_upsert(o, updates, ["o_orderkey"], deleted_col="__del")
-
 
 @_queue(
     "dim_ablation_recall_embeddings",

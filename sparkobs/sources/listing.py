@@ -276,6 +276,11 @@ def compaction_assign(listing: DataFrame, target_bytes: int) -> DataFrame:
     return cum.select("path", "length", gid.cast("long").alias("group_id"))
 
 
+# above this many explicitly-enumerated reader paths, warn toward the
+# broadcast-pruned src_root mode (driver memory + Hadoop conf bloat)
+_ENUM_WARN_PATHS = 10_000
+
+
 def compaction_execute(
     spark: SparkSession,
     listing: DataFrame,
@@ -302,12 +307,15 @@ def compaction_execute(
     healthy), so callers can assert row preservation before swapping
     directories.
 
-    ``src_root``: pass the listed files' parent directory to read the
-    WHOLE directory and let the broadcast join prune to the listed
-    files — the million-file path, where enumerating every path as a
-    reader argument would bloat the driver. Without it the listed
-    paths are enumerated explicitly (fine for maintenance-sized
-    listings).
+    ``src_root``: the listed files' parent directory — the reader
+    reads the WHOLE directory and the broadcast join prunes to the
+    listed files: the million-file path, where enumerating every path
+    as a reader argument would bloat the driver. When not given it is
+    DERIVED from the listing whenever every listed file shares one
+    parent directory (one tiny distinct-aggregate, no path collect) —
+    the normal compaction shape — so the safe mode is the default;
+    only a multi-directory listing falls back to explicit path
+    enumeration, with a warning above ``_ENUM_WARN_PATHS`` paths.
     """
     # scheme-insensitive path key: Hadoop listings say file:/x,
     # input_file_name says file:///x
@@ -315,10 +323,33 @@ def compaction_execute(
     assign = compaction_assign(listing, target_bytes).select(
         norm(F.col("path")).alias("__src"), "group_id"
     )
+    if src_root is None:
+        # one distinct over parent dirs, bounded probe (limit 2): a
+        # single shared parent → read it and let the join prune
+        parents = (
+            listing.select(
+                F.regexp_replace(norm(F.col("path")), "/[^/]*$", "").alias("__dir")
+            )
+            .distinct()
+            .limit(2)
+            .collect()
+        )
+        if len(parents) == 1:
+            src_root = parents[0]["__dir"]
     if src_root is not None:
         reader = spark.read.parquet(src_root)
     else:
         paths = [r["path"] for r in listing.select("path").collect()]
+        if len(paths) > _ENUM_WARN_PATHS:
+            import warnings
+
+            warnings.warn(
+                f"compaction_execute enumerating {len(paths)} reader "
+                "paths on the driver — pass src_root (the files' "
+                "common ancestor) for the broadcast-pruned "
+                "million-file mode",
+                stacklevel=2,
+            )
         reader = spark.read.parquet(*paths)
     rows = (
         reader

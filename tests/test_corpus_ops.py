@@ -1196,6 +1196,37 @@ def test_compaction_execute_preserves_rows_one_file_per_group(spark, tmp_path):
     assert sorted(map(tuple, audit2.collect())) == sorted(map(tuple, rows))
 
 
+def test_compaction_execute_derives_src_root_and_prunes(spark, tmp_path):
+    """Default-safe mode (r7): with src_root omitted and all listed
+    files in one directory, the reader takes the DERIVED parent (no
+    per-path enumeration on the driver) and the broadcast join prunes
+    to the listed subset — rows from unlisted sibling files must NOT
+    leak into the rewrite."""
+    import os
+
+    from sparkobs.sources.listing import compaction_execute, list_files
+
+    src = os.path.join(str(tmp_path), "frags")
+    out = os.path.join(str(tmp_path), "compacted")
+    spark.range(2000).selectExpr("id", "id % 7 AS v").repartition(10).write.parquet(src)
+    files = sorted(
+        r["path"]
+        for r in list_files(spark, src).where("path LIKE '%.parquet'").collect()
+    )
+    subset = files[:6]  # leave 4 sibling files unlisted
+    listing = list_files(spark, src).where(
+        F.col("path").isin(subset) & F.col("path").like("%.parquet")
+    )
+    audit = compaction_execute(spark, listing, target_bytes=6 * 1024, out_dir=out)
+    rows = audit.collect()
+    assert sum(r["n_files_in"] for r in rows) == 6
+    # the rewrite holds exactly the listed files' rows (pruned subset)
+    expect = spark.read.parquet(*subset).count()
+    assert sum(r["n_rows"] for r in rows) == expect
+    assert spark.read.parquet(out).count() == expect
+    assert all(r["n_files_out"] == 1 for r in rows)
+
+
 def test_bm25_matches_hand_computation(spark):
     import math
 

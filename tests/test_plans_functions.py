@@ -24,6 +24,14 @@ from sparkobs.plans import (
 SF = "/root/testdata/sf0.001"
 
 
+def _q(name):
+    """Resolve a query callable whether it has been promoted into the
+    registry (queries.py) or still sits in the staging queue."""
+    from sparkobs.queries_next import R7_QUEUE
+
+    return Q.SPARK_QUERIES[name] if name in Q.SPARK_QUERIES else R7_QUEUE[name][0]
+
+
 def test_pricing_summary_pushdown_and_pruning(spark):
     df = Q.SPARK_QUERIES["pricing_summary"](spark, SF)
     assert_pushdown(df, "l_shipdate")
@@ -388,7 +396,7 @@ def test_iterative_wave_plan_discipline(spark):
     # lineage, so the FINAL plan scans the corpus exactly once, the
     # assignment join broadcasts the k-row centroid table, and the
     # stats agg is partial+final
-    km = R7_QUEUE["kmeans_embeddings"][0](spark, SF)
+    km = _q("kmeans_embeddings")(spark, SF)
     assert len(scans(km)) == 1
     p = physical_plan(km)
     assert "BroadcastExchange" in p and "CartesianProduct" not in p
@@ -396,7 +404,7 @@ def test_iterative_wave_plan_discipline(spark):
 
     # PageRank: rank/edge state is checkpointed (no parquet rescans in
     # the final plan) and nothing degenerates into a cartesian product
-    pr = R7_QUEUE["pagerank_copurchase"][0](spark, SF)
+    pr = _q("pagerank_copurchase")(spark, SF)
     assert len(scans(pr)) == 0  # everything beyond checkpoints
     assert_no_cartesian(pr)
 
@@ -405,7 +413,7 @@ def test_ols_single_scan_three_columns_one_exchange(spark):
     from sparkobs.plans import count_exchanges, scans
     from sparkobs.queries_next import R7_QUEUE
 
-    ols = R7_QUEUE["ols_pricing_lineitem"][0](spark, SF)
+    ols = _q("ols_pricing_lineitem")(spark, SF)
     sc = scans(ols)
     # one pass over lineitem reading only the three regression columns
     assert len(sc) == 1
@@ -418,7 +426,7 @@ def test_ann_recall_semi_join_no_cartesian(spark):
     from sparkobs.plans import assert_no_cartesian, physical_plan
     from sparkobs.queries_next import R7_QUEUE
 
-    df = R7_QUEUE["ann_recall_embeddings"][0](spark, SF)
+    df = _q("ann_recall_embeddings")(spark, SF)
     assert "LeftSemi" in physical_plan(df)
     assert_no_cartesian(df)
 
@@ -429,13 +437,43 @@ def test_r6_late_wave_plans_scale_worthy(spark):
 
     # BFS reachability: frontier joins are equi joins, never a
     # cartesian expansion of the co-purchase graph
-    assert_no_cartesian(R7_QUEUE["impact_reach_supply_chain"][0](spark, SF))
+    assert_no_cartesian(_q("impact_reach_supply_chain")(spark, SF))
     # lead-lag: the 13-row lag spine rides a BROADCAST onto the
     # bucket table; the shifted join is an equi join on the bucket key
-    p = physical_plan(R7_QUEUE["lead_lag_corr_events"][0](spark, SF))
+    p = physical_plan(_q("lead_lag_corr_events")(spark, SF))
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
     # SLO burn: the error predicate evaluates inside the first
     # aggregate's scan-side project (no separate pass), one plan
-    p = physical_plan(R7_QUEUE["slo_burn_rate_events"][0](spark, SF))
+    p = physical_plan(_q("slo_burn_rate_events")(spark, SF))
     assert "CartesianProduct" not in p
+
+
+def test_q8_customer_semi_reduced_before_fact_join(spark):
+    """Q8 (r7 fix): the ASIA region predicate must reach the customer
+    leg BELOW the fact join — customer ⋈ broadcast(nation ⋈
+    region[ASIA]) feeds the o_custkey join, so the supplier join sees
+    ~1/5 the rows. With CBO off Catalyst never reorders inner joins;
+    only the authored order protects the 100 TB plan."""
+    from sparkobs.plans import physical_plan
+
+    df = Q.SPARK_QUERIES["market_share_q8"](spark, SF)
+    assert_no_cartesian(df)
+    assert_pushdown(df, "r_name")  # region filter at the scan
+    # customer scan pruned to the two join keys
+    assert any(
+        "c_custkey" in s["schema"] and s["schema"].count(":") == 2
+        for s in scans(df)
+    )
+    # the region filter sits in the subtree UNDER the custkey join
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = opt.splitlines()
+    join_idx = next(
+        i for i, ln in enumerate(lines) if "Join Inner" in ln and "o_custkey" in ln
+    )
+    asia_idx = [i for i, ln in enumerate(lines) if "ASIA" in ln]
+    assert asia_idx and min(asia_idx) > join_idx, (
+        "region[ASIA] filter is not below the custkey join:\n" + opt
+    )
+    # and the customer leg's reduction is a broadcast, not a shuffle
+    assert physical_plan(df).count("BroadcastHashJoin") >= 3

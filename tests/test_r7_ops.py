@@ -1,3 +1,5 @@
+
+
 """Hand-value unit tests for the round-7 operator wave (statistics,
 series diagnostics, behavioral shapes) — the queue's oracle tests pin
 cross-engine parity; these pin the MATH on inputs small enough to
@@ -6,6 +8,16 @@ check by hand."""
 from datetime import datetime
 
 import pytest
+
+import sparkobs.queries as Q
+
+
+def _q(name):
+    """Resolve a query callable whether it has been promoted into the
+    registry (queries.py) or still sits in the staging queue."""
+    from sparkobs.queries_next import R7_QUEUE
+
+    return Q.SPARK_QUERIES[name] if name in Q.SPARK_QUERIES else R7_QUEUE[name][0]
 
 
 def test_spearman_perfect_and_inverse_monotone(spark):
@@ -196,26 +208,26 @@ def test_r7_olap_plan_discipline(spark):
     SF = "/root/testdata/sf0.001"
 
     # Q9: three broadcast dimension legs, no cartesian anywhere
-    p9 = physical_plan(R7_QUEUE["product_profit_q9"][0](spark, SF))
+    p9 = physical_plan(_q("product_profit_q9")(spark, SF))
     assert p9.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in p9
     # Q16: the supplier denylist compiles to a broadcast anti join
-    p16 = physical_plan(R7_QUEUE["supplier_variety_q16"][0](spark, SF))
+    p16 = physical_plan(_q("supplier_variety_q16")(spark, SF))
     assert "LeftAnti" in p16
     # Q19: disjunctive predicates stay a single broadcast join pass
-    p19 = physical_plan(R7_QUEUE["disjunctive_revenue_q19"][0](spark, SF))
+    p19 = physical_plan(_q("disjunctive_revenue_q19")(spark, SF))
     assert "BroadcastHashJoin" in p19 and "CartesianProduct" not in p19
     # Q2: ONE (part, supplier) aggregate serves min + membership via a
     # window — no second lineitem scan subtree
     from sparkobs.plans import scans
 
-    assert len(scans(R7_QUEUE["min_price_supplier_q2"][0](spark, SF))) == 2
+    assert len(scans(_q("min_price_supplier_q2")(spark, SF))) == 2
     # Spearman: ranks come from value tables via the distributed
     # running sum — windows are __pid-partitioned, never a global sort
     # of the raw data (the only SinglePartition exchange allowed is
     # the final 1-row statistic aggregation)
     psp = physical_plan(
-        R7_QUEUE["spearman_quantity_price_lineitem"][0](spark, SF)
+        _q("spearman_quantity_price_lineitem")(spark, SF)
     )
     assert "hashpartitioning(__pid" in psp  # the distributed-rank exchange
 
@@ -710,7 +722,7 @@ def test_late_r6_wave_plan_discipline(spark):
     # exact quantiles: the lazy plan holds only the BRACKET scan (the
     # bounds + histogram passes ran at checkpoint time); the picked
     # join broadcasts the located targets, nothing sort-merges
-    dq = R7_QUEUE["exact_quantiles_lineitem"][0](spark, SF)
+    dq = _q("exact_quantiles_lineitem")(spark, SF)
     pq = physical_plan(dq)
     assert len(scans(dq)) == 1
     assert "SortMergeJoin" not in pq
@@ -718,33 +730,33 @@ def test_late_r6_wave_plan_discipline(spark):
 
     # BM25: stats are a checkpointed 1-row broadcast, so the lazy
     # plan is ONE corpus scan and no shuffle join of the corpus
-    db = R7_QUEUE["bm25_search_documents"][0](spark, SF)
+    db = _q("bm25_search_documents")(spark, SF)
     assert len(scans(db)) == 1
     assert "SortMergeJoin" not in physical_plan(db)
 
     # salted distinct: two hash aggregations, no Expand rewrite (the
     # within-(group, salt) distinct is a plain two-level agg)
     ps = physical_plan(
-        R7_QUEUE["salted_distinct_customers_orders"][0](spark, SF)
+        _q("salted_distinct_customers_orders")(spark, SF)
     )
     assert ps.count("HashAggregate") >= 4  # partial+final at each level
     assert "CartesianProduct" not in ps
 
     # attribution: one window pass, no cartesian, no self-join scans
-    da = R7_QUEUE["attribution_linear_events"][0](spark, SF)
+    da = _q("attribution_linear_events")(spark, SF)
     assert len(scans(da)) == 1
     assert "CartesianProduct" not in physical_plan(da)
 
     # inclusion deps: the 6 distinct key sets reduce once each into
     # checkpoints (at query-construction time), so the lazy plan has
     # NO base-table scans — every pair joins key tables
-    di = R7_QUEUE["inclusion_deps_star_schema"][0](spark, SF)
+    di = _q("inclusion_deps_star_schema")(spark, SF)
     assert len(scans(di)) == 0
 
     # disorder: the prefix-max exchange is __pid-partitioned (the
     # distributed primitive), not a single global-order window over
     # the data
-    pd_ = physical_plan(R7_QUEUE["event_disorder_events"][0](spark, SF))
+    pd_ = physical_plan(_q("event_disorder_events")(spark, SF))
     assert "hashpartitioning(__pid" in pd_
 
 

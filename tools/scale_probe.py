@@ -130,6 +130,10 @@ def stage_10x(spark):
 
 FACT_QUERIES = (
     "volume_shipping_q7",
+    # Q8 (r7 join-order fix): customer semi-reduced by broadcast
+    # nation⋈region[ASIA] BEFORE the fact joins — the supplier join
+    # must stay ~1/5-row as facts grow
+    "market_share_q8",
     "small_qty_revenue_q17",
     "large_orders_q18",
     # staged (queries_next) entries resolve via the R7 queue fallback:
@@ -754,6 +758,32 @@ def probes():
 
         return slo_burn_rate(ev, "ts", F.col("event_type") == "error")
 
+    def km_surv(docs, ev, emb):
+        from sparkobs.operators.behavior import km_survival
+
+        # per-user first→last event span, observed = saw a purchase;
+        # step table is distinct-duration-sized, windows run over it
+        dur = ev.groupBy("user_id").agg(
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("long").alias("duration"),
+            F.max((F.col("event_type") == "purchase").cast("int"))
+            .cast("boolean").alias("observed"),
+        )
+        return km_survival(dur)
+
+    def monitor_suite_p(docs, ev, emb):
+        from sparkobs.monitors import monitor_suite
+
+        return monitor_suite(
+            [
+                ("events", ev, "ts",
+                 [("not_null", "user_id"), ("range", "value", 0.0, 1e9)]),
+                ("documents", docs, None,
+                 [("unique", "doc_id"), ("not_null", "text")]),
+            ],
+            as_of="2026-01-01T00:00:00",
+        )
+
     def incidents(docs, ev, emb):
         from sparkobs.operators.state import incident_groups, metric_anomalies
 
@@ -778,6 +808,8 @@ def probes():
         "normalize_text": norm,
         "key_skew_stats": skew,
         "split_assign": split,
+        "km_survival": km_surv,
+        "monitor_suite": monitor_suite_p,
         "seasonal_profile": seasonal,
         "lead_lag_corr": lead_lag,
         "slo_burn_rate": slo_burn,
