@@ -7,7 +7,10 @@ The FULL per-query map (medians + max-min spread for every query) is
 written to BENCH_full.json next to this file on every run:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {"<name>": sec, ...}, "sf": <scale factor>,
-   "reps": N, "spread": {"<name>": max_minus_min_sec, ...}}
+   "reps": N, "spread": {"<name>": max_minus_min_sec, ...},
+   "tail_queries": {...},      # every non-headline registry entry, 1 rep
+   "duckdb": {...},            # same-SQL p50 on the SAME VM and minute
+   "engine_vs_duckdb": ratio}  # spark/duckdb totals over the common set
 
 Each query is an entry from __spark_entry__.queries(); timing covers
 plan + execution + a driver-side count (materializes the full result,
@@ -151,7 +154,41 @@ HEADLINE = [
     "bpe_batched_parity_documents",
     "pca_variance_embeddings",
     "compaction_execute_documents",
+    # round-7 additions (the promoted queue wave: TPC-H completion,
+    # iterative algorithms, exact quantiles, retrieval, observability)
+    "product_profit_q9",
+    "shipmode_delay_q12",
+    "disjunctive_revenue_q19",
+    "min_price_supplier_q2",
+    "important_parts_q11",
+    "supplier_variety_q16",
+    "dominant_suppliers_q20",
+    "waiting_suppliers_q21",
+    "kmeans_embeddings",
+    "kmeans_ari_embeddings",
+    "pagerank_copurchase",
+    "pagerank_personalized_copurchase",
+    "exact_quantiles_lineitem",
+    "exact_quantiles_grouped_lineitem",
+    "triangle_census_suppliers",
+    "salted_distinct_customers_orders",
+    "attribution_linear_events",
+    "bm25_search_documents",
+    "epoch_shuffle_documents",
+    "km_survival_events",
+    "ann_recall_embeddings",
+    "merge_upsert_orders",
+    "rfm_scores_orders",
+    "scd2_user_state_events",
+    "streaming_debounce_events",
+    "streaming_ks_drift_events",
 ]
+
+# HEADLINE is the cross-round-comparable curated set (reps=3 medians,
+# tripwire-guarded vs BENCH_baseline.json). EVERY other registered
+# query is additionally benched once per round (reps=1 after one
+# warm-up) into BENCH_full.json["tail_queries"], so no registry entry
+# goes unmeasured — the rule the r6 verdict asked to make explicit.
 
 
 def main() -> None:
@@ -226,6 +263,87 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+
+    # --- tail: bench every registered query not in HEADLINE once ---
+    # (reps=1 after one warm-up; excluded from the headline total and
+    # the tripwire — a coverage record, not a comparison series)
+    tail_timings: dict[str, float] = {}
+    tail_skipped: list[str] = []
+    if os.environ.get("SPARK_GRAFT_BENCH_TAIL", "1") != "0":
+        tail_budget = float(os.environ.get("SPARK_GRAFT_BENCH_TAIL_BUDGET", "600"))
+        t_tail0 = time.perf_counter()
+        tail_names = [n for n in qs if n not in set(HEADLINE)]
+        for name in tail_names:
+            if time.perf_counter() - t_tail0 > tail_budget:
+                tail_skipped = tail_names[tail_names.index(name):]
+                print(
+                    f"# tail budget ({tail_budget}s) exhausted — "
+                    f"{len(tail_skipped)} queries unmeasured this run",
+                    file=sys.stderr,
+                )
+                break
+            try:
+                qs[name](spark, sf_dir).count()  # warm-up (codegen JIT)
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).count()
+                tail_timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — record, keep benching
+                tail_skipped.append(name)
+                print(f"# tail {name} FAILED: {exc}", file=sys.stderr)
+            _release_session_state()
+
+    # --- DuckDB same-SQL leg, SAME session/VM/minute (the r6 verdict:
+    # cross-session ratios drift with shared-VM load — 2.29x stale vs
+    # 1.15x real). p50 of the same rep count per headline oracle; a
+    # first run past the per-query budget is recorded as-is (1 rep). ---
+    duckdb_timings: dict[str, float] = {}
+    duckdb_skipped: list[str] = []
+    ratio = None
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
+        import duckdb
+
+        per_q_budget = float(os.environ.get("SPARK_GRAFT_BENCH_DUCKDB_QBUDGET", "20"))
+        total_budget = float(os.environ.get("SPARK_GRAFT_BENCH_DUCKDB_BUDGET", "300"))
+        oracles = entrymod.oracle_sql(sf_dir)
+        con = duckdb.connect()
+        tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
+        for t in tables:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        t_dk0 = time.perf_counter()
+        for name in HEADLINE:
+            sql = oracles.get(name)
+            if sql is None:
+                continue  # rows-only query: no SQL twin exists
+            if time.perf_counter() - t_dk0 > total_budget:
+                duckdb_skipped.append(name)
+                continue
+            try:
+                runs = []
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    runs.append(time.perf_counter() - t0)
+                    if runs[0] > per_q_budget:
+                        break  # one expensive run is record enough
+                runs.sort()
+                duckdb_timings[name] = round(runs[len(runs) // 2], 3)
+            except Exception as exc:  # noqa: BLE001
+                duckdb_skipped.append(name)
+                print(f"# duckdb {name} FAILED: {exc}", file=sys.stderr)
+        common = sorted(set(duckdb_timings) & set(timings))
+        d_total = sum(duckdb_timings[n] for n in common)
+        s_total = sum(timings[n] for n in common)
+        if d_total > 0:
+            ratio = round(s_total / d_total, 3)
+        print(
+            f"# engine_vs_duckdb: {ratio}x over {len(common)} common "
+            f"queries (engine {round(s_total, 2)}s vs duckdb "
+            f"{round(d_total, 2)}s, same session)",
+            file=sys.stderr,
+        )
+
     full = {
         "metric": "headline_query_wall_clock_total",
         "value": total,
@@ -234,6 +352,11 @@ def main() -> None:
         "sf": sf,
         "reps": reps,
         "spread": spread,
+        "tail_queries": tail_timings,
+        "tail_skipped": tail_skipped,
+        "duckdb": duckdb_timings,
+        "duckdb_skipped": duckdb_skipped,
+        "engine_vs_duckdb": ratio,
     }
     # The driver archives only the LAST 2,000 bytes of stdout — a
     # 69-query map blows past that and truncates into unparseable
@@ -254,6 +377,8 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "n_queries": len(timings),
+                "n_tail": len(tail_timings),
+                "engine_vs_duckdb": ratio,
                 "queries": slowest,
                 "full": "BENCH_full.json",
             }

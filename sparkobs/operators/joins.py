@@ -456,7 +456,10 @@ def cooccurrence_jaccard(
     upstream the way sparse-cosine caps hot dimensions). Jaccard is a
     single division of exact integers (|A∩B| / (|A|+|B|−|A∩B|)),
     left unrounded — bit-identical on any engine. Deterministic
-    top-k: (jaccard desc, key1, key2).
+    top-k: (jaccard desc, key1, key2). ``key_a``/``key_b`` keep the
+    input key column's type (string doc ids stay strings — r6 advice:
+    a hard long cast silently NULLed non-numeric keys and collapsed
+    distinct pairs).
     """
     b = df.select(
         F.col(key_col).alias("__k"), F.col(basket_col).alias("__b")
@@ -480,8 +483,8 @@ def cooccurrence_jaccard(
         pairs.join(F.broadcast(n1), "k1")
         .join(F.broadcast(n2), "k2")
         .select(
-            F.col("k1").cast("long").alias("key_a"),
-            F.col("k2").cast("long").alias("key_b"),
+            F.col("k1").alias("key_a"),
+            F.col("k2").alias("key_b"),
             F.col("shared").cast("long").alias("n_shared"),
             (
                 F.col("shared").cast("double")

@@ -1175,16 +1175,23 @@ def benford_screen(df: DataFrame, col: str) -> DataFrame:
     Benford's expected share log10(1 + 1/d), and the absolute
     deviation.
 
-    The leading digit is extracted from the engine's fixed
-    ``%.2f`` rendering (identical digits for money-like doubles on
-    any engine) rather than via log10/power arithmetic, whose libm
-    last-ulp differences flip digits on exact powers of ten. One
-    count aggregation; everything downstream is 9 rows."""
+    The leading digit is extracted from the engine's SHORTEST-REPR
+    string rendering (``CAST(x AS STRING)``) rather than via
+    log10/power arithmetic (libm last-ulp differences flip digits on
+    exact powers of ten) or a fixed ``%.2f``/``%e`` rendering (any
+    rounding render can CARRY across a power of ten: ``%.2f`` turns
+    9.995 into "10.00" → digit 1, and drops positives below 0.005
+    entirely; even ``%.16e`` diverges cross-engine at boundaries like
+    1e-12). Shortest repr is unique per double, involves no rounding
+    that can carry, and both Spark (Double.toString) and DuckDB
+    (VARCHAR cast) emit it — so the screen is exact for ANY positive
+    double, scale-spanning included. One count aggregation;
+    everything downstream is 9 rows."""
     digit = F.regexp_extract(
-        F.format_string("%.2f", F.abs(F.col(col))), "([1-9])", 1
+        F.abs(F.col(col)).cast("string"), "([1-9])", 1
     )
     counts = (
-        df.where(F.col(col).isNotNull() & (F.abs(F.col(col)) >= 1e-9))
+        df.where(F.col(col).isNotNull() & (F.abs(F.col(col)) > 0))
         .groupBy(digit.cast("int").alias("digit"))
         .agg(F.count(F.lit(1)).alias("n_values"))
         .where(F.col("digit").isNotNull())

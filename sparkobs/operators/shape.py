@@ -220,9 +220,15 @@ def inclusion_coefficient(
     set is derived twice. Callers screening MANY column pairs should
     pre-dedupe each key set once (checkpointed) and pass
     ``distinct=False`` — a column reused across pairs then costs one
-    distinct reduction total, not one per pair. Output: 1 row of
-    exact integers plus the unrounded containment ratio (a single
-    division of identical bigints)."""
+    distinct reduction total, not one per pair. ``distinct=False``
+    trusts only the A side: the B (membership) side is ALWAYS
+    deduplicated, because a duplicated B key would fan out the left
+    join and silently inflate both counts (containment > 1) — on an
+    already-distinct pre-deduped pass the extra dedupe is a no-op
+    agg, on a mis-called one it is the difference between a wrong
+    screen and a correct one (r6 advice). Output: 1 row of exact
+    integers plus the unrounded containment ratio (a single division
+    of identical bigints)."""
     ka = df_a.select(F.col(col_a).alias("__k")).where(
         F.col("__k").isNotNull()
     )
@@ -230,8 +236,8 @@ def inclusion_coefficient(
         F.col("__k").isNotNull()
     )
     if distinct:
-        ka, kb = ka.distinct(), kb.distinct()
-    kb = kb.withColumn("__hit", F.lit(1))
+        ka = ka.distinct()
+    kb = kb.distinct().withColumn("__hit", F.lit(1))
     return (
         ka.join(kb, "__k", "left")
         .agg(

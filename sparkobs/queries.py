@@ -8131,11 +8131,11 @@ def cramers_v_events_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     "benford_totalprice_orders",
     oracle="""
     WITH c AS (
-      SELECT TRY_CAST(regexp_extract(printf('%.2f', abs(o_totalprice)),
+      SELECT TRY_CAST(regexp_extract(CAST(abs(o_totalprice) AS VARCHAR),
                                      '([1-9])', 1) AS INT) AS digit,
              count(*) AS n_values
       FROM orders
-      WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1e-9
+      WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) > 0
       GROUP BY 1),
     c2 AS (SELECT digit, n_values FROM c WHERE digit IS NOT NULL),
     t AS (SELECT sum(n_values) AS nn FROM c2)

@@ -209,6 +209,26 @@ def test_cooccurrence_jaccard_hand_sets(spark):
     )
 
 
+def test_cooccurrence_jaccard_string_keys_survive(spark):
+    """r6 advice: the output used to hard-cast keys to long, silently
+    NULLing string ids (documents by shared shingles) and collapsing
+    distinct pairs — keys must keep their input type."""
+    from sparkobs.operators.joins import cooccurrence_jaccard
+
+    rows = (
+        [("docA", s) for s in ("x", "y", "z")]
+        + [("docB", s) for s in ("y", "z", "w")]
+        + [("docC", s) for s in ("q",)]
+    )
+    df = spark.createDataFrame(rows, "k string, b string")
+    got = cooccurrence_jaccard(df, "k", "b", top_k=10).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["key_a"], r["key_b"], r["n_shared"], r["jaccard"]) == (
+        "docA", "docB", 2, 0.5,
+    )
+
+
 def test_global_running_max_strict_prefix(spark):
     from pyspark.sql import functions as F
 

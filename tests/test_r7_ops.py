@@ -923,3 +923,46 @@ def test_monitor_suite_requires_some_work(spark):
     df = spark.range(1)
     with _pytest.raises(ValueError, match="at least one table"):
         monitor_suite([("t", df, None, [])], as_of="2024-02-01 00:00:00")
+
+
+def test_monitor_suite_per_table_sla_override(spark):
+    """r6 advice: tables with different cadences share one suite — a
+    5-tuple spec carries its own sla_seconds, others keep the default."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.monitors import monitor_suite
+
+    fresh = spark.createDataFrame(
+        [("2024-01-31 23:00:00",)], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    out = monitor_suite(
+        [
+            ("hourly", fresh, "ts", [], 1800),          # 30 min SLA: stale
+            ("daily", fresh, "ts", []),                  # default 7d: fresh
+        ],
+        as_of="2024-02-01 00:00:00",
+    ).collect()
+    got = {r["table_name"]: r["passed"] for r in out}
+    assert got == {"hourly": False, "daily": True}
+    stal = {r["table_name"]: r["metric_value"] for r in out}
+    assert stal["hourly"] == stal["daily"] == 3600.0
+
+
+def test_benford_power_of_ten_boundaries_and_small_positives(spark):
+    """r6 advice: the %.2f rendering reported digit 1 for 9.995-style
+    values that round across a power of ten and silently dropped
+    positives below 0.005 — shortest-repr digits do neither."""
+    from sparkobs.operators.profile import benford_screen
+
+    df = spark.createDataFrame(
+        [(9.995,), (99999.995,), (0.004,), (0.00049,), (1e-12,), (2.5,)],
+        "x double",
+    )
+    rows = {r["digit"]: r["n_values"] for r in benford_screen(df, "x").collect()}
+    # 9.995 and 99999.995 are NINES (the %.2f render said 1)
+    assert rows.get(9) == 2
+    # sub-0.005 positives are kept, not dropped
+    assert rows.get(4) == 2  # 0.004, 0.00049
+    assert rows.get(1) == 1  # 1e-12
+    assert rows.get(2) == 1
+    assert sum(rows.values()) == 6

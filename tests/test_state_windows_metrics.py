@@ -242,6 +242,19 @@ def test_inclusion_coefficient_directions_and_nulls(spark):
     assert (rev["n_from_distinct"], rev["n_contained"]) == (3, 2)
 
 
+def test_inclusion_coefficient_b_side_dupes_never_fan_out(spark):
+    """r6 advice: with distinct=False, duplicated B-side keys used to
+    fan out the left join and inflate containment past 1.0 — the B
+    side is now deduplicated unconditionally."""
+    from sparkobs.operators.shape import inclusion_coefficient
+
+    a = spark.createDataFrame([(1,), (2,), (3,)], "k int")  # pre-deduped
+    b = spark.createDataFrame([(2,), (2,), (2,), (3,)], "k int")  # dupes!
+    r = inclusion_coefficient(a, "k", b, "k", distinct=False).collect()[0]
+    assert (r["n_from_distinct"], r["n_contained"]) == (3, 2)
+    assert r["containment"] == 2 / 3 <= 1.0
+
+
 def test_merge_upsert_update_insert_delete_semantics(spark):
     from sparkobs.operators.state import merge_upsert
 
