@@ -129,9 +129,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
-    """Oracle SQL per query. A few oracles (the FS-listing family) stat
-    the data directory itself via DuckDB read_blob and carry an
-    ``{SF_DIR}`` placeholder; the driver runs correctness at sf0.01, so
-    the no-arg call (the driver contract) substitutes that path.
-    tools/check_oracle.py passes its actual sf dir."""
-    return {n: sql.replace("{SF_DIR}", sf_dir) for n, sql in Q.ORACLE_SQL.items()}
+    """Oracle SQL per query. A few oracles (the FS-listing family and
+    the staged-layout queries) reference the data/staged directories
+    through placeholders ({SF_DIR}, {ZM16_DIR} — resolved by
+    sparkobs.io.oracle_substitute); the driver runs correctness at
+    sf0.01, so the no-arg call (the driver contract) substitutes that
+    path. tools/check_oracle.py passes its actual sf dir."""
+    from sparkobs.io import oracle_substitute
+
+    return {n: oracle_substitute(sql, sf_dir) for n, sql in Q.ORACLE_SQL.items()}

@@ -38,6 +38,36 @@ TABLES = (
 )
 
 
+def zone_map_stage_dir(sf_dir: str) -> str:
+    """Canonical staging directory for the zone-map demo layout: a
+    range-partitioned rewrite of ``orders`` keyed only by the sf dir's
+    basename — a PURE STRING function of the sf path, so DuckDB oracle
+    SQL can name the same directory through the ``{ZM16_DIR}``
+    placeholder (``oracle_substitute``) without hashing."""
+    import os
+    import tempfile
+
+    base = os.path.basename(os.path.realpath(sf_dir).rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"sparkobs_zm16_{base}")
+
+
+def oracle_substitute(sql: str, sf_dir: str) -> str:
+    """Resolve every oracle-SQL placeholder for ``sf_dir``. One shared
+    implementation for the driver contract (``__spark_entry__``), the
+    local checker, and the queue tests — placeholders are a convention,
+    not per-call-site string surgery:
+
+    - ``{SF_DIR}``   → the parquet directory under test
+    - ``{ZM16_DIR}`` → the staged range-partitioned layout for the
+      zone-map queries (see :func:`zone_map_stage_dir`)
+    """
+    import os
+
+    return sql.replace("{SF_DIR}", os.path.realpath(sf_dir)).replace(
+        "{ZM16_DIR}", zone_map_stage_dir(sf_dir)
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Full/partial table scan (OP-01): lazy parquet read.
 

@@ -1036,3 +1036,72 @@ def monitor_suite_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         as_of="2024-02-01 00:00:00",
     )
+
+
+@_queue(
+    "zone_map_prune_orders",
+    oracle="""
+    WITH zm AS (
+      SELECT filename,
+             min(o_orderdate) AS mn, max(o_orderdate) AS mx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM read_parquet('{ZM16_DIR}/*.parquet', filename=true)
+      GROUP BY 1),
+    cls AS (
+      SELECT CASE
+               WHEN mx < TIMESTAMP '1996-01-01 00:00:00'
+                 OR mn > TIMESTAMP '1996-12-31 00:00:00' THEN 'pruned'
+               WHEN mn >= TIMESTAMP '1996-01-01 00:00:00'
+                AND mx <= TIMESTAMP '1996-12-31 00:00:00' THEN 'full'
+               ELSE 'partial' END AS c,
+             n
+      FROM zm)
+    SELECT CAST(count(*) AS BIGINT) AS n_fragments,
+           CAST(coalesce(sum(CASE WHEN c = 'pruned' THEN 1 END), 0) AS BIGINT) AS n_pruned,
+           CAST(coalesce(sum(CASE WHEN c = 'full' THEN 1 END), 0) AS BIGINT) AS n_full,
+           CAST(coalesce(sum(CASE WHEN c = 'partial' THEN 1 END), 0) AS BIGINT) AS n_partial,
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS rows_total,
+           CAST(coalesce(sum(CASE WHEN c = 'pruned' THEN n END), 0) AS BIGINT) AS rows_pruned,
+           CAST(coalesce(sum(CASE WHEN c = 'full' THEN n END), 0) AS BIGINT) AS rows_full,
+           CAST(coalesce(sum(CASE WHEN c = 'partial' THEN n END), 0) AS BIGINT) AS rows_partial,
+           CASE WHEN coalesce(sum(n), 0) > 0 THEN
+             CAST(coalesce(sum(CASE WHEN c = 'pruned' THEN n END), 0) AS DOUBLE)
+               / CAST(sum(n) AS DOUBLE)
+           END AS share_rows_pruned
+    FROM cls
+    """,
+)
+def zone_map_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map prune estimation (extension: the last
+    reference-adjacent storage-health capability — the reference's
+    storage monitors track per-object size/mtime, a zone map tracks
+    per-object VALUE ranges, which is what decides whether a range
+    predicate can skip the object entirely). Stages orders as a
+    16-fragment range-partitioned layout (the staged-dir oracle
+    convention from compaction_plan_sf_dir: both engines read the
+    SAME staged files, so the sampling inside repartitionByRange never
+    has to reproduce cross-engine), builds the fragment min/max map in
+    one column-pruned scan, and estimates what the 1996 order-year
+    predicate can skip: fragments and rows per
+    pruned/full/partial class, exact integers + one unrounded share.
+    At 100 TB the map is built once (or read from footers) and every
+    subsequent predicate estimate is metadata-only."""
+    import os
+
+    from sparkobs.io import zone_map_stage_dir
+    from sparkobs.sources.listing import zone_map_build, zone_map_prune_estimate
+
+    stage = zone_map_stage_dir(sf_dir)
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "orders")
+            .repartitionByRange(16, "o_orderdate")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+    zmap = zone_map_build(spark, stage, "o_orderdate")
+    return zone_map_prune_estimate(
+        zmap,
+        F.lit("1996-01-01 00:00:00").cast("timestamp"),
+        F.lit("1996-12-31 00:00:00").cast("timestamp"),
+    )

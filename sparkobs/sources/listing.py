@@ -381,3 +381,71 @@ def compaction_execute(
     return merged.join(out_files, "group_id").select(
         "group_id", "n_files_in", "n_rows", "n_files_out"
     )
+
+
+def zone_map_build(spark: SparkSession, data_dir: str, col: str) -> DataFrame:
+    """Zone-map (fragment min/max index) build over a parquet layout:
+    per fragment, (path, min_val, max_val, n_rows) for ``col`` — the
+    storage-health primitive behind partition-prune estimation
+    (extension of the reference's storage monitors: s3_key_monitor.py
+    tracks per-object size/mtime; a zone map tracks per-object VALUE
+    ranges, which is what decides whether a predicate can skip it).
+
+    Scale shape: ONE column-pruned distributed scan grouped by
+    ``input_file_name()`` — at 100 TB you build the map ONCE (or read
+    footer statistics, which this aggregate reproduces exactly while
+    also being NaN/NULL-honest) and it is fragment-count-sized;
+    every subsequent predicate estimate is then a metadata-only query
+    over the map, never a data scan."""
+    norm = F.regexp_replace(F.input_file_name(), "^[a-z0-9+.-]+:/+", "/")
+    return (
+        spark.read.parquet(data_dir)
+        .groupBy(norm.alias("path"))
+        .agg(
+            F.min(col).alias("min_val"),
+            F.max(col).alias("max_val"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+def zone_map_prune_estimate(zmap: DataFrame, lo, hi) -> DataFrame:
+    """Estimate what a range predicate ``lo <= col <= hi`` can skip,
+    from the zone map alone: each fragment classifies as ``pruned``
+    (range disjoint from the predicate — never read), ``full``
+    (entirely inside — read without filtering), or ``partial``
+    (overlapping — read and filter). Output is ONE row of exact
+    integers (fragment + row counts per class) plus the unrounded
+    prunable-row share; cost is one aggregate over the
+    fragment-count-sized map."""
+    is_pruned = (F.col("max_val") < lo) | (F.col("min_val") > hi)
+    is_full = (F.col("min_val") >= lo) & (F.col("max_val") <= hi)
+    cls = F.when(is_pruned, "pruned").when(is_full, "full").otherwise("partial")
+    per = zmap.select(cls.alias("__c"), "n_rows")
+
+    def _n(tag):
+        return F.coalesce(
+            F.sum(F.when(F.col("__c") == tag, F.lit(1))), F.lit(0)
+        ).cast("long")
+
+    def _rows(tag):
+        return F.coalesce(
+            F.sum(F.when(F.col("__c") == tag, F.col("n_rows"))), F.lit(0)
+        ).cast("long")
+
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fragments"),
+        _n("pruned").alias("n_pruned"),
+        _n("full").alias("n_full"),
+        _n("partial").alias("n_partial"),
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("rows_total"),
+        _rows("pruned").alias("rows_pruned"),
+        _rows("full").alias("rows_full"),
+        _rows("partial").alias("rows_partial"),
+    ).select(
+        "*",
+        F.when(
+            F.col("rows_total") > 0,
+            F.col("rows_pruned") / F.col("rows_total"),
+        ).alias("share_rows_pruned"),
+    )

@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 from check_oracle import TABLES, canon  # noqa: E402
 
+from sparkobs.io import oracle_substitute  # noqa: E402
 from sparkobs.queries_next import R7_QUEUE  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
@@ -39,7 +40,7 @@ def test_r7_queue_entry_matches_oracle(spark, oracle_con, name):
     if oracle is None:
         assert len(s_rows) >= 0
         return
-    res = oracle_con.execute(oracle.replace("{SF_DIR}", os.path.realpath(SF)))
+    res = oracle_con.execute(oracle_substitute(oracle, SF))
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
     assert len(s_rows) == len(d_rows), f"{name}: row count"
@@ -74,9 +75,7 @@ def test_r7_queue_entry_matches_oracle_sf01(spark, oracle_con_01, name):
     if oracle is None:
         assert len(s_rows) >= 0
         return
-    res = oracle_con_01.execute(
-        oracle.replace("{SF_DIR}", os.path.realpath(SF01))
-    )
+    res = oracle_con_01.execute(oracle_substitute(oracle, SF01))
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
     assert len(s_rows) == len(d_rows), f"{name}: row count"

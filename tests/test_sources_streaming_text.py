@@ -744,3 +744,30 @@ def test_streaming_binned_counts_state_is_geometry_bounded(spark, sf_dir):
         load_table(spark, sf_dir, "events").where(F.col("value").isNotNull()).count()
     )
     assert sum(r["c"] for r in got) == n_nonnull
+
+
+def test_zone_map_classification_hand_values(spark, tmp_path):
+    """pruned/full/partial classes and row accounting, on fragments
+    with known ranges: [0,9] [10,19] [20,29] vs predicate [12,25]."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkobs.sources.listing import zone_map_build, zone_map_prune_estimate
+
+    d = os.path.join(str(tmp_path), "zm")
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    zmap = zone_map_build(spark, d, "id")
+    assert zmap.count() == 3
+    r = zone_map_prune_estimate(zmap, F.lit(12), F.lit(25)).collect()[0]
+    # [0,9] pruned; [10,19] and [20,29] overlap partially; none full
+    assert (r["n_fragments"], r["n_pruned"], r["n_full"], r["n_partial"]) == (3, 1, 0, 2)
+    assert (r["rows_total"], r["rows_pruned"], r["rows_partial"]) == (30, 10, 20)
+    assert r["share_rows_pruned"] == 10 / 30
+    # fully-contained predicate: everything prunes except one full frag
+    r2 = zone_map_prune_estimate(zmap, F.lit(10), F.lit(19)).collect()[0]
+    assert (r2["n_pruned"], r2["n_full"], r2["n_partial"]) == (2, 1, 0)
+    assert r2["rows_full"] == 10

@@ -78,9 +78,11 @@ def main(argv: list[str] | None = None) -> int:
         # swept with the same comparison it will face after promotion
         from sparkobs.queries_next import R7_QUEUE
 
+        from sparkobs.io import oracle_substitute
+
         qs = {n: fn for n, (fn, _) in R7_QUEUE.items()}
         oracles = {
-            n: o.replace("{SF_DIR}", os.path.realpath(sf_dir))
+            n: oracle_substitute(o, sf_dir)
             for n, (_, o) in R7_QUEUE.items()
             if o is not None
         }
