@@ -1105,3 +1105,47 @@ def zone_map_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("1996-01-01 00:00:00").cast("timestamp"),
         F.lit("1996-12-31 00:00:00").cast("timestamp"),
     )
+
+
+@_queue(
+    "cube_revenue_status_priority",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           o_orderpriority AS priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_revenue_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE / grouping-sets aggregation (OP-24/OP-34 extension — the
+    one OLAP grouping shape rollup_revenue_region_nation left
+    uncovered): all four (status, priority) grouping combinations in
+    ONE pass via Catalyst's Expand (each input row fans to its 4
+    grouping sets map-side; one shuffle, partial+final aggs — never 4
+    scans). GROUPING flags are emitted as explicit per-column 0/1
+    markers (engine-portable; bitmask bit ORDER is not). Money sums
+    accumulate exact integer cents, one final division (half-cent
+    convention)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.sum(cents) / F.lit(100.0)).alias("total_price"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total_price",
+        )
+    )

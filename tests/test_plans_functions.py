@@ -477,3 +477,16 @@ def test_q8_customer_semi_reduced_before_fact_join(spark):
     )
     # and the customer leg's reduction is a broadcast, not a shuffle
     assert physical_plan(df).count("BroadcastHashJoin") >= 3
+
+
+def test_cube_single_expand_one_shuffle(spark):
+    """CUBE must be Catalyst's Expand over ONE scan + one partial/final
+    agg pair — 2^k grouping sets from one pass, never k scans."""
+    from sparkobs.plans import count_exchanges, physical_plan, scans
+
+    df = _q("cube_revenue_status_priority")(spark, SF)
+    p = physical_plan(df)
+    assert "Expand" in p
+    assert len(scans(df)) == 1
+    assert count_exchanges(df) == 1
+    assert_partial_final_agg(df)
