@@ -37,7 +37,12 @@ error-budget burn monitor in batch and watermarked-streaming form
 metrics), a column-level diff drill-down (null-safe per-column
 mismatch counts behind table_diff's row verdict), and the
 declarative monitor_suite capstone (freshness + contract batteries
-for configured tables as one verdict frame).
+for configured tables as one verdict frame). New-in-r7 staged
+additions: zone-map prune estimation over a staged range-partitioned
+layout (the r7 stretch — fragment min/max map from one column-pruned
+scan, metadata-only estimates per predicate, `{ZM16_DIR}` oracle
+placeholder), and CUBE grouping-sets aggregation (one Expand pass,
+per-column GROUPING flags — bitmask order is not engine-portable).
 """
 
 from __future__ import annotations
