@@ -610,6 +610,96 @@ def hll_grouped(
     )
 
 
+def hll_sliding_distinct(
+    df: DataFrame,
+    ts_col: str,
+    col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Sliding-window distinct-count estimates per day from DAILY HLL
+    register tables — the "7-day active users, reported daily" ask,
+    which exact COUNT DISTINCT cannot serve at scale because sliding
+    windows overlap (each raw row would be re-counted window_days
+    times). Registers are built ONCE per (day, bucket) in one hash agg
+    over the facts; each day's window is then a cellwise max over ≤
+    window_days × m register rows, so ANY window length or alignment
+    is a register merge over day-count-sized state, never a rescan.
+
+    The window for day d is the trailing [d-(window_days-1), d],
+    reported only for days present in the data. The exact twin (a
+    range join re-counting raw rows per window) rides along for the
+    certification view — drop it at 100 TB and keep the merge.
+
+    Same portable register construction as :func:`hll_registers`
+    (md5-derived 33-bit rho), so a DuckDB oracle replays the whole
+    pipeline bit for bit."""
+    m = _HLL_M
+    day = F.to_date(F.col(ts_col))
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hdf = df.where(F.col(col).isNotNull()).select(day.alias("__d"), h.alias("__h"))
+    sub = F.pmod(F.shiftright(F.col("__h"), 8), F.lit(4294967296))
+    rho = F.when(sub > 0, F.lit(33) - F.length(F.bin(sub))).otherwise(F.lit(33))
+    regs = (
+        hdf.select("__d", (F.col("__h") % m).alias("bucket"), rho.alias("rho"))
+        .groupBy("__d", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    days = regs.select(F.col("__d").alias("__t")).distinct()
+    # each day's registers contribute to the window_days target days
+    # they fall inside; semi-join keeps only targets that exist
+    contrib = (
+        regs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("__off"),
+            "__d",
+            "bucket",
+            "reg",
+        )
+        .select(
+            F.date_add(F.col("__d"), F.col("__off")).alias("__t"), "bucket", "reg"
+        )
+        .join(F.broadcast(days), "__t", "left_semi")
+    )
+    merged = contrib.groupBy("__t", "bucket").agg(F.max("reg").alias("reg"))
+    agg = merged.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("shiftleft(1L, 33 - reg)")).alias("s_present"),
+    )
+    s_total = F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(2**33)
+    raw = F.lit(_HLL_ALPHA * m * m * 2**33) / s_total
+    v = F.lit(m) - F.col("n_present")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(m) / v)
+    ).otherwise(raw)
+    ests = agg.select("__t", F.round(est, 2).alias("est_distinct"))
+    keyed = df.where(F.col(col).isNotNull()).select(
+        day.alias("__d"), F.col(col).alias("__k")
+    )
+    exact = (
+        days.join(
+            keyed,
+            (F.col("__d") <= F.col("__t"))
+            & (F.col("__d") >= F.date_sub(F.col("__t"), window_days - 1)),
+        )
+        .groupBy("__t")
+        .agg(F.count_distinct("__k").cast("long").alias("exact_distinct"))
+    )
+    return (
+        ests.join(exact, "__t")
+        .select(
+            F.col("__t").alias("day"),
+            "est_distinct",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+
+
 def histogram_quantiles(
     df: DataFrame,
     col: str,

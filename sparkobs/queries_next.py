@@ -41,8 +41,12 @@ for configured tables as one verdict frame). New-in-r7 staged
 additions: zone-map prune estimation over a staged range-partitioned
 layout (the r7 stretch — fragment min/max map from one column-pruned
 scan, metadata-only estimates per predicate, `{ZM16_DIR}` oracle
-placeholder), and CUBE grouping-sets aggregation (one Expand pass,
-per-column GROUPING flags — bitmask order is not engine-portable).
+placeholder), CUBE grouping-sets aggregation (one Expand pass,
+per-column GROUPING flags — bitmask order is not engine-portable),
+and sliding-window distinct users via daily HLL register merges
+(trailing windows as cellwise register max — overlapping exact
+COUNT DISTINCT re-counts raw rows window-length times; the sketch
+merges day-count-sized state instead).
 """
 
 from __future__ import annotations
@@ -1153,4 +1157,64 @@ def cube_revenue_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "total_price",
         )
+    )
+
+
+def _hll_sliding_oracle(window_days: int = 7) -> str:
+    from sparkobs.operators.profile import _HLL_ALPHA, _HLL_M
+    from sparkobs.queries import _hex15_sql
+
+    m = _HLL_M
+    num = repr(_HLL_ALPHA * m * m * 2**33)
+    w = window_days - 1
+    return f"""
+    WITH h0 AS (SELECT CAST(ts AS DATE) AS d,
+                       md5(CAST(user_id AS VARCHAR)) AS dg
+                FROM events WHERE user_id IS NOT NULL),
+    h AS (SELECT d, {_hex15_sql('dg')} AS hv FROM h0),
+    regs AS (SELECT d, hv % {m} AS bucket,
+                    max(CASE WHEN (hv >> 8) % 4294967296 > 0
+                             THEN 33 - length(bin((hv >> 8) % 4294967296))
+                             ELSE 33 END) AS reg
+             FROM h GROUP BY 1, 2),
+    days AS (SELECT DISTINCT d AS t FROM regs),
+    merged AS (SELECT t, bucket, max(reg) AS reg
+               FROM regs JOIN days ON d BETWEEN t - {w} AND t
+               GROUP BY 1, 2),
+    agg AS (SELECT t, count(*) AS n_present,
+                   sum(CAST(1 AS BIGINT) << (33 - reg))
+                   + ({m} - count(*)) * CAST(8589934592 AS BIGINT) AS s_total
+            FROM merged GROUP BY 1),
+    est AS (SELECT t,
+                   round(CASE WHEN {num} / s_total <= {2.5 * m}
+                               AND {m} - n_present > 0
+                              THEN {float(m)} * ln({m} / ({m} - n_present))
+                              ELSE {num} / s_total END, 2) AS est_distinct
+            FROM agg),
+    ex AS (SELECT t, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+           FROM days JOIN (SELECT CAST(ts AS DATE) AS d, user_id
+                           FROM events WHERE user_id IS NOT NULL) e
+             ON e.d BETWEEN t - {w} AND t
+           GROUP BY 1)
+    SELECT est.t AS day, est_distinct, exact_distinct,
+           round(abs(est_distinct - exact_distinct) / exact_distinct, 4) AS rel_err
+    FROM est JOIN ex USING (t)
+    """
+
+
+@_queue("hll_sliding_users_events", oracle=_hll_sliding_oracle())
+def hll_sliding_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day sliding distinct-user estimates per day from daily HLL
+    register merges (extension: the "weekly active users, daily"
+    rollup that exact COUNT DISTINCT cannot serve at scale — sliding
+    windows overlap, so raw rows would re-count 7×; register tables
+    merge by cellwise max instead). Registers build in ONE hash agg;
+    per-day windows merge ≤ 7×256 register rows; the exact twin rides
+    along for certification and is dropped at 100 TB. Same portable
+    md5 register pipeline as the certified hll_* family, replayed end
+    to end by the DuckDB oracle."""
+    from sparkobs.operators.profile import hll_sliding_distinct
+
+    return hll_sliding_distinct(
+        load_table(spark, sf_dir, "events"), "ts", "user_id", window_days=7
     )

@@ -218,3 +218,33 @@ def test_exact_quantiles_grouped_bit_identical_per_group(spark):
     for row in ref:
         for q, rv in zip(qs, row["p"]):
             assert mine[(row["g"], q)] == (rv, row["n"]), (row["g"], q)
+
+
+def test_hll_sliding_distinct_window_alignment(spark):
+    """Trailing-window semantics by hand: 3 days, overlapping users —
+    the exact twin pins the window alignment, and at these tiny
+    cardinalities the linear-counting branch makes the estimate agree
+    exactly with the register count."""
+    from datetime import datetime
+
+    from sparkobs.operators.profile import hll_sliding_distinct
+
+    rows = (
+        [(datetime(2024, 1, 1, 10), f"u{i}") for i in range(3)]       # d1: u0-u2
+        + [(datetime(2024, 1, 2, 10), f"u{i}") for i in (0, 3)]       # d2: u0,u3
+        + [(datetime(2024, 1, 5, 10), f"u{i}") for i in (4,)]         # d5: u4
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, user_id string")
+    got = {
+        str(r["day"]): r["exact_distinct"]
+        for r in hll_sliding_distinct(df, "ts", "user_id", window_days=3).collect()
+    }
+    # day1 window {d1}: u0-u2 =3; day2 window {d1,d2}: u0-u3 =4;
+    # day5 window {d3..d5} -> only d5: u4 =1
+    assert got == {"2024-01-01": 3, "2024-01-02": 4, "2024-01-05": 1}
+    ests = {
+        str(r["day"]): r["est_distinct"]
+        for r in hll_sliding_distinct(df, "ts", "user_id", window_days=3).collect()
+    }
+    for d, exact in got.items():
+        assert abs(ests[d] - exact) / exact < 0.35  # tiny-m noise bound

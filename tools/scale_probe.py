@@ -165,6 +165,11 @@ FACT_QUERIES = (
     "impact_reach_supply_chain",
     # column diff drilldown: one co-located key join + one agg, linear
     "diff_columns_orders",
+    # zone map: build is one column-pruned scan; estimate is
+    # fragment-count-bound (the layout re-stages per mirror dir)
+    "zone_map_prune_orders",
+    # CUBE: one Expand pass (4 grouping sets map-side), one shuffle
+    "cube_revenue_status_priority",
 )
 
 
@@ -323,6 +328,11 @@ def probes():
         from sparkobs.operators.profile import hll_distinct
 
         return hll_distinct(ev, ["user_id", "event_id"])
+
+    def hll_sliding(docs, ev, emb):
+        from sparkobs.operators.profile import hll_sliding_distinct
+
+        return hll_sliding_distinct(ev, "ts", "user_id", window_days=7)
 
     def cms(docs, ev, emb):
         from sparkobs.operators.profile import cms_build, cms_estimate
@@ -822,6 +832,7 @@ def probes():
         "upsample_mixture": upsample,
         "bpe_train": bpe,
         "hll_distinct": hll,
+        "hll_sliding": hll_sliding,
         "cms_estimate": cms,
         "group_zscore": zscore,
         "winsorize": winsor,
