@@ -53,10 +53,12 @@ _PRIORITY: list[str] = [
     # + 1 rows-only by design — no failures to re-certify). Leads
     # with the TPC-H completion (all 22 shapes now registered) and
     # the iterative wave (k-means/ARI/PageRank — fixed-point +
-    # unrolled-CTE oracles). The 17 newest-staged entries remain in
-    # queries_next.py (len(R7_QUEUE) authoritative) and fill the r8
-    # gate first, same discipline; the r8 gate then has ~33 free
-    # slots for re-certifying the stalest registry entries.
+    # unrolled-CTE oracles). The newest-staged entries remain in
+    # queries_next.py (len(R7_QUEUE) is authoritative — the 17 held
+    # back by the gate plus everything staged during round 7) and
+    # fill the r8 gate first, same discipline; the r8 gate's
+    # remaining slots re-certify the stalest registry entries
+    # (oldest CORRECTNESS round first).
     "product_profit_q9",              # TPC-H Q9 product profit (5-table)
     "shipmode_delay_q12",             # TPC-H Q12 shipmode priority
     "disjunctive_revenue_q19",        # TPC-H Q19 disjunctive predicates

@@ -601,3 +601,55 @@ def patchify_media(
         "id bigint, patch_row int, patch_col int, n_channels int, "
         "mean_value double, error string",
     )
+
+
+def image_ahash(media: DataFrame, max_bits: int = 64) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per image — the
+    image-dedup key: two files whose PIXELS match hash identically no
+    matter the container (a PGM and a PNG of the same raster collide
+    by construction), so exact-pixel image duplicates fall out of a
+    plain groupBy, and near-dups can band the bits SimHash-style.
+
+    Per image: flatten the decoded pixel matrix row-major, keep the
+    first ``max_bits`` pixels, set bit i (MSB-first) iff
+    ``pixel_i * n > sum(pixels)`` — the strict above-the-mean test in
+    EXACT integer arithmetic (no float mean, so any engine that can
+    predict the pixels can predict the hash bit for bit). Arrow-batched
+    ``mapInPandas`` over (id, content); undecodable payloads yield a
+    NULL hash with the error string. Output: (id, format, n_pixels,
+    ahash)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _id, content in zip(pdf["id"], pdf["content"]):
+                b = bytes(content)
+                fmt = (
+                    "pgm" if b[:2] == b"P5" else
+                    "ppm" if b[:2] == b"P6" else
+                    "png" if b[:8] == b"\x89PNG\r\n\x1a\n" else "other"
+                )
+                try:
+                    px = _decode_pixels(b)
+                except Exception:  # noqa: BLE001 — typed error row
+                    px = None
+                if px is None:
+                    rows.append((int(_id), fmt, None, None, "undecodable"))
+                    continue
+                flat = [int(v) for v in px.reshape(-1)]
+                n = min(len(flat), max_bits)
+                head, total = flat[:n], sum(flat[:n])
+                h = 0
+                for i, p in enumerate(head):
+                    if p * n > total:
+                        h |= 1 << (n - 1 - i)
+                rows.append((int(_id), fmt, n, h, None))
+            yield pd.DataFrame(
+                rows, columns=["id", "format", "n_pixels", "ahash", "error"]
+            )
+
+    return media.select("id", "content").mapInPandas(
+        kernel, "id bigint, format string, n_pixels int, ahash bigint, error string"
+    )

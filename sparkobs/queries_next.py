@@ -46,7 +46,10 @@ per-column GROUPING flags — bitmask order is not engine-portable),
 and sliding-window distinct users via daily HLL register merges
 (trailing windows as cellwise register max — overlapping exact
 COUNT DISTINCT re-counts raw rows window-length times; the sketch
-merges day-count-sized state instead).
+merges day-count-sized state instead), and image exact-pixel dedup
+via average-hash (container-invariant integer aHash over decoded
+pixel matrices — the image leg of the dedup family, oracle-predicted
+from md5(text) with no decoder).
 """
 
 from __future__ import annotations
@@ -1218,3 +1221,58 @@ def hll_sliding_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_sliding_distinct(
         load_table(spark, sf_dir, "events"), "ts", "user_id", window_days=7
     )
+
+
+@_queue(
+    "image_ahash_dedup_media",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, i, ascii(substr(md5(text), CAST(i AS INT), 1)) AS p
+      FROM documents, generate_series(1, 32) AS t(i)),
+    tot AS (SELECT doc_id, sum(p) AS s FROM px GROUP BY 1),
+    h AS (SELECT px.doc_id,
+                 sum(CASE WHEN p * 32 > s
+                          THEN CAST(1 AS BIGINT) << (32 - CAST(i AS INT))
+                          ELSE CAST(0 AS BIGINT) END) AS ahash
+          FROM px JOIN tot ON px.doc_id = tot.doc_id GROUP BY 1),
+    clus AS (SELECT ahash, count(*) AS n FROM h GROUP BY 1)
+    SELECT CAST((SELECT count(*) FROM h) AS BIGINT) AS n_docs,
+           CAST((SELECT count(*) FROM h) * 2 AS BIGINT) AS n_images,
+           CAST((SELECT count(*) FROM h) AS BIGINT) AS n_container_matches,
+           CAST((SELECT count(*) FROM clus) AS BIGINT) AS n_distinct_hashes,
+           CAST((SELECT max(n) FROM clus) AS BIGINT) AS max_cluster
+    """,
+)
+def image_ahash_dedup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image exact-pixel dedup via average-hash (extension: the image
+    leg of the dedup family — aHash fingerprints collide iff the
+    decoded PIXELS match, regardless of container). Each doc stages as
+    a PGM **and** a PNG of the same md5-derived raster; both decode
+    through genuinely different code paths (netpbm header parse vs
+    zlib inflate + unfilter), hash in exact integer arithmetic
+    (bit i = pixel·n > Σpixels — no float mean), and MUST collide per
+    doc (n_container_matches ≡ n_docs, which the oracle predicts from
+    md5(text) alone without any decoder). Cluster stats fall out of a
+    groupBy on the hash — the image analog of exact_dedup."""
+    from sparkobs.operators.multimodal import image_ahash, synth_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = image_ahash(synth_media(docs)).where(F.col("ahash").isNotNull())
+    per_doc = hashes.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_fmt"),
+        F.count_distinct("ahash").alias("n_h"),
+        F.first("ahash").alias("ahash"),
+    )
+    clus = per_doc.groupBy("ahash").agg(F.count(F.lit(1)).alias("n"))
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_fmt").cast("long").alias("n_images"),
+        F.sum(
+            F.when((F.col("n_fmt") == 2) & (F.col("n_h") == 1), 1).otherwise(0)
+        ).cast("long").alias("n_container_matches"),
+    )
+    cstats = clus.agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_hashes"),
+        F.max("n").cast("long").alias("max_cluster"),
+    )
+    return stats.crossJoin(F.broadcast(cstats))

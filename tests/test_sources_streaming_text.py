@@ -771,3 +771,31 @@ def test_zone_map_classification_hand_values(spark, tmp_path):
     r2 = zone_map_prune_estimate(zmap, F.lit(10), F.lit(19)).collect()[0]
     assert (r2["n_pruned"], r2["n_full"], r2["n_partial"]) == (2, 1, 0)
     assert r2["rows_full"] == 10
+
+
+def test_image_ahash_container_invariance_and_sensitivity(spark):
+    """aHash must collide across containers of the SAME raster (PGM vs
+    PNG through different decode paths) and differ for different
+    rasters; undecodable payloads yield a NULL hash with an error."""
+    from sparkobs.operators.multimodal import image_ahash, synth_media
+
+    docs = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id bigint, text string",
+    )
+    rows = image_ahash(synth_media(docs)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], {})[r["format"]] = r["ahash"]
+    # container invariance per doc
+    for d, h in by_doc.items():
+        assert h["pgm"] == h["png"] and h["pgm"] is not None, (d, h)
+    # same text -> same raster -> same hash; different text -> different
+    assert by_doc[1]["pgm"] == by_doc[3]["pgm"]
+    assert by_doc[1]["pgm"] != by_doc[2]["pgm"]
+    # n_pixels = 32 md5 hex chars
+    assert all(r["n_pixels"] == 32 for r in rows)
+    # undecodable payload: typed error row, not an exception
+    bad = spark.createDataFrame([(9, bytearray(b"JFIF...."))], "id long, content binary")
+    r = image_ahash(bad).collect()[0]
+    assert r["ahash"] is None and r["error"] == "undecodable"
