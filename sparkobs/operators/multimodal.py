@@ -653,3 +653,108 @@ def image_ahash(media: DataFrame, max_bits: int = 64) -> DataFrame:
     return media.select("id", "content").mapInPandas(
         kernel, "id bigint, format string, n_pixels int, ahash bigint, error string"
     )
+
+
+def image_ahash_near_pairs(
+    doc_hashes: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "ahash",
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs from banded aHash — the image analog
+    of the text SimHash tier: split each ``bits``-bit hash into
+    ``n_bands`` bands; any pair within ``max_hamming`` total differing
+    bits must agree EXACTLY on at least one band whenever
+    ``max_hamming < n_bands`` (pigeonhole), so candidates come from a
+    band-bucket equi-join (Σ bucket² work, never docs²) and one
+    bit_count(xor) verify — JVM-side integer ops end to end.
+
+    Input: ONE row per image id with its integer hash (pre-dedupe
+    containers upstream). Output: (id_a, id_b, hamming) for verified
+    pairs, id_a < id_b, deterministic order."""
+    band_size = bits // n_bands
+    mask = (1 << band_size) - 1
+    h = doc_hashes.select(
+        F.col(id_col).alias("__id"), F.col(hash_col).cast("long").alias("__h")
+    )
+    bands = h.select(
+        "__id",
+        "__h",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(n_bands)])
+        ).alias("__b"),
+    ).select(
+        "__id",
+        "__h",
+        "__b",
+        # F.shiftright's numBits parameter is python-int-only — the
+        # SQL form accepts a column shift amount
+        F.expr(f"shiftright(__h, __b * {band_size}) & {mask}").alias("__bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__b") == F.col("b.__b"))
+            & (F.col("a.__bv") == F.col("b.__bv"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__h").alias("h_a"),
+            F.col("b.__h").alias("h_b"),
+        )
+        .distinct()  # a close pair can collide in several bands
+    )
+    ham = F.bit_count(F.expr("h_a ^ h_b"))
+    return (
+        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("hamming", "id_a", "id_b")
+    )
+
+
+def perturb_media(
+    media: DataFrame,
+    delta: int = 40,
+    id_offset: int = 1_000_000_000,
+) -> DataFrame:
+    """Deterministic light augmentation for near-dup certification:
+    decode each grayscale raster, bump its FIRST pixel by ``delta``
+    (values stay < 255 for the synth corpus), re-encode as PGM under
+    ``id + id_offset`` — the "lightly edited copy" every image
+    near-dup detector must catch. Pure function of the input bytes, so
+    an oracle that predicts the original pixels predicts the augmented
+    hash too. Arrow-batched; non-grayscale/undecodable rows are
+    dropped (this is a certification rig, not a general transform)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _id, content in zip(pdf["id"], pdf["content"]):
+                try:
+                    px = _decode_pixels(bytes(content))
+                except Exception:  # noqa: BLE001
+                    px = None
+                if px is None or px.shape[2] != 1:
+                    continue
+                h, w, _ = px.shape
+                flat = bytearray(px.reshape(-1).tobytes())
+                flat[0] = min(flat[0] + delta, 255)
+                rows.append(
+                    (
+                        int(_id) + id_offset,
+                        "pgm",
+                        f"P5\n{w} {h}\n255\n".encode() + bytes(flat),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["id", "container", "content"])
+
+    return media.select("id", "content").mapInPandas(
+        kernel, "id bigint, container string, content binary"
+    )

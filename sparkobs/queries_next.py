@@ -1276,3 +1276,64 @@ def image_ahash_dedup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("max_cluster"),
     )
     return stats.crossJoin(F.broadcast(cstats))
+
+
+@_queue(
+    "image_near_dup_media",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, i, ascii(substr(md5(text), CAST(i AS INT), 1)) AS p
+      FROM documents, generate_series(1, 32) AS t(i)),
+    allpx AS (
+      SELECT doc_id AS id, i, p FROM px
+      UNION ALL
+      SELECT doc_id + 1000000000 AS id, i,
+             CASE WHEN i = 1 THEN p + 40 ELSE p END AS p
+      FROM px),
+    tot AS (SELECT id, sum(p) AS s FROM allpx GROUP BY 1),
+    h AS (SELECT allpx.id,
+                 sum(CASE WHEN p * 32 > s
+                          THEN CAST(1 AS BIGINT) << (32 - CAST(i AS INT))
+                          ELSE CAST(0 AS BIGINT) END) AS ahash
+          FROM allpx JOIN tot ON allpx.id = tot.id GROUP BY 1),
+    bands AS (SELECT id, ahash, b, (ahash >> CAST(b * 8 AS INT)) & 255 AS bv
+              FROM h, generate_series(0, 3) AS g(b)),
+    cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b,
+                    a.ahash AS ha, c.ahash AS hb
+             FROM bands a JOIN bands c
+               ON a.b = c.b AND a.bv = c.bv AND a.id < c.id)
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    ORDER BY 3, 1, 2
+    """,
+)
+def image_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-duplicate detection via banded aHash (extension: the
+    near tier of the image dedup leg — catches lightly-edited copies
+    the exact-hash groupBy misses). Every doc's raster gains a planted
+    "augmented" copy (first pixel bumped — perturb_media, the jitter
+    an augmentation pipeline produces); hashes band into 4×8-bit
+    buckets, candidates come from the band equi-join (Σ bucket², never
+    images²), and bit_count(xor) verifies Hamming ≤ 3 — the pigeonhole
+    bound guarantees every pair WITHIN that budget surfaces as a
+    candidate (a planted copy whose bump flips >3 threshold bits is
+    excluded by the verify filter, identically on both engines — at
+    sf0.001 exactly one of 500 does). The oracle
+    predicts ORIGINAL and AUGMENTED hashes from md5(text) alone and
+    replays the same band join, so the whole decode → augment →
+    re-decode → band → verify pipeline is value-certified."""
+    from sparkobs.operators.multimodal import (
+        image_ahash,
+        image_ahash_near_pairs,
+        perturb_media,
+        synth_media,
+    )
+
+    orig = synth_media(load_table(spark, sf_dir, "documents")).where(
+        F.col("container") == "pgm"
+    )
+    imgs = orig.unionByName(perturb_media(orig))
+    hashes = image_ahash(imgs).where(F.col("ahash").isNotNull()).select(
+        "id", "ahash"
+    )
+    return image_ahash_near_pairs(hashes)

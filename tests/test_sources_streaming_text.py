@@ -799,3 +799,30 @@ def test_image_ahash_container_invariance_and_sensitivity(spark):
     bad = spark.createDataFrame([(9, bytearray(b"JFIF...."))], "id long, content binary")
     r = image_ahash(bad).collect()[0]
     assert r["ahash"] is None and r["error"] == "undecodable"
+
+
+def test_image_near_pairs_banding_finds_close_hashes(spark):
+    """Hand hashes: pairs within the Hamming budget are found through
+    the band join; far pairs are not; candidates collide in multiple
+    bands without duplicating output rows."""
+    from sparkobs.operators.multimodal import image_ahash_near_pairs
+
+    rows = [
+        (1, 0b10110011_01010101_11110000_00001111),
+        (2, 0b10110011_01010101_11110000_00001110),  # hamming 1 vs id1
+        (3, 0b10110011_01010101_11110000_11111111),  # hamming 4 vs id1: out
+        (4, 0b01001100_10101010_00001111_11110000),  # complement-ish: far
+    ]
+    df = spark.createDataFrame(rows, "id long, ahash long")
+    got = [
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_ahash_near_pairs(df).collect()
+    ]
+    assert got == [(1, 2, 1)]
+    # raising the budget admits the hamming-4 pair (bands still catch
+    # it because 3 of its 4 bands are identical)
+    got5 = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_ahash_near_pairs(df, max_hamming=5).collect()
+    }
+    assert (1, 3, 4) in got5 and (2, 3, 5) in got5 and (1, 2, 1) in got5
