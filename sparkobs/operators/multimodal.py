@@ -603,7 +603,7 @@ def patchify_media(
     )
 
 
-def image_ahash(media: DataFrame, max_bits: int = 64) -> DataFrame:
+def image_ahash(media: DataFrame, max_bits: int = 63) -> DataFrame:
     """Average-hash (aHash) perceptual fingerprint per image — the
     image-dedup key: two files whose PIXELS match hash identically no
     matter the container (a PGM and a PNG of the same raster collide
@@ -616,8 +616,10 @@ def image_ahash(media: DataFrame, max_bits: int = 64) -> DataFrame:
     EXACT integer arithmetic (no float mean, so any engine that can
     predict the pixels can predict the hash bit for bit). Arrow-batched
     ``mapInPandas`` over (id, content); undecodable payloads yield a
-    NULL hash with the error string. Output: (id, format, n_pixels,
-    ahash)."""
+    NULL hash with the error string. ``max_bits`` is capped at 63 so
+    the hash always fits a signed BIGINT (bit 63 would overflow the
+    Arrow int64 column). Output: (id, format, n_pixels, ahash)."""
+    max_bits = min(max_bits, 63)
 
     def kernel(batches):
         import pandas as pd

@@ -334,6 +334,23 @@ def probes():
 
         return hll_sliding_distinct(ev, "ts", "user_id", window_days=7)
 
+    def image_near_dup(docs, ev, emb):
+        from pyspark.sql import functions as F
+
+        from sparkobs.operators.multimodal import (
+            image_ahash,
+            image_ahash_near_pairs,
+            perturb_media,
+            synth_media,
+        )
+
+        orig = synth_media(docs).where(F.col("container") == "pgm")
+        imgs = orig.unionByName(perturb_media(orig))
+        hashes = image_ahash(imgs).where(F.col("ahash").isNotNull()).select(
+            "id", "ahash"
+        )
+        return image_ahash_near_pairs(hashes)
+
     def cms(docs, ev, emb):
         from sparkobs.operators.profile import cms_build, cms_estimate
 
@@ -833,6 +850,7 @@ def probes():
         "bpe_train": bpe,
         "hll_distinct": hll,
         "hll_sliding": hll_sliding,
+        "image_near_dup": image_near_dup,
         "cms_estimate": cms,
         "group_zscore": zscore,
         "winsorize": winsor,
