@@ -760,3 +760,91 @@ def perturb_media(
     return media.select("id", "content").mapInPandas(
         kernel, "id bigint, container string, content binary"
     )
+
+
+def gain_media(media: DataFrame, delta: int = 1, id_offset: int = 1_000_000_000) -> DataFrame:
+    """Deterministic gain shift for audio near-dup certification:
+    parse each WAV, add ``delta`` to every u8 PCM sample (clamped to
+    255), re-encode under ``id + id_offset`` — the "remastered copy"
+    byte-equality dedup misses. Pure function of the input bytes;
+    non-WAV/undecodable rows are dropped (certification rig)."""
+
+    def kernel(batches):
+        import io
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _id, content in zip(pdf["id"], pdf["content"]):
+                b = bytes(content)
+                try:
+                    with wave.open(io.BytesIO(b)) as w:
+                        params = w.getparams()
+                        raw = w.readframes(w.getnframes())
+                    if params.sampwidth != 1:
+                        continue
+                    bumped = bytes(min(v + delta, 255) for v in raw)
+                    out = io.BytesIO()
+                    with wave.open(out, "wb") as w2:
+                        w2.setparams(params)
+                        w2.writeframes(bumped)
+                    rows.append((int(_id) + id_offset, "wav", out.getvalue()))
+                except Exception:  # noqa: BLE001
+                    continue
+            yield pd.DataFrame(rows, columns=["id", "container", "content"])
+
+    return media.select("id", "content").mapInPandas(
+        kernel, "id bigint, container string, content binary"
+    )
+
+
+def audio_fingerprint(
+    media: DataFrame, frame_size: int = 16, quant: float = 8.0, max_frames: int = 4
+) -> DataFrame:
+    """Gain-robust audio fingerprint — the audio-dedup key: per frame,
+    u8 PCM RMS (the float64-exact path of :func:`audio_frame_features`)
+    quantized to ``floor(rms / quant)`` and packed base-32 into one
+    BIGINT, so lightly gain-shifted copies (whose per-frame RMS moves
+    less than a quantization step) collide while different audio does
+    not. Every step is engine-reproducible: squared-integer sums are
+    float64-exact, /frame_size and /quant are power-of-two-exact for
+    the defaults, sqrt is correctly rounded IEEE, floor of identical
+    doubles is identical — an oracle that predicts the PCM bytes
+    predicts the fingerprint. Output: (id, n_frames, fingerprint)."""
+
+    def kernel(batches):
+        import io
+        import math
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _id, content in zip(pdf["id"], pdf["content"]):
+                b = bytes(content)
+                try:
+                    with wave.open(io.BytesIO(b)) as w:
+                        if w.getsampwidth() != 1:
+                            raise ValueError("u8 only")
+                        raw = w.readframes(w.getnframes())
+                except Exception:  # noqa: BLE001
+                    rows.append((int(_id), None, None, "undecodable"))
+                    continue
+                n_frames = min(len(raw) // frame_size, max_frames)
+                sig = 0
+                for f in range(n_frames):
+                    chunk = raw[f * frame_size : (f + 1) * frame_size]
+                    ss = sum((v - 128) * (v - 128) for v in chunk)
+                    rms = math.sqrt(ss / frame_size)
+                    sig = sig * 32 + int(rms // quant)
+                rows.append((int(_id), n_frames, sig, None))
+            yield pd.DataFrame(
+                rows, columns=["id", "n_frames", "fingerprint", "error"]
+            )
+
+    return media.select("id", "content").mapInPandas(
+        kernel, "id bigint, n_frames int, fingerprint bigint, error string"
+    )

@@ -46,10 +46,14 @@ per-column GROUPING flags — bitmask order is not engine-portable),
 and sliding-window distinct users via daily HLL register merges
 (trailing windows as cellwise register max — overlapping exact
 COUNT DISTINCT re-counts raw rows window-length times; the sketch
-merges day-count-sized state instead), and image exact-pixel dedup
+merges day-count-sized state instead), image exact-pixel dedup
 via average-hash (container-invariant integer aHash over decoded
 pixel matrices — the image leg of the dedup family, oracle-predicted
-from md5(text) with no decoder).
+from md5(text) with no decoder) plus its banded NEAR-dup tier over
+planted augmented copies, and audio near-dup via gain-robust RMS
+fingerprints over planted +1-gain copies (the audio leg — every
+arithmetic step float64-exact, both fingerprints oracle-predicted
+from the PCM bytes).
 """
 
 from __future__ import annotations
@@ -1337,3 +1341,93 @@ def image_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", "ahash"
     )
     return image_ahash_near_pairs(hashes)
+
+
+@_queue(
+    "audio_fingerprint_dedup_media",
+    oracle="""
+    WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+    fr AS (SELECT doc_id, h, n, unnest(range(0, 4)) AS f FROM b),
+    q AS (SELECT doc_id, f,
+             CAST(floor(sqrt(list_sum(list_transform(generate_series(1, 16),
+                j -> pow(CASE WHEN f * 16 + j <= n THEN
+                        (strpos('0123456789ABCDEF', substr(h, 2*(f*16+j)-1, 1)) - 1) * 16
+                        + (strpos('0123456789ABCDEF', substr(h, 2*(f*16+j), 1)) - 1)
+                      ELSE 0 END - 128.0, 2))) / 16.0) / 8.0) AS BIGINT) AS qo,
+             CAST(floor(sqrt(list_sum(list_transform(generate_series(1, 16),
+                j -> pow(CASE WHEN f * 16 + j <= n THEN
+                        (strpos('0123456789ABCDEF', substr(h, 2*(f*16+j)-1, 1)) - 1) * 16
+                        + (strpos('0123456789ABCDEF', substr(h, 2*(f*16+j), 1)) - 1)
+                      ELSE 0 END + 1 - 128.0, 2))) / 16.0) / 8.0) AS BIGINT) AS qg
+          FROM fr),
+    sig AS (SELECT doc_id,
+                   sum(qo * (CASE f WHEN 0 THEN 32768 WHEN 1 THEN 1024
+                                    WHEN 2 THEN 32 ELSE 1 END)) AS sig_o,
+                   sum(qg * (CASE f WHEN 0 THEN 32768 WHEN 1 THEN 1024
+                                    WHEN 2 THEN 32 ELSE 1 END)) AS sig_g
+            FROM q GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(CASE WHEN sig_o = sig_g THEN 1 END), 0) AS BIGINT)
+             AS n_gain_copies_matched,
+           CAST(coalesce(sum(CASE WHEN sig_o = sig_g THEN 1 END), 0) AS DOUBLE)
+             / count(*) AS match_rate
+    FROM sig
+    """,
+)
+def audio_fingerprint_dedup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection via gain-robust RMS fingerprints
+    (extension: the audio leg of the dedup family — a +1-gain
+    "remastered copy" has different bytes, so md5 dedup misses it;
+    the quantized per-frame RMS signature mostly survives the shift).
+    Each doc's u8 WAV gains a planted +1-gain copy (gain_media parses
+    and re-encodes the real container); both fingerprint through the
+    wave-parse → frame-RMS → floor-quantize → base-32-pack kernel, and
+    the verdict is the per-doc match rate — every arithmetic step is
+    float64-exact or correctly-rounded, so the DuckDB oracle predicts
+    BOTH fingerprints from the text bytes with no audio stack at all.
+    (Frames whose RMS sits within the gain shift of a quantization
+    boundary legitimately flip — both engines agree on exactly
+    which.)"""
+    import struct
+
+    from sparkobs.operators.multimodal import audio_fingerprint, gain_media
+
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + 64)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data"
+        + struct.pack("<I", 64)
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit(header),
+        F.substring(F.concat(F.encode("text", "UTF-8"), F.lit(bytes(64))), 1, 64),
+    )
+    media = docs.select(F.col("doc_id").alias("id"), payload.alias("content"))
+    orig = audio_fingerprint(media).select(
+        "id", F.col("fingerprint").alias("sig_o")
+    )
+    gain = audio_fingerprint(gain_media(media)).select(
+        (F.col("id") - 1_000_000_000).alias("id"),
+        F.col("fingerprint").alias("sig_g"),
+    )
+    return (
+        orig.join(gain, "id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("sig_o") == F.col("sig_g"), 1)), F.lit(0)
+            ).cast("long").alias("n_gain_copies_matched"),
+        )
+        .select(
+            "n_docs",
+            "n_gain_copies_matched",
+            (
+                F.col("n_gain_copies_matched").cast("double") / F.col("n_docs")
+            ).alias("match_rate"),
+        )
+    )

@@ -826,3 +826,42 @@ def test_image_near_pairs_banding_finds_close_hashes(spark):
         for r in image_ahash_near_pairs(df, max_hamming=5).collect()
     }
     assert (1, 3, 4) in got5 and (2, 3, 5) in got5 and (1, 2, 1) in got5
+
+
+def test_audio_fingerprint_gain_robust_and_sensitive(spark):
+    """Hand WAVs: a +1-gain copy keeps the fingerprint when per-frame
+    RMS stays inside the quantization step; genuinely different audio
+    (loud vs quiet) fingerprints differently."""
+    import io
+    import struct
+    import wave
+
+    from sparkobs.operators.multimodal import audio_fingerprint, gain_media
+
+    def wav(samples: bytes) -> bytes:
+        out = io.BytesIO()
+        with wave.open(out, "wb") as w:
+            w.setparams((1, 1, 8000, len(samples), "NONE", "not compressed"))
+            w.writeframes(samples)
+        return out.getvalue()
+
+    quiet = bytes([128 + (1 if i % 2 else -1) for i in range(64)])   # rms≈1
+    loud = bytes([128 + (100 if i % 2 else -100) for i in range(64)])  # rms≈100
+    media = spark.createDataFrame(
+        [(1, bytearray(wav(quiet))), (2, bytearray(wav(loud)))],
+        "id long, content binary",
+    )
+    fp = {r["id"]: r["fingerprint"] for r in audio_fingerprint(media).collect()}
+    assert fp[1] != fp[2]
+    assert all(r["n_frames"] == 4 for r in audio_fingerprint(media).collect())
+    # +1 gain: quiet rms 1->~1.4 (same floor/8 bucket 0), loud 100->~101
+    # (bucket 12 either way) -> fingerprints survive
+    gfp = {
+        r["id"] - 1_000_000_000: r["fingerprint"]
+        for r in audio_fingerprint(gain_media(media)).collect()
+    }
+    assert gfp[1] == fp[1] and gfp[2] == fp[2]
+    # undecodable payload: typed error row
+    bad = spark.createDataFrame([(9, bytearray(b"nope"))], "id long, content binary")
+    r = audio_fingerprint(bad).collect()[0]
+    assert r["fingerprint"] is None and r["error"] == "undecodable"
