@@ -334,6 +334,32 @@ def probes():
 
         return hll_sliding_distinct(ev, "ts", "user_id", window_days=7)
 
+    def audio_fp_dedup(docs, ev, emb):
+        import struct
+
+        from pyspark.sql import functions as F
+
+        from sparkobs.operators.multimodal import audio_fingerprint, gain_media
+
+        header = (
+            b"RIFF" + struct.pack("<I", 36 + 64) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", 64)
+        )
+        payload = F.concat(
+            F.lit(header),
+            F.substring(F.concat(F.encode("text", "UTF-8"), F.lit(bytes(64))), 1, 64),
+        )
+        media = docs.select(F.col("doc_id").alias("id"), payload.alias("content"))
+        orig = audio_fingerprint(media).select("id", F.col("fingerprint").alias("o"))
+        gain = audio_fingerprint(gain_media(media)).select(
+            (F.col("id") - 1_000_000_000).alias("id"), F.col("fingerprint").alias("g")
+        )
+        return orig.join(gain, "id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o") == F.col("g"), 1)).alias("m"),
+        )
+
     def image_near_dup(docs, ev, emb):
         from pyspark.sql import functions as F
 
@@ -851,6 +877,7 @@ def probes():
         "hll_distinct": hll,
         "hll_sliding": hll_sliding,
         "image_near_dup": image_near_dup,
+        "audio_fp_dedup": audio_fp_dedup,
         "cms_estimate": cms,
         "group_zscore": zscore,
         "winsorize": winsor,
