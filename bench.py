@@ -282,7 +282,9 @@ def main() -> None:
         tail_names = [n for n in qs if n not in set(HEADLINE)]
         for name in tail_names:
             if time.perf_counter() - t_tail0 > tail_budget:
-                tail_skipped = tail_names[tail_names.index(name):]
+                # += : earlier FAILED names already recorded must not
+                # be discarded by the budget cut
+                tail_skipped += tail_names[tail_names.index(name):]
                 print(
                     f"# tail budget ({tail_budget}s) exhausted — "
                     f"{len(tail_skipped)} queries unmeasured this run",
@@ -324,14 +326,31 @@ def main() -> None:
         # remains — a p50 series for most queries, never a silent gap
         named = [(n, oracles[n]) for n in HEADLINE if n in oracles and n in timings]
         dk_runs: dict[str, list[float]] = {}
-        for name, sql in named:
-            if time.perf_counter() - t_dk0 > total_budget:
-                duckdb_skipped.append(name)
-                continue
+        def _timed_run(sql: str, cap: float) -> float | None:
+            # DuckDB has no in-query timeout; a watchdog thread
+            # interrupts the connection so one unrolled-CTE oracle can
+            # never run the whole bench past its budget
+            import threading
+
+            timer = threading.Timer(cap, con.interrupt)
+            timer.start()
             try:
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
-                dk_runs[name] = [time.perf_counter() - t0]
+                return time.perf_counter() - t0
+            finally:
+                timer.cancel()
+
+        for name, sql in named:
+            elapsed = time.perf_counter() - t_dk0
+            if elapsed > total_budget:
+                duckdb_skipped.append(name)
+                continue
+            try:
+                # first (coverage) run capped at the budget remainder,
+                # floored at per_q_budget so early queries can't starve
+                dt = _timed_run(sql, max(per_q_budget, total_budget - elapsed))
+                dk_runs[name] = [dt]
             except Exception as exc:  # noqa: BLE001
                 duckdb_skipped.append(name)
                 print(f"# duckdb {name} FAILED: {exc}", file=sys.stderr)
@@ -341,14 +360,20 @@ def main() -> None:
             ):
                 if name not in dk_runs or dk_runs[name][0] > per_q_budget:
                     continue  # one expensive run is record enough
-                if time.perf_counter() - t_dk0 > total_budget:
+                remaining = total_budget - (time.perf_counter() - t_dk0)
+                if remaining <= 0:
                     break
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                dk_runs[name].append(time.perf_counter() - t0)
+                try:
+                    dk_runs[name].append(
+                        _timed_run(sql, max(per_q_budget, remaining))
+                    )
+                except Exception:  # noqa: BLE001 — keep the first run
+                    break
         for name, runs in dk_runs.items():
             runs.sort()
-            duckdb_timings[name] = round(runs[len(runs) // 2], 3)
+            # lower-middle for even run counts: a budget cut after an
+            # even rep must not report the WORST run as the "median"
+            duckdb_timings[name] = round(runs[(len(runs) - 1) // 2], 3)
         common = sorted(set(duckdb_timings) & set(timings))
         d_total = sum(duckdb_timings[n] for n in common)
         s_total = sum(timings[n] for n in common)

@@ -39,16 +39,22 @@ TABLES = (
 
 
 def zone_map_stage_dir(sf_dir: str) -> str:
-    """Canonical staging directory for the zone-map demo layout: a
-    range-partitioned rewrite of ``orders`` keyed only by the sf dir's
-    basename — a PURE STRING function of the sf path, so DuckDB oracle
-    SQL can name the same directory through the ``{ZM16_DIR}``
-    placeholder (``oracle_substitute``) without hashing."""
+    """Canonical staging directory for the zone-map demo layout (a
+    range-partitioned rewrite of ``orders``), keyed by the RESOLVED
+    source path + its mtime — regenerating orders.parquet in place, or
+    two different trees sharing a basename, can never be served a
+    stale stage through the ``_SUCCESS`` guard (the r7 review caught a
+    basename-only key doing exactly that). The placeholder
+    ``{ZM16_DIR}`` is resolved in PYTHON by :func:`oracle_substitute`,
+    so the hash never has to be expressible in SQL."""
+    import hashlib
     import os
     import tempfile
 
-    base = os.path.basename(os.path.realpath(sf_dir).rstrip("/"))
-    return os.path.join(tempfile.gettempdir(), f"sparkobs_zm16_{base}")
+    src = os.path.join(os.path.realpath(sf_dir), "orders.parquet")
+    mtime = int(os.stat(src).st_mtime_ns) if os.path.exists(src) else 0
+    key = hashlib.sha256(f"{src}:{mtime}:zm16".encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"sparkobs_zm16_{key}")
 
 
 def oracle_substitute(sql: str, sf_dir: str) -> str:

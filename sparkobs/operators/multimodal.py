@@ -839,7 +839,11 @@ def audio_fingerprint(
                     chunk = raw[f * frame_size : (f + 1) * frame_size]
                     ss = sum((v - 128) * (v - 128) for v in chunk)
                     rms = math.sqrt(ss / frame_size)
-                    sig = sig * 32 + int(rms // quant)
+                    # clamp to the base-32 digit: u8 RMS ≤ 128, so the
+                    # default quant=8 never clamps, but a caller-chosen
+                    # finer quant must saturate rather than bleed into
+                    # the previous frame's digit
+                    sig = sig * 32 + min(int(rms // quant), 31)
                 rows.append((int(_id), n_frames, sig, None))
             yield pd.DataFrame(
                 rows, columns=["id", "n_frames", "fingerprint", "error"]

@@ -489,42 +489,65 @@ _HLL_M = 256  # 2^8 buckets; std error ~1.04/sqrt(m) ≈ 6.5%
 _HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
 
 
-def hll_registers(df: DataFrame, col: str) -> DataFrame:
-    """(bucket, reg) HLL registers of a column — ≤ m rows, mergeable
-    by cellwise max."""
+def _hll_bucket_rho(df: DataFrame, col: str, keep_cols: list[str]) -> DataFrame:
+    """(keep_cols..., bucket, rho) rows — the ONE definition of the
+    portable md5→bucket/rho derivation behind every hll_* operator
+    (flat, grouped, sliding): a divergence here is a divergence from
+    every certified oracle, so it exists exactly once.
+
+    NULL keys hash to NULL and would form a phantom 257th bucket
+    (n_present can exceed m, making the empty-bucket count negative)
+    — and count_distinct excludes NULLs, so so must the sketch."""
     h = F.conv(
         F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
     ).cast("long")
-    # NULL keys hash to NULL and would form a phantom 257th bucket
-    # (n_present can exceed m, making the empty-bucket count negative)
-    # — and count_distinct excludes NULLs, so so must the sketch
-    hdf = df.where(F.col(col).isNotNull()).select(h.alias("__h"))
+    hdf = df.where(F.col(col).isNotNull()).select(*keep_cols, h.alias("__h"))
     sub = F.pmod(F.shiftright(F.col("__h"), 8), F.lit(4294967296))
     rho = F.when(sub > 0, F.lit(33) - F.length(F.bin(sub))).otherwise(F.lit(33))
+    return hdf.select(
+        *keep_cols, (F.col("__h") % _HLL_M).alias("bucket"), rho.alias("rho")
+    )
+
+
+def _hll_reg_aggs() -> list:
+    """The (n_present, s_present) aggregate pair every estimator runs
+    over a register table — shared so the estimate formula below
+    always sees the same inputs."""
+    return [
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("shiftleft(1L, 33 - reg)")).alias("s_present"),
+    ]
+
+
+def _hll_estimate_col():
+    """The bias-corrected estimate (with the standard small-range
+    linear-counting branch — integer branch inputs, so the condition
+    never diverges cross-engine) as a Column over
+    (n_present, s_present). One definition for flat/grouped/sliding."""
+    m = _HLL_M
+    s_total = F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(2**33)
+    raw = F.lit(_HLL_ALPHA * m * m * 2**33) / s_total
+    v = F.lit(m) - F.col("n_present")
+    return F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(m) / v)
+    ).otherwise(raw)
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """(bucket, reg) HLL registers of a column — ≤ m rows, mergeable
+    by cellwise max."""
     return (
-        hdf.select((F.col("__h") % _HLL_M).alias("bucket"), rho.alias("rho"))
+        _hll_bucket_rho(df, col, [])
         .groupBy("bucket")
         .agg(F.max("rho").alias("reg"))
     )
 
 
 def hll_estimate(regs: DataFrame) -> DataFrame:
-    """1-row distinct-count estimate from a register table, with the
-    standard small-range linear-counting correction (same branch
-    condition evaluated on both engines — integer inputs, so the
-    branch never diverges)."""
-    m = _HLL_M
-    agg = regs.agg(
-        F.count(F.lit(1)).alias("n_present"),
-        F.sum(F.expr("shiftleft(1L, 33 - reg)")).alias("s_present"),
+    """1-row distinct-count estimate from a register table."""
+    return regs.agg(*_hll_reg_aggs()).select(
+        F.round(_hll_estimate_col(), 2).alias("est_distinct")
     )
-    s_total = F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(2**33)
-    raw = F.lit(_HLL_ALPHA * m * m * 2**33) / s_total
-    v = F.lit(m) - F.col("n_present")
-    est = F.when(
-        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(m) / v)
-    ).otherwise(raw)
-    return agg.select(F.round(est, 2).alias("est_distinct"))
 
 
 def hll_distinct(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -567,35 +590,19 @@ def hll_grouped(
     One hash agg to (group, bucket) registers, one to estimates; the
     exact twin joins back on the group key for the certification
     view."""
-    m = _HLL_M
-    h = F.conv(
-        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    hdf = df.where(F.col(col).isNotNull()).select(
-        *group_cols, h.alias("__h")
-    )
-    sub = F.pmod(F.shiftright(F.col("__h"), 8), F.lit(4294967296))
-    rho = F.when(sub > 0, F.lit(33) - F.length(F.bin(sub))).otherwise(F.lit(33))
     regs = (
-        hdf.select(*group_cols, (F.col("__h") % m).alias("bucket"), rho.alias("rho"))
+        _hll_bucket_rho(df, col, group_cols)
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("reg"))
     )
-    agg = regs.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n_present"),
-        F.sum(F.expr("shiftleft(1L, 33 - reg)")).alias("s_present"),
-    )
-    s_total = F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(2**33)
-    raw = F.lit(_HLL_ALPHA * m * m * 2**33) / s_total
-    v = F.lit(m) - F.col("n_present")
-    est = F.when(
-        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(m) / v)
-    ).otherwise(raw)
+    agg = regs.groupBy(*group_cols).agg(*_hll_reg_aggs())
     exact = df.groupBy(*group_cols).agg(
         F.count_distinct(F.col(col)).cast("long").alias("exact_distinct")
     )
     return (
-        agg.select(*group_cols, F.round(est, 2).alias("est_distinct"))
+        agg.select(
+            *group_cols, F.round(_hll_estimate_col(), 2).alias("est_distinct")
+        )
         .join(exact, list(group_cols))
         .select(
             *group_cols,
@@ -631,18 +638,11 @@ def hll_sliding_distinct(
     certification view — drop it at 100 TB and keep the merge.
 
     Same portable register construction as :func:`hll_registers`
-    (md5-derived 33-bit rho), so a DuckDB oracle replays the whole
-    pipeline bit for bit."""
-    m = _HLL_M
+    (md5-derived 33-bit rho — the shared ``_hll_bucket_rho``), so a
+    DuckDB oracle replays the whole pipeline bit for bit."""
     day = F.to_date(F.col(ts_col))
-    h = F.conv(
-        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    hdf = df.where(F.col(col).isNotNull()).select(day.alias("__d"), h.alias("__h"))
-    sub = F.pmod(F.shiftright(F.col("__h"), 8), F.lit(4294967296))
-    rho = F.when(sub > 0, F.lit(33) - F.length(F.bin(sub))).otherwise(F.lit(33))
     regs = (
-        hdf.select("__d", (F.col("__h") % m).alias("bucket"), rho.alias("rho"))
+        _hll_bucket_rho(df.withColumn("__d", day), col, ["__d"])
         .groupBy("__d", "bucket")
         .agg(F.max("rho").alias("reg"))
     )
@@ -662,17 +662,10 @@ def hll_sliding_distinct(
         .join(F.broadcast(days), "__t", "left_semi")
     )
     merged = contrib.groupBy("__t", "bucket").agg(F.max("reg").alias("reg"))
-    agg = merged.groupBy("__t").agg(
-        F.count(F.lit(1)).alias("n_present"),
-        F.sum(F.expr("shiftleft(1L, 33 - reg)")).alias("s_present"),
+    agg = merged.groupBy("__t").agg(*_hll_reg_aggs())
+    ests = agg.select(
+        "__t", F.round(_hll_estimate_col(), 2).alias("est_distinct")
     )
-    s_total = F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(2**33)
-    raw = F.lit(_HLL_ALPHA * m * m * 2**33) / s_total
-    v = F.lit(m) - F.col("n_present")
-    est = F.when(
-        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(m) / v)
-    ).otherwise(raw)
-    ests = agg.select("__t", F.round(est, 2).alias("est_distinct"))
     keyed = df.where(F.col(col).isNotNull()).select(
         day.alias("__d"), F.col(col).alias("__k")
     )

@@ -287,6 +287,7 @@ def compaction_execute(
     target_bytes: int,
     out_dir: str,
     src_root: str | None = None,
+    derive_src_root: bool = True,
 ) -> DataFrame:
     """EXECUTE a small-file compaction plan over same-schema parquet
     files: bin-pack the listed files into ≈``target_bytes`` groups (in
@@ -316,6 +317,10 @@ def compaction_execute(
     the normal compaction shape — so the safe mode is the default;
     only a multi-directory listing falls back to explicit path
     enumeration, with a warning above ``_ENUM_WARN_PATHS`` paths.
+    Pass ``derive_src_root=False`` when the listing is a small SUBSET
+    of a directory that also holds data you must not scan (the
+    directory read prunes rows only AFTER the scan, and an unlisted
+    sibling with an incompatible schema would fail the read).
     """
     # scheme-insensitive path key: Hadoop listings say file:/x,
     # input_file_name says file:///x
@@ -323,12 +328,15 @@ def compaction_execute(
     assign = compaction_assign(listing, target_bytes).select(
         norm(F.col("path")).alias("__src"), "group_id"
     )
-    if src_root is None:
+    if src_root is None and derive_src_root:
         # one distinct over parent dirs, bounded probe (limit 2): a
-        # single shared parent → read it and let the join prune
+        # single shared parent → read it and let the join prune. The
+        # parent keeps the RAW path (scheme included) — a normalized
+        # path would resolve against the default filesystem, silently
+        # reading the wrong store for s3a://-style listings.
         parents = (
             listing.select(
-                F.regexp_replace(norm(F.col("path")), "/[^/]*$", "").alias("__dir")
+                F.regexp_replace(F.col("path"), "/[^/]*$", "").alias("__dir")
             )
             .distinct()
             .limit(2)

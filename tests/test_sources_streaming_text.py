@@ -865,3 +865,28 @@ def test_audio_fingerprint_gain_robust_and_sensitive(spark):
     bad = spark.createDataFrame([(9, bytearray(b"nope"))], "id long, content binary")
     r = audio_fingerprint(bad).collect()[0]
     assert r["fingerprint"] is None and r["error"] == "undecodable"
+
+
+def test_audio_fingerprint_fine_quant_saturates_digit(spark):
+    """Review fix: a caller-chosen fine quant must saturate the base-32
+    digit (min(q, 31)), never bleed into the previous frame's digit."""
+    import io
+    import wave
+
+    from sparkobs.operators.multimodal import audio_fingerprint
+
+    def wav(samples: bytes) -> bytes:
+        out = io.BytesIO()
+        with wave.open(out, "wb") as w:
+            w.setparams((1, 1, 8000, len(samples), "NONE", "not compressed"))
+            w.writeframes(samples)
+        return out.getvalue()
+
+    # frame rms = 100 -> q = 100//2 = 50 without the clamp; two frames
+    loud = bytes([128 + (100 if i % 2 else -100) for i in range(32)])
+    media = spark.createDataFrame(
+        [(1, bytearray(wav(loud)))], "id long, content binary"
+    )
+    r = audio_fingerprint(media, quant=2.0).collect()[0]
+    assert r["n_frames"] == 2
+    assert r["fingerprint"] == 31 * 32 + 31  # both digits saturated
