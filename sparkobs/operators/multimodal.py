@@ -852,3 +852,78 @@ def audio_fingerprint(
     return media.select("id", "content").mapInPandas(
         kernel, "id bigint, n_frames int, fingerprint bigint, error string"
     )
+
+
+def synth_video(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_frames: int = 4,
+) -> DataFrame:
+    """Deterministic multi-FRAME media derived from the text corpus —
+    the video-shaped certification rig: each doc yields one 32×n_frames
+    grayscale PGM whose row f is the ASCII codes of
+    ``md5(text + '#f<f>')`` (every frame a pure function of the text,
+    so an engine with md5() predicts every frame's pixels), plus a
+    ROTATED-by-one-frame variant under ``id + 1_000_000_000`` — the
+    "trimmed clip" a frame-level dedup must still catch."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _id, text in zip(pdf["id"], pdf["text"]):
+                frames = [
+                    hashlib.md5(f"{text}#f{f}".encode("utf-8")).hexdigest().encode()
+                    for f in range(n_frames)
+                ]
+                hdr = f"P5\n32 {n_frames}\n255\n".encode()
+                rows.append((int(_id), "pgm", hdr + b"".join(frames)))
+                rot = frames[1:] + frames[:1]
+                rows.append(
+                    (int(_id) + 1_000_000_000, "pgm", hdr + b"".join(rot))
+                )
+            yield pd.DataFrame(rows, columns=["id", "container", "content"])
+
+    return docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).mapInPandas(kernel, "id bigint, container string, content binary")
+
+
+def video_frame_hashes(media: DataFrame, max_frames: int = 3) -> DataFrame:
+    """Sampled per-FRAME aHash of multi-frame media — the video-dedup
+    primitive: decode the raster, treat each ROW as a frame, hash the
+    first ``max_frames`` frames with the same exact-integer aHash as
+    :func:`image_ahash` (bit = pixel·w > Σrow, MSB-first). Sampling a
+    PREFIX of ≥ ceil(n/2)+1 frames keeps one-frame trims/rotations
+    catchable (≥1 shared frame survives), which full-video hashes do
+    not. Output: one row per sampled frame (id, frame_idx, ahash);
+    undecodable payloads are dropped."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _id, content in zip(pdf["id"], pdf["content"]):
+                try:
+                    px = _decode_pixels(bytes(content))
+                except Exception:  # noqa: BLE001
+                    px = None
+                if px is None or px.shape[2] != 1:
+                    continue
+                h, w, _ = px.shape
+                for f in range(min(h, max_frames)):
+                    row = [int(v) for v in px[f, :, 0]]
+                    total = sum(row)
+                    sig = 0
+                    for i, p in enumerate(row):
+                        if p * w > total:
+                            sig |= 1 << (w - 1 - i)
+                    rows.append((int(_id), f, sig))
+            yield pd.DataFrame(rows, columns=["id", "frame_idx", "ahash"])
+
+    return media.select("id", "content").mapInPandas(
+        kernel, "id bigint, frame_idx int, ahash bigint"
+    )

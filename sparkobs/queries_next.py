@@ -53,7 +53,9 @@ from md5(text) with no decoder) plus its banded NEAR-dup tier over
 planted augmented copies, and audio near-dup via gain-robust RMS
 fingerprints over planted +1-gain copies (the audio leg — every
 arithmetic step float64-exact, both fingerprints oracle-predicted
-from the PCM bytes).
+from the PCM bytes), and video near-dup via sampled frame hashes
+over planted rotated "trimmed clips" (the video leg — ≥1 shared
+sampled frame surfaces the pair from one frame-hash equi-join).
 """
 
 from __future__ import annotations
@@ -1431,3 +1433,79 @@ def audio_fingerprint_dedup_media(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("match_rate"),
         )
     )
+
+
+@_queue(
+    "video_framehash_dedup_media",
+    oracle="""
+    WITH fr AS (
+      SELECT doc_id, f, md5(text || '#f' || CAST(f AS VARCHAR)) AS hsh
+      FROM documents, generate_series(0, 3) AS t(f)),
+    px AS (SELECT doc_id, f, i,
+                  ascii(substr(hsh, CAST(i AS INT), 1)) AS p
+           FROM fr, generate_series(1, 32) AS s(i)),
+    tot AS (SELECT doc_id, f, sum(p) AS s FROM px GROUP BY 1, 2),
+    fhash AS (SELECT px.doc_id, px.f,
+                     sum(CASE WHEN p * 32 > s
+                              THEN CAST(1 AS BIGINT) << (32 - CAST(i AS INT))
+                              ELSE CAST(0 AS BIGINT) END) AS ahash
+              FROM px JOIN tot ON px.doc_id = tot.doc_id AND px.f = tot.f
+              GROUP BY 1, 2),
+    sampled AS (
+      SELECT doc_id AS id, ahash FROM fhash WHERE f <= 2
+      UNION ALL
+      SELECT doc_id + 1000000000 AS id, ahash FROM fhash WHERE f >= 1),
+    pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM sampled a JOIN sampled b
+                ON a.ahash = b.ahash AND a.id < b.id)
+    SELECT CAST((SELECT count(DISTINCT id) FROM sampled) AS BIGINT) AS n_videos,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(coalesce(sum(CASE WHEN id_b - id_a = 1000000000 THEN 1 END), 0)
+                AS BIGINT) AS n_planted_matched
+    FROM pairs
+    """,
+)
+def video_framehash_dedup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup detection via SAMPLED frame hashes (extension:
+    the video leg of the dedup family — whole-file hashes miss a
+    trimmed/rotated clip, but two videos sharing ANY sampled frame's
+    aHash surface from one frame-hash equi-join). Each doc's 4-frame
+    synthetic video gains a planted rotated-by-one copy (the trimmed
+    clip); the first 3 frames of each video are hashed with the exact
+    image aHash, and the verdict counts pairs sharing ≥1 sampled frame
+    — rotation leaves 2 shared sampled frames, so every planted pair
+    is found. The oracle predicts every frame hash from
+    md5(text + '#f<i>') and replays the same join: the decode →
+    frame-sample → hash → match pipeline is value-certified end to
+    end. At 100 TB the equi-join is Σ bucket² over frame-hash buckets,
+    never videos²."""
+    from sparkobs.operators.multimodal import synth_video, video_frame_hashes
+
+    vids = synth_video(load_table(spark, sf_dir, "documents"))
+    fh = video_frame_hashes(vids, max_frames=3).select("id", "ahash")
+    a, b = fh.alias("a"), fh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ahash") == F.col("b.ahash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    n_vids = fh.agg(F.count_distinct("id").cast("long").alias("n_videos"))
+    return n_vids.crossJoin(
+        F.broadcast(
+            pairs.agg(
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("id_b") - F.col("id_a") == 1_000_000_000, 1
+                        )
+                    ),
+                    F.lit(0),
+                ).cast("long").alias("n_planted_matched"),
+            )
+        )
+    ).select("n_videos", "n_pairs", "n_planted_matched")

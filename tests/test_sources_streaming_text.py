@@ -890,3 +890,23 @@ def test_audio_fingerprint_fine_quant_saturates_digit(spark):
     r = audio_fingerprint(media, quant=2.0).collect()[0]
     assert r["n_frames"] == 2
     assert r["fingerprint"] == 31 * 32 + 31  # both digits saturated
+
+
+def test_video_frame_hashes_rotation_overlap(spark):
+    """Hand case: a rotated-by-one video shares exactly 2 of its 3
+    sampled frame hashes with the original; a different video shares
+    none."""
+    from sparkobs.operators.multimodal import synth_video, video_frame_hashes
+
+    docs = spark.createDataFrame(
+        [(1, "some video text"), (2, "another clip")], "doc_id bigint, text string"
+    )
+    fh = video_frame_hashes(synth_video(docs), max_frames=3).collect()
+    by_vid = {}
+    for r in fh:
+        by_vid.setdefault(r["id"], set()).add(r["ahash"])
+    assert all(len(v) == 3 for v in by_vid.values())  # 3 sampled frames
+    # original 1 = frames {f0,f1,f2}; rotated = {f1,f2,f3}: overlap 2
+    assert len(by_vid[1] & by_vid[1 + 1_000_000_000]) == 2
+    # unrelated docs share nothing
+    assert not (by_vid[1] & by_vid[2])
