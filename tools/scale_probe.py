@@ -360,6 +360,25 @@ def probes():
             F.sum(F.when(F.col("o") == F.col("g"), 1)).alias("m"),
         )
 
+    def video_fh_dedup(docs, ev, emb):
+        from pyspark.sql import functions as F
+
+        from sparkobs.operators.multimodal import synth_video, video_frame_hashes
+
+        fh = video_frame_hashes(synth_video(docs), max_frames=3).select(
+            "id", "ahash"
+        )
+        a, b = fh.alias("a"), fh.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.ahash") == F.col("b.ahash"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id"), F.col("b.id"))
+            .distinct()
+        )
+
     def image_near_dup(docs, ev, emb):
         from pyspark.sql import functions as F
 
@@ -878,6 +897,7 @@ def probes():
         "hll_sliding": hll_sliding,
         "image_near_dup": image_near_dup,
         "audio_fp_dedup": audio_fp_dedup,
+        "video_fh_dedup": video_fh_dedup,
         "cms_estimate": cms,
         "group_zscore": zscore,
         "winsorize": winsor,
