@@ -329,16 +329,30 @@ def main() -> None:
         def _timed_run(sql: str, cap: float) -> float | None:
             # DuckDB has no in-query timeout; a watchdog thread
             # interrupts the connection so one unrolled-CTE oracle can
-            # never run the whole bench past its budget
+            # never run the whole bench past its budget. The callback
+            # re-checks `done` under a lock: Timer(cap).cancel() races
+            # the firing callback, and an interrupt landing AFTER the
+            # query finished would poison the shared connection for
+            # the NEXT query (r7 ADVICE).
             import threading
 
-            timer = threading.Timer(cap, con.interrupt)
+            done = threading.Event()
+            lock = threading.Lock()
+
+            def _interrupt():
+                with lock:
+                    if not done.is_set():
+                        con.interrupt()
+
+            timer = threading.Timer(cap, _interrupt)
             timer.start()
             try:
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 return time.perf_counter() - t0
             finally:
+                with lock:
+                    done.set()
                 timer.cancel()
 
         for name, sql in named:
@@ -367,8 +381,11 @@ def main() -> None:
                     dk_runs[name].append(
                         _timed_run(sql, max(per_q_budget, remaining))
                     )
-                except Exception:  # noqa: BLE001 — keep the first run
-                    break
+                except Exception:  # noqa: BLE001 — keep the first run;
+                    # one failed extra rep (e.g. a late watchdog
+                    # interrupt) must not cancel every remaining
+                    # query's reps and skew their p50 to a single run
+                    continue
         for name, runs in dk_runs.items():
             runs.sort()
             # lower-middle for even run counts: a budget cut after an

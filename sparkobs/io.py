@@ -41,10 +41,14 @@ TABLES = (
 def zone_map_stage_dir(sf_dir: str) -> str:
     """Canonical staging directory for the zone-map demo layout (a
     range-partitioned rewrite of ``orders``), keyed by the RESOLVED
-    source path + its mtime — regenerating orders.parquet in place, or
-    two different trees sharing a basename, can never be served a
-    stale stage through the ``_SUCCESS`` guard (the r7 review caught a
-    basename-only key doing exactly that). The placeholder
+    source path (first component) + its mtime (second component) —
+    regenerating orders.parquet in place, or two different trees
+    sharing a basename, can never be served a stale stage through the
+    ``_SUCCESS`` guard (the r7 review caught a basename-only key doing
+    exactly that). The two-component name lets
+    :func:`ensure_zone_map_stage` prune a source's PREDECESSOR stages
+    (same source key, older mtime key) without touching stages of
+    other sf dirs that are live concurrently. The placeholder
     ``{ZM16_DIR}`` is resolved in PYTHON by :func:`oracle_substitute`,
     so the hash never has to be expressible in SQL."""
     import hashlib
@@ -53,8 +57,61 @@ def zone_map_stage_dir(sf_dir: str) -> str:
 
     src = os.path.join(os.path.realpath(sf_dir), "orders.parquet")
     mtime = int(os.stat(src).st_mtime_ns) if os.path.exists(src) else 0
-    key = hashlib.sha256(f"{src}:{mtime}:zm16".encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"sparkobs_zm16_{key}")
+    srckey = hashlib.sha256(f"{src}:zm16".encode()).hexdigest()[:12]
+    verkey = hashlib.sha256(str(mtime).encode()).hexdigest()[:8]
+    return os.path.join(
+        tempfile.gettempdir(), f"sparkobs_zm16_{srckey}_{verkey}"
+    )
+
+
+def ensure_zone_map_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently materialize the zone-map staged layout and return
+    its directory. Fixes the two r7 ADVICE hazards of the inline
+    check-then-write: (1) predecessors leak — every regeneration of
+    orders.parquet keyed a NEW stage and left the old range-partitioned
+    copy under the shared tempdir forever; staging now prunes siblings
+    that share this source's key but carry an older mtime key.
+    (2) concurrency — a reader could see a stage mid-overwrite; the
+    write now lands in a ``.tmp<pid>`` sibling and is published by one
+    atomic ``os.rename`` (same filesystem), so ``_SUCCESS`` is only
+    ever visible inside a fully-written directory."""
+    import glob
+    import os
+    import shutil
+
+    stage = zone_map_stage_dir(sf_dir)
+    if os.path.exists(os.path.join(stage, "_SUCCESS")):
+        return stage
+    base = os.path.basename(stage)
+    srcprefix = base.rsplit("_", 1)[0]  # sparkobs_zm16_<srckey>
+    for sib in glob.glob(
+        os.path.join(os.path.dirname(stage), f"{srcprefix}_*")
+    ):
+        # skip the current stage and any in-flight tmp for it; prune
+        # only predecessor version keys of the SAME source
+        if not os.path.basename(sib).startswith(base):
+            shutil.rmtree(sib, ignore_errors=True)
+    tmp = f"{stage}.tmp{os.getpid()}"
+    (
+        load_table(spark, sf_dir, "orders")
+        .repartitionByRange(16, "o_orderdate")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    try:
+        os.rename(tmp, stage)
+    except OSError:
+        # a concurrent run published first (dest exists) — or a
+        # crashed earlier write left a partial dir with no _SUCCESS:
+        # clear the partial and retry once before yielding
+        if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+            shutil.rmtree(stage, ignore_errors=True)
+            try:
+                os.rename(tmp, stage)
+            except OSError:
+                pass
+        shutil.rmtree(tmp, ignore_errors=True)
+    return stage
 
 
 def oracle_substitute(sql: str, sf_dir: str) -> str:

@@ -640,9 +640,14 @@ def image_ahash(media: DataFrame, max_bits: int = 63) -> DataFrame:
                 if px is None:
                     rows.append((int(_id), fmt, None, None, "undecodable"))
                     continue
-                flat = [int(v) for v in px.reshape(-1)]
-                n = min(len(flat), max_bits)
-                head, total = flat[:n], sum(flat[:n])
+                # slice the numpy array BEFORE the Python int
+                # conversion: only the first max_bits pixels feed the
+                # hash, and a multi-megapixel raster must not pay
+                # millions of per-pixel int() calls to use 63 of them
+                # (r7 verdict finding #1)
+                head = [int(v) for v in px.reshape(-1)[:max_bits]]
+                n = len(head)
+                total = sum(head)
                 h = 0
                 for i, p in enumerate(head):
                     if p * n > total:
@@ -675,7 +680,18 @@ def image_ahash_near_pairs(
 
     Input: ONE row per image id with its integer hash (pre-dedupe
     containers upstream). Output: (id_a, id_b, hamming) for verified
-    pairs, id_a < id_b, deterministic order."""
+    pairs, id_a < id_b, deterministic order.
+
+    ``bits`` MUST match the hash width produced upstream (``image_ahash``
+    emits ``n_pixels``-bit hashes, up to ``max_bits``=63): banding fewer
+    bits than the hash holds keeps recall (uncovered-bit diffs leave
+    every covered band agreeing even harder — pigeonhole still applies)
+    but silently halves bucket selectivity and inflates candidates;
+    banding MORE bits than the hash holds is worse — the extra bands
+    are all-zero for every image, one mega-bucket of all ids, O(n²)
+    candidates. The synth corpus hashes 32 md5-hex pixels, hence the
+    32-bit default; callers with wider hashes pass e.g.
+    ``bits=63, n_bands=7`` (7 × 9-bit bands, max_hamming < 7)."""
     band_size = bits // n_bands
     mask = (1 << band_size) - 1
     h = doc_hashes.select(

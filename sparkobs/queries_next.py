@@ -1104,19 +1104,10 @@ def zone_map_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned/full/partial class, exact integers + one unrounded share.
     At 100 TB the map is built once (or read from footers) and every
     subsequent predicate estimate is metadata-only."""
-    import os
-
-    from sparkobs.io import zone_map_stage_dir
+    from sparkobs.io import ensure_zone_map_stage
     from sparkobs.sources.listing import zone_map_build, zone_map_prune_estimate
 
-    stage = zone_map_stage_dir(sf_dir)
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        (
-            load_table(spark, sf_dir, "orders")
-            .repartitionByRange(16, "o_orderdate")
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
+    stage = ensure_zone_map_stage(spark, sf_dir)
     zmap = zone_map_build(spark, stage, "o_orderdate")
     return zone_map_prune_estimate(
         zmap,
@@ -1342,7 +1333,11 @@ def image_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = image_ahash(imgs).where(F.col("ahash").isNotNull()).select(
         "id", "ahash"
     )
-    return image_ahash_near_pairs(hashes)
+    # explicit width: the synth rasters are 32 pixels, so the hashes
+    # are 32-bit — bits MUST match the upstream hash width (see the
+    # image_ahash_near_pairs docstring; the oracle replays 4×8-bit
+    # bands)
+    return image_ahash_near_pairs(hashes, bits=32, n_bands=4)
 
 
 @_queue(

@@ -312,15 +312,20 @@ def compaction_execute(
     reads the WHOLE directory and the broadcast join prunes to the
     listed files: the million-file path, where enumerating every path
     as a reader argument would bloat the driver. When not given it is
-    DERIVED from the listing whenever every listed file shares one
-    parent directory (one tiny distinct-aggregate, no path collect) —
-    the normal compaction shape — so the safe mode is the default;
-    only a multi-directory listing falls back to explicit path
-    enumeration, with a warning above ``_ENUM_WARN_PATHS`` paths.
-    Pass ``derive_src_root=False`` when the listing is a small SUBSET
-    of a directory that also holds data you must not scan (the
-    directory read prunes rows only AFTER the scan, and an unlisted
-    sibling with an incompatible schema would fail the read).
+    DERIVED from the listing only when (a) every listed file shares
+    one parent directory (one tiny distinct-aggregate, no path
+    collect) AND (b) the listing covers EVERY parquet file in that
+    directory (one driver-side FS metadata listing, count compare) —
+    the normal compaction shape. The coverage check matters because a
+    directory read over a subset listing is NOT merely wasteful:
+    ``spark.read.parquet(dir)`` infers its schema from sampled footers
+    without mergeSchema, so an unlisted sibling with a different
+    schema can silently DROP columns present only in the listed files
+    from the rewrite rather than fail the read (r7 ADVICE). A subset
+    or multi-directory listing falls back to explicit path
+    enumeration, with a warning above ``_ENUM_WARN_PATHS`` paths;
+    callers who KNOW the directory is homogeneous can still pass
+    ``src_root`` explicitly to skip both checks.
     """
     # scheme-insensitive path key: Hadoop listings say file:/x,
     # input_file_name says file:///x
@@ -343,7 +348,31 @@ def compaction_execute(
             .collect()
         )
         if len(parents) == 1:
-            src_root = parents[0]["__dir"]
+            cand = parents[0]["__dir"]
+            # coverage check: the directory read is only sound when
+            # the listing covers every parquet file in it — a subset
+            # listing next to a different-schema sibling would have
+            # that sibling's footers sampled into the inferred schema
+            # and columns silently dropped (never an error). One
+            # driver-side FS metadata listing; no file content read.
+            n_listed = (
+                listing.where(F.col("path").rlike("\\.parquet$"))
+                .select("path")
+                .distinct()
+                .count()
+            )
+            jvm = spark.sparkContext._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(cand)
+            fs = jpath.getFileSystem(
+                spark.sparkContext._jsc.hadoopConfiguration()
+            )
+            it = fs.listFiles(jpath, False)
+            n_dir = 0
+            while it.hasNext():
+                if it.next().getPath().toString().endswith(".parquet"):
+                    n_dir += 1
+            if n_listed == n_dir:
+                src_root = cand
     if src_root is not None:
         reader = spark.read.parquet(src_root)
     else:

@@ -799,6 +799,22 @@ def test_image_ahash_container_invariance_and_sensitivity(spark):
     bad = spark.createDataFrame([(9, bytearray(b"JFIF...."))], "id long, content binary")
     r = image_ahash(bad).collect()[0]
     assert r["ahash"] is None and r["error"] == "undecodable"
+    # hash depends ONLY on the first max_bits pixels: a 200-pixel
+    # raster (> 63) whose head matches a 63-pixel raster but whose
+    # tail differs hashes identically, and n_pixels caps at 63 (the
+    # kernel slices the raster to max_bits before converting — the
+    # tail must not leak into the mean or bits)
+    head = bytes(range(63))
+    big = spark.createDataFrame(
+        [
+            (10, bytearray(b"P5\n63 1\n255\n" + head)),
+            (11, bytearray(b"P5\n200 1\n255\n" + head + bytes([255] * 137))),
+        ],
+        "id long, content binary",
+    )
+    got = {r["id"]: r for r in image_ahash(big).collect()}
+    assert got[10]["n_pixels"] == got[11]["n_pixels"] == 63
+    assert got[10]["ahash"] == got[11]["ahash"] is not None
 
 
 def test_image_near_pairs_banding_finds_close_hashes(spark):
