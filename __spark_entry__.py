@@ -48,67 +48,71 @@ def entry(spark: SparkSession) -> DataFrame:
 GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
-    # --- r7 gate: the 50 oldest-staged entries of the r7 queue,
-    # promoted from sparkobs/queries_next.py (r6 gate was 49/50 green
-    # + 1 rows-only by design — no failures to re-certify). Leads
-    # with the TPC-H completion (all 22 shapes now registered) and
-    # the iterative wave (k-means/ARI/PageRank — fixed-point +
-    # unrolled-CTE oracles). The newest-staged entries remain in
-    # queries_next.py (len(R7_QUEUE) is authoritative — the 17 held
-    # back by the gate plus everything staged during round 7) and
-    # fill the r8 gate first, same discipline; the r8 gate's
-    # remaining slots re-certify the stalest registry entries
-    # (oldest CORRECTNESS round first).
-    "product_profit_q9",              # TPC-H Q9 product profit (5-table)
-    "shipmode_delay_q12",             # TPC-H Q12 shipmode priority
-    "disjunctive_revenue_q19",        # TPC-H Q19 disjunctive predicates
-    "min_price_supplier_q2",          # TPC-H Q2 min-cost supplier
-    "important_parts_q11",            # TPC-H Q11 decorrelated HAVING
-    "supplier_variety_q16",           # TPC-H Q16 NOT-IN + distinct agg
-    "dominant_suppliers_q20",         # TPC-H Q20 nested semi-join
-    "spearman_quantity_price_lineitem", # rank correlation
-    "cramers_v_events_type_hour",     # Cramer's V association
-    "benford_totalprice_orders",      # Benford first-digit screen
-    "trend_slope_hourly_events",      # per-key OLS trend slopes
-    "acf1_hourly_events",             # lag-1 autocorrelation
-    "cusum_changepoint_events",       # CUSUM changepoint score
-    "rfm_scores_orders",              # RFM ntile scoring
-    "activity_islands_events",        # gaps-and-islands streaks
-    "assoc_rules_event_types",        # association rules lift
-    "scd2_user_state_events",         # SCD Type-2 history
-    "ab_ztest_purchase_events",       # two-proportion A/B z-test
-    "emd_drift_events_halves",        # binned earth-mover drift
-    "interarrival_stats_events",      # inter-arrival cadence
-    "hll_union_users_events",         # HLL register-union certification
-    "ols_pricing_lineitem",           # closed-form OLS regression
-    "cuped_lift_events",              # CUPED variance reduction
-    "related_suppliers_jaccard",      # co-occurrence Jaccard pairs
-    "ann_recall_embeddings",          # ANN recall@5 certification
-    "km_survival_events",             # Kaplan-Meier survival
-    "hll_intersection_users_events",  # HLL inclusion-exclusion
-    "waiting_suppliers_q21",          # TPC-H Q21 exists/not-exists
-    "patchify_synth_media",           # ViT-style image patchify
-    "conversion_latency_events",      # first-touch conversion latency
-    "pagerank_copurchase",            # fixed-point PageRank
-    "pagerank_weighted_copurchase",   # weighted PageRank
-    "pagerank_personalized_copurchase", # personalized PageRank
-    "kmeans_embeddings",              # fixed-point Lloyd k-means
-    "streaming_kmeans_assign_embeddings", # streaming k-means assign
-    "kmeans_ari_embeddings",          # Adjusted Rand Index eval
-    "streaming_debounce_events",      # continuous burst debounce
-    "streaming_ks_drift_events",      # continuous two-sample KS
-    "exact_quantiles_lineitem",       # exact two-pass quantiles
-    "exact_quantiles_grouped_lineitem", # grouped exact quantiles
-    "triangle_census_suppliers",      # oriented triangle census
-    "salted_distinct_customers_orders", # salted exact distinct
-    "attribution_linear_events",      # linear multi-touch attribution
-    "bm25_search_documents",          # Okapi BM25 retrieval
-    "epoch_shuffle_documents",        # replayable epoch shuffle
-    "revenue_delta_drilldown_orders", # metric delta drill-down
-    "streaming_freshness_events",     # streaming freshness twin
-    "partition_gaps_events",          # partition-completeness gaps
-    "freshness_sla_tables",           # data-freshness SLA monitor
-    "merge_upsert_orders",            # MERGE-INTO upsert semantics
+    # --- r8 gate (50 slots, exactly full): (1) market_share_q8 —
+    # its query text changed in r7 (ASIA semi-reduction join reorder)
+    # after its last certification, so the changed-text re-cert
+    # convention puts it at the head (r7 ADVICE). (2) The 24
+    # promoted r7-queue entries, staging order — all green in the
+    # judge's own sf0.01 sweep, now driver-witnessed for the first
+    # time. (3) The 25 stalest registry entries: all 20 last
+    # certified in r2 plus the 5 oldest r3 ones — the rotation debt
+    # repayment the r7 verdict scheduled; the remaining r3/r4 stamps
+    # rotate through the r9 gate (tests/test_gate_hygiene.py now
+    # enforces a maximum certification age, so the debt is a test
+    # failure, not a memory).
+    "market_share_q8",                # TPC-H Q8 (changed-text re-cert)
+    # --- promoted r7 queue, staging order ---
+    "dim_ablation_recall_embeddings", # half-dim neighbor preservation
+    "conversion_paths_events",        # top conversion journeys
+    "time_weighted_value_events",     # duration-weighted time-in-state
+    "budget_select_documents",        # token-budget greedy selection
+    "components_supplier_mutual_knn", # mutual-kNN min-label components
+    "event_disorder_events",          # event-time disorder diagnostic
+    "inclusion_deps_star_schema",     # inclusion-dependency FK discovery
+    "streaming_disorder_events",      # disorder streaming twin
+    "streaming_salted_distinct_events", # salted-distinct streaming twin
+    "impact_reach_supply_chain",      # hop-labeled BFS blast radius
+    "seasonal_profile_events",        # hour-of-week seasonal expectation
+    "lead_lag_corr_events",           # lead-lag cross-correlation
+    "slo_burn_rate_events",           # SLO error-budget burn (batch)
+    "streaming_slo_burn_events",      # SLO burn streaming twin
+    "incident_groups_events",         # alert-to-incident grouping
+    "diff_columns_orders",            # column-level diff drill-down
+    "monitor_suite_lake",             # declarative monitor battery
+    "zone_map_prune_orders",          # zone-map prune estimation
+    "cube_revenue_status_priority",   # CUBE grouping-sets
+    "hll_sliding_users_events",       # sliding-window HLL distinct
+    "image_ahash_dedup_media",        # image exact-pixel dedup (aHash)
+    "image_near_dup_media",           # banded aHash near-dup tier
+    "audio_fingerprint_dedup_media",  # gain-robust audio RMS dedup
+    "video_framehash_dedup_media",    # sampled video frame-hash dedup
+    # --- stalest re-certs: every r2 stamp (20) ---
+    "argmax_entity_supplier",
+    "argmax_order",
+    "argmax_order_per_status",
+    "binary_stats_media",
+    "cosine_topk_lsh",
+    "decode_stub_media",
+    "distinct_counts_lineitem",
+    "duplicate_count_lineitem",
+    "embedding_norms",
+    "frame_sample_media",
+    "group_agg_orders",
+    "grouped_distinct_parts",
+    "histogram_quantity",
+    "histogram_returnflag",
+    "json_extract_events",
+    "label_centroid_stats",
+    "limited_scan_topk",
+    "null_counts_orders",
+    "scalar_string_funcs",
+    "timestamp_format_orders",
+    # --- oldest r3 stamps (5 of 43; the rest rotate in r9) ---
+    "asof_join_events_orders",
+    "asof_join_forward",
+    "chunk_documents",
+    "contamination_check",
+    "corr_lineitem",
 ]
 
 

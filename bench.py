@@ -182,6 +182,33 @@ HEADLINE = [
     "scd2_user_state_events",
     "streaming_debounce_events",
     "streaming_ks_drift_events",
+    # round-8 additions (the promoted r7-queue wave: curation,
+    # graph/components, observability, CUBE/zone-map/sliding-HLL,
+    # multimodal dedup legs, streaming twins)
+    "dim_ablation_recall_embeddings",
+    "conversion_paths_events",
+    "time_weighted_value_events",
+    "budget_select_documents",
+    "components_supplier_mutual_knn",
+    "event_disorder_events",
+    "inclusion_deps_star_schema",
+    "streaming_disorder_events",
+    "streaming_salted_distinct_events",
+    "impact_reach_supply_chain",
+    "seasonal_profile_events",
+    "lead_lag_corr_events",
+    "slo_burn_rate_events",
+    "streaming_slo_burn_events",
+    "incident_groups_events",
+    "diff_columns_orders",
+    "monitor_suite_lake",
+    "zone_map_prune_orders",
+    "cube_revenue_status_priority",
+    "hll_sliding_users_events",
+    "image_ahash_dedup_media",
+    "image_near_dup_media",
+    "audio_fingerprint_dedup_media",
+    "video_framehash_dedup_media",
 ]
 
 # HEADLINE is the cross-round-comparable curated set (reps=3 medians,

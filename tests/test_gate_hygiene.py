@@ -66,6 +66,63 @@ def test_priority_names_exist_in_registry():
     assert not ghosts, f"_PRIORITY names not in the registry: {ghosts}"
 
 
+# an entry's last driver certification may be at most this many rounds
+# old before the rotation MUST re-gate it (r7 verdict item 6: 20
+# entries silently carried r2 stamps into round 8 — age debt is now a
+# test failure, not a memory)
+MAX_CERT_AGE_ROUNDS = 5
+
+
+def _last_certified_round() -> tuple[dict[str, int], int]:
+    """(last green driver round per entry, current build round). The
+    current round is one past the newest CORRECTNESS file — the round
+    whose gate is being assembled now."""
+    import re
+
+    last: dict[str, int] = {}
+    newest = 0
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        newest = max(newest, rnd)
+        with open(f) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            ok = (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("hash_match", True)
+            ) or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if ok:
+                last[name] = max(last.get(name, 0), rnd)
+    return last, newest + 1
+
+
+def test_no_registry_entry_staler_than_max_cert_age():
+    """Certification-age rotation is enforced: every registry entry
+    must either sit in the current gate window (it gets a fresh stamp
+    this round) or carry a driver certification younger than
+    MAX_CERT_AGE_ROUNDS. Keeps the stalest-first rotation honest —
+    without it, entries certified once in an early round drift
+    arbitrarily far from their last driver witness."""
+    entrymod, Q = _registry()
+    last, current = _last_certified_round()
+    gate = set(list(entrymod.queries())[: entrymod.GATE_SIZE])
+    threshold = current - MAX_CERT_AGE_ROUNDS
+    stale = sorted(
+        n
+        for n in Q.SPARK_QUERIES
+        if n not in gate and last.get(n, 0) < threshold
+    )
+    assert not stale, (
+        f"registry entries last driver-certified before r{threshold} "
+        f"and outside the current gate window: {stale} — rotate them "
+        "into _PRIORITY (stalest first)"
+    )
+
+
 def test_no_uncertified_entry_left_outside_the_gate():
     """Every registry entry that has never been driver-certified green
     must sit inside the current gate window (so this round certifies
