@@ -1566,3 +1566,203 @@ def exact_quantiles_grouped(
         )
         .orderBy(group_col, "q")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV quantile sketch — deterministic mergeable unknown-range quantiles
+# ---------------------------------------------------------------------------
+
+def kmv_quantile_sketch(
+    df: DataFrame,
+    id_col,
+    col: str,
+    k: int = 2048,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic mergeable quantile sketch with NO prior value
+    bounds — the k-minimum-values (bottom-k by hash) sampler: the
+    sketch is the ``k`` rows whose salted 63-bit md5 hash of the ROW
+    ID is smallest, carrying their values. Closes the one sketch-family
+    gap the repo's other quantile paths leave open:
+    ``histogram_quantiles`` needs known [lo, hi] bounds,
+    ``exact_quantiles_twopass`` needs three data passes — this is one
+    pass, bounded state, and mergeable.
+
+    Why bottom-k instead of textbook GK/KLL: both of those are
+    insertion-order-dependent (GK's band structure, KLL's compaction
+    schedule — even DERANDOMIZED KLL depends on arrival order), so
+    under Spark's nondeterministic partitioning their state is not a
+    pure function of the row set and no cross-engine oracle can replay
+    it. Bottom-k by hash is the order-free derandomization of KLL's
+    geometric level sampling (the hash threshold plays the coin-flip
+    ladder; compaction = threshold tightening at the k-th smallest
+    hash): the sketch is a PURE FUNCTION of the row set, merges are
+    exact, associative AND commutative (bottom-k of a union of
+    bottom-ks over a partition of the data IS the global bottom-k,
+    bit for bit), and DuckDB replays the whole construction. The
+    price is sample-quantile error O(sqrt(q(1-q)/k)) rank units —
+    k = O(1/eps^2) space instead of KLL's O(1/eps) — the honest trade
+    for determinism; k=2048 gives ~1% rank error at any data size.
+
+    Hashing the row ID (not the value) keeps duplicate values at
+    their true multiplicity in the sample and sidesteps double→string
+    cross-engine repr hazards entirely (IDs are integers/strings).
+
+    Plan shape: one scan → per-partition top-k (TakeOrderedAndProject
+    keeps k rows per partition map-side) → single k-row merge. At
+    100 TB the sketch build is the scan; everything downstream is
+    k-row arithmetic. Output rows: (h, value), ≤ k of them.
+    """
+    idc = id_col if not isinstance(id_col, str) else F.col(id_col)
+    v = F.col(col).cast("double")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), idc.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.where(v.isNotNull())
+        .select(h.alias("h"), v.alias("value"))
+        .orderBy("h", "value")
+        .limit(k)
+    )
+
+
+def kmv_quantile_merge(sketches: list[DataFrame], k: int = 2048) -> DataFrame:
+    """Merge KMV quantile sketches built over DISJOINT row sets (a
+    partition of the data — per month, per source, per micro-batch):
+    union the register rows and keep the global bottom-k. Because each
+    input row appears in exactly one sub-sketch's candidate set, the
+    merged sketch is BIT-IDENTICAL to a single-shot build over the
+    union — merges are exact, associative and commutative, so
+    per-day sketches roll up to any window/alignment like HLL
+    registers do."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.orderBy("h", "value").limit(k)
+
+
+def kmv_quantile_estimate(sketch: DataFrame, qs: tuple = (0.25, 0.5, 0.75)) -> DataFrame:
+    """Quantile estimates from a KMV sketch: Spark's exact
+    ``percentile`` over the ≤ k sample values (type-7 interpolation —
+    the oracle replays Percentile.scala's wlo*v0 + frac*v1 with the
+    integral-rank and tied-key short-circuits over a row_number
+    ranking of the same sample). Output: (q, est_value, k_actual)
+    ordered by q; k-row input, trivially cheap."""
+    qlist = [float(q) for q in qs]
+    bplist = [int(round(q * 10000)) for q in qlist]  # exact in Python
+    agg = sketch.agg(
+        F.percentile("value", F.lit(qlist)).alias("__vals"),
+        F.count(F.lit(1)).cast("long").alias("k_actual"),
+    )
+    return (
+        agg.select(
+            F.posexplode("__vals").alias("__i", "est_value"), "k_actual"
+        )
+        .select(
+            F.element_at(F.lit(qlist), F.col("__i") + 1).alias("q"),
+            F.element_at(F.lit(bplist), F.col("__i") + 1)
+            .cast("long")
+            .alias("q_bp"),
+            "est_value",
+            "k_actual",
+        )
+        .orderBy("q")
+    )
+
+
+def kmv_quantile_certify(
+    df: DataFrame, col: str, est: DataFrame
+) -> DataFrame:
+    """Certification view for KMV estimates: each estimate's TRUE rank
+    in the full data as exact integer BASIS POINTS (floor of
+    rows_below*10000/n — pure integer arithmetic, so no percentile
+    parity is needed on the exact leg and no round() ever touches a
+    ratio that can sit on the half-grid) and the rank error
+    |true_rank_bp − q_bp|, also integer. One data scan with a
+    broadcast of the |qs|-row estimate table; at 100 TB drop this
+    view and keep the sketch. Output: (q, est_value, k_actual,
+    n_rows, true_rank_bp, err_bp) ordered by q."""
+    v = F.col(col).cast("double")
+    data = df.where(v.isNotNull()).select(v.alias("__v"))
+    joined = data.crossJoin(F.broadcast(est))
+    below = F.sum(F.when(F.col("__v") <= F.col("est_value"), 1).otherwise(0))
+    return (
+        joined.groupBy("q", "q_bp", "est_value", "k_actual")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (below.cast("long") * F.lit(10000)).alias("__below1e4"),
+        )
+        .select(
+            "q",
+            "est_value",
+            "k_actual",
+            "n_rows",
+            F.expr("__below1e4 div n_rows").cast("long").alias("true_rank_bp"),
+            F.abs(
+                F.expr("__below1e4 div n_rows") - F.col("q_bp")
+            ).cast("long").alias("err_bp"),
+        )
+        .orderBy("q")
+    )
+
+
+def kmv_quantile_grouped(
+    df: DataFrame,
+    group_col: str,
+    id_col,
+    col: str,
+    k: int = 512,
+    qs: tuple = (0.25, 0.5, 0.75),
+    salt: str = "",
+) -> DataFrame:
+    """Per-group KMV quantile sketches + estimates — the segment
+    percentile monitor (p95 latency per endpoint) over unknown value
+    ranges in ONE pass. Bottom-k per group via a row_number window
+    over the salted id hash; estimates replay the same type-7
+    interpolation as :func:`kmv_quantile_estimate` but stay grouped
+    (exact ``percentile`` per group over ≤ k sampled values — the
+    sample bounds the per-group buffer the builtin would otherwise
+    blow on a billion-row group). Output: (group, q, est_value,
+    k_actual) ordered by group, q."""
+    from pyspark.sql import Window
+
+    idc = id_col if not isinstance(id_col, str) else F.col(id_col)
+    v = F.col(col).cast("double")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), idc.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    g = F.col(group_col).alias("__g")
+    sample = (
+        df.where(v.isNotNull())
+        .select(g, h.alias("h"), v.alias("value"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__g").orderBy("h", "value")
+            ),
+        )
+        .where(F.col("__rn") <= k)
+    )
+    qlist = [float(q) for q in qs]
+    agg = sample.groupBy("__g").agg(
+        F.percentile("value", F.lit(qlist)).alias("__vals"),
+        F.count(F.lit(1)).cast("long").alias("k_actual"),
+    )
+    return (
+        agg.select(
+            F.col("__g").alias(group_col),
+            F.posexplode("__vals").alias("__i", "est_value"),
+            "k_actual",
+        )
+        .select(
+            group_col,
+            F.element_at(F.lit(qlist), F.col("__i") + 1).alias("q"),
+            "est_value",
+            "k_actual",
+        )
+        .orderBy(group_col, "q")
+    )

@@ -1,0 +1,163 @@
+"""Hand-value unit tests for the round-8 operator wave (the KMV
+mergeable quantile sketch family) — the queue's oracle tests pin
+cross-engine parity; these pin the MATH and the merge/duplicate/plan
+properties on inputs small enough to reason about."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _sketch(spark, rows, k, salt="t"):
+    from sparkobs.operators.profile import kmv_quantile_sketch
+
+    df = spark.createDataFrame(rows, "id long, v double")
+    return kmv_quantile_sketch(df, "id", "v", k=k, salt=salt)
+
+
+def test_kmv_sketch_is_pure_function_of_row_set(spark):
+    """Same rows in any partitioning/order -> identical sketch: the
+    property GK/KLL lack and the reason bottom-k is the certified
+    structure."""
+    rows = [(i, float((i * 37) % 101)) for i in range(500)]
+    a = sorted(map(tuple, _sketch(spark, rows, 64).collect()))
+    shuffled = list(reversed(rows))
+    b = sorted(
+        map(
+            tuple,
+            _sketch(spark, shuffled, 64).collect(),
+        )
+    )
+    assert a == b and len(a) == 64
+
+
+def test_kmv_merge_of_disjoint_parts_is_bit_identical_to_direct(spark):
+    from sparkobs.operators.profile import kmv_quantile_merge
+
+    rows = [(i, float((i * 17) % 997)) for i in range(900)]
+    direct = _sketch(spark, rows, 128)
+    parts = [
+        _sketch(spark, rows[0:300], 128),
+        _sketch(spark, rows[300:550], 128),
+        _sketch(spark, rows[550:900], 128),
+    ]
+    merged = kmv_quantile_merge(parts, k=128)
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_kmv_merge_is_commutative(spark):
+    from sparkobs.operators.profile import kmv_quantile_merge
+
+    rows = [(i, float(i % 50)) for i in range(400)]
+    p1, p2 = rows[:150], rows[150:]
+    a = kmv_quantile_merge(
+        [_sketch(spark, p1, 64), _sketch(spark, p2, 64)], k=64
+    )
+    b = kmv_quantile_merge(
+        [_sketch(spark, p2, 64), _sketch(spark, p1, 64)], k=64
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kmv_estimate_replays_spark_percentile_on_small_input(spark):
+    """k larger than the data -> the sample IS the data, so estimates
+    must equal the builtin exact percentile bit for bit (including an
+    interpolated rank and an integral rank)."""
+    from sparkobs.operators.profile import (
+        kmv_quantile_estimate,
+        kmv_quantile_sketch,
+    )
+
+    rows = [(i, float(v)) for i, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5])]
+    df = spark.createDataFrame(rows, "id long, v double")
+    sk = kmv_quantile_sketch(df, "id", "v", k=1000, salt="t")
+    qs = (0.25, 0.5, 0.9)
+    est = {r["q"]: r["est_value"] for r in kmv_quantile_estimate(sk, qs).collect()}
+    exact = df.agg(
+        F.percentile("v", F.lit(list(qs))).alias("p")
+    ).collect()[0]["p"]
+    assert [est[q] for q in qs] == list(exact)
+    ka = kmv_quantile_estimate(sk, qs).collect()[0]["k_actual"]
+    assert ka == len(rows)
+
+
+def test_kmv_duplicates_keep_multiplicity(spark):
+    """Hashing the row ID (not the value) must keep a hot duplicate
+    value at ~its true share of the sample: 80% of rows share one
+    value -> the sample median is that value."""
+    from sparkobs.operators.profile import (
+        kmv_quantile_estimate,
+        kmv_quantile_sketch,
+    )
+
+    rows = [(i, 42.0 if i % 5 else float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    sk = kmv_quantile_sketch(df, "id", "v", k=100, salt="t")
+    est = kmv_quantile_estimate(sk, (0.5,)).collect()[0]
+    assert est["est_value"] == 42.0
+    share = sk.where(F.col("value") == 42.0).count() / 100
+    assert 0.65 <= share <= 0.95  # ~0.8 up to sampling noise
+
+
+def test_kmv_rank_error_within_sampling_band(spark):
+    """On real data (lineitem sf0.001) every certified rank error must
+    sit inside ~4 standard errors of the sampling bound — the accuracy
+    contract the docstring advertises."""
+    from sparkobs.io import load_table
+    from sparkobs.operators.profile import (
+        kmv_quantile_certify,
+        kmv_quantile_estimate,
+        kmv_quantile_sketch,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    rid = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    k = 1024
+    sk = kmv_quantile_sketch(li, rid, "l_extendedprice", k=k, salt="kmv")
+    qs = (0.1, 0.5, 0.9)
+    cert = kmv_quantile_certify(
+        li, "l_extendedprice", kmv_quantile_estimate(sk, qs)
+    ).collect()
+    for r in cert:
+        bound_bp = 4 * math.sqrt(r["q"] * (1 - r["q"]) / k) * 10000
+        assert r["err_bp"] <= bound_bp, (r["q"], r["err_bp"], bound_bp)
+        assert r["k_actual"] == k and r["n_rows"] == 6000
+
+
+def test_kmv_grouped_small_groups_are_exact(spark):
+    """A group smaller than k is fully sampled -> the grouped estimate
+    equals the group's exact percentile bit for bit."""
+    from sparkobs.operators.profile import kmv_quantile_grouped
+
+    rows = [(("a" if i % 2 else "b"), i, float((i * 13) % 200)) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {
+        (r["g"], r["q"]): r["est_value"]
+        for r in kmv_quantile_grouped(df, "g", "id", "v", k=500, qs=(0.5, 0.9)).collect()
+    }
+    exact = df.groupBy("g").agg(F.percentile("v", F.lit([0.5, 0.9])).alias("p"))
+    for r in exact.collect():
+        assert got[(r["g"], 0.5)] == r["p"][0]
+        assert got[(r["g"], 0.9)] == r["p"][1]
+
+
+def test_kmv_sketch_plan_is_mapside_topk(spark):
+    """The sketch build must compile to TakeOrderedAndProject (each
+    partition keeps only k rows map-side; one k-row merge) — never a
+    global sort: the property that makes the one-pass build free at
+    100 TB."""
+    from sparkobs.io import load_table
+    from sparkobs.operators.profile import kmv_quantile_sketch
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    sk = kmv_quantile_sketch(li, F.col("l_orderkey"), "l_extendedprice", k=256)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -170,6 +170,14 @@ FACT_QUERIES = (
     "zone_map_prune_orders",
     # CUBE: one Expand pass (4 grouping sets map-side), one shuffle
     "cube_revenue_status_priority",
+    # KMV quantile sketch: TakeOrderedAndProject keeps k rows per
+    # partition map-side; the certify leg is one more scan with a
+    # 5-row broadcast — expect ~linear in the scans, k-bound after
+    "kmv_quantiles_lineitem",
+    # merge cert: one row_number window over (month) + k-row merges
+    "kmv_quantiles_merged_orders",
+    # grouped: one row_number window partitioned by returnflag
+    "kmv_quantiles_grouped_lineitem",
 )
 
 
