@@ -943,3 +943,204 @@ def video_frame_hashes(media: DataFrame, max_frames: int = 3) -> DataFrame:
     return media.select("id", "content").mapInPandas(
         kernel, "id bigint, frame_idx int, ahash bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real video container: uncompressed RIFF/AVI (stdlib parse)
+# ---------------------------------------------------------------------------
+
+def _avi_bytes(frames: list, width: int, height: int = 1) -> bytes:
+    """Minimal CONFORMANT uncompressed AVI: RIFF('AVI ') with a full
+    hdrl (avih + strl(strh 'vids'/'DIB ', strf BITMAPINFOHEADER +
+    256-entry grayscale palette)) and a movi LIST of one '00db' DIB
+    chunk per frame (8-bit grayscale, rows padded to 4 bytes,
+    bottom-up as DIBs are). Pure stdlib struct packing. Each frame is
+    ``width*height`` pixel values in natural top-down row order; the
+    writer flips to the DIB's bottom-up order."""
+    import struct
+
+    n = len(frames)
+    stride = (width + 3) & ~3
+    framed = []
+    for f in frames:
+        f = bytes(f)
+        rows = [f[r * width : (r + 1) * width] for r in range(height)]
+        framed.append(
+            b"".join(row + b"\x00" * (stride - width) for row in reversed(rows))
+        )
+    bih = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, stride * height, 0, 0, 256, 0
+    )
+    pal = b"".join(struct.pack("<BBBB", g, g, g, 0) for g in range(256))
+    strf_body = bih + pal
+    strf = b"strf" + struct.pack("<I", len(strf_body)) + strf_body
+    strh_body = (
+        b"vids"
+        + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIIII",
+            0,  # dwFlags
+            0,  # wPriority
+            0,  # wLanguage
+            0,  # dwInitialFrames
+            1,  # dwScale
+            25,  # dwRate (25 fps)
+            0,  # dwStart
+            n,  # dwLength
+            stride * height,  # dwSuggestedBufferSize
+            0,  # dwQuality
+            0,  # dwSampleSize
+        )
+        + struct.pack("<hhhh", 0, 0, width, height)  # rcFrame
+    )
+    strh = b"strh" + struct.pack("<I", len(strh_body)) + strh_body
+    strl_body = b"strl" + strh + strf
+    strl = b"LIST" + struct.pack("<I", len(strl_body)) + strl_body
+    avih_body = struct.pack(
+        "<IIIIIIIIII",
+        40000,  # dwMicroSecPerFrame (25 fps)
+        stride * height * 25,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0,  # dwFlags
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        stride * height,  # dwSuggestedBufferSize
+        width,
+        height,
+    ) + b"\x00" * 16  # dwReserved[4]
+    avih = b"avih" + struct.pack("<I", len(avih_body)) + avih_body
+    hdrl_body = b"hdrl" + avih + strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = b"movi" + b"".join(
+        b"00db" + struct.pack("<I", len(fd)) + fd + (b"\x00" if len(fd) & 1 else b"")
+        for fd in framed
+    )
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def _parse_avi_frames(b: bytes):
+    """RIFF/AVI walker (stdlib): returns (width, [frame pixel lists])
+    for 8-bit uncompressed DIB video streams, or None for anything it
+    does not understand. A genuinely different decode path from the
+    netpbm/PNG parsers: recursive LIST traversal, BITMAPINFOHEADER
+    stream format, bottom-up row order, 4-byte row stride, even-byte
+    chunk padding."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    meta = {"w": None, "h": None, "bpp": None}
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fcc = b[pos : pos + 4]
+            sz = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+            body = pos + 8
+            if body + sz > len(b):
+                return
+            if fcc == b"LIST":
+                walk(body + 4, body + sz)
+            elif fcc == b"strf" and sz >= 40:
+                w, h = struct.unpack("<ii", b[body + 4 : body + 12])
+                meta["w"], meta["h"] = w, h
+                meta["bpp"] = struct.unpack("<H", b[body + 14 : body + 16])[0]
+            elif fcc[2:4] in (b"db", b"dc"):
+                frames.append(b[body : body + sz])
+            pos = body + sz + (sz & 1)
+
+    total = struct.unpack("<I", b[4:8])[0]
+    walk(12, min(8 + total, len(b)))
+    w, h, bpp = meta["w"], meta["h"], meta["bpp"]
+    if not w or not h or bpp != 8:
+        return None
+    stride = (w + 3) & ~3
+    nrows = abs(h)
+    out = []
+    for fd in frames:
+        if len(fd) < stride * nrows:
+            continue
+        rows = [list(fd[r * stride : r * stride + w]) for r in range(nrows)]
+        if h > 0:
+            rows.reverse()  # positive biHeight = bottom-up DIB
+        out.append([p for row in rows for p in row])
+    return w, out
+
+
+def synth_video_avi(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_frames: int = 4,
+) -> DataFrame:
+    """REAL-container twin of :func:`synth_video`: the same
+    md5-derived frame pixels (frame f = ASCII codes of
+    ``md5(text + '#f<f>')``) packed as a conformant uncompressed
+    RIFF/AVI file per doc — so the frame-sampling dedup path exercises
+    an actual video container (RIFF walk, DIB stream header, bottom-up
+    stride-padded frames) instead of the concatenated-PGM stand-in,
+    while every pixel stays oracle-predictable from md5(text). Emits
+    the original under the doc id and a ROTATED-by-one-frame "trimmed
+    clip" under ``id + 1_000_000_000``, exactly like synth_video."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _id, text in zip(pdf["id"], pdf["text"]):
+                frames = [
+                    hashlib.md5(f"{text}#f{f}".encode("utf-8")).hexdigest().encode()
+                    for f in range(n_frames)
+                ]
+                rows.append((int(_id), "avi", _avi_bytes(frames, 32)))
+                rot = frames[1:] + frames[:1]
+                rows.append(
+                    (int(_id) + 1_000_000_000, "avi", _avi_bytes(rot, 32))
+                )
+            yield pd.DataFrame(rows, columns=["id", "container", "content"])
+
+    return docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).mapInPandas(kernel, "id bigint, container string, content binary")
+
+
+def avi_frame_hashes(media: DataFrame, max_frames: int = 3) -> DataFrame:
+    """Sampled per-frame aHash over REAL AVI containers — the same
+    exact-integer hash as :func:`video_frame_hashes` (bit i MSB-first
+    iff pixel·n > Σpixels over the frame, capped at 63 bits) computed
+    through the RIFF/DIB parse instead of the PGM matrix, so the two
+    paths certify container invariance frame for frame. Output: one
+    row per sampled frame (id, frame_idx, ahash); undecodable payloads
+    are dropped."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _id, content in zip(pdf["id"], pdf["content"]):
+                try:
+                    parsed = _parse_avi_frames(bytes(content))
+                except Exception:  # noqa: BLE001
+                    parsed = None
+                if parsed is None:
+                    continue
+                _w, frames = parsed
+                for f, px in enumerate(frames[:max_frames]):
+                    head = px[:63]
+                    n = len(head)
+                    total = sum(head)
+                    sig = 0
+                    for i, p in enumerate(head):
+                        if p * n > total:
+                            sig |= 1 << (n - 1 - i)
+                    rows.append((int(_id), f, sig))
+            yield pd.DataFrame(rows, columns=["id", "frame_idx", "ahash"])
+
+    return media.select("id", "content").mapInPandas(
+        kernel, "id bigint, frame_idx int, ahash bigint"
+    )

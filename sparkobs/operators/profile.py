@@ -646,6 +646,23 @@ def hll_sliding_distinct(
         .groupBy("__d", "bucket")
         .agg(F.max("rho").alias("reg"))
     )
+    keyed = df.where(F.col(col).isNotNull()).select(
+        day.alias("__d"), F.col(col).alias("__k")
+    )
+    return hll_sliding_from_daily_registers(regs, keyed, window_days)
+
+
+def hll_sliding_from_daily_registers(
+    regs: DataFrame, keyed: DataFrame, window_days: int = 7
+) -> DataFrame:
+    """Window-merge + estimate + exact-twin tail of
+    :func:`hll_sliding_distinct`, taking ALREADY-BUILT daily registers
+    ``(__d date, bucket, reg)`` — shared by the batch operator and the
+    streaming twin, whose state store accumulates the same daily
+    registers by cellwise max across micro-batches (HLL registers
+    merge associatively, so batch partials fold into exactly the
+    daily table a one-shot build produces). ``keyed`` is the
+    ``(__d, __k)`` frame for the exact certification leg."""
     days = regs.select(F.col("__d").alias("__t")).distinct()
     # each day's registers contribute to the window_days target days
     # they fall inside; semi-join keeps only targets that exist
@@ -665,9 +682,6 @@ def hll_sliding_distinct(
     agg = merged.groupBy("__t").agg(*_hll_reg_aggs())
     ests = agg.select(
         "__t", F.round(_hll_estimate_col(), 2).alias("est_distinct")
-    )
-    keyed = df.where(F.col(col).isNotNull()).select(
-        day.alias("__d"), F.col(col).alias("__k")
     )
     exact = (
         days.join(

@@ -410,3 +410,191 @@ def streaming_kmv_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFram
     est = kmv_quantile_estimate(merged, _KMV_MERGE_QS)
     ev = load_table(spark, sf_dir, "events")
     return kmv_quantile_certify(ev, "value", est)
+
+
+@_queue(
+    "video_avi_container_media",
+    oracle="""
+    WITH fr AS (
+      SELECT doc_id, f, md5(text || '#f' || CAST(f AS VARCHAR)) AS hsh
+      FROM documents, generate_series(0, 3) AS t(f)),
+    px AS (SELECT doc_id, f, i,
+                  ascii(substr(hsh, CAST(i AS INT), 1)) AS p
+           FROM fr, generate_series(1, 32) AS s(i)),
+    tot AS (SELECT doc_id, f, sum(p) AS s FROM px GROUP BY 1, 2),
+    fhash AS (SELECT px.doc_id, px.f,
+                     sum(CASE WHEN p * 32 > s
+                              THEN CAST(1 AS BIGINT) << (32 - CAST(i AS INT))
+                              ELSE CAST(0 AS BIGINT) END) AS ahash
+              FROM px JOIN tot ON px.doc_id = tot.doc_id AND px.f = tot.f
+              GROUP BY 1, 2),
+    sampled AS (
+      SELECT doc_id AS id, ahash FROM fhash WHERE f <= 2
+      UNION ALL
+      SELECT doc_id + 1000000000 AS id, ahash FROM fhash WHERE f >= 1),
+    pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM sampled a JOIN sampled b
+                ON a.ahash = b.ahash AND a.id < b.id)
+    SELECT CAST((SELECT count(DISTINCT id) FROM sampled) AS BIGINT) AS n_videos,
+           CAST((SELECT count(*) FROM sampled) AS BIGINT) AS n_frames_sampled,
+           CAST((SELECT count(DISTINCT id) FROM sampled) AS BIGINT)
+             AS n_container_matches,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(coalesce(sum(CASE WHEN id_b - id_a = 1000000000 THEN 1 END), 0)
+                AS BIGINT) AS n_planted_matched
+    FROM pairs
+    """,
+)
+def video_avi_container_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video dedup over a REAL container (the r7 verdict's item 5:
+    the frame-sampling path previously certified only on a
+    concatenated-PGM stand-in). Each doc's 4 md5-derived frames pack
+    into a conformant uncompressed RIFF/AVI (full hdrl, DIB stream
+    format, bottom-up stride-padded '00db' chunks) plus a rotated
+    "trimmed clip"; frames decode through the RIFF walker — a
+    genuinely different parse path from the netpbm matrix — and hash
+    with the exact integer aHash. Certified three ways: (a) every
+    sampled AVI frame hash must equal the concatenated-PGM path's
+    hash for the same (video, frame) — container invariance,
+    n_container_matches ≡ n_videos, which the oracle predicts from
+    md5(text) with no AVI parser; (b) the planted rotated pairs all
+    surface from the frame-hash equi-join exactly as in
+    video_framehash_dedup_media; (c) frame counts pin the sampling
+    geometry. At 100 TB the equi-join stays Σ bucket² over frame-hash
+    buckets; the container parse is one Arrow pass."""
+    from sparkobs.operators.multimodal import (
+        avi_frame_hashes,
+        synth_video,
+        synth_video_avi,
+        video_frame_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    avi = avi_frame_hashes(synth_video_avi(docs), max_frames=3)
+    pgm = video_frame_hashes(synth_video(docs), max_frames=3).select(
+        "id", "frame_idx", F.col("ahash").alias("ahash_pgm")
+    )
+    per_video = (
+        avi.join(pgm, ["id", "frame_idx"], "full")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(
+                F.when(F.col("ahash") == F.col("ahash_pgm"), 1).otherwise(0)
+            ).alias("n_match"),
+        )
+    )
+    inv = per_video.agg(
+        F.count(F.lit(1)).cast("long").alias("n_videos"),
+        F.sum("n_frames").cast("long").alias("n_frames_sampled"),
+        F.sum(
+            F.when((F.col("n_match") == 3) & (F.col("n_frames") == 3), 1).otherwise(0)
+        ).cast("long").alias("n_container_matches"),
+    )
+    fh = avi.select("id", "ahash")
+    a, b = fh.alias("a"), fh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ahash") == F.col("b.ahash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    pstats = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("id_b") - F.col("id_a") == 1_000_000_000, 1)
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_planted_matched"),
+    )
+    return inv.crossJoin(F.broadcast(pstats)).select(
+        "n_videos",
+        "n_frames_sampled",
+        "n_container_matches",
+        "n_pairs",
+        "n_planted_matched",
+    )
+
+
+def _hll_sliding_oracle_fwd() -> str:
+    from sparkobs.queries import _hll_sliding_oracle
+
+    return _hll_sliding_oracle()
+
+
+@_queue("streaming_hll_sliding_users_events", oracle=_hll_sliding_oracle_fwd())
+def streaming_hll_sliding_users_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of hll_sliding_users_events (the r7 verdict's
+    stretch item, completing the sketch-streaming-twin pattern next to
+    streaming_cms_events): events drain through a file-source
+    micro-batch stream; each batch appends its (day, bucket, rho)
+    register PARTIALS to a state table; the daily register table is
+    the CELLWISE MAX over batch partials — HLL registers merge
+    associatively, so the folded state is bit-identical to a one-shot
+    daily build, and the shared window-merge tail
+    (hll_sliding_from_daily_registers) produces estimates equal to the
+    batch pipeline value for value. One oracle certifies both (the
+    slo_burn pattern). State is ≤ days × m register rows per batch —
+    bounded by geometry, never by stream length."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from sparkobs.operators.profile import (
+        _hll_bucket_rho,
+        hll_sliding_from_daily_registers,
+    )
+    from sparkobs.queries import _stage_events
+    from sparkobs.streaming.monitors import EVENTS_SCHEMA
+
+    stage_dir = _stage_events(spark, sf_dir, n_files=4)
+    key = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:16]
+    state_dir = os.path.join(
+        tempfile.gettempdir(), f"sparkobs_shlls_{key}", "regs"
+    )
+    shutil.rmtree(os.path.dirname(state_dir), ignore_errors=True)
+
+    def ingest(batch_df, batch_id):
+        partial = (
+            _hll_bucket_rho(
+                batch_df.withColumn("__d", F.to_date(F.col("ts"))),
+                "user_id",
+                ["__d"],
+            )
+            .groupBy("__d", "bucket")
+            .agg(F.max("rho").alias("reg"))
+        )
+        partial.write.mode("append").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+        .writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "streaming_hll_sliding_users_events did not drain in 300s"
+        )
+    q.stop()
+
+    regs = (
+        spark.read.parquet(state_dir)
+        .groupBy("__d", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.where(F.col("user_id").isNotNull()).select(
+        F.to_date(F.col("ts")).alias("__d"), F.col("user_id").alias("__k")
+    )
+    return hll_sliding_from_daily_registers(regs, keyed, window_days=7)

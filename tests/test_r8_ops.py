@@ -161,3 +161,51 @@ def test_kmv_sketch_plan_is_mapside_topk(spark):
     plan = sk._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_avi_roundtrip_and_bottom_up_flip():
+    """The RIFF writer/parser pair: multi-row frames come back in
+    top-down order (the parser un-flips the DIB's bottom-up rows),
+    stride padding is stripped, and garbage/truncated/non-8bpp
+    payloads return None instead of raising."""
+    from sparkobs.operators.multimodal import _avi_bytes, _parse_avi_frames
+
+    f0 = bytes(range(10)) * 3  # 10 wide, 3 rows
+    f1 = bytes(reversed(f0))
+    b = _avi_bytes([f0, f1], width=10, height=3)
+    w, frames = _parse_avi_frames(b)
+    assert w == 10 and len(frames) == 2
+    assert frames[0] == list(f0) and frames[1] == list(f1)
+    assert _parse_avi_frames(b"JFIF" + b"\x00" * 100) is None
+    assert _parse_avi_frames(b[:10]) is None
+    # truncated mid-movi: parser keeps whatever complete frames exist
+    cut = _parse_avi_frames(b[: len(b) - 5])
+    assert cut is None or len(cut[1]) <= 2
+
+
+def test_avi_frame_hashes_match_pgm_path(spark):
+    """Container invariance: the same md5-derived frames hashed
+    through the RIFF walk and through the concatenated-PGM matrix must
+    collide per (video, frame) — the certification the staged query
+    generalizes to the corpus."""
+    from sparkobs.operators.multimodal import (
+        avi_frame_hashes,
+        synth_video,
+        synth_video_avi,
+        video_frame_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id bigint, text string"
+    )
+    avi = {
+        (r["id"], r["frame_idx"]): r["ahash"]
+        for r in avi_frame_hashes(synth_video_avi(docs), max_frames=3).collect()
+    }
+    pgm = {
+        (r["id"], r["frame_idx"]): r["ahash"]
+        for r in video_frame_hashes(synth_video(docs), max_frames=3).collect()
+    }
+    assert avi == pgm and len(avi) == 12  # 4 videos x 3 sampled frames
+    # rotated clip shares frames with its original (shifted by one)
+    assert avi[(1, 0)] == avi[(1_000_000_001, 2)] or avi[(1, 1)] == avi[(1_000_000_001, 0)]
