@@ -1780,3 +1780,94 @@ def kmv_quantile_grouped(
         )
         .orderBy(group_col, "q")
     )
+
+
+def kmv_quantile_sliding(
+    df: DataFrame,
+    ts_col: str,
+    id_col,
+    col: str,
+    window_days: int = 7,
+    k: int = 512,
+    qs: tuple = (0.5, 0.9),
+    salt: str = "",
+) -> DataFrame:
+    """Trailing-window quantile estimates per day from DAILY KMV
+    sub-sketches — "p95 over the trailing 7 days, reported daily", the
+    percentile companion of :func:`hll_sliding_distinct` and the shape
+    where mergeability earns its keep: overlapping windows would
+    re-scan raw rows window_days times, but each day's bottom-k is
+    built ONCE and every window is a k-row merge. The merge is EXACT,
+    not approximate-on-approximate: an element of the window's
+    bottom-k has fewer than k window elements below it, hence fewer
+    than k same-day elements below it, so it is necessarily inside its
+    own day's bottom-k — union + per-window bottom-k over daily
+    sub-sketches IS the window's bottom-k, bit for bit.
+
+    Windows are the trailing [d-(window_days-1), d] for days present
+    in the data. One row_number window builds all daily sketches; the
+    contribution explode is day-count × k rows. Output: (day, q,
+    est_value, k_actual) ordered by day, q."""
+    from pyspark.sql import Window
+
+    idc = id_col if not isinstance(id_col, str) else F.col(id_col)
+    v = F.col(col).cast("double")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), idc.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    day = F.to_date(F.col(ts_col))
+    daily = (
+        df.where(v.isNotNull())
+        .select(day.alias("__d"), h.alias("h"), v.alias("value"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__d").orderBy("h", "value")
+            ),
+        )
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    days = daily.select(F.col("__d").alias("__t")).distinct()
+    contrib = (
+        daily.select(
+            F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("__off"),
+            "__d",
+            "h",
+            "value",
+        )
+        .select(
+            F.date_add(F.col("__d"), F.col("__off")).alias("__t"), "h", "value"
+        )
+        .join(F.broadcast(days), "__t", "left_semi")
+    )
+    sample = (
+        contrib.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__t").orderBy("h", "value")
+            ),
+        )
+        .where(F.col("__rn") <= k)
+    )
+    qlist = [float(q) for q in qs]
+    agg = sample.groupBy("__t").agg(
+        F.percentile("value", F.lit(qlist)).alias("__vals"),
+        F.count(F.lit(1)).cast("long").alias("k_actual"),
+    )
+    return (
+        agg.select(
+            F.col("__t").alias("day"),
+            F.posexplode("__vals").alias("__i", "est_value"),
+            "k_actual",
+        )
+        .select(
+            "day",
+            F.element_at(F.lit(qlist), F.col("__i") + 1).alias("q"),
+            "est_value",
+            "k_actual",
+        )
+        .orderBy("day", "q")
+    )

@@ -598,3 +598,73 @@ def streaming_hll_sliding_users_events(
         F.to_date(F.col("ts")).alias("__d"), F.col("user_id").alias("__k")
     )
     return hll_sliding_from_daily_registers(regs, keyed, window_days=7)
+
+
+_KMV_SLIDE_QS = (0.5, 0.9)
+
+
+@_queue(
+    "kmv_sliding_quantiles_events",
+    oracle=f"""
+    WITH data AS (
+      SELECT CAST(ts AS DATE) AS d,
+             md5('kmv' || CAST(event_id AS VARCHAR)) AS dg,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL),
+    hashed AS (SELECT d, {_hex15_sql('dg')} AS h, v FROM data),
+    daily AS (SELECT d, h, v FROM (
+        SELECT d, h, v, row_number() OVER (PARTITION BY d ORDER BY h, v) AS rn
+        FROM hashed)
+      WHERE rn <= 512),
+    days AS (SELECT DISTINCT d AS t FROM daily),
+    win AS (SELECT t, h, v FROM daily JOIN days ON d BETWEEN t - 6 AND t),
+    sample AS (SELECT g, v FROM (
+        SELECT t AS g, v, row_number() OVER (PARTITION BY t ORDER BY h, v) AS rn
+        FROM win)
+      WHERE rn <= 512),
+    kk AS (SELECT g, CAST(count(*) AS BIGINT) AS ka FROM sample GROUP BY 1),
+    ranked AS (SELECT g, v,
+                      row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+               FROM sample),
+    qs AS (SELECT unnest([{", ".join(repr(float(q)) for q in _KMV_SLIDE_QS)}]::DOUBLE[]) AS q),
+    t AS (SELECT kk.g, q, kk.ka, q * (kk.ka - 1) AS rk FROM qs CROSS JOIN kk),
+    pick AS (
+      SELECT t.g, t.q, t.ka,
+             t.rk - floor(t.rk) AS frac,
+             ceil(t.rk) - t.rk AS wlo,
+             max(CASE WHEN ranked.rn = CAST(floor(t.rk) AS BIGINT) + 1
+                      THEN ranked.v END) AS v0,
+             max(CASE WHEN ranked.rn =
+                        least(CAST(floor(t.rk) AS BIGINT) + 2, t.ka)
+                      THEN ranked.v END) AS v1
+      FROM t JOIN ranked
+        ON ranked.g = t.g
+       AND (ranked.rn = CAST(floor(t.rk) AS BIGINT) + 1
+        OR ranked.rn = least(CAST(floor(t.rk) AS BIGINT) + 2, t.ka))
+      GROUP BY 1, 2, 3, 4, 5)
+    SELECT g AS day, q,
+           CASE WHEN frac = 0 OR v0 = v1 THEN v0
+                ELSE wlo * v0 + frac * v1 END AS est_value,
+           ka AS k_actual
+    FROM pick ORDER BY 1, 2
+    """,
+)
+def kmv_sliding_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day value percentiles per day from daily KMV
+    sub-sketches (completing the sliding-sketch pair next to
+    hll_sliding_users_events — distinct counts roll up by register
+    max, percentiles by bottom-k merge). The window merge is EXACT:
+    every element of a window's bottom-k is inside its own day's
+    bottom-k (fewer than k window rows below it implies fewer than k
+    same-day rows below it), so union + per-window bottom-k over
+    daily sketches IS the window's bottom-k bit for bit — which the
+    oracle replays directly. At 100 TB each day's sketch builds once
+    map-side; any window length or alignment is then k-row
+    arithmetic."""
+    from sparkobs.operators.profile import kmv_quantile_sliding
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_quantile_sliding(
+        ev, "ts", F.col("event_id"), "value",
+        window_days=7, k=512, qs=_KMV_SLIDE_QS, salt="kmv",
+    )

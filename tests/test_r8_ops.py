@@ -209,3 +209,57 @@ def test_avi_frame_hashes_match_pgm_path(spark):
     assert avi == pgm and len(avi) == 12  # 4 videos x 3 sampled frames
     # rotated clip shares frames with its original (shifted by one)
     assert avi[(1, 0)] == avi[(1_000_000_001, 2)] or avi[(1, 1)] == avi[(1_000_000_001, 0)]
+
+
+def test_kmv_sliding_window_merge_is_exact_bottom_k(spark):
+    """Daily sub-sketches merged per trailing window must equal the
+    window's own bottom-k: with k >= any window's row count the
+    estimates are the exact window percentiles; with small k the
+    sample set still equals a direct bottom-k over the window's raw
+    rows."""
+    from datetime import datetime
+
+    from sparkobs.operators.profile import (
+        kmv_quantile_sketch,
+        kmv_quantile_sliding,
+    )
+
+    rows = [
+        (i, datetime(2024, 1, 1 + i % 5, 3), float((i * 29) % 97))
+        for i in range(250)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp_ntz, v double")
+    # big k: every estimate equals the exact percentile of the window
+    got = kmv_quantile_sliding(
+        df, "ts", "id", "v", window_days=3, k=1000, qs=(0.5,), salt="t"
+    ).collect()
+    for r in got:
+        lo = r["day"].toordinal() - 2
+        win = [
+            v for (_i, ts, v) in rows
+            if lo <= ts.date().toordinal() <= r["day"].toordinal()
+        ]
+        exact = spark.createDataFrame(
+            [(x,) for x in win], "v double"
+        ).agg(F.percentile("v", F.lit(0.5))).collect()[0][0]
+        assert r["est_value"] == exact and r["k_actual"] == len(win)
+    # small k: the day-5 window's sample = direct bottom-k of its rows
+    k = 20
+    small = kmv_quantile_sliding(
+        df, "ts", "id", "v", window_days=3, k=k, qs=(0.5,), salt="t"
+    ).collect()
+    last = max(r["day"] for r in small)
+    lo = last.toordinal() - 2
+    win_rows = [
+        (i, v) for (i, ts, v) in rows
+        if lo <= ts.date().toordinal() <= last.toordinal()
+    ]
+    direct = kmv_quantile_sketch(
+        spark.createDataFrame(win_rows, "id long, v double"), "id", "v",
+        k=k, salt="t",
+    )
+    from sparkobs.operators.profile import kmv_quantile_estimate
+
+    dv = kmv_quantile_estimate(direct, (0.5,)).collect()[0]["est_value"]
+    got_last = [r for r in small if r["day"] == last][0]
+    assert got_last["est_value"] == dv and got_last["k_actual"] == k

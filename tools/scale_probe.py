@@ -342,6 +342,16 @@ def probes():
 
         return hll_sliding_distinct(ev, "ts", "user_id", window_days=7)
 
+    def kmv_sliding(docs, ev, emb):
+        # daily bottom-k window + day-count x k contribution explode;
+        # the raw-row term is the daily row_number pass
+        from sparkobs.operators.profile import kmv_quantile_sliding
+
+        return kmv_quantile_sliding(
+            ev, "ts", "event_id", "value", window_days=7, k=512,
+            qs=(0.5, 0.9), salt="kmv",
+        )
+
     def audio_fp_dedup(docs, ev, emb):
         import struct
 
@@ -903,6 +913,7 @@ def probes():
         "bpe_train": bpe,
         "hll_distinct": hll,
         "hll_sliding": hll_sliding,
+        "kmv_sliding": kmv_sliding,
         "image_near_dup": image_near_dup,
         "audio_fp_dedup": audio_fp_dedup,
         "video_fh_dedup": video_fh_dedup,
