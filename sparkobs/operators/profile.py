@@ -1871,3 +1871,108 @@ def kmv_quantile_sliding(
         )
         .orderBy("day", "q")
     )
+
+
+_THETA_SPACE = float(16 ** 15)  # the 60-bit md5-prefix hash space
+
+
+def theta_sketch(df: DataFrame, col: str, k: int = 4096, salt: str = "") -> DataFrame:
+    """Theta sketch of a column's DISTINCT values: the k smallest
+    salted 60-bit hashes of the distinct value set (KMV over values
+    instead of row ids). The k-th smallest hash θ estimates density —
+    distinct ≈ (k−1)·SPACE/θ — and, unlike HLL registers, the sketch
+    retains the sample hashes themselves, so SET ALGEBRA is direct:
+    the intersection of two sketches below min(θ_A, θ_B) is a uniform
+    sample of A∩B, giving |A∩B| ≈ |common below θ|·SPACE/θ with
+    relative error O(1/√k) of the UNION — where the HLL
+    inclusion–exclusion route (hll_intersection_estimate, EXT-100)
+    blows up on small intersections of large sets because it
+    subtracts three near-equal estimates. Deterministic (pure
+    function of the value set), mergeable (union + re-bottom-k),
+    SQL-replayable. Sketches smaller than k are EXACT (every distinct
+    hash retained, θ = SPACE). Output rows: (h), ≤ k."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def theta_estimate(sketch: DataFrame, k: int = 4096) -> DataFrame:
+    """1-row distinct estimate from a theta sketch: exact count when
+    the sketch is under-full (it holds every distinct hash), else
+    (k−1)·SPACE/θ — one double division of identical operands, no
+    rounding needed cross-engine."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.max("h").alias("__theta"),
+    )
+    return agg.select(
+        F.when(F.col("__n") < k, F.col("__n").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(_THETA_SPACE) / F.col("__theta")
+        )
+        .alias("est_distinct")
+    )
+
+
+def theta_intersect_estimate(
+    sk_a: DataFrame, sk_b: DataFrame, k: int = 4096
+) -> DataFrame:
+    """Distinct-intersection estimate from two theta sketches: below
+    θ = min(θ_A, θ_B) each sketch is a uniform hash sample of its set,
+    so the common hashes below θ are a uniform sample of A∩B and
+    |A∩B| ≈ count·SPACE/θ (θ_X = SPACE when sketch X is under-full,
+    making the fully-exact case return the exact intersection count).
+    One k-row join — never touches the base data. Output: 1 row
+    (n_common, est_intersect)."""
+    ta = sk_a.agg(
+        F.count(F.lit(1)).alias("__n"), F.max("h").alias("__t")
+    ).select(
+        F.when(F.col("__n") < k, F.lit(_THETA_SPACE))
+        .otherwise(F.col("__t").cast("double"))
+        .alias("theta_a")
+    )
+    tb = sk_b.agg(
+        F.count(F.lit(1)).alias("__n"), F.max("h").alias("__t")
+    ).select(
+        F.when(F.col("__n") < k, F.lit(_THETA_SPACE))
+        .otherwise(F.col("__t").cast("double"))
+        .alias("theta_b")
+    )
+    theta = ta.crossJoin(tb).select(
+        F.least("theta_a", "theta_b").alias("theta")
+    )
+    common = sk_a.join(sk_b, "h", "inner").crossJoin(F.broadcast(theta))
+    return (
+        common.where(F.col("h") < F.col("theta"))
+        .groupBy("theta")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .select(
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                * F.lit(_THETA_SPACE)
+                / F.col("theta")
+            ).alias("est_intersect"),
+        )
+        # empty-intersection edge: groupBy over zero rows yields zero
+        # rows — union a zero row and keep the first
+        .unionByName(
+            theta.select(
+                F.lit(0).cast("long").alias("n_common"),
+                F.lit(0.0).alias("est_intersect"),
+            )
+        )
+        .orderBy(F.col("n_common").desc())
+        .limit(1)
+    )

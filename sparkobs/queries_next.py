@@ -668,3 +668,123 @@ def kmv_sliding_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "ts", F.col("event_id"), "value",
         window_days=7, k=512, qs=_KMV_SLIDE_QS, salt="kmv",
     )
+
+
+_THETA_K = 1024
+_THETA_SPACE_SQL = "CAST(1152921504606846976 AS DOUBLE)"  # 16^15 = 2^60
+
+
+def _theta_sketch_sql(src: str, k: int = _THETA_K) -> str:
+    """DuckDB CTE body: theta sketch (bottom-k distinct 60-bit hashes)
+    of CTE ``{src}(cell)``."""
+    return f"""(SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+          SELECT DISTINCT {_hex15_sql("md5('th' || cell)")} AS h FROM {src}))
+      WHERE rn <= {k})"""
+
+
+def _theta_est_sql(sk: str, k: int = _THETA_K) -> str:
+    return f"""(SELECT CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                     ELSE {float(k - 1)} * {_THETA_SPACE_SQL} / max(h) END
+            FROM {sk})"""
+
+
+@_queue(
+    "theta_intersection_cells_events",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(user_id AS VARCHAR) || ':' ||
+             CAST(datediff('hour', TIMESTAMP '2024-01-01 00:00:00', ts)
+                  AS VARCHAR) AS cell
+      FROM events WHERE user_id IS NOT NULL),
+    a AS (SELECT cell FROM base WHERE event_type = 'click'),
+    b AS (SELECT cell FROM base WHERE event_type = 'purchase'),
+    ska AS {_theta_sketch_sql('a')},
+    skb AS {_theta_sketch_sql('b')},
+    u AS (SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+          SELECT h FROM ska UNION SELECT h FROM skb))
+      WHERE rn <= {_THETA_K}),
+    ta AS (SELECT CASE WHEN count(*) < {_THETA_K} THEN {_THETA_SPACE_SQL}
+                       ELSE CAST(max(h) AS DOUBLE) END AS th FROM ska),
+    tb AS (SELECT CASE WHEN count(*) < {_THETA_K} THEN {_THETA_SPACE_SQL}
+                       ELSE CAST(max(h) AS DOUBLE) END AS th FROM skb),
+    th AS (SELECT least(ta.th, tb.th) AS theta FROM ta, tb),
+    common AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+               FROM ska JOIN skb USING (h), th WHERE h < theta),
+    ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersect FROM
+             (SELECT DISTINCT cell FROM a INTERSECT SELECT DISTINCT cell FROM b))
+    SELECT {_theta_est_sql('ska')} AS est_a,
+           {_theta_est_sql('skb')} AS est_b,
+           {_theta_est_sql('u')} AS est_union,
+           n_common,
+           CASE WHEN n_common = 0 THEN 0.0
+                ELSE n_common * {_THETA_SPACE_SQL} / theta END AS est_intersect,
+           exact_intersect
+    FROM common, th, ex
+    """,
+)
+def theta_intersection_cells_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theta-sketch set algebra (extension: the distinct-INTERSECTION
+    sketch — HLL inclusion–exclusion (hll_intersection_users_events)
+    subtracts three near-equal estimates and its error blows up on
+    small intersections of large sets; a theta sketch retains its
+    sample hashes, so the intersection below min(θ) is a direct
+    uniform sample of A∩B). Sets are (user, hour) activity cells of
+    the click vs purchase event streams; the verdict certifies the
+    per-set estimates, the merged-union estimate, the intersection
+    sample count, its scaled estimate, and the exact intersection —
+    every number deterministic, divisions over identical operands
+    (no rounding anywhere). Under-full sketches (sf0.001) take the
+    exact path; full sketches (sf0.01) take the genuine estimation
+    path — both driver-certifiable. At 100 TB each side's sketch
+    builds map-side (distinct + TakeOrderedAndProject); set algebra
+    is then k-row joins, never a rescan."""
+    from sparkobs.operators.profile import (
+        kmv_quantile_merge,
+        theta_estimate,
+        theta_intersect_estimate,
+        theta_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    cell = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        ).cast("string"),
+    )
+    base = ev.select("event_type", cell.alias("cell"))
+    a = base.where(F.col("event_type") == "click").select("cell")
+    b = base.where(F.col("event_type") == "purchase").select("cell")
+    ska = theta_sketch(a, "cell", k=_THETA_K, salt="th")
+    skb = theta_sketch(b, "cell", k=_THETA_K, salt="th")
+    # union sketch: bottom-k of the DISTINCT hash union (theta merge)
+    sku = (
+        ska.unionByName(skb).distinct().orderBy("h").limit(_THETA_K)
+    )
+    ea = theta_estimate(ska, _THETA_K).select(F.col("est_distinct").alias("est_a"))
+    eb = theta_estimate(skb, _THETA_K).select(F.col("est_distinct").alias("est_b"))
+    eu = theta_estimate(sku, _THETA_K).select(F.col("est_distinct").alias("est_union"))
+    inter = theta_intersect_estimate(ska, skb, _THETA_K)
+    exact = (
+        a.distinct()
+        .join(b.distinct(), "cell", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersect"))
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_a", "est_b", "est_union", "n_common",
+            "est_intersect", "exact_intersect",
+        )
+    )

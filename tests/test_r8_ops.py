@@ -263,3 +263,49 @@ def test_kmv_sliding_window_merge_is_exact_bottom_k(spark):
     dv = kmv_quantile_estimate(direct, (0.5,)).collect()[0]["est_value"]
     got_last = [r for r in small if r["day"] == last][0]
     assert got_last["est_value"] == dv and got_last["k_actual"] == k
+
+
+def test_theta_sketch_exact_when_underfull_and_estimates_when_full(spark):
+    from sparkobs.operators.profile import theta_estimate, theta_sketch
+
+    vals = spark.createDataFrame([(f"v{i}",) for i in range(300)], "c string")
+    # under-full: exact distinct
+    exact = theta_estimate(theta_sketch(vals, "c", k=1000, salt="t"), 1000)
+    assert exact.collect()[0]["est_distinct"] == 300.0
+    # full: estimate within the sampling band (k=64 -> ~12.5% stderr)
+    est = theta_estimate(theta_sketch(vals, "c", k=64, salt="t"), 64).collect()[0][
+        "est_distinct"
+    ]
+    assert 300 * 0.5 <= est <= 300 * 1.6, est
+    # duplicates don't change the sketch: distinct-value semantics
+    dup = vals.unionByName(vals)
+    est2 = theta_estimate(theta_sketch(dup, "c", k=64, salt="t"), 64).collect()[0][
+        "est_distinct"
+    ]
+    assert est2 == est
+
+
+def test_theta_intersection_exact_empty_and_estimated(spark):
+    from sparkobs.operators.profile import (
+        theta_intersect_estimate,
+        theta_sketch,
+    )
+
+    a = spark.createDataFrame([(f"k{i}",) for i in range(200)], "c string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(150, 400)], "c string")
+    # under-full on both sides: exact intersection (50 shared keys)
+    ska = theta_sketch(a, "c", k=1000, salt="t")
+    skb = theta_sketch(b, "c", k=1000, salt="t")
+    r = theta_intersect_estimate(ska, skb, 1000).collect()[0]
+    assert r["n_common"] == 50 and r["est_intersect"] == 50.0
+    # disjoint sets: zero row, not an empty frame
+    c = spark.createDataFrame([(f"z{i}",) for i in range(100)], "c string")
+    r0 = theta_intersect_estimate(
+        ska, theta_sketch(c, "c", k=1000, salt="t"), 1000
+    ).collect()
+    assert len(r0) == 1 and r0[0]["n_common"] == 0 and r0[0]["est_intersect"] == 0.0
+    # full sketches: estimate lands within a generous sampling band
+    ska64 = theta_sketch(a, "c", k=64, salt="t")
+    skb64 = theta_sketch(b, "c", k=64, salt="t")
+    rf = theta_intersect_estimate(ska64, skb64, 64).collect()[0]
+    assert 0 < rf["est_intersect"] < 200, rf

@@ -342,6 +342,32 @@ def probes():
 
         return hll_sliding_distinct(ev, "ts", "user_id", window_days=7)
 
+    def theta_p(docs, ev, emb):
+        # two distinct+top-k sketch builds (map-side), k-row set algebra
+        from pyspark.sql import functions as F
+
+        from sparkobs.operators.profile import (
+            theta_intersect_estimate,
+            theta_sketch,
+        )
+
+        cell = F.concat(
+            F.col("user_id").cast("string"), F.lit(":"),
+            F.expr(
+                "timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+            ).cast("string"),
+        )
+        base = ev.where(F.col("user_id").isNotNull()).select(
+            "event_type", cell.alias("cell")
+        )
+        a = base.where(F.col("event_type") == "click").select("cell")
+        b = base.where(F.col("event_type") == "purchase").select("cell")
+        return theta_intersect_estimate(
+            theta_sketch(a, "cell", k=1024, salt="th"),
+            theta_sketch(b, "cell", k=1024, salt="th"),
+            1024,
+        )
+
     def kmv_sliding(docs, ev, emb):
         # daily bottom-k window + day-count x k contribution explode;
         # the raw-row term is the daily row_number pass
@@ -914,6 +940,7 @@ def probes():
         "hll_distinct": hll,
         "hll_sliding": hll_sliding,
         "kmv_sliding": kmv_sliding,
+        "theta_intersect": theta_p,
         "image_near_dup": image_near_dup,
         "audio_fp_dedup": audio_fp_dedup,
         "video_fh_dedup": video_fh_dedup,
