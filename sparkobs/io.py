@@ -101,16 +101,32 @@ def ensure_zone_map_stage(spark: SparkSession, sf_dir: str) -> str:
     try:
         os.rename(tmp, stage)
     except OSError:
-        # a concurrent run published first (dest exists) — or a
-        # crashed earlier write left a partial dir with no _SUCCESS:
-        # clear the partial and retry once before yielding
-        if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-            shutil.rmtree(stage, ignore_errors=True)
+        # dest exists: either a concurrent run published first, or a
+        # crashed earlier write left a partial dir. NEVER rmtree the
+        # stage path here — between a _SUCCESS check and a delete, a
+        # concurrent publisher could land a complete stage and the
+        # delete would take out live data mid-read (r8 review). Move
+        # the occupant ASIDE atomically instead: if it was a partial,
+        # we publish our complete tmp; if it was a complete stage that
+        # raced in, we still publish an equally complete copy.
+        if os.path.exists(os.path.join(stage, "_SUCCESS")):
+            shutil.rmtree(tmp, ignore_errors=True)  # winner exists
+        else:
+            aside = f"{stage}.aside{os.getpid()}"
+            try:
+                os.rename(stage, aside)
+            except OSError:
+                pass  # occupant vanished or was renamed by another run
             try:
                 os.rename(tmp, stage)
+                shutil.rmtree(aside, ignore_errors=True)
             except OSError:
-                pass
-        shutil.rmtree(tmp, ignore_errors=True)
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+                    raise RuntimeError(
+                        f"zone-map stage {stage} could not be published "
+                        "and no concurrent run produced it"
+                    )
     return stage
 
 

@@ -1586,6 +1586,23 @@ def exact_quantiles_grouped(
 # KMV quantile sketch — deterministic mergeable unknown-range quantiles
 # ---------------------------------------------------------------------------
 
+def _salted_hash60(key, salt: str):
+    """Engine-portable 60-bit hash: first 15 hex chars of
+    md5(salt + key-as-string) parsed base-16 (fits a signed 64-bit int
+    in every engine). THE shared hash of the KMV/theta sketch family —
+    one definition, because merge-equivalence certifications (e.g.
+    kmv_quantiles_merged_orders' hand-built per-month sketch vs the
+    direct build) depend on every construction path hashing
+    identically, bit for bit. DuckDB replay: _hex15_sql over
+    md5(salt || CAST(key AS VARCHAR))."""
+    keyc = key if not isinstance(key, str) else F.col(key)
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), keyc.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
 def kmv_quantile_sketch(
     df: DataFrame,
     id_col,
@@ -1595,7 +1612,7 @@ def kmv_quantile_sketch(
 ) -> DataFrame:
     """Deterministic mergeable quantile sketch with NO prior value
     bounds — the k-minimum-values (bottom-k by hash) sampler: the
-    sketch is the ``k`` rows whose salted 63-bit md5 hash of the ROW
+    sketch is the ``k`` rows whose salted 60-bit md5 hash of the ROW
     ID is smallest, carrying their values. Closes the one sketch-family
     gap the repo's other quantile paths leave open:
     ``histogram_quantiles`` needs known [lo, hi] bounds,
@@ -1629,14 +1646,13 @@ def kmv_quantile_sketch(
     """
     idc = id_col if not isinstance(id_col, str) else F.col(id_col)
     v = F.col(col).cast("double")
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), idc.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    # null ids must be excluded, not just null values: a NULL hash
+    # sorts FIRST under Spark's ascending orderBy but LAST under the
+    # DuckDB replay's default NULLS LAST — a nullable id column would
+    # silently fill the Spark-side sample with null-hash rows
     return (
-        df.where(v.isNotNull())
-        .select(h.alias("h"), v.alias("value"))
+        df.where(v.isNotNull() & idc.isNotNull())
+        .select(_salted_hash60(idc, salt).alias("h"), v.alias("value"))
         .orderBy("h", "value")
         .limit(k)
     )
@@ -1744,14 +1760,10 @@ def kmv_quantile_grouped(
 
     idc = id_col if not isinstance(id_col, str) else F.col(id_col)
     v = F.col(col).cast("double")
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), idc.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    h = _salted_hash60(idc, salt)
     g = F.col(group_col).alias("__g")
     sample = (
-        df.where(v.isNotNull())
+        df.where(v.isNotNull() & idc.isNotNull())
         .select(g, h.alias("h"), v.alias("value"))
         .withColumn(
             "__rn",
@@ -1812,14 +1824,10 @@ def kmv_quantile_sliding(
 
     idc = id_col if not isinstance(id_col, str) else F.col(id_col)
     v = F.col(col).cast("double")
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), idc.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    h = _salted_hash60(idc, salt)
     day = F.to_date(F.col(ts_col))
     daily = (
-        df.where(v.isNotNull())
+        df.where(v.isNotNull() & idc.isNotNull())
         .select(day.alias("__d"), h.alias("h"), v.alias("value"))
         .withColumn(
             "__rn",
@@ -1891,16 +1899,9 @@ def theta_sketch(df: DataFrame, col: str, k: int = 4096, salt: str = "") -> Data
     function of the value set), mergeable (union + re-bottom-k),
     SQL-replayable. Sketches smaller than k are EXACT (every distinct
     hash retained, θ = SPACE). Output rows: (h), ≤ k."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(col).cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
     return (
         df.where(F.col(col).isNotNull())
-        .select(h.alias("h"))
+        .select(_salted_hash60(F.col(col), salt).alias("h"))
         .distinct()
         .orderBy("h")
         .limit(k)

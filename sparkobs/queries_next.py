@@ -26,6 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkobs.io import load_table
+# The queue's oracles share queries.py's hash/oracle helpers — one
+# definition for the expressions whose bit-exactness the parity scheme
+# depends on (importing queries.py here is already eager via the
+# promoted-oracle reuse below, so a local copy would be pure drift
+# risk).
+from sparkobs.queries import _hex15_sql, _hll_sliding_oracle  # noqa: E402
 
 R7_QUEUE: dict[str, tuple] = {}
 
@@ -36,20 +42,6 @@ def _queue(name: str, oracle: str | None = None):
         return fn
 
     return deco
-
-
-def _hex15_sql(col: str, start: int = 1) -> str:
-    """DuckDB: 15 hex chars of an md5 hex string parsed base-16 into a
-    BIGINT (same helper as queries.py — duplicated locally so the queue
-    file stays import-light)."""
-    return (
-        "("
-        + " + ".join(
-            f"(strpos('0123456789abcdef', substr({col}, {start + j}, 1)) - 1) * {16 ** (14 - j)}"
-            for j in range(0, 15)
-        )
-        + ")"
-    )
 
 
 def _kmv_est_sql(qs: tuple, sample: str = "sample", ka: str = "kk") -> str:
@@ -219,17 +211,11 @@ def kmv_quantiles_merged_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_quantile_sketch,
     )
 
+    from sparkobs.operators.profile import _salted_hash60
+
     o = load_table(spark, sf_dir, "orders")
     v = F.col("o_totalprice").cast("double")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("kmv"), F.col("o_orderkey").cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = _salted_hash60(F.col("o_orderkey"), "kmv")
     permonth = (
         o.where(v.isNotNull())
         .select(
@@ -470,10 +456,14 @@ def video_avi_container_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    avi = avi_frame_hashes(synth_video_avi(docs), max_frames=3)
+    # checkpoint both frame tables: Catalyst does not reuse a subtree
+    # referenced twice, and avi feeds three legs (invariance join +
+    # the pair self-join's two sides) — without this every leg re-runs
+    # the synth + RIFF-parse Arrow kernel
+    avi = avi_frame_hashes(synth_video_avi(docs), max_frames=3).localCheckpoint()
     pgm = video_frame_hashes(synth_video(docs), max_frames=3).select(
         "id", "frame_idx", F.col("ahash").alias("ahash_pgm")
-    )
+    ).localCheckpoint()
     per_video = (
         avi.join(pgm, ["id", "frame_idx"], "full")
         .groupBy("id")
@@ -520,13 +510,7 @@ def video_avi_container_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hll_sliding_oracle_fwd() -> str:
-    from sparkobs.queries import _hll_sliding_oracle
-
-    return _hll_sliding_oracle()
-
-
-@_queue("streaming_hll_sliding_users_events", oracle=_hll_sliding_oracle_fwd())
+@_queue("streaming_hll_sliding_users_events", oracle=_hll_sliding_oracle())
 def streaming_hll_sliding_users_events(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -695,8 +679,8 @@ def _theta_est_sql(sk: str, k: int = _THETA_K) -> str:
     WITH base AS (
       SELECT event_type,
              CAST(user_id AS VARCHAR) || ':' ||
-             CAST(datediff('hour', TIMESTAMP '2024-01-01 00:00:00', ts)
-                  AS VARCHAR) AS cell
+             CAST(datediff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                            date_trunc('hour', ts)) AS VARCHAR) AS cell
       FROM events WHERE user_id IS NOT NULL),
     a AS (SELECT cell FROM base WHERE event_type = 'click'),
     b AS (SELECT cell FROM base WHERE event_type = 'purchase'),
@@ -744,7 +728,6 @@ def theta_intersection_cells_events(
     builds map-side (distinct + TakeOrderedAndProject); set algebra
     is then k-row joins, never a rescan."""
     from sparkobs.operators.profile import (
-        kmv_quantile_merge,
         theta_estimate,
         theta_intersect_estimate,
         theta_sketch,
@@ -756,8 +739,13 @@ def theta_intersection_cells_events(
     cell = F.concat(
         F.col("user_id").cast("string"),
         F.lit(":"),
+        # hour index over the TRUNCATED timestamp: whole-hour diffs
+        # make Spark's truncate-toward-zero timestampdiff and DuckDB's
+        # boundary-counting datediff agree for any sign (a raw 23:30
+        # pre-anchor event would index 0 vs -1 otherwise)
         F.expr(
-            "timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+            "timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00',"
+            " date_trunc('hour', ts))"
         ).cast("string"),
     )
     base = ev.select("event_type", cell.alias("cell"))

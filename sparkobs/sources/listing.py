@@ -314,9 +314,12 @@ def compaction_execute(
     as a reader argument would bloat the driver. When not given it is
     DERIVED from the listing only when (a) every listed file shares
     one parent directory (one tiny distinct-aggregate, no path
-    collect) AND (b) the listing covers EVERY parquet file in that
-    directory (one driver-side FS metadata listing, count compare) —
-    the normal compaction shape. The coverage check matters because a
+    collect) AND (b) the listing covers EXACTLY the set of files the
+    directory read would see — every non-hidden file of any
+    extension, no visible subdirectories (one driver-side FS metadata
+    walk + one listing aggregate comparing count and an
+    order-independent path-hash sum; never a path collect) — the
+    normal compaction shape. The coverage check matters because a
     directory read over a subset listing is NOT merely wasteful:
     ``spark.read.parquet(dir)`` infers its schema from sampled footers
     without mergeSchema, so an unlisted sibling with a different
@@ -350,28 +353,71 @@ def compaction_execute(
         if len(parents) == 1:
             cand = parents[0]["__dir"]
             # coverage check: the directory read is only sound when
-            # the listing covers every parquet file in it — a subset
-            # listing next to a different-schema sibling would have
-            # that sibling's footers sampled into the inferred schema
-            # and columns silently dropped (never an error). One
-            # driver-side FS metadata listing; no file content read.
-            n_listed = (
-                listing.where(F.col("path").rlike("\\.parquet$"))
-                .select("path")
-                .distinct()
-                .count()
-            )
+            # the listing covers EXACTLY the files the reader will
+            # see — a subset listing next to a different-schema
+            # sibling would have that sibling's footers sampled into
+            # the inferred schema and columns silently dropped (never
+            # an error). The reader sees every non-hidden file
+            # whatever its extension (plus partition subdirs), so the
+            # dir side enumerates ALL of those recursively, and the
+            # compare is SET equality — (count, order-independent
+            # 60-bit path-hash sum) on both sides — not a count that
+            # a same-size swap could fool. Driver cost: one FS
+            # metadata walk (already paid in mtime-key modes); the
+            # listing side is one aggregate, never a path collect.
+            import hashlib
+            import re as _re
+
+            def _pathkey(p: str) -> int:
+                norm_p = _re.sub("^[a-z0-9+.-]+:/+", "/", p)
+                return int(hashlib.md5(norm_p.encode()).hexdigest()[:15], 16)
+
             jvm = spark.sparkContext._jvm
             jpath = jvm.org.apache.hadoop.fs.Path(cand)
             fs = jpath.getFileSystem(
                 spark.sparkContext._jsc.hadoopConfiguration()
             )
-            it = fs.listFiles(jpath, False)
-            n_dir = 0
+            it = fs.listFiles(jpath, True)
+            n_dir, sum_dir, clean = 0, 0, True
+            cand_norm = _re.sub("^[a-z0-9+.-]+:/+", "/", cand).rstrip("/")
             while it.hasNext():
-                if it.next().getPath().toString().endswith(".parquet"):
-                    n_dir += 1
-            if n_listed == n_dir:
+                p = it.next().getPath().toString()
+                norm_p = _re.sub("^[a-z0-9+.-]+:/+", "/", p)
+                rel = norm_p[len(cand_norm) + 1 :] if norm_p.startswith(cand_norm + "/") else norm_p
+                base = rel.rsplit("/", 1)[-1]
+                if base.startswith(("_", ".")):
+                    continue  # hidden: the parquet reader skips these
+                if "/" in rel:
+                    # a visible file in a subdirectory: the reader
+                    # would treat it as a partition — the flat-listing
+                    # coverage model doesn't apply, fall back
+                    clean = False
+                    break
+                n_dir += 1
+                sum_dir += _pathkey(norm_p)
+            listed = listing.select(
+                F.count(F.lit(1)).alias("__n"),
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.regexp_replace(
+                                    F.col("path"), "^[a-z0-9+.-]+:/+", "/"
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("decimal(38,0)")
+                ).alias("__s"),
+            ).collect()[0]
+            if (
+                clean
+                and listed["__n"] == n_dir
+                and int(listed["__s"] or 0) == sum_dir
+            ):
                 src_root = cand
     if src_root is not None:
         reader = spark.read.parquet(src_root)

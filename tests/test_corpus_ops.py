@@ -1359,3 +1359,43 @@ def test_epoch_shuffle_is_permutation_and_seed_independent(spark):
     e1 = {r["doc_id"]: r["shuffle_rank"]
           for r in epoch_shuffle_rank(df, "doc_id", "epoch1").collect()}
     assert e1 != e0 and sorted(e1.values()) == list(range(1, 101))
+
+
+def test_compaction_execute_extension_blind_sibling_falls_back(
+    spark, tmp_path
+):
+    """r8 review: the coverage check must count every non-hidden file
+    the directory read would see, not just '.parquet'-suffixed ones —
+    a same-count narrow-schema sibling named 'export.pq' fooled the
+    count-of-parquet compare while spark.read.parquet(dir) still
+    sampled its footer."""
+    import os
+    import shutil as _shutil
+
+    from sparkobs.sources.listing import compaction_execute, list_files
+
+    src = os.path.join(str(tmp_path), "mixed2")
+    out = os.path.join(str(tmp_path), "compacted")
+    os.makedirs(src)
+    spark.range(400).selectExpr("id", "id % 5 AS v").coalesce(1).write.parquet(
+        os.path.join(src, "wide")
+    )
+    spark.range(100).selectExpr("id").coalesce(1).write.parquet(
+        os.path.join(src, "narrow")
+    )
+    import glob as _glob
+
+    wide_file = _glob.glob(os.path.join(src, "wide", "*.parquet"))[0]
+    narrow_file = _glob.glob(os.path.join(src, "narrow", "*.parquet"))[0]
+    _shutil.move(wide_file, os.path.join(src, "data.parquet"))
+    # the sibling keeps parquet CONTENT but a non-.parquet name: the
+    # reader still reads it in directory mode, the old check missed it
+    _shutil.move(narrow_file, os.path.join(src, "export.pq"))
+    _shutil.rmtree(os.path.join(src, "wide"))
+    _shutil.rmtree(os.path.join(src, "narrow"))
+    listing = list_files(spark, src).where(F.col("path").like("%data.parquet"))
+    audit = compaction_execute(spark, listing, target_bytes=1 << 30, out_dir=out)
+    assert sum(r["n_rows"] for r in audit.collect()) == 400
+    got = spark.read.parquet(out)
+    assert "v" in got.columns
+    assert got.count() == 400

@@ -354,7 +354,8 @@ def probes():
         cell = F.concat(
             F.col("user_id").cast("string"), F.lit(":"),
             F.expr(
-                "timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+                "timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00',"
+                " date_trunc('hour', ts))"
             ).cast("string"),
         )
         base = ev.where(F.col("user_id").isNotNull()).select(
