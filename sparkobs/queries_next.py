@@ -673,9 +673,62 @@ def _theta_est_sql(sk: str, k: int = _THETA_K) -> str:
             FROM {sk})"""
 
 
-@_queue(
-    "theta_intersection_cells_events",
-    oracle=f"""
+def _theta_cell_sides(ev: DataFrame) -> tuple:
+    """(click cells, purchase cells) frames for the theta queries:
+    cell = user:hour-index, the hour index taken over the TRUNCATED
+    timestamp so Spark's truncate-toward-zero timestampdiff and
+    DuckDB's boundary-counting datediff agree for any sign (a raw
+    23:30 pre-anchor event would index 0 vs -1 otherwise)."""
+    ev = ev.where(F.col("user_id").isNotNull())
+    cell = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00',"
+            " date_trunc('hour', ts))"
+        ).cast("string"),
+    )
+    base = ev.select("event_type", cell.alias("cell"))
+    return (
+        base.where(F.col("event_type") == "click").select("cell"),
+        base.where(F.col("event_type") == "purchase").select("cell"),
+    )
+
+
+def _theta_verdict(a: DataFrame, b: DataFrame, ska: DataFrame, skb: DataFrame) -> DataFrame:
+    """Shared verdict frame of the batch theta query and its streaming
+    twin: per-side estimates, merged-union estimate, intersection
+    sample + scaled estimate, exact intersection from the raw cell
+    frames."""
+    from sparkobs.operators.profile import (
+        theta_estimate,
+        theta_intersect_estimate,
+    )
+
+    # union sketch: bottom-k of the DISTINCT hash union (theta merge)
+    sku = ska.unionByName(skb).distinct().orderBy("h").limit(_THETA_K)
+    ea = theta_estimate(ska, _THETA_K).select(F.col("est_distinct").alias("est_a"))
+    eb = theta_estimate(skb, _THETA_K).select(F.col("est_distinct").alias("est_b"))
+    eu = theta_estimate(sku, _THETA_K).select(F.col("est_distinct").alias("est_union"))
+    inter = theta_intersect_estimate(ska, skb, _THETA_K)
+    exact = (
+        a.distinct()
+        .join(b.distinct(), "cell", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersect"))
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_a", "est_b", "est_union", "n_common",
+            "est_intersect", "exact_intersect",
+        )
+    )
+
+
+_THETA_CELLS_ORACLE = f"""
     WITH base AS (
       SELECT event_type,
              CAST(user_id AS VARCHAR) || ':' ||
@@ -707,8 +760,10 @@ def _theta_est_sql(sk: str, k: int = _THETA_K) -> str:
                 ELSE n_common * {_THETA_SPACE_SQL} / theta END AS est_intersect,
            exact_intersect
     FROM common, th, ex
-    """,
-)
+    """
+
+
+@_queue("theta_intersection_cells_events", oracle=_THETA_CELLS_ORACLE)
 def theta_intersection_cells_events(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -727,52 +782,79 @@ def theta_intersection_cells_events(
     path — both driver-certifiable. At 100 TB each side's sketch
     builds map-side (distinct + TakeOrderedAndProject); set algebra
     is then k-row joins, never a rescan."""
-    from sparkobs.operators.profile import (
-        theta_estimate,
-        theta_intersect_estimate,
-        theta_sketch,
-    )
+    from sparkobs.operators.profile import theta_sketch
 
-    ev = load_table(spark, sf_dir, "events").where(
-        F.col("user_id").isNotNull()
-    )
-    cell = F.concat(
-        F.col("user_id").cast("string"),
-        F.lit(":"),
-        # hour index over the TRUNCATED timestamp: whole-hour diffs
-        # make Spark's truncate-toward-zero timestampdiff and DuckDB's
-        # boundary-counting datediff agree for any sign (a raw 23:30
-        # pre-anchor event would index 0 vs -1 otherwise)
-        F.expr(
-            "timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00',"
-            " date_trunc('hour', ts))"
-        ).cast("string"),
-    )
-    base = ev.select("event_type", cell.alias("cell"))
-    a = base.where(F.col("event_type") == "click").select("cell")
-    b = base.where(F.col("event_type") == "purchase").select("cell")
+    a, b = _theta_cell_sides(load_table(spark, sf_dir, "events"))
     ska = theta_sketch(a, "cell", k=_THETA_K, salt="th")
     skb = theta_sketch(b, "cell", k=_THETA_K, salt="th")
-    # union sketch: bottom-k of the DISTINCT hash union (theta merge)
-    sku = (
-        ska.unionByName(skb).distinct().orderBy("h").limit(_THETA_K)
+    return _theta_verdict(a, b, ska, skb)
+
+
+@_queue("streaming_theta_intersection_events", oracle=_THETA_CELLS_ORACLE)
+def streaming_theta_intersection_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of theta_intersection_cells_events (completing
+    the sketch-streaming-twin set next to CMS/HLL-sliding/KMV):
+    events drain through a file-source micro-batch stream; each batch
+    appends its per-side theta partials (side, h) to the state table;
+    each side's final sketch is the bottom-k over the DISTINCT hash
+    union of its partials — exact, because a hash in the global
+    bottom-k of a side's distinct values is necessarily in its own
+    batch's bottom-k, and re-occurrences across batches dedup by
+    value-hash identity. The drained state therefore reproduces the
+    one-shot batch sketches bit for bit and the SAME oracle certifies
+    both. State: ≤ k rows per (batch, side)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from sparkobs.operators.profile import theta_sketch
+    from sparkobs.queries import _stage_events
+    from sparkobs.streaming.monitors import EVENTS_SCHEMA
+
+    stage_dir = _stage_events(spark, sf_dir, n_files=4)
+    key = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:16]
+    state_dir = os.path.join(
+        tempfile.gettempdir(), f"sparkobs_stheta_{key}", "hashes"
     )
-    ea = theta_estimate(ska, _THETA_K).select(F.col("est_distinct").alias("est_a"))
-    eb = theta_estimate(skb, _THETA_K).select(F.col("est_distinct").alias("est_b"))
-    eu = theta_estimate(sku, _THETA_K).select(F.col("est_distinct").alias("est_union"))
-    inter = theta_intersect_estimate(ska, skb, _THETA_K)
-    exact = (
-        a.distinct()
-        .join(b.distinct(), "cell", "left_semi")
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersect"))
-    )
-    return (
-        ea.crossJoin(F.broadcast(eb))
-        .crossJoin(F.broadcast(eu))
-        .crossJoin(F.broadcast(inter))
-        .crossJoin(F.broadcast(exact))
-        .select(
-            "est_a", "est_b", "est_union", "n_common",
-            "est_intersect", "exact_intersect",
+    shutil.rmtree(os.path.dirname(state_dir), ignore_errors=True)
+
+    def ingest(batch_df, batch_id):
+        a, b = _theta_cell_sides(batch_df)
+        partial = theta_sketch(a, "cell", k=_THETA_K, salt="th").select(
+            F.lit("a").alias("side"), "h"
+        ).unionByName(
+            theta_sketch(b, "cell", k=_THETA_K, salt="th").select(
+                F.lit("b").alias("side"), "h"
+            )
         )
+        partial.write.mode("append").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+        .writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
     )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "streaming_theta_intersection_events did not drain in 300s"
+        )
+    q.stop()
+
+    state = spark.read.schema("side string, h long").parquet(state_dir)
+    ska = (
+        state.where(F.col("side") == "a").select("h").distinct()
+        .orderBy("h").limit(_THETA_K)
+    )
+    skb = (
+        state.where(F.col("side") == "b").select("h").distinct()
+        .orderBy("h").limit(_THETA_K)
+    )
+    a, b = _theta_cell_sides(load_table(spark, sf_dir, "events"))
+    return _theta_verdict(a, b, ska, skb)
