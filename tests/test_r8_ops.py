@@ -309,3 +309,41 @@ def test_theta_intersection_exact_empty_and_estimated(spark):
     skb64 = theta_sketch(b, "c", k=64, salt="t")
     rf = theta_intersect_estimate(ska64, skb64, 64).collect()[0]
     assert 0 < rf["est_intersect"] < 200, rf
+
+
+def test_zone_map_stage_prunes_predecessors_and_publishes_atomically(
+    spark, tmp_path
+):
+    """r7 ADVICE: regenerating the source must not leak the previous
+    range-partitioned stage forever, and the publish must be
+    tmp+rename (no _SUCCESS visible inside a half-written dir). Stage,
+    touch the source mtime, stage again: the old stage dir is pruned,
+    the new one is complete, and a sibling source (different sf dir)
+    is untouched."""
+    import glob as _glob
+    import os
+    import time
+
+    from sparkobs.io import ensure_zone_map_stage, zone_map_stage_dir
+
+    sf = os.path.join(str(tmp_path), "sfx")
+    os.makedirs(sf)
+    spark.range(100).selectExpr(
+        "id AS o_orderkey",
+        "timestampadd(DAY, CAST(id AS INT), TIMESTAMP '1995-01-01') AS o_orderdate",
+    ).write.parquet(os.path.join(sf, "orders.parquet"))
+    s1 = ensure_zone_map_stage(spark, sf)
+    assert os.path.exists(os.path.join(s1, "_SUCCESS"))
+    # regenerate the source: mtime changes -> new version key
+    time.sleep(0.05)
+    os.utime(os.path.join(sf, "orders.parquet"))
+    s2 = zone_map_stage_dir(sf)
+    assert s2 != s1
+    s2b = ensure_zone_map_stage(spark, sf)
+    assert s2b == s2 and os.path.exists(os.path.join(s2, "_SUCCESS"))
+    # predecessor pruned, no tmp/aside leftovers for this source
+    prefix = os.path.basename(s2).rsplit("_", 1)[0]
+    siblings = _glob.glob(os.path.join(os.path.dirname(s2), f"{prefix}_*"))
+    assert siblings == [s2], siblings
+    # idempotent re-entry
+    assert ensure_zone_map_stage(spark, sf) == s2
