@@ -383,6 +383,31 @@ def test_gate_window_plan_hygiene(spark):
     assert not offenders, "; ".join(offenders)
 
 
+def test_queue_plan_hygiene(spark):
+    """The same anti-pattern screen over the STAGED queue, so a
+    row-at-a-time UDF or cartesian product is caught when an entry is
+    staged, not when it reaches a gate. Streaming twins are skipped
+    (their build step executes a stream); entries that localCheckpoint
+    during plan construction simply pay that build here."""
+    from sparkobs.plans import physical_plan
+    from sparkobs.queries_next import R7_QUEUE
+
+    offenders = []
+    for name, (fn, _oracle) in R7_QUEUE.items():
+        if name.startswith("streaming_"):
+            continue
+        try:
+            p = physical_plan(fn(spark, "/root/testdata/sf0.001"))
+        except Exception as e:  # noqa: BLE001
+            offenders.append(f"{name}: plan build failed: {e}")
+            continue
+        if "BatchEvalPython" in p:
+            offenders.append(f"{name}: row-at-a-time Python UDF")
+        if "CartesianProduct" in p:
+            offenders.append(f"{name}: cartesian product")
+    assert not offenders, "; ".join(offenders)
+
+
 def test_iterative_wave_plan_discipline(spark):
     from sparkobs.plans import (
         assert_no_cartesian,
