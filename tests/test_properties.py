@@ -744,3 +744,79 @@ def test_merge_upsert_is_idempotent_and_key_unique(spark, base, upd):
     expect = dict(base)
     expect.update(dict(upd))
     assert r1 == sorted(expect.items())  # updates win, keys unique
+
+
+# --- r8: sketch merge laws (KMV quantiles, theta set algebra) ---
+
+_ids_vals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.one_of(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            st.none(),
+        ),
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=_ids_vals, cut=st.integers(min_value=0, max_value=60), k=st.sampled_from([4, 16, 64]))
+@settings(**SETTINGS)
+def test_kmv_merge_law(spark, rows, cut, k):
+    """bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) for any
+    split point, any k — the exactness that makes per-partition
+    sub-sketches certifiable; null values are excluded identically on
+    every path."""
+    from sparkobs.operators.profile import kmv_quantile_merge, kmv_quantile_sketch
+
+    cut = min(cut, len(rows))
+    mk = lambda rs: spark.createDataFrame(rs, "id long, v double")  # noqa: E731
+    direct = kmv_quantile_sketch(mk(rows), "id", "v", k=k, salt="p")
+    merged = kmv_quantile_merge(
+        [
+            kmv_quantile_sketch(mk(rows[:cut]) if cut else mk(rows).limit(0), "id", "v", k=k, salt="p"),
+            kmv_quantile_sketch(mk(rows[cut:]) if cut < len(rows) else mk(rows).limit(0), "id", "v", k=k, salt="p"),
+        ],
+        k=k,
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, merged.collect()))
+
+
+_strs = st.lists(
+    st.text(alphabet="abcxyz0189 ._", min_size=0, max_size=6),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(xs=_strs, ys=_strs, k=st.sampled_from([8, 32, 1000]))
+@settings(**SETTINGS)
+def test_theta_laws(spark, xs, ys, k):
+    """Theta sketches: duplicate-invariance (value semantics), merge
+    law over distinct-hash unions, and exactness of intersection
+    whenever BOTH sketches are under-full."""
+    from sparkobs.operators.profile import (
+        theta_estimate,
+        theta_intersect_estimate,
+        theta_sketch,
+    )
+
+    mk = lambda vs: spark.createDataFrame(  # noqa: E731
+        [(v,) for v in vs], "c string"
+    ) if vs else spark.createDataFrame([], "c string")
+    ska = theta_sketch(mk(xs), "c", k=k, salt="p")
+    # duplicate invariance
+    ska_dup = theta_sketch(mk(xs + xs), "c", k=k, salt="p")
+    assert sorted(r["h"] for r in ska.collect()) == sorted(
+        r["h"] for r in ska_dup.collect()
+    )
+    skb = theta_sketch(mk(ys), "c", k=k, salt="p")
+    r = theta_intersect_estimate(ska, skb, k).collect()
+    assert len(r) == 1
+    both_underfull = len(set(xs)) < k and len(set(ys)) < k
+    if both_underfull:
+        assert r[0]["est_intersect"] == float(len(set(xs) & set(ys)))
+        ea = theta_estimate(ska, k).collect()[0]["est_distinct"]
+        assert ea == float(len(set(xs)))
