@@ -1105,3 +1105,96 @@ def keep_best_canonical(
         )
     )
     return grouped.unionByName(singles)
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup, the REMOVAL half (Lee et al. 2022,
+    arXiv:2107.06499 §4.2 — :func:`duplicated_ngram_spans` is the
+    measurement half): rewrite every document with the tokens cut
+    whose position is covered by a word ``n``-gram occurring in ≥
+    ``min_docs`` distinct documents. The paper shows models memorize
+    exactly these cross-document repeated spans (licenses, navbars,
+    quoted boilerplate); dropping the spans instead of whole docs
+    keeps the surrounding novel text.
+
+    Scale shape: the shingle/df/coverage legs are the measurement
+    op's (explode → md5-keyed DF agg with map-side combine → only
+    genuinely duplicated shingles re-explode their n positions); the
+    rewrite adds one positional anti join and one per-doc ordered
+    reassembly (collect positions+tokens, array_sort, join — the
+    drop_boilerplate_lines pattern, bounded by document length).
+    Reassembly normalizes inter-token whitespace to single spaces
+    (tokens are the unit of the operation on both engines).
+
+    Output: (doc_id, n_tokens, kept_tokens, removed_tokens,
+    clean_text); a fully-covered doc survives with empty text, not
+    vanishes."""
+    from sparkobs.operators.text import tokens_nonempty
+
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_nonempty(text_col).alias("t")
+    )
+    occ = toks.where(F.size("t") >= n).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - n + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, n))),
+            )
+        ).alias("pos0", "k"),
+    )
+    dup = (
+        occ.groupBy("k")
+        .agg(F.count_distinct("id").alias("__df"))
+        .where(F.col("__df") >= min_docs)
+        .select("k")
+    )
+    covered = (
+        occ.join(dup, "k")
+        .select(
+            "id",
+            F.explode(F.sequence(F.col("pos0") + 1, F.col("pos0") + n)).alias(
+                "cp"
+            ),
+        )
+        .distinct()
+    )
+    pos = toks.select(
+        "id", F.posexplode("t").alias("__p0", "tok")
+    ).select("id", (F.col("__p0") + 1).alias("p"), "tok")
+    kept = pos.join(
+        covered,
+        (pos["id"] == covered["id"]) & (pos["p"] == covered["cp"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = toks.select("id", F.size("t").alias("n_tokens"))
+    return (
+        base.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("kept_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("removed_tokens"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

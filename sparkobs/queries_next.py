@@ -858,3 +858,51 @@ def streaming_theta_intersection_events(
     )
     a, b = _theta_cell_sides(load_table(spark, sf_dir, "events"))
     return _theta_verdict(a, b, ska, skb)
+
+
+@_queue(
+    "span_scrub_documents",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+                  FROM documents),
+    occ AS (SELECT doc_id, i AS pos0, md5(array_to_string(t[i:i+4], ' ')) AS k
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+                  FROM toks WHERE len(t) >= 5)),
+    dup AS (SELECT k FROM occ GROUP BY k HAVING count(DISTINCT doc_id) >= 2),
+    covp AS (SELECT DISTINCT doc_id, cp FROM
+               (SELECT o.doc_id, unnest(generate_series(o.pos0, o.pos0 + 4)) AS cp
+                FROM occ o JOIN dup d ON o.k = d.k)),
+    pos AS (SELECT doc_id, i, t[i] AS tok
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+                  FROM toks)),
+    kept AS (SELECT p.doc_id, p.i, p.tok
+             FROM pos p LEFT JOIN covp c
+               ON p.doc_id = c.doc_id AND p.i = c.cp
+             WHERE c.cp IS NULL),
+    rebuilt AS (SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS kept_tokens,
+                       string_agg(tok, ' ' ORDER BY i) AS clean_text
+                FROM kept GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(len(b.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(len(b.t) - coalesce(r.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM toks b LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def span_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REMOVAL (extension: the rewrite half of
+    Lee et al. 2022 next to dup_span_coverage_documents' measurement
+    half): every token position covered by a 5-gram occurring in ≥2
+    documents is cut and the document reassembled in order —
+    memorization-prone cross-document boilerplate drops while the
+    novel remainder survives (a fully-boilerplate doc survives empty,
+    not vanishes). The oracle replays the positional shingle pipeline,
+    the coverage set, and the ordered reassembly token for token."""
+    from sparkobs.operators.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(
+        load_table(spark, sf_dir, "documents"), n=5, min_docs=2
+    )

@@ -347,3 +347,39 @@ def test_zone_map_stage_prunes_predecessors_and_publishes_atomically(
     assert siblings == [s2], siblings
     # idempotent re-entry
     assert ensure_zone_map_stage(spark, sf) == s2
+
+
+def test_remove_duplicated_spans_cuts_shared_spans_only(spark):
+    """Hand corpus: a 5-gram shared by two docs is cut from BOTH; the
+    surrounding novel tokens survive in order; a doc made entirely of
+    the shared span survives empty; an untouched doc round-trips with
+    whitespace normalized."""
+    from sparkobs.operators.dedup import remove_duplicated_spans
+
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {shared} omega"),
+            (2, f"start {shared} end tail"),
+            (3, shared),
+            (4, "totally  novel   text here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs, n=5).collect()}
+    assert out[1]["clean_text"] == "alpha omega"
+    assert out[1]["removed_tokens"] == 5 and out[1]["n_tokens"] == 7
+    assert out[2]["clean_text"] == "start end tail"
+    assert out[3]["clean_text"] == "" and out[3]["kept_tokens"] == 0
+    assert out[4]["clean_text"] == "totally novel text here"
+    assert out[4]["removed_tokens"] == 0
+    # overlapping shared windows: doc1/doc2 share a 6-token run -> all
+    # 6 positions covered through the two overlapping 5-grams
+    docs2 = spark.createDataFrame(
+        [(1, "a b c d e f x"), (2, "y a b c d e f")],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r["doc_id"]: r for r in remove_duplicated_spans(docs2, n=5).collect()
+    }
+    assert out2[1]["clean_text"] == "x" and out2[2]["clean_text"] == "y"

@@ -263,6 +263,13 @@ def probes():
     def dup_span(docs, ev, emb):
         return duplicated_ngram_spans(docs, n=5)
 
+    def span_scrub(docs, ev, emb):
+        # measurement legs + one positional anti join + per-doc
+        # ordered reassembly (document-length-bounded)
+        from sparkobs.operators.dedup import remove_duplicated_spans
+
+        return remove_duplicated_spans(docs, n=5)
+
     def pack(docs, ev, emb):
         return pack_sequences(docs, budget=512)
 
@@ -919,6 +926,7 @@ def probes():
         "metric_anomalies": anomaly,
         "chunk_documents": chunk,
         "dup_span_coverage": dup_span,
+        "span_scrub": span_scrub,
         "pack_sequences": pack,
         "vocab_topk": vocab,
         "pack_manifest": manifest,
