@@ -339,3 +339,48 @@ def slo_burn_derive(
             / (F.lit(budget) * F.sum("n").over(w))
         ).alias("budget_used_frac"),
     )
+
+
+def percentile_contract(
+    tables: list[tuple],
+    k: int = 2048,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Percentile SLO contracts over KMV quantile sketches — the
+    check type the sketch family exists for at 100 TB: "p95 of this
+    column must stay under X" answered in ONE pass per table with
+    bounded state, no prior value bounds, and per-partition
+    sub-sketches that merge exactly (a percentile threshold over the
+    builtin exact ``percentile`` would buffer whole columns; over
+    ``percentile_approx`` it would be uncertifiable cross-engine).
+
+    ``tables`` is [(name, df, id_col, col, q, ceiling)]; per entry the
+    verdict row carries the sketch estimate, the configured ceiling,
+    and ok = est ≤ ceiling — a deterministic double compare over the
+    identical sample value both engines pick, so the whole contract
+    battery is value-certifiable. Output: (table_name, col_name, q,
+    est_value, ceiling, ok) in configuration order, one lazily-unioned
+    frame (the monitor_suite composition shape)."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.profile import (
+        kmv_quantile_estimate,
+        kmv_quantile_sketch,
+    )
+
+    parts = []
+    for name, df, id_col, col, q, ceiling in tables:
+        sk = kmv_quantile_sketch(df, id_col, col, k=k, salt=salt)
+        est = kmv_quantile_estimate(sk, (q,)).select(
+            F.lit(name).alias("table_name"),
+            F.lit(col).alias("col_name"),
+            "q",
+            "est_value",
+            F.lit(float(ceiling)).alias("ceiling"),
+            (F.col("est_value") <= F.lit(float(ceiling))).alias("ok"),
+        )
+        parts.append(est)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -906,3 +906,89 @@ def span_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicated_spans(
         load_table(spark, sf_dir, "documents"), n=5, min_docs=2
     )
+
+
+def _kmv_est_one_sql(src_sql: str, q: float, k: int) -> str:
+    """Scalar DuckDB subquery: the KMV q-quantile estimate over
+    ``src_sql`` (a query yielding (h, v) hashed rows) — bottom-k, then
+    the Percentile.scala interpolation for one q."""
+    return f"""(
+      WITH s AS (SELECT v FROM (
+          SELECT v, row_number() OVER (ORDER BY h, v) AS rn
+          FROM ({src_sql}))
+        WHERE rn <= {k}),
+      kk AS (SELECT CAST(count(*) AS BIGINT) AS ka FROM s),
+      r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s),
+      t AS (SELECT kk.ka, CAST({q!r} AS DOUBLE) * (kk.ka - 1) AS rk
+            FROM kk),
+      p AS (SELECT t.ka, t.rk - floor(t.rk) AS frac, ceil(t.rk) - t.rk AS wlo,
+                   max(CASE WHEN r.rn = CAST(floor(t.rk) AS BIGINT) + 1
+                            THEN r.v END) AS v0,
+                   max(CASE WHEN r.rn =
+                              least(CAST(floor(t.rk) AS BIGINT) + 2, t.ka)
+                            THEN r.v END) AS v1
+            FROM t JOIN r
+              ON r.rn = CAST(floor(t.rk) AS BIGINT) + 1
+              OR r.rn = least(CAST(floor(t.rk) AS BIGINT) + 2, t.ka)
+            GROUP BY 1, 2, 3)
+      SELECT CASE WHEN frac = 0 OR v0 = v1 THEN v0
+                  ELSE wlo * v0 + frac * v1 END FROM p)"""
+
+
+_PCT_CONTRACTS = (
+    # (table, src table, id expr SQL, value col, q, ceiling)
+    ("orders", "orders",
+     "CAST(o_orderkey AS VARCHAR)", "o_totalprice", 0.95, 425000.0),
+    ("lineitem", "lineitem",
+     "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)",
+     "l_extendedprice", 0.95, 97000.0),
+    ("events", "events",
+     "CAST(event_id AS VARCHAR)", "value", 0.99, 990.0),
+)
+
+
+def _pct_contract_oracle(k: int = 2048) -> str:
+    legs = []
+    for name, tbl, id_sql, col, q, ceiling in _PCT_CONTRACTS:
+        dg = "md5('kmv' || " + id_sql + ")"
+        src = (
+            f"SELECT {_hex15_sql(dg)} AS h, "
+            f"CAST({col} AS DOUBLE) AS v FROM {tbl} WHERE {col} IS NOT NULL"
+        )
+        est = _kmv_est_one_sql(src, q, k)
+        legs.append(
+            f"SELECT '{name}' AS table_name, '{col}' AS col_name, "
+            f"CAST({q!r} AS DOUBLE) AS q, {est} AS est_value, "
+            f"CAST({ceiling!r} AS DOUBLE) AS ceiling, "
+            f"{est} <= CAST({ceiling!r} AS DOUBLE) AS ok"
+        )
+    return "\nUNION ALL\n".join(legs)
+
+
+@_queue("percentile_contract_lake", oracle=_pct_contract_oracle())
+def percentile_contract_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile SLO contract battery over KMV sketches (extension:
+    the check type the quantile sketch exists for — "p95/p99 must
+    stay under X" per table, one single-pass bounded-state sketch
+    each, the monitor_suite composition shape). Three contracts
+    (orders p95 total price, lineitem p95 extended price, events p99
+    value) with deterministic estimate ≤ ceiling verdicts; the oracle
+    replays every sketch and interpolation, so the whole battery —
+    estimates AND booleans — is value-certified."""
+    from sparkobs.operators.checks import percentile_contract
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    li_id = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return percentile_contract(
+        [
+            ("orders", o, F.col("o_orderkey"), "o_totalprice", 0.95, 425000.0),
+            ("lineitem", li, li_id, "l_extendedprice", 0.95, 97000.0),
+            ("events", ev, F.col("event_id"), "value", 0.99, 990.0),
+        ]
+    )

@@ -383,3 +383,28 @@ def test_remove_duplicated_spans_cuts_shared_spans_only(spark):
         r["doc_id"]: r for r in remove_duplicated_spans(docs2, n=5).collect()
     }
     assert out2[1]["clean_text"] == "x" and out2[2]["clean_text"] == "y"
+
+
+def test_percentile_contract_verdicts(spark):
+    """Hand data: a table whose p95 sits under the ceiling passes, one
+    over it fails; estimates equal the exact percentile when k covers
+    the data."""
+    from sparkobs.operators.checks import percentile_contract
+
+    small = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    )
+    out = {
+        r["table_name"]: r
+        for r in percentile_contract(
+            [
+                ("ok_table", small, "id", "v", 0.95, 200.0),
+                ("bad_table", small, "id", "v", 0.95, 50.0),
+            ],
+            k=1000,
+        ).collect()
+    }
+    exact = small.agg(F.percentile("v", F.lit(0.95))).collect()[0][0]
+    assert out["ok_table"]["est_value"] == exact and out["ok_table"]["ok"]
+    assert out["bad_table"]["est_value"] == exact and not out["bad_table"]["ok"]
+    assert out["ok_table"]["ceiling"] == 200.0
