@@ -361,23 +361,28 @@ def percentile_contract(
     battery is value-certifiable. Output: (table_name, col_name, q,
     est_value, ceiling, ok) in configuration order, one lazily-unioned
     frame (the monitor_suite composition shape)."""
-    from pyspark.sql import functions as F
-
-    from sparkobs.operators.profile import (
-        kmv_quantile_estimate,
-        kmv_quantile_sketch,
-    )
+    from sparkobs.operators.profile import kmv_quantile_sketch
 
     parts = []
     for name, df, id_col, col, q, ceiling in tables:
         sk = kmv_quantile_sketch(df, id_col, col, k=k, salt=salt)
-        est = kmv_quantile_estimate(sk, (q,)).select(
+        # aggregate directly (not kmv_quantile_estimate): an EMPTY or
+        # all-NULL contracted column must still emit its verdict row —
+        # est_value NULL, ok coalesced to False (the freshness_check
+        # convention; an SLO over a table that went empty is exactly
+        # when a failing verdict is wanted, and the oracle always
+        # emits one row per contract)
+        est = sk.agg(
+            F.percentile("value", F.lit(float(q))).alias("est_value")
+        ).select(
             F.lit(name).alias("table_name"),
             F.lit(col).alias("col_name"),
-            "q",
+            F.lit(float(q)).alias("q"),
             "est_value",
             F.lit(float(ceiling)).alias("ceiling"),
-            (F.col("est_value") <= F.lit(float(ceiling))).alias("ok"),
+            F.coalesce(
+                F.col("est_value") <= F.lit(float(ceiling)), F.lit(False)
+            ).alias("ok"),
         )
         parts.append(est)
     out = parts[0]

@@ -794,37 +794,15 @@ def duplicated_ngram_spans(
     """
     from sparkobs.operators.text import tokens_nonempty
 
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        tokens_nonempty(text_col).alias("t"),
+    # shared legs with the removal half (one definition of shingle
+    # hashing / windowing / min_docs — see _tokens_and_covered_positions);
+    # the covered frame is already position-distinct, so a plain count
+    # equals the old count_distinct
+    toks, covered_pos = _tokens_and_covered_positions(
+        df, n, min_docs, id_col, text_col
     )
-    occ = toks.where(F.size("t") >= n).select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - n + 1),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, n))),
-            )
-        ).alias("pos0", "k"),
-    )
-    # document frequency per shingle; only cross-doc duplicated ones
-    # survive to the coverage join
-    dup = (
-        occ.groupBy("k")
-        .agg(F.count_distinct("id").alias("df"))
-        .where(F.col("df") >= min_docs)
-        .select("k")
-    )
-    covered = (
-        occ.join(dup, "k")
-        .select(
-            "id",
-            F.explode(
-                F.sequence(F.col("pos0") + 1, F.col("pos0") + n)
-            ).alias("cp"),
-        )
-        .groupBy("id")
-        .agg(F.count_distinct("cp").alias("dup_tokens"))
+    covered = covered_pos.groupBy("id").agg(
+        F.count(F.lit(1)).alias("dup_tokens")
     )
     base = toks.select("id", F.size("t").alias("n_tokens"))
     return (
@@ -1107,6 +1085,49 @@ def keep_best_canonical(
     return grouped.unionByName(singles)
 
 
+def _tokens_and_covered_positions(
+    df: DataFrame, n: int, min_docs: int, id_col: str, text_col: str
+):
+    """Shared legs of the exact-substring dedup pair
+    (:func:`duplicated_ngram_spans` measures, :func:`remove_duplicated_spans`
+    rewrites): tokenized docs and the DISTINCT (id, cp) set of 1-based
+    token positions covered by an ``n``-gram occurring in ≥
+    ``min_docs`` documents. One definition so the two halves of the
+    same paper's algorithm can never diverge on shingle hashing,
+    windowing, or min_docs semantics."""
+    from sparkobs.operators.text import tokens_nonempty
+
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_nonempty(text_col).alias("t")
+    )
+    occ = toks.where(F.size("t") >= n).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - n + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, n))),
+            )
+        ).alias("pos0", "k"),
+    )
+    dup = (
+        occ.groupBy("k")
+        .agg(F.count_distinct("id").alias("__df"))
+        .where(F.col("__df") >= min_docs)
+        .select("k")
+    )
+    covered = (
+        occ.join(dup, "k")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos0") + 1, F.col("pos0") + n)
+            ).alias("cp"),
+        )
+        .distinct()
+    )
+    return toks, covered
+
+
 def remove_duplicated_spans(
     df: DataFrame,
     n: int = 5,
@@ -1135,42 +1156,23 @@ def remove_duplicated_spans(
     Output: (doc_id, n_tokens, kept_tokens, removed_tokens,
     clean_text); a fully-covered doc survives with empty text, not
     vanishes."""
-    from sparkobs.operators.text import tokens_nonempty
-
-    toks = df.select(
-        F.col(id_col).alias("id"), tokens_nonempty(text_col).alias("t")
-    )
-    occ = toks.where(F.size("t") >= n).select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - n + 1),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, n))),
-            )
-        ).alias("pos0", "k"),
-    )
-    dup = (
-        occ.groupBy("k")
-        .agg(F.count_distinct("id").alias("__df"))
-        .where(F.col("__df") >= min_docs)
-        .select("k")
-    )
-    covered = (
-        occ.join(dup, "k")
-        .select(
-            "id",
-            F.explode(F.sequence(F.col("pos0") + 1, F.col("pos0") + n)).alias(
-                "cp"
-            ),
-        )
-        .distinct()
+    toks, covered = _tokens_and_covered_positions(
+        df, n, min_docs, id_col, text_col
     )
     pos = toks.select(
         "id", F.posexplode("t").alias("__p0", "tok")
     ).select("id", (F.col("__p0") + 1).alias("p"), "tok")
+    # rename the covered frame's columns before the anti join: pos and
+    # covered share lineage (both descend from toks), so id == id would
+    # be the "trivially true equals predicate" Spark warns about —
+    # correct today only via dataset-id disambiguation, a silent
+    # cross-document over-delete if that resolution ever degrades
+    cov = covered.select(
+        F.col("id").alias("__cid"), F.col("cp").alias("__ccp")
+    )
     kept = pos.join(
-        covered,
-        (pos["id"] == covered["id"]) & (pos["p"] == covered["cp"]),
+        cov,
+        (F.col("id") == F.col("__cid")) & (F.col("p") == F.col("__ccp")),
         "left_anti",
     )
     rebuilt = kept.groupBy("id").agg(

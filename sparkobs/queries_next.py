@@ -951,16 +951,23 @@ def _pct_contract_oracle(k: int = 2048) -> str:
     legs = []
     for name, tbl, id_sql, col, q, ceiling in _PCT_CONTRACTS:
         dg = "md5('kmv' || " + id_sql + ")"
+        # filter NULL ids exactly like kmv_quantile_sketch does (its
+        # docstring calls the exclusion load-bearing): a nullable id
+        # would put NULL-hash rows in this sample but not Spark's
         src = (
             f"SELECT {_hex15_sql(dg)} AS h, "
-            f"CAST({col} AS DOUBLE) AS v FROM {tbl} WHERE {col} IS NOT NULL"
+            f"CAST({col} AS DOUBLE) AS v FROM {tbl} "
+            f"WHERE {col} IS NOT NULL AND ({id_sql}) IS NOT NULL"
         )
         est = _kmv_est_one_sql(src, q, k)
+        # embed the whole-table sketch subquery ONCE; ok derives from
+        # the projected column, coalesced exactly like the Spark side
         legs.append(
+            f"SELECT table_name, col_name, q, est_value, ceiling, "
+            f"coalesce(est_value <= ceiling, FALSE) AS ok FROM ("
             f"SELECT '{name}' AS table_name, '{col}' AS col_name, "
             f"CAST({q!r} AS DOUBLE) AS q, {est} AS est_value, "
-            f"CAST({ceiling!r} AS DOUBLE) AS ceiling, "
-            f"{est} <= CAST({ceiling!r} AS DOUBLE) AS ok"
+            f"CAST({ceiling!r} AS DOUBLE) AS ceiling)"
         )
     return "\nUNION ALL\n".join(legs)
 

@@ -408,3 +408,12 @@ def test_percentile_contract_verdicts(spark):
     assert out["ok_table"]["est_value"] == exact and out["ok_table"]["ok"]
     assert out["bad_table"]["est_value"] == exact and not out["bad_table"]["ok"]
     assert out["ok_table"]["ceiling"] == 200.0
+    # an empty table still emits its verdict row: est NULL, ok False —
+    # a monitor over a table that went empty must fail loudly, not
+    # disappear (r8 review)
+    empty = spark.createDataFrame([], "id long, v double")
+    rows = percentile_contract(
+        [("gone", empty, "id", "v", 0.95, 10.0)], k=100
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["est_value"] is None and rows[0]["ok"] is False
