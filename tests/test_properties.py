@@ -820,3 +820,49 @@ def test_theta_laws(spark, xs, ys, k):
         assert r[0]["est_intersect"] == float(len(set(xs) & set(ys)))
         ea = theta_estimate(ska, k).collect()[0]["est_distinct"]
         assert ea == float(len(set(xs)))
+
+
+# --- r8: AVI container writer/parser laws ---
+
+
+@given(
+    width=st.integers(min_value=1, max_value=40),
+    height=st.integers(min_value=1, max_value=5),
+    n_frames=st.integers(min_value=0, max_value=6),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(**{**SETTINGS, "max_examples": 60})  # pure-python, no Spark job
+def test_avi_roundtrip_any_geometry(width, height, n_frames, seed):
+    """Writer → parser round-trips every geometry: frames come back
+    top-down with stride padding stripped, whatever the width's
+    4-byte alignment."""
+    import random
+
+    from sparkobs.operators.multimodal import _avi_bytes, _parse_avi_frames
+
+    rng = random.Random(seed)
+    frames = [
+        bytes(rng.randrange(256) for _ in range(width * height))
+        for _ in range(n_frames)
+    ]
+    parsed = _parse_avi_frames(_avi_bytes(frames, width, height))
+    assert parsed is not None
+    w, out = parsed
+    assert w == width and len(out) == n_frames
+    for f, px in zip(frames, out):
+        assert px == list(f)
+
+
+@given(data=st.binary(min_size=0, max_size=400))
+@settings(**{**SETTINGS, "max_examples": 120})  # pure-python, no Spark job
+def test_avi_parser_never_raises_on_garbage(data):
+    """Adversarial bytes (including RIFF-prefixed garbage) must yield
+    None or a well-formed parse, never an exception — a corrupt file
+    cannot kill a 100 TB decode stage."""
+    from sparkobs.operators.multimodal import _parse_avi_frames
+
+    for payload in (data, b"RIFF" + data, b"RIFF\x00\x01\x00\x00AVI " + data):
+        r = _parse_avi_frames(payload)
+        assert r is None or (
+            isinstance(r[0], int) and isinstance(r[1], list)
+        )
