@@ -417,3 +417,37 @@ def test_percentile_contract_verdicts(spark):
     ).collect()
     assert len(rows) == 1
     assert rows[0]["est_value"] is None and rows[0]["ok"] is False
+
+
+def test_salted_hash60_matches_python_md5(spark):
+    """_salted_hash60 is THE shared hash of the sketch family; pin it
+    against an independent Python computation so a Spark expression
+    tweak can never silently move every sketch at once."""
+    import hashlib
+
+    from sparkobs.operators.profile import _salted_hash60
+
+    df = spark.createDataFrame(
+        [("k1",), ("",), ("Ünïcode ツ",), ("123",)], "c string"
+    )
+    got = {
+        r["c"]: r["h"]
+        for r in df.select("c", _salted_hash60(F.col("c"), "s").alias("h")).collect()
+    }
+    for c, h in got.items():
+        want = int(hashlib.md5(("s" + c).encode("utf-8")).hexdigest()[:15], 16)
+        assert h == want, (c, h, want)
+
+
+def test_theta_intersection_excludes_kth_hash_boundary(spark):
+    """The theta convention: the sample is hashes STRICTLY below θ
+    (the k-th smallest defines θ and is excluded) — a common hash
+    exactly AT a full sketch's θ must not count into n_common."""
+    from sparkobs.operators.profile import theta_intersect_estimate
+
+    # hand-built sketches: A full at k=3 (θ_A = 30), B under-full
+    ska = spark.createDataFrame([(10,), (20,), (30,)], "h long")
+    skb = spark.createDataFrame([(20,), (30,)], "h long")
+    r = theta_intersect_estimate(ska, skb, k=3).collect()[0]
+    # common hashes {20, 30}; θ = min(30, SPACE) = 30 → only 20 counts
+    assert r["n_common"] == 1
