@@ -48,71 +48,69 @@ def entry(spark: SparkSession) -> DataFrame:
 GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
-    # --- r8 gate (50 slots, exactly full): (1) market_share_q8 —
-    # its query text changed in r7 (ASIA semi-reduction join reorder)
-    # after its last certification, so the changed-text re-cert
-    # convention puts it at the head (r7 ADVICE). (2) The 24
-    # promoted r7-queue entries, staging order — all green in the
-    # judge's own sf0.01 sweep, now driver-witnessed for the first
-    # time. (3) The 25 stalest registry entries: all 20 last
-    # certified in r2 plus the 5 oldest r3 ones — the rotation debt
-    # repayment the r7 verdict scheduled; the remaining r3/r4 stamps
-    # rotate through the r9 gate (tests/test_gate_hygiene.py now
-    # enforces a maximum certification age, so the debt is a test
-    # failure, not a memory).
-    "market_share_q8",                # TPC-H Q8 (changed-text re-cert)
-    # --- promoted r7 queue, staging order ---
-    "dim_ablation_recall_embeddings", # half-dim neighbor preservation
-    "conversion_paths_events",        # top conversion journeys
-    "time_weighted_value_events",     # duration-weighted time-in-state
-    "budget_select_documents",        # token-budget greedy selection
-    "components_supplier_mutual_knn", # mutual-kNN min-label components
-    "event_disorder_events",          # event-time disorder diagnostic
-    "inclusion_deps_star_schema",     # inclusion-dependency FK discovery
-    "streaming_disorder_events",      # disorder streaming twin
-    "streaming_salted_distinct_events", # salted-distinct streaming twin
-    "impact_reach_supply_chain",      # hop-labeled BFS blast radius
-    "seasonal_profile_events",        # hour-of-week seasonal expectation
-    "lead_lag_corr_events",           # lead-lag cross-correlation
-    "slo_burn_rate_events",           # SLO error-budget burn (batch)
-    "streaming_slo_burn_events",      # SLO burn streaming twin
-    "incident_groups_events",         # alert-to-incident grouping
-    "diff_columns_orders",            # column-level diff drill-down
-    "monitor_suite_lake",             # declarative monitor battery
-    "zone_map_prune_orders",          # zone-map prune estimation
-    "cube_revenue_status_priority",   # CUBE grouping-sets
-    "hll_sliding_users_events",       # sliding-window HLL distinct
-    "image_ahash_dedup_media",        # image exact-pixel dedup (aHash)
-    "image_near_dup_media",           # banded aHash near-dup tier
-    "audio_fingerprint_dedup_media",  # gain-robust audio RMS dedup
-    "video_framehash_dedup_media",    # sampled video frame-hash dedup
-    # --- stalest re-certs: every r2 stamp (20) ---
-    "argmax_entity_supplier",
-    "argmax_order",
-    "argmax_order_per_status",
-    "binary_stats_media",
-    "cosine_topk_lsh",
-    "decode_stub_media",
-    "distinct_counts_lineitem",
-    "duplicate_count_lineitem",
-    "embedding_norms",
-    "frame_sample_media",
-    "group_agg_orders",
-    "grouped_distinct_parts",
-    "histogram_quantity",
-    "histogram_returnflag",
-    "json_extract_events",
-    "label_centroid_stats",
-    "limited_scan_topk",
-    "null_counts_orders",
-    "scalar_string_funcs",
-    "timestamp_format_orders",
-    # --- oldest r3 stamps (5 of 43; the rest rotate in r9) ---
-    "asof_join_events_orders",
-    "asof_join_forward",
-    "chunk_documents",
-    "contamination_check",
-    "corr_lineitem",
+    # --- r9 gate (50 slots, exactly full — the rotation the r8
+    # verdict prescribed verbatim): (1) the 11 promoted r8-queue
+    # entries, staging order — all green in the judge's own sf0.01
+    # queue sweep, now driver-witnessed for the first time. (2) The
+    # 38 remaining r3-stamped re-certs (alphabetical = stalest
+    # cohort; the age ceiling in tests/test_gate_hygiene.py would
+    # fail the build if any r3 stamp survived outside this gate).
+    # (3) The single oldest r4 stamp to fill slot 50. The r10 gate
+    # then carries the 49 remaining r4 stamps (+1 open slot); r11
+    # rides next to the 48 r5 stamps (~2 open slots).
+    # --- promoted r8 queue, staging order ---
+    "kmv_quantiles_lineitem",          # KMV quantile sketch + rank cert
+    "kmv_quantiles_merged_orders",     # KMV merge ≡ direct (bit-exact)
+    "kmv_quantiles_grouped_lineitem",  # per-group bounded percentiles
+    "streaming_kmv_quantiles_events",  # KMV streaming twin
+    "video_avi_container_media",       # RIFF/AVI container invariance
+    "streaming_hll_sliding_users_events", # sliding-HLL streaming twin
+    "kmv_sliding_quantiles_events",    # trailing-7d percentiles, daily
+    "theta_intersection_cells_events", # theta set algebra (batch)
+    "streaming_theta_intersection_events", # theta streaming twin
+    "span_scrub_documents",            # exact-substring span REMOVAL
+    "percentile_contract_lake",        # p95/p99 SLO contract battery
+    # --- stalest re-certs: every remaining r3 stamp (38) ---
+    "cosine_topk_ivf",
+    "cube_lineitem",
+    "decode_real_media",
+    "decode_synth_media",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_lsh",
+    "entropy_lineitem_columns",
+    "fd_check_orders",
+    "flatten_struct_events",
+    "grouped_percentiles_orders",
+    "hash_sample_orders",
+    "jdbc_monitor_nation",
+    "jdbc_roundtrip_nation",
+    "minhash_lsh_pairs",
+    "mode_columns_lineitem",
+    "ngram_jaccard_pairs_hi",
+    "pii_scrub_documents",
+    "pipeline_filtered_corpus",
+    "pivot_returnflag_linestatus",
+    "profile_preview_orders",
+    "psi_drift_hourly_events",
+    "quality_topk_per_source",
+    "repetition_stats_documents",
+    "resize_synth_media",
+    "rollup_lineitem",
+    "salted_group_count_suppkey",
+    "set_except_users",
+    "set_intersect_users",
+    "simhash_documents",
+    "source_quota_cap",
+    "stratified_sample_orders",
+    "streaming_dedup_documents",
+    "streaming_near_dup_candidates",
+    "streaming_session_events",
+    "streaming_sliding_events",
+    "top_shingles",
+    "topk_orders_per_status",
+    "zip_join_nation_supplier",
+    # --- oldest r4 stamp (1 of 50; the rest rotate in r10) ---
+    "anomaly_hourly_events",
 ]
 
 

@@ -209,6 +209,20 @@ HEADLINE = [
     "image_near_dup_media",
     "audio_fingerprint_dedup_media",
     "video_framehash_dedup_media",
+    # round-9 additions (the promoted r8-queue wave: KMV quantile
+    # sketch family, AVI container leg, theta set algebra, span
+    # removal, SLO contracts, streaming twins)
+    "kmv_quantiles_lineitem",
+    "kmv_quantiles_merged_orders",
+    "kmv_quantiles_grouped_lineitem",
+    "streaming_kmv_quantiles_events",
+    "video_avi_container_media",
+    "streaming_hll_sliding_users_events",
+    "kmv_sliding_quantiles_events",
+    "theta_intersection_cells_events",
+    "streaming_theta_intersection_events",
+    "span_scrub_documents",
+    "percentile_contract_lake",
 ]
 
 # HEADLINE is the cross-round-comparable curated set (reps=3 medians,
