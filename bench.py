@@ -98,10 +98,11 @@ HEADLINE = [
     "cohort_retention_events",
     "resample_locf_events",
     "fuzzy_match_supplier_customer",
-    # round-4 late additions (sparse_cosine_pairs_pruned_documents is
-    # certified at sf0.01 but its median-df oracle twin is quadratic on
-    # the tiny-vocab corpus at sf0.1 — the absolute-cap production tier
-    # is probed in tools/scale_probe.py instead; see SCALE.md)
+    # round-4 late additions (the r4 median-df pruned sparse-cosine
+    # entry was RETIRED in r9 — degenerate on the 31-token fixture;
+    # the absolute-cap production tier now certifies and benches over
+    # the power-law synth corpus: queue:sparse_cosine_powerlaw_* in
+    # the tail; see SCALE.md)
     "bloom_semi_join_lineitem_orders",
     "canonical_dedup_documents",
     "ewma_hourly_events",
@@ -321,6 +322,18 @@ def main() -> None:
         tail_budget = float(os.environ.get("SPARK_GRAFT_BENCH_TAIL_BUDGET", "600"))
         t_tail0 = time.perf_counter()
         tail_names = [n for n in qs if n not in set(HEADLINE)]
+        # staged-queue entries bench in the tail too (keyed
+        # "queue:<name>"), so a staged perf claim — e.g. the sparse-
+        # cosine production tier beating the exact tier — is a
+        # recorded BENCH_full row, not an assertion
+        try:
+            from sparkobs.queries_next import R7_QUEUE
+
+            queue_fns = {f"queue:{n}": fn for n, (fn, _) in R7_QUEUE.items()}
+        except Exception:  # noqa: BLE001 — queue is optional
+            queue_fns = {}
+        qs = dict(qs, **queue_fns)
+        tail_names += list(queue_fns)
         for name in tail_names:
             if time.perf_counter() - t_tail0 > tail_budget:
                 # += : earlier FAILED names already recorded must not

@@ -862,6 +862,50 @@ def hashed_tf_vectors(
     )
 
 
+def synth_powerlaw_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_hot: int = 2,
+    n_group: int = 8,
+    n_unique: int = 6,
+    group_size: int = 5,
+) -> DataFrame:
+    """Deterministic power-law-vocabulary corpus (doc_id, text) — the
+    fixture the sparse-cosine PRODUCTION tier needs to demonstrate its
+    win (the shipped documents fixture has a 31-token vocabulary, so
+    every hashed dimension is dense and a df-prune cannot bite; see
+    SCALE.md). Pure function of the id column (the synth-media
+    pattern: a DuckDB oracle replays it with string concatenation):
+
+    - ``n_hot`` HEAD tokens (``hot{j}``) shared by EVERY document —
+      the Zipf head whose posting lists grow linearly with the corpus
+      and whose dim-join cost grows quadratically;
+    - ``n_group`` MID tokens (``g{id div group_size}_{j}``) shared by
+      the ~``group_size`` documents of the same id-block — the true
+      near-duplicate signal, df ≈ group_size regardless of corpus
+      size;
+    - ``n_unique`` TAIL tokens (``u{id}_{j}``) unique per document —
+      df = 1 singletons.
+
+    Within-group cosine ≈ (n_hot+n_group)/T, cross-group ≈ n_hot/T
+    (T = total tokens, all count 1): thresholds between the two
+    separate signal from head-only overlap with a wide margin. Each
+    document's tokens are distinct, so hashed_tf_vectors counts are
+    ±1 and cosines are exact rational grid points."""
+    gid = F.expr(f"{id_col} div {group_size}").cast("string")
+    did = F.col(id_col).cast("string")
+    parts = [F.lit(f"hot{j}") for j in range(n_hot)]
+    parts += [
+        F.concat(F.lit("g"), gid, F.lit(f"_{j}")) for j in range(n_group)
+    ]
+    parts += [
+        F.concat(F.lit("u"), did, F.lit(f"_{j}")) for j in range(n_unique)
+    ]
+    return docs.select(
+        F.col(id_col), F.concat_ws(" ", *parts).alias("text")
+    )
+
+
 def sparse_cosine_pairs(
     vecs: DataFrame,
     threshold: float = 0.5,

@@ -557,6 +557,27 @@ def probes():
 
         return sparse_cosine_pairs(hashed_tf_vectors(docs), 0.9, max_df=300)
 
+    def sparse_cos_powerlaw_pruned(docs, ev, emb):
+        # the PRODUCTION configuration on the corpus shape it exists
+        # for (r9): power-law vocabulary synthesized from the scaled
+        # doc_ids — head dims' df grows with the corpus and is pruned
+        # by the ABSOLUTE cap; group dims stay at df≈5, so candidate
+        # volume per dim is flat (≤ cap²/2) and total work grows
+        # linearly with the groups. The exact tier on this corpus is
+        # the quadratic head join (n_hot·C(N,2) candidate rows) — its
+        # cliff is measured once in SCALE.md's r9 note, not re-run at
+        # every probe scale.
+        from sparkobs.operators.similarity import (
+            hashed_tf_vectors,
+            sparse_cosine_pairs,
+            synth_powerlaw_corpus,
+        )
+
+        vecs = hashed_tf_vectors(
+            synth_powerlaw_corpus(docs.select("doc_id")), dim=65536
+        )
+        return sparse_cosine_pairs(vecs, 0.5, max_df=32)
+
     def bloom_semi(docs, ev, emb):
         from sparkobs.operators.dedup import bloom_semi_join
 
@@ -967,6 +988,7 @@ def probes():
         "group_hash_sample": gsample,
         "sparse_cosine": sparse_cos,
         "sparse_cosine_pruned": sparse_cos_pruned,
+        "sparse_cosine_powerlaw_pruned": sparse_cos_powerlaw_pruned,
         "bloom_semi_join": bloom_semi,
         "ewma_hourly": ewma,
         "heavy_hitters": hh,
