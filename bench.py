@@ -368,12 +368,19 @@ def main() -> None:
         per_q_budget = float(os.environ.get("SPARK_GRAFT_BENCH_DUCKDB_QBUDGET", "20"))
         total_budget = float(os.environ.get("SPARK_GRAFT_BENCH_DUCKDB_BUDGET", "420"))
         oracles = entrymod.oracle_sql(sf_dir)
-        con = duckdb.connect()
         tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
-        for t in tables:
-            p = os.path.join(sf_dir, f"{t}.parquet")
-            if os.path.exists(p):
-                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+        def _fresh_con():
+            c = duckdb.connect()
+            for t in tables:
+                p = os.path.join(sf_dir, f"{t}.parquet")
+                if os.path.exists(p):
+                    c.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                    )
+            return c
+
+        con = _fresh_con()
         t_dk0 = time.perf_counter()
         # coverage-first: ONE timed run for EVERY headline oracle, then
         # extra reps (up to `reps`, cheapest-first) only while budget
@@ -384,18 +391,26 @@ def main() -> None:
             # DuckDB has no in-query timeout; a watchdog thread
             # interrupts the connection so one unrolled-CTE oracle can
             # never run the whole bench past its budget. The callback
-            # re-checks `done` under a lock: Timer(cap).cancel() races
-            # the firing callback, and an interrupt landing AFTER the
-            # query finished would poison the shared connection for
-            # the NEXT query (r7 ADVICE).
+            # re-checks `done` under a lock (Timer.cancel() races the
+            # firing callback), `done` is set under the lock IMMEDIATELY
+            # after fetchall() returns (narrowing the post-completion
+            # window to a few bytecodes), and if the callback still
+            # managed to fire after a successful run — the one
+            # remaining interleaving — the pending interrupt would
+            # poison the shared connection for the NEXT query, so the
+            # connection is rebuilt (r7 ADVICE; window closed fully
+            # per r8 ADVICE).
             import threading
 
+            nonlocal con
             done = threading.Event()
             lock = threading.Lock()
+            fired = threading.Event()
 
             def _interrupt():
                 with lock:
                     if not done.is_set():
+                        fired.set()
                         con.interrupt()
 
             timer = threading.Timer(cap, _interrupt)
@@ -403,11 +418,24 @@ def main() -> None:
             try:
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
+                with lock:
+                    done.set()
                 return time.perf_counter() - t0
             finally:
                 with lock:
                     done.set()
                 timer.cancel()
+                if fired.is_set():
+                    # the watchdog fired: whether it aborted the query
+                    # (normal timeout) or landed in the few-bytecode
+                    # window after completion, a possibly-unconsumed
+                    # interrupt must never reach the next query —
+                    # rebuild the connection (cheap: 10 view DDLs)
+                    try:
+                        con.close()
+                    except Exception:  # noqa: BLE001
+                        pass
+                    con = _fresh_con()
 
         for name, sql in named:
             elapsed = time.perf_counter() - t_dk0

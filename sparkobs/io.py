@@ -84,12 +84,50 @@ def ensure_zone_map_stage(spark: SparkSession, sf_dir: str) -> str:
         return stage
     base = os.path.basename(stage)
     srcprefix = base.rsplit("_", 1)[0]  # sparkobs_zm16_<srckey>
+
+    def _owner_dead(name: str) -> bool:
+        # .tmp<pid>/.aside<pid> suffixes embed the writer's pid: a
+        # leftover is prunable only once that process is gone (a LIVE
+        # concurrent stager's in-flight dirs must survive the sweep)
+        digits = ""
+        for ch in reversed(name):
+            if not ch.isdigit():
+                break
+            digits = ch + digits
+        if not digits:
+            return False
+        try:
+            os.kill(int(digits), 0)
+            return False  # alive
+        except ProcessLookupError:
+            return True
+        except OSError:
+            return False  # exists but not ours (EPERM) — leave it
+
     for sib in glob.glob(
         os.path.join(os.path.dirname(stage), f"{srcprefix}_*")
     ):
-        # skip the current stage and any in-flight tmp for it; prune
-        # only predecessor version keys of the SAME source
-        if not os.path.basename(sib).startswith(base):
+        nm = os.path.basename(sib)
+        if not nm.startswith(base):
+            # predecessor version keys of the SAME source (and their
+            # own .tmp/.aside leftovers — they share the version key)
+            shutil.rmtree(sib, ignore_errors=True)
+        elif nm != base and (".tmp" in nm or ".aside" in nm) and _owner_dead(nm):
+            # r8 ADVICE: a process dying between os.rename(stage,
+            # aside) and the rmtree left .aside<pid> (and .tmp<pid>)
+            # siblings of the CURRENT base that the predecessor prune
+            # skipped forever
+            shutil.rmtree(sib, ignore_errors=True)
+    # r8 ADVICE: stages written before the two-component key (legacy
+    # sparkobs_zm16_<16hex> single-key format) never match the
+    # srcprefix glob — sweep them here; nothing can still be serving
+    # them (the reader path resolves through zone_map_stage_dir, which
+    # only ever returns two-component names)
+    for sib in glob.glob(
+        os.path.join(os.path.dirname(stage), "sparkobs_zm16_*")
+    ):
+        rest = os.path.basename(sib)[len("sparkobs_zm16_"):]
+        if "_" not in rest.split(".", 1)[0]:
             shutil.rmtree(sib, ignore_errors=True)
     tmp = f"{stage}.tmp{os.getpid()}"
     (

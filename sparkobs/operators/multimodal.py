@@ -1035,25 +1035,35 @@ def _parse_avi_frames(b: bytes):
     meta = {"w": None, "h": None, "bpp": None}
     frames: list[bytes] = []
 
-    def walk(pos: int, end: int) -> None:
+    # iterative LIST traversal with an explicit heap stack (r8 ADVICE:
+    # the recursive walk let a crafted file with ~12-bytes-per-level
+    # nested LIST headers raise RecursionError, violating the
+    # never-raise contract — the 400-byte garbage fuzz couldn't nest
+    # deep enough to catch it). Each region is (pos, end); descending
+    # into a LIST pushes the resume-point first, then the LIST body,
+    # so the body is processed before the remainder — same order as
+    # the recursion.
+    total = struct.unpack("<I", b[4:8])[0]
+    stack: list[tuple[int, int]] = [(12, min(8 + total, len(b)))]
+    while stack:
+        pos, end = stack.pop()
         while pos + 8 <= end:
             fcc = b[pos : pos + 4]
             sz = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
             body = pos + 8
             if body + sz > len(b):
-                return
+                break  # truncated chunk: abandon this region only
             if fcc == b"LIST":
-                walk(body + 4, body + sz)
-            elif fcc == b"strf" and sz >= 40:
+                stack.append((body + sz + (sz & 1), end))
+                stack.append((body + 4, body + sz))
+                break
+            if fcc == b"strf" and sz >= 40:
                 w, h = struct.unpack("<ii", b[body + 4 : body + 12])
                 meta["w"], meta["h"] = w, h
                 meta["bpp"] = struct.unpack("<H", b[body + 14 : body + 16])[0]
             elif fcc[2:4] in (b"db", b"dc"):
                 frames.append(b[body : body + sz])
             pos = body + sz + (sz & 1)
-
-    total = struct.unpack("<I", b[4:8])[0]
-    walk(12, min(8 + total, len(b)))
     w, h, bpp = meta["w"], meta["h"], meta["bpp"]
     if not w or not h or bpp != 8:
         return None

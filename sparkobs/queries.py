@@ -10474,25 +10474,67 @@ def _stage_events_arrival_ordered(
     marker = os.path.join(stage_dir, "_STAGED")
     if os.path.exists(marker):
         return stage_dir
-    shutil.rmtree(stage_dir, ignore_errors=True)
-    os.makedirs(stage_dir)
+    # r8 ADVICE: build into a pid-keyed tmp dir and publish by one
+    # atomic rename (the ensure_zone_map_stage discipline) — the old
+    # check-then-rmtree/makedirs raced a concurrent driver staging the
+    # same sf_dir (the second makedirs raised FileExistsError) and
+    # could rmtree a stage mid-read
+    build = f"{stage_dir}.tmp{os.getpid()}"
+    shutil.rmtree(build, ignore_errors=True)
+    os.makedirs(build)
     ev = load_table(spark, sf_dir, "events")
     lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
-    span = (hi - lo + 1 + n_files - 1) // n_files
     base = 1_700_000_000
-    for i in range(n_files):
-        a, b = lo + i * span, lo + (i + 1) * span
-        tmp = os.path.join(stage_dir, f"__tmp{i}")
-        ev.where(
-            (F.col("event_id") >= a) & (F.col("event_id") < b)
-        ).coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(stage_dir, f"chunk-{i:05d}.parquet")
-        shutil.move(part, dst)
+    if lo is None:
+        # r8 ADVICE: empty events used to TypeError on span arithmetic.
+        # Stage one empty schema-bearing chunk so the file stream still
+        # starts and drains zero rows.
+        tmp = os.path.join(build, "__tmp0")
+        ev.repartition(1).write.mode("overwrite").parquet(tmp)
+        parts = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        if parts:
+            dst = os.path.join(build, "chunk-00000.parquet")
+            shutil.move(parts[0], dst)
+            os.utime(dst, (base, base))
         shutil.rmtree(tmp)
-        os.utime(dst, (base + i, base + i))
-    with open(marker, "w"):
+    else:
+        span = (hi - lo + 1 + n_files - 1) // n_files
+        for i in range(n_files):
+            a, b = lo + i * span, lo + (i + 1) * span
+            tmp = os.path.join(build, f"__tmp{i}")
+            ev.where(
+                (F.col("event_id") >= a) & (F.col("event_id") < b)
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(build, f"chunk-{i:05d}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (base + i, base + i))
+    with open(os.path.join(build, "_STAGED"), "w"):
         pass
+    try:
+        os.rename(build, stage_dir)
+    except OSError:
+        if os.path.exists(marker):
+            shutil.rmtree(build, ignore_errors=True)  # concurrent winner
+        else:
+            # occupant is a partial from a crashed run: move it ASIDE
+            # atomically, publish ours, then drop the partial
+            aside = f"{stage_dir}.aside{os.getpid()}"
+            try:
+                os.rename(stage_dir, aside)
+            except OSError:
+                pass
+            try:
+                os.rename(build, stage_dir)
+                shutil.rmtree(aside, ignore_errors=True)
+            except OSError:
+                shutil.rmtree(build, ignore_errors=True)
+                if not os.path.exists(marker):
+                    raise RuntimeError(
+                        f"arrival-ordered stage {stage_dir} could not be "
+                        "published and no concurrent run produced it"
+                    )
     return stage_dir
 
 

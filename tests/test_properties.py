@@ -866,3 +866,27 @@ def test_avi_parser_never_raises_on_garbage(data):
         assert r is None or (
             isinstance(r[0], int) and isinstance(r[1], list)
         )
+
+
+def test_avi_parser_survives_pathological_list_nesting():
+    """A crafted file nesting LIST headers ~12 bytes per level used to
+    exhaust the Python recursion limit (r8 ADVICE — the 400-byte
+    garbage fuzz above can't nest past ~33 levels); the iterative
+    walker must parse 100k levels without raising and still decode a
+    frame planted at the bottom."""
+    import struct
+
+    from sparkobs.operators.multimodal import _parse_avi_frames
+
+    depth = 100_000
+    # innermost: a real strf (8-bit, 1x1) + one 00db frame (stride 4)
+    strf = b"strf" + struct.pack("<I", 40) + struct.pack(
+        "<IiiHH", 40, 1, 1, 1, 8
+    ) + bytes(24)
+    frame = b"00db" + struct.pack("<I", 4) + bytes([7, 0, 0, 0])
+    body = strf + frame
+    for _ in range(depth):
+        body = b"LIST" + struct.pack("<I", len(body) + 4) + b"x   " + body
+    payload = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+    parsed = _parse_avi_frames(payload)
+    assert parsed == (1, [[7]])

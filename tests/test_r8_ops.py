@@ -347,6 +347,31 @@ def test_zone_map_stage_prunes_predecessors_and_publishes_atomically(
     assert siblings == [s2], siblings
     # idempotent re-entry
     assert ensure_zone_map_stage(spark, sf) == s2
+    # r8 ADVICE crash paths: (a) a dead process's .aside/.tmp siblings
+    # of the CURRENT base are swept on the next staging pass (a live
+    # pid's — simulated by our own — survive); (b) legacy single-key
+    # sparkobs_zm16_<16hex> dirs from before the two-component format
+    # are swept too
+    tmpdir = os.path.dirname(s2)
+    # force a new version key so the next ensure() takes the staging
+    # path (the sweep only runs there), then plant leftovers that
+    # share the NEW base
+    time.sleep(0.05)
+    os.utime(os.path.join(sf, "orders.parquet"))
+    s3 = zone_map_stage_dir(sf)
+    dead_aside = f"{s3}.aside999999"  # pid 999999: beyond pid_max
+    # pid 1 = init: always alive, kill(1,0) raises EPERM -> "live"
+    # (our own pid would collide with the stager's own tmp path)
+    live_tmp = f"{s3}.tmp1"
+    legacy = os.path.join(tmpdir, "sparkobs_zm16_" + "ab12" * 4)
+    for d in (dead_aside, live_tmp, legacy):
+        os.makedirs(d, exist_ok=True)
+    assert ensure_zone_map_stage(spark, sf) == s3
+    assert os.path.exists(os.path.join(s3, "_SUCCESS"))
+    assert not os.path.exists(dead_aside), "dead-pid aside must be swept"
+    assert not os.path.exists(legacy), "legacy single-key stage must be swept"
+    assert os.path.exists(live_tmp), "live-pid tmp must survive the sweep"
+    os.rmdir(live_tmp)
 
 
 def test_remove_duplicated_spans_cuts_shared_spans_only(spark):

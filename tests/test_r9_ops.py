@@ -65,6 +65,36 @@ def test_absolute_cap_prunes_head_dims_only(spark, corpus):
     ).count() == 0  # nothing between group-df(+collision slack) and cap
 
 
+def test_arrival_ordered_stage_handles_empty_events(spark, tmp_path):
+    """r8 ADVICE: an empty events table used to TypeError on the
+    min/max span arithmetic. The stage must publish (atomically) a
+    schema-bearing directory the file stream can drain as zero rows,
+    and re-entry must be idempotent."""
+    import os
+
+    from sparkobs.queries import _stage_events_arrival_ordered
+    from sparkobs.streaming.monitors import EVENTS_SCHEMA
+
+    sf = os.path.join(str(tmp_path), "sf_empty")
+    os.makedirs(sf)
+    spark.createDataFrame([], EVENTS_SCHEMA).write.parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    stage = _stage_events_arrival_ordered(spark, sf)
+    assert os.path.exists(os.path.join(stage, "_STAGED"))
+    assert spark.read.schema(EVENTS_SCHEMA).parquet(stage).count() == 0
+    assert _stage_events_arrival_ordered(spark, sf) == stage
+    # no build/aside leftovers next to the published stage
+    import glob as _glob
+
+    leftovers = [
+        p
+        for p in _glob.glob(stage + ".*")
+        if ".tmp" in p or ".aside" in p
+    ]
+    assert leftovers == [], leftovers
+
+
 def test_pruned_tier_equals_exact_tier_row_for_row(corpus):
     """The tier-equivalence contract the queue oracle relies on: every
     ≥-threshold pair shares a group dim (df ≤ cap), so the pruned
