@@ -65,6 +65,53 @@ def test_absolute_cap_prunes_head_dims_only(spark, corpus):
     ).count() == 0  # nothing between group-df(+collision slack) and cap
 
 
+def test_near_pairs_width_derivation_catches_wide_hash_pair(spark):
+    """r8 verdict item 6: image_ahash defaults to 63-bit hashes but the
+    banding tier defaulted to bits=32 — a silent selectivity loss for
+    wide callers. With width now derived from the input, a planted
+    63-pixel near-dup pair (one pixel bumped) surfaces through the
+    DEFAULT banding, and the derived width is provably the wide one:
+    two far 63-bit hashes that agree on their low 32 bits must NOT
+    become a pair (under the old 32-bit default their four bands all
+    collided and only the hamming verify separated them — here they
+    never meet)."""
+    from sparkobs.operators.multimodal import (
+        image_ahash,
+        image_ahash_near_pairs,
+        perturb_media,
+    )
+
+    # 63x1 PGM: pixels 0..62, then its one-pixel perturbation
+    raster = bytes(range(63))
+    pgm = b"P5\n63 1\n255\n" + raster
+    media = spark.createDataFrame([(1, pgm)], "id long, content binary")
+    imgs = media.unionByName(
+        perturb_media(media, delta=40).select("id", "content")
+    )
+    hashes = image_ahash(imgs).where(F.col("ahash").isNotNull())
+    assert {r["n_pixels"] for r in hashes.collect()} == {63}
+    got = image_ahash_near_pairs(hashes).collect()  # derives bits=63
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 1_000_000_001)]
+    # width derivation without n_pixels falls back to set-bit length:
+    # a hamming-3 pair differing ONLY in bits 60-62 (above every band
+    # of the derived 63-bit split) still surfaces — uncovered-bit
+    # diffs leave all bands agreeing, the recall-safe direction
+    wide = spark.createDataFrame(
+        [(1, (0b101 << 60) | 0xFFFF), (2, (0b010 << 60) | 0xFFFF)],
+        "id long, ahash long",
+    )
+    assert [
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_ahash_near_pairs(wide).collect()
+    ] == [(1, 2, 3)]
+    # and a genuinely far pair (hamming 19) stays out
+    far = spark.createDataFrame(
+        [(1, (0b101 << 60) | 0xFFFF), (2, 0b010 << 60)],
+        "id long, ahash long",
+    )
+    assert image_ahash_near_pairs(far).collect() == []
+
+
 def test_arrival_ordered_stage_handles_empty_events(spark, tmp_path):
     """r8 ADVICE: an empty events table used to TypeError on the
     min/max span arithmetic. The stage must publish (atomically) a
