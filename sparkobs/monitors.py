@@ -114,6 +114,8 @@ def monitor_suite(
     tables: list[tuple],
     as_of: str,
     default_sla_seconds: int = 7 * 86400,
+    percentiles: dict[str, list[tuple]] | None = None,
+    sketch_k: int = 2048,
 ) -> DataFrame:
     """Declarative per-table observability battery — the closest Spark
     analog of the reference's UX, where each template is CONFIGURED
@@ -128,17 +130,34 @@ def monitor_suite(
     configured table, so a whole lake's health is one DataFrame and
     one sink write.
 
-    Shape: per table, freshness is the one-max aggregate of
-    checks.freshness_check and the contract suite is run_checks' one
-    shared aggregation pass — cost is (tables × ~2 aggregates), all
-    unioned lazily into a single job. Output: (table_name,
-    check_type, column, metric_value, passed) — metric_value is
-    staleness seconds for freshness rows and the violation count for
-    contract rows, always an exact integer in double form so the
-    frame certifies without rounding conventions.
-    """
-    from sparkobs.operators.checks import freshness_check, run_checks
+    ``percentiles`` (r8 verdict stretch — the capstone observability
+    shape: the reference's per-table template UX with sketch-backed
+    percentile verdicts) maps a table name to its percentile SLO
+    contracts ``[(id_col, col, q, ceiling)]``: each becomes a
+    checks.percentile_contract leg — ONE single-pass bounded-state KMV
+    sketch (``sketch_k`` rows) per contract, so "p95 of this column
+    must stay under X" joins the same verdict frame without buffering
+    the column. Its rows carry check_type ``percentile_slo_p<q>`` and
+    the SKETCH ESTIMATE as metric_value.
 
+    Shape: per table, freshness is the one-max aggregate of
+    checks.freshness_check, the contract suite is run_checks' one
+    shared aggregation pass, and each percentile contract is one
+    map-side top-k + k-row aggregate — all unioned lazily into a
+    single job. Output: (table_name, check_type, column, metric_value,
+    passed) — metric_value is staleness seconds for freshness rows and
+    the violation count for contract rows (exact integers in double
+    form), and the KMV estimate for percentile rows (the identical
+    sample value any engine picks — certifiable unrounded, see
+    percentile_contract).
+    """
+    from sparkobs.operators.checks import (
+        freshness_check,
+        percentile_contract,
+        run_checks,
+    )
+
+    percentiles = percentiles or {}
     parts = []
     for spec in tables:
         name, df, ts_col, checks = spec[:4]
@@ -167,9 +186,22 @@ def monitor_suite(
                     F.col("passed"),
                 )
             )
+        for id_col, col, q, ceiling in percentiles.get(name, []):
+            parts.append(
+                percentile_contract(
+                    [(name, df, id_col, col, q, ceiling)], k=sketch_k
+                ).select(
+                    F.col("table_name"),
+                    F.lit(f"percentile_slo_p{q:g}").alias("check_type"),
+                    F.col("col_name").alias("column"),
+                    F.col("est_value").alias("metric_value"),
+                    F.col("ok").alias("passed"),
+                )
+            )
     if not parts:
         raise ValueError("monitor_suite needs at least one table with "
-                         "a ts_col or a non-empty check suite")
+                         "a ts_col, a non-empty check suite, or a "
+                         "percentile contract")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

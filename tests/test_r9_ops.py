@@ -112,6 +112,47 @@ def test_near_pairs_width_derivation_catches_wide_hash_pair(spark):
     assert image_ahash_near_pairs(far).collect() == []
 
 
+def test_monitor_suite_percentile_slo_rows(spark):
+    """r8 verdict stretch: percentile SLO contracts fold into
+    monitor_suite as a check type. Hand table of values 1..100: the
+    under-full KMV sketch holds every row, so p95 is Spark's exact
+    percentile (95.05) — one passing contract (ceiling 96), one
+    failing (ceiling 90) — next to the ordinary freshness/contract
+    rows, all in the same 5-column verdict frame; a percentile-only
+    table needs neither ts_col nor checks."""
+    from sparkobs.monitors import monitor_suite
+
+    df = spark.range(1, 101).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v",
+        "timestampadd(HOUR, CAST(id AS INT), TIMESTAMP_NTZ '2024-01-01 00:00:00') AS ts",
+    )
+    out = monitor_suite(
+        [("t", df, "ts", [("not_null", "v")])],
+        as_of="2024-01-10 00:00:00",
+        percentiles={"t": [("id", "v", 0.95, 96.0), ("id", "v", 0.95, 90.0)]},
+    )
+    rows = out.collect()
+    assert out.columns == [
+        "table_name", "check_type", "column", "metric_value", "passed",
+    ]
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["check_type"], []).append(r)
+    assert set(by_type) == {"freshness", "not_null", "percentile_slo_p0.95"}
+    slo = by_type["percentile_slo_p0.95"]
+    assert [(r["column"], r["metric_value"], r["passed"]) for r in slo] == [
+        ("v", 95.05, True),
+        ("v", 95.05, False),
+    ]
+    # percentile-only config: no ts_col, no checks — still valid
+    only = monitor_suite(
+        [("t", df, None, [])],
+        as_of="2024-01-10 00:00:00",
+        percentiles={"t": [("id", "v", 0.5, 51.0)]},
+    ).collect()
+    assert len(only) == 1 and only[0]["passed"] is True
+
+
 def test_arrival_ordered_stage_handles_empty_events(spark, tmp_path):
     """r8 ADVICE: an empty events table used to TypeError on the
     min/max span arithmetic. The stage must publish (atomically) a
