@@ -112,6 +112,58 @@ def test_near_pairs_width_derivation_catches_wide_hash_pair(spark):
     assert image_ahash_near_pairs(far).collect() == []
 
 
+def test_pruned_tier_never_false_positives_on_random_corpora(spark):
+    """General contract beyond the fixture (any corpus, any cap): the
+    pruned tier's output is a SUBSET of the exact tier's with
+    identical cosines pair for pair — candidates can only be lost to
+    the cap (hot-dim-exclusive pairs), never invented, and the exact
+    rescore makes every emitted cosine the true one. Random corpora
+    with colliding dims (dim=16 forces heavy collisions) across two
+    caps."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(3, 12))))
+            for i in range(80)
+        ],
+        "doc_id long, text string",
+    )
+    vecs = hashed_tf_vectors(docs, dim=16).localCheckpoint()
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in sparse_cosine_pairs(vecs, threshold=0.3).collect()
+    }
+    for cap in (5, 20, 10_000):
+        pruned = {
+            (r["id_a"], r["id_b"]): r["cos"]
+            for r in sparse_cosine_pairs(
+                vecs, threshold=0.3, max_df=cap
+            ).collect()
+        }
+        assert set(pruned) <= set(exact), f"cap={cap} invented pairs"
+        for k, v in pruned.items():
+            assert v == exact[k], f"cap={cap} cosine drift on {k}"
+    # an effectively-unbounded cap loses nothing
+    assert pruned == exact
+
+
+def test_pruned_tier_plan_broadcasts_the_dim_frequency_table(spark, corpus):
+    """The 100 TB shape promise in the operator docstring: the rare-dim
+    table (≤ dim rows) reaches the candidate join as a BROADCAST, and
+    neither tier plans a cartesian product."""
+    from sparkobs.plans import physical_plan
+
+    vecs = hashed_tf_vectors(corpus, dim=DIM)
+    plan = physical_plan(sparse_cosine_pairs(vecs, threshold=THRESH, max_df=CAP))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    exact_plan = physical_plan(sparse_cosine_pairs(vecs, threshold=THRESH))
+    assert "CartesianProduct" not in exact_plan
+
+
 def test_monitor_suite_percentile_slo_rows(spark):
     """r8 verdict stretch: percentile SLO contracts fold into
     monitor_suite as a check type. Hand table of values 1..100: the
