@@ -333,7 +333,11 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — queue is optional
             queue_fns = {}
         qs = dict(qs, **queue_fns)
-        tail_names += list(queue_fns)
+        # queue rows lead the tail: they carry staged perf CLAIMS
+        # (e.g. pruned-vs-exact), so a budget-exhausted slow round
+        # must cut registry coverage rows (re-measured every round)
+        # before it cuts these
+        tail_names = list(queue_fns) + tail_names
         for name in tail_names:
             if time.perf_counter() - t_tail0 > tail_budget:
                 # += : earlier FAILED names already recorded must not
