@@ -573,8 +573,15 @@ def probes():
             synth_powerlaw_corpus,
         )
 
+        # SPARKOBS_PL_DIM: the operator guidance is "scale dim with
+        # vocabulary" — the 100× probe passes 2^20 so per-dim df stays
+        # ≈ corpus_tokens/dim ≪ cap and the prune keeps its recall
+        # (with dim FIXED at 65536 a 100× corpus saturates every dim
+        # past the cap: sub-linear wall but empty output — the
+        # documented failure mode, not a win)
+        pl_dim = int(os.environ.get("SPARKOBS_PL_DIM", "65536"))
         vecs = hashed_tf_vectors(
-            synth_powerlaw_corpus(docs.select("doc_id")), dim=65536
+            synth_powerlaw_corpus(docs.select("doc_id")), dim=pl_dim
         )
         return sparse_cosine_pairs(vecs, 0.5, max_df=32)
 
