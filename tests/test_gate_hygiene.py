@@ -130,6 +130,48 @@ def test_no_registry_entry_staler_than_max_cert_age():
     )
 
 
+def test_rotation_stays_feasible_for_future_rounds():
+    """Staging discipline as a failing test, not a planning note (r9:
+    the r10/r11 squeeze was enforced only by prose): simulate the next
+    8 rounds of greedy stalest-first rotation — this round's gate
+    members get stamped `current`, the staged queue promotes in full
+    next round, every simulated gate re-stamps its members — and
+    assert no future round is FORCED to certify more than GATE_SIZE
+    entries (its queue plus everything past the age ceiling). Catches
+    over-staging the moment it is committed, two rounds before the
+    age-ceiling test would trip."""
+    entrymod, Q = _registry()
+    from sparkobs.queries_next import R7_QUEUE
+
+    last, current = _last_certified_round()
+    gate = set(list(entrymod.queries())[: entrymod.GATE_SIZE])
+    stamps = {
+        n: (current if n in gate else last.get(n, 0))
+        for n in Q.SPARK_QUERIES
+    }
+    queue = list(R7_QUEUE)
+    for r in range(current + 1, current + 9):
+        threshold = r - MAX_CERT_AGE_ROUNDS
+        forced = [n for n, s in stamps.items() if s < threshold]
+        need = len(forced) + len(queue)
+        assert need <= entrymod.GATE_SIZE, (
+            f"round r{r} would be forced to certify {need} entries "
+            f"({len(queue)} promoted queue + {len(forced)} past the "
+            f"age ceiling) but the gate holds {entrymod.GATE_SIZE} — "
+            "the queue has outgrown what future gates can absorb; "
+            "stage less or retire entries"
+        )
+        filler = sorted(
+            (n for n in stamps if n not in set(forced)),
+            key=lambda n: stamps[n],
+        )[: entrymod.GATE_SIZE - need]
+        for n in queue:
+            stamps[n] = r
+        for n in forced + filler:
+            stamps[n] = r
+        queue = []
+
+
 def test_no_uncertified_entry_left_outside_the_gate():
     """Every registry entry that has never been driver-certified green
     must sit inside the current gate window (so this round certifies
