@@ -36,6 +36,24 @@ def _load(path):
         return json.load(fh)
 
 
+def test_headline_names_all_exist_in_registry():
+    """bench.py only WARNS at runtime when a HEADLINE name is missing
+    (renamed/retired registry entry) — which silently shrinks the
+    cross-round comparison series. Fail at commit time instead."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    import bench
+    from sparkobs import queries as Q
+
+    missing = [n for n in bench.HEADLINE if n not in Q.SPARK_QUERIES]
+    assert not missing, (
+        f"bench HEADLINE names not in the registry: {missing} — "
+        "update HEADLINE alongside the rename/retirement"
+    )
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate HEADLINE names"
+
+
 @pytest.mark.skipif(
     not (os.path.exists(CURRENT) and os.path.exists(BASELINE)),
     reason="needs both BENCH_full.json (run `python bench.py`) and "
