@@ -13,11 +13,12 @@ checker's own comparison; promoting one = move its entry into
 ``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
 slot.
 
-CAPACITY NOTE (r8 verdict item 3): the r10 gate must carry the 49
-remaining r4 re-certs, so only ~1 slot is open in r10 and the r11
-gate rides next to 48 r5 stamps (~2 slots). Stage accordingly — this
-queue should hold at most the sparse-cosine production-tier win entry
-(r8 verdict item 2) until the squeeze passes.
+CAPACITY NOTE: staging is bounded by a TEST now, not prose —
+``tests/test_gate_hygiene.py::test_rotation_stays_feasible_for_future_rounds``
+simulates 8 rounds of greedy stalest-first rotation and fails when
+the queue outgrows what future gates can absorb. The current queue of
+3 is feasible (r9 retirement of the degenerate pruned entry left 48
+r4 stamps: r10 = 3 promoted + 47 r4, r11 = 1 r4 + 48 r5 = 49 ≤ 50).
 
 ``len(R7_QUEUE)`` is authoritative for the queue count (the r6
 verdict caught prose drifting; the name stays ``R7_QUEUE`` because
@@ -33,7 +34,7 @@ from pyspark.sql import functions as F
 
 from sparkobs.io import load_table
 
-from sparkobs.queries import _hex15_sql  # noqa: E402
+from sparkobs.queries import _hex15_sql, _kmv_est_one_sql  # noqa: E402
 
 R7_QUEUE: dict[str, tuple] = {}
 
@@ -165,4 +166,97 @@ def sparse_cosine_powerlaw_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
     vecs = hashed_tf_vectors(docs, dim=_PL_DIM)
     return sparse_cosine_pairs(
         vecs, threshold=_PL_THRESHOLD, max_df=_PL_MAX_DF
+    )
+
+
+# --- monitor_suite + percentile SLO capstone (r8 verdict stretch) ----------
+# The fold landed in r9 as operator + unit test (monitors.monitor_suite
+# `percentiles` config); this entry is its oracle-certified registry
+# form, staged per the rotation-feasibility test (queue of 3 keeps
+# every future gate under GATE_SIZE: r10 = 3 promoted + 47 r4 re-certs,
+# r11 = 1 r4 + 48 r5 = 49).
+
+def _suite_pct_leg(tbl: str, id_sql: str, col: str, q: float,
+                   ceiling: float, k: int = 2048) -> str:
+    """One percentile-SLO leg of the monitor_suite oracle, in the
+    suite's 5-column verdict shape."""
+    dg = "md5('kmv' || " + id_sql + ")"
+    src = (
+        f"SELECT {_hex15_sql(dg)} AS h, CAST({col} AS DOUBLE) AS v "
+        f"FROM {tbl} WHERE {col} IS NOT NULL AND ({id_sql}) IS NOT NULL"
+    )
+    est = _kmv_est_one_sql(src, q, k)
+    return (
+        f"SELECT '{tbl}' AS table_name, "
+        f"'percentile_slo_p{q:g}' AS check_type, "
+        f"'{col}' AS column, "
+        f"CAST(est AS DOUBLE) AS metric_value, "
+        f"coalesce(est <= CAST({ceiling!r} AS DOUBLE), FALSE) AS passed "
+        f"FROM (SELECT {est} AS est)"
+    )
+
+
+_SUITE_SLO_ORACLE = f"""
+    SELECT 'events' AS table_name, 'freshness' AS check_type,
+           'ts' AS column,
+           CAST((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+                 - epoch_us(max(ts))) // 1000000 AS DOUBLE) AS metric_value,
+           ((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+             - epoch_us(max(ts))) // 1000000) <= 604800 AS passed
+    FROM events
+    UNION ALL
+    SELECT 'events', 'not_null', 'user_id',
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE),
+           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) = 0
+    FROM events
+    UNION ALL
+    {_suite_pct_leg("events", "CAST(event_id AS VARCHAR)", "value", 0.99, 990.0)}
+    UNION ALL
+    SELECT 'orders', 'freshness', 'o_orderdate',
+           CAST((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+                 - epoch_us(max(o_orderdate))) // 1000000 AS DOUBLE),
+           ((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+             - epoch_us(max(o_orderdate))) // 1000000) <= 604800
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'range', 'o_totalprice',
+           CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+                    THEN 1 ELSE 0 END) AS DOUBLE),
+           sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+               THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    {_suite_pct_leg("orders", "CAST(o_orderkey AS VARCHAR)", "o_totalprice", 0.95, 425000.0)}
+    """
+
+
+@_queue("monitor_suite_slo_lake", oracle=_SUITE_SLO_ORACLE)
+def monitor_suite_slo_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-wide monitor battery WITH percentile SLO contracts (the
+    r8 verdict's capstone observability shape: the reference's
+    configure-a-template-per-table UX — snowflake_table_monitor.py:
+    23-34 — with sketch-backed percentile verdicts as a first-class
+    check type next to freshness SLAs and data contracts): one
+    DataFrame carries freshness, not_null/range contracts, AND
+    "p99(value) ≤ 990" / "p95(o_totalprice) ≤ 425k" verdicts, the
+    percentile rows answered by single-pass bounded-state KMV
+    sketches (ONE map-side top-k per contract, never a column
+    buffer). The oracle replays every leg — staleness arithmetic,
+    violation counts, the full sketch + Percentile.scala
+    interpolation, and the boolean verdicts."""
+    from sparkobs.monitors import monitor_suite
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    return monitor_suite(
+        [
+            ("events", ev, "ts", [("not_null", "user_id")]),
+            ("orders", orders, "o_orderdate",
+             [("range", "o_totalprice", 0, 1000000)]),
+        ],
+        as_of="2024-02-01 00:00:00",
+        percentiles={
+            "events": [(F.col("event_id"), "value", 0.99, 990.0)],
+            "orders": [(F.col("o_orderkey"), "o_totalprice", 0.95, 425000.0)],
+        },
     )
