@@ -48,69 +48,67 @@ def entry(spark: SparkSession) -> DataFrame:
 GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
-    # --- r9 gate (50 slots, exactly full — the rotation the r8
-    # verdict prescribed verbatim): (1) the 11 promoted r8-queue
+    # --- r10 gate (50 slots, exactly full — the rotation the r9
+    # verdict prescribed verbatim): (1) the 3 promoted r9-queue
     # entries, staging order — all green in the judge's own sf0.01
-    # queue sweep, now driver-witnessed for the first time. (2) The
-    # 38 remaining r3-stamped re-certs (alphabetical = stalest
-    # cohort; the age ceiling in tests/test_gate_hygiene.py would
-    # fail the build if any r3 stamp survived outside this gate).
-    # (3) The single oldest r4 stamp to fill slot 50. The r10 gate
-    # then carries the 49 remaining r4 stamps (+1 open slot); r11
-    # rides next to the 48 r5 stamps (~2 open slots).
-    # --- promoted r8 queue, staging order ---
-    "kmv_quantiles_lineitem",          # KMV quantile sketch + rank cert
-    "kmv_quantiles_merged_orders",     # KMV merge ≡ direct (bit-exact)
-    "kmv_quantiles_grouped_lineitem",  # per-group bounded percentiles
-    "streaming_kmv_quantiles_events",  # KMV streaming twin
-    "video_avi_container_media",       # RIFF/AVI container invariance
-    "streaming_hll_sliding_users_events", # sliding-HLL streaming twin
-    "kmv_sliding_quantiles_events",    # trailing-7d percentiles, daily
-    "theta_intersection_cells_events", # theta set algebra (batch)
-    "streaming_theta_intersection_events", # theta streaming twin
-    "span_scrub_documents",            # exact-substring span REMOVAL
-    "percentile_contract_lake",        # p95/p99 SLO contract battery
-    # --- stalest re-certs: every remaining r3 stamp (38) ---
-    "cosine_topk_ivf",
-    "cube_lineitem",
-    "decode_real_media",
-    "decode_synth_media",
-    "embedding_near_dup_pairs",
-    "embedding_near_dup_pairs_lsh",
-    "entropy_lineitem_columns",
-    "fd_check_orders",
-    "flatten_struct_events",
-    "grouped_percentiles_orders",
-    "hash_sample_orders",
-    "jdbc_monitor_nation",
-    "jdbc_roundtrip_nation",
-    "minhash_lsh_pairs",
-    "mode_columns_lineitem",
-    "ngram_jaccard_pairs_hi",
-    "pii_scrub_documents",
-    "pipeline_filtered_corpus",
-    "pivot_returnflag_linestatus",
-    "profile_preview_orders",
-    "psi_drift_hourly_events",
-    "quality_topk_per_source",
-    "repetition_stats_documents",
-    "resize_synth_media",
-    "rollup_lineitem",
-    "salted_group_count_suppkey",
-    "set_except_users",
-    "set_intersect_users",
-    "simhash_documents",
-    "source_quota_cap",
-    "stratified_sample_orders",
-    "streaming_dedup_documents",
-    "streaming_near_dup_candidates",
-    "streaming_session_events",
-    "streaming_sliding_events",
-    "top_shingles",
-    "topk_orders_per_status",
-    "zip_join_nation_supplier",
-    # --- oldest r4 stamp (1 of 50; the rest rotate in r10) ---
-    "anomaly_hourly_events",
+    # queue sweep, now driver-witnessed for the first time. (2) All
+    # 47 remaining r4-stamped re-certs (alphabetical = stalest
+    # cohort; the perf-weak `sparse_cosine_pairs_documents` was
+    # RETIRED this round per the r9 verdict, shrinking the r4 cohort
+    # from 48 to 47 so the gate closes exactly). The r11 gate then
+    # carries the 48 r5 stamps + the staged queue (≤2 open slots).
+    # --- promoted r9 queue, staging order ---
+    "sparse_cosine_powerlaw_exact",    # quadratic-head comparison leg
+    "sparse_cosine_powerlaw_pruned",   # absolute-df-cap production tier
+    "monitor_suite_slo_lake",          # percentile-SLO capstone suite
+    # --- stalest re-certs: every remaining r4 stamp (47) ---
+    "audio_frame_rms_media",
+    "bigram_ppl_documents",
+    "bloom_probe_documents",
+    "bloom_semi_join_lineitem_orders",
+    "bpe_merges_documents",
+    "bpe_tokenize_documents",
+    "bucketed_join_orders_lineitem",
+    "canonical_dedup_documents",
+    "cms_vocab_estimates",
+    "cohort_retention_events",
+    "contract_checks_orders",
+    "curation_funnel_documents",
+    "ewma_hourly_events",
+    "fk_orphans_lineitem",
+    "funnel_events",
+    "fuzzy_match_supplier_customer",
+    "hashed_vectors_documents",
+    "heavy_hitters_tokens_documents",
+    "hist_quantiles_lineitem",
+    "hll_distinct_lineitem",
+    "hll_grouped_users_by_type",
+    "inverted_index_documents",
+    "line_dedup_documents",
+    "markov_stationary_events",
+    "markov_transitions_events",
+    "near_dup_groups_documents",
+    "near_dup_groups_lsh",
+    "pack_sequences_documents",
+    "partitioned_prune_documents",
+    "profile_lineitem_approx",
+    "quantile_bins_lineitem",
+    "quantize_embeddings_vectors",
+    "resample_locf_events",
+    "retention_purge_events",
+    "schema_merge_parquet_documents",
+    "search_and_documents",
+    "session_stats_events",
+    "streaming_cdc_latest_events",
+    "streaming_cms_events",
+    "streaming_incremental_band_index",
+    "streaming_join_click_purchase",
+    "table_diff_orders",
+    "tfidf_topk_documents",
+    "upsample_mixture_documents",
+    "vocab_jsd_documents",
+    "winsorize_events_by_type",
+    "zorder_tiles_events",
 ]
 
 

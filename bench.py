@@ -224,6 +224,14 @@ HEADLINE = [
     "streaming_theta_intersection_events",
     "span_scrub_documents",
     "percentile_contract_lake",
+    # round-10 additions (the promoted r9-queue wave). The exact
+    # power-law tier (sparse_cosine_powerlaw_exact) stays TAIL-only by
+    # design: it is the documented quadratic-head comparison leg for
+    # the pruned tier (~15 s at sf0.1), so the tail's 1-rep row records
+    # the pruned-vs-exact gap every round without spending 5 headline
+    # executions on a deliberately-unpruned plan.
+    "sparse_cosine_powerlaw_pruned",
+    "monitor_suite_slo_lake",
 ]
 
 # HEADLINE is the cross-round-comparable curated set (reps=3 medians,

@@ -1,24 +1,26 @@
-"""Round-10 registry queue — implemented, unit-tested, oracle-ready.
+"""Round-11 registry queue — implemented, unit-tested, oracle-ready.
 
-Same staging discipline as the round-6/7/8/9 queues (each promoted in
+Same staging discipline as the round-6..10 queues (each promoted in
 full, oldest-staged first): entries here are NOT in
 ``sparkobs.queries.SPARK_QUERIES`` yet because the driver certifies
 only the first ``GATE_SIZE`` (50) registry entries per round and the
-round-9 gate is exactly full (the 11 promoted r8-queue entries + the
-38 remaining r3-stamped re-certs + the oldest r4 stamp) — registering
-more now would create certification debt that
-``tests/test_gate_hygiene.py`` rejects. They are held here with their
-DuckDB oracles and exercised by ``tests/test_r7_queue.py`` with the
-checker's own comparison; promoting one = move its entry into
-``queries.py`` with the ``@query`` decorator and a ``_PRIORITY``
-slot.
+round-10 gate is exactly full (the 3 promoted r9-queue entries + the
+47 stalest r4-stamped re-certs, after the degenerate
+``sparse_cosine_pairs_documents`` retirement) — registering more now
+would create certification debt that ``tests/test_gate_hygiene.py``
+rejects. They are held here with their DuckDB oracles and exercised by
+``tests/test_r7_queue.py`` with the checker's own comparison;
+promoting one = move its entry into ``queries.py`` with the
+``@query`` decorator and a ``_PRIORITY`` slot.
 
-CAPACITY NOTE: staging is bounded by a TEST now, not prose —
+CAPACITY NOTE: staging is bounded by a TEST —
 ``tests/test_gate_hygiene.py::test_rotation_stays_feasible_for_future_rounds``
-simulates 8 rounds of greedy stalest-first rotation and fails when
-the queue outgrows what future gates can absorb. The current queue of
-3 is feasible (r9 retirement of the degenerate pruned entry left 48
-r4 stamps: r10 = 3 promoted + 47 r4, r11 = 1 r4 + 48 r5 = 49 ≤ 50).
+simulates 8 rounds of greedy stalest-first rotation (including the
+round-boundary state where the driver's newest CORRECTNESS file
+certifies the current gate) and fails when the queue outgrows what
+future gates can absorb. The r11 window is 48 r5-stamped re-certs +
+this queue, so AT MOST 2 entries may be staged here during round 10
+(the r9 verdict prescribed at most one new entry; one is staged).
 
 ``len(R7_QUEUE)`` is authoritative for the queue count (the r6
 verdict caught prose drifting; the name stays ``R7_QUEUE`` because
@@ -30,11 +32,9 @@ round staged the entries).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F  # noqa: F401 — staged entries use it
 
-from sparkobs.io import load_table
-
-from sparkobs.queries import _hex15_sql, _kmv_est_one_sql  # noqa: E402
+from sparkobs.io import load_table  # noqa: F401 — staged entries use it
 
 R7_QUEUE: dict[str, tuple] = {}
 
@@ -46,217 +46,3 @@ def _queue(name: str, oracle: str | None = None):
 
     return deco
 
-
-# --- sparse-cosine production-tier win (r8 verdict item 2) -----------------
-# The registered pruned entry was retired in r9: on the 31-token
-# documents fixture every hashed dim is dense, so the prune paid dedup
-# + rescore ON TOP of the exact dim-join. These two entries certify the
-# SAME machinery on a power-law-vocabulary corpus (synth_powerlaw_corpus
-# — head tokens in every doc, mid tokens per 5-doc group, tail
-# singletons) with the ABSOLUTE max_df cap the operator docstring
-# prescribes, sized so the bench shows pruned ≪ exact at sf0.1 and the
-# 10× probe shows the cap holding candidate volume flat (SCALE.md r9).
-
-_PL_DIM = 65536  # hash dim ≫ vocab so tail tokens keep their own dims
-_PL_MAX_DF = 32  # absolute cap: group dims (df≈5) pass, head dims (df≈N) prune
-_PL_THRESHOLD = 0.5  # within-group cos ≈ 10/16, cross-group ≈ 2/16
-
-
-def _powerlaw_text_sql(n_hot: int = 2, n_group: int = 8, n_unique: int = 6,
-                       group_size: int = 5) -> str:
-    """DuckDB expression replaying synth_powerlaw_corpus's text."""
-    parts = [f"'hot{j}'" for j in range(n_hot)]
-    parts += [
-        f"'g' || (doc_id // {group_size}) || '_{j}'" for j in range(n_group)
-    ]
-    parts += [f"'u' || doc_id || '_{j}'" for j in range(n_unique)]
-    return " || ' ' || ".join(parts)
-
-
-def _powerlaw_vec_ctes(dim: int = _PL_DIM) -> str:
-    """Hashed-vector CTE chain (the _HASHED_VEC_CTES pattern,
-    parameterized dim) over the synth power-law corpus."""
-    return f"""
-    synth AS (SELECT doc_id, {_powerlaw_text_sql()} AS text FROM documents),
-    tok AS (SELECT doc_id,
-                   unnest(list_filter(string_split_regex(text, '\\s+'),
-                                      x -> x <> '')) AS token
-            FROM synth),
-    hv AS (SELECT doc_id, {_hex15_sql('dg')} AS h
-           FROM (SELECT doc_id, md5(token) AS dg FROM tok)),
-    signed AS (SELECT doc_id, h % {dim} AS dim_idx,
-                      CASE WHEN (h >> 32) % 2 = 0 THEN 1 ELSE -1 END AS s
-               FROM hv),
-    counts AS (SELECT doc_id, dim_idx, CAST(sum(s) AS BIGINT) AS c
-               FROM signed GROUP BY 1, 2 HAVING sum(s) <> 0),
-    norms AS (SELECT doc_id, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm
-              FROM counts GROUP BY 1),
-    vecs AS (SELECT counts.doc_id, dim_idx, c / nrm AS weight
-             FROM counts JOIN norms USING (doc_id))"""
-
-
-@_queue(
-    "sparse_cosine_powerlaw_exact",
-    oracle=f"""
-    WITH {_powerlaw_vec_ctes()},
-    pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                  round(sum(a.weight * b.weight), 4) AS cos
-           FROM vecs a JOIN vecs b
-             ON a.dim_idx = b.dim_idx AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-    SELECT id_a, id_b, cos FROM pr WHERE cos >= {_PL_THRESHOLD}
-    """,
-)
-def sparse_cosine_powerlaw_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact sparse-cosine tier over the power-law synth corpus — the
-    COMPARISON LEG for the production prune: the dim-index equi-join
-    meets the Zipf head (2 tokens present in every document), so its
-    candidate volume is n_hot·C(N,2) — quadratic in the corpus — while
-    emitted pairs are only the within-group near-dups. The bench row
-    pair (this vs sparse_cosine_powerlaw_pruned, identical output)
-    measures exactly the cost the absolute-cap prune removes."""
-    from sparkobs.operators.similarity import (
-        hashed_tf_vectors,
-        sparse_cosine_pairs,
-        synth_powerlaw_corpus,
-    )
-
-    docs = synth_powerlaw_corpus(load_table(spark, sf_dir, "documents"))
-    vecs = hashed_tf_vectors(docs, dim=_PL_DIM)
-    return sparse_cosine_pairs(vecs, threshold=_PL_THRESHOLD)
-
-
-@_queue(
-    "sparse_cosine_powerlaw_pruned",
-    oracle=f"""
-    WITH {_powerlaw_vec_ctes()},
-    dfreq AS (SELECT dim_idx, count(*) AS df FROM vecs GROUP BY 1),
-    rare AS (SELECT dim_idx FROM dfreq WHERE df <= {_PL_MAX_DF}),
-    cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-             FROM vecs a JOIN rare USING (dim_idx)
-             JOIN vecs b ON a.dim_idx = b.dim_idx AND a.doc_id < b.doc_id),
-    pr AS (SELECT c.ia AS id_a, c.ib AS id_b,
-                  round(sum(a.weight * b.weight), 4) AS cos
-           FROM cand c
-           JOIN vecs a ON a.doc_id = c.ia
-           JOIN vecs b ON b.doc_id = c.ib AND b.dim_idx = a.dim_idx
-           GROUP BY 1, 2)
-    SELECT id_a, id_b, cos FROM pr WHERE cos >= {_PL_THRESHOLD}
-    """,
-)
-def sparse_cosine_powerlaw_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PRODUCTION sparse-cosine tier — absolute-df prune + exact
-    rescore (similarity.py sparse_cosine_pairs docstring's prescribed
-    configuration) over the power-law synth corpus: candidate pairs
-    come only from dimensions with document frequency ≤ 32, which
-    drops the Zipf-head posting lists (df ≈ N) while keeping every
-    group dimension (df ≈ 5), bounding candidate volume at
-    dim·cap²/2 REGARDLESS of corpus size; candidates are rescored
-    exactly over full vectors. On this corpus every ≥-threshold pair
-    shares a group dimension, so the output equals the exact tier's
-    row for row and ONE oracle shape certifies both — while the bench
-    shows this tier beating the exact tier's quadratic head join."""
-    from sparkobs.operators.similarity import (
-        hashed_tf_vectors,
-        sparse_cosine_pairs,
-        synth_powerlaw_corpus,
-    )
-
-    docs = synth_powerlaw_corpus(load_table(spark, sf_dir, "documents"))
-    vecs = hashed_tf_vectors(docs, dim=_PL_DIM)
-    return sparse_cosine_pairs(
-        vecs, threshold=_PL_THRESHOLD, max_df=_PL_MAX_DF
-    )
-
-
-# --- monitor_suite + percentile SLO capstone (r8 verdict stretch) ----------
-# The fold landed in r9 as operator + unit test (monitors.monitor_suite
-# `percentiles` config); this entry is its oracle-certified registry
-# form, staged per the rotation-feasibility test (queue of 3 keeps
-# every future gate under GATE_SIZE: r10 = 3 promoted + 47 r4 re-certs,
-# r11 = 1 r4 + 48 r5 = 49).
-
-def _suite_pct_leg(tbl: str, id_sql: str, col: str, q: float,
-                   ceiling: float, k: int = 2048) -> str:
-    """One percentile-SLO leg of the monitor_suite oracle, in the
-    suite's 5-column verdict shape."""
-    dg = "md5('kmv' || " + id_sql + ")"
-    src = (
-        f"SELECT {_hex15_sql(dg)} AS h, CAST({col} AS DOUBLE) AS v "
-        f"FROM {tbl} WHERE {col} IS NOT NULL AND ({id_sql}) IS NOT NULL"
-    )
-    est = _kmv_est_one_sql(src, q, k)
-    return (
-        f"SELECT '{tbl}' AS table_name, "
-        f"'percentile_slo_p{q:g}' AS check_type, "
-        f"'{col}' AS column, "
-        f"CAST(est AS DOUBLE) AS metric_value, "
-        f"coalesce(est <= CAST({ceiling!r} AS DOUBLE), FALSE) AS passed "
-        f"FROM (SELECT {est} AS est)"
-    )
-
-
-_SUITE_SLO_ORACLE = f"""
-    SELECT 'events' AS table_name, 'freshness' AS check_type,
-           'ts' AS column,
-           CAST((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
-                 - epoch_us(max(ts))) // 1000000 AS DOUBLE) AS metric_value,
-           ((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
-             - epoch_us(max(ts))) // 1000000) <= 604800 AS passed
-    FROM events
-    UNION ALL
-    SELECT 'events', 'not_null', 'user_id',
-           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE),
-           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) = 0
-    FROM events
-    UNION ALL
-    {_suite_pct_leg("events", "CAST(event_id AS VARCHAR)", "value", 0.99, 990.0)}
-    UNION ALL
-    SELECT 'orders', 'freshness', 'o_orderdate',
-           CAST((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
-                 - epoch_us(max(o_orderdate))) // 1000000 AS DOUBLE),
-           ((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
-             - epoch_us(max(o_orderdate))) // 1000000) <= 604800
-    FROM orders
-    UNION ALL
-    SELECT 'orders', 'range', 'o_totalprice',
-           CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
-                    THEN 1 ELSE 0 END) AS DOUBLE),
-           sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
-               THEN 1 ELSE 0 END) = 0
-    FROM orders
-    UNION ALL
-    {_suite_pct_leg("orders", "CAST(o_orderkey AS VARCHAR)", "o_totalprice", 0.95, 425000.0)}
-    """
-
-
-@_queue("monitor_suite_slo_lake", oracle=_SUITE_SLO_ORACLE)
-def monitor_suite_slo_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lake-wide monitor battery WITH percentile SLO contracts (the
-    r8 verdict's capstone observability shape: the reference's
-    configure-a-template-per-table UX — snowflake_table_monitor.py:
-    23-34 — with sketch-backed percentile verdicts as a first-class
-    check type next to freshness SLAs and data contracts): one
-    DataFrame carries freshness, not_null/range contracts, AND
-    "p99(value) ≤ 990" / "p95(o_totalprice) ≤ 425k" verdicts, the
-    percentile rows answered by single-pass bounded-state KMV
-    sketches (ONE map-side top-k per contract, never a column
-    buffer). The oracle replays every leg — staleness arithmetic,
-    violation counts, the full sketch + Percentile.scala
-    interpolation, and the boolean verdicts."""
-    from sparkobs.monitors import monitor_suite
-
-    ev = load_table(spark, sf_dir, "events")
-    orders = load_table(spark, sf_dir, "orders")
-    return monitor_suite(
-        [
-            ("events", ev, "ts", [("not_null", "user_id")]),
-            ("orders", orders, "o_orderdate",
-             [("range", "o_totalprice", 0, 1000000)]),
-        ],
-        as_of="2024-02-01 00:00:00",
-        percentiles={
-            "events": [(F.col("event_id"), "value", 0.99, 990.0)],
-            "orders": [(F.col("o_orderkey"), "o_totalprice", 0.95, 425000.0)],
-        },
-    )

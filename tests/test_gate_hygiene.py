@@ -130,46 +130,115 @@ def test_no_registry_entry_staler_than_max_cert_age():
     )
 
 
-def test_rotation_stays_feasible_for_future_rounds():
-    """Staging discipline as a failing test, not a planning note (r9:
-    the r10/r11 squeeze was enforced only by prose): simulate the next
-    8 rounds of greedy stalest-first rotation — this round's gate
-    members get stamped `current`, the staged queue promotes in full
-    next round, every simulated gate re-stamps its members — and
-    assert no future round is FORCED to certify more than GATE_SIZE
-    entries (its queue plus everything past the age ceiling). Catches
-    over-staging the moment it is committed, two rounds before the
-    age-ceiling test would trip."""
-    entrymod, Q = _registry()
-    from sparkobs.queries_next import R7_QUEUE
+def _newest_round_names() -> set[str]:
+    """All names recorded (green or not) in the newest CORRECTNESS
+    file — i.e. the gate the driver most recently executed."""
+    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    if not files:
+        return set()
+    with open(files[-1]) as fh:
+        return set(json.load(fh))
 
-    last, current = _last_certified_round()
-    gate = set(list(entrymod.queries())[: entrymod.GATE_SIZE])
-    stamps = {
-        n: (current if n in gate else last.get(n, 0))
-        for n in Q.SPARK_QUERIES
-    }
-    queue = list(R7_QUEUE)
-    for r in range(current + 1, current + 9):
+
+def _simulate_rotation(
+    stamps: dict[str, int],
+    queue: list[str],
+    start: int,
+    gate_size: int,
+    horizon: int = 8,
+) -> None:
+    """Greedy stalest-first rotation simulation: at each round, the
+    staged queue promotes in full, everything past the age ceiling is
+    forced in, and remaining slots fill with the stalest stamps.
+    AssertionError when any round is FORCED past ``gate_size``.
+    Mutates its ``stamps`` copy; callers pass a throwaway dict."""
+    for r in range(start, start + horizon):
         threshold = r - MAX_CERT_AGE_ROUNDS
         forced = [n for n, s in stamps.items() if s < threshold]
-        need = len(forced) + len(queue)
-        assert need <= entrymod.GATE_SIZE, (
+        need = len(forced) + len([n for n in queue if n not in set(forced)])
+        assert need <= gate_size, (
             f"round r{r} would be forced to certify {need} entries "
             f"({len(queue)} promoted queue + {len(forced)} past the "
-            f"age ceiling) but the gate holds {entrymod.GATE_SIZE} — "
+            f"age ceiling) but the gate holds {gate_size} — "
             "the queue has outgrown what future gates can absorb; "
             "stage less or retire entries"
         )
         filler = sorted(
-            (n for n in stamps if n not in set(forced)),
+            (n for n in stamps if n not in set(forced) and n not in set(queue)),
             key=lambda n: stamps[n],
-        )[: entrymod.GATE_SIZE - need]
+        )[: gate_size - need]
         for n in queue:
             stamps[n] = r
         for n in forced + filler:
             stamps[n] = r
         queue = []
+
+
+def _rotation_state(last: dict[str, int], current: int,
+                    newest_names: set[str]):
+    """(stamps, queue, start) for the rotation simulation, round-
+    boundary aware. Two tree states exist (r9 verdict item 1):
+
+    MID-ROUND — the builder already rebuilt ``_PRIORITY`` for
+    ``current`` (the gate differs from what the newest CORRECTNESS
+    file certified): the driver will stamp the current gate members
+    at round end, so stamp them ``current`` and simulate from
+    ``current + 1`` with the still-staged queue (minus anything the
+    gate already carries).
+
+    ROUND BOUNDARY — the driver just dropped CORRECTNESS_r{current-1}
+    certifying exactly the current gate (rotation for ``current`` not
+    rebuilt yet): re-stamping the old gate would skip the real
+    ``current`` rotation and shove its queue + forced work into
+    ``current + 1`` (the bug this test shipped with in r9). Instead
+    simulate the PENDING promotion: start the greedy rotation at
+    ``current`` itself with the raw stamps."""
+    entrymod, Q = _registry()
+    gate = set(list(entrymod.queries())[: entrymod.GATE_SIZE])
+    from sparkobs.queries_next import R7_QUEUE
+
+    queue = list(R7_QUEUE)
+    stamps = {n: last.get(n, 0) for n in Q.SPARK_QUERIES}
+    if gate <= newest_names:
+        return stamps, queue, current
+    for n in gate:
+        stamps[n] = current
+    return stamps, [n for n in queue if n not in gate], current + 1
+
+
+def test_rotation_stays_feasible_for_future_rounds():
+    """Staging discipline as a failing test, not a planning note (r9:
+    the r10/r11 squeeze was enforced only by prose): simulate the next
+    8 rounds of greedy stalest-first rotation — round-boundary aware
+    per ``_rotation_state`` — and assert no future round is FORCED to
+    certify more than GATE_SIZE entries (its queue plus everything
+    past the age ceiling). Catches over-staging the moment it is
+    committed, two rounds before the age-ceiling test would trip."""
+    entrymod, _ = _registry()
+    last, current = _last_certified_round()
+    stamps, queue, start = _rotation_state(last, current, _newest_round_names())
+    _simulate_rotation(stamps, queue, start, entrymod.GATE_SIZE)
+
+
+def test_rotation_feasible_after_driver_records_this_round():
+    """The round-boundary fixture the r9 verdict asked for: pretend
+    the driver just wrote CORRECTNESS_r{current}.json certifying the
+    CURRENT gate (every gate member stamped ``current``, the newest
+    file's names == the gate, ``_PRIORITY`` not yet rebuilt) and
+    assert the rotation is STILL feasible. This is the exact tree
+    state the driver evaluates at the next round's start — the state
+    the r9-shipped test went red in."""
+    entrymod, _ = _registry()
+    last, current = _last_certified_round()
+    gate = set(list(entrymod.queries())[: entrymod.GATE_SIZE])
+    boundary_last = dict(last)
+    for n in gate:
+        boundary_last[n] = current
+    stamps, queue, start = _rotation_state(
+        boundary_last, current + 1, newest_names=gate
+    )
+    assert start == current + 1, "boundary state must simulate the pending promotion"
+    _simulate_rotation(stamps, queue, start, entrymod.GATE_SIZE)
 
 
 def test_no_uncertified_entry_left_outside_the_gate():
