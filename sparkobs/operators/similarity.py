@@ -814,11 +814,35 @@ def quantize_embeddings(
     )
 
 
+def auto_hash_dim(
+    toks: DataFrame, token_col: str = "token", load_factor: int = 8,
+    floor: int = 64,
+) -> int:
+    """Size a feature-hashing dimension from the data instead of a
+    guess (r9 verdict stretch item 8 — SCALE.md measured the failure
+    mode this prevents: a FIXED dim under a growing vocabulary
+    saturates every dimension, the absolute-df prune then drops all
+    of them and the production sparse-cosine tier silently returns
+    EMPTY): one portable-HLL register pass estimates the distinct
+    token count, and the dim is the next power of two ≥ load_factor ×
+    that estimate, floored at ``floor`` — tail/group tokens keep
+    (mostly) private dimensions at any corpus size, which is the
+    property the df-prune needs. The only driver-side materialization
+    is the 1-row estimate (HLL register geometry, never token rows)."""
+    import math
+
+    from sparkobs.operators.profile import hll_estimate, hll_registers
+
+    est = hll_estimate(hll_registers(toks, token_col)).first()[0] or 0.0
+    return max(floor, 1 << math.ceil(math.log2(max(1.0, load_factor * est))))
+
+
 def hashed_tf_vectors(
     df: DataFrame,
     dim: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    auto_dim: bool = False,
 ) -> DataFrame:
     """Feature-hashed sparse document vectors, LONG form (id, dim_idx,
     weight): each token hashes to a dimension with a ±1 sign (the
@@ -834,6 +858,13 @@ def hashed_tf_vectors(
     counts that cancel to zero are dropped (they carry no weight and
     their presence would differ from a sparse representation's).
     One explode → one (id, dim) hash agg → one per-id norm join.
+    ``auto_dim=True`` replaces the fixed ``dim`` with
+    :func:`auto_hash_dim`'s estimate-driven size (one extra HLL
+    register pass over the token stream; ``dim`` becomes the floor) —
+    callers feeding the ``max_df``-pruned :func:`sparse_cosine_pairs`
+    tier should prefer it, because a fixed dim under a growing
+    vocabulary saturates every dimension and the prune then emits
+    nothing (SCALE.md's measured 100× fixed-dim control).
     """
     hv = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
     toks = df.select(
@@ -842,6 +873,8 @@ def hashed_tf_vectors(
             F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
         ).alias("token"),
     )
+    if auto_dim:
+        dim = auto_hash_dim(toks, floor=dim)
     signed = toks.select(
         "id",
         (hv % dim).alias("dim_idx"),

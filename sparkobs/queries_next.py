@@ -36,6 +36,8 @@ from pyspark.sql import functions as F  # noqa: F401 — staged entries use it
 
 from sparkobs.io import load_table  # noqa: F401 — staged entries use it
 
+from sparkobs.queries import _hex15_sql  # noqa: E402
+
 R7_QUEUE: dict[str, tuple] = {}
 
 
@@ -46,3 +48,114 @@ def _queue(name: str, oracle: str | None = None):
 
     return deco
 
+
+# --- grouped theta-sketch set algebra (r9 verdict stretch item 7) -----------
+# The one sketch-family form that had no grouped registry tier:
+# distinct-INTERSECTION per segment (theta sketches retain their hash
+# sample, so per-group overlap is a direct per-group join — exactly
+# where grouped HLL inclusion–exclusion blows up). Operator + unit
+# tests landed in r10 (profile.theta_sketch_grouped /
+# theta_intersect_grouped, tests/test_r10_ops.py); this entry is the
+# oracle-certified registry form, staged per the rotation-feasibility
+# test (queue of 1 keeps r11 = 48 r5 re-certs + 1 = 49 ≤ 50).
+
+_TIG_K = 512
+_TIG_SPACE_SQL = "CAST(1152921504606846976 AS DOUBLE)"  # 16^15 = 2^60
+
+
+def _tig_sketch_sql(src: str) -> str:
+    """DuckDB CTE body: per-seg theta sketch (bottom-k distinct 60-bit
+    hashes per segment) of CTE ``{src}(seg, cell)``."""
+    return f"""(SELECT seg, h FROM (
+        SELECT seg, h,
+               row_number() OVER (PARTITION BY seg ORDER BY h) AS rn
+        FROM (SELECT DISTINCT seg, {_hex15_sql("md5('th' || cell)")} AS h
+              FROM {src}))
+      WHERE rn <= {_TIG_K})"""
+
+
+_TIG_ORACLE = f"""
+    WITH base AS (
+      SELECT CAST(hour(ts) // 6 AS INT) AS seg, event_type,
+             CAST(user_id AS VARCHAR) || ':' ||
+             CAST(datediff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                            date_trunc('hour', ts)) AS VARCHAR) AS cell
+      FROM events WHERE user_id IS NOT NULL),
+    a AS (SELECT DISTINCT seg, cell FROM base WHERE event_type = 'click'),
+    b AS (SELECT DISTINCT seg, cell FROM base WHERE event_type = 'purchase'),
+    ska AS {_tig_sketch_sql('a')},
+    skb AS {_tig_sketch_sql('b')},
+    ta AS (SELECT seg, CASE WHEN count(*) < {_TIG_K} THEN {_TIG_SPACE_SQL}
+                            ELSE CAST(max(h) AS DOUBLE) END AS th_a
+           FROM ska GROUP BY 1),
+    tb AS (SELECT seg, CASE WHEN count(*) < {_TIG_K} THEN {_TIG_SPACE_SQL}
+                            ELSE CAST(max(h) AS DOUBLE) END AS th_b
+           FROM skb GROUP BY 1),
+    th AS (SELECT coalesce(ta.seg, tb.seg) AS seg,
+                  least(coalesce(th_a, {_TIG_SPACE_SQL}),
+                        coalesce(th_b, {_TIG_SPACE_SQL})) AS theta
+           FROM ta FULL OUTER JOIN tb ON ta.seg = tb.seg),
+    cm AS (SELECT ska.seg, CAST(count(*) AS BIGINT) AS nc
+           FROM ska JOIN skb ON ska.seg = skb.seg AND ska.h = skb.h
+                JOIN th ON th.seg = ska.seg AND ska.h < th.theta
+           GROUP BY 1),
+    ex AS (SELECT seg, CAST(count(*) AS BIGINT) AS exq FROM
+             (SELECT seg, cell FROM a INTERSECT SELECT seg, cell FROM b)
+           GROUP BY 1)
+    SELECT th.seg AS seg,
+           CAST(coalesce(nc, 0) AS BIGINT) AS n_common,
+           CAST(coalesce(nc, 0) AS DOUBLE) * {_TIG_SPACE_SQL} / theta
+             AS est_intersect,
+           CAST(coalesce(exq, 0) AS BIGINT) AS exact_intersect
+    FROM th LEFT JOIN cm ON cm.seg = th.seg LEFT JOIN ex ON ex.seg = th.seg
+    """
+
+
+@_queue("theta_intersection_grouped_events", oracle=_TIG_ORACLE)
+def theta_intersection_grouped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment distinct-intersection via GROUPED theta sketches
+    (extension: the segment-drill-down form of theta set algebra —
+    "how many user-hour cells both clicked AND purchased, per
+    quarter-of-day"): per-segment bottom-k distinct-hash sketches of
+    the click and purchase cell sets, per-group θ = min(side θs),
+    common-below-θ counts scaled to estimates, groups seen on one
+    side only surfacing as zero — next to the exact per-group
+    intersection for certification. All joins touch only sketch rows
+    (≤ k per group per side); the oracle replays sketches, thetas,
+    common counts, scaled estimates, and the exact leg."""
+    from sparkobs.operators.profile import (
+        theta_intersect_grouped,
+        theta_sketch_grouped,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    cell = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00',"
+            " date_trunc('hour', ts))"
+        ).cast("string"),
+    )
+    base = ev.select(
+        F.expr("hour(ts) div 6").cast("int").alias("seg"),
+        F.col("event_type"),
+        cell.alias("cell"),
+    )
+    a = base.where(F.col("event_type") == "click").select("seg", "cell")
+    b = base.where(F.col("event_type") == "purchase").select("seg", "cell")
+    ska = theta_sketch_grouped(a, "cell", ["seg"], k=_TIG_K, salt="th")
+    skb = theta_sketch_grouped(b, "cell", ["seg"], k=_TIG_K, salt="th")
+    est = theta_intersect_grouped(ska, skb, ["seg"], k=_TIG_K)
+    exact = (
+        a.distinct()
+        .join(b.distinct(), ["seg", "cell"])
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).cast("long").alias("__ex"))
+    )
+    return est.join(exact, ["seg"], "left").select(
+        "seg",
+        "n_common",
+        "est_intersect",
+        F.coalesce("__ex", F.lit(0).cast("long")).alias("exact_intersect"),
+    )

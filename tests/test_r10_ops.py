@@ -165,3 +165,130 @@ def test_scratch_dir_is_per_process_and_sweeps_dead_owners():
         shutil.rmtree(dead_dir, ignore_errors=True)
         shutil.rmtree(f"{base}_p{os.getpid()}", ignore_errors=True)
 
+
+# --- grouped theta sketch (r9 verdict stretch item 7) -----------------------
+
+
+def test_theta_grouped_exact_when_underfull(spark):
+    """Under-full per-group sketches retain every distinct hash, so
+    the grouped intersection estimate IS the exact per-group distinct
+    intersection; a group present on one side only surfaces with
+    n_common = 0."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.profile import (
+        theta_intersect_grouped,
+        theta_sketch_grouped,
+    )
+
+    # group g0: A={0..19}, B={10..29} → ∩ = 10
+    # group g1: A={0..9},  B={0..9}  → ∩ = 10
+    # group g2: A={0..4},  B only absent → ∩ = 0
+    # group g3: B={0..4},  A only absent → ∩ = 0
+    rows_a = (
+        [("g0", v) for v in range(20)]
+        + [("g1", v) for v in range(10)]
+        + [("g2", v) for v in range(5)]
+    )
+    rows_b = (
+        [("g0", v) for v in range(10, 30)]
+        + [("g1", v) for v in range(10)]
+        + [("g3", v) for v in range(5)]
+    )
+    a = spark.createDataFrame(rows_a, "g string, v int")
+    b = spark.createDataFrame(rows_b, "g string, v int")
+    ska = theta_sketch_grouped(a, "v", ["g"], k=64, salt="t")
+    skb = theta_sketch_grouped(b, "v", ["g"], k=64, salt="t")
+    out = {
+        r["g"]: (r["n_common"], r["est_intersect"])
+        for r in theta_intersect_grouped(ska, skb, ["g"], k=64).collect()
+    }
+    assert set(out) == {"g0", "g1", "g2", "g3"}
+    assert out["g0"] == (10, 10.0)
+    assert out["g1"] == (10, 10.0)
+    assert out["g2"] == (0, 0.0)
+    assert out["g3"] == (0, 0.0)
+    # duplicate values collapse (sketch is over the DISTINCT set)
+    ska_dup = theta_sketch_grouped(
+        a.unionByName(a), "v", ["g"], k=64, salt="t"
+    )
+    assert sorted(map(tuple, ska_dup.collect())) == sorted(
+        map(tuple, ska.collect())
+    )
+
+
+def test_theta_grouped_state_bounded_and_estimates_track(spark):
+    """Over-full groups keep exactly k sketch rows, and the scaled
+    estimate tracks the true per-group intersection within the
+    O(1/sqrt(k)) regime."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.profile import (
+        theta_intersect_grouped,
+        theta_sketch_grouped,
+    )
+
+    n, k = 2000, 256
+    base = spark.range(n).select(
+        (F.col("id") % 2).cast("string").alias("g"), F.col("id").alias("v")
+    )
+    # per group: A = all n/2 values, B = the half of them ≥ n/2 → true
+    # per-group intersection = n/4
+    a = base
+    b = base.where(F.col("v") >= n // 2)
+    ska = theta_sketch_grouped(a, "v", ["g"], k=k, salt="t2")
+    skb = theta_sketch_grouped(b, "v", ["g"], k=k, salt="t2")
+    per_group = ska.groupBy("g").count().collect()
+    assert all(r["count"] == k for r in per_group), "sketch not bounded at k"
+    for r in theta_intersect_grouped(ska, skb, ["g"], k=k).collect():
+        true = n / 4
+        assert abs(r["est_intersect"] - true) / true < 0.5, (
+            r["g"], r["est_intersect"], true
+        )
+
+
+# --- auto_dim feature hashing (r9 verdict stretch item 8) -------------------
+
+
+def test_auto_dim_avoids_fixed_dim_saturation(spark):
+    """SCALE.md's measured fixed-dim failure mode, as a planted test:
+    under a power-law vocabulary much larger than the hash dim, every
+    dimension saturates (df > cap), the absolute-df prune drops all of
+    them, and the production tier silently returns EMPTY. auto_dim
+    sizes the dim from an HLL distinct-token estimate so group
+    dimensions stay under the cap and the pruned tier matches the
+    exact tier pair for pair."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.similarity import (
+        auto_hash_dim,
+        hashed_tf_vectors,
+        sparse_cosine_pairs,
+        synth_powerlaw_corpus,
+    )
+
+    docs = synth_powerlaw_corpus(
+        spark.range(600).select(F.col("id").alias("doc_id"))
+    )
+    # the failure mode: fixed dim=64 under a ~4.8k-token vocabulary —
+    # every one of the 64 dims carries df ≈ 150 ≫ cap, so the prune
+    # drops them ALL (deterministic: md5 hashing, fixed corpus)
+    fixed = hashed_tf_vectors(docs, dim=64)
+    pruned_fixed = sparse_cosine_pairs(fixed, threshold=0.5, max_df=32)
+    assert pruned_fixed.count() == 0, (
+        "expected the saturation failure mode (all dims df>cap)"
+    )
+    # auto_dim: estimate-driven dimension clears the saturation
+    auto = hashed_tf_vectors(docs, dim=64, auto_dim=True)
+    pruned_auto = sparse_cosine_pairs(auto, threshold=0.5, max_df=32)
+    exact_auto = sparse_cosine_pairs(auto, threshold=0.5)
+    got = sorted(map(tuple, pruned_auto.collect()))
+    want = sorted(map(tuple, exact_auto.collect()))
+    assert got == want and len(got) >= 1200, (len(got), len(want))
+    # and the chosen dim actually scaled with the vocabulary
+    toks = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("token")
+    )
+    d = auto_hash_dim(toks, floor=64)
+    n_vocab = toks.distinct().count()
+    assert d >= 4 * n_vocab, (d, n_vocab)
