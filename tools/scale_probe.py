@@ -376,6 +376,39 @@ def probes():
             1024,
         )
 
+    def theta_grouped_p(docs, ev, emb):
+        # grouped tier (r10): one distinct pass + per-group bottom-k
+        # window per side, then joins over ≤ groups×k sketch rows —
+        # the raw-row term is the distinct pass; set algebra is
+        # group-count-bounded
+        from pyspark.sql import functions as F
+
+        from sparkobs.operators.profile import (
+            theta_intersect_grouped,
+            theta_sketch_grouped,
+        )
+
+        cell = F.concat(
+            F.col("user_id").cast("string"), F.lit(":"),
+            F.expr(
+                "timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00',"
+                " date_trunc('hour', ts))"
+            ).cast("string"),
+        )
+        base = ev.where(F.col("user_id").isNotNull()).select(
+            F.expr("hour(ts) div 6").cast("int").alias("seg"),
+            "event_type",
+            cell.alias("cell"),
+        )
+        a = base.where(F.col("event_type") == "click").select("seg", "cell")
+        b = base.where(F.col("event_type") == "purchase").select("seg", "cell")
+        return theta_intersect_grouped(
+            theta_sketch_grouped(a, "cell", ["seg"], k=512, salt="th"),
+            theta_sketch_grouped(b, "cell", ["seg"], k=512, salt="th"),
+            ["seg"],
+            512,
+        )
+
     def kmv_sliding(docs, ev, emb):
         # daily bottom-k window + day-count x k contribution explode;
         # the raw-row term is the daily row_number pass
@@ -978,6 +1011,7 @@ def probes():
         "hll_sliding": hll_sliding,
         "kmv_sliding": kmv_sliding,
         "theta_intersect": theta_p,
+        "theta_intersect_grouped": theta_grouped_p,
         "image_near_dup": image_near_dup,
         "audio_fp_dedup": audio_fp_dedup,
         "video_fh_dedup": video_fh_dedup,
