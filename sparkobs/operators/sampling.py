@@ -298,3 +298,67 @@ def epoch_shuffle_rank(
     return global_row_index(
         hashed, ["__h", key_col], index_col="shuffle_rank"
     ).drop("__h")
+
+
+def sampled_agg_ci(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list,
+    value_col: str,
+    one_in: int = 10,
+    salt: str = "",
+    z: float = 1.959964,
+) -> DataFrame:
+    """Approximate GROUP BY from a deterministic hash sample, with
+    error bars (extension: online-aggregation / AQP — the reference
+    samples only to PROFILE, snowflake_table_monitor.py:50-54; a
+    100 TB engine also needs samples to ANSWER aggregates).
+
+    Keeps the ``md5(salt+key) % one_in == 0`` rows (the
+    :func:`hash_sample` predicate — engine/run/partitioning-
+    reproducible) and scales per-group COUNT and SUM(value) back up by
+    ``one_in``. Under Bernoulli(f) sampling with known f = 1/one_in
+    these are the Horvitz–Thompson estimators; their variance
+    estimators are ((1-f)/f^2)·n for the count and
+    ((1-f)/f^2)·Σx² for the sum, reported as z·sqrt(·) normal
+    half-widths (``ci95_*`` at the default z).
+
+    Determinism across engines: the sample predicate is exact integer
+    arithmetic on the md5 hex, the value is summed as DECIMAL(18,2)
+    (associative — no float-order drift between Spark's and the
+    oracle's aggregation trees), and (1-f)/f² = one_in·(one_in-1)
+    is computed in exact integers; only the final sqrt/round touch
+    doubles, on bit-identical inputs.
+
+    At scale this is one filtered scan + one map-side-combinable agg:
+    the shuffle carries ~1/one_in of the rows pre-aggregated to
+    |groups| partial states, and the filter is a pure row-local
+    predicate that composes with partition pruning. ``one_in=1``
+    degenerates to the exact aggregate with zero-width intervals.
+
+    A group with NO sampled rows is absent from the output (its
+    estimate is 0 ± unknown); callers needing every group should
+    left-join the estimates onto the group domain.
+    """
+    if one_in < 1:
+        raise ValueError(f"one_in must be >= 1, got {one_in}")
+    sample = hash_sample(df, key_col, one_in, salt)
+    dec = F.col(value_col).cast("decimal(18,2)")
+    grouped = sample.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.sum(dec).alias("_sum_dec"),
+        F.sum((dec * dec).cast("decimal(38,4)")).alias("_sumsq_dec"),
+    )
+    varf = float(one_in * (one_in - 1))  # (1-f)/f^2, exact in integers
+    return grouped.select(
+        *group_cols,
+        "n_sample",
+        (F.col("n_sample") * one_in).cast("long").alias("est_count"),
+        F.round(
+            F.lit(z) * F.sqrt(F.col("n_sample").cast("double") * varf), 4
+        ).alias("ci95_count"),
+        F.round((F.col("_sum_dec") * one_in).cast("double"), 2).alias("est_sum"),
+        F.round(
+            F.lit(z) * F.sqrt(F.col("_sumsq_dec").cast("double") * varf), 4
+        ).alias("ci95_sum"),
+    )

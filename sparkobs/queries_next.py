@@ -18,12 +18,19 @@ CAPACITY NOTE: staging is bounded by a TEST —
 simulates 8 rounds of greedy stalest-first rotation (including the
 round-boundary state where the driver's newest CORRECTNESS file
 certifies the current gate) and fails when the queue outgrows what
-future gates can absorb. The r11 window is 48 r5-stamped re-certs +
-this queue, so AT MOST 2 entries may be staged here during round 10.
-Two are: the grouped theta entry and its streaming twin (a deliberate,
-test-backed step past the r9 verdict's "at most one" — the pair shares
-one oracle and every sketch family ships its twin; the simulation
-confirms r11 = 48 + 2 = 50 and r12+ absorb the r6 cohort).
+future gates can absorb. Three entries are staged: the grouped theta
+entry and its streaming twin (they share one oracle; every sketch
+family ships its twin), and the sampled-CI AQP entry. The simulation
+confirms r11 = 3 + 47 of the 48 r5 re-certs = 50, r12 = the 1
+remaining r5 (forced) + 49 r6 = 50, and r13+ stay feasible.
+
+REGISTRY CEILING: the deeper bound is GATE_SIZE (50) ×
+MAX_CERT_AGE_ROUNDS (6) = 300 — more registry entries than that and
+greedy rotation mathematically cannot keep every entry's stamp within
+the age ceiling (ceil(301/50) = 7 > 6). Registry (297) + this queue
+(3) = 300 exactly, so ``sampled_agg_ci_orders`` is the LAST net-new
+entry; from here every addition is a swap (retire-with-tombstone
+first, the discipline the r9 sparse-cosine retirement established).
 
 ``len(R7_QUEUE)`` is authoritative for the queue count (the r6
 verdict caught prose drifting; the name stays ``R7_QUEUE`` because
@@ -256,3 +263,51 @@ def streaming_theta_intersection_grouped_events(
         )
 
     return _tig_verdict(spark, sf_dir, final("a"), final("b"))
+
+
+# --- sampled aggregation with confidence intervals (AQP) --------------------
+# The last net-new registry slot: GATE_SIZE (50) x MAX_CERT_AGE_ROUNDS
+# (6) caps the sustainable registry at 300 entries, and the registry +
+# queue stands at 299 — this entry takes it to exactly 300. Anything
+# after this is a SWAP (retire-with-tombstone, then stage), a policy
+# the r9 sparse-cosine retirement already exercised. Operator:
+# sampling.sampled_agg_ci (Horvitz-Thompson count/sum estimators over
+# the deterministic hash_sample predicate); unit tests in
+# tests/test_r10_ops.py cover the one_in=1 exact degeneracy,
+# partitioning invariance, and CI coverage of the true totals.
+
+_ACI_HASH = "md5(CAST(o_orderkey AS VARCHAR))"
+
+
+@_queue(
+    "sampled_agg_ci_orders",
+    oracle=f"""
+    WITH s AS (
+        SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        FROM orders
+        WHERE ({_hex15_sql(_ACI_HASH)}) % 10 = 0
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_sample,
+           CAST(count(*) * 10 AS BIGINT) AS est_count,
+           round(1.959964 * sqrt(CAST(count(*) AS DOUBLE) * 90.0), 4)
+               AS ci95_count,
+           round(CAST(sum(v) * 10 AS DOUBLE), 2) AS est_sum,
+           round(1.959964 * sqrt(CAST(sum(CAST(v * v AS DECIMAL(38,4)))
+                                      AS DOUBLE) * 90.0), 4) AS ci95_sum
+    FROM s GROUP BY 1
+    """,
+)
+def sampled_agg_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-priority order count and revenue from a 1-in-10
+    deterministic hash sample with 95% error bars (extension:
+    online-aggregation-style AQP; the scan-1%-answer-with-CI path a
+    100 TB interactive engine needs). Oracle = the same md5-mod
+    predicate and Horvitz-Thompson arithmetic in DuckDB; the value is
+    summed as DECIMAL so both engines' aggregation trees are exact."""
+    from sparkobs.operators.sampling import sampled_agg_ci
+
+    orders = load_table(spark, sf_dir, "orders")
+    return sampled_agg_ci(
+        orders, "o_orderkey", ["o_orderpriority"], "o_totalprice", one_in=10
+    )

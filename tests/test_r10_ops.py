@@ -292,3 +292,100 @@ def test_auto_dim_avoids_fixed_dim_saturation(spark):
     d = auto_hash_dim(toks, floor=64)
     n_vocab = toks.distinct().count()
     assert d >= 4 * n_vocab, (d, n_vocab)
+
+
+# --- sampled_agg_ci: Horvitz-Thompson AQP estimates (r10 queue) -------------
+
+
+def test_sampled_agg_ci_exact_when_one_in_1(spark):
+    """one_in=1 keeps every row: the estimators degenerate to the
+    exact aggregates with zero-width intervals."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.io import load_table
+    from sparkobs.operators.sampling import sampled_agg_ci
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    est = {
+        r["o_orderpriority"]: r
+        for r in sampled_agg_ci(
+            orders, "o_orderkey", ["o_orderpriority"], "o_totalprice", one_in=1
+        ).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for g, r in est.items():
+        assert r["est_count"] == exact[g]["n"]
+        assert r["ci95_count"] == 0.0
+        assert abs(r["est_sum"] - float(exact[g]["s"])) < 0.01
+        assert r["ci95_sum"] == 0.0
+
+
+def test_sampled_agg_ci_partitioning_invariant(spark):
+    """The estimate is a pure function of the DATA, not the layout:
+    1 partition and 32 partitions produce identical rows (decimal sums
+    are associative — no float-order drift)."""
+    from sparkobs.io import load_table
+    from sparkobs.operators.sampling import sampled_agg_ci
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+
+    def rows(df):
+        return sorted(
+            map(
+                tuple,
+                sampled_agg_ci(
+                    df, "o_orderkey", ["o_orderpriority"], "o_totalprice", one_in=7
+                ).collect(),
+            )
+        )
+
+    assert rows(orders.repartition(1)) == rows(orders.repartition(32))
+
+
+def test_sampled_agg_ci_covers_true_totals(spark):
+    """Statistical sanity at the fixture scale: the 95% intervals from
+    a 1-in-10 sample cover the true per-group count and sum for every
+    priority group (5 groups x ~300 true rows at sf0.001; a failure
+    here means the estimator arithmetic is wrong, not bad luck —
+    the hash sample is deterministic, so this is a fixed fixture)."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.io import load_table
+    from sparkobs.operators.sampling import sampled_agg_ci
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    est = {
+        r["o_orderpriority"]: r
+        for r in sampled_agg_ci(
+            orders, "o_orderkey", ["o_orderpriority"], "o_totalprice", one_in=10
+        ).collect()
+    }
+    truth = {
+        r["o_orderpriority"]: r
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s"))
+        .collect()
+    }
+    assert set(est) == set(truth)
+    for g, t in truth.items():
+        r = est[g]
+        assert abs(r["est_count"] - t["n"]) <= r["ci95_count"], g
+        assert abs(r["est_sum"] - t["s"]) <= r["ci95_sum"], g
+
+
+def test_sampled_agg_ci_rejects_bad_rate():
+    import pytest
+
+    from sparkobs.operators.sampling import sampled_agg_ci
+
+    with pytest.raises(ValueError):
+        sampled_agg_ci(None, "k", ["g"], "v", one_in=0)
