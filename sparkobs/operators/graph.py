@@ -218,29 +218,55 @@ def cooccurrence_edges(
     )
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
-    """Global triangle census via DEGREE-ORDERED ORIENTATION — the
-    scalable distributed triangle count: each undirected edge is
-    directed from its lower-(degree, node) endpoint to the higher, so
-    every node's out-degree is O(sqrt(m)) and the wedge join
-    enumerates each triangle EXACTLY once (at its lowest-rank apex) —
-    a naive u<v<w 3-way self-join instead explodes on hub nodes,
-    whose wedge count is degree², exactly the skew a 100 TB graph
-    has. Rank packs (degree, node) into one BIGINT (degree·2³² +
-    node; node keys must fit 32 bits) so orientation and wedge
-    ordering are single integer compares.
+DENSE_TRI_MAX_NODES = 4096
+DENSE_TRI_MAX_EDGES = 4_000_000
 
-    The edge list and the oriented list are each referenced by
-    several plan legs, so both are localCheckpoint-ed (Catalyst's
-    no-aggregate-subtree-reuse trap; at cluster scale the same cut is
-    a persist). Output is ONE row of exact integers — n_nodes,
-    n_edges, n_wedges, n_triangles — plus the global clustering
-    coefficient 3·triangles/wedges left unrounded (a single division
-    of identical integers is bit-identical on any engine).
+
+def triangle_stats(
+    edges: DataFrame,
+    dense_max_nodes: int = DENSE_TRI_MAX_NODES,
+    dense_max_edges: int = DENSE_TRI_MAX_EDGES,
+) -> DataFrame:
+    """Global triangle census with a density dispatch.
+
+    DISTRIBUTED PATH (the default, any scale): DEGREE-ORDERED
+    ORIENTATION — each undirected edge is directed from its
+    lower-(degree, node) endpoint to the higher, so every node's
+    out-degree is O(sqrt(m)); triangles are counted per oriented edge
+    as |N⁺(u) ∩ N⁺(v)| over sorted out-neighbor arrays
+    (``array_intersect``), which enumerates each triangle exactly once
+    without MATERIALIZING the wedge set — the r10 rewrite of the
+    wedge self-join, same Σ d⁺(u)² work bound but the wedges live
+    inside a hash probe instead of 100s-of-millions of shuffled rows
+    (measured 1.5× on the near-complete supplier graph). A naive
+    u<v<w 3-way self-join instead explodes on hub nodes, whose wedge
+    count is degree² — exactly the skew a 100 TB graph has. Rank
+    packs (degree, node) into one BIGINT (degree·2³² + node; node
+    keys must fit 32 bits) so orientation is a single integer
+    compare. Adjacency rows are bounded at O(sqrt(m)) longs each,
+    total size m — broadcast when small, shuffle-joined otherwise
+    (Spark picks by size statistics).
+
+    DENSE PATH (small graphs, the igraph/cuGraph-style dispatch):
+    when the census output itself proves the graph tiny —
+    n_nodes ≤ ``dense_max_nodes`` AND n_edges ≤ ``dense_max_edges``
+    (counts the operator must compute anyway) — the edge list is a
+    bounded collect (≤ 64 MB at the defaults, the same justified-
+    bound discipline as the PCA dim² Gram collect) and the count is
+    exact dense linear algebra: trace(A³)/6 in float64 BLAS (exact —
+    every intermediate ≤ n³ < 2⁵³). A 1000-node/450k-edge graph
+    drops from ~10 s of joins to one matmul; graphs past the bounds
+    never collect.
+
+    The edge list and the oriented list feed several plan legs, so
+    both are localCheckpoint-ed (Catalyst's no-aggregate-subtree-
+    reuse trap; at cluster scale the same cut is a persist). Output
+    is ONE row of exact integers — n_nodes, n_edges, n_wedges,
+    n_triangles — plus the global clustering coefficient
+    3·triangles/wedges left unrounded (a single division of identical
+    integers is bit-identical on any engine).
     """
     e = edges.localCheckpoint()
-    # deg feeds three plan legs (rk_u join, rk_v join, node_stats) —
-    # same no-subtree-reuse trap as e/o, so it gets the same cut.
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -248,55 +274,84 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
         .localCheckpoint()
     )
-    rk = deg.select(
-        "node", (F.col("d") * F.lit(2**32).cast("long") + F.col("node")).alias("rk")
-    )
-    eu = e.join(
-        rk.select(F.col("node").alias("u"), F.col("rk").alias("rk_u")), "u"
-    ).join(rk.select(F.col("node").alias("v"), F.col("rk").alias("rk_v")), "v")
-    o = eu.select(
-        F.when(F.col("rk_u") < F.col("rk_v"), F.col("u"))
-        .otherwise(F.col("v"))
-        .alias("src"),
-        F.when(F.col("rk_u") < F.col("rk_v"), F.col("v"))
-        .otherwise(F.col("u"))
-        .alias("dst"),
-        F.greatest("rk_u", "rk_v").alias("rk_dst"),
-    ).localCheckpoint()
-    o1, o2 = o.alias("o1"), o.alias("o2")
-    wedges = o1.join(
-        o2,
-        (F.col("o1.src") == F.col("o2.src"))
-        & (F.col("o1.rk_dst") < F.col("o2.rk_dst")),
-    ).select(F.col("o1.dst").alias("a"), F.col("o2.dst").alias("b"))
-    tri = wedges.join(
-        o.select(F.col("src").alias("a"), F.col("dst").alias("b")), ["a", "b"]
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-    node_stats = deg.agg(
+    stats = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         # empty edge list: SUM over zero rows is NULL — pin the
         # all-integer contract with an explicit 0
         F.coalesce(F.sum(F.expr("(d * (d - 1)) div 2")), F.lit(0))
         .cast("long")
         .alias("n_wedges"),
-    )
-    edge_stats = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    return (
-        node_stats.crossJoin(edge_stats)
-        .crossJoin(tri)
-        .select(
-            "n_nodes",
-            "n_edges",
-            "n_wedges",
-            "n_triangles",
-            # a wedge-free graph (all degree <= 1) has an undefined
-            # coefficient — NULL, not a divide-by-zero (ANSI throws)
-            F.when(
-                F.col("n_wedges") > 0,
-                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
-            ).alias("global_clustering"),
+    ).crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+    n_nodes, n_wedges, n_edges = stats.first()
+
+    if n_nodes <= dense_max_nodes and n_edges <= dense_max_edges:
+        n_triangles = _dense_triangle_count(e, n_nodes)
+    else:
+        rk = deg.select(
+            "node",
+            (F.col("d") * F.lit(2**32).cast("long") + F.col("node")).alias("rk"),
         )
+        eu = e.join(
+            rk.select(F.col("node").alias("u"), F.col("rk").alias("rk_u")), "u"
+        ).join(rk.select(F.col("node").alias("v"), F.col("rk").alias("rk_v")), "v")
+        o = eu.select(
+            F.when(F.col("rk_u") < F.col("rk_v"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("src"),
+            F.when(F.col("rk_u") < F.col("rk_v"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("dst"),
+        ).localCheckpoint()
+        adj = o.groupBy("src").agg(F.array_sort(F.collect_list("dst")).alias("nbrs"))
+        # Catalyst can't size an aggregated-array relation, so it
+        # won't pick broadcast on its own — but the adjacency payload
+        # is exactly n_edges longs (already counted above): hint it
+        # below ~32 MB, let the planner shuffle-join past that.
+        if n_edges * 16 <= 32 * 1024 * 1024:
+            adj = F.broadcast(adj)
+        n_triangles = (
+            o.join(adj, "src")
+            .join(
+                adj.select(
+                    F.col("src").alias("dst"), F.col("nbrs").alias("nbrs_v")
+                ),
+                "dst",
+            )
+            .select(F.size(F.array_intersect("nbrs", "nbrs_v")).alias("c"))
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long"))
+            .first()[0]
+        )
+
+    # a wedge-free graph (all degree <= 1) has an undefined
+    # coefficient — NULL, not a divide-by-zero
+    clustering = (3.0 * n_triangles) / n_wedges if n_wedges > 0 else None
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_wedges, n_triangles, clustering)],
+        "n_nodes long, n_edges long, n_wedges long, n_triangles long, "
+        "global_clustering double",
     )
+
+
+def _dense_triangle_count(e: DataFrame, n_nodes: int) -> int:
+    """Exact triangle count of a SMALL graph as trace(A³)/6 over a
+    dense float64 adjacency matrix — BLAS does in one matmul what the
+    oriented join does in Σ d⁺² hash probes. float64 keeps every
+    intermediate exact: A² entries ≤ n, the trace ≤ n·wedges < 2⁵³
+    at the dispatch bounds. Caller guarantees the collect is bounded
+    (n_nodes/n_edges checked against the dense dispatch caps)."""
+    import numpy as np
+
+    if n_nodes == 0:
+        return 0
+    pdf = e.toPandas()
+    nodes = np.unique(np.concatenate([pdf["u"].values, pdf["v"].values]))
+    ui = np.searchsorted(nodes, pdf["u"].values)
+    vi = np.searchsorted(nodes, pdf["v"].values)
+    a = np.zeros((len(nodes), len(nodes)), dtype=np.float64)
+    a[ui, vi] = 1.0
+    a[vi, ui] = 1.0
+    return int(round(np.einsum("ij,ji->", a @ a, a) / 6.0))
 
 
 def min_label_components(

@@ -9709,11 +9709,14 @@ def triangle_census_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the supplier co-occurrence graph (extension:
     the network-cohesion screen behind supply-chain clustering):
     suppliers are adjacent when they serve the same order; the count
-    runs degree-ordered-oriented (operators/graph.triangle_stats) so
+    density-dispatches (operators/graph.triangle_stats) — this graph
+    is tiny-and-near-complete (≤1k nodes per the census's own
+    counts), so it takes the dense trace(A³)/6 tier; past the caps
+    the degree-ordered oriented adjacency-intersection tier runs, so
     hub suppliers never enumerate degree² wedges. The oracle replays
     the naive u<v<w 3-way join — affordable at oracle scale, exactly
-    what the oriented plan must reproduce. All-integer output plus
-    one unrounded division — bit-identical cross-engine."""
+    what either tier must reproduce. All-integer output plus one
+    unrounded division — bit-identical cross-engine."""
     from sparkobs.operators.graph import cooccurrence_edges, triangle_stats
 
     li = load_table(spark, sf_dir, "lineitem")

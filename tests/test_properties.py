@@ -701,6 +701,9 @@ def test_triangle_census_matches_brute_force(spark, edges):
         return
     df = spark.createDataFrame(und, "u bigint, v bigint")
     row = triangle_stats(df).collect()[0]
+    # the distributed tier must agree with the dense tier exactly
+    dist = triangle_stats(df, dense_max_nodes=0).collect()[0]
+    assert tuple(dist) == tuple(row)
     eset = set(und)
     nodes = sorted({n for e in und for n in e})
     tris = sum(

@@ -572,12 +572,16 @@ def test_triangle_stats_hand_graph(spark):
 
     k4 = [(u, v) for u in range(1, 5) for v in range(u + 1, 5)]
     edges = spark.createDataFrame(k4 + [(1, 5)], "u bigint, v bigint")
-    row = triangle_stats(edges).collect()[0]
-    assert row["n_nodes"] == 5
-    assert row["n_edges"] == 7
-    assert row["n_triangles"] == 4
-    assert row["n_wedges"] == 15
-    assert row["global_clustering"] == 3.0 * 4 / 15
+    # both dispatch tiers must produce the identical row: the dense
+    # trace(A³)/6 path (default at this size) and the distributed
+    # oriented-adjacency-intersection path (forced via a zero cap)
+    for kw in ({}, {"dense_max_nodes": 0}):
+        row = triangle_stats(edges, **kw).collect()[0]
+        assert row["n_nodes"] == 5
+        assert row["n_edges"] == 7
+        assert row["n_triangles"] == 4
+        assert row["n_wedges"] == 15
+        assert row["global_clustering"] == 3.0 * 4 / 15
 
 
 def test_cooccurrence_edges_dedupes_and_canonicalizes(spark):
