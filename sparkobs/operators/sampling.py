@@ -338,7 +338,11 @@ def sampled_agg_ci(
 
     A group with NO sampled rows is absent from the output (its
     estimate is 0 ± unknown); callers needing every group should
-    left-join the estimates onto the group domain.
+    left-join the estimates onto the group domain. Rows with a NULL
+    sampling key are DROPPED (the hash_sample contract); a NULL value
+    is excluded from est_sum/ci95_sum (SQL SUM semantics) but still
+    counts toward n_sample/est_count — the count estimates ROWS, the
+    sum estimates the non-null total.
     """
     if one_in < 1:
         raise ValueError(f"one_in must be >= 1, got {one_in}")

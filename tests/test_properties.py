@@ -893,3 +893,50 @@ def test_avi_parser_survives_pathological_list_nesting():
     payload = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
     parsed = _parse_avi_frames(payload)
     assert parsed == (1, [[7]])
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.integers(0, 50), st.none()),  # sampling key
+            st.sampled_from(["a", "b"]),  # group
+            st.one_of(  # value: 2-decimal money, nullable
+                st.integers(-10**6, 10**6).map(lambda c: c / 100.0), st.none()
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    one_in=st.sampled_from([1, 3, 10]),
+)
+@settings(**SETTINGS)
+def test_sampled_agg_ci_invariants(spark, rows, one_in):
+    """Pin the estimator contract on edge-shaped data: NULL keys drop,
+    NULL values skip the sum but count as rows, est_count is exactly
+    n_sample·one_in, and one_in=1 reproduces the exact aggregate with
+    zero-width intervals."""
+    import hashlib
+
+    from sparkobs.operators.sampling import sampled_agg_ci
+
+    df = spark.createDataFrame(rows, "k bigint, g string, v double")
+    out = {r["g"]: r for r in sampled_agg_ci(df, "k", ["g"], "v", one_in=one_in).collect()}
+
+    def kept(k):
+        return k is not None and int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % one_in == 0
+
+    expect = {}
+    for k, g, v in rows:
+        if kept(k):
+            n, s = expect.get(g, (0, 0.0))
+            expect[g] = (n + 1, s + (v if v is not None else 0.0))
+    assert set(out) == set(expect)
+    for g, (n, s) in expect.items():
+        r = out[g]
+        assert r["n_sample"] == n
+        assert r["est_count"] == n * one_in
+        assert abs(r["est_sum"] - s * one_in) < 0.011 * one_in
+        if one_in == 1:
+            assert r["ci95_count"] == 0.0 and r["ci95_sum"] == 0.0
+        else:
+            assert r["ci95_count"] >= 0.0 and r["ci95_sum"] >= 0.0
