@@ -34,12 +34,21 @@ from pyspark.sql import functions as F
 UNIT = 1_000_000_000  # 1e-9 rank micro-units
 DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
 
+# dense-dispatch cap for the fixed-point PageRank kernel: below this
+# many edge rows the whole iteration runs as ONE bounded collect (3
+# int64 columns ≤ ~48 MB) + numpy integer supersteps instead of
+# 2·iters Spark jobs — the same proven-bound discipline as the
+# triangle census / PCA dim² collects. The arithmetic is EXACT int64
+# either way, so the tiers are bit-identical (property-tested).
+DENSE_PR_MAX_EDGES = 2_000_000
+
 
 def pagerank_fixed(
     edges: DataFrame,
     iters: int = 3,
     weight_col: str | None = None,
     teleport: DataFrame | None = None,
+    dense_max_edges: int = DENSE_PR_MAX_EDGES,
 ) -> DataFrame:
     """PageRank in fixed-point arithmetic over a directed edge list
     ``(src, dst)`` (BIGINT node ids; callers wanting undirected
@@ -79,6 +88,8 @@ def pagerank_fixed(
             "src", "dst", F.col(weight_col).cast("long").alias("w")
         )
     e = e.localCheckpoint(eager=True)
+    if e.count() <= dense_max_edges:
+        return _dense_pagerank(e, iters, teleport)
     outdeg = (
         e.groupBy("src").agg(F.sum("w").alias("od"))
         .localCheckpoint(eager=True)
@@ -134,6 +145,69 @@ def pagerank_fixed(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("r").alias("rank_units"))
+
+
+def _dense_pagerank(e: DataFrame, iters: int, teleport: DataFrame | None) -> DataFrame:
+    """The dense tier of :func:`pagerank_fixed`: identical fixed-point
+    integer supersteps in numpy int64 over a bounded edge collect.
+    Every operation mirrors the distributed plan exactly — UNIT div
+    nn init, share = (r·w) div od, r' = base + (85·inflow) div 100,
+    inflow to a non-source dst dropped (ranks cover source nodes
+    only, the kernel's documented contract) — all on non-negative
+    int64, where SQL div ≡ numpy floor division. Overflow headroom:
+    r ≤ UNIT = 1e9, so r·w and 85·inflow sit far inside int64 for
+    any sane weight. Caller guarantees the collect is bounded."""
+    import numpy as np
+
+    spark = e.sparkSession
+    pdf = e.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], "node long, rank_units long")
+    src = pdf["src"].to_numpy(np.int64)
+    dst = pdf["dst"].to_numpy(np.int64)
+    w = pdf["w"].to_numpy(np.int64)
+    nodes = np.unique(src)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    # a dst with no out-edges is not a node: its inflow vanishes,
+    # exactly as the distributed plan's left join drops it
+    di_ok = (di < len(nodes)) & (nodes[np.minimum(di, len(nodes) - 1)] == dst)
+    od = np.bincount(si, weights=w.astype(np.float64), minlength=len(nodes))
+    od = od.astype(np.int64)  # exact: per-node out-weight < 2^53
+    base_total = UNIT * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    if teleport is not None:
+        tele = {
+            row[0]
+            for row in teleport.select(teleport.columns[0]).distinct().collect()
+        }
+        nn = len(tele)
+        if nn == 0:
+            # the distributed plan's left join yields no __t=1 rows:
+            # every rank inits (and stays) 0
+            t_mask = np.zeros(len(nodes), dtype=bool)
+            nn = 1
+        else:
+            t_mask = np.isin(nodes, np.fromiter(tele, dtype=np.int64, count=nn))
+        r = np.where(t_mask, UNIT // nn, 0).astype(np.int64)
+        base = np.where(t_mask, base_total // nn, 0).astype(np.int64)
+    else:
+        nn = len(nodes)
+        r = np.full(len(nodes), UNIT // nn, dtype=np.int64)
+        base = np.full(len(nodes), base_total // nn, dtype=np.int64)
+    for _ in range(iters):
+        share = (r[si] * w) // od[si]
+        # bincount's float64 accumulator is exact here: Σ share ≤
+        # Σ r ≈ UNIT = 1e9 ≪ 2^53 (shares are rank splits)
+        inflow = np.bincount(
+            di[di_ok], weights=share[di_ok].astype(np.float64), minlength=len(nodes)
+        ).astype(np.int64)
+        r = base + (DAMP_NUM * inflow) // DAMP_DEN
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"node": nodes, "rank_units": r}),
+        "node long, rank_units long",
+    )
 
 
 def copurchase_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:

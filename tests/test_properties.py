@@ -940,3 +940,39 @@ def test_sampled_agg_ci_invariants(spark, rows, one_in):
             assert r["ci95_count"] == 0.0 and r["ci95_sum"] == 0.0
         else:
             assert r["ci95_count"] >= 0.0 and r["ci95_sum"] >= 0.0
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 10), st.integers(1, 5)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    weighted=st.booleans(),
+    tele_nodes=st.one_of(st.none(), st.sets(st.integers(0, 10), min_size=1, max_size=4)),
+)
+@settings(**SETTINGS)
+def test_pagerank_dense_and_distributed_tiers_agree(spark, edges, weighted, tele_nodes):
+    """The r10 dense tier (numpy int64 supersteps over a bounded edge
+    collect) must reproduce the distributed fixed-point loop BIT FOR
+    BIT — same UNIT div nn init, (r·w) div od shares, 85/100 damping —
+    across unweighted/weighted and global/personalized variants."""
+    from sparkobs.operators.graph import pagerank_fixed
+
+    sym = {}
+    for a, b, w in edges:
+        sym[(a, b)] = w
+        sym[(b, a)] = w
+    rows = [(a, b, w) for (a, b), w in sym.items()]
+    df = spark.createDataFrame(rows, "src long, dst long, w long")
+    tele = (
+        spark.createDataFrame([(n,) for n in tele_nodes], "node long")
+        if tele_nodes is not None
+        else None
+    )
+    kw = dict(weight_col="w" if weighted else None, teleport=tele, iters=3)
+    dense = pagerank_fixed(df, **kw).collect()
+    dist = pagerank_fixed(df, dense_max_edges=0, **kw).collect()
+    assert sorted(map(tuple, dense)) == sorted(map(tuple, dist))
