@@ -178,6 +178,10 @@ FACT_QUERIES = (
     "kmv_quantiles_merged_orders",
     # grouped: one row_number window partitioned by returnflag
     "kmv_quantiles_grouped_lineitem",
+    # sampled AQP: one hash-filtered scan + one map-side-combinable
+    # agg — the scan deepens 10x, the shuffle stays ~1/one_in of it
+    # pre-aggregated to |groups| partials
+    "sampled_agg_ci_orders",
 )
 
 
