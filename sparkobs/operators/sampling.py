@@ -342,7 +342,9 @@ def sampled_agg_ci(
     sampling key are DROPPED (the hash_sample contract); a NULL value
     is excluded from est_sum/ci95_sum (SQL SUM semantics) but still
     counts toward n_sample/est_count — the count estimates ROWS, the
-    sum estimates the non-null total.
+    sum estimates the non-null total. A group whose sampled values are
+    ALL null gets NULL est_sum/ci95_sum (SUM over zero non-null values
+    — identical on any SQL engine): no observation, no estimate.
     """
     if one_in < 1:
         raise ValueError(f"one_in must be >= 1, got {one_in}")

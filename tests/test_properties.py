@@ -928,13 +928,22 @@ def test_sampled_agg_ci_invariants(spark, rows, one_in):
     expect = {}
     for k, g, v in rows:
         if kept(k):
-            n, s = expect.get(g, (0, 0.0))
-            expect[g] = (n + 1, s + (v if v is not None else 0.0))
+            n, s, nv = expect.get(g, (0, 0.0, 0))
+            expect[g] = (
+                n + 1,
+                s + (v if v is not None else 0.0),
+                nv + (v is not None),
+            )
     assert set(out) == set(expect)
-    for g, (n, s) in expect.items():
+    for g, (n, s, n_nonnull) in expect.items():
         r = out[g]
         assert r["n_sample"] == n
         assert r["est_count"] == n * one_in
+        if n_nonnull == 0:
+            # SQL SUM over zero non-null values: no sum estimate —
+            # NULL on Spark AND the DuckDB oracle alike
+            assert r["est_sum"] is None and r["ci95_sum"] is None
+            continue
         assert abs(r["est_sum"] - s * one_in) < 0.011 * one_in
         if one_in == 1:
             assert r["ci95_count"] == 0.0 and r["ci95_sum"] == 0.0
