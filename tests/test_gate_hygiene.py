@@ -260,3 +260,31 @@ def test_no_uncertified_entry_left_outside_the_gate():
         f"outside the current gate window: {debt} — add them to "
         "_PRIORITY (or drop them from the registry)"
     )
+
+
+def test_plan_rotation_tool_emits_a_full_feasible_gate():
+    """tools/plan_rotation.py must emit exactly GATE_SIZE registry (or
+    staged-queue) names, leading with the queue in staging order — the
+    same derivation these tests enforce, so a drifted tool is a red
+    build, not a bad paste."""
+    import subprocess
+
+    entrymod, Q = _registry()
+    out = subprocess.run(
+        [os.sys.executable, os.path.join(REPO, "tools", "plan_rotation.py")],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    names = [
+        line.strip().strip('",')
+        for line in out.stdout.splitlines()
+        if line.strip().startswith('"')
+    ]
+    assert len(names) == entrymod.GATE_SIZE
+    from sparkobs.queries_next import R7_QUEUE
+
+    known = set(Q.SPARK_QUERIES) | set(R7_QUEUE)
+    assert set(names) <= known
+    assert names[: len(R7_QUEUE)] == list(R7_QUEUE)
+    assert len(set(names)) == len(names)
