@@ -156,38 +156,56 @@ def _dense_pagerank(e: DataFrame, iters: int, teleport: DataFrame | None) -> Dat
     only, the kernel's documented contract) — all on non-negative
     int64, where SQL div ≡ numpy floor division. Overflow headroom:
     r ≤ UNIT = 1e9, so r·w and 85·inflow sit far inside int64 for
-    any sane weight. Caller guarantees the collect is bounded."""
+    any sane weight. Caller guarantees the collect is bounded.
+
+    NULL parity with the distributed plan: a NULL-weight edge emits
+    no share and adds nothing to its src's out-weight (SQL SUM/NULL
+    propagation), but the src still appears in the node table —
+    mirrored here by keeping every src in ``nodes`` and dropping
+    null-w rows from the superstep arrays. A NULL teleport row counts
+    toward nn (SUM over the distinct frame) but matches no node."""
     import numpy as np
 
     spark = e.sparkSession
     pdf = e.toPandas()
     if len(pdf) == 0:
         return spark.createDataFrame([], "node long, rank_units long")
+    src_all = pdf["src"].to_numpy(np.int64)
+    nodes = np.unique(src_all)
+    w_col = pdf["w"]
+    if w_col.isna().any():
+        pdf = pdf[w_col.notna()]
     src = pdf["src"].to_numpy(np.int64)
     dst = pdf["dst"].to_numpy(np.int64)
     w = pdf["w"].to_numpy(np.int64)
-    nodes = np.unique(src)
     si = np.searchsorted(nodes, src)
     di = np.searchsorted(nodes, dst)
     # a dst with no out-edges is not a node: its inflow vanishes,
     # exactly as the distributed plan's left join drops it
     di_ok = (di < len(nodes)) & (nodes[np.minimum(di, len(nodes) - 1)] == dst)
-    od = np.bincount(si, weights=w.astype(np.float64), minlength=len(nodes))
-    od = od.astype(np.int64)  # exact: per-node out-weight < 2^53
+    # exact int64 accumulation (a float64 bincount would silently
+    # round a per-node out-weight past 2^53); one-time cost
+    od = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(od, si, w)
     base_total = UNIT * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
     if teleport is not None:
         tele = {
             row[0]
             for row in teleport.select(teleport.columns[0]).distinct().collect()
         }
+        # a NULL teleport row counts toward nn but matches no node —
+        # the distributed SUM(__t)/left-join behavior
         nn = len(tele)
+        tele.discard(None)
         if nn == 0:
             # the distributed plan's left join yields no __t=1 rows:
             # every rank inits (and stays) 0
             t_mask = np.zeros(len(nodes), dtype=bool)
             nn = 1
         else:
-            t_mask = np.isin(nodes, np.fromiter(tele, dtype=np.int64, count=nn))
+            t_mask = np.isin(
+                nodes, np.fromiter(tele, dtype=np.int64, count=len(tele))
+            )
         r = np.where(t_mask, UNIT // nn, 0).astype(np.int64)
         base = np.where(t_mask, base_total // nn, 0).astype(np.int64)
     else:
@@ -307,8 +325,8 @@ def triangle_stats(
     ORIENTATION — each undirected edge is directed from its
     lower-(degree, node) endpoint to the higher, so every node's
     out-degree is O(sqrt(m)); triangles are counted per oriented edge
-    as |N⁺(u) ∩ N⁺(v)| over sorted out-neighbor arrays
-    (``array_intersect``), which enumerates each triangle exactly once
+    as |N⁺(u) ∩ N⁺(v)| over out-neighbor arrays
+    (``array_intersect``, hash-based — no sort needed), which enumerates each triangle exactly once
     without MATERIALIZING the wedge set — the r10 rewrite of the
     wedge self-join, same Σ d⁺(u)² work bound but the wedges live
     inside a hash probe instead of 100s-of-millions of shuffled rows
@@ -339,6 +357,14 @@ def triangle_stats(
     n_triangles — plus the global clustering coefficient
     3·triangles/wedges left unrounded (a single division of identical
     integers is bit-identical on any engine).
+
+    PRECONDITION (unchanged from the wedge-join original): ``edges``
+    is a canonical DEDUPED undirected list (u < v, one row per edge —
+    what :func:`cooccurrence_edges` emits). Duplicate rows would
+    inflate n_edges/n_wedges in both tiers and the triangle count in
+    the distributed tier (each duplicate oriented row probes its
+    intersection again), while the dense adjacency matrix dedupes
+    incidentally — don't feed either tier duplicates.
     """
     e = edges.localCheckpoint()
     deg = (
@@ -376,7 +402,10 @@ def triangle_stats(
             .otherwise(F.col("u"))
             .alias("dst"),
         ).localCheckpoint()
-        adj = o.groupBy("src").agg(F.array_sort(F.collect_list("dst")).alias("nbrs"))
+        # collect_list unsorted: array_intersect is hash-based, so the
+        # intersection COUNT is order-invariant and sorting the
+        # adjacency arrays would be O(Σ d⁺ log d⁺) of pure waste
+        adj = o.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
         # Catalyst can't size an aggregated-array relation, so it
         # won't pick broadcast on its own — but the adjacency payload
         # is exactly n_edges longs (already counted above): hint it
@@ -413,7 +442,13 @@ def _dense_triangle_count(e: DataFrame, n_nodes: int) -> int:
     oriented join does in Σ d⁺² hash probes. float64 keeps every
     intermediate exact: A² entries ≤ n, the trace ≤ n·wedges < 2⁵³
     at the dispatch bounds. Caller guarantees the collect is bounded
-    (n_nodes/n_edges checked against the dense dispatch caps)."""
+    (n_nodes/n_edges checked against the dense dispatch caps).
+
+    Driver memory honesty: the edge COLLECT is ≤ 64 MB at the caps,
+    but the kernel's true peak is the two dense n×n float64 matrices
+    (A and A@A) — 2·n²·8 B ≈ 268 MB at n = 4096. The node cap is
+    sized for that matmul footprint and its n³ flops, not just the
+    collect; past it the distributed tier never builds a matrix."""
     import numpy as np
 
     if n_nodes == 0:

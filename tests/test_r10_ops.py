@@ -389,3 +389,28 @@ def test_sampled_agg_ci_rejects_bad_rate():
 
     with pytest.raises(ValueError):
         sampled_agg_ci(None, "k", ["g"], "v", one_in=0)
+
+
+def test_pagerank_tiers_agree_on_null_weight_and_null_teleport(spark):
+    """Review finding (r10): NULL edge weights and NULL teleport rows
+    must not change behavior across the dispatch — the distributed
+    plan's SQL NULL propagation (no share, no out-weight, src still a
+    node; NULL teleport counts toward nn but matches nothing) is
+    mirrored, not crashed on, by the dense tier."""
+    from sparkobs.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (2, 1, None), (2, 3, 2), (3, 1, 1), (4, 1, None)],
+        "src long, dst long, w long",
+    )
+    tele = spark.createDataFrame([(1,), (None,), (9,)], "node long")
+    for kw in (
+        {"weight_col": "w"},
+        {"weight_col": "w", "teleport": tele},
+        {"teleport": tele},
+    ):
+        dense = pagerank_fixed(edges, iters=3, **kw).collect()
+        dist = pagerank_fixed(edges, iters=3, dense_max_edges=0, **kw).collect()
+        assert sorted(map(tuple, dense)) == sorted(map(tuple, dist)), kw
+        # node 4 (only a null-weight out-edge) is still a ranked node
+        assert {r["node"] for r in dense} == {1, 2, 3, 4}
