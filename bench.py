@@ -270,6 +270,43 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "2")))
+
+    # Environment calibration: the shared VM drifts up to ~1.5x
+    # between rounds (r10 measured the same-session DuckDB leg at
+    # 291s vs ~200s in every earlier round on identical SQL), which
+    # poisons naive cross-round BENCH ratios. Time one FIXED workload
+    # on each engine so a later reader can normalize: drift-adjusted
+    # ratio = (total_a / cal_a) / (total_b / cal_b).
+    _cal_sql = (
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) q, "
+        "sum(l_extendedprice) p, avg(l_discount) d, count(*) n "
+        "FROM {src} GROUP BY 1, 2"
+    )
+    def _median3(fn):
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        return round(sorted(ts)[1], 4)
+
+    _li = f"{sf_dir}/lineitem.parquet"
+    spark.read.parquet(_li).createOrReplaceTempView("__cal_lineitem")
+    spark.sql(_cal_sql.format(src="__cal_lineitem")).collect()  # warm
+    cal_spark = _median3(
+        lambda: spark.sql(_cal_sql.format(src="__cal_lineitem")).collect()
+    )
+    spark.catalog.dropTempView("__cal_lineitem")
+    import duckdb as _duck
+
+    _con = _duck.connect()
+    _q = _cal_sql.format(src=f"read_parquet('{_li}')")
+    _con.execute(_q).fetchall()  # warm
+    cal_duckdb = _median3(lambda: _con.execute(_q).fetchall())
+    _con.close()
+    calibration = {"spark_fixed_agg": cal_spark, "duckdb_fixed_agg": cal_duckdb}
+    print(f"# calibration: {calibration}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
 
@@ -510,6 +547,7 @@ def main() -> None:
         "duckdb": duckdb_timings,
         "duckdb_skipped": duckdb_skipped,
         "engine_vs_duckdb": ratio,
+        "calibration": calibration,
     }
     # The driver archives only the LAST 2,000 bytes of stdout — a
     # 69-query map blows past that and truncates into unparseable
@@ -532,6 +570,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_tail": len(tail_timings),
                 "engine_vs_duckdb": ratio,
+                "calibration": calibration,
                 "queries": slowest,
                 "full": "BENCH_full.json",
             }
