@@ -53,10 +53,20 @@ def read_csv(
     Spark's univocity parser; pass ``sep="\\t"`` for TSV,
     ``multiLine=True`` only when fields embed newlines (that option
     makes files non-splittable — leave it off unless required).
+
+    LOSSLESS defaults (r10): Spark's stock CSV convention writes NULL
+    and '' identically and trims unquoted outer whitespace — silent
+    data mutation, the same trap FAILFAST exists for. This reader
+    defaults ``nullValue="\\\\N"`` / ``emptyValue=""`` (the Hive
+    convention :func:`write_format` emits), so NULL and empty string
+    stay distinct and whitespace survives. Reading CSVs from OTHER
+    producers that encode null as empty? Override both options
+    explicitly.
     """
     _require_schema(schema, "read_csv")
+    opts = {"nullValue": "\\N", "emptyValue": "", **options}
     return (
-        spark.read.options(header=header, mode=mode, **options)
+        spark.read.options(header=header, mode=mode, **opts)
         .schema(schema)
         .csv(path)
     )
@@ -106,6 +116,22 @@ def write_format(
 ) -> None:
     """Write ``df`` as ``fmt`` (csv/json/orc/parquet). ``n_files``
     coalesces for small staged outputs; leave None at scale so writers
-    stay one-task-per-partition."""
+    stay one-task-per-partition.
+
+    CSV gets LOSSLESS defaults (r10, caller-overridable): NULL is
+    written as ``\\N`` and empty string as a quoted ``""`` (they are
+    indistinguishable under Spark's stock convention), and the
+    writer-side outer-whitespace trimming is off (stock Spark trims
+    ``" x "`` to ``"x"`` on WRITE — silent mutation). Round-trips
+    exactly through :func:`read_csv`; property-tested."""
+    opts = dict(options)
+    if fmt == "csv":
+        opts = {
+            "nullValue": "\\N",
+            "emptyValue": '""',
+            "ignoreLeadingWhiteSpace": False,
+            "ignoreTrailingWhiteSpace": False,
+            **opts,
+        }
     out = df.coalesce(n_files) if n_files else df
-    out.write.mode("overwrite").options(**options).format(fmt).save(path)
+    out.write.mode("overwrite").options(**opts).format(fmt).save(path)

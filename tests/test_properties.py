@@ -985,3 +985,42 @@ def test_pagerank_dense_and_distributed_tiers_agree(spark, edges, weighted, tele
     dense = pagerank_fixed(df, **kw).collect()
     dist = pagerank_fixed(df, dense_max_edges=0, **kw).collect()
     assert sorted(map(tuple, dense)) == sorted(map(tuple, dist))
+
+
+csv_safe_text = st.text(
+    alphabet=st.one_of(
+        st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd", "Po", "Zs", "Lo", "Sm")
+        ),
+        st.sampled_from(list(',"\'\\\t;|')),
+    ),
+    max_size=24,
+).filter(lambda s: "\n" not in s and "\r" not in s)
+
+
+@given(
+    rows=st.lists(
+        st.one_of(st.none(), csv_safe_text), min_size=1, max_size=12
+    ),
+    fmt=st.sampled_from(["csv", "json"]),
+)
+@settings(**SETTINGS)
+def test_file_connectors_roundtrip_exactly(spark, tmp_path_factory, rows, fmt):
+    """The r10 lossless CSV contract, pinned: NULL vs empty string stay
+    distinct, outer whitespace survives, quotes/commas/tabs/backslashes
+    and a literal '\\N' string all round-trip byte-exact (embedded
+    newlines excluded — that's the documented multiLine tradeoff).
+    JSONL is held to the same property."""
+    from sparkobs.sources.files import read_csv, read_jsonl, write_format
+
+    d = str(tmp_path_factory.mktemp("rt")) + "/data"
+    df = spark.createDataFrame(
+        list(enumerate(rows)), "id bigint, s string"
+    )
+    write_format(df, d, fmt, n_files=1, **({"header": True} if fmt == "csv" else {}))
+    if fmt == "csv":
+        back = read_csv(spark, d, "id bigint, s string")
+    else:
+        back = read_jsonl(spark, d, "id bigint, s string")
+    got = {r.id: r.s for r in back.collect()}
+    assert got == dict(enumerate(rows))
