@@ -1002,7 +1002,7 @@ csv_safe_text = st.text(
     rows=st.lists(
         st.one_of(st.none(), csv_safe_text), min_size=1, max_size=12
     ),
-    fmt=st.sampled_from(["csv", "json"]),
+    fmt=st.sampled_from(["csv", "json", "orc"]),
 )
 @settings(**SETTINGS)
 def test_file_connectors_roundtrip_exactly(spark, tmp_path_factory, rows, fmt):
@@ -1020,7 +1020,11 @@ def test_file_connectors_roundtrip_exactly(spark, tmp_path_factory, rows, fmt):
     write_format(df, d, fmt, n_files=1, **({"header": True} if fmt == "csv" else {}))
     if fmt == "csv":
         back = read_csv(spark, d, "id bigint, s string")
-    else:
+    elif fmt == "json":
         back = read_jsonl(spark, d, "id bigint, s string")
+    else:
+        from sparkobs.sources.files import read_orc
+
+        back = read_orc(spark, d)
     got = {r.id: r.s for r in back.collect()}
     assert got == dict(enumerate(rows))
