@@ -108,12 +108,35 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
+# dense-dispatch cap for the k-means fit: when rows × dim fits this
+# many grid cells (≤ 32 MB of int64), the ITERATION runs as one
+# bounded collect of the Spark-quantized grid + numpy int64 rounds
+# instead of 2·iters scheduled jobs — the density-dispatch discipline
+# (graph.py r10). The grid is collected AFTER Spark quantizes, so
+# there is no rounding-mode surface at all; every superstep op
+# mirrors the distributed plan exactly (integer distances, argmin
+# tie→lowest cluster id, floor(s·100.0/n) on a float64 with the same
+# operand order), making the tiers bit-identical (property-tested).
+DENSE_KM_MAX_CELLS = 4_000_000
+
+
 def _fit(
-    df: DataFrame, id_col: str, vec_col: str, k: int, iters: int
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+    dense_max_cells: int = DENSE_KM_MAX_CELLS,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared fit loop: quantize, seed from the k lowest ids, run
     ``iters`` assign→update rounds. Returns (q, final centroids)."""
     q = quantize_vectors(df, id_col, vec_col)
+    if dense_max_cells:
+        n_rows = df.count()
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = (first["d"] if first else 0) or 0
+        if 0 < n_rows * dim <= dense_max_cells:
+            return q, _dense_kmeans_centroids(q, k, iters)
     seeds = q.orderBy("id").limit(k)
     # row_number over the k-row seed table only (repo convention:
     # global windows run over key/seed tables, never raw rows)
@@ -126,17 +149,74 @@ def _fit(
     return q, cents
 
 
+def _dense_kmeans_centroids(q: DataFrame, k: int, iters: int) -> DataFrame:
+    """The dense tier of :func:`_fit`: the Lloyd rounds in numpy int64
+    over one bounded collect of the (already Spark-quantized) grid.
+    Mirrors the distributed loop op for op — seeds = the k lowest-id
+    rows (cluster = id rank), distance = Σ(q·100 − cq)² in exact
+    int64 (same BIGINT headroom contract as the module docstring),
+    argmin ties → lowest cluster id (np.argmin returns the first
+    minimum over ascending cluster order), update = floor(s·100.0/n)
+    with the identical float64 operand order, empty clusters drop
+    with their original ids preserved. Caller proves the bound before
+    the collect."""
+    import numpy as np
+    import pandas as pd
+
+    spark = q.sparkSession
+    pdf = q.toPandas()
+    ids = pdf["id"].to_numpy()
+    order = np.argsort(ids)
+    grid = np.stack(pdf["q"].to_numpy()[order]).astype(np.int64)
+    g100 = grid * C_SUBSCALE
+    c = g100[:k].copy()
+    cl_ids = np.arange(min(k, len(grid)), dtype=np.int64)
+    for _ in range(iters):
+        # per-cluster distance columns (n×dim temp each) instead of a
+        # full n×k×dim broadcast — bounded by the collect cap
+        dists = np.stack(
+            [((g100 - c[j]) ** 2).sum(axis=1) for j in range(len(cl_ids))],
+            axis=1,
+        )
+        a = np.argmin(dists, axis=1)
+        keep, new_c = [], []
+        for j in range(len(cl_ids)):
+            members = a == j
+            n_m = int(members.sum())
+            if n_m == 0:
+                continue  # empty clusters drop, ids of the rest keep
+            s = grid[members].sum(axis=0)
+            keep.append(int(cl_ids[j]))
+            new_c.append(
+                np.floor(
+                    s.astype(np.float64) * float(C_SUBSCALE) / n_m
+                ).astype(np.int64)
+            )
+        cl_ids = np.array(keep, dtype=np.int64)
+        c = np.stack(new_c)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cluster": cl_ids.astype(int),
+                "cq": [[int(x) for x in row] for row in c],
+            }
+        ),
+        "cluster int, cq array<bigint>",
+    )
+
+
 def kmeans_assign(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 2,
+    dense_max_cells: int = DENSE_KM_MAX_CELLS,
 ) -> DataFrame:
     """The fit's final per-row assignment: (id, cluster, dist) —
     the membership view of :func:`kmeans_fit` for downstream
     evaluation (purity, ARI) and per-cluster processing."""
-    q, cents = _fit(df, id_col, vec_col, k, iters)
+    q, cents = _fit(df, id_col, vec_col, k, iters, dense_max_cells)
     return _assign(q, cents).select("id", "cluster", "dist")
 
 
@@ -195,6 +275,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 2,
+    dense_max_cells: int = DENSE_KM_MAX_CELLS,
 ) -> DataFrame:
     """Lloyd k-means: ``iters`` assign→update rounds from the k
     lowest-id seed vectors, then a final assignment pass for the
@@ -204,7 +285,7 @@ def kmeans_fit(
     units (÷ 1e10) and ``centroid_ss`` is the integer sum of squared
     centroid components — a hash-stable centroid fingerprint.
     """
-    q, cents = _fit(df, id_col, vec_col, k, iters)
+    q, cents = _fit(df, id_col, vec_col, k, iters, dense_max_cells)
     final = _assign(q, cents)
     css = cents.select(
         "cluster",

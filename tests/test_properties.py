@@ -1028,3 +1028,38 @@ def test_file_connectors_roundtrip_exactly(spark, tmp_path_factory, rows, fmt):
         back = read_orc(spark, d)
     got = {r.id: r.s for r in back.collect()}
     assert got == dict(enumerate(rows))
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.one_of(
+                st.floats(min_value=-2.0, max_value=2.0, allow_nan=False),
+                st.sampled_from([0.0005, -0.0015, 0.5, -0.5]),  # .5-grid cases
+            ),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=2,
+        max_size=20,
+    ),
+    k=st.integers(2, 4),
+    iters=st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_kmeans_dense_and_distributed_tiers_agree(spark, vecs, k, iters):
+    """The r10 dense k-means tier (numpy int64 Lloyd rounds over the
+    Spark-quantized grid) must reproduce the distributed loop BIT FOR
+    BIT — same seeds, integer distances, lowest-id tie-break,
+    floor(s·100.0/n) updates, empty-cluster drops — across the full
+    kmeans_fit report AND the per-row assignment."""
+    from sparkobs.operators.cluster import kmeans_assign, kmeans_fit
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    for fn in (kmeans_fit, kmeans_assign):
+        dense = fn(df, k=k, iters=iters).collect()
+        dist = fn(df, k=k, iters=iters, dense_max_cells=0).collect()
+        assert sorted(map(tuple, dense)) == sorted(map(tuple, dist)), fn.__name__
