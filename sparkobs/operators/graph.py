@@ -546,7 +546,10 @@ def mutual_topk_edges(pairs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def reachable_set(
-    edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    dense_max_edges: int = DENSE_PR_MAX_EDGES,
 ) -> DataFrame:
     """Hop-labeled BFS reachability — the lineage / impact-analysis
     primitive the reference's monitor graph implies (which downstream
@@ -575,7 +578,15 @@ def reachable_set(
 
     ``edges`` is directed (src, dst); ``seeds`` is (node). Output:
     (node, hop) with hop 0 = the seeds themselves.
+
+    Density dispatch (r10, fourth instance): at ≤``dense_max_edges``
+    edge rows (counted first — one cheap job against max_hops·2 jobs
+    saved) the BFS runs driver-side over one bounded collect. Pure
+    integer set logic — first-visit hop is set-deterministic — so the
+    tiers are exactly equal by construction (property-tested anyway).
     """
+    if dense_max_edges and edges.count() <= dense_max_edges:
+        return _dense_reachable_set(edges, seeds, max_hops)
     seed0 = seeds.select("node", F.lit(0).alias("hop")).localCheckpoint()
     legs = [seed0]
     visited = seed0.select("node")
@@ -599,3 +610,39 @@ def reachable_set(
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+def _dense_reachable_set(
+    edges: DataFrame, seeds: DataFrame, max_hops: int
+) -> DataFrame:
+    """The dense tier of :func:`reachable_set`: hop-labeled BFS over a
+    bounded edge collect, in plain Python sets — integer set logic is
+    tier-equal by construction (first-visit hop = shortest hop).
+    Caller proves the bound before the collect; the seed frame is
+    node-bounded by its nature."""
+    import pandas as pd
+
+    spark = edges.sparkSession
+    pdf = edges.select("src", "dst").toPandas()
+    adj: dict = {}
+    for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        adj.setdefault(s, []).append(d)
+    hop_of = {
+        row[0]: 0 for row in seeds.select("node").distinct().collect()
+    }
+    frontier = set(hop_of)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in hop_of:
+                    nxt.add(v)
+        for v in nxt:
+            hop_of[v] = h
+        frontier = nxt
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"node": list(hop_of), "hop": [hop_of[n] for n in hop_of]}
+        ),
+        "node long, hop int",
+    )

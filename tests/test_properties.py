@@ -1063,3 +1063,26 @@ def test_kmeans_dense_and_distributed_tiers_agree(spark, vecs, k, iters):
         dense = fn(df, k=k, iters=iters).collect()
         dist = fn(df, k=k, iters=iters, dense_max_cells=0).collect()
         assert sorted(map(tuple, dense)) == sorted(map(tuple, dist)), fn.__name__
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=30,
+    ),
+    seed_nodes=st.sets(st.integers(0, 15), min_size=1, max_size=4),
+    hops=st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_reachable_set_tiers_agree(spark, edges, seed_nodes, hops):
+    """The r10 dense BFS tier must reproduce the distributed loop
+    exactly: same first-visit hops, seeds-not-in-graph kept at hop 0,
+    self-loops and cycles handled identically."""
+    from sparkobs.operators.graph import reachable_set
+
+    e = spark.createDataFrame(sorted(set(edges)), "src long, dst long")
+    s = spark.createDataFrame([(n,) for n in sorted(seed_nodes)], "node long")
+    dense = reachable_set(e, s, max_hops=hops).collect()
+    dist = reachable_set(e, s, max_hops=hops, dense_max_edges=0).collect()
+    assert sorted(map(tuple, dense)) == sorted(map(tuple, dist))
