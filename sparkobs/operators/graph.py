@@ -576,8 +576,10 @@ def reachable_set(
     exhausted-frontier early exit would add a per-round count job
     only to optimize the already-cheap empty tail.
 
-    ``edges`` is directed (src, dst); ``seeds`` is (node). Output:
-    (node, hop) with hop 0 = the seeds themselves.
+    ``edges`` is directed (src, dst); ``seeds`` is a DISTINCT (node)
+    set (duplicate seed rows would duplicate hop-0 output rows in the
+    distributed legs). Output: (node, hop) with hop 0 = the seeds
+    themselves.
 
     Density dispatch (r10, fourth instance): at ≤``dense_max_edges``
     edge rows (counted first — one cheap job against max_hops·2 jobs
