@@ -48,67 +48,66 @@ def entry(spark: SparkSession) -> DataFrame:
 GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
-    # --- r10 gate (50 slots, exactly full — the rotation the r9
-    # verdict prescribed verbatim): (1) the 3 promoted r9-queue
-    # entries, staging order — all green in the judge's own sf0.01
-    # queue sweep, now driver-witnessed for the first time. (2) All
-    # 47 remaining r4-stamped re-certs (alphabetical = stalest
-    # cohort; the perf-weak `sparse_cosine_pairs_documents` was
-    # RETIRED this round per the r9 verdict, shrinking the r4 cohort
-    # from 48 to 47 so the gate closes exactly). The r11 gate then
-    # carries the 48 r5 stamps + the staged queue (≤2 open slots).
-    # --- promoted r9 queue, staging order ---
-    "sparse_cosine_powerlaw_exact",    # quadratic-head comparison leg
-    "sparse_cosine_powerlaw_pruned",   # absolute-df-cap production tier
-    "monitor_suite_slo_lake",          # percentile-SLO capstone suite
-    # --- stalest re-certs: every remaining r4 stamp (47) ---
-    "audio_frame_rms_media",
-    "bigram_ppl_documents",
-    "bloom_probe_documents",
-    "bloom_semi_join_lineitem_orders",
-    "bpe_merges_documents",
-    "bpe_tokenize_documents",
-    "bucketed_join_orders_lineitem",
-    "canonical_dedup_documents",
-    "cms_vocab_estimates",
-    "cohort_retention_events",
-    "contract_checks_orders",
-    "curation_funnel_documents",
-    "ewma_hourly_events",
-    "fk_orphans_lineitem",
-    "funnel_events",
-    "fuzzy_match_supplier_customer",
-    "hashed_vectors_documents",
-    "heavy_hitters_tokens_documents",
-    "hist_quantiles_lineitem",
-    "hll_distinct_lineitem",
-    "hll_grouped_users_by_type",
-    "inverted_index_documents",
-    "line_dedup_documents",
-    "markov_stationary_events",
-    "markov_transitions_events",
-    "near_dup_groups_documents",
-    "near_dup_groups_lsh",
-    "pack_sequences_documents",
-    "partitioned_prune_documents",
-    "profile_lineitem_approx",
-    "quantile_bins_lineitem",
-    "quantize_embeddings_vectors",
-    "resample_locf_events",
-    "retention_purge_events",
-    "schema_merge_parquet_documents",
-    "search_and_documents",
-    "session_stats_events",
-    "streaming_cdc_latest_events",
-    "streaming_cms_events",
-    "streaming_incremental_band_index",
-    "streaming_join_click_purchase",
-    "table_diff_orders",
-    "tfidf_topk_documents",
-    "upsample_mixture_documents",
-    "vocab_jsd_documents",
-    "winsorize_events_by_type",
-    "zorder_tiles_events",
+    # --- r11 gate (50 slots, exactly full — tools/plan_rotation.py
+    # output, the same derivation tests/test_gate_hygiene.py
+    # enforces): (1) the 3 promoted r10-queue entries, staging order
+    # (grouped theta batch + streaming twin sharing one oracle, and
+    # the sampled-CI AQP entry — the registry's 300th and last
+    # net-new slot). (2) The 47 stalest r5-stamped re-certs
+    # (alphabetical within the cohort). The r12 gate then carries
+    # the 1 remaining r5 stamp (forced) + 49 r6 re-certs; the queue
+    # is EMPTY — future additions are retire-then-stage swaps.
+    # --- promoted r10 queue, staging order ---
+    "theta_intersection_grouped_events",
+    "streaming_theta_intersection_grouped_events",
+    "sampled_agg_ci_orders",
+    "bpe_merges_batched_documents",
+    "bucket_monitor_metrics",
+    "cdc_agg_maintain_events",
+    "cdc_compact_events",
+    "collect_metric_lists_supplier",
+    "corr_matrix_lineitem",
+    "csv_roundtrip_orders",
+    "customer_distribution_q13",
+    "dup_span_coverage_documents",
+    "forecast_revenue_q6",
+    "global_sales_opportunity_q22",
+    "gopher_quality_documents",
+    "gram_matrix_embeddings",
+    "group_sample_orders_by_status",
+    "join_size_lineitem_orders",
+    "jsonl_roundtrip_events",
+    "key_skew_stats_lineitem",
+    "large_orders_q18",
+    "late_shipment_priority_q4",
+    "listing_key_metrics",
+    "listing_prefix_stats",
+    "listing_storage_stats",
+    "local_supplier_volume_q5",
+    "minhash_lsh_pairs_xx64",
+    "monitor_health_events",
+    "normalize_text_documents",
+    "orc_roundtrip_part",
+    "pack_manifest_documents",
+    "pca_project_embeddings",
+    "pivot_priority_by_status",
+    "promo_revenue_q14",
+    "range_join_value_bands",
+    "returned_items_q10",
+    "rollup_revenue_region_nation",
+    "sample_scan",
+    "semantic_dedup_embeddings",
+    "semantic_dedup_ivf_embeddings",
+    "shipping_priority_q3",
+    "split_assign_documents",
+    "storage_capacity_stats",
+    "streaming_jsonl_tumbling_events",
+    "streaming_monitor_health_events",
+    "token_entropy_documents",
+    "top_customers_per_nation",
+    "vocab_topk_documents",
+    "volume_shipping_q7",
+    "winnowing_fingerprints_documents",
 ]
 
 

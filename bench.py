@@ -225,11 +225,10 @@ HEADLINE = [
     "span_scrub_documents",
     "percentile_contract_lake",
     # round-10 additions (the promoted r9-queue wave). The exact
-    # power-law tier (sparse_cosine_powerlaw_exact) stays TAIL-only by
-    # design: it is the documented quadratic-head comparison leg for
-    # the pruned tier (~15 s at sf0.1), so the tail's 1-rep row records
-    # the pruned-vs-exact gap every round without spending 5 headline
-    # executions on a deliberately-unpruned plan.
+    # power-law comparison leg (sparse_cosine_powerlaw_exact) was
+    # RETIRED from the registry in r11 (tombstone in queries.py): the
+    # pruned-vs-exact gap is a SCALE.md probe + property test now, not
+    # a ~17 s every-round tail row.
     "sparse_cosine_powerlaw_pruned",
     "monitor_suite_slo_lake",
 ]

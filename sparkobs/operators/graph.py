@@ -84,8 +84,20 @@ def pagerank_fixed(
             .withColumn("w", F.lit(1).cast("long"))
         )
     else:
+        # negative weights fail LOUDLY at materialization (the eager
+        # checkpoint below), in-plan so no extra validation job: the
+        # non-negativity assumption was previously documented but
+        # unvalidated, and the tiers diverge on it (numpy floor
+        # division vs SQL truncate-toward-zero for negative operands).
+        # NULL < 0 is NULL -> ELSE branch, so NULL parity is unchanged.
         e = edges.select(
-            "src", "dst", F.col(weight_col).cast("long").alias("w")
+            "src",
+            "dst",
+            F.expr(
+                f"CASE WHEN {weight_col} < 0 THEN raise_error("
+                f"'pagerank_fixed: negative weight in {weight_col}') "
+                f"ELSE CAST({weight_col} AS BIGINT) END"
+            ).alias("w"),
         )
     e = e.localCheckpoint(eager=True)
     if e.count() <= dense_max_edges:
@@ -576,10 +588,11 @@ def reachable_set(
     exhausted-frontier early exit would add a per-round count job
     only to optimize the already-cheap empty tail.
 
-    ``edges`` is directed (src, dst); ``seeds`` is a DISTINCT (node)
-    set (duplicate seed rows would duplicate hop-0 output rows in the
-    distributed legs). Output: (node, hop) with hop 0 = the seeds
-    themselves.
+    ``edges`` is directed (src, dst); ``seeds`` is a (node) set —
+    duplicate seed rows are deduped (both tiers apply distinct, so
+    the dispatch boundary cannot change the output even for
+    contract-violating duplicate-seed input). Output: (node, hop)
+    with hop 0 = the seeds themselves.
 
     Density dispatch (r10, fourth instance): at ≤``dense_max_edges``
     edge rows (counted first — one cheap job against max_hops·2 jobs
@@ -589,7 +602,12 @@ def reachable_set(
     """
     if dense_max_edges and edges.count() <= dense_max_edges:
         return _dense_reachable_set(edges, seeds, max_hops)
-    seed0 = seeds.select("node", F.lit(0).alias("hop")).localCheckpoint()
+    seed0 = (
+        seeds.select("node")
+        .distinct()
+        .select("node", F.lit(0).alias("hop"))
+        .localCheckpoint()
+    )
     legs = [seed0]
     visited = seed0.select("node")
     frontier = visited

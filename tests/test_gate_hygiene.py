@@ -174,6 +174,67 @@ def _simulate_rotation(
         queue = []
 
 
+def _planned_gate(
+    stamps: dict[str, int],
+    queue: list[str],
+    rnd: int,
+    gate_size: int,
+) -> list[str]:
+    """The gate the greedy rotation builds for round ``rnd``: staged
+    queue in staging order, then everything past the age ceiling (or
+    never certified), then stalest-stamp fill — the SAME derivation
+    ``_simulate_rotation`` steps through and ``tools/plan_rotation.py``
+    prints, factored so neither can drift from the other."""
+    threshold = rnd - MAX_CERT_AGE_ROUNDS
+    forced = sorted(
+        n for n, s in stamps.items() if s < threshold and n not in set(queue)
+    )
+    fill_budget = gate_size - len(queue) - len(forced)
+    assert fill_budget >= 0, (
+        f"round r{rnd} gate infeasible: queue ({len(queue)}) + forced "
+        f"({len(forced)}) exceed the gate ({gate_size})"
+    )
+    filler = sorted(
+        (n for n in stamps if n not in set(queue) and n not in set(forced)),
+        key=lambda n: (stamps[n], n),
+    )[:fill_budget]
+    return list(queue) + forced + filler
+
+
+def _advance_one_driver_round(
+    last: dict[str, int],
+    current: int,
+    newest_names: set[str],
+    queue: list[str],
+    *,
+    force_planned: bool = False,
+) -> tuple[dict[str, int], int, set[str], list[str]]:
+    """Synthesize one full round: the builder (re)builds the round-
+    ``current`` gate, then the driver lands CORRECTNESS_r{current}
+    certifying it. Returns (last', current + 1, that gate, queue').
+
+    The round-``current`` gate depends on the tree state (the r10
+    verdict's recurrence of the r9 bug): MID-ROUND, ``_PRIORITY`` is
+    already that gate; at a ROUND BOUNDARY (the newest CORRECTNESS
+    file certifies exactly the live ``_PRIORITY``), the live gate is
+    LAST round's — re-stamping it would model the driver certifying
+    the same gate twice with no rotation between, silently skipping
+    the pending promotion. There the round-``current`` gate is the
+    PENDING one, derived via ``_planned_gate``. Callers chaining
+    advances pass ``force_planned=True`` from the second advance on —
+    the live ``_PRIORITY`` can be the round gate at most once."""
+    entrymod, _ = _registry()
+    gate = set(list(entrymod.queries())[: entrymod.GATE_SIZE])
+    if force_planned or gate <= newest_names:
+        gate = set(
+            _planned_gate(_stamps_for(last), queue, current, entrymod.GATE_SIZE)
+        )
+    new_last = dict(last)
+    for n in gate:
+        new_last[n] = current
+    return new_last, current + 1, gate, [n for n in queue if n not in gate]
+
+
 def _rotation_state(last: dict[str, int], current: int,
                     newest_names: set[str]):
     """(stamps, queue, start) for the rotation simulation, round-
@@ -220,25 +281,62 @@ def test_rotation_stays_feasible_for_future_rounds():
     _simulate_rotation(stamps, queue, start, entrymod.GATE_SIZE)
 
 
+def _queue_names() -> list[str]:
+    from sparkobs.queries_next import R7_QUEUE
+
+    return list(R7_QUEUE)
+
+
+def _stamps_for(last: dict[str, int]) -> dict[str, int]:
+    """Simulation stamps: every registry entry plus every name the
+    (possibly synthesized) history has certified — promoted queue
+    entries live in ``last`` before they appear in the registry."""
+    _, Q = _registry()
+    stamps = {n: last.get(n, 0) for n in Q.SPARK_QUERIES}
+    stamps.update({n: last[n] for n in last if n not in stamps})
+    return stamps
+
+
 def test_rotation_feasible_after_driver_records_this_round():
-    """The round-boundary fixture the r9 verdict asked for: pretend
-    the driver just wrote CORRECTNESS_r{current}.json certifying the
-    CURRENT gate (every gate member stamped ``current``, the newest
-    file's names == the gate, ``_PRIORITY`` not yet rebuilt) and
-    assert the rotation is STILL feasible. This is the exact tree
-    state the driver evaluates at the next round's start — the state
-    the r9-shipped test went red in."""
+    """The round-boundary fixture the r9 verdict asked for, rebuilt
+    round-boundary AWARE per the r10 verdict: synthesize the driver
+    landing CORRECTNESS_r{current} — certifying the live gate in a
+    mid-round tree, or the PENDING promotion (queue + forced +
+    stalest fill) when the tree is already at a boundary (the r10
+    failure: pretend-stamping the already-certified gate modeled the
+    driver certifying it twice and skipped the real rotation) — then
+    assert the remaining rotation stays feasible. This is the exact
+    tree state the driver evaluates at the next round's start."""
     entrymod, _ = _registry()
     last, current = _last_certified_round()
-    gate = set(list(entrymod.queries())[: entrymod.GATE_SIZE])
-    boundary_last = dict(last)
-    for n in gate:
-        boundary_last[n] = current
-    stamps, queue, start = _rotation_state(
-        boundary_last, current + 1, newest_names=gate
+    b_last, b_current, b_gate, b_queue = _advance_one_driver_round(
+        last, current, _newest_round_names(), _queue_names()
     )
-    assert start == current + 1, "boundary state must simulate the pending promotion"
-    _simulate_rotation(stamps, queue, start, entrymod.GATE_SIZE)
+    assert all(b_last[n] == current for n in b_gate)
+    _simulate_rotation(
+        _stamps_for(b_last), b_queue, b_current, entrymod.GATE_SIZE
+    )
+
+
+def test_rotation_feasible_after_two_driver_rounds():
+    """Advance TWO synthesized driver rounds so BOTH tree states are
+    always exercised, whichever one the real tree is in: from a
+    mid-round tree the first advance lands the live gate and the
+    second plans a promotion; from a boundary tree both advances plan.
+    This is the 'exercise the boundary state BEFORE the round ends'
+    mechanism the r10 verdict asked for — over-staging or a skipped
+    rotation goes red at commit time, not when the driver's artifact
+    lands."""
+    entrymod, _ = _registry()
+    last, current = _last_certified_round()
+    state = (last, current, _newest_round_names(), _queue_names())
+    state = _advance_one_driver_round(*state)
+    state = _advance_one_driver_round(*state, force_planned=True)
+    b_last, b_current, _, b_queue = state
+    assert not b_queue, "two rounds must fully drain the 3-entry queue"
+    _simulate_rotation(
+        _stamps_for(b_last), b_queue, b_current, entrymod.GATE_SIZE
+    )
 
 
 def test_no_uncertified_entry_left_outside_the_gate():

@@ -40,19 +40,12 @@ def main() -> int:
     forced = sorted(
         n for n, s in stamps.items() if s < threshold and n not in set(queue)
     )
-    fill_budget = entrymod.GATE_SIZE - len(queue) - len(forced)
-    if fill_budget < 0:
-        print(
-            f"INFEASIBLE: queue ({len(queue)}) + forced ({len(forced)}) "
-            f"exceed the gate ({entrymod.GATE_SIZE}); retire entries first",
-            file=sys.stderr,
-        )
+    try:
+        members = G._planned_gate(stamps, queue, start, entrymod.GATE_SIZE)
+    except AssertionError as exc:
+        print(f"INFEASIBLE: {exc}; retire entries first", file=sys.stderr)
         return 1
-    filler = sorted(
-        (n for n in stamps if n not in set(queue) and n not in set(forced)),
-        key=lambda n: (stamps[n], n),
-    )[:fill_budget]
-    members = list(queue) + forced + filler
+    filler = members[len(queue) + len(forced):]
     print(
         f"# {state}: planning the r{start} gate — {len(queue)} promoted "
         f"queue + {len(forced)} forced (stamp < r{threshold} or never "

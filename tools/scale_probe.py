@@ -622,6 +622,29 @@ def probes():
         )
         return sparse_cosine_pairs(vecs, 0.5, max_df=32)
 
+    def sparse_cos_powerlaw_exact_leg(docs, ev, emb):
+        # the EXACT comparison leg for the production prune, moved
+        # here from the registry in r11 (the retired
+        # sparse_cosine_powerlaw_exact entry — tombstone in
+        # queries.py): same corpus, same threshold, NO df cap, so the
+        # dim-index join meets the Zipf head and candidate volume is
+        # n_hot·C(N,2). Run this probe next to
+        # sparse_cosine_powerlaw_pruned at matching scales to
+        # re-measure the pruned-vs-exact gap on demand; identical
+        # outputs are property-tested (tests/test_r9_ops.py), so the
+        # probe only needs to record wall clock.
+        from sparkobs.operators.similarity import (
+            hashed_tf_vectors,
+            sparse_cosine_pairs,
+            synth_powerlaw_corpus,
+        )
+
+        pl_dim = int(os.environ.get("SPARKOBS_PL_DIM", "65536"))
+        vecs = hashed_tf_vectors(
+            synth_powerlaw_corpus(docs.select("doc_id")), dim=pl_dim
+        )
+        return sparse_cosine_pairs(vecs, 0.5)
+
     def bloom_semi(docs, ev, emb):
         from sparkobs.operators.dedup import bloom_semi_join
 
@@ -1034,6 +1057,7 @@ def probes():
         "sparse_cosine": sparse_cos,
         "sparse_cosine_pruned": sparse_cos_pruned,
         "sparse_cosine_powerlaw_pruned": sparse_cos_powerlaw_pruned,
+        "sparse_cosine_powerlaw_exact_leg": sparse_cos_powerlaw_exact_leg,
         "bloom_semi_join": bloom_semi,
         "ewma_hourly": ewma,
         "heavy_hitters": hh,
