@@ -368,3 +368,101 @@ def sampled_agg_ci(
             F.lit(z) * F.sqrt(F.col("_sumsq_dec").cast("double") * varf), 4
         ).alias("ci95_sum"),
     )
+
+
+def sampled_join_agg_ci(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    group_cols: list,
+    value_col: str,
+    one_in: int = 10,
+    salt: str = "",
+    z: float = 1.959964,
+) -> DataFrame:
+    """Approximate JOIN aggregate from a coordinated key-universe
+    sample, with error bars (extension: the join form of
+    :func:`sampled_agg_ci` — AQP over a join is where independent
+    per-table samples FAIL, because the probability that both sides
+    of a matching pair survive independent 1-in-f samples is 1/f²,
+    quadratically starving the join; the classic fix is UNIVERSE /
+    key-set sampling: sample the JOIN-KEY SPACE once and keep every
+    row whose key is in the sampled universe on BOTH sides).
+
+    Both sides are filtered by the SAME ``md5(salt+key) % one_in``
+    predicate (:func:`hash_sample`'s documented same-key-lands-
+    together guarantee is exactly this coordination), so for a
+    sampled key the join contributes its ENTIRE key-cluster of joined
+    rows. The sampling unit is therefore the key, and the estimators
+    are Horvitz–Thompson over per-(group, key) cluster totals
+    C_{g,k} (joined-row count) and S_{g,k} (DECIMAL value sum):
+    est = one_in·Σ totals, variance = one_in·(one_in−1)·Σ totals²
+    (the same exact-integer (1-f)/f² factor as sampled_agg_ci),
+    reported as z·sqrt(·) normal half-widths. Clusters enter the
+    variance WHOLE — a key's joined rows are all-in-or-all-out, so
+    per-row variance arithmetic would understate the error; that is
+    the substance of the join form.
+
+    Determinism across engines: the predicate is exact integer
+    arithmetic on the md5 hex (identically on both sides), cluster
+    sums are DECIMAL(18,2) and their squares DECIMAL(38,4) (exact,
+    associative — no float-order drift), counts and count-squares are
+    exact BIGINTs; only the final sqrt/round touch doubles, on
+    bit-identical inputs. ``one_in=1`` degenerates to the exact join
+    aggregate with zero-width intervals.
+
+    At scale: each side's filter is a pure row-local predicate pushed
+    to its scan (1/one_in of each side read and shuffled — the scan
+    savings multiply across BOTH legs of the join), the join carries
+    only sampled-universe rows, and both aggregations are map-side
+    combinable. Rows with NULL join keys are dropped by the predicate
+    on each side (SQL NULL: ``NULL % n == 0`` is NULL — also exactly
+    the rows an inner join discards). NULL values follow SQL SUM
+    semantics per cluster and per group: a group whose sampled
+    clusters are all-NULL gets NULL est_sum/ci95_sum; counts always
+    estimate joined ROWS. A group with no sampled keys is absent
+    (callers needing the full domain left-join the estimates on).
+
+    Output: group_cols + (n_keys, n_join_sample, est_count,
+    ci95_count, est_sum, ci95_sum).
+    """
+    if one_in < 1:
+        raise ValueError(f"one_in must be >= 1, got {one_in}")
+    ls = hash_sample(left, left_key, one_in, salt)
+    rs = hash_sample(right, right_key, one_in, salt)
+    joined = ls.join(rs, ls[left_key] == rs[right_key])
+    dec = F.col(value_col).cast("decimal(18,2)")
+    per_key = joined.groupBy(
+        *group_cols, ls[left_key].alias("__k")
+    ).agg(
+        F.count(F.lit(1)).alias("__ck"),
+        # cluster sums re-narrowed to DECIMAL(18,2): their squares are
+        # then DECIMAL(37,4) — exactly representable on every engine
+        # (a (28,2)² product would exceed precision 38 and silently
+        # lose scale); callers' per-cluster totals must fit 18,2
+        F.sum(dec).cast("decimal(18,2)").alias("__sk"),
+    )
+    varf = float(one_in * (one_in - 1))  # (1-f)/f^2, exact in integers
+    grouped = per_key.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("__ck").cast("long").alias("n_join_sample"),
+        F.sum(F.col("__ck") * F.col("__ck")).cast("long").alias("_cksq"),
+        F.sum("__sk").alias("_sum_dec"),
+        F.sum((F.col("__sk") * F.col("__sk")).cast("decimal(38,4)")).alias(
+            "_sumsq_dec"
+        ),
+    )
+    return grouped.select(
+        *group_cols,
+        "n_keys",
+        "n_join_sample",
+        (F.col("n_join_sample") * one_in).cast("long").alias("est_count"),
+        F.round(
+            F.lit(z) * F.sqrt(F.col("_cksq").cast("double") * varf), 4
+        ).alias("ci95_count"),
+        F.round((F.col("_sum_dec") * one_in).cast("double"), 2).alias("est_sum"),
+        F.round(
+            F.lit(z) * F.sqrt(F.col("_sumsq_dec").cast("double") * varf), 4
+        ).alias("ci95_sum"),
+    )

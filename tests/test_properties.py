@@ -987,6 +987,34 @@ def test_pagerank_dense_and_distributed_tiers_agree(spark, edges, weighted, tele
     assert sorted(map(tuple, dense)) == sorted(map(tuple, dist))
 
 
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), max_size=24
+    ),
+    node_ids=st.sets(st.integers(0, 12), max_size=10),
+    rounds=st.integers(0, 3),
+)
+@settings(**SETTINGS)
+def test_min_label_components_tiers_agree(spark, edges, node_ids, rounds):
+    """The r11 dense tier (numpy sentinel-min supersteps over one
+    bounded collect) must reproduce the distributed fixed-round loop
+    BIT FOR BIT — including UNCONVERGED intermediate labelings (low
+    rounds vs long chains), edge endpoints missing from the node
+    table (no label until first reached as a dst, no self-loop ever),
+    asymmetric contract-violating edge lists, and isolated nodes."""
+    from sparkobs.operators.graph import min_label_components
+
+    nodes = spark.createDataFrame(
+        [(n,) for n in node_ids], "node long"
+    )
+    e = spark.createDataFrame(edges, "src long, dst long")
+    dense = min_label_components(nodes, e, rounds=rounds).collect()
+    dist = min_label_components(
+        nodes, e, rounds=rounds, dense_max_edges=0
+    ).collect()
+    assert sorted(map(tuple, dense)) == sorted(map(tuple, dist))
+
+
 csv_safe_text = st.text(
     alphabet=st.one_of(
         st.characters(

@@ -76,3 +76,105 @@ def test_stage_format_tag_versions_the_resolved_conventions():
     key_v1 = Q._stage_key("/x", "orders", "csv:2:v1:[]")
     key_untagged = Q._stage_key("/x", "orders", "csv:2:[]")
     assert len({key_now, key_v1, key_untagged}) == 3
+
+
+def test_sampled_join_agg_ci_exact_degeneracy(spark):
+    """one_in=1 keeps every key: est_count/est_sum equal the exact
+    join aggregate and every half-width is zero."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.sampling import sampled_join_agg_ci
+
+    left = spark.createDataFrame(
+        [(k, "g%d" % (k % 2)) for k in range(1, 21)], "k long, g string"
+    )
+    right = spark.createDataFrame(
+        [(k, float(k)) for k in range(1, 21) for _ in range(k % 3 + 1)],
+        "rk long, v double",
+    )
+    out = {
+        r["g"]: r
+        for r in sampled_join_agg_ci(
+            left, right, "k", "rk", ["g"], "v", one_in=1
+        ).collect()
+    }
+    exact = {
+        r["g"]: r
+        for r in left.join(right, left["k"] == right["rk"])
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+        )
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for g, r in out.items():
+        assert r["est_count"] == exact[g]["n"]
+        assert abs(r["est_sum"] - float(exact[g]["s"])) < 1e-9
+        assert r["ci95_count"] == 0.0 and r["ci95_sum"] == 0.0
+
+
+def test_sampled_join_agg_ci_ht_arithmetic_over_clusters(spark):
+    """The estimator must scale WHOLE key-clusters (universe
+    sampling), never independent rows: recompute the HT arithmetic by
+    hand from the sampled key set and match exactly."""
+    import hashlib
+
+    from sparkobs.operators.sampling import sampled_join_agg_ci
+
+    def hex15(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    ONE_IN = 3
+    lrows = [(k,) for k in range(1, 40)]
+    rrows = [(k, float(100 + k)) for k in range(1, 40) for _ in range(2)]
+    left = spark.createDataFrame(lrows, "k long")
+    right = spark.createDataFrame(rrows, "rk long, v double")
+    out = sampled_join_agg_ci(
+        left, right, "k", "rk", [], "v", one_in=ONE_IN
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    sampled = [k for (k,) in lrows if hex15(str(k)) % ONE_IN == 0]
+    ck = {k: 2 for k in sampled}
+    sk = {k: 2 * (100.0 + k) for k in sampled}
+    varf = ONE_IN * (ONE_IN - 1)
+    assert r["n_keys"] == len(sampled)
+    assert r["n_join_sample"] == sum(ck.values())
+    assert r["est_count"] == ONE_IN * sum(ck.values())
+    assert abs(r["est_sum"] - ONE_IN * sum(sk.values())) < 1e-6
+    import math
+
+    assert abs(
+        r["ci95_count"]
+        - round(1.959964 * math.sqrt(varf * sum(c * c for c in ck.values())), 4)
+    ) < 1e-9
+    assert abs(
+        r["ci95_sum"]
+        - round(1.959964 * math.sqrt(varf * sum(s * s for s in sk.values())), 4)
+    ) < 1e-9
+
+
+def test_sampled_join_agg_ci_null_keys_and_values(spark):
+    """NULL join keys drop on both sides (predicate NULL semantics =
+    inner-join semantics); an all-NULL-value group reports NULL
+    est_sum/ci95_sum while counts still estimate rows."""
+    from sparkobs.operators.sampling import sampled_join_agg_ci
+
+    left = spark.createDataFrame(
+        [(1, "a"), (None, "a"), (2, "b")], "k long, g string"
+    )
+    right = spark.createDataFrame(
+        [(1, None), (None, 5.0), (2, None)], "rk long, v double"
+    )
+    out = {
+        r["g"]: r
+        for r in sampled_join_agg_ci(
+            left, right, "k", "rk", ["g"], "v", one_in=1
+        ).collect()
+    }
+    assert set(out) == {"a", "b"}
+    assert out["a"]["n_join_sample"] == 1 and out["a"]["est_sum"] is None
+    assert out["a"]["ci95_sum"] is None
+    assert out["b"]["est_count"] == 1
