@@ -1367,7 +1367,8 @@ def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage_dir = _stage_events(spark, sf_dir)
     out = streaming_tumbling(stream_events(spark, stage_dir), "1 hour")
-    tbl = run_to_memory(out, "tumbling_stream", output_mode="complete", unique=True)
+    tbl = run_to_memory(out, "tumbling_stream", output_mode="complete", unique=True,
+                        shuffle_partitions=4)
     return spark.table(tbl).select("window_start", "n_events", "sum_value")
 
 
@@ -1436,7 +1437,8 @@ def streaming_jsonl_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFra
     out = streaming_tumbling(
         stream_jsonl(spark, stage_dir, EVENTS_SCHEMA), "1 hour"
     )
-    tbl = run_to_memory(out, "jsonl_stream", output_mode="complete", unique=True)
+    tbl = run_to_memory(out, "jsonl_stream", output_mode="complete", unique=True,
+                        shuffle_partitions=4)
     return spark.table(tbl).select("window_start", "n_events", "sum_value")
 
 
@@ -1503,7 +1505,8 @@ def streaming_count_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage_dir = _stage_events_split(spark, sf_dir)
     out = stateful_count_drift(stream_events(spark, stage_dir, files_per_trigger=1))
-    tbl = run_to_memory(out, "drift_stream", output_mode="update", unique=True)
+    tbl = run_to_memory(out, "drift_stream", output_mode="update", unique=True,
+                        shuffle_partitions=2)
     return spark.table(tbl)
 
 
@@ -2351,7 +2354,8 @@ def streaming_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage_dir = _stage_events(spark, sf_dir)
     out = streaming_session(stream_events(spark, stage_dir), "30 minutes")
-    tbl = run_to_memory(out, "session_stream", output_mode="complete", unique=True)
+    tbl = run_to_memory(out, "session_stream", output_mode="complete", unique=True,
+                        shuffle_partitions=4)
     return spark.table(tbl).select("user_id", "session_start", "n_events")
 
 
@@ -2654,7 +2658,8 @@ def streaming_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(_to_ntz("w.start").alias("window_start"), "n_events")
     )
-    tbl = run_to_memory(out, "sliding_stream", output_mode="complete", unique=True)
+    tbl = run_to_memory(out, "sliding_stream", output_mode="complete", unique=True,
+                        shuffle_partitions=4)
     return spark.table(tbl)
 
 
@@ -3904,7 +3909,8 @@ def streaming_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.md5("text").alias("fp"))
         .dropDuplicates(["fp"])
     )
-    tbl = run_to_memory(stream, "dedup_stream", output_mode="append", unique=True)
+    tbl = run_to_memory(stream, "dedup_stream", output_mode="append", unique=True,
+                        shuffle_partitions=4)
     return spark.table(tbl)
 
 
@@ -4332,20 +4338,34 @@ def streaming_incremental_band_index(spark: SparkSession, sf_dir: str) -> DataFr
         banded.write.mode("append").parquet(index_dir)
         banded.unpersist()
 
-    q = (
-        spark.readStream.schema(
-            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    # scope a narrow shuffle width over the drain (the run_to_memory
+    # shuffle_partitions lever, inlined for the foreachBatch path):
+    # each micro-batch joins ~1/4 of the staged fixture — 32-wide
+    # exchanges per batch are pure scheduling overhead here (measured
+    # 6.0 → 4.2 s at sf0.1). Chosen for the bounded 4-file
+    # certification stage; the 100 TB shape is the bucket-partitioned
+    # index join described above, which wants full width.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            spark.readStream.schema(
+                "doc_id bigint, text string, lang string, source string, n_chars bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+            .writeStream.foreachBatch(ingest)
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage_dir)
-        .writeStream.foreachBatch(ingest)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming_incremental_band_index did not drain in 300s"
+            )
         q.stop()
-        raise RuntimeError("streaming_incremental_band_index did not drain in 300s")
-    q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return spark.read.schema("id_a bigint, id_b bigint").parquet(out_dir).distinct()
 
 
@@ -5195,7 +5215,8 @@ def streaming_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("event_type") == "purchase"
     )
     j = stream_stream_join_within(left, right, key_col="user_id", within="1 hour")
-    name = run_to_memory(j, "ssj_click_purchase", output_mode="append", unique=True)
+    name = run_to_memory(j, "ssj_click_purchase", output_mode="append", unique=True,
+                          shuffle_partitions=4)
     return spark.table(name)
 
 
@@ -6902,7 +6923,8 @@ def streaming_monitor_health_events(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     tbl = run_to_memory(
-        hourly, "monitor_health_stream", output_mode="complete", unique=True
+        hourly, "monitor_health_stream", output_mode="complete", unique=True,
+        shuffle_partitions=4,
     )
     series = spark.table(tbl).select(
         "key",
@@ -9520,7 +9542,8 @@ def streaming_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"],
         gap_seconds=600,
     )
-    tbl = run_to_memory(out, "debounce_stream", output_mode="complete", unique=True)
+    tbl = run_to_memory(out, "debounce_stream", output_mode="complete", unique=True,
+                        shuffle_partitions=4)
     return spark.table(tbl).select(
         "event_id", "user_id", "event_type", "ts", "value"
     )
@@ -9573,7 +9596,8 @@ def streaming_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events(spark, stage_dir), lo=0.0, hi=600.0, n_bins=100
     )
     tbl = run_to_memory(
-        cells_stream, "ks_cells_stream", output_mode="complete", unique=True
+        cells_stream, "ks_cells_stream", output_mode="complete", unique=True,
+        shuffle_partitions=2,
     )
     cells = (
         spark.table(tbl)
@@ -9963,7 +9987,8 @@ def streaming_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_dir = _stage_events(spark, sf_dir)
     out = streaming_freshness(stream_events(spark, stage_dir))
     tbl = run_to_memory(
-        out, "freshness_stream", output_mode="complete", unique=True
+        out, "freshness_stream", output_mode="complete", unique=True,
+        shuffle_partitions=2,
     )
     # TIMESTAMP_NTZ arithmetic (naive-as-UTC): unix_micros over a
     # session-tz TIMESTAMP diverges by the DST offset gap between the
@@ -10643,7 +10668,8 @@ def streaming_disorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events(spark, stage_dir, files_per_trigger=1)
     )
     tbl = run_to_memory(
-        out, "disorder_stream", output_mode="update", unique=True
+        out, "disorder_stream", output_mode="update", unique=True,
+        shuffle_partitions=2,
     )
     last = (
         spark.table(tbl).orderBy(F.col("upd_seq").desc()).limit(1)
@@ -10693,7 +10719,8 @@ def streaming_salted_distinct_events(
         stream_events(spark, stage_dir, files_per_trigger=1)
     )
     tbl = run_to_memory(
-        out, "salted_distinct_stream", output_mode="update", unique=True
+        out, "salted_distinct_stream", output_mode="update", unique=True,
+        shuffle_partitions=4,
     )
     per_cell = (
         spark.table(tbl)
@@ -10923,7 +10950,8 @@ def streaming_slo_burn_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events(spark, stage_dir), F.col("event_type") == "error"
     )
     tbl = run_to_memory(
-        out, "slo_burn_stream", output_mode="complete", unique=True
+        out, "slo_burn_stream", output_mode="complete", unique=True,
+        shuffle_partitions=4,
     )
     from sparkobs.operators.checks import slo_burn_derive
 

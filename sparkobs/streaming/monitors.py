@@ -216,6 +216,7 @@ def run_to_memory(
     output_mode: str = "complete",
     timeout_s: int = 300,
     unique: bool = False,
+    shuffle_partitions: int | None = None,
 ) -> str:
     """Drain all available input through the stream (availableNow
     trigger, OP-53's drain-and-stop form) into an in-memory table and
@@ -227,30 +228,53 @@ def run_to_memory(
     reported progress before the sink is considered readable.
     ``unique=True`` suffixes the sink name so concurrent/repeated runs
     in one long-lived session never collide on the memory-sink table.
+
+    ``shuffle_partitions`` (r11, the streaming-fixed-cost lever):
+    stateful operators inherit the session's shuffle-partition count
+    for their STATE exchange, fixed at stream start — 32 scheduled
+    (mostly Python-worker) state tasks PER MICRO-BATCH for a stream
+    whose state is one key (the drift/disorder diagnostics) or a
+    handful of groups is pure fixed overhead, measured ~2× the whole
+    query wall at sf0.1 (4.1 s → 2.15 s at 2 partitions). Pass a
+    small count for few-key stateful streams; the session value is
+    restored after the drain (the conf is read at query start, so
+    the scope covers exactly this stream). Partition count never
+    changes VALUES — state is key-addressed — so certification
+    semantics are untouched; leave None for streams whose state
+    cardinality actually scales (they want the full width).
     """
     if unique:
         import uuid
 
         name = f"{name}_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = stream_df.sparkSession
+    prev_sp = None
+    if shuffle_partitions is not None:
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        if not q.awaitTermination(timeout_s):
-            raise RuntimeError(
-                f"stream '{name}' did not drain within {timeout_s}s — "
-                "memory sink would be partial; refusing to read it"
-            )
-        if q.lastProgress is None:
-            raise RuntimeError(
-                f"stream '{name}' terminated without reporting progress"
-            )
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(timeout_s):
+                raise RuntimeError(
+                    f"stream '{name}' did not drain within {timeout_s}s — "
+                    "memory sink would be partial; refusing to read it"
+                )
+            if q.lastProgress is None:
+                raise RuntimeError(
+                    f"stream '{name}' terminated without reporting progress"
+                )
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if prev_sp is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return name
 
 

@@ -178,3 +178,22 @@ def test_sampled_join_agg_ci_null_keys_and_values(spark):
     assert out["a"]["n_join_sample"] == 1 and out["a"]["est_sum"] is None
     assert out["a"]["ci95_sum"] is None
     assert out["b"]["est_count"] == 1
+
+
+def test_run_to_memory_scopes_and_restores_shuffle_partitions(spark):
+    """The streaming fixed-cost lever must be SCOPED: the session's
+    shuffle-partition conf is restored after the drain — and on
+    failure — so a narrow-state stream never leaks its width into
+    subsequent batch plans."""
+    import pytest
+
+    from sparkobs.streaming.monitors import run_to_memory
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    events = spark.createDataFrame(
+        [(1, "a")], "id long, v string"
+    )
+    # a non-streaming frame fails at writeStream — the finally path
+    with pytest.raises(Exception):
+        run_to_memory(events, "x", shuffle_partitions=2)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
