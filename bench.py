@@ -231,6 +231,11 @@ HEADLINE = [
     # a ~17 s every-round tail row.
     "sparse_cosine_powerlaw_pruned",
     "monitor_suite_slo_lake",
+    # round-11 additions (the promoted r10-queue wave): grouped theta
+    # batch + streaming twin, and the sampled-CI AQP entry
+    "theta_intersection_grouped_events",
+    "streaming_theta_intersection_grouped_events",
+    "sampled_agg_ci_orders",
 ]
 
 # HEADLINE is the cross-round-comparable curated set (reps=3 medians,
