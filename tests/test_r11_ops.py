@@ -197,3 +197,23 @@ def test_run_to_memory_scopes_and_restores_shuffle_partitions(spark):
     with pytest.raises(Exception):
         run_to_memory(events, "x", shuffle_partitions=2)
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_compaction_assign_tiers_agree(spark):
+    """r11 sixth density dispatch: the driver-side numpy prefix sum
+    must reproduce the distributed global_running_sum assignment
+    exactly — same path ordering (UTF-8 byte order), same
+    floor-of-double group formula — including multi-byte paths,
+    zero-length files, and an empty listing."""
+    from sparkobs.sources.listing import compaction_assign
+
+    rows = [
+        ("/a/x.parquet", 10), ("/a/é.parquet", 7), ("/a/B.parquet", 0),
+        ("/a/z~.parquet", 25), ("/a/1.parquet", 13), ("/a/ぁ.parquet", 4),
+    ]
+    listing = spark.createDataFrame(rows, "path string, length long")
+    dense = compaction_assign(listing, 16).collect()
+    dist = compaction_assign(listing, 16, dense_max_files=0).collect()
+    assert sorted(map(tuple, dense)) == sorted(map(tuple, dist))
+    empty = spark.createDataFrame([], "path string, length long")
+    assert compaction_assign(empty, 16).count() == 0
