@@ -384,7 +384,12 @@ def minhash_lsh_pairs(
     xxhash64 shingle join keys — it only tests shingle equality
     within Spark, so portability doesn't apply there.
     """
-    banded = minhash_banded(df, n, num_hashes, bands, id_col, text_col, hash_fn)
+    # the bucket self-join references banded on BOTH sides and Catalyst
+    # reuses no subtree statically — without a cache the whole
+    # shingle→signature→banding pipeline (the expensive leg) runs once
+    # per side. docs×bands rows, released via _PERSISTED with cand.
+    banded = minhash_banded(df, n, num_hashes, bands, id_col, text_col, hash_fn).persist()
+    _PERSISTED.append(banded)
     cand = (
         banded.alias("a")
         .join(
@@ -426,6 +431,10 @@ def minhash_lsh_pairs(
         # /2^65 — immaterial to intersection counts at any realistic n
         F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("sh"),
     )
+    # both verify joins scan shingled — cache it or the semi-join +
+    # tokenize + shingle explode evaluates once per join branch
+    shingled = shingled.persist()
+    _PERSISTED.append(shingled)
     left = cand.join(
         shingled.select(
             F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "sh"

@@ -8855,8 +8855,17 @@ def ann_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over a query SAMPLE; at certification scale it is exact."""
     from sparkobs.queries import SPARK_QUERIES
 
-    truth = SPARK_QUERIES["cosine_topk"](spark, sf_dir).select(
-        "vec_id", "neighbor_id"
+    # truth is referenced TWICE (semi-join probe + denominator count)
+    # and Catalyst does not reuse an aggregate subtree statically — an
+    # eager checkpoint of the k·n_vecs-row result runs the brute-force
+    # leg once instead of twice. (Profiled r11: the row's wall is
+    # dominated by the IVF leg's fixed costs — quantizer codegen +
+    # 16-bucket Python worker startup, ~2.6 s at sf0.1 — which
+    # amortize at scale; the per-row work is already the right shape.)
+    truth = (
+        SPARK_QUERIES["cosine_topk"](spark, sf_dir)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     approx = SPARK_QUERIES["cosine_topk_ivf"](spark, sf_dir).select(
         "vec_id", "neighbor_id"
