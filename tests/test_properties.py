@@ -1114,3 +1114,104 @@ def test_reachable_set_tiers_agree(spark, edges, seed_nodes, hops):
     dense = reachable_set(e, s, max_hops=hops).collect()
     dist = reachable_set(e, s, max_hops=hops, dense_max_edges=0).collect()
     assert sorted(map(tuple, dense)) == sorted(map(tuple, dist))
+
+
+@given(
+    lrows=st.lists(
+        st.tuples(
+            st.one_of(st.integers(0, 25), st.none()),  # join key
+            st.sampled_from(["a", "b"]),  # group (left side)
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    rrows=st.lists(
+        st.tuples(
+            st.one_of(st.integers(0, 25), st.none()),  # join key
+            st.one_of(  # value: 2-decimal money, nullable
+                st.integers(-(10**6), 10**6).map(lambda c: c / 100.0),
+                st.none(),
+            ),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    one_in=st.sampled_from([1, 2, 5]),
+)
+@settings(**SETTINGS)
+def test_sampled_join_agg_ci_invariants(spark, lrows, rrows, one_in):
+    """Pin the join-AQP estimator contract (r11, EXT-151) on
+    edge-shaped data: the coordinated predicate keeps whole key
+    clusters (sample-of-join ≡ join-of-samples for universe
+    sampling), NULL keys drop on both sides, estimates scale cluster
+    totals by one_in exactly, and the output is invariant to input
+    partitioning."""
+    import hashlib
+    from collections import defaultdict
+
+    from sparkobs.operators.sampling import sampled_join_agg_ci
+
+    left = spark.createDataFrame(lrows, "k bigint, g string")
+    right = spark.createDataFrame(rrows, "rk bigint, v double")
+    out = {
+        (r["g"],): r
+        for r in sampled_join_agg_ci(
+            left, right, "k", "rk", ["g"], "v", one_in=one_in
+        ).collect()
+    }
+    # repartitioned inputs must give the identical result
+    out2 = {
+        (r["g"],): r
+        for r in sampled_join_agg_ci(
+            left.repartition(7), right.repartition(3), "k", "rk",
+            ["g"], "v", one_in=one_in,
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in out2.items()
+    }
+
+    def kept(k):
+        return (
+            k is not None
+            and int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+            % one_in
+            == 0
+        )
+
+    # hand model: per-(group, key) cluster totals over the FULL join
+    # restricted to sampled keys — the universe-sampling semantics
+    ck: dict = defaultdict(int)
+    sk: dict = defaultdict(float)
+    sk_seen: dict = defaultdict(int)
+    for lk, g in lrows:
+        if not kept(lk):
+            continue
+        for rk, v in rrows:
+            if rk == lk and rk is not None:
+                ck[(g, lk)] += 1
+                if v is not None:
+                    sk[(g, lk)] += v
+                    sk_seen[(g, lk)] += 1
+    by_group: dict = defaultdict(lambda: [0, 0, 0.0, 0])
+    for (g, k), c in ck.items():
+        agg = by_group[g]
+        agg[0] += 1
+        agg[1] += c
+        if sk_seen[(g, k)]:
+            agg[2] += sk[(g, k)]
+            agg[3] += 1
+    assert set(out) == {(g,) for g in by_group}
+    for g, (n_keys, n_join, ssum, n_sum_clusters) in by_group.items():
+        r = out[(g,)]
+        assert r["n_keys"] == n_keys
+        assert r["n_join_sample"] == n_join
+        assert r["est_count"] == n_join * one_in
+        if n_sum_clusters == 0:
+            assert r["est_sum"] is None and r["ci95_sum"] is None
+        else:
+            assert abs(r["est_sum"] - round(ssum * one_in, 2)) < 0.011
+        if one_in == 1:
+            assert r["ci95_count"] == 0.0
+            if n_sum_clusters:
+                assert r["ci95_sum"] == 0.0

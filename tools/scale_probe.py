@@ -182,6 +182,12 @@ FACT_QUERIES = (
     # agg — the scan deepens 10x, the shuffle stays ~1/one_in of it
     # pre-aggregated to |groups| partials
     "sampled_agg_ci_orders",
+    # join-side AQP (r11 queue entry, resolved via the R7_QUEUE
+    # fallback): BOTH scans are hash-filtered row-locally before the
+    # join, so the 10x mirror deepens each side's scan while the join
+    # and both aggs carry ~1/one_in of the rows — the scan saving
+    # multiplies across the two legs
+    "sampled_join_agg_ci_lineitem",
 )
 
 
