@@ -201,13 +201,22 @@ def cosine_topk_lsh(
     bucket become candidates; exact cosine re-rank on candidates.
     Recall is tested against the brute-force tier in unit tests.
     """
+    # banded is referenced on BOTH sides of the self-join and Catalyst
+    # reuses no subtree statically — without the checkpoint the
+    # 12-plane signature pipeline (interpreted zip_with/aggregate
+    # lambdas, the expensive leg) evaluates once per side. n stays
+    # LAZY: its re-evaluations are one cheap norm scan each, and an
+    # eager vector-payload checkpoint measured SLOWER at sf0.1 (the
+    # materialization barrier costs more than the recompute saves).
     n = _with_norm(df, id_col, vec_col)
     # candidate generation over (id, band, key) ONLY — the 1 KB vector
     # payloads must not ride through the self-join + distinct (hot band
     # buckets make candidate volume quadratic in the bucket size;
     # carrying vectors there spilled ~80 GB at 20k clustered vectors).
     # Vectors are joined back onto the deduped 16-byte id pairs.
-    banded = _banded_keys(n, num_planes, band_planes)
+    banded = _banded_keys(n, num_planes, band_planes).localCheckpoint(
+        eager=True
+    )
     cand = (
         banded.alias("a")
         .join(
@@ -534,11 +543,15 @@ def embedding_near_dup_pairs_lsh(
     """
     if num_planes is None:
         num_planes, band_planes = auto_plane_params(df.count())
+    # same shape as cosine_topk_lsh — checkpoint banded (signature
+    # runs once); n stays lazy (cheap norm scans, see above)
     n = _with_norm(df, id_col, vec_col)
     # same vector-free candidate plumbing as cosine_topk_lsh: the
     # self-join + distinct see only (id, band, key); vectors join back
     # onto the deduped id pairs for the exact threshold filter
-    banded = _banded_keys(n, num_planes, band_planes)
+    banded = _banded_keys(n, num_planes, band_planes).localCheckpoint(
+        eager=True
+    )
     cand = (
         banded.alias("a")
         .join(

@@ -5510,8 +5510,15 @@ def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition): quality filter → exact dedup → near-dup keep-one →
     train/val/test split, reported as per-stage surviving-document
     counts — the audit trail a production curation run ships with its
-    output. ONE lazy plan (a union of stage aggregates over shared
-    subtrees); unlike funnel_steps there are no driver-side counts."""
+    output. The stage frames are EAGERLY CHECKPOINTED before the
+    union of stage aggregates: Catalyst reuses no subtree statically,
+    so the lazy "shared subtree" shape re-ran the quality/dedup
+    pipeline once per downstream branch (kept ×2, ex_kept ×3, the
+    split frame ×3); with the checkpoints each stage computes exactly
+    once and the final union reads leaf scans. (The row's remaining
+    wall is the exact n-gram pair tier itself — the funnel exists to
+    compose the exact tiers; the LSH tier is the scale swap.) No
+    driver-side counts, unlike funnel_steps."""
     from pyspark.sql import functions as F
 
     from sparkobs.operators.dedup import (
@@ -5524,15 +5531,27 @@ def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     scored = quality_score(raw, keep_cols=("text",))
-    kept = scored.where(F.col("quality") >= 0.6).select("doc_id", "text")
-    ex_kept = exact_dedup(kept, ["text"]).select("doc_id", "text")
+    kept = (
+        scored.where(F.col("quality") >= 0.6)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    ex_kept = (
+        exact_dedup(kept, ["text"])
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
     pairs = ngram_jaccard_pairs(ex_kept, n=3, threshold=0.5)
     comps = connected_components(pairs)
     dropped = comps.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    surv = ex_kept.join(dropped, "doc_id", "left_anti").select("doc_id")
-    sp = split_assign(surv, "doc_id")
+    surv = (
+        ex_kept.join(dropped, "doc_id", "left_anti")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    sp = split_assign(surv, "doc_id").localCheckpoint(eager=True)
 
     def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
         return df.agg(
