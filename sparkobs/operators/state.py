@@ -317,22 +317,32 @@ def quantile_bins(
     feature transforms, drift baselines, and balanced range
     partitioning.
 
-    Interior quantile edges come from ONE exact ``percentile`` pass
-    (a 1-row aggregate broadcast back via cross join — no collect);
-    edges are rounded to 4 decimals IN-QUERY so bin assignment is
-    engine-reproducible (both engines interpolate with the same
-    (n-1)·q rule, but the rounding pins the last bit). Assignment is
-    ``size(filter(edges, e -> value > e))`` — row-local, no shuffle
-    beyond the final per-bin agg. At 100 TB swap the exact percentile
-    for ``percentile_approx`` (documented sketch mode, same shape).
+    Interior quantile edges come from the DISTRIBUTED exact two-pass
+    quantile (:func:`sparkobs.operators.profile.
+    exact_quantiles_twopass`, r11 — previously a single ``percentile``
+    aggregate, whose state buffers the column's full value counts in
+    one task and dies when the column holds billions of rows; the
+    two-pass histogram-bracket form replays Percentile.scala bit for
+    bit, so the edge VALUES are unchanged and the same oracle
+    certifies both). The edge rows fold back into one array row via
+    ``array_sort(collect_list(...))`` — sound because quantile values
+    are monotone in q — and broadcast back via cross join, no
+    collect; edges are rounded to 4 decimals IN-QUERY so bin
+    assignment is engine-reproducible (both engines interpolate with
+    the same (n-1)·q rule, but the rounding pins the last bit).
+    Assignment is ``size(filter(edges, e -> value > e))`` — row-local,
+    no shuffle beyond the final per-bin agg. ``percentile_approx``
+    remains the documented sketch swap when even two exact passes are
+    too many.
     """
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    from sparkobs.operators.profile import exact_quantiles_twopass
+
     qs = [i / n_bins for i in range(1, n_bins)]
-    edges = df.agg(
-        F.transform(
-            F.percentile(F.col(value_col).cast("double"), F.array(*[F.lit(q) for q in qs])),
-            lambda e: F.round(e, 4),
+    edges = exact_quantiles_twopass(df, value_col, qs=tuple(qs)).agg(
+        F.array_sort(
+            F.collect_list(F.round(F.col("value"), 4))
         ).alias("__edges")
     )
     binned = df.crossJoin(F.broadcast(edges)).select(
