@@ -1215,3 +1215,39 @@ def test_sampled_join_agg_ci_invariants(spark, lrows, rrows, one_in):
             assert r["ci95_count"] == 0.0
             if n_sum_clusters:
                 assert r["ci95_sum"] == 0.0
+
+
+@given(
+    files=st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("Ll", "Lu", "Nd", "Lo"),
+                    whitelist_characters="/._-~é字",
+                ),
+                min_size=1,
+                max_size=12,
+            ),
+            st.integers(0, 10**7),
+        ),
+        min_size=0,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    target=st.sampled_from([1, 1024, 6 * 1024, 10**6]),
+)
+@settings(**SETTINGS)
+def test_compaction_assign_tiers_agree_property(spark, files, target):
+    """r11 sixth density dispatch, generalized: the driver-side numpy
+    prefix sum must reproduce the distributed global_running_sum
+    assignment on RANDOM listings — arbitrary unicode path segments
+    (UTF-8 byte order vs code-point order), zero lengths, any target
+    size, and the empty listing."""
+    from sparkobs.sources.listing import compaction_assign
+
+    listing = spark.createDataFrame(
+        [("/" + p, n) for p, n in files], "path string, length long"
+    )
+    dense = compaction_assign(listing, target).collect()
+    dist = compaction_assign(listing, target, dense_max_files=0).collect()
+    assert sorted(map(tuple, dense)) == sorted(map(tuple, dist))
