@@ -341,28 +341,53 @@ def ivf_quantize(
     seed_rows = normed.orderBy("id").limit(n_clusters).collect()
     cents = [list(r["vn"]) for r in seed_rows]
 
-    # The probe expression is generated as ONE SQL string: building it
-    # from n_clusters × dim Column objects costs a py4j round-trip per
-    # node (~1 s for 16×64 — more than executing the quantization);
-    # F.expr ships the whole tree in a single call and parses JVM-side.
-    # Dot products are unrolled multiply-adds (no per-centroid array
-    # allocation), literals carry the D suffix to stay DOUBLE.
-    def dot_sql(cvec: list[float]) -> str:
-        return " + ".join(f"vn[{d}] * {c!r}D" for d, c in enumerate(cvec))
+    # Probe computation is an Arrow-batched mapInPandas kernel (r11 —
+    # previously ONE giant generated SQL expression, n_clusters × dim
+    # unrolled multiply-adds, whose Janino compile cost ~0.5-1 s of
+    # fixed wall per run). The kernel is row-local (fully distributed,
+    # no collect) and BIT-IDENTICAL to that expression: the dot
+    # accumulates left-to-right over dims in float64 (`dots + vn[:,d]
+    # ·c[:,d]` — the same IEEE add sequence as the unrolled
+    # `vn[0]*c0 + vn[1]*c1 + …`), and probe order replays the SQL
+    # comparator (d DESC, centroid index ASC via lexsort). Verified
+    # probe-for-probe against the expression form before the swap;
+    # the DuckDB oracles certify the same arithmetic. Vectors are
+    # assumed norm-finite (the module contract — a zero-norm vector
+    # is NaN in every tier).
+    import numpy as np
 
-    struct_items = ", ".join(
-        f"struct({dot_sql(c)} AS d, {i} AS c)" for i, c in enumerate(cents)
+    cm = np.array(cents, dtype=np.float64)
+    np_probe = n_probe
+
+    def quant(batches):
+        import pandas as pd
+
+        cols = ["id", "vn", "probes", "cluster"]
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            vn = np.array(pdf["vn"].tolist(), dtype=np.float64)
+            dots = np.zeros((len(pdf), cm.shape[0]), dtype=np.float64)
+            for d in range(vn.shape[1]):
+                dots = dots + vn[:, d, None] * cm[None, :, d]
+            cidx = np.arange(cm.shape[0])
+            probes_out = [
+                [int(x) for x in np.lexsort((cidx, -dots[r]))[:np_probe]]
+                for r in range(len(pdf))
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "vn": pdf["vn"],
+                    "probes": probes_out,
+                    "cluster": [p[0] for p in probes_out],
+                }
+            )
+
+    quantized = normed.mapInPandas(
+        quant, "id bigint, vn array<double>, probes array<int>, cluster int"
     )
-    probes = F.expr(
-        f"transform(slice(array_sort(array({struct_items}), "
-        "(a, b) -> CASE WHEN a.d > b.d THEN -1 WHEN a.d < b.d THEN 1 "
-        f"ELSE a.c - b.c END), 1, {n_probe}), s -> s.c)"
-    )
-    quantized = normed.select(
-        "id",
-        "vn",
-        probes.alias("probes"),
-    ).select("id", "vn", "probes", F.element_at("probes", 1).alias("cluster"))
     return quantized, cents
 
 

@@ -218,17 +218,23 @@ def test_brute_no_self_neighbor_when_n_le_k(spark):
 
 
 def test_ivf_is_distributed_no_corpus_collect(spark):
-    # the IVF plan must not contain a Python-side corpus materialization:
-    # its physical plan is pure DataFrame ops (joins/windows), with no
-    # mapInPandas stage (which the old driver-collect kernel used)
+    # the IVF plan must not contain a corpus materialization or a
+    # row-at-a-time Python UDF. Arrow-batched row-local stages ARE in
+    # contract (r11: the probe quantizer moved from a giant generated
+    # SQL expression — ~1 s of Janino compile per run — to a
+    # bit-identical mapInPandas kernel; the bucket scorer was always
+    # FlatMapGroupsInPandas): what the plan may never show is
+    # BatchEvalPython (per-row Python) or a single-partition funnel.
     from sparkobs.operators.similarity import cosine_topk_ivf
 
     sf001 = "/root/testdata/sf0.001"
     emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
     df = cosine_topk_ivf(emb, k=3, n_clusters=8, n_probe=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" not in plan
-    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # the Python stages present must all be Arrow-batched
+    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
 
 
 def test_ivf_index_partition_pruning_and_parity(spark, tmp_path):
