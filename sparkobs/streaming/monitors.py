@@ -278,19 +278,6 @@ def run_to_memory(
     return name
 
 
-LATEST_STATE_SCHEMA = T.StructType(
-    [
-        T.StructField("ts_us", T.LongType()),
-        T.StructField("event_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-    ]
-)
-LATEST_OUT_SCHEMA = (
-    "user_id bigint, ts_us bigint, event_type string, value double"
-)
-
-
 def stateful_latest(events: DataFrame, key_col: str = "user_id") -> DataFrame:
     """Streaming CDC compaction — the continuous form of
     :func:`sparkobs.operators.state.latest_by_key`: per key the state
@@ -299,45 +286,43 @@ def stateful_latest(events: DataFrame, key_col: str = "user_id") -> DataFrame:
     mode). Ties on ts break by event_id, matching the batch operator,
     so replaying the same batches always yields the same emissions.
 
+    Expressed as a built-in streaming ``max_by`` aggregation (r11 —
+    previously ``applyInPandasWithState`` with a per-key Python state
+    tuple): per-key latest IS an aggregate (argmax under the
+    (ts_us, event_id) order), so the JVM state store carries it with
+    no Python workers in the loop, exact integer comparisons, and the
+    same update-mode emission pattern (a key's aggregate row is
+    rewritten — and therefore emitted — exactly in the batches where
+    the key appears). The custom-stateful API remains showcased by
+    the operators that genuinely need imperative state
+    (stateful_count_drift, stateful_disorder, stateful_salted_distinct).
+
     Timestamps cross the boundary as naive-wall-clock epoch micros
     computed from the NTZ value itself — no session-timezone
     dependence, and directly comparable to DuckDB's ``epoch_us``.
     """
-
-    def update(key, pdfs, state):
-        import pandas as pd
-
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch["__us"] = (
-            batch["ts"].astype("datetime64[us]").astype("int64")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "CAST(ts AS TIMESTAMP_NTZ))"
+    )
+    best = F.max_by(
+        F.struct(
+            us.alias("us"),
+            F.col("event_id"),
+            F.col("event_type"),
+            F.col("value"),
+        ),
+        F.struct(us.alias("us"), F.col("event_id")),
+    )
+    return (
+        events.groupBy(F.col(key_col).alias("user_id"))
+        .agg(best.alias("__b"))
+        .select(
+            "user_id",
+            F.col("__b.us").alias("ts_us"),
+            F.col("__b.event_type").alias("event_type"),
+            F.round("__b.value", 4).alias("value"),
         )
-        top = batch.sort_values(["__us", "event_id"]).iloc[-1]
-        best = (
-            int(top["__us"]),
-            int(top["event_id"]),
-            top["event_type"],
-            float(top["value"]),
-        )
-        if state.exists:
-            prev = tuple(state.get)
-            if (prev[0], prev[1]) > (best[0], best[1]):
-                best = prev
-        state.update(best)
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "ts_us": [best[0]],
-                "event_type": [best[2]],
-                "value": [round(best[3], 4)],
-            }
-        )
-
-    return events.groupBy(F.col(key_col)).applyInPandasWithState(
-        update,
-        outputStructType=LATEST_OUT_SCHEMA,
-        stateStructType=LATEST_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf="NoTimeout",
     )
 
 
