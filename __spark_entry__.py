@@ -48,66 +48,71 @@ def entry(spark: SparkSession) -> DataFrame:
 GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
-    # --- r11 gate (50 slots, exactly full — tools/plan_rotation.py
-    # output, the same derivation tests/test_gate_hygiene.py
-    # enforces): (1) the 3 promoted r10-queue entries, staging order
-    # (grouped theta batch + streaming twin sharing one oracle, and
-    # the sampled-CI AQP entry — the registry's 300th and last
-    # net-new slot). (2) The 47 stalest r5-stamped re-certs
-    # (alphabetical within the cohort). The r12 gate then carries
-    # the 1 remaining r5 stamp (forced) + 49 r6 re-certs; the queue
-    # is EMPTY — future additions are retire-then-stage swaps.
-    # --- promoted r10 queue, staging order ---
-    "theta_intersection_grouped_events",
-    "streaming_theta_intersection_grouped_events",
-    "sampled_agg_ci_orders",
-    "bpe_merges_batched_documents",
-    "bucket_monitor_metrics",
-    "cdc_agg_maintain_events",
-    "cdc_compact_events",
-    "collect_metric_lists_supplier",
-    "corr_matrix_lineitem",
-    "csv_roundtrip_orders",
-    "customer_distribution_q13",
-    "dup_span_coverage_documents",
-    "forecast_revenue_q6",
-    "global_sales_opportunity_q22",
-    "gopher_quality_documents",
-    "gram_matrix_embeddings",
-    "group_sample_orders_by_status",
-    "join_size_lineitem_orders",
-    "jsonl_roundtrip_events",
-    "key_skew_stats_lineitem",
-    "large_orders_q18",
-    "late_shipment_priority_q4",
-    "listing_key_metrics",
-    "listing_prefix_stats",
-    "listing_storage_stats",
-    "local_supplier_volume_q5",
-    "minhash_lsh_pairs_xx64",
-    "monitor_health_events",
-    "normalize_text_documents",
-    "orc_roundtrip_part",
-    "pack_manifest_documents",
-    "pca_project_embeddings",
-    "pivot_priority_by_status",
-    "promo_revenue_q14",
-    "range_join_value_bands",
-    "returned_items_q10",
-    "rollup_revenue_region_nation",
-    "sample_scan",
-    "semantic_dedup_embeddings",
-    "semantic_dedup_ivf_embeddings",
-    "shipping_priority_q3",
-    "split_assign_documents",
-    "storage_capacity_stats",
-    "streaming_jsonl_tumbling_events",
-    "streaming_monitor_health_events",
-    "token_entropy_documents",
-    "top_customers_per_nation",
-    "vocab_topk_documents",
-    "volume_shipping_q7",
-    "winnowing_fingerprints_documents",
+    # --- r12 gate (50 slots, exactly full — tools/plan_rotation.py
+    # output verbatim, the same derivation
+    # tests/test_gate_hygiene.py enforces): (1) the 1 promoted
+    # r11-queue entry (join-side AQP — a swap into the slot the r11
+    # sparse-cosine retirement freed; registry back at the 300
+    # ceiling, queue EMPTY). (2) The 1 forced re-cert
+    # (zscore_events_by_type, the last r5 stamp — it crosses the
+    # 6-round age ceiling this round). (3) The 48 stalest r6
+    # re-certs (alphabetical within the cohort). Future gate windows
+    # are whatever tools/plan_rotation.py prints — SURVEY.md's gate
+    # paragraphs are generated from it (make survey-gates), never
+    # hand-typed.
+    # --- promoted r11 queue ---
+    "sampled_join_agg_ci_lineitem",
+    # --- forced: stamp past the age ceiling ---
+    "zscore_events_by_type",
+    # --- stalest fill (r6 stamps) ---
+    "bigram_pmi_documents",
+    "bpe_batched_parity_documents",
+    "chi_square_events_type_hour",
+    "compaction_execute_documents",
+    "compaction_plan_sf_dir",
+    "cosine_topk",
+    "database_monitor_metrics",
+    "debounce_events_user_type",
+    "exact_dedup_documents",
+    "fingerprint_documents",
+    "gini_user_activity_events",
+    "hist2d_hour_value_events",
+    "ks_drift_events_halves",
+    "language_id_documents",
+    "lookup_join_fill_nation",
+    "mad_events_by_type",
+    "merkle_diff_orders",
+    "metrics_fanin_supplier",
+    "minhash_xx64_parity_documents",
+    "minmax_norm_events_by_type",
+    "mutual_info_events_type_hour",
+    "ngram_jaccard_pairs",
+    "pca_variance_embeddings",
+    "percent_rank_orders_by_status",
+    "pricing_summary",
+    "profile_lineitem_stats",
+    "quality_score_documents",
+    "record_count_lineitem",
+    "revenue_per_nation",
+    "robust_outliers_events",
+    "schema_drift_hourly",
+    "shape_summary_all",
+    "small_qty_revenue_q17",
+    "snapshot_count_delta",
+    "sql_monitor_lineitem",
+    "streaming_count_drift",
+    "streaming_tumbling_events",
+    "target_encode_events_type",
+    "text_stats_documents",
+    "token_count_regex_documents",
+    "top_event_trigrams",
+    "top_supplier_q15",
+    "unpivot_order_measures",
+    "vocab_segments_documents",
+    "weighted_sample_documents",
+    "window_session_per_user",
+    "window_sliding",
+    "window_tumbling_hourly",
 ]
 
 

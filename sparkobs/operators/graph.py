@@ -527,7 +527,13 @@ def min_label_components(
     non-null BIGINTs (the kernel contract shared by every dense
     tier). Past either bound the distributed loop runs unchanged.
     """
-    nd = nodes.select("node").localCheckpoint()
+    # distinct(): duplicate node rows are contract-violating but must
+    # not make the tiers diverge — the dense tier dedupes via
+    # np.unique, and without this the rounds=0 distributed path would
+    # return the duplicates verbatim (rounds >= 1 dedupes via the dst
+    # group-by). Same dispatch-boundary fix as reachable_set's
+    # duplicate seeds (r10); property-tested with duplicated node rows.
+    nd = nodes.select("node").distinct().localCheckpoint()
     ed = edges.select("src", "dst").localCheckpoint()
     if (
         dense_max_edges

@@ -244,12 +244,16 @@ def _banded_keys(n: DataFrame, num_planes: int, band_planes: int) -> DataFrame:
     Computed as an Arrow-batched ``mapInPandas`` kernel (r11 —
     previously ``num_planes`` interpreted zip_with/aggregate lambda
     dots per row, the LSH tiers' dominant fixed cost). Row-local and
-    fully distributed; BIT-IDENTICAL to the lambda form: each plane
-    dot accumulates left-to-right over dims in float64 (the same IEEE
-    add sequence as the SQL fold), the sign test replays
-    ``dot >= 0 → 1 else 0`` including the NaN→0 branch, and the band
-    key is the same "0"/"1" concatenation. Verified key-for-key
-    against the expression form before the swap."""
+    fully distributed; BIT-IDENTICAL to the lambda form for FINITE
+    inputs: each plane dot accumulates left-to-right over dims in
+    float64 (the same IEEE add sequence as the SQL fold), the sign
+    test replays ``dot >= 0 → 1 else 0``, and the band key is the
+    same "0"/"1" concatenation. Verified key-for-key against the
+    expression form before the swap. Non-finite vectors are OUT OF
+    CONTRACT (the module normalizes upstream): there the two forms
+    diverge — Spark SQL orders NaN above every numeric, so the old
+    expression emitted bit 1 for a NaN dot, while numpy's
+    ``dots >= 0`` emits 0."""
     import numpy as np
 
     dim_probe = n.select(F.size("v").alias("d")).head()
@@ -366,7 +370,9 @@ def ivf_quantize(
     # probe-for-probe against the expression form before the swap;
     # the DuckDB oracles certify the same arithmetic. Vectors are
     # assumed norm-finite (the module contract — a zero-norm vector
-    # is NaN in every tier).
+    # is NaN in every tier); NaN dots are OUT OF CONTRACT and the two
+    # forms diverge there (Spark SQL's comparator orders NaN above
+    # every numeric, numpy's lexsort on -dots puts NaN last).
     import numpy as np
 
     cm = np.array(cents, dtype=np.float64)

@@ -334,16 +334,21 @@ def quantile_bins(
     no shuffle beyond the final per-bin agg. ``percentile_approx``
     remains the documented sketch swap when even two exact passes are
     too many.
+
+    Degenerate inputs (all-NULL or empty ``value_col``) keep the
+    original ``percentile()`` semantics: zero edge rows fold to a
+    NULL edges array (not an empty one — an empty array would
+    silently assign every row bin 1), so every bin comes out NULL,
+    pinned by test_quantile_bins_all_null_values.
     """
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     from sparkobs.operators.profile import exact_quantiles_twopass
 
     qs = [i / n_bins for i in range(1, n_bins)]
+    folded = F.array_sort(F.collect_list(F.round(F.col("value"), 4)))
     edges = exact_quantiles_twopass(df, value_col, qs=tuple(qs)).agg(
-        F.array_sort(
-            F.collect_list(F.round(F.col("value"), 4))
-        ).alias("__edges")
+        F.when(F.size(folded) == 0, F.lit(None)).otherwise(folded).alias("__edges")
     )
     binned = df.crossJoin(F.broadcast(edges)).select(
         F.col(value_col).cast("double").alias("v"), "__edges"

@@ -13060,3 +13060,76 @@ def sampled_agg_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled_agg_ci(
         orders, "o_orderkey", ["o_orderpriority"], "o_totalprice", one_in=10
     )
+
+
+# --- join-side sampled aggregation with confidence intervals (AQP) ----------
+# Promoted from the r11 staged queue (queries_next.py) into the r12
+# gate — the swap slot freed by the r11 sparse_cosine_powerlaw_exact
+# retirement (tombstone above). Operator:
+# sampling.sampled_join_agg_ci — coordinated key-UNIVERSE sampling
+# over a join: independent per-side samples keep only 1/one_in^2 of
+# joined pairs (pair starvation), so BOTH sides filter by the SAME
+# md5-mod predicate on the join key and sampled keys contribute whole
+# join clusters; Horvitz-Thompson then runs over per-(group, key)
+# cluster totals in exact BIGINT/DECIMAL. one_in=1 degenerates to the
+# exact join. Unit + property tests: tests/test_r11_ops.py.
+
+_JACI_HASH_L = "md5(CAST(o_orderkey AS VARCHAR))"
+_JACI_HASH_R = "md5(CAST(l_orderkey AS VARCHAR))"
+
+
+@query(
+    "sampled_join_agg_ci_lineitem",
+    oracle=f"""
+    WITH lk AS (SELECT o_orderkey, o_orderpriority FROM orders
+                WHERE ({_hex15_sql(_JACI_HASH_L)}) % 10 = 0),
+    rk AS (SELECT l_orderkey,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+           FROM lineitem
+           WHERE ({_hex15_sql(_JACI_HASH_R)}) % 10 = 0),
+    pk AS (SELECT o_orderpriority, o_orderkey AS k,
+                  CAST(count(*) AS BIGINT) AS ck,
+                  CAST(sum(v) AS DECIMAL(18,2)) AS sk
+           FROM lk JOIN rk ON o_orderkey = l_orderkey GROUP BY 1, 2),
+    g AS (SELECT o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(ck) AS BIGINT) AS njs,
+                 CAST(sum(ck * ck) AS BIGINT) AS cksq,
+                 sum(sk) AS sd,
+                 sum(CAST(sk * sk AS DECIMAL(38,4))) AS ssq
+          FROM pk GROUP BY 1)
+    SELECT o_orderpriority, n_keys, njs AS n_join_sample,
+           CAST(njs * 10 AS BIGINT) AS est_count,
+           round(1.959964 * sqrt(CAST(cksq AS DOUBLE) * 90.0), 4)
+               AS ci95_count,
+           round(CAST(sd * 10 AS DOUBLE), 2) AS est_sum,
+           round(1.959964 * sqrt(CAST(ssq AS DOUBLE) * 90.0), 4)
+               AS ci95_sum
+    FROM g
+    """,
+)
+def sampled_join_agg_ci_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate per-priority joined-row count and extended-price
+    total of orders ⋈ lineitem from a 1-in-10 JOIN-KEY-universe
+    sample with 95% error bars (extension: join-side AQP — the form
+    where independent per-table samples fail; both sides filter by
+    the SAME md5-mod predicate on the order key, so sampled keys
+    contribute whole join clusters and the HT variance runs over
+    cluster totals). The oracle replays the coordinated predicate,
+    the per-(priority, key) cluster totals, and the exact-decimal
+    HT arithmetic in DuckDB."""
+    from sparkobs.operators.sampling import sampled_join_agg_ci
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return sampled_join_agg_ci(
+        orders,
+        lineitem,
+        "o_orderkey",
+        "l_orderkey",
+        ["o_orderpriority"],
+        "l_extendedprice",
+        one_in=10,
+    )

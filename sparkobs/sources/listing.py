@@ -503,7 +503,6 @@ def compaction_execute(
         .groupBy(F.col("group_id").cast("long").alias("group_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )
-    merged = merged.join(written, "group_id")
     out_files = (
         list_files(spark, out_dir)
         .where(F.col("path").rlike("group_id=") & ~F.col("path").rlike("_SUCCESS"))
@@ -514,8 +513,23 @@ def compaction_execute(
         .groupBy("group_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_files_out"))
     )
-    return merged.join(out_files, "group_id").select(
-        "group_id", "n_files_in", "n_rows", "n_files_out"
+    # LEFT joins from the assignment-derived frame (r11 review): a
+    # group whose write produced ZERO rows has no partition directory
+    # at all — an inner join would silently drop it from the audit,
+    # hiding exactly the all-rows-dropped failure the output-side
+    # count exists to surface. Missing groups report
+    # (n_files_in > 0, n_rows = 0, n_files_out = 0) instead.
+    return (
+        merged.join(written, "group_id", "left")
+        .join(out_files, "group_id", "left")
+        .select(
+            "group_id",
+            "n_files_in",
+            F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce("n_files_out", F.lit(0))
+            .cast("long")
+            .alias("n_files_out"),
+        )
     )
 
 

@@ -313,6 +313,21 @@ def test_quantile_bins_equal_frequency(spark):
     assert out[1]["min_val"] == 1.0 and out[4]["max_val"] == 1000.0
 
 
+def test_quantile_bins_all_null_values(spark):
+    """Degenerate-input pin (r11 review): an all-NULL value column
+    yields ZERO quantile edge rows — those must fold to a NULL edges
+    array (the original percentile() semantics: every bin NULL), not
+    an empty array that would silently assign every row bin 1."""
+    from sparkobs.operators.state import quantile_bins
+
+    df = spark.createDataFrame([(None,), (None,), (None,)], "v double")
+    rows = quantile_bins(df, "v", 4).collect()
+    assert len(rows) == 1
+    assert rows[0]["bin"] is None
+    assert rows[0]["n_rows"] == 3
+    assert rows[0]["min_val"] is None and rows[0]["max_val"] is None
+
+
 def test_quantize_embeddings_roundtrip(spark):
     from sparkobs.operators.similarity import quantize_embeddings
 
@@ -1194,6 +1209,40 @@ def test_compaction_execute_preserves_rows_one_file_per_group(spark, tmp_path):
         spark, listing, target_bytes=6 * 1024, out_dir=out2, src_root=src
     )
     assert sorted(map(tuple, audit2.collect())) == sorted(map(tuple, rows))
+
+
+def test_compaction_execute_audit_surfaces_zero_row_group(spark, tmp_path):
+    """The audit's stated purpose is catching a write that dropped
+    rows — so a group whose write produced ZERO rows (no partition
+    directory at all) must surface as (n_files_in>0, n_rows=0,
+    n_files_out=0), not silently vanish from an inner join (r11
+    review). A zero-row parquet fragment is the honest way to
+    manufacture that group: it has a footer (gets assigned a group)
+    but contributes no rows."""
+    import os
+
+    from sparkobs.sources.listing import compaction_execute, list_files
+
+    src_a = os.path.join(str(tmp_path), "frags")
+    src_b = os.path.join(str(tmp_path), "empty_frag")
+    out = os.path.join(str(tmp_path), "compacted")
+    spark.range(100).selectExpr("id", "id % 7 AS v").coalesce(1).write.parquet(src_a)
+    spark.range(0).selectExpr("id", "id % 7 AS v").coalesce(1).write.parquet(src_b)
+    listing = (
+        list_files(spark, src_a)
+        .unionAll(list_files(spark, src_b))
+        .where("path LIKE '%.parquet'")
+    )
+    # target_bytes=1: every fragment is its own group, so the empty
+    # fragment's group writes zero rows
+    audit = compaction_execute(spark, listing, target_bytes=1, out_dir=out)
+    rows = sorted(audit.collect(), key=lambda r: r["n_rows"])
+    assert len(rows) == 2
+    empty, full = rows
+    assert empty["n_files_in"] == 1
+    assert empty["n_rows"] == 0
+    assert empty["n_files_out"] == 0
+    assert full["n_rows"] == 100 and full["n_files_out"] == 1
 
 
 def test_compaction_execute_derives_src_root_and_prunes(spark, tmp_path):

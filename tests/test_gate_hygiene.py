@@ -80,10 +80,15 @@ def test_priority_names_exist_in_registry():
 MAX_CERT_AGE_ROUNDS = 6
 
 
-def _last_certified_round() -> tuple[dict[str, int], int]:
+def _last_certified_round(
+    exclude_round: int | None = None,
+) -> tuple[dict[str, int], int]:
     """(last green driver round per entry, current build round). The
     current round is one past the newest CORRECTNESS file — the round
-    whose gate is being assembled now."""
+    whose gate is being assembled now. ``exclude_round`` drops that
+    round's artifact from the stamp scan (callers reconstructing the
+    stamps a gate was built FROM, e.g. tools/survey_gates.py at a
+    round boundary) — it still counts toward the current round."""
     import re
 
     last: dict[str, int] = {}
@@ -91,6 +96,8 @@ def _last_certified_round() -> tuple[dict[str, int], int]:
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         newest = max(newest, rnd)
+        if rnd == exclude_round:
+            continue
         with open(f) as fh:
             rows = json.load(fh)
         for name, row in rows.items():
@@ -109,14 +116,30 @@ def _last_certified_round() -> tuple[dict[str, int], int]:
 
 def test_no_registry_entry_staler_than_max_cert_age():
     """Certification-age rotation is enforced: every registry entry
-    must either sit in the current gate window (it gets a fresh stamp
-    this round) or carry a driver certification younger than
+    must either sit in the gate window that will be stamped THIS
+    round or carry a driver certification younger than
     MAX_CERT_AGE_ROUNDS. Keeps the stalest-first rotation honest —
     without it, entries certified once in an early round drift
-    arbitrarily far from their last driver witness."""
+    arbitrarily far from their last driver witness.
+
+    Round-boundary aware (the r9/r10/r11 blind spot, one rung higher
+    each time: this was the last hygiene test still comparing against
+    the live ``_PRIORITY`` unconditionally): when the newest
+    CORRECTNESS file certifies exactly the live gate, the live gate
+    is LAST round's — the gate that will be stamped this round is the
+    PENDING one, derived via ``_planned_gate`` (the same derivation
+    the boundary fixtures and ``tools/plan_rotation.py`` share). An
+    entry that just crossed the age ceiling but sits in that planned
+    gate is about to be stamped, not rotation debt."""
     entrymod, Q = _registry()
     last, current = _last_certified_round()
     gate = set(list(entrymod.queries())[: entrymod.GATE_SIZE])
+    if gate <= _newest_round_names():
+        gate = set(
+            _planned_gate(
+                _stamps_for(last), _queue_names(), current, entrymod.GATE_SIZE
+            )
+        )
     threshold = current - MAX_CERT_AGE_ROUNDS
     stale = sorted(
         n
@@ -125,8 +148,8 @@ def test_no_registry_entry_staler_than_max_cert_age():
     )
     assert not stale, (
         f"registry entries last driver-certified before r{threshold} "
-        f"and outside the current gate window: {stale} — rotate them "
-        "into _PRIORITY (stalest first)"
+        f"and outside the round-{current} gate window: {stale} — rotate "
+        "them into _PRIORITY (stalest first)"
     )
 
 

@@ -991,7 +991,7 @@ def test_pagerank_dense_and_distributed_tiers_agree(spark, edges, weighted, tele
     edges=st.lists(
         st.tuples(st.integers(0, 12), st.integers(0, 12)), max_size=24
     ),
-    node_ids=st.sets(st.integers(0, 12), max_size=10),
+    node_ids=st.lists(st.integers(0, 12), max_size=10),
     rounds=st.integers(0, 3),
 )
 @settings(**SETTINGS)
@@ -1001,7 +1001,10 @@ def test_min_label_components_tiers_agree(spark, edges, node_ids, rounds):
     BIT FOR BIT — including UNCONVERGED intermediate labelings (low
     rounds vs long chains), edge endpoints missing from the node
     table (no label until first reached as a dst, no self-loop ever),
-    asymmetric contract-violating edge lists, and isolated nodes."""
+    asymmetric contract-violating edge lists, isolated nodes, and
+    DUPLICATED node rows (node_ids is a list, not a set — the r11
+    review found the rounds=0 distributed path returned duplicates
+    verbatim while the dense tier deduped via np.unique)."""
     from sparkobs.operators.graph import min_label_components
 
     nodes = spark.createDataFrame(
