@@ -217,18 +217,40 @@ def cosine_topk_lsh(
     banded = _banded_keys(n, num_planes, band_planes).localCheckpoint(
         eager=True
     )
+    # The shared-bucket relation is SYMMETRIC, so candidates are
+    # generated UNORDERED (a.id < b.id) and mirrored after scoring
+    # (r12 — the ordered form was the query's dominant leg: the join
+    # emitted every pair twice into the dedup shuffle and the cosine
+    # evaluated twice per pair; isolated sf0.1 profile 3.2 s join +
+    # 1.2 s score → ~half each). The mirror is EXACT: zip_with keeps
+    # dimension order, float64 multiply is bit-commutative, and the
+    # left-to-right fold order is unchanged, so cosine(a,b) ≡
+    # cosine(b,a) bit for bit (the DuckDB oracle certifies the
+    # mirrored output).
     cand = (
         banded.alias("a")
         .join(
             banded.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") != F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("vec_id"), F.col("b.id").alias("neighbor_id"))
         .dropDuplicates(["vec_id", "neighbor_id"])
     )
-    scored = _score_pairs(cand, n, "vec_id", "neighbor_id")
+    # eager checkpoint: the half-set is referenced by both union legs
+    # and Catalyst reuses no subtree statically — without it the whole
+    # join+score pipeline would run twice (once per direction).
+    half = _score_pairs(cand, n, "vec_id", "neighbor_id").localCheckpoint(
+        eager=True
+    )
+    scored = half.unionAll(
+        half.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "cosine",
+        )
+    )
     w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1221,6 +1221,69 @@ def test_sampled_join_agg_ci_invariants(spark, lrows, rrows, one_in):
 
 
 @given(
+    cold_keys=st.sets(st.integers(100, 160), min_size=1, max_size=12),
+    hot_mult=st.integers(2, 6),
+    one_in=st.sampled_from([1, 2, 5]),
+)
+@settings(**SETTINGS)
+def test_sampled_join_agg_ci_skewed_hot_key(spark, cold_keys, hot_mult, one_in):
+    """Skew case for the join-AQP estimator (r12, the r11 verdict's
+    probe ask): ONE hot key holds ≥20% of the right-side rows. The
+    cluster-whole semantics must hold under skew — the hot cluster is
+    all-in-or-all-out of the sample, and when it IS in, the count
+    variance term Σck² is dominated by the hot cluster's ck² exactly
+    (no per-row variance arithmetic that would understate a clustered
+    error). Both are asserted by replaying the HT arithmetic by hand
+    over the skewed generator."""
+    import hashlib
+    import math
+
+    from sparkobs.operators.sampling import sampled_join_agg_ci
+
+    HOT = 7
+    # right side: hot cluster = hot_mult × the total cold mass (so the
+    # hot key holds >= 2/3 of rows, well past the 20% brief), one
+    # right row per cold key
+    rrows = [(HOT, 1.0)] * (hot_mult * len(cold_keys)) + [
+        (k, 1.0) for k in sorted(cold_keys)
+    ]
+    lrows = [(HOT, "a")] + [(k, "a") for k in sorted(cold_keys)]
+    left = spark.createDataFrame(lrows, "k bigint, g string")
+    right = spark.createDataFrame(rrows, "rk bigint, v double")
+    rows = sampled_join_agg_ci(
+        left, right, "k", "rk", ["g"], "v", one_in=one_in
+    ).collect()
+
+    def kept(k):
+        return (
+            int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % one_in
+            == 0
+        )
+
+    hot_ck = hot_mult * len(cold_keys)
+    sampled_cold = [k for k in cold_keys if kept(k)]
+    clusters = ([hot_ck] if kept(HOT) else []) + [1] * len(sampled_cold)
+    if not clusters:
+        assert rows == []
+        return
+    (r,) = rows
+    # the hot cluster is IN WHOLE or OUT WHOLE — never partially
+    assert r["n_join_sample"] == sum(clusters)
+    assert r["n_keys"] == len(clusters)
+    assert r["est_count"] == sum(clusters) * one_in
+    # exact HT variance replay over cluster totals
+    cksq = sum(c * c for c in clusters)
+    expect_ci = 1.959964 * math.sqrt(cksq * one_in * (one_in - 1))
+    assert abs(r["ci95_count"] - expect_ci) < 1e-3
+    if one_in > 1 and kept(HOT):
+        # the hot cluster's ck² floor: a per-row (Bernoulli) variance
+        # model would claim ~z·sqrt(n·one_in·(one_in−1)) — far below
+        assert r["ci95_count"] >= 1.959964 * math.sqrt(
+            hot_ck * hot_ck * one_in * (one_in - 1)
+        ) - 1e-3
+
+
+@given(
     files=st.lists(
         st.tuples(
             st.text(
