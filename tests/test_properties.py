@@ -1221,6 +1221,39 @@ def test_sampled_join_agg_ci_invariants(spark, lrows, rrows, one_in):
 
 
 @given(
+    docs=st.lists(
+        st.text(alphabet="ab xyz", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    ),
+    n_merges=st.integers(1, 10),
+    batch_size=st.sampled_from([1, 3]),
+)
+@settings(**SETTINGS)
+def test_bpe_train_tiers_agree(spark, docs, n_merges, batch_size):
+    """The r12 seventh density dispatch: the driver-side merge loop
+    must reproduce the distributed fixed rounds BIT FOR BIT — same
+    merge table (step order, tie-breaks, exact pair counts) across
+    sequential and batched modes, including corpora that fuse to
+    single symbols before n_merges is reached (early stop) and
+    repeated words (frequency aggregation)."""
+    from sparkobs.operators import bpe
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id bigint, text string"
+    )
+    dense = bpe.bpe_train(
+        df, n_merges=n_merges, batch_size=batch_size
+    ).collect()
+    dense_rounds = bpe.LAST_TRAIN_ROUNDS
+    dist = bpe.bpe_train(
+        df, n_merges=n_merges, batch_size=batch_size, dense_max_words=0
+    ).collect()
+    assert sorted(map(tuple, dense)) == sorted(map(tuple, dist))
+    assert dense_rounds == bpe.LAST_TRAIN_ROUNDS
+
+
+@given(
     cold_keys=st.sets(st.integers(100, 160), min_size=1, max_size=12),
     hot_mult=st.integers(2, 6),
     one_in=st.sampled_from([1, 2, 5]),
