@@ -1368,7 +1368,7 @@ def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_dir = _stage_events(spark, sf_dir)
     out = streaming_tumbling(stream_events(spark, stage_dir), "1 hour")
     tbl = run_to_memory(out, "tumbling_stream", output_mode="complete", unique=True,
-                        shuffle_partitions=4)
+                        shuffle_partitions=4, no_data_batch=False)
     return spark.table(tbl).select("window_start", "n_events", "sum_value")
 
 
@@ -1443,7 +1443,7 @@ def streaming_jsonl_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFra
         stream_jsonl(spark, stage_dir, EVENTS_SCHEMA), "1 hour"
     )
     tbl = run_to_memory(out, "jsonl_stream", output_mode="complete", unique=True,
-                        shuffle_partitions=4)
+                        shuffle_partitions=4, no_data_batch=False)
     return spark.table(tbl).select("window_start", "n_events", "sum_value")
 
 
@@ -2360,7 +2360,7 @@ def streaming_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_dir = _stage_events(spark, sf_dir)
     out = streaming_session(stream_events(spark, stage_dir), "30 minutes")
     tbl = run_to_memory(out, "session_stream", output_mode="complete", unique=True,
-                        shuffle_partitions=4)
+                        shuffle_partitions=4, no_data_batch=False)
     return spark.table(tbl).select("user_id", "session_start", "n_events")
 
 
@@ -2664,7 +2664,7 @@ def streaming_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(_to_ntz("w.start").alias("window_start"), "n_events")
     )
     tbl = run_to_memory(out, "sliding_stream", output_mode="complete", unique=True,
-                        shuffle_partitions=4)
+                        shuffle_partitions=4, no_data_batch=False)
     return spark.table(tbl)
 
 
@@ -6948,7 +6948,7 @@ def streaming_monitor_health_events(spark: SparkSession, sf_dir: str) -> DataFra
     )
     tbl = run_to_memory(
         hourly, "monitor_health_stream", output_mode="complete", unique=True,
-        shuffle_partitions=4,
+        shuffle_partitions=4, no_data_batch=False,
     )
     series = spark.table(tbl).select(
         "key",
@@ -9576,7 +9576,7 @@ def streaming_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap_seconds=600,
     )
     tbl = run_to_memory(out, "debounce_stream", output_mode="complete", unique=True,
-                        shuffle_partitions=4)
+                        shuffle_partitions=4, no_data_batch=False)
     return spark.table(tbl).select(
         "event_id", "user_id", "event_type", "ts", "value"
     )
@@ -9630,7 +9630,7 @@ def streaming_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl = run_to_memory(
         cells_stream, "ks_cells_stream", output_mode="complete", unique=True,
-        shuffle_partitions=2,
+        shuffle_partitions=2, no_data_batch=False,
     )
     cells = (
         spark.table(tbl)
@@ -10021,7 +10021,7 @@ def streaming_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = streaming_freshness(stream_events(spark, stage_dir))
     tbl = run_to_memory(
         out, "freshness_stream", output_mode="complete", unique=True,
-        shuffle_partitions=2,
+        shuffle_partitions=2, no_data_batch=False,
     )
     # TIMESTAMP_NTZ arithmetic (naive-as-UTC): unix_micros over a
     # session-tz TIMESTAMP diverges by the DST offset gap between the
@@ -10984,7 +10984,7 @@ def streaming_slo_burn_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl = run_to_memory(
         out, "slo_burn_stream", output_mode="complete", unique=True,
-        shuffle_partitions=4,
+        shuffle_partitions=4, no_data_batch=False,
     )
     from sparkobs.operators.checks import slo_burn_derive
 

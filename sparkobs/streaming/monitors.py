@@ -217,6 +217,7 @@ def run_to_memory(
     timeout_s: int = 300,
     unique: bool = False,
     shuffle_partitions: int | None = None,
+    no_data_batch: bool | None = None,
 ) -> str:
     """Drain all available input through the stream (availableNow
     trigger, OP-53's drain-and-stop form) into an in-memory table and
@@ -242,6 +243,21 @@ def run_to_memory(
     changes VALUES — state is key-addressed — so certification
     semantics are untouched; leave None for streams whose state
     cardinality actually scales (they want the full width).
+
+    ``no_data_batch=False`` (r12, streaming-fixed-cost lever 2):
+    availableNow appends a trailing NO-DATA micro-batch after the
+    last data batch — a full round of state tasks that exists to
+    advance the watermark (append-mode window finalization) and fire
+    stateful timeouts (update-mode flushes). For a COMPLETE-mode
+    aggregation it is value-neutral by construction: complete mode
+    evicts no state and re-emits the entire result table every
+    batch, so the trailing batch re-emits an identical table
+    (measured ~0.15-0.3 s of pure state-task scheduling per stream).
+    Pass False ONLY for complete-mode aggregations; leave None
+    (engine default, the batch runs) for every append-mode stream —
+    watermark finalization NEEDS it — and every
+    applyInPandasWithState stream whose timeouts flush on it. Scoped
+    to this drain exactly like ``shuffle_partitions``.
     """
     if unique:
         import uuid
@@ -249,9 +265,18 @@ def run_to_memory(
         name = f"{name}_{uuid.uuid4().hex[:8]}"
     spark = stream_df.sparkSession
     prev_sp = None
+    prev_ndb = None
     if shuffle_partitions is not None:
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if no_data_batch is not None:
+        prev_ndb = spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled"
+        )
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled",
+            str(no_data_batch).lower(),
+        )
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -275,6 +300,10 @@ def run_to_memory(
     finally:
         if prev_sp is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        if prev_ndb is not None:
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+            )
     return name
 
 
