@@ -49,7 +49,10 @@ HEADLINE = [
     "asof_join_events_orders",
     "pipeline_filtered_corpus",
     "streaming_tumbling_events",
-    "near_dup_groups_documents",
+    # near_dup_groups_documents (the exact-tier comparison leg) was
+    # RETIRED from the registry in r12 (tombstone in queries.py, swap
+    # ledger #1): the exact tier keeps its driver witness through
+    # canonical_dedup_documents, and the ~3 s every-round row is gone
     "near_dup_groups_lsh",
     "chunk_documents",
     # round-3 additions
@@ -236,6 +239,8 @@ HEADLINE = [
     "theta_intersection_grouped_events",
     "streaming_theta_intersection_grouped_events",
     "sampled_agg_ci_orders",
+    # round-12 addition (the promoted r11-queue entry): join-side AQP
+    "sampled_join_agg_ci_lineitem",
 ]
 
 # HEADLINE is the cross-round-comparable curated set (reps=3 medians,

@@ -1104,3 +1104,75 @@ def bm25_scores(
             F.sum("__u").cast("long").alias("score_units"),
         )
     )
+
+
+def filter_funnel(
+    df: DataFrame, rules: list[tuple[str, str]]
+) -> DataFrame:
+    """Rule-level filter-funnel audit (extension, EXT-152 — distinct
+    from EXT-52's pipeline-STAGE audit: this attributes removal to
+    individual boolean RULES, marginally at chain position):
+    given an ORDERED chain of boolean filter rules, report per rule
+    how much it removes — both in isolation and marginally at its
+    position in the chain — and how many documents survive it. The
+    question every 100 TB curation pipeline asks before committing a
+    filter chain ("which rule is doing the work, which is redundant
+    at its position, what's left"), answered in ONE corpus scan.
+
+    ``rules`` is ``[(name, sql_bool_expr)]``; expressions are SQL
+    strings evaluated on the input columns (portable ones — arithmetic
+    / comparisons / LIKE / length / replace — let a DuckDB oracle
+    replay the funnel verbatim). NULL conditions count as FAIL (a
+    curation filter keeps only affirmative passes; pinned by unit
+    test), via ``coalesce(cond, false)``.
+
+    Output, one row per rule in chain order:
+    (step, rule, n_input, n_failing, n_failing_marginal, n_survivors)
+    where ``n_failing`` is corpus-wide failures of the rule alone,
+    ``n_failing_marginal`` counts failures among survivors of rules
+    1..k-1 (what the rule actually removes at its position), and
+    ``n_survivors`` is the running survivor count — so
+    ``n_survivors[k-1] - n_failing_marginal[k] == n_survivors[k]``,
+    an arithmetic invariant the oracle certifies row by row.
+
+    Scale shape: every statistic is a conditional SUM over one scan —
+    3·k map-side-combinable aggregates, a 1-row result exploded to k
+    rows driver-free; no shuffle beyond the single agg exchange, no
+    joins, no second pass. Reference analogue: the per-table check
+    batteries of the reference's monitors (s3_key_monitor.py:141-220
+    fan-in), generalized to an ordered removal audit."""
+    if not rules:
+        raise ValueError("filter_funnel needs at least one rule")
+    aggs = []
+    prev = None  # cumulative pass-predicate of rules 1..k-1
+    for i, (name, cond) in enumerate(rules):
+        p = F.coalesce(F.expr(cond), F.lit(False))
+        prev_p = F.lit(True) if prev is None else prev
+        aggs.append(
+            F.sum(F.when(~p, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__f{i}")
+        )
+        aggs.append(
+            F.sum(F.when(prev_p & ~p, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__m{i}")
+        )
+        aggs.append(
+            F.sum(F.when(prev_p & p, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__s{i}")
+        )
+        prev = prev_p & p
+    one = df.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"), *aggs
+    )
+    rows = ", ".join(
+        f"struct({i + 1} AS step, '{name}' AS rule, __n AS n_input, "
+        f"__f{i} AS n_failing, __m{i} AS n_failing_marginal, "
+        f"__s{i} AS n_survivors)"
+        for i, (name, _) in enumerate(rules)
+    )
+    return one.select(
+        F.expr(f"explode(array({rows}))").alias("r")
+    ).select("r.*")

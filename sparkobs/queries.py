@@ -2920,39 +2920,21 @@ def _closure_ctes() -> str:
     allr AS (SELECT u, v FROM reach UNION SELECT u, u FROM nodes)"""
 
 
-@query(
-    "near_dup_groups_documents",
-    oracle="""
-    WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
-    sh AS (SELECT doc_id,
-                  CASE WHEN len(t) >= 3
-                       THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
-                                                         i -> array_to_string(t[i:i+2], ' ')))
-                       ELSE [array_to_string(t, ' ')] END AS s
-           FROM toks),
-    ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
-    inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
-              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-    pairs AS (
-      SELECT ia AS id_a, ib AS id_b
-      FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
-      WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.2),
-    """ + _closure_ctes() + """
-    SELECT u AS doc_id, min(v) AS component FROM allr GROUP BY u
-    """,
-)
-def near_dup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup GROUPS (extension: dedup clustering): exact 3-gram
-    Jaccard pairs >= 0.2 -> connected components via min-label
-    propagation -> (doc_id, component=lowest id in group). Oracle =
-    recursive-CTE transitive closure in DuckDB."""
-    from sparkobs.operators.dedup import near_dup_groups
-
-    return near_dup_groups(
-        load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
-    )
+# TOMBSTONE (r12): near_dup_groups_documents RETIRED — swap-ledger
+# entry #1 (SURVEY §2.11), the slot staged to filter_funnel
+# (queries_next.py). It was the EXACT-tier comparison leg of the
+# near-dup family (exact 3-gram Jaccard pairs ≥ 0.2 → min-label
+# components), a 3.0 s headline-profile top row whose certified claim
+# keeps TWO carriers without a dedicated gate slot:
+# `canonical_dedup_documents` (directly below) composes the IDENTICAL
+# `near_dup_groups(n=3, threshold=0.2)` exact-tier call inside its
+# own oracle-certified pipeline — so the exact tier still has a
+# driver witness every time that entry gates — and the groups ≡
+# pairs-closure contract stays unit-tested
+# (tests/test_dedup_similarity.py::test_near_dup_groups_match_pairs).
+# The LSH scale tier remains separately certified
+# (`near_dup_groups_lsh`). Same retirement discipline as
+# sparse_cosine_powerlaw_exact (r11).
 
 
 @query(

@@ -1448,3 +1448,44 @@ def test_compaction_execute_extension_blind_sibling_falls_back(
     got = spark.read.parquet(out)
     assert "v" in got.columns
     assert got.count() == 400
+
+
+def test_filter_funnel_marginal_arithmetic_and_null_fail(spark):
+    """EXT-152 contract: NULL conditions count as FAIL (curation keeps
+    only affirmative passes), n_failing is corpus-wide, marginal
+    counts are position-dependent, and the funnel invariant
+    n_survivors[k-1] - n_failing_marginal[k] == n_survivors[k] holds
+    row by row."""
+    from sparkobs.operators.text import filter_funnel
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "en"),
+            (2, 5, "en"),
+            (3, 10, None),   # NULL lang: fails the lang rule
+            (4, 10, "de"),
+            (5, None, "en"), # NULL size: fails the size rule
+        ],
+        "id bigint, size bigint, lang string",
+    )
+    rows = {
+        r["step"]: r
+        for r in filter_funnel(
+            df, [("big", "size >= 8"), ("english", "lang = 'en'")]
+        ).collect()
+    }
+    assert rows[1]["n_input"] == 5
+    assert rows[1]["n_failing"] == 2          # ids 2, 5 (NULL fails)
+    assert rows[1]["n_failing_marginal"] == 2
+    assert rows[1]["n_survivors"] == 3        # 1, 3, 4
+    assert rows[2]["n_failing"] == 2          # id 3 (NULL lang), id 4 ('de')
+    assert rows[2]["n_failing_marginal"] == 2 # of survivors {1,3,4}: 3, 4 fail
+    assert rows[2]["n_survivors"] == 1        # id 1
+    assert (
+        rows[1]["n_survivors"] - rows[2]["n_failing_marginal"]
+        == rows[2]["n_survivors"]
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        filter_funnel(df, [])

@@ -311,12 +311,24 @@ def _queue_names() -> list[str]:
 
 
 def _stamps_for(last: dict[str, int]) -> dict[str, int]:
-    """Simulation stamps: every registry entry plus every name the
-    (possibly synthesized) history has certified — promoted queue
-    entries live in ``last`` before they appear in the registry."""
+    """Simulation stamps: every registry entry plus every LIVE name
+    the (possibly synthesized) history has certified — promoted queue
+    entries live in ``last`` before they appear in the registry.
+    RETIRED names are filtered out (r12): a tombstoned entry's old
+    stamp keeps aging in the CORRECTNESS history, and left in the
+    simulation it would eventually be 'forced' into a planned gate,
+    wasting a slot and displacing the 50th real entry — the
+    boundary-planning analogue of the ghost-name guard
+    ``test_priority_names_exist_in_registry`` enforces for the live
+    gate."""
     _, Q = _registry()
+    from sparkobs.queries_next import R7_QUEUE
+
+    known = set(Q.SPARK_QUERIES) | set(R7_QUEUE)
     stamps = {n: last.get(n, 0) for n in Q.SPARK_QUERIES}
-    stamps.update({n: last[n] for n in last if n not in stamps})
+    stamps.update(
+        {n: last[n] for n in last if n not in stamps and n in known}
+    )
     return stamps
 
 
@@ -409,3 +421,20 @@ def test_plan_rotation_tool_emits_a_full_feasible_gate():
     assert set(names) <= known
     assert names[: len(R7_QUEUE)] == list(R7_QUEUE)
     assert len(set(names)) == len(names)
+
+
+def test_stamps_for_filters_retired_names():
+    """A tombstoned entry's stamps live on in the CORRECTNESS history;
+    the simulation must not let that ghost age into a 'forced' slot of
+    a future planned gate (r12: sparse_cosine_powerlaw_exact, retired
+    r11, would have been force-planned from round 17 on)."""
+    entrymod, Q = _registry()
+    last, _ = _last_certified_round()
+    ghost = "sparse_cosine_powerlaw_exact"
+    assert ghost in last, "history should still record the retired entry"
+    assert ghost not in Q.SPARK_QUERIES
+    stamps = _stamps_for(last)
+    assert ghost not in stamps
+    synthetic = dict(last)
+    synthetic["never_existed_query"] = 3
+    assert "never_existed_query" not in _stamps_for(synthetic)
