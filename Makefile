@@ -49,4 +49,7 @@ survey-gates:
 smoke:
 	python -c "from sparkobs.session import get_spark; import __spark_entry__ as e; print(e.entry(get_spark('smoke')).count())"
 
-verify: test sweep smoke
+# boundary-check-fast is part of verify: the bookkeeping tests are
+# seconds, and the r9-r11 streak proved commit-time green is
+# meaningless unless the synthesized-artifact tree state is green too
+verify: test sweep smoke boundary-check-fast
