@@ -339,6 +339,24 @@ def probes():
 
         return tfidf_top_terms(docs, k=3)
 
+    def funnel(docs, ev, emb):
+        # r12 EXT-152: 3·k conditional sums over ONE scan, 1-row agg
+        # exploded driver-free — expect scan-bound (~flat at this SF)
+        from sparkobs.operators.text import filter_funnel
+
+        return filter_funnel(
+            docs,
+            [
+                ("min_chars", "n_chars >= 150"),
+                ("english", "lang = 'en'"),
+                (
+                    "min_words",
+                    "length(text) - length(replace(text, ' ', '')) + 1 >= 40",
+                ),
+                ("mentions_query", "text LIKE '%query%'"),
+            ],
+        )
+
     def upsample(docs, ev, emb):
         from sparkobs.operators.sampling import upsample_mixture
 
@@ -1038,6 +1056,7 @@ def probes():
         "bigram_ppl": bigram_ppl,
         "bloom_probe": bloom,
         "tfidf_topk": tfidf,
+        "filter_funnel": funnel,
         "upsample_mixture": upsample,
         "bpe_train": bpe,
         "hll_distinct": hll,
