@@ -1350,3 +1350,56 @@ def test_compaction_assign_tiers_agree_property(spark, files, target):
     dense = compaction_assign(listing, target).collect()
     dist = compaction_assign(listing, target, dense_max_files=0).collect()
     assert sorted(map(tuple, dense)) == sorted(map(tuple, dist))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 9)),
+            st.one_of(st.none(), st.integers(0, 9)),
+            st.one_of(st.none(), st.integers(0, 9)),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    thresholds=st.lists(st.integers(0, 9), min_size=1, max_size=3),
+)
+@settings(**SETTINGS)
+def test_filter_funnel_invariants(spark, rows, thresholds):
+    """EXT-152 funnel arithmetic on random data and rule chains:
+    survivors are monotone non-increasing, each step's
+    n_survivors[k-1] - n_failing_marginal[k] == n_survivors[k]
+    (step 0 anchored at n_input), marginal failures never exceed the
+    rule's corpus-wide failures, and every count is replayed by a
+    hand model where NULL = fail."""
+    from sparkobs.operators.text import filter_funnel
+
+    df = spark.createDataFrame(rows, "a int, b int, c int")
+    cols = ["a", "b", "c"][: len(thresholds)]
+    rules = [
+        (f"r{i}", f"{col} >= {t}")
+        for i, (col, t) in enumerate(zip(cols, thresholds))
+    ]
+    out = sorted(
+        filter_funnel(df, rules).collect(), key=lambda r: r["step"]
+    )
+    assert [r["step"] for r in out] == list(range(1, len(rules) + 1))
+
+    def passes(row, k):
+        v = row[k]  # rules are built positionally over (a, b, c)
+        return v is not None and v >= thresholds[k]
+
+    surv_prev = len(rows)
+    alive = list(rows)
+    for k, r in enumerate(out):
+        assert r["n_input"] == len(rows)
+        fail_total = sum(1 for row in rows if not passes(row, k))
+        fail_marginal = sum(1 for row in alive if not passes(row, k))
+        alive = [row for row in alive if passes(row, k)]
+        assert r["n_failing"] == fail_total
+        assert r["n_failing_marginal"] == fail_marginal
+        assert r["n_survivors"] == len(alive)
+        assert r["n_failing_marginal"] <= r["n_failing"]
+        assert surv_prev - r["n_failing_marginal"] == r["n_survivors"]
+        assert r["n_survivors"] <= surv_prev
+        surv_prev = r["n_survivors"]
