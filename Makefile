@@ -27,13 +27,18 @@ bench:
 bench-baseline:
 	cp BENCH_full.json BENCH_baseline.json
 
-# replay the round boundary BEFORE the round ends: synthesize the
-# CORRECTNESS_r{N}.json the driver will land for the current gate,
-# drop it in a temp copy of the tree, and run the FULL suite there
-# (the tree state every judge and next-round builder evaluates —
-# green here means the boundary cannot go red when the artifact
-# lands). boundary-check-fast runs just the bookkeeping tests
-# (seconds, no SparkSession) for a quick pre-commit signal.
+# replay the round boundary BEFORE the round ends: mid-round,
+# synthesize the CORRECTNESS_r{N}.json the driver will land for the
+# live gate, drop it in a temp copy of the tree, and run the FULL
+# suite there (the tree state every judge and next-round builder
+# evaluates — green here means the boundary cannot go red when the
+# artifact lands). At an artifact-landed BOUNDARY (rotation not yet
+# executed) the landed artifact already realizes that state, so the
+# copy replays PLAIN — synthesizing there built an impossible tree
+# and went spuriously red (r12 verdict item 1;
+# tests/test_boundary_tool.py pins both states).
+# boundary-check-fast runs just the bookkeeping tests (seconds, no
+# SparkSession) for a quick pre-commit signal.
 boundary-check:
 	python tools/boundary_check.py
 

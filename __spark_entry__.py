@@ -48,71 +48,71 @@ def entry(spark: SparkSession) -> DataFrame:
 GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
-    # --- r12 gate (50 slots, exactly full — tools/plan_rotation.py
+    # --- r13 gate (50 slots, exactly full — tools/plan_rotation.py
     # output verbatim, the same derivation
     # tests/test_gate_hygiene.py enforces): (1) the 1 promoted
-    # r11-queue entry (join-side AQP — a swap into the slot the r11
-    # sparse-cosine retirement freed; registry back at the 300
-    # ceiling, queue EMPTY). (2) The 1 forced re-cert
-    # (zscore_events_by_type, the last r5 stamp — it crosses the
-    # 6-round age ceiling this round). (3) The 48 stalest r6
-    # re-certs (alphabetical within the cohort). Future gate windows
-    # are whatever tools/plan_rotation.py prints — SURVEY.md's gate
-    # paragraphs are generated from it (make survey-gates), never
-    # hand-typed.
-    # --- promoted r11 queue ---
-    "sampled_join_agg_ci_lineitem",
+    # r12-queue entry (EXT-152 filter-funnel curation audit — a swap
+    # into the slot the r12 near_dup_groups_documents retirement
+    # freed; registry back at the 300 ceiling, queue EMPTY after
+    # promotion). (2) The 1 forced re-cert (zipf_fit_documents, the
+    # last r6 stamp — it crosses the 6-round age ceiling this round).
+    # (3) The 48 stalest r7 re-certs (alphabetical within the
+    # cohort). Future gate windows are whatever
+    # tools/plan_rotation.py prints — SURVEY.md's gate paragraphs are
+    # generated from it (make survey-gates), never hand-typed.
+    # --- promoted r12 queue ---
+    "filter_funnel_marginals_documents",
     # --- forced: stamp past the age ceiling ---
-    "zscore_events_by_type",
-    # --- stalest fill (r6 stamps) ---
-    "bigram_pmi_documents",
-    "bpe_batched_parity_documents",
-    "chi_square_events_type_hour",
-    "compaction_execute_documents",
-    "compaction_plan_sf_dir",
-    "cosine_topk",
-    "database_monitor_metrics",
-    "debounce_events_user_type",
-    "exact_dedup_documents",
-    "fingerprint_documents",
-    "gini_user_activity_events",
-    "hist2d_hour_value_events",
-    "ks_drift_events_halves",
-    "language_id_documents",
-    "lookup_join_fill_nation",
-    "mad_events_by_type",
-    "merkle_diff_orders",
-    "metrics_fanin_supplier",
-    "minhash_xx64_parity_documents",
-    "minmax_norm_events_by_type",
-    "mutual_info_events_type_hour",
-    "ngram_jaccard_pairs",
-    "pca_variance_embeddings",
-    "percent_rank_orders_by_status",
-    "pricing_summary",
-    "profile_lineitem_stats",
-    "quality_score_documents",
-    "record_count_lineitem",
-    "revenue_per_nation",
-    "robust_outliers_events",
-    "schema_drift_hourly",
-    "shape_summary_all",
-    "small_qty_revenue_q17",
-    "snapshot_count_delta",
-    "sql_monitor_lineitem",
-    "streaming_count_drift",
-    "streaming_tumbling_events",
-    "target_encode_events_type",
-    "text_stats_documents",
-    "token_count_regex_documents",
-    "top_event_trigrams",
-    "top_supplier_q15",
-    "unpivot_order_measures",
-    "vocab_segments_documents",
-    "weighted_sample_documents",
-    "window_session_per_user",
-    "window_sliding",
-    "window_tumbling_hourly",
+    "zipf_fit_documents",
+    # --- stalest fill (r7 stamps) ---
+    "ab_ztest_purchase_events",
+    "acf1_hourly_events",
+    "activity_islands_events",
+    "ann_recall_embeddings",
+    "assoc_rules_event_types",
+    "attribution_linear_events",
+    "benford_totalprice_orders",
+    "bm25_search_documents",
+    "conversion_latency_events",
+    "cramers_v_events_type_hour",
+    "cuped_lift_events",
+    "cusum_changepoint_events",
+    "disjunctive_revenue_q19",
+    "dominant_suppliers_q20",
+    "emd_drift_events_halves",
+    "epoch_shuffle_documents",
+    "exact_quantiles_grouped_lineitem",
+    "exact_quantiles_lineitem",
+    "freshness_sla_tables",
+    "hll_intersection_users_events",
+    "hll_union_users_events",
+    "important_parts_q11",
+    "interarrival_stats_events",
+    "km_survival_events",
+    "kmeans_ari_embeddings",
+    "kmeans_embeddings",
+    "merge_upsert_orders",
+    "min_price_supplier_q2",
+    "ols_pricing_lineitem",
+    "pagerank_copurchase",
+    "pagerank_personalized_copurchase",
+    "pagerank_weighted_copurchase",
+    "partition_gaps_events",
+    "patchify_synth_media",
+    "product_profit_q9",
+    "related_suppliers_jaccard",
+    "revenue_delta_drilldown_orders",
+    "rfm_scores_orders",
+    "salted_distinct_customers_orders",
+    "scd2_user_state_events",
+    "shipmode_delay_q12",
+    "spearman_quantity_price_lineitem",
+    "streaming_debounce_events",
+    "streaming_freshness_events",
+    "streaming_kmeans_assign_embeddings",
+    "streaming_ks_drift_events",
+    "supplier_variety_q16",
+    "trend_slope_hourly_events",
 ]
 
 

@@ -1167,12 +1167,19 @@ def filter_funnel(
     one = df.agg(
         F.count(F.lit(1)).cast("long").alias("__n"), *aggs
     )
-    rows = ", ".join(
-        f"struct({i + 1} AS step, '{name}' AS rule, __n AS n_input, "
-        f"__f{i} AS n_failing, __m{i} AS n_failing_marginal, "
-        f"__s{i} AS n_survivors)"
+    # rule names ride as typed literals, never interpolated into a SQL
+    # string — a quoted name is data here, not an injection surface
+    structs = [
+        F.struct(
+            F.lit(i + 1).alias("step"),
+            F.lit(name).alias("rule"),
+            F.col("__n").alias("n_input"),
+            F.col(f"__f{i}").alias("n_failing"),
+            F.col(f"__m{i}").alias("n_failing_marginal"),
+            F.col(f"__s{i}").alias("n_survivors"),
+        )
         for i, (name, _) in enumerate(rules)
-    )
+    ]
     return one.select(
-        F.expr(f"explode(array({rows}))").alias("r")
+        F.explode(F.array(*structs)).alias("r")
     ).select("r.*")

@@ -13115,3 +13115,71 @@ def sampled_join_agg_ci_lineitem(
         "l_extendedprice",
         one_in=10,
     )
+
+
+# --- r13 promotion: EXT-152 filter-funnel curation audit (staged in
+# the r12 queue, slot freed by the near_dup_groups_documents
+# retirement — swap-ledger entry #1, SURVEY §2.11) -------------------
+
+# The ordered rule chain the funnel audits. Rules are portable SQL
+# (comparisons / LIKE / length-replace word count) so the DuckDB
+# oracle replays the funnel verbatim, including the row-by-row
+# invariant n_survivors[k-1] − n_failing_marginal[k] = n_survivors[k].
+# NULL conditions count as FAIL on both engines (coalesce(cond,
+# false) — the curation-safe default, unit-pinned).
+_FUNNEL_RULES = [
+    ("min_chars", "n_chars >= 150"),
+    ("english", "lang = 'en'"),
+    (
+        "min_words",
+        "length(text) - length(replace(text, ' ', '')) + 1 >= 40",
+    ),
+    ("mentions_query", "text LIKE '%query%'"),
+]
+
+
+@query(
+    "filter_funnel_marginals_documents",
+    oracle="""
+    WITH p AS (SELECT
+        coalesce(n_chars >= 150, false) AS p1,
+        coalesce(lang = 'en', false) AS p2,
+        coalesce(length(text) - length(replace(text, ' ', '')) + 1 >= 40,
+                 false) AS p3,
+        coalesce(text LIKE '%query%', false) AS p4
+      FROM documents),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        CAST(sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        CAST(sum(CASE WHEN NOT p2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        CAST(sum(CASE WHEN p1 AND NOT p2 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+        CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        CAST(sum(CASE WHEN NOT p3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+        CAST(sum(CASE WHEN p1 AND p2 AND NOT p3 THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+        CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+        CAST(sum(CASE WHEN NOT p4 THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+        CAST(sum(CASE WHEN p1 AND p2 AND p3 AND NOT p4 THEN 1 ELSE 0 END) AS BIGINT) AS m4,
+        CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+      FROM p)
+    SELECT 1 AS step, 'min_chars' AS rule, n AS n_input, f1 AS n_failing,
+           m1 AS n_failing_marginal, s1 AS n_survivors FROM a
+    UNION ALL SELECT 2, 'english', n, f2, m2, s2 FROM a
+    UNION ALL SELECT 3, 'min_words', n, f3, m3, s3 FROM a
+    UNION ALL SELECT 4, 'mentions_query', n, f4, m4, s4 FROM a
+    """,
+)
+def filter_funnel_marginals_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ordered filter-funnel audit over the documents corpus
+    (extension EXT-152: which curation rule removes what, marginally
+    at its chain position, and what survives — the audit every 100 TB
+    filter chain needs before committing; one scan, 3·k conditional
+    aggregates). Oracle replays the identical predicate chain and
+    funnel arithmetic in DuckDB."""
+    from sparkobs.operators.text import filter_funnel
+
+    return filter_funnel(
+        load_table(spark, sf_dir, "documents"), _FUNNEL_RULES
+    )

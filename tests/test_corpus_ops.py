@@ -1489,3 +1489,18 @@ def test_filter_funnel_marginal_arithmetic_and_null_fail(spark):
 
     with pytest.raises(ValueError):
         filter_funnel(df, [])
+
+
+def test_filter_funnel_rule_name_is_data_not_sql(spark):
+    """A rule NAME containing quotes (or any SQL syntax) is a plain
+    label: it must come back verbatim in the output, never be parsed
+    (the r12-advice injection surface — names were interpolated into
+    a generated explode expression)."""
+    from sparkobs.operators.text import filter_funnel
+
+    df = spark.createDataFrame([(1, 10), (2, 3)], "id bigint, size bigint")
+    weird = "o'brien's \"big\" rule -- ); drop"
+    rows = filter_funnel(df, [(weird, "size >= 8")]).collect()
+    assert len(rows) == 1
+    assert rows[0]["rule"] == weird
+    assert rows[0]["n_survivors"] == 1

@@ -13,15 +13,28 @@ manufactures it:
 1. Copy the repo to a temp dir (sources, tests, tools, driver
    artifacts; no .git / warehouse / caches).
 2. Determine the current build round N (one past the newest
-   CORRECTNESS file) and the gate the driver will certify this round:
-   the live ``_PRIORITY`` gate mid-round, or the PENDING planned gate
-   (``_planned_gate``) when the tree already sits at a boundary.
-3. Write a synthesized ``CORRECTNESS_r{N}.json`` certifying that gate
-   (green hash rows — the optimistic case; a real red row is a
-   different failure the oracle sweep owns).
+   CORRECTNESS file) and the tree state. MID-ROUND (the live
+   ``_PRIORITY`` differs from what the newest CORRECTNESS file
+   certified — the builder has rotated): the driver will certify the
+   live gate, so synthesize ``CORRECTNESS_r{N}.json`` for it. AT A
+   BOUNDARY (the newest artifact certifies exactly the live gate —
+   the rotation for round N has not been executed yet): the landed
+   artifact already REALIZES the boundary tree state, and the r12
+   blind spot was synthesizing anyway — an r{N} artifact naming the
+   planned gate next to an un-rotated ``_PRIORITY`` is a tree no
+   driver can produce (the driver only certifies the live gate), and
+   the hygiene tests rightly reject it. There the copy replays PLAIN,
+   no synthesis: green means the inherited boundary state is green;
+   rerun after rotating to pre-check the NEXT boundary.
+3. Mid-round only: write the synthesized ``CORRECTNESS_r{N}.json``
+   certifying the live gate (green hash rows — the optimistic case; a
+   real red row is a different failure the oracle sweep owns).
 4. Run pytest in the copy. Default: the full suite (what the judge
    runs). ``--hygiene-only``: just the registry/gate bookkeeping tests
    (seconds, no SparkSession) for a fast pre-commit signal.
+
+``tests/test_boundary_tool.py`` pins BOTH tree states (the r12
+verdict's rung four: the tool itself failed noisy at the boundary).
 
 Exit code is pytest's. Green here + green in the real tree = the
 boundary cannot go red when the driver's artifact lands.
@@ -76,49 +89,64 @@ def _copy_tree(dst: str) -> None:
             shutil.copy2(src, out)
 
 
-def _this_rounds_gate() -> tuple[int, list[str]]:
-    """(current build round N, the gate the driver certifies in round
-    N) — the same boundary-aware derivation the hygiene tests use."""
+def _this_rounds_gate() -> tuple[int, list[str], bool]:
+    """(current build round N, the live gate, at_boundary) — the same
+    boundary detection the hygiene tests use. ``at_boundary`` is True
+    when the newest CORRECTNESS file certifies exactly the live gate,
+    i.e. the round-N rotation has not been executed in this tree yet."""
     import test_gate_hygiene as G
 
     entrymod, _ = G._registry()
-    last, current = G._last_certified_round()
+    _, current = G._last_certified_round()
     gate = list(entrymod.queries())[: entrymod.GATE_SIZE]
-    if set(gate) <= G._newest_round_names():
-        gate = G._planned_gate(
-            G._stamps_for(last), G._queue_names(), current, entrymod.GATE_SIZE
-        )
-    return current, gate
+    return current, gate, set(gate) <= G._newest_round_names()
 
 
 def main(argv: list[str]) -> int:
     hygiene_only = "--hygiene-only" in argv
     extra = [a for a in argv if a != "--hygiene-only"]
 
-    current, gate = _this_rounds_gate()
-    artifact = {
-        name: {
-            "rows_match": True,
-            "schema_match": True,
-            "hash_match": True,
-            "spark_rows": 1,
-            "oracle_rows": 1,
-            "err": None,
-        }
-        for name in gate
-    }
+    current, gate, at_boundary = _this_rounds_gate()
 
     tmp = tempfile.mkdtemp(prefix="boundary_check_")
     try:
         _copy_tree(tmp)
-        path = os.path.join(tmp, f"CORRECTNESS_r{current}.json")
-        with open(path, "w") as fh:
-            json.dump(artifact, fh, indent=1)
-        print(
-            f"# boundary-check: synthesized CORRECTNESS_r{current}.json "
-            f"({len(gate)} green rows) in {tmp}",
-            file=sys.stderr,
-        )
+        if at_boundary:
+            # The r12 blind spot: synthesizing CORRECTNESS_r{N} for the
+            # PLANNED gate while the copy keeps the un-rotated
+            # _PRIORITY builds a tree no driver can produce, and the
+            # hygiene tests rightly reject it. The landed artifact
+            # already realizes the boundary state — replay it plain.
+            print(
+                f"# boundary-check: tree is AT the round boundary "
+                f"(CORRECTNESS_r{current - 1}.json certifies the live "
+                f"gate; the r{current} rotation is not executed yet). "
+                f"The landed artifact already realizes the boundary "
+                f"tree state — replaying the suite on a PLAIN copy, no "
+                f"synthesis. Rerun after rotating _PRIORITY to "
+                f"pre-check the r{current} boundary.",
+                file=sys.stderr,
+            )
+        else:
+            artifact = {
+                name: {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "spark_rows": 1,
+                    "oracle_rows": 1,
+                    "err": None,
+                }
+                for name in gate
+            }
+            path = os.path.join(tmp, f"CORRECTNESS_r{current}.json")
+            with open(path, "w") as fh:
+                json.dump(artifact, fh, indent=1)
+            print(
+                f"# boundary-check: synthesized CORRECTNESS_r{current}.json "
+                f"({len(gate)} green rows) in {tmp}",
+                file=sys.stderr,
+            )
         targets = (
             [t for t in HYGIENE_TESTS if os.path.exists(os.path.join(tmp, t))]
             if hygiene_only
