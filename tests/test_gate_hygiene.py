@@ -423,6 +423,36 @@ def test_plan_rotation_tool_emits_a_full_feasible_gate():
     assert len(set(names)) == len(names)
 
 
+def test_plan_rotation_tool_prints_nonnegative_headroom():
+    """The planner must make the rotation-headroom arithmetic explicit
+    (r12 verdict item 5: 299/6 rounds = 49.83 of 50 slots — every
+    promotion spends the horizon's slack) and fail LOUDLY at planning
+    time when registry + pending queue exceed the
+    GATE_SIZE × MAX_CERT_AGE_ROUNDS ceiling, so an over-staging
+    mistake surfaces when it is staged, not when a future gate is
+    infeasible."""
+    import re
+    import subprocess
+
+    entrymod, Q = _registry()
+    out = subprocess.run(
+        [os.sys.executable, os.path.join(REPO, "tools", "plan_rotation.py")],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    m = re.search(r"# rotation headroom: (-?\d+) slot", out.stderr)
+    assert m, f"planner printed no headroom line:\n{out.stderr}"
+    headroom = int(m.group(1))
+    population = len(set(Q.SPARK_QUERIES) | set(_queue_names()))
+    expected = entrymod.GATE_SIZE * MAX_CERT_AGE_ROUNDS - population
+    assert headroom == expected
+    assert headroom >= 0, (
+        f"registry+queue ({population}) over-staged past the rotation "
+        f"ceiling ({entrymod.GATE_SIZE * MAX_CERT_AGE_ROUNDS})"
+    )
+
+
 def test_stamps_for_filters_retired_names():
     """A tombstoned entry's stamps live on in the CORRECTNESS history;
     the simulation must not let that ghost age into a 'forced' slot of

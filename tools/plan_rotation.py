@@ -64,6 +64,34 @@ def main() -> int:
 
     hist = Counter(stamps.get(n, 0) for n in members)
     print(f"# member stamp histogram: {sorted(hist.items())}", file=sys.stderr)
+    # Rotation-headroom math, explicit (r12 verdict item 5): the
+    # rotation can keep every entry within the age ceiling iff
+    # registry + pending queue <= GATE_SIZE * MAX_CERT_AGE_ROUNDS.
+    # At 299+1 that is 49.83 slots/round of the 50 — every promotion
+    # consumes the horizon's slack, so an over-staging mistake must
+    # be caught HERE (at staging/planning time), not at gate time.
+    ceiling = entrymod.GATE_SIZE * G.MAX_CERT_AGE_ROUNDS
+    population = len(Q.SPARK_QUERIES) + len(
+        [n for n in G._queue_names() if n not in Q.SPARK_QUERIES]
+    )
+    headroom = ceiling - population
+    print(
+        f"# rotation headroom: {headroom} slot(s) spare over the "
+        f"{G.MAX_CERT_AGE_ROUNDS}-round horizon ({population} registry"
+        f"+queue entries vs the {ceiling}-entry ceiling = "
+        f"{population / G.MAX_CERT_AGE_ROUNDS:.2f} forced slots/round "
+        f"of {entrymod.GATE_SIZE})",
+        file=sys.stderr,
+    )
+    if headroom < 0:
+        print(
+            f"OVER-STAGED: registry+queue ({population}) exceeds the "
+            f"rotation ceiling ({ceiling}) — greedy rotation cannot "
+            "keep every entry within the age ceiling; retire "
+            f"{-headroom} entr{'y' if headroom == -1 else 'ies'} first",
+            file=sys.stderr,
+        )
+        return 1
     print("_PRIORITY = [")
     for n in members:
         print(f'    "{n}",')
