@@ -154,7 +154,6 @@ HEADLINE = [
     "top_event_trigrams",
     "percent_rank_orders_by_status",
     "mutual_info_events_type_hour",
-    "minhash_xx64_parity_documents",
     "bpe_batched_parity_documents",
     "pca_variance_embeddings",
     "compaction_execute_documents",

@@ -5434,10 +5434,13 @@ def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(load_table(spark, sf_dir, "events"))
 
 
-@query(
-    "curation_funnel_documents",
-    oracle="""
-    WITH RECURSIVE
+# DuckDB replay of the curation pipeline's survivor sets (raw ->
+# quality-kept -> exact-deduped -> near-dup-kept), shared verbatim by
+# the curation_funnel_documents oracle and the staged
+# funnel_pipeline_parity_documents twin (queries_next.py, r13
+# swap-ledger #2 successor) so the two certifications can never
+# drift onto different pipeline semantics. Requires WITH RECURSIVE.
+_CURATION_CTES = """
     raw AS (SELECT doc_id, text FROM documents),
     q AS (SELECT doc_id, text,
                  len(toks) AS n_tokens,
@@ -5474,7 +5477,15 @@ def session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     allr AS (SELECT u, v FROM reach UNION SELECT u, u FROM nodes),
     comp AS (SELECT u AS doc_id, min(v) AS component FROM allr GROUP BY u),
     surv AS (SELECT e.doc_id FROM ex_kept e LEFT JOIN comp c USING (doc_id)
-             WHERE c.component IS NULL OR c.component = e.doc_id),
+             WHERE c.component IS NULL OR c.component = e.doc_id)
+"""
+
+
+@query(
+    "curation_funnel_documents",
+    oracle="WITH RECURSIVE "
+    + _CURATION_CTES
+    + """,
     sp AS (SELECT doc_id,
                   ("""
     + _hex15_sql("md5(CAST(doc_id AS VARCHAR))")
@@ -7652,49 +7663,34 @@ def mutual_info_events_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "minhash_xx64_parity_documents",
-    oracle="WITH "
-    + _minhash_pair_ctes()
-    + """
-    SELECT CAST(count(*) AS BIGINT) AS n_pairs_md5,
-           CAST(count(*) AS BIGINT) AS n_pairs_xx64,
-           CAST(0 AS BIGINT) AS n_sym_diff
-    FROM pairs
-    """,
-)
-def minhash_xx64_parity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Certification twin for minhash_lsh_pairs_xx64 (formerly
-    rows-only): run BOTH hash tiers — portable md5 (itself value-
-    certified against DuckDB) and production xxhash64 — and emit the
-    symmetric difference of their verified pair sets as a scalar. The
-    oracle recomputes the md5 pair count independently and pins
-    n_sym_diff = 0, so the production tier is now certified to emit
-    exactly the pairs the certified tier emits (both tiers
-    exact-verify candidates, so any residual difference would be a
-    candidate-recall gap — at gate scale there is none)."""
-    from pyspark.sql import functions as F
-
-    from sparkobs.operators.dedup import minhash_lsh_pairs
-
-    docs = load_table(spark, sf_dir, "documents")
-    kw = dict(n=3, num_hashes=32, bands=8, threshold=0.2)
-    md5 = minhash_lsh_pairs(docs, hash_fn="md5", **kw).select(
-        "id_a", "id_b", "jaccard", F.lit(1).alias("__m")
-    )
-    xx = minhash_lsh_pairs(docs, hash_fn="xx64", **kw).select(
-        "id_a", "id_b", "jaccard", F.lit(1).alias("__x")
-    )
-    return md5.join(xx, ["id_a", "id_b", "jaccard"], "full_outer").agg(
-        F.coalesce(F.sum("__m"), F.lit(0)).cast("long").alias("n_pairs_md5"),
-        F.coalesce(F.sum("__x"), F.lit(0)).cast("long").alias("n_pairs_xx64"),
-        F.coalesce(
-            F.sum((F.col("__m").isNull() | F.col("__x").isNull()).cast("long")),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n_sym_diff"),
-    )
+# TOMBSTONE (r13): minhash_xx64_parity_documents RETIRED — swap-ledger
+# entry #2 (SURVEY §2.11), the slot staged to the funnel↔pipeline
+# certification twin (queries_next.py). It certified that the
+# production xxhash64 MinHash tier emits exactly the verified pair
+# set of the portable md5 tier (n_sym_diff = 0, driver-green r7-r12
+# at sf0.01). Its claim now has THREE carriers without a gate slot,
+# scoped HONESTLY by a discovery made during this retirement:
+# pair-set equality between the tiers is EMPIRICAL-PER-CORPUS, not a
+# theorem — both tiers are precision-exact (the verify stage computes
+# exact jaccard), but banding RECALL for mid-band pairs depends on
+# the signature hash, and the md5 tier's Kirsch-Mitzenmacher dims
+# (all 32 linear in one digest's halves, dedup.py
+# minhash_signatures) are correlated: on the sf0.001 corpus it
+# misses two true j≥0.91 pairs the 32-independent-seed xx64 tier
+# catches. Carriers:
+#   tests/test_dedup_similarity.py::
+#     test_minhash_xx64_md5_pair_parity_gate_corpus   (sf0.01 equality,
+#       the exact fact the registry twin certified, deterministic)
+#     test_minhash_md5_km_correlation_recall_gap_sf0001 (the measured
+#       one-sided recall gap, pinned pair-by-pair)
+#   tests/test_properties.py::
+#     test_minhash_tier_pair_set_equality_deterministic_regime
+#       (hypothesis: equality as a THEOREM on identical-or-disjoint
+#       shingle-set corpora)
+# The rows-only engine-tier entry `minhash_lsh_pairs_xx64` keeps its
+# driver witness. Same retirement discipline as
+# sparse_cosine_powerlaw_exact (r11) and near_dup_groups_documents
+# (r12).
 
 
 @query(

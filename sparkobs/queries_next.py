@@ -1,8 +1,15 @@
-"""Round-14 registry queue — EMPTY after the r13 promotion.
+"""Round-14 registry queue — 1 entry, staged by r13 swap-ledger #2.
 
 The r12-staged curation filter funnel
 (``filter_funnel_marginals_documents``, EXT-152) promoted into
-``queries.py`` for the r13 gate, draining the queue. New stagings
+``queries.py`` for the r13 gate, draining the queue; the r13
+retirement of ``minhash_xx64_parity_documents`` (tombstone in
+``queries.py``, three test witnesses carry its claim) freed the slot
+now staged to ``funnel_pipeline_parity_documents`` — the
+funnel↔pipeline certification twin the r12 verdict suggested
+(stretch item 8): two independent implementations of one contract,
+``filter_funnel``'s one-scan running-survivor arithmetic vs the
+curation capstone's per-stage checkpointed counts. New stagings
 follow the swap discipline below: the registry sits at the rotation
 ceiling, so a slot must be freed by a tombstoned retirement (the
 pre-ranked candidates live in SURVEY.md §2.11's swap ledger) before
@@ -49,3 +56,139 @@ def _queue(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def _funnel_parity_oracle() -> str:
+    """The oracle replays the ENTIRE contract independently: the
+    curation pipeline's survivor sets via the same CTE text the
+    certified ``curation_funnel_documents`` oracle uses (shared
+    constant — the two certifications cannot drift apart), then the
+    funnel arithmetic over the nested membership flags. Membership
+    sets are nested (surv ⊆ ex_kept ⊆ kept ⊆ raw), so corpus-wide
+    failing = n - c_k, marginal failing = c_{k-1} - c_k, and running
+    survivors = c_k = the pipeline's own stage count."""
+    from sparkobs.queries import _CURATION_CTES
+
+    return (
+        "WITH RECURSIVE "
+        + _CURATION_CTES
+        + """,
+    c AS (SELECT CAST((SELECT count(*) FROM raw) AS BIGINT) AS n,
+                 CAST((SELECT count(*) FROM kept) AS BIGINT) AS c1,
+                 CAST((SELECT count(*) FROM ex_kept) AS BIGINT) AS c2,
+                 CAST((SELECT count(*) FROM surv) AS BIGINT) AS c3)
+    SELECT 1 AS step, 'quality_kept' AS rule, n AS n_input,
+           n - c1 AS n_failing, n - c1 AS n_failing_marginal,
+           c1 AS n_survivors, c1 AS n_docs_pipeline FROM c
+    UNION ALL SELECT 2, 'exact_survivor', n, n - c2, c1 - c2, c2, c2 FROM c
+    UNION ALL SELECT 3, 'near_dup_survivor', n, n - c3, c2 - c3, c3, c3 FROM c
+    """
+    )
+
+
+@_queue("funnel_pipeline_parity_documents", oracle=_funnel_parity_oracle())
+def funnel_pipeline_parity_documents(spark, sf_dir: str):
+    """Certification twin (r13 swap-ledger #2 successor, r12 verdict
+    stretch 8): run the EXT-152 ``filter_funnel`` audit over the SAME
+    pipeline ``curation_funnel_documents`` executes — per-doc
+    membership flags in each stage's survivor set (quality-kept →
+    exact-deduped → near-dup-kept, derived from the identical
+    checkpointed stage frames the capstone builds) — and certify that
+    the funnel's one-scan running-survivor arithmetic reproduces the
+    capstone's per-stage audit counts exactly
+    (``n_survivors == n_docs_pipeline`` row by row). Two independent
+    counting implementations of one contract: 3·k conditional sums
+    over one flag scan vs per-stage direct aggregation over
+    checkpointed frames. The flags are nested memberships, so the
+    funnel's corpus-wide/marginal split is also pinned: corpus-wide
+    failing ≡ marginal-at-position + earlier-stage losses.
+
+    Scale shape: the pipeline cost is the capstone's own (the exact
+    n-gram tier is the certified-composition point; the LSH tier is
+    the documented 100 TB swap); the funnel adds ONE scan over a
+    3-boolean frame and the stage counts re-read eagerly checkpointed
+    frames — no recomputation, no extra shuffle beyond three 1-row
+    aggregates. Reference analogue: the reference ships per-monitor
+    check counts (s3_key_monitor.py:141-220) but never cross-checks
+    two audit paths; this entry makes the cross-check itself the
+    certified value."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        ngram_jaccard_pairs,
+    )
+    from sparkobs.operators.text import filter_funnel, quality_score
+    from sparkobs.queries import load_table
+
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = quality_score(raw, keep_cols=("text",))
+    kept = (
+        scored.where(F.col("quality") >= 0.6)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    ex_kept = (
+        exact_dedup(kept, ["text"])
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    pairs = ngram_jaccard_pairs(ex_kept, n=3, threshold=0.5)
+    comps = connected_components(pairs)
+    dropped = comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    surv = (
+        ex_kept.join(dropped, "doc_id", "left_anti")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+
+    flags = (
+        raw.select("doc_id")
+        .join(
+            kept.select("doc_id", F.lit(True).alias("q_kept")),
+            "doc_id",
+            "left",
+        )
+        .join(
+            ex_kept.select("doc_id", F.lit(True).alias("x_kept")),
+            "doc_id",
+            "left",
+        )
+        .join(
+            surv.select("doc_id", F.lit(True).alias("n_kept")),
+            "doc_id",
+            "left",
+        )
+    )
+    funnel = filter_funnel(
+        flags,
+        [
+            ("quality_kept", "q_kept"),
+            ("exact_survivor", "x_kept"),
+            ("near_dup_survivor", "n_kept"),
+        ],
+    )
+
+    def stage_count(idx: int, d) -> "object":
+        return d.agg(
+            F.lit(idx).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_docs_pipeline"),
+        )
+
+    stages = (
+        stage_count(1, kept)
+        .unionAll(stage_count(2, ex_kept))
+        .unionAll(stage_count(3, surv))
+    )
+    return funnel.join(stages, "step").select(
+        "step",
+        "rule",
+        "n_input",
+        "n_failing",
+        "n_failing_marginal",
+        "n_survivors",
+        "n_docs_pipeline",
+    )

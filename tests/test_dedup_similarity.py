@@ -498,3 +498,64 @@ def test_embedding_near_dup_ivf_subset_of_brute(spark):
     }
     assert ivf <= brute
     assert len(ivf) > 0
+
+
+def _tier_pairs(spark, sf: str) -> tuple[set, set]:
+    from sparkobs.operators.dedup import unpersist_candidates
+
+    d = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+    kw = dict(n=3, num_hashes=32, bands=8, threshold=0.2)
+    try:
+        md5 = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_lsh_pairs(d, hash_fn="md5", **kw).collect()
+        }
+        xx = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_lsh_pairs(d, hash_fn="xx64", **kw).collect()
+        }
+    finally:
+        unpersist_candidates()
+    return md5, xx
+
+
+def test_minhash_xx64_md5_pair_parity_gate_corpus(spark):
+    """Retirement witness for the r13-retired registry twin
+    `minhash_xx64_parity_documents` (SURVEY §2.11 swap-ledger #2): on
+    the sf0.01 gate corpus, the production xxhash64 tier emits EXACTLY
+    the verified pair set of the portable md5 tier — the fact the
+    registry twin driver-certified from r7 through r12 (n_sym_diff=0),
+    pinned here as a deterministic regression contract (both tiers
+    are pure functions of the fixed corpus).
+
+    SCOPE (discovered writing this retirement, r13): the equality is
+    EMPIRICAL-PER-CORPUS, not a theorem. Both tiers exact-verify
+    candidates, so PRECISION is exact on both; but banding RECALL for
+    mid-band pairs depends on the signature hash, and the md5 tier's
+    Kirsch-Mitzenmacher double hashing (all 32 dims linear in one
+    digest's two halves, dedup.py minhash_signatures) has CORRELATED
+    dims: a difference-set shingle with a small (a, b) can take the
+    min in many dims at once, making all-8-band misses far likelier
+    than the independent-hash theory suggests. See the companion test
+    below for the measured consequence."""
+    md5, xx = _tier_pairs(spark, "sf0.01")
+    assert md5 == xx
+    assert md5, "parity vacuous: corpus produced no near-dup pairs"
+
+
+def test_minhash_md5_km_correlation_recall_gap_sf0001(spark):
+    """The honest flip side (same r13 discovery): on the sf0.001
+    corpus the md5 tier MISSES two true near-dup pairs the xx64 tier
+    catches — (0, 50) at exact jaccard 0.9524 and (50, 82) at 0.9091
+    — because its KM-derived dims are correlated (independent 32-hash
+    theory puts an all-8-band miss at ~1e-6 for j=0.95; it happened
+    twice in one 500-doc corpus). Pinned exactly: the gap is
+    one-sided (md5 ⊂ xx64 here — the PRODUCTION tier is the
+    higher-recall one) and deterministic. If this test ever fails
+    after an intentional hash change, re-derive both pair sets and
+    re-pin; it exists so the tiers' recall difference stays a
+    documented fact, not a surprise."""
+    md5, xx = _tier_pairs(spark, "sf0.001")
+    assert {(a, b) for a, b, _ in xx - md5} == {(0, 50), (50, 82)}
+    assert md5 - xx == set()
+    assert md5 <= xx

@@ -362,7 +362,6 @@ def test_gate_window_plan_hygiene(spark):
         # build step trains/collects (certified + probed elsewhere)
         "bpe_batched_parity_documents",
         "pca_variance_embeddings",
-        "minhash_xx64_parity_documents",
         "semantic_dedup_embeddings",
         "semantic_dedup_ivf_embeddings",
     }

@@ -1403,3 +1403,59 @@ def test_filter_funnel_invariants(spark, rows, thresholds):
         assert surv_prev - r["n_failing_marginal"] == r["n_survivors"]
         assert r["n_survivors"] <= surv_prev
         surv_prev = r["n_survivors"]
+
+
+@given(
+    # disjoint vocabularies per base doc (cross-doc jaccard is exactly
+    # 0) plus exact copies (jaccard exactly 1): the regime where
+    # md5/xx64 pair-set equality is a THEOREM, not corpus luck —
+    # identical shingle sets give identical signatures under ANY hash
+    # (both tiers band them together), and j=0 pairs are rejected by
+    # the exact-verify stage even when a band bucket collides
+    lengths=st.lists(st.integers(0, 7), min_size=1, max_size=6),
+    copies=st.lists(st.integers(0, 5), min_size=0, max_size=6),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_minhash_tier_pair_set_equality_deterministic_regime(
+    spark, lengths, copies
+):
+    """Retirement property for `minhash_xx64_parity_documents` (r13
+    swap-ledger #2, SURVEY §2.11): on corpora whose cross-doc shingle
+    jaccard is exactly 0 or 1 — disjoint per-doc vocabularies plus
+    exact duplicates, including empty texts and sub-n-gram docs (whole
+    text as the single shingle) — BOTH hash tiers must emit exactly
+    the same-text pairs with jaccard 1.0. Outside this regime banding
+    recall is hash-dependent (see
+    test_minhash_md5_km_correlation_recall_gap_sf0001); inside it,
+    any divergence is a real banding/verify bug in one tier."""
+    from sparkobs.operators.dedup import (
+        minhash_lsh_pairs,
+        unpersist_candidates,
+    )
+
+    texts = [
+        " ".join(f"w{i}_{k}" for k in range(ln))
+        for i, ln in enumerate(lengths)
+    ]
+    docs = [(j, texts[c % len(texts)]) for j, c in enumerate(copies)]
+    docs += [(len(copies) + i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    expected = {
+        (a, b)
+        for i, (a, ta) in enumerate(docs)
+        for (b, tb) in docs[i + 1:]
+        if ta == tb
+    }
+    kw = dict(n=3, num_hashes=32, bands=8, threshold=0.2)
+    try:
+        got = {}
+        for tier in ("md5", "xx64"):
+            rows = minhash_lsh_pairs(df, hash_fn=tier, **kw).collect()
+            got[tier] = {(r.id_a, r.id_b) for r in rows}
+            assert all(r.jaccard == 1.0 for r in rows), tier
+    finally:
+        unpersist_candidates()
+    assert got["md5"] == expected
+    assert got["xx64"] == expected
