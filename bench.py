@@ -249,6 +249,34 @@ HEADLINE = [
 # goes unmeasured — the rule the r6 verdict asked to make explicit.
 
 
+def drift_band(
+    ratio: float | None,
+    cal_spark: float,
+    cal_duckdb: float,
+    base_cal: dict,
+    tol: float = 0.05,
+) -> tuple[dict, list | None]:
+    """Calibration-disagreement band (BASELINE.md policy, r12 verdict
+    item 2): returns ({spark, duckdb} drift factors vs the frozen
+    baseline's fixed-workload rows, band-or-None). The band fires
+    whenever the drifts DISAGREE IN SIGN and the ratio distortion
+    they jointly imply (s_drift/d_drift divergence) exceeds ``tol``
+    — NOT when each side independently exceeds it (that first cut
+    missed e.g. spark +4% / duckdb −20%, where the raw ratio is ~25%
+    off while one leg sits inside its own noise band). Pure so the
+    trigger is unit-testable without running a bench."""
+    s_drift = cal_spark / base_cal["spark_fixed_agg"]
+    d_drift = cal_duckdb / base_cal["duckdb_fixed_agg"]
+    drift = {"spark": round(s_drift, 3), "duckdb": round(d_drift, 3)}
+    if ratio is None:
+        return drift, None
+    rel = max(s_drift / d_drift, d_drift / s_drift)
+    if (s_drift - 1) * (d_drift - 1) < 0 and rel - 1 > tol:
+        adjusted = round(ratio * d_drift / s_drift, 3)
+        return drift, sorted([ratio, adjusted])
+    return drift, None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -559,24 +587,16 @@ def main() -> None:
                          "BENCH_baseline.json")
         ) as fh:
             base_cal = json.load(fh).get("calibration") or {}
-        s_drift = cal_spark / base_cal["spark_fixed_agg"]
-        d_drift = cal_duckdb / base_cal["duckdb_fixed_agg"]
-        calibration_drift = {
-            "spark": round(s_drift, 3),
-            "duckdb": round(d_drift, 3),
-        }
-        tol = 0.05
-        disagree = (s_drift - 1 > tol and d_drift - 1 < -tol) or (
-            s_drift - 1 < -tol and d_drift - 1 > tol
+        calibration_drift, ratio_band = drift_band(
+            ratio, cal_spark, cal_duckdb, base_cal
         )
-        if ratio is not None and disagree:
-            adjusted = round(ratio * d_drift / s_drift, 3)
-            ratio_band = sorted([ratio, adjusted])
+        if ratio_band is not None:
             print(
                 f"# engine_vs_duckdb CAVEAT: calibrations drifted in "
-                f"opposite directions vs baseline (spark {s_drift:.2f}x, "
-                f"duckdb {d_drift:.2f}x) — honest band "
-                f"{ratio_band[0]}-{ratio_band[1]}x, raw {ratio}x",
+                f"opposite directions vs baseline "
+                f"(spark {calibration_drift['spark']:.2f}x, "
+                f"duckdb {calibration_drift['duckdb']:.2f}x) — honest "
+                f"band {ratio_band[0]}-{ratio_band[1]}x, raw {ratio}x",
                 file=sys.stderr,
             )
     except Exception as exc:  # noqa: BLE001 — band is best-effort

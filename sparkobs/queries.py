@@ -5481,6 +5481,52 @@ _CURATION_CTES = """
 """
 
 
+def _curation_stage_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The curation capstone's survivor frames — (raw, kept, ex_kept,
+    surv) for quality filter → exact dedup → near-dup keep-one — each
+    stage EAGERLY CHECKPOINTED so downstream consumers read leaf scans
+    (Catalyst reuses no subtree statically; the lazy shape re-ran the
+    pipeline once per branch). Shared by ``curation_funnel_documents``
+    and the staged ``funnel_pipeline_parity_documents`` twin, the
+    Spark-side mirror of the shared ``_CURATION_CTES`` oracle text:
+    retuning the pipeline edits ONE function and ONE CTE string, so
+    the two certifications cannot drift onto different semantics."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        ngram_jaccard_pairs,
+    )
+    from sparkobs.operators.text import quality_score
+
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = quality_score(raw, keep_cols=("text",))
+    kept = (
+        scored.where(F.col("quality") >= 0.6)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    ex_kept = (
+        exact_dedup(kept, ["text"])
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    pairs = ngram_jaccard_pairs(ex_kept, n=3, threshold=0.5)
+    comps = connected_components(pairs)
+    dropped = comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    surv = (
+        ex_kept.join(dropped, "doc_id", "left_anti")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    return raw, kept, ex_kept, surv
+
+
 @query(
     "curation_funnel_documents",
     oracle="WITH RECURSIVE "
@@ -5508,47 +5554,17 @@ def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition): quality filter → exact dedup → near-dup keep-one →
     train/val/test split, reported as per-stage surviving-document
     counts — the audit trail a production curation run ships with its
-    output. The stage frames are EAGERLY CHECKPOINTED before the
-    union of stage aggregates: Catalyst reuses no subtree statically,
-    so the lazy "shared subtree" shape re-ran the quality/dedup
-    pipeline once per downstream branch (kept ×2, ex_kept ×3, the
-    split frame ×3); with the checkpoints each stage computes exactly
-    once and the final union reads leaf scans. (The row's remaining
-    wall is the exact n-gram pair tier itself — the funnel exists to
-    compose the exact tiers; the LSH tier is the scale swap.) No
-    driver-side counts, unlike funnel_steps."""
+    output. Stage frames come checkpointed from
+    ``_curation_stage_frames`` (see its docstring for the
+    checkpoint-vs-lazy-subtree rationale; the row's remaining wall is
+    the exact n-gram pair tier itself — the funnel exists to compose
+    the exact tiers; the LSH tier is the scale swap). No driver-side
+    counts, unlike funnel_steps."""
     from pyspark.sql import functions as F
 
-    from sparkobs.operators.dedup import (
-        connected_components,
-        exact_dedup,
-        ngram_jaccard_pairs,
-    )
     from sparkobs.operators.sampling import split_assign
-    from sparkobs.operators.text import quality_score
 
-    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    scored = quality_score(raw, keep_cols=("text",))
-    kept = (
-        scored.where(F.col("quality") >= 0.6)
-        .select("doc_id", "text")
-        .localCheckpoint(eager=True)
-    )
-    ex_kept = (
-        exact_dedup(kept, ["text"])
-        .select("doc_id", "text")
-        .localCheckpoint(eager=True)
-    )
-    pairs = ngram_jaccard_pairs(ex_kept, n=3, threshold=0.5)
-    comps = connected_components(pairs)
-    dropped = comps.where(F.col("node") != F.col("component")).select(
-        F.col("node").alias("doc_id")
-    )
-    surv = (
-        ex_kept.join(dropped, "doc_id", "left_anti")
-        .select("doc_id")
-        .localCheckpoint(eager=True)
-    )
+    raw, kept, ex_kept, surv = _curation_stage_frames(spark, sf_dir)
     sp = split_assign(surv, "doc_id").localCheckpoint(eager=True)
 
     def stage(idx: int, name: str, df: DataFrame) -> DataFrame:

@@ -101,7 +101,11 @@ def funnel_pipeline_parity_documents(spark, sf_dir: str):
     over one flag scan vs per-stage direct aggregation over
     checkpointed frames. The flags are nested memberships, so the
     funnel's corpus-wide/marginal split is also pinned: corpus-wide
-    failing ≡ marginal-at-position + earlier-stage losses.
+    failing ≡ marginal-at-position + earlier-stage losses. The stage
+    frames come from the SAME ``_curation_stage_frames`` helper the
+    capstone calls (and the oracle from the same ``_CURATION_CTES``
+    text), so retuning the pipeline cannot drift the twin and the
+    capstone apart on either engine side.
 
     Scale shape: the pipeline cost is the capstone's own (the exact
     n-gram tier is the certified-composition point; the LSH tier is
@@ -114,36 +118,10 @@ def funnel_pipeline_parity_documents(spark, sf_dir: str):
     certified value."""
     from pyspark.sql import functions as F
 
-    from sparkobs.operators.dedup import (
-        connected_components,
-        exact_dedup,
-        ngram_jaccard_pairs,
-    )
-    from sparkobs.operators.text import filter_funnel, quality_score
-    from sparkobs.queries import load_table
+    from sparkobs.operators.text import filter_funnel
+    from sparkobs.queries import _curation_stage_frames
 
-    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    scored = quality_score(raw, keep_cols=("text",))
-    kept = (
-        scored.where(F.col("quality") >= 0.6)
-        .select("doc_id", "text")
-        .localCheckpoint(eager=True)
-    )
-    ex_kept = (
-        exact_dedup(kept, ["text"])
-        .select("doc_id", "text")
-        .localCheckpoint(eager=True)
-    )
-    pairs = ngram_jaccard_pairs(ex_kept, n=3, threshold=0.5)
-    comps = connected_components(pairs)
-    dropped = comps.where(F.col("node") != F.col("component")).select(
-        F.col("node").alias("doc_id")
-    )
-    surv = (
-        ex_kept.join(dropped, "doc_id", "left_anti")
-        .select("doc_id")
-        .localCheckpoint(eager=True)
-    )
+    raw, kept, ex_kept, surv = _curation_stage_frames(spark, sf_dir)
 
     flags = (
         raw.select("doc_id")

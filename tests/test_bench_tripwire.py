@@ -81,3 +81,38 @@ def test_no_unexplained_per_query_regression():
         "(investigate, then either fix or refresh the baseline with "
         "`make bench-baseline`): " + "; ".join(offenders)
     )
+
+
+def test_drift_band_trigger_matches_policy():
+    """The calibration-disagreement band (BASELINE.md policy, r12
+    verdict item 2) fires whenever the two engines' fixed-workload
+    drifts DISAGREE IN SIGN and the distortion they jointly imply
+    exceeds tolerance — including the asymmetric case where one leg
+    sits inside its own noise band (spark +4% / duckdb −20%, the case
+    the first per-side-threshold cut missed). Same-direction drift —
+    even large — is shared-VM load the ratio already divides out, so
+    no band."""
+    import bench
+
+    base = {"spark_fixed_agg": 1.0, "duckdb_fixed_agg": 1.0}
+
+    # opposite signs, both beyond tol -> band [raw, raw*d/s]
+    drift, band = bench.drift_band(0.3, 1.2, 0.8, base)
+    assert drift == {"spark": 1.2, "duckdb": 0.8}
+    assert band == sorted([0.3, round(0.3 * 0.8 / 1.2, 3)])
+
+    # opposite signs, ONE side inside its own noise band -> still fires
+    _, band = bench.drift_band(0.3, 1.04, 0.80, base)
+    assert band == sorted([0.3, round(0.3 * 0.80 / 1.04, 3)])
+
+    # opposite signs but joint distortion inside tol -> no band
+    _, band = bench.drift_band(0.3, 1.02, 0.99, base)
+    assert band is None
+
+    # same-direction drift, even large -> no band (shared-VM load)
+    _, band = bench.drift_band(0.3, 1.4, 1.5, base)
+    assert band is None
+
+    # no ratio (duckdb leg skipped) -> drift recorded, no band
+    drift, band = bench.drift_band(None, 1.2, 0.8, base)
+    assert band is None and drift["spark"] == 1.2

@@ -81,11 +81,23 @@ def _run_tool(copy: str) -> subprocess.CompletedProcess:
     )
 
 
+def _newest_artifact(copy: str) -> str:
+    """Newest CORRECTNESS file by the NUMERIC round in its name —
+    lexicographic sorted()[-1] breaks the moment round numbers gain a
+    digit (r99 sorts after r100), and the synthesized artifact this
+    suite lands is written unpadded."""
+    import re
+
+    return max(
+        glob.glob(os.path.join(copy, "CORRECTNESS_r*.json")),
+        key=lambda f: int(re.search(r"r(\d+)", os.path.basename(f)).group(1)),
+    )
+
+
 def _is_boundary(copy: str) -> bool:
     """Same detection the tool uses, computed from the copy's files
     alone: the newest CORRECTNESS artifact names ⊇ the live gate."""
-    files = sorted(glob.glob(os.path.join(copy, "CORRECTNESS_r*.json")))
-    with open(files[-1]) as fh:
+    with open(_newest_artifact(copy)) as fh:
         newest = set(json.load(fh))
     out = subprocess.run(
         [sys.executable, "-c",
@@ -128,8 +140,7 @@ def test_mid_round_state_is_green_and_synthesizes(repo_copy):
     copy = os.path.join(repo_copy, "mid_round")
     shutil.copytree(repo_copy, copy, ignore=shutil.ignore_patterns("at_boundary", "mid_round"))
     if _is_boundary(copy):
-        files = sorted(glob.glob(os.path.join(copy, "CORRECTNESS_r*.json")))
-        os.remove(files[-1])
+        os.remove(_newest_artifact(copy))
     assert not _is_boundary(copy)
     proc = _run_tool(copy)
     assert "synthesized CORRECTNESS_r" in proc.stderr, proc.stderr

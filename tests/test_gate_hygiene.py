@@ -155,8 +155,16 @@ def test_no_registry_entry_staler_than_max_cert_age():
 
 def _newest_round_names() -> set[str]:
     """All names recorded (green or not) in the newest CORRECTNESS
-    file — i.e. the gate the driver most recently executed."""
-    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    file — i.e. the gate the driver most recently executed. Newest by
+    the NUMERIC round in the filename: lexicographic sort only works
+    while every round number has equally many digits (r99 would sort
+    after r100)."""
+    import re
+
+    files = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda f: int(re.search(r"r(\d+)", os.path.basename(f)).group(1)),
+    )
     if not files:
         return set()
     with open(files[-1]) as fh:
@@ -435,11 +443,14 @@ def test_plan_rotation_tool_prints_nonnegative_headroom():
     import subprocess
 
     entrymod, Q = _registry()
+    # check=False: the over-staged condition this test exists to catch
+    # makes the planner EXIT 1 — with check=True that surfaced as an
+    # opaque CalledProcessError before the informative assertions ran
     out = subprocess.run(
         [os.sys.executable, os.path.join(REPO, "tools", "plan_rotation.py")],
         capture_output=True,
         text=True,
-        check=True,
+        check=False,
     )
     m = re.search(r"# rotation headroom: (-?\d+) slot", out.stderr)
     assert m, f"planner printed no headroom line:\n{out.stderr}"
@@ -447,9 +458,10 @@ def test_plan_rotation_tool_prints_nonnegative_headroom():
     population = len(set(Q.SPARK_QUERIES) | set(_queue_names()))
     expected = entrymod.GATE_SIZE * MAX_CERT_AGE_ROUNDS - population
     assert headroom == expected
-    assert headroom >= 0, (
+    assert headroom >= 0 and out.returncode == 0, (
         f"registry+queue ({population}) over-staged past the rotation "
-        f"ceiling ({entrymod.GATE_SIZE * MAX_CERT_AGE_ROUNDS})"
+        f"ceiling ({entrymod.GATE_SIZE * MAX_CERT_AGE_ROUNDS}); planner "
+        f"exited {out.returncode}:\n{out.stderr}"
     )
 
 
