@@ -423,7 +423,20 @@ def stationary_distribution(
     self-loop with p=1 before iterating — without it the inner join
     would silently DROP their probability mass each step (a chain with
     a terminal 'churn' state would converge to an empty frame, not to
-    all-mass-on-churn)."""
+    all-mass-on-churn).
+
+    ``trans`` and the augmented transition table are EAGERLY
+    CHECKPOINTED before iterating: Catalyst reuses no subtree
+    statically, so referencing a lazy ``trans`` from 5 unrolled
+    join+agg levels (plus the states/self-loop derivations) re-ran
+    the upstream transition-matrix aggregation — a full source-table
+    scan — once per reference (measured 58 source scans in one plan,
+    3.55 s at sf0.1; 1 scan after). Both frames are |states|- and
+    edge-count-sized, far below any memory bound; values are
+    unchanged — the iterations consume identical rows either way."""
+    trans = trans.select(
+        "from_state", "to_state", "p"
+    ).localCheckpoint(eager=True)
     states = trans.select(F.col("from_state").alias("state")).union(
         trans.select("to_state")
     ).distinct()
@@ -439,14 +452,16 @@ def stationary_distribution(
             F.lit(1.0).alias("p"),
         )
     )
-    taug = trans.select("from_state", "to_state", "p").unionByName(selfloops)
+    taug = trans.unionByName(selfloops).localCheckpoint(eager=True)
     n_states = states.agg(F.count(F.lit(1)).alias("__n"))
     x = states.crossJoin(F.broadcast(n_states)).select(
         "state", (F.lit(1.0) / F.col("__n")).alias("prob")
     )
     for _ in range(n_iter):
+        # broadcast: the augmented transition table is |edges|-sized
+        # (tiny), so each step is a map-side join + one small agg
         x = (
-            x.join(taug, x["state"] == taug["from_state"])
+            x.join(F.broadcast(taug), x["state"] == taug["from_state"])
             .groupBy(F.col("to_state").alias("state"))
             .agg(F.sum(F.col("prob") * F.col("p")).alias("prob"))
         )
