@@ -346,9 +346,16 @@ def association_rules(
     counts, bit-identical on any engine. Output: (item_a, item_b,
     n_both, support, confidence, lift) for pairs with n_both ≥
     ``min_support``."""
-    pairs = df.select(
-        F.col(basket_col).alias("__k"), F.col(item_col).alias("__i")
-    ).distinct()
+    # checkpointed: the distinct basket-item frame feeds FOUR legs
+    # (basket total, marginals, both self-join sides) and Catalyst
+    # reuses no subtree statically — lazy, the source scan + distinct
+    # re-ran per leg. It is also the self-join input, so
+    # materializing it once is pure win at any scale.
+    pairs = (
+        df.select(F.col(basket_col).alias("__k"), F.col(item_col).alias("__i"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nb = pairs.agg(F.count_distinct("__k").cast("double").alias("__nb_total"))
     marg = pairs.groupBy("__i").agg(F.count(F.lit(1)).alias("__ni"))
     co = (
@@ -462,10 +469,23 @@ def rfm_scores(
     r_score, f_score, m_score, rfm_segment)."""
     from sparkobs.operators.joins import global_row_index
 
-    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
-        F.max(ts_col).alias("last_ts"),
-        F.count(F.lit(1)).cast("long").alias("frequency"),
-        F.round(F.sum(amount_col), 2).alias("monetary"),
+    # checkpointed: the key table feeds a 3-deep chain of
+    # global_row_index passes (each referencing its input from both
+    # the main branch and the offsets branch) plus the count — lazy,
+    # the SOURCE aggregation re-ran once per plan reference, 16
+    # source scans in one plan (and re-scan count grows
+    # multiplicatively with chain depth). One scan after; each rank
+    # pass is stamped onto its own checkpoint so the chain stays
+    # linear. Ranks are deterministic functions of the order columns,
+    # so values are unchanged.
+    per_key = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.max(ts_col).alias("last_ts"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.round(F.sum(amount_col), 2).alias("monetary"),
+        )
+        .localCheckpoint(eager=True)
     )
 
     def ntile_from_rank(rank_col, n_col):
@@ -486,8 +506,12 @@ def rfm_scores(
         .withColumn("__neg_f", -F.col("frequency"))
         .withColumn("__neg_m", -F.col("monetary"))
     )
-    scored = global_row_index(scored, ["__neg_ts", "key"], index_col="__r_rank")
-    scored = global_row_index(scored, ["__neg_f", "key"], index_col="__f_rank")
+    scored = global_row_index(
+        scored, ["__neg_ts", "key"], index_col="__r_rank"
+    ).localCheckpoint(eager=True)
+    scored = global_row_index(
+        scored, ["__neg_f", "key"], index_col="__f_rank"
+    ).localCheckpoint(eager=True)
     scored = global_row_index(scored, ["__neg_m", "key"], index_col="__m_rank")
     n = per_key.agg(F.count(F.lit(1)).alias("__n"))
     return scored.crossJoin(F.broadcast(n)).select(

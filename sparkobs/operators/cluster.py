@@ -235,7 +235,15 @@ def adjusted_rand_index(assigned: DataFrame, labeled: DataFrame) -> DataFrame:
     Output: (ari, n_rows, n_clusters, n_labels).
     """
     j = assigned.join(labeled, "id")
-    cells = j.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("nij"))
+    # checkpointed: the k×L contingency feeds FOUR reductions below,
+    # and Catalyst reuses no subtree statically — lazy cells re-ran
+    # the assignment join (two source scans) per reference, 8 scans
+    # in one plan. Values unchanged: identical cell rows.
+    cells = (
+        j.groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("nij"))
+        .localCheckpoint(eager=True)
+    )
     sij = cells.agg(F.sum(F.expr("nij * (nij - 1) div 2")).alias("sij"))
     sa = (
         cells.groupBy("cluster")

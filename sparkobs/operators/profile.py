@@ -908,6 +908,24 @@ def histogram2d(
     )
 
 
+def _contingency_cells(df: DataFrame, col_a, col_b) -> DataFrame:
+    """One contingency aggregation (map-side combine), EAGERLY
+    CHECKPOINTED: every contingency statistic references the cells
+    frame 3-6× downstream (marginals, totals, geometry), and Catalyst
+    reuses no subtree statically — lazy cells meant the FULL-TABLE
+    aggregation re-ran once per reference (measured: 8 source scans
+    in mutual_information's plan, 4-5 in χ²/Cramér's V; the
+    docstrings' "input is scanned ONCE" was the intent, not the
+    plan). The checkpoint is ≤|A|·|B| rows, so the statistics now
+    cost one scan + cell-sized work at any table size — the shape
+    the docstrings promise."""
+    return (
+        df.groupBy(col_a.alias("a"), col_b.alias("b"))
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def chi_square_independence(
     df: DataFrame, col_a, col_b
 ) -> DataFrame:
@@ -915,15 +933,17 @@ def chi_square_independence(
     dimensions, computed relationally: one contingency aggregation
     (map-side combine), two marginal re-aggregations OF THE CELLS
     (never the data), expected = row·col/N, χ² = Σ(o−e)²/e. One row:
-    (chi2, dof, n, n_cells). The input is scanned ONCE; everything
-    after operates on ≤ |A|·|B| cells, so the statistic costs the
-    same as a group-count at any table size.
+    (chi2, dof, n, n_cells). The input is scanned ONCE (the cells
+    frame is checkpointed — see :func:`_contingency_cells`);
+    everything after operates on ≤ |A|·|B| cells, so the statistic
+    costs the same as a group-count at any table size.
 
     ``col_a``/``col_b`` are Columns (expressions allowed).
     """
-    cells = df.groupBy(col_a.alias("a"), col_b.alias("b")).agg(
-        F.count(F.lit(1)).alias("o")
-    )
+    return _chi_square_from_cells(_contingency_cells(df, col_a, col_b))
+
+
+def _chi_square_from_cells(cells: DataFrame) -> DataFrame:
     row_tot = cells.groupBy("a").agg(F.sum("o").alias("ra"))
     col_tot = cells.groupBy("b").agg(F.sum("o").alias("cb"))
     n_tot = cells.agg(F.sum("o").alias("n"), F.count(F.lit(1)).alias("n_cells"))
@@ -1111,6 +1131,12 @@ def hll_intersection_estimate(
     intersections of huge sets drown in sketch noise (pair with the
     exact intersect twin while certifying, drop it at scale).
     Output 1 row: (est_a, est_b, est_union, est_intersection)."""
+    # checkpointed: each side's register table feeds TWO legs (own
+    # estimate + union merge) and Catalyst reuses no subtree
+    # statically — lazy registers re-ran the full sketch build (a
+    # source scan) per leg. ≤m rows each; values unchanged.
+    regs_a = regs_a.localCheckpoint(eager=True)
+    regs_b = regs_b.localCheckpoint(eager=True)
     ea = hll_estimate(regs_a).select(F.col("est_distinct").alias("est_a"))
     eb = hll_estimate(regs_b).select(F.col("est_distinct").alias("est_b"))
     eu = hll_merge_estimate([regs_a, regs_b]).select(
@@ -1136,11 +1162,11 @@ def mutual_information(df: DataFrame, col_a, col_b) -> DataFrame:
     (χ² says "dependent", MI says "by how many bits"). Same
     contingency machinery: one cell aggregation over the data, then
     MI = Σ p_ab·ln(p_ab·N² / (ra·cb·N)) over cells only. Also reports
-    the normalized variant MI/min(H_a, H_b) ∈ [0,1].
+    the normalized variant MI/min(H_a, H_b) ∈ [0,1]. Cells are
+    checkpointed (:func:`_contingency_cells`) so the input is scanned
+    once, not once per downstream reference.
     """
-    cells = df.groupBy(col_a.alias("a"), col_b.alias("b")).agg(
-        F.count(F.lit(1)).alias("o")
-    )
+    cells = _contingency_cells(df, col_a, col_b)
     row_tot = cells.groupBy("a").agg(F.sum("o").alias("ra"))
     col_tot = cells.groupBy("b").agg(F.sum("o").alias("cb"))
     n_tot = cells.agg(F.sum("o").alias("n"))
@@ -1189,12 +1215,13 @@ def cramers_v(df: DataFrame, col_a, col_b) -> DataFrame:
     scan shape: ONE contingency aggregation, everything downstream on
     ≤ |A|·|B| cells. Degenerate inputs (a constant column ⇒
     min(r−1, c−1) = 0) define V = 0.0, matching the normalized-MI
-    convention. One row: (chi2, dof, n, v)."""
-    base = chi_square_independence(df, col_a, col_b)
+    convention. One row: (chi2, dof, n, v). One checkpointed cells
+    frame feeds BOTH the χ² legs and the geometry — previously the
+    contingency aggregation (a full-table scan) ran five times in one
+    plan."""
+    cells = _contingency_cells(df, col_a, col_b)
+    base = _chi_square_from_cells(cells)
     # dof = (r-1)(c-1); min(r-1, c-1) recovered from the cell geometry
-    cells = df.groupBy(col_a.alias("a"), col_b.alias("b")).agg(
-        F.count(F.lit(1)).alias("o")
-    )
     geo = cells.agg(
         (F.count_distinct("a") - 1).alias("rm1"),
         (F.count_distinct("b") - 1).alias("cm1"),

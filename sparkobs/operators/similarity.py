@@ -1068,6 +1068,20 @@ def sparse_cosine_pairs(
     if max_df is None:
         return score(a.join(b, "dim_idx").where(F.col("ia") < F.col("ib")))
     # production tier: rare-dim candidate generation + exact rescore.
+    # vecs is checkpointed first: it feeds FIVE legs (df table, both
+    # candidate sides, both rescore sides) and Catalyst reuses no
+    # subtree statically — lazy, the upstream vectorization
+    # (tokenize + explode + agg over the corpus) re-ran per leg, 12
+    # source scans in one plan. The long-form vector table is the
+    # frame a production pipeline materializes anyway; values
+    # unchanged.
+    vecs = vecs.localCheckpoint(eager=True)
+    a = vecs.select(
+        F.col(id_col).alias("ia"), "dim_idx", F.col("weight").alias("wa")
+    )
+    b = vecs.select(
+        F.col(id_col).alias("ib"), "dim_idx", F.col("weight").alias("wb")
+    )
     # The dim-frequency table has at most `dim` rows — broadcast it.
     rare = (
         vecs.groupBy("dim_idx")

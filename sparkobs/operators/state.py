@@ -974,6 +974,13 @@ def merge_upsert(
         )
     else:
         updates = updates.dropDuplicates(key_cols)
+    # checkpointed: the compacted batch feeds BOTH the anti-join key
+    # side and the survivor side, and Catalyst reuses no subtree
+    # statically — lazy, the whole change-batch derivation (source
+    # scans included) re-ran once per side. The change batch is the
+    # SMALL side by this operator's premise, so materializing it is
+    # the cheap half of the merge.
+    updates = updates.localCheckpoint(eager=True)
     upd_keys = updates.select(*key_cols)
     survivors = (
         updates.where(~F.coalesce(F.col(deleted_col), F.lit(False))).drop(

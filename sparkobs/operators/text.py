@@ -936,10 +936,15 @@ def bigram_pmi(
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .where(F.col("c_ab") >= min_count)
     )
+    # checkpointed: the unigram vocabulary feeds THREE legs (the
+    # scalar total + both broadcast joins) and Catalyst reuses no
+    # subtree statically — lazy, each leg re-tokenized the corpus
+    # (full scan + explode). Vocabulary-sized; values unchanged.
     uni = (
         df.select(F.explode(tokens_nonempty(text_col)).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     totals = uni.agg(
         F.sum("c").alias("n_uni"),

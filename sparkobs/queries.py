@@ -12300,6 +12300,15 @@ def _theta_verdict(a: DataFrame, b: DataFrame, ska: DataFrame, skb: DataFrame) -
         theta_intersect_estimate,
     )
 
+    # Each side's sketch feeds THREE legs (own estimate, union merge,
+    # intersection) and Catalyst reuses no subtree statically — lazy
+    # sketches re-ran the full build (scan + distinct +
+    # TakeOrdered) per leg, 12 source scans in one plan. The
+    # checkpoints are ≤k rows each (sketch geometry), so set algebra
+    # is k-row joins over materialized sketches — the shape the
+    # docstring promises. Values unchanged: identical sketch rows.
+    ska = ska.localCheckpoint(eager=True)
+    skb = skb.localCheckpoint(eager=True)
     # union sketch: bottom-k of the DISTINCT hash union (theta merge)
     sku = ska.unionByName(skb).distinct().orderBy("h").limit(_THETA_K)
     ea = theta_estimate(ska, _THETA_K).select(F.col("est_distinct").alias("est_a"))
@@ -12895,9 +12904,15 @@ def _tig_verdict(
 ) -> DataFrame:
     """Shared verdict frame of the grouped theta batch query and its
     streaming twin: per-group estimates from the sketches + the exact
-    per-group intersection from the raw frames."""
+    per-group intersection from the raw frames. Sketches are
+    checkpointed first (≤k rows per group per side): the grouped
+    set-algebra references each side several times (per-group θ,
+    common counts), and lazy sketches re-ran the full build per
+    reference — same fix as the ungrouped ``_theta_verdict``."""
     from sparkobs.operators.profile import theta_intersect_grouped
 
+    ska = ska.localCheckpoint(eager=True)
+    skb = skb.localCheckpoint(eager=True)
     a, b = _tig_sides(load_table(spark, sf_dir, "events"))
     est = theta_intersect_grouped(ska, skb, ["seg"], k=_TIG_K)
     exact = (
