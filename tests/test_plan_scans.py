@@ -1,0 +1,59 @@
+"""Plan-shape regression pins for the r13 redundant-scan audit.
+
+A registry-wide audit (r13) counted same-table `Scan parquet` nodes in
+every query's FINAL plan and found 13 operators whose plans re-ran a
+small derived frame's full source-scanning derivation once per
+downstream reference — Catalyst reuses no subtree statically, and the
+final adaptive plans were verified to carry ZERO ReusedExchange for
+these shapes, so every counted scan executes. (Locally invisible: the
+sf0.1 tables are ~2 MB. At 100 TB each redundant scan is a full table
+pass.) The fixes checkpoint the small frame; these tests pin the
+resulting scan ceilings so a refactor cannot silently regrow the
+redundancy.
+
+Documented exceptions, NOT pinned low (each with a reason at the
+operator): spearman (engineered range-exchange reuse),
+ngram_jaccard_pairs_prefix (recorded measured negative for
+materialization), hll_distinct (by-design per-column certification
+legs).
+"""
+
+import pytest
+
+import sparkobs.plans as P
+from sparkobs.queries import SPARK_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# name -> max Scan-parquet nodes allowed in the FINAL plan. The
+# budget is the post-fix count (source scans now happen inside the
+# eager checkpoint jobs, before the final plan) plus any intended
+# exact-certification legs that still read the source lazily.
+SCAN_BUDGETS = {
+    "markov_stationary_events": 0,   # was 58 (per-iteration re-derivation)
+    "chi_square_events_type_hour": 0,        # was 4
+    "mutual_info_events_type_hour": 0,       # was 8
+    "cramers_v_events_type_hour": 0,         # was 5
+    "kmeans_ari_embeddings": 0,              # was 8
+    "rfm_scores_orders": 0,                  # was 16
+    "merge_upsert_orders": 1,                # was 7 (base side stays lazy)
+    "assoc_rules_event_types": 0,            # was 5
+    "bigram_pmi_documents": 2,               # was 5 (bi + n_bi legs)
+    "sparse_cosine_powerlaw_pruned": 0,      # was 12
+    "hll_intersection_users_events": 2,      # was 6 (exact twin legs)
+    "theta_intersection_cells_events": 2,    # was 12 (exact legs)
+    "theta_intersection_grouped_events": 2,  # was 8 (exact legs)
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCAN_BUDGETS))
+def test_final_plan_scan_budget(spark, name):
+    df = SPARK_QUERIES[name](spark, SF)
+    n = len(P.scans(df))
+    assert n <= SCAN_BUDGETS[name], (
+        f"{name}: {n} parquet scans in the final plan, budget "
+        f"{SCAN_BUDGETS[name]} — a multi-referenced derived frame has "
+        f"lost its checkpoint (r13 audit: Catalyst reuses no subtree "
+        f"statically, so every extra scan is a full source pass at "
+        f"scale)"
+    )
