@@ -654,11 +654,21 @@ def km_survival(
     Output per death-time step: (duration, n_at_risk, n_deaths,
     survival).
     """
-    hist = durations.groupBy(F.col(duration_col).alias("t")).agg(
-        F.count(F.lit(1)).alias("n_t"),
-        F.sum(F.col(observed_col).cast("long")).alias("d_t"),
+    # The step table is checkpointed (distinct-duration-sized) and the
+    # subject total derives FROM it (Σ n_t ≡ count of all subjects,
+    # exact integers) — previously `total` was a second full pass over
+    # the durations frame, and each reference re-ran its upstream
+    # derivation (r13 scan audit: 4 source scans in km_survival's
+    # plan; 1 after).
+    hist = (
+        durations.groupBy(F.col(duration_col).alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("n_t"),
+            F.sum(F.col(observed_col).cast("long")).alias("d_t"),
+        )
+        .localCheckpoint(eager=True)
     )
-    total = durations.agg(F.count(F.lit(1)).alias("n_total"))
+    total = hist.agg(F.sum("n_t").cast("long").alias("n_total"))
     w_prev = (
         Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -461,9 +461,16 @@ def cooccurrence_jaccard(
     a hard long cast silently NULLed non-numeric keys and collapsed
     distinct pairs).
     """
-    b = df.select(
-        F.col(key_col).alias("__k"), F.col(basket_col).alias("__b")
-    ).distinct()
+    # checkpointed: the distinct key-basket frame feeds the size
+    # table AND both self-join sides; lazy, its upstream derivation
+    # (source scans + distinct) re-ran per reference (r13 scan
+    # audit). It is also the self-join input, so materializing once
+    # is pure win at any scale.
+    b = (
+        df.select(F.col(key_col).alias("__k"), F.col(basket_col).alias("__b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sz = b.groupBy("__k").agg(F.count(F.lit(1)).alias("__n"))
     x, y = b.alias("x"), b.alias("y")
     pairs = (

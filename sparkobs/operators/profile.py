@@ -662,7 +662,13 @@ def hll_sliding_from_daily_registers(
     registers by cellwise max across micro-batches (HLL registers
     merge associatively, so batch partials fold into exactly the
     daily table a one-shot build produces). ``keyed`` is the
-    ``(__d, __k)`` frame for the exact certification leg."""
+    ``(__d, __k)`` frame for the exact certification leg.
+
+    The daily register table is checkpointed (≤ days × m rows): it
+    feeds the day spine AND the window explode, and lazy registers
+    re-ran the full-data register build per reference (r13 scan
+    audit)."""
+    regs = regs.localCheckpoint(eager=True)
     days = regs.select(F.col("__d").alias("__t")).distinct()
     # each day's registers contribute to the window_days target days
     # they fall inside; semi-join keeps only targets that exist
@@ -1081,9 +1087,13 @@ def ks_from_cells(cells: DataFrame) -> DataFrame:
     the batch shape above and the streaming twin (which collects the
     ``(bin, c_a, c_b)`` cells continuously and scores them after the
     drain). Everything here is bin-table-sized — the cumulative window
-    runs over the BIN TABLE, never raw rows."""
+    runs over the BIN TABLE, never raw rows. Cells are checkpointed
+    (≤ n_bins rows): they feed BOTH the totals and the CDF window, and
+    lazy cells re-ran the two full-data binning aggs per reference
+    (r13 scan audit)."""
     from pyspark.sql import Window as W
 
+    cells = cells.localCheckpoint(eager=True)
     w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
     tot = cells.agg(
         F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
@@ -1360,10 +1370,18 @@ def emd_drift_binned(
             .agg(F.count(F.lit(1)).alias(f"c_{tag}"))
         )
 
-    cells = binned(df_a, "a").join(binned(df_b, "b"), "bin", "full_outer").select(
-        F.coalesce("bin", F.lit(0)).alias("bin"),
-        F.coalesce("c_a", F.lit(0)).alias("c_a"),
-        F.coalesce("c_b", F.lit(0)).alias("c_b"),
+    # checkpointed (≤ n_bins rows): cells feed totals + the CDF
+    # window; lazy, both full-data binning aggs re-ran per reference
+    # (r13 scan audit)
+    cells = (
+        binned(df_a, "a")
+        .join(binned(df_b, "b"), "bin", "full_outer")
+        .select(
+            F.coalesce("bin", F.lit(0)).alias("bin"),
+            F.coalesce("c_a", F.lit(0)).alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        )
+        .localCheckpoint(eager=True)
     )
     w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
     tot = cells.agg(F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b"))

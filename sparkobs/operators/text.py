@@ -555,27 +555,43 @@ def drop_boilerplate_lines(
         .where(F.col("line") != "")
         .withColumn("line_key", F.md5(F.col("line")))
     )
+    # The boilerplate SET is the Zipf head — tiny — so it is
+    # checkpointed (its build is a corpus-scale agg that must not
+    # re-run per consumer). The line table itself is CORPUS-sized
+    # (exploded text), so it is deliberately NOT checkpointed;
+    # instead keep/total/reassemble collapse into ONE pass over it: a
+    # left join marks boilerplate lines, and a single per-doc agg
+    # counts all lines, counts survivors, and reassembles survivors
+    # in (pos, line) order (r13 scan audit: the previous
+    # anti-join + two separate per-doc aggs referenced the line table
+    # three times — three corpus re-splits in one plan).
     boilerplate = (
         lines.groupBy("line_key")
         .agg(F.count_distinct("id").alias("line_doc_freq"))
         .where(F.col("line_doc_freq") >= min_docs)
-        .select("line_key")
+        .select("line_key", F.lit(True).alias("__bp"))
+        .localCheckpoint(eager=True)
     )
-    kept = lines.join(boilerplate, "line_key", "left_anti")
-    reassembled = kept.groupBy("id").agg(
+    marked = lines.join(boilerplate, "line_key", "left")
+    keep = F.col("__bp").isNull()
+    reassembled = marked.groupBy("id").agg(
         F.concat_ws(
             delim,
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line", keep.alias("__k")))
+                    ),
+                    lambda s: s["__k"],
+                ),
                 lambda s: s["line"],
             ),
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(keep.cast("long")).alias("n_kept"),
     )
-    totals = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
     return (
         df.select(F.col(id_col).alias("id"))
-        .join(totals, "id", "left")
         .join(reassembled, "id", "left")
         .select(
             F.col("id").alias(id_col),
@@ -735,10 +751,14 @@ def vocab_jsd(
     null/zero guards so one-sided tokens contribute their full
     half-divergence instead of NaN."""
     def dist(df: DataFrame, name: str) -> DataFrame:
+        # checkpointed (vocabulary-sized): the token counts feed both
+        # their own total and the join; lazy, each side's corpus
+        # tokenization ran twice (r13 scan audit)
         c = (
             df.select(F.explode(tokens_nonempty(text_col)).alias("token"))
             .groupBy("token")
             .agg(F.count(F.lit(1)).alias(f"n_{name}"))
+            .localCheckpoint(eager=True)
         )
         t = c.agg(F.sum(f"n_{name}").alias(f"tot_{name}"))
         return c.crossJoin(F.broadcast(t)).select(
@@ -992,6 +1012,10 @@ def vocab_segments(
     """
     from sparkobs.operators.joins import global_running_sum
 
+    # checkpointed (vocabulary-sized): the count table feeds the
+    # scalar total and both branches of the distributed running sum;
+    # lazy, each reference re-tokenized the corpus (r13 scan audit:
+    # 4 source scans; 1 after)
     counts = (
         df.select(F.explode(tokens_nonempty(text_col)).alias("tok"))
         .groupBy("tok")
@@ -1001,6 +1025,7 @@ def vocab_segments(
         # windows + broadcast offsets — a web-scale vocabulary never
         # funnels through a single-partition window)
         .withColumn("__negf", -F.col("freq"))
+        .localCheckpoint(eager=True)
     )
     tot = counts.agg(F.sum("freq").alias("__tot"))
     ranked = global_running_sum(

@@ -43,6 +43,15 @@ SCAN_BUDGETS = {
     "hll_intersection_users_events": 2,      # was 6 (exact twin legs)
     "theta_intersection_cells_events": 2,    # was 12 (exact legs)
     "theta_intersection_grouped_events": 2,  # was 8 (exact legs)
+    # batch 2 (same audit, small-frame double-references)
+    "ks_drift_events_halves": 0,             # was 4
+    "emd_drift_events_halves": 0,            # was 4
+    "vocab_jsd_documents": 0,                # was 4
+    "km_survival_events": 0,                 # was 4
+    "hll_sliding_users_events": 1,           # was 4 (exact twin leg)
+    "related_suppliers_jaccard": 0,          # was 4
+    "vocab_segments_documents": 0,           # was 4
+    "line_dedup_documents": 2,               # was 4 (single-pass rewrite)
 }
 
 
