@@ -59,7 +59,16 @@ def train_bigram_model(bg: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     already-aggregated counts — never a second pass over the corpus);
     the vocabulary is the count of distinct CONTEXTS (first-position
     words), which is what add-alpha smoothing normalizes over."""
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # checkpointed (bigram-vocabulary-sized): c12 feeds the context
+    # counts AND the scoring join, and c1 feeds the vocab size AND the
+    # join — lazy, each reference re-ran the corpus bigram extraction
+    # (r13 scan audit: 4 source scans in the self-train plan; 2 after,
+    # the train and score passes themselves)
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = c1.agg(F.count(F.lit(1)).alias("vocab_size"))
     return c12, c1, vocab

@@ -711,9 +711,13 @@ def image_ahash_near_pairs(
         bits = int(row["w"]) if row and row["w"] else 63
     band_size = max(1, bits // n_bands)
     mask = (1 << band_size) - 1
+    # checkpointed (one row per image: id + 8-byte hash): the hash
+    # table feeds BOTH self-join sides, and lazy it re-ran the whole
+    # upstream decode + aHash pipeline per side (r13 scan audit) —
+    # the decode kernels are the expensive leg of this operator
     h = doc_hashes.select(
         F.col(id_col).alias("__id"), F.col(hash_col).cast("long").alias("__h")
-    )
+    ).localCheckpoint(eager=True)
     bands = h.select(
         "__id",
         "__h",

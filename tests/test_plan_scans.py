@@ -52,6 +52,8 @@ SCAN_BUDGETS = {
     "related_suppliers_jaccard": 0,          # was 4
     "vocab_segments_documents": 0,           # was 4
     "line_dedup_documents": 2,               # was 4 (single-pass rewrite)
+    "bigram_ppl_documents": 1,               # was 4 (score pass stays lazy)
+    "image_near_dup_media": 0,               # was 4
 }
 
 
