@@ -631,6 +631,7 @@ def km_survival(
     durations: DataFrame,
     duration_col: str = "duration",
     observed_col: str = "observed",
+    duration_grid: int | None = None,
 ) -> DataFrame:
     """Kaplan–Meier survival curve over right-censored durations —
     the lifetime view behind churn/retention numbers: at each distinct
@@ -653,7 +654,35 @@ def km_survival(
 
     Output per death-time step: (duration, n_at_risk, n_deaths,
     survival).
+
+    State bound: the step table — and therefore the single global
+    window below — is sized by DISTINCT duration values, not subjects.
+    That is inherent to the KM formulation (every distinct event time
+    is a step), but for continuous-valued durations (e.g. raw
+    integer-microsecond lifetimes) distinct-count approaches subject
+    count, and a 100 TB event table would feed a near-subject-sized
+    single-partition window. ``duration_grid`` is the bound: when set,
+    durations are floor-snapped to multiples of the grid
+    (``floor(d / grid) * grid`` — the bucket's lower edge, same units)
+    BEFORE the step aggregation, capping the step table at
+    range/grid rows regardless of corpus size — the same
+    1 µs→coarser-grid move the sessionize family makes. Quantization
+    changes the estimand (steps merge; within-bucket death/censor
+    order is coarsened to the standard deaths-before-censors-at-equal-
+    times KM convention), so it is OFF by default and the caller picks
+    a grid meaningful for the duration unit (e.g. 86_400_000_000 for
+    whole-day buckets over microsecond durations).
     """
+    if duration_grid is not None:
+        if duration_grid <= 0:
+            raise ValueError(
+                f"duration_grid must be a positive integer, got {duration_grid}"
+            )
+        durations = durations.withColumn(
+            duration_col,
+            F.floor(F.col(duration_col) / F.lit(duration_grid)).cast("long")
+            * F.lit(duration_grid),
+        )
     # The step table is checkpointed (distinct-duration-sized) and the
     # subject total derives FROM it (Σ n_t ≡ count of all subjects,
     # exact integers) — previously `total` was a second full pass over
@@ -668,7 +697,12 @@ def km_survival(
         )
         .localCheckpoint(eager=True)
     )
-    total = hist.agg(F.sum("n_t").cast("long").alias("n_total"))
+    # coalesce: sum over an EMPTY step table is NULL; the subject
+    # total's empty-input contract is 0 (what the pre-r13 count(1)
+    # over durations returned)
+    total = hist.agg(
+        F.coalesce(F.sum("n_t"), F.lit(0)).cast("long").alias("n_total")
+    )
     w_prev = (
         Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -467,6 +467,55 @@ def test_km_survival_terminal_step_is_exact_zero(spark):
     )
 
 
+def test_km_survival_duration_grid_bounds_step_table(spark):
+    from sparkobs.operators.behavior import km_survival
+
+    # continuous-ish durations: 6 subjects, 6 DISTINCT values — the
+    # ungridded step table is subject-sized (the 100 TB hazard the
+    # duration_grid param exists to cap)
+    rows = [(3, 1), (7, 1), (12, 1), (17, 1), (23, 0), (29, 1)]
+    df = spark.createDataFrame(rows, "duration long, observed long")
+    assert km_survival(df).count() == 5  # every uncensored t is a step
+
+    # grid=10 snaps to bucket lower edges {0,10,20}: 3 steps max,
+    # and the KM arithmetic runs over the MERGED buckets
+    got = [
+        (r["duration"], r["n_at_risk"], r["n_deaths"], r["survival"])
+        for r in km_survival(df, duration_grid=10)
+        .orderBy("duration")
+        .collect()
+    ]
+    # bucket 0: {3,7} both die  -> S = 4/6
+    # bucket 10: {12,17} die    -> S = 4/6 * 2/4
+    # bucket 20: {23 censored, 29 dies}; censor-at-equal-time stays in
+    # the risk set for the step -> S = 1/3 * 1/2
+    assert got == [(0, 6, 2, 0.6667), (10, 4, 2, 0.3333), (20, 2, 1, 0.1667)]
+
+    # grid=1 on integer durations is the identity (snap is a no-op)
+    base = km_survival(df).orderBy("duration").collect()
+    g1 = km_survival(df, duration_grid=1).orderBy("duration").collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in g1]
+
+
+def test_km_survival_duration_grid_validation(spark):
+    import pytest
+
+    from sparkobs.operators.behavior import km_survival
+
+    df = spark.createDataFrame([(1, 1)], "duration long, observed long")
+    with pytest.raises(ValueError, match="duration_grid"):
+        km_survival(df, duration_grid=0)
+
+
+def test_km_survival_empty_input_returns_empty(spark):
+    from sparkobs.operators.behavior import km_survival
+
+    df = spark.createDataFrame([], "duration long, observed long")
+    got = km_survival(df)
+    assert got.count() == 0
+    assert got.columns == ["duration", "n_at_risk", "n_deaths", "survival"]
+
+
 def test_ols_recovers_exact_linear_coefficients(spark):
     from sparkobs.operators.features import ols_two_features
 
