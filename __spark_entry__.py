@@ -48,71 +48,73 @@ def entry(spark: SparkSession) -> DataFrame:
 GATE_SIZE = 50
 
 _PRIORITY: list[str] = [
-    # --- r13 gate (50 slots, exactly full — tools/plan_rotation.py
-    # output verbatim, the same derivation
-    # tests/test_gate_hygiene.py enforces): (1) the 1 promoted
-    # r12-queue entry (EXT-152 filter-funnel curation audit — a swap
-    # into the slot the r12 near_dup_groups_documents retirement
-    # freed; registry back at the 300 ceiling, queue EMPTY after
-    # promotion). (2) The 1 forced re-cert (zipf_fit_documents, the
-    # last r6 stamp — it crosses the 6-round age ceiling this round).
-    # (3) The 48 stalest r7 re-certs (alphabetical within the
+    # --- r14 gate (50 slots, exactly full — tools/plan_rotation.py
+    # output verbatim at the r13→r14 round boundary, the same
+    # derivation tests/test_gate_hygiene.py enforces): (1) the 1
+    # promoted r13-queue entry (the funnel↔pipeline certification
+    # twin — a swap into the slot the r13
+    # minhash_xx64_parity_documents retirement freed; this round's
+    # ann_recall_embeddings retirement in turn staged
+    # km_survival_quantized_events into the queue, keeping
+    # registry+queue at the 300 ceiling). (2) The 2 forced re-certs
+    # whose r7 stamps cross the 6-round age ceiling this round.
+    # (3) The 47 stalest r8 re-certs (alphabetical within the
     # cohort). Future gate windows are whatever
     # tools/plan_rotation.py prints — SURVEY.md's gate paragraphs are
     # generated from it (make survey-gates), never hand-typed.
-    # --- promoted r12 queue ---
-    "filter_funnel_marginals_documents",
+    # --- promoted r13 queue ---
+    "funnel_pipeline_parity_documents",
     # --- forced: stamp past the age ceiling ---
-    "zipf_fit_documents",
-    # --- stalest fill (r7 stamps) ---
-    "ab_ztest_purchase_events",
-    "acf1_hourly_events",
-    "activity_islands_events",
-    "ann_recall_embeddings",
-    "assoc_rules_event_types",
-    "attribution_linear_events",
-    "benford_totalprice_orders",
-    "bm25_search_documents",
-    "conversion_latency_events",
-    "cramers_v_events_type_hour",
-    "cuped_lift_events",
-    "cusum_changepoint_events",
-    "disjunctive_revenue_q19",
-    "dominant_suppliers_q20",
-    "emd_drift_events_halves",
-    "epoch_shuffle_documents",
-    "exact_quantiles_grouped_lineitem",
-    "exact_quantiles_lineitem",
-    "freshness_sla_tables",
-    "hll_intersection_users_events",
-    "hll_union_users_events",
-    "important_parts_q11",
-    "interarrival_stats_events",
-    "km_survival_events",
-    "kmeans_ari_embeddings",
-    "kmeans_embeddings",
-    "merge_upsert_orders",
-    "min_price_supplier_q2",
-    "ols_pricing_lineitem",
-    "pagerank_copurchase",
-    "pagerank_personalized_copurchase",
-    "pagerank_weighted_copurchase",
-    "partition_gaps_events",
-    "patchify_synth_media",
-    "product_profit_q9",
-    "related_suppliers_jaccard",
-    "revenue_delta_drilldown_orders",
-    "rfm_scores_orders",
-    "salted_distinct_customers_orders",
-    "scd2_user_state_events",
-    "shipmode_delay_q12",
-    "spearman_quantity_price_lineitem",
-    "streaming_debounce_events",
-    "streaming_freshness_events",
-    "streaming_kmeans_assign_embeddings",
-    "streaming_ks_drift_events",
-    "supplier_variety_q16",
-    "trend_slope_hourly_events",
+    "triangle_census_suppliers",
+    "waiting_suppliers_q21",
+    # --- stalest fill (r8 stamps) ---
+    "argmax_entity_supplier",
+    "argmax_order",
+    "argmax_order_per_status",
+    "asof_join_events_orders",
+    "asof_join_forward",
+    "audio_fingerprint_dedup_media",
+    "binary_stats_media",
+    "budget_select_documents",
+    "chunk_documents",
+    "components_supplier_mutual_knn",
+    "contamination_check",
+    "conversion_paths_events",
+    "corr_lineitem",
+    "cosine_topk_lsh",
+    "cube_revenue_status_priority",
+    "decode_stub_media",
+    "diff_columns_orders",
+    "dim_ablation_recall_embeddings",
+    "distinct_counts_lineitem",
+    "duplicate_count_lineitem",
+    "embedding_norms",
+    "event_disorder_events",
+    "frame_sample_media",
+    "group_agg_orders",
+    "grouped_distinct_parts",
+    "histogram_quantity",
+    "histogram_returnflag",
+    "hll_sliding_users_events",
+    "image_ahash_dedup_media",
+    "image_near_dup_media",
+    "impact_reach_supply_chain",
+    "incident_groups_events",
+    "inclusion_deps_star_schema",
+    "json_extract_events",
+    "label_centroid_stats",
+    "lead_lag_corr_events",
+    "limited_scan_topk",
+    "market_share_q8",
+    "monitor_suite_lake",
+    "null_counts_orders",
+    "scalar_string_funcs",
+    "seasonal_profile_events",
+    "slo_burn_rate_events",
+    "streaming_disorder_events",
+    "streaming_salted_distinct_events",
+    "streaming_slo_burn_events",
+    "time_weighted_value_events",
 ]
 
 

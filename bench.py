@@ -179,7 +179,11 @@ HEADLINE = [
     "bm25_search_documents",
     "epoch_shuffle_documents",
     "km_survival_events",
-    "ann_recall_embeddings",
+    # ann_recall_embeddings RETIRED r14 (tombstone in queries.py,
+    # swap-ledger #4): the recall certification lives in a pinned
+    # sf0.01 witness test now — the ~2 s bench row re-paid the IVF
+    # leg's fixed costs (both composed queries stay benched via
+    # cosine_topk / cosine_topk_ivf's own rows).
     "merge_upsert_orders",
     "rfm_scores_orders",
     "scd2_user_state_events",

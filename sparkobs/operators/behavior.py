@@ -754,13 +754,16 @@ def churn_durations(
     key_col: str = "user_id",
     ts_col: str = "ts",
     horizon_days: int = 7,
+    day_quantize: bool = True,
 ) -> DataFrame:
-    """Per-key (duration_days, observed) for time-to-churn survival:
-    duration = whole days between a key's first and last event;
-    a key is OBSERVED churned if its last event predates the global
-    observation end by more than ``horizon_days`` (otherwise censored
-    — it may still be active). Integer microsecond arithmetic
-    throughout."""
+    """Per-key (duration, observed) for time-to-churn survival:
+    duration = whole days between a key's first and last event (or
+    the RAW integer-microsecond span when ``day_quantize=False`` —
+    the continuous-duration input ``km_survival``'s
+    ``duration_grid`` parameter exists to bound); a key is OBSERVED
+    churned if its last event predates the global observation end by
+    more than ``horizon_days`` (otherwise censored — it may still be
+    active). Integer microsecond arithmetic throughout."""
     spans = events.groupBy(key_col).agg(
         F.min(naive_us(ts_col)).alias("__t0"),
         F.max(naive_us(ts_col)).alias("__t1"),
@@ -771,7 +774,11 @@ def churn_durations(
     day_us = 86_400_000_000
     return spans.crossJoin(F.broadcast(end)).select(
         key_col,
-        F.expr(f"(__t1 - __t0) div {day_us}").alias("duration"),
+        (
+            F.expr(f"(__t1 - __t0) div {day_us}")
+            if day_quantize
+            else (F.col("__t1") - F.col("__t0"))
+        ).alias("duration"),
         (
             F.col("__t1") < F.col("__end") - F.lit(horizon_days * day_us)
         ).cast("long").alias("observed"),

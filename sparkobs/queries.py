@@ -5590,6 +5590,118 @@ def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _funnel_parity_oracle() -> str:
+    """The oracle replays the ENTIRE contract independently: the
+    curation pipeline's survivor sets via the same CTE text the
+    certified ``curation_funnel_documents`` oracle uses (shared
+    constant — the two certifications cannot drift apart), then the
+    funnel arithmetic over the nested membership flags. Membership
+    sets are nested (surv ⊆ ex_kept ⊆ kept ⊆ raw), so corpus-wide
+    failing = n - c_k, marginal failing = c_{k-1} - c_k, and running
+    survivors = c_k = the pipeline's own stage count."""
+    return (
+        "WITH RECURSIVE "
+        + _CURATION_CTES
+        + """,
+    c AS (SELECT CAST((SELECT count(*) FROM raw) AS BIGINT) AS n,
+                 CAST((SELECT count(*) FROM kept) AS BIGINT) AS c1,
+                 CAST((SELECT count(*) FROM ex_kept) AS BIGINT) AS c2,
+                 CAST((SELECT count(*) FROM surv) AS BIGINT) AS c3)
+    SELECT 1 AS step, 'quality_kept' AS rule, n AS n_input,
+           n - c1 AS n_failing, n - c1 AS n_failing_marginal,
+           c1 AS n_survivors, c1 AS n_docs_pipeline FROM c
+    UNION ALL SELECT 2, 'exact_survivor', n, n - c2, c1 - c2, c2, c2 FROM c
+    UNION ALL SELECT 3, 'near_dup_survivor', n, n - c3, c2 - c3, c3, c3 FROM c
+    """
+    )
+
+
+@query("funnel_pipeline_parity_documents", oracle=_funnel_parity_oracle())
+def funnel_pipeline_parity_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Certification twin (r13 swap-ledger #2 successor, r12 verdict
+    stretch 8; staged r13, promoted r14): run the EXT-152
+    ``filter_funnel`` audit over the SAME pipeline
+    ``curation_funnel_documents`` executes — per-doc membership flags
+    in each stage's survivor set (quality-kept → exact-deduped →
+    near-dup-kept, derived from the identical checkpointed stage
+    frames the capstone builds) — and certify that the funnel's
+    one-scan running-survivor arithmetic reproduces the capstone's
+    per-stage audit counts exactly (``n_survivors ==
+    n_docs_pipeline`` row by row). Two independent counting
+    implementations of one contract: 3·k conditional sums over one
+    flag scan vs per-stage direct aggregation over checkpointed
+    frames. The flags are nested memberships, so the funnel's
+    corpus-wide/marginal split is also pinned: corpus-wide failing ≡
+    marginal-at-position + earlier-stage losses. The stage frames
+    come from the SAME ``_curation_stage_frames`` helper the capstone
+    calls (and the oracle from the same ``_CURATION_CTES`` text), so
+    retuning the pipeline cannot drift the twin and the capstone
+    apart on either engine side.
+
+    Scale shape: the pipeline cost is the capstone's own (the exact
+    n-gram tier is the certified-composition point; the LSH tier is
+    the documented 100 TB swap); the funnel adds ONE scan over a
+    3-boolean frame and the stage counts re-read eagerly checkpointed
+    frames — no recomputation, no extra shuffle beyond three 1-row
+    aggregates. Reference analogue: the reference ships per-monitor
+    check counts (s3_key_monitor.py:141-220) but never cross-checks
+    two audit paths; this entry makes the cross-check itself the
+    certified value."""
+    from sparkobs.operators.text import filter_funnel
+
+    raw, kept, ex_kept, surv = _curation_stage_frames(spark, sf_dir)
+
+    flags = (
+        raw.select("doc_id")
+        .join(
+            kept.select("doc_id", F.lit(True).alias("q_kept")),
+            "doc_id",
+            "left",
+        )
+        .join(
+            ex_kept.select("doc_id", F.lit(True).alias("x_kept")),
+            "doc_id",
+            "left",
+        )
+        .join(
+            surv.select("doc_id", F.lit(True).alias("n_kept")),
+            "doc_id",
+            "left",
+        )
+    )
+    funnel = filter_funnel(
+        flags,
+        [
+            ("quality_kept", "q_kept"),
+            ("exact_survivor", "x_kept"),
+            ("near_dup_survivor", "n_kept"),
+        ],
+    )
+
+    def stage_count(idx: int, d: DataFrame) -> DataFrame:
+        return d.agg(
+            F.lit(idx).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_docs_pipeline"),
+        )
+
+    stages = (
+        stage_count(1, kept)
+        .unionAll(stage_count(2, ex_kept))
+        .unionAll(stage_count(3, surv))
+    )
+    return funnel.join(stages, "step").select(
+        "step",
+        "rule",
+        "n_input",
+        "n_failing",
+        "n_failing_marginal",
+        "n_survivors",
+        "n_docs_pipeline",
+    )
+
+
 def _hll_grouped_oracle(group_col: str, col: str, table: str) -> str:
     from sparkobs.operators.profile import _HLL_ALPHA, _HLL_M
 
@@ -8842,61 +8954,33 @@ def related_suppliers_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence_jaccard(b, "s", "c", top_k=20)
 
 
-def _ann_recall_oracle() -> str:
-    """Recall@5 of the IVF tier against brute-force ground truth —
-    composed from the two registered replay oracles (each a complete
-    WITH-query, nested as subqueries), so the quality of the
-    approximate tier is itself an oracle-certified number."""
-    from sparkobs.queries import ORACLE_SQL
-
-    brute = ORACLE_SQL["cosine_topk"]
-    ivf = ORACLE_SQL["cosine_topk_ivf"]
-    return f"""
-    SELECT CAST(b.cnt AS BIGINT) AS n_truth,
-           CAST(h.cnt AS BIGINT) AS n_hits,
-           CAST(h.cnt AS DOUBLE) / b.cnt AS recall_at_5
-    FROM (SELECT count(*) AS cnt FROM ({brute})) b,
-         (SELECT count(*) AS cnt
-          FROM ({brute}) t JOIN ({ivf}) i
-            ON t.vec_id = i.vec_id AND t.neighbor_id = i.neighbor_id) h
-    """
-
-
-@query("ann_recall_embeddings", oracle=_ann_recall_oracle())
-def ann_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality certification (extension: the approximate tier's
-    recall is MEASURED in-registry, not assumed): recall@5 of the
-    partition-pruned IVF neighbors against the brute-force ground
-    truth — a semi-join of the two registered queries' results. The
-    ratio is a single division of identical integers, left unrounded
-    (bit-identical by construction). At 100 TB the ground-truth side
-    runs over a query SAMPLE; at certification scale it is exact."""
-    from sparkobs.queries import SPARK_QUERIES
-
-    # truth is referenced TWICE (semi-join probe + denominator count)
-    # and Catalyst does not reuse an aggregate subtree statically — an
-    # eager checkpoint of the k·n_vecs-row result runs the brute-force
-    # leg once instead of twice. (Profiled r11: the row's wall is
-    # dominated by the IVF leg's fixed costs — quantizer codegen +
-    # 16-bucket Python worker startup, ~2.6 s at sf0.1 — which
-    # amortize at scale; the per-row work is already the right shape.)
-    truth = (
-        SPARK_QUERIES["cosine_topk"](spark, sf_dir)
-        .select("vec_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
-    approx = SPARK_QUERIES["cosine_topk_ivf"](spark, sf_dir).select(
-        "vec_id", "neighbor_id"
-    )
-    hits = truth.join(approx, ["vec_id", "neighbor_id"], "left_semi").agg(
-        F.count(F.lit(1)).alias("cnt_h")
-    )
-    tot = truth.agg(F.count(F.lit(1)).alias("cnt_t"))
-    return tot.crossJoin(F.broadcast(hits)).select(
-        F.col("cnt_t").cast("long").alias("n_truth"),
-        F.col("cnt_h").cast("long").alias("n_hits"),
-        (F.col("cnt_h").cast("double") / F.col("cnt_t")).alias("recall_at_5"),
-    )
+# TOMBSTONE (r14): ann_recall_embeddings RETIRED — swap-ledger entry
+# #4 (SURVEY §2.11), the slot staged to the quantized Kaplan–Meier
+# entry (queries_next.py). It certified recall@5 of the IVF tier
+# against brute-force ground truth — a composition of TWO queries
+# that BOTH keep their own driver witnesses (`cosine_topk` the exact
+# truth, `cosine_topk_ivf` the pruned tier), so the retirement frees
+# a gate slot AND removes a ~2 s bench row that re-paid the IVF
+# leg's fixed costs (quantizer codegen + 16-bucket Python worker
+# startup) a second time. Recall on the fixed corpus is
+# deterministic; the claim's carrier is
+#   tests/test_dedup_similarity.py::
+#     test_ann_recall_ivf_retirement_witness_sf001
+# which composes the IDENTICAL registry calls at sf0.01 and scopes
+# the claim honestly (the r13 minhash retirement's discipline):
+# CONTRACTUAL — every IVF neighbor pair whose (vec_id, rank) the
+# truth also emits is a hit by exact arithmetic (hits ⊆ truth by
+# construction of the semi-join), and recall stays ≥ the pinned
+# floor; CORPUS-EMPIRICAL — the exact pinned value (n_truth=2500,
+# n_hits=1207, recall@5=0.4828 on the sf0.01 corpus, the number the
+# registry entry driver-certified r7–r13) is a property of THIS
+# corpus + the n_probe=4/16-cluster config, not a theorem about IVF.
+# The plan-shape guard (LeftSemi probe, no cartesian) moved to
+# tests/test_plans_functions.py::test_ann_recall_semi_join_no_cartesian,
+# which now composes the same frame inline. Same retirement
+# discipline as sparse_cosine_powerlaw_exact (r11),
+# near_dup_groups_documents (r12), minhash_xx64_parity_documents
+# (r13).
 
 
 @query(

@@ -1,21 +1,20 @@
-"""Round-14 registry queue — 1 entry, staged by r13 swap-ledger #2.
+"""Round-15 registry queue — 1 entry, staged by r14 swap-ledger #4.
 
-The r12-staged curation filter funnel
-(``filter_funnel_marginals_documents``, EXT-152) promoted into
-``queries.py`` for the r13 gate, draining the queue; the r13
-retirement of ``minhash_xx64_parity_documents`` (tombstone in
-``queries.py``, three test witnesses carry its claim) freed the slot
-now staged to ``funnel_pipeline_parity_documents`` — the
-funnel↔pipeline certification twin the r12 verdict suggested
-(stretch item 8): two independent implementations of one contract,
-``filter_funnel``'s one-scan running-survivor arithmetic vs the
-curation capstone's per-stage checkpointed counts. New stagings
+The r13-staged funnel↔pipeline certification twin
+(``funnel_pipeline_parity_documents``) promoted into ``queries.py``
+for the r14 gate, draining the queue; the r14 retirement of
+``ann_recall_embeddings`` (tombstone in ``queries.py``, pinned
+sf0.01 witness test carries its claim) freed the slot now staged to
+``km_survival_quantized_events`` — the bounded-state form of the
+Kaplan–Meier operator over CONTINUOUS (raw integer-microsecond)
+durations, certifying the r14 ``duration_grid`` parameter
+end-to-end against an independent DuckDB replay. New stagings
 follow the swap discipline below: the registry sits at the rotation
 ceiling, so a slot must be freed by a tombstoned retirement (the
 pre-ranked candidates live in SURVEY.md §2.11's swap ledger) before
 an entry lands here.
 
-Same staging discipline as the round-6..13 queues (each promoted in
+Same staging discipline as the round-6..14 queues (each promoted in
 full, oldest-staged first): entries here are NOT in
 ``sparkobs.queries.SPARK_QUERIES`` yet because the driver certifies
 only the first ``GATE_SIZE`` (50) registry entries per round —
@@ -31,12 +30,13 @@ more registry entries than that and greedy rotation mathematically
 cannot keep every entry's stamp within the age ceiling
 (ceil(301/50) = 7 > 6). The registry holds exactly 300, so EVERY
 staging is a swap: retire a registry entry with a tombstone FIRST
-(the discipline the r11 sparse-cosine and r12 near-dup-groups
-retirements established), then stage the replacement here. The
-rotation-feasibility tests (including the promotion-aware boundary
-fixtures and ``make boundary-check``) enforce this mechanically —
-run them with the newest driver CORRECTNESS file present before
-committing a staged entry.
+(the discipline the r11 sparse-cosine, r12 near-dup-groups, r13
+minhash-parity, and r14 ann-recall retirements established), then
+stage the replacement here. The rotation-feasibility tests
+(including the promotion-aware boundary fixtures and ``make
+boundary-check``) enforce this mechanically — run them with the
+newest driver CORRECTNESS file present before committing a staged
+entry.
 
 ``len(R7_QUEUE)`` is authoritative for the queue count (the r6
 verdict caught prose drifting; the name stays ``R7_QUEUE`` because
@@ -58,115 +58,76 @@ def _queue(name: str, oracle: str | None = None):
     return deco
 
 
-def _funnel_parity_oracle() -> str:
-    """The oracle replays the ENTIRE contract independently: the
-    curation pipeline's survivor sets via the same CTE text the
-    certified ``curation_funnel_documents`` oracle uses (shared
-    constant — the two certifications cannot drift apart), then the
-    funnel arithmetic over the nested membership flags. Membership
-    sets are nested (surv ⊆ ex_kept ⊆ kept ⊆ raw), so corpus-wide
-    failing = n - c_k, marginal failing = c_{k-1} - c_k, and running
-    survivors = c_k = the pipeline's own stage count."""
-    from sparkobs.queries import _CURATION_CTES
-
-    return (
-        "WITH RECURSIVE "
-        + _CURATION_CTES
-        + """,
-    c AS (SELECT CAST((SELECT count(*) FROM raw) AS BIGINT) AS n,
-                 CAST((SELECT count(*) FROM kept) AS BIGINT) AS c1,
-                 CAST((SELECT count(*) FROM ex_kept) AS BIGINT) AS c2,
-                 CAST((SELECT count(*) FROM surv) AS BIGINT) AS c3)
-    SELECT 1 AS step, 'quality_kept' AS rule, n AS n_input,
-           n - c1 AS n_failing, n - c1 AS n_failing_marginal,
-           c1 AS n_survivors, c1 AS n_docs_pipeline FROM c
-    UNION ALL SELECT 2, 'exact_survivor', n, n - c2, c1 - c2, c2, c2 FROM c
-    UNION ALL SELECT 3, 'near_dup_survivor', n, n - c3, c2 - c3, c3, c3 FROM c
+_KM_QUANT_ORACLE = """
+    WITH spans AS (
+      SELECT user_id, min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+      FROM events GROUP BY 1),
+    e AS (SELECT max(epoch_us(ts)) AS obs_end FROM events),
+    durs AS (
+      SELECT ((t1 - t0) // 86400000000) * 86400000000 AS t,
+             CASE WHEN t1 < obs_end - 1 * 86400000000 THEN 1 ELSE 0 END AS obs
+      FROM spans CROSS JOIN e),
+    hist AS (SELECT t, count(*) AS n_t, sum(obs) AS d_t FROM durs GROUP BY 1),
+    tot AS (SELECT count(*) AS n_total FROM durs),
+    steps AS (
+      SELECT t, n_t, d_t,
+             n_total - coalesce(sum(n_t) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS n_at_risk
+      FROM hist CROSS JOIN tot),
+    logged AS (
+      SELECT t, d_t, n_at_risk,
+             CASE WHEN n_at_risk > d_t
+                  THEN CAST(floor(ln((n_at_risk - d_t)
+                                     / CAST(n_at_risk AS DOUBLE)) * 1e8)
+                            AS BIGINT)
+             END AS lu
+      FROM steps),
+    cum AS (
+      SELECT t, d_t, n_at_risk,
+             sum(lu) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cu
+      FROM logged)
+    SELECT CAST(t AS BIGINT) AS duration_us,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d_t AS BIGINT) AS n_deaths,
+           CASE WHEN n_at_risk > d_t THEN round(exp(cu / 1e8), 4)
+                ELSE 0.0 END AS survival
+    FROM cum WHERE d_t > 0
     """
+
+
+@_queue("km_survival_quantized_events", oracle=_KM_QUANT_ORACLE)
+def km_survival_quantized_events(spark, sf_dir: str):
+    """Bounded-state Kaplan–Meier over CONTINUOUS durations (r14
+    swap-ledger #4 successor; certifies the r14 ``duration_grid``
+    parameter end-to-end): per-user lifetimes enter as RAW
+    integer-microsecond spans — the input whose distinct-count
+    approaches subject count, the degenerate regime the r13 verdict's
+    watch item 3 flagged for the step-table window — and
+    ``km_survival(duration_grid=day_us)`` floor-snaps them to
+    whole-day bucket edges INSIDE the operator, capping the step
+    table (and the single global window over it) at range/grid rows
+    regardless of corpus size. Censoring matches the certified
+    ``km_survival_events`` entry (1-day horizon); durations stay in
+    microseconds (bucket lower edges, day multiples), so the curve is
+    that entry's with the time axis in µs — but computed from the
+    UNQUANTIZED durations frame through the new parameter, which is
+    exactly the claim needing certification. Oracle: full independent
+    DuckDB replay (grid snap in SQL + the integer-quantized log-space
+    cumulative product the km family uses for cross-engine
+    exactness). Reference analogue: the reference ships retention-
+    style aggregations only (sql_table_monitor.py:61-75 row-count
+    trends); the censoring-aware lifetime view is an extension."""
+    from sparkobs.io import load_table
+    from sparkobs.operators.behavior import churn_durations, km_survival
+
+    durs = churn_durations(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        1,
+        day_quantize=False,
     )
-
-
-@_queue("funnel_pipeline_parity_documents", oracle=_funnel_parity_oracle())
-def funnel_pipeline_parity_documents(spark, sf_dir: str):
-    """Certification twin (r13 swap-ledger #2 successor, r12 verdict
-    stretch 8): run the EXT-152 ``filter_funnel`` audit over the SAME
-    pipeline ``curation_funnel_documents`` executes — per-doc
-    membership flags in each stage's survivor set (quality-kept →
-    exact-deduped → near-dup-kept, derived from the identical
-    checkpointed stage frames the capstone builds) — and certify that
-    the funnel's one-scan running-survivor arithmetic reproduces the
-    capstone's per-stage audit counts exactly
-    (``n_survivors == n_docs_pipeline`` row by row). Two independent
-    counting implementations of one contract: 3·k conditional sums
-    over one flag scan vs per-stage direct aggregation over
-    checkpointed frames. The flags are nested memberships, so the
-    funnel's corpus-wide/marginal split is also pinned: corpus-wide
-    failing ≡ marginal-at-position + earlier-stage losses. The stage
-    frames come from the SAME ``_curation_stage_frames`` helper the
-    capstone calls (and the oracle from the same ``_CURATION_CTES``
-    text), so retuning the pipeline cannot drift the twin and the
-    capstone apart on either engine side.
-
-    Scale shape: the pipeline cost is the capstone's own (the exact
-    n-gram tier is the certified-composition point; the LSH tier is
-    the documented 100 TB swap); the funnel adds ONE scan over a
-    3-boolean frame and the stage counts re-read eagerly checkpointed
-    frames — no recomputation, no extra shuffle beyond three 1-row
-    aggregates. Reference analogue: the reference ships per-monitor
-    check counts (s3_key_monitor.py:141-220) but never cross-checks
-    two audit paths; this entry makes the cross-check itself the
-    certified value."""
-    from pyspark.sql import functions as F
-
-    from sparkobs.operators.text import filter_funnel
-    from sparkobs.queries import _curation_stage_frames
-
-    raw, kept, ex_kept, surv = _curation_stage_frames(spark, sf_dir)
-
-    flags = (
-        raw.select("doc_id")
-        .join(
-            kept.select("doc_id", F.lit(True).alias("q_kept")),
-            "doc_id",
-            "left",
-        )
-        .join(
-            ex_kept.select("doc_id", F.lit(True).alias("x_kept")),
-            "doc_id",
-            "left",
-        )
-        .join(
-            surv.select("doc_id", F.lit(True).alias("n_kept")),
-            "doc_id",
-            "left",
-        )
-    )
-    funnel = filter_funnel(
-        flags,
-        [
-            ("quality_kept", "q_kept"),
-            ("exact_survivor", "x_kept"),
-            ("near_dup_survivor", "n_kept"),
-        ],
-    )
-
-    def stage_count(idx: int, d) -> "object":
-        return d.agg(
-            F.lit(idx).alias("step"),
-            F.count(F.lit(1)).cast("long").alias("n_docs_pipeline"),
-        )
-
-    stages = (
-        stage_count(1, kept)
-        .unionAll(stage_count(2, ex_kept))
-        .unionAll(stage_count(3, surv))
-    )
-    return funnel.join(stages, "step").select(
-        "step",
-        "rule",
-        "n_input",
-        "n_failing",
-        "n_failing_marginal",
-        "n_survivors",
-        "n_docs_pipeline",
-    )
+    return km_survival(
+        durs, duration_grid=86_400_000_000
+    ).withColumnRenamed("duration", "duration_us")

@@ -190,6 +190,51 @@ def test_cosine_ivf_recall(spark):
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
 
 
+def test_ann_recall_ivf_retirement_witness_sf001(spark):
+    """Retirement witness for the r14-retired registry entry
+    `ann_recall_embeddings` (SURVEY §2.11 swap-ledger #4): recall@5
+    of the partition-pruned IVF tier against brute-force ground
+    truth, composed from the IDENTICAL registered calls
+    (`cosine_topk` truth, `cosine_topk_ivf` approx — both keep their
+    own driver witnesses) on the sf0.01 gate corpus.
+
+    SCOPE (the r13 minhash retirement's honesty discipline):
+    CONTRACTUAL — hits are the exact intersection of the two result
+    sets (semi-join on (vec_id, neighbor_id)), so n_hits ≤ n_truth
+    always, and the floor assertion is the quality contract the IVF
+    tier ships with. CORPUS-EMPIRICAL — the exact pinned triple
+    (2500, 1207, 0.4828) is what the registry entry driver-certified
+    r7–r13 on THIS corpus with THIS config (k=5, 16 clusters,
+    n_probe=4 — isotropic synthetic embeddings are IVF's worst case:
+    no cluster structure to prune by, see SCALE.md's IVF notes); it
+    is not a theorem about IVF recall. If an intentional
+    quantizer/config change moves it, re-measure and re-pin."""
+    from sparkobs.queries import SPARK_QUERIES
+
+    sf01 = "/root/testdata/sf0.01"
+    truth = {
+        (r.vec_id, r.neighbor_id)
+        for r in SPARK_QUERIES["cosine_topk"](spark, sf01)
+        .select("vec_id", "neighbor_id")
+        .collect()
+    }
+    approx = {
+        (r.vec_id, r.neighbor_id)
+        for r in SPARK_QUERIES["cosine_topk_ivf"](spark, sf01)
+        .select("vec_id", "neighbor_id")
+        .collect()
+    }
+    n_truth, n_hits = len(truth), len(truth & approx)
+    assert n_hits <= n_truth  # contractual: hits ⊆ truth
+    assert n_hits / n_truth >= 0.4  # contractual floor
+    # corpus-empirical: the exact driver-certified triple
+    assert (n_truth, n_hits, round(n_hits / n_truth, 4)) == (
+        2500,
+        1207,
+        0.4828,
+    )
+
+
 def test_corpus_guard_fires(spark):
     import pytest
 

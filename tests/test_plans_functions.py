@@ -447,10 +447,26 @@ def test_ols_single_scan_three_columns_one_exchange(spark):
 
 
 def test_ann_recall_semi_join_no_cartesian(spark):
-    from sparkobs.plans import assert_no_cartesian, physical_plan
-    from sparkobs.queries_next import R7_QUEUE
+    # plan-shape guard carried over from the r14-retired
+    # `ann_recall_embeddings` registry entry (SURVEY §2.11 swap-ledger
+    # #4; value witness: test_dedup_similarity.py::
+    # test_ann_recall_ivf_retirement_witness_sf001) — the recall
+    # composition stays a LeftSemi equi-probe, never a cartesian
+    from pyspark.sql import functions as F
 
-    df = _q("ann_recall_embeddings")(spark, SF)
+    from sparkobs.plans import assert_no_cartesian, physical_plan
+
+    truth = (
+        Q.SPARK_QUERIES["cosine_topk"](spark, SF)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    approx = Q.SPARK_QUERIES["cosine_topk_ivf"](spark, SF).select(
+        "vec_id", "neighbor_id"
+    )
+    df = truth.join(approx, ["vec_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("cnt_h")
+    )
     assert "LeftSemi" in physical_plan(df)
     assert_no_cartesian(df)
 
