@@ -260,22 +260,28 @@ def drift_band(
     base_cal: dict,
     tol: float = 0.05,
 ) -> tuple[dict, list | None]:
-    """Calibration-disagreement band (BASELINE.md policy, r12 verdict
-    item 2): returns ({spark, duckdb} drift factors vs the frozen
-    baseline's fixed-workload rows, band-or-None). The band fires
-    whenever the drifts DISAGREE IN SIGN and the ratio distortion
-    they jointly imply (s_drift/d_drift divergence) exceeds ``tol``
-    — NOT when each side independently exceeds it (that first cut
-    missed e.g. spark +4% / duckdb −20%, where the raw ratio is ~25%
-    off while one leg sits inside its own noise band). Pure so the
-    trigger is unit-testable without running a bench."""
+    """Calibration-drift band (BASELINE.md policy, r12 verdict item 2;
+    trigger widened r14 per r13 ADVICE): returns ({spark, duckdb}
+    drift factors vs the frozen baseline's fixed-workload rows,
+    band-or-None). The band fires whenever the JOINT ratio distortion
+    the two drifts imply (s_drift/d_drift divergence) exceeds ``tol``
+    — sign agreement is irrelevant: only EQUAL same-direction drift
+    (the shared-VM-load case the policy's rationale covers) divides
+    out of the ratio, while one-sided drift (spark ~1.00× while
+    duckdb runs 1.20×, or either leg exactly at baseline) distorts
+    it just as much as a sign disagreement. The earlier sign-product
+    gate ((s−1)·(d−1) < 0) missed exactly those cases; before that, a
+    per-side threshold missed spark +4% / duckdb −20%. The caveat
+    message keeps the per-side factors so the direction information
+    is not lost. Pure so the trigger is unit-testable without
+    running a bench."""
     s_drift = cal_spark / base_cal["spark_fixed_agg"]
     d_drift = cal_duckdb / base_cal["duckdb_fixed_agg"]
     drift = {"spark": round(s_drift, 3), "duckdb": round(d_drift, 3)}
     if ratio is None:
         return drift, None
     rel = max(s_drift / d_drift, d_drift / s_drift)
-    if (s_drift - 1) * (d_drift - 1) < 0 and rel - 1 > tol:
+    if rel - 1 > tol:
         adjusted = round(ratio * d_drift / s_drift, 3)
         return drift, sorted([ratio, adjusted])
     return drift, None
@@ -574,11 +580,12 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # Ratio honesty when the calibrations DISAGREE IN SIGN vs the
-    # frozen baseline (BASELINE.md "Calibration-disagreement policy",
-    # r12 verdict item 2: the final r12 artifact recorded 0.208x
-    # uncaveated while the per-engine calibration rows had drifted in
-    # opposite directions — the honest number was a ~0.2-0.42x band).
+    # Ratio honesty when the calibrations drifted UNEQUALLY vs the
+    # frozen baseline (BASELINE.md "Calibration-drift policy", r12
+    # verdict item 2, trigger widened r14: the final r12 artifact
+    # recorded 0.208x uncaveated while the per-engine calibration
+    # rows had drifted apart — the honest number was a ~0.2-0.42x
+    # band; only equal same-direction drift divides out of the ratio).
     # Drift factor per engine = fixed-workload time now / at baseline;
     # the adjusted ratio divides each side's total by its own drift.
     # Computed HERE so the artifact itself carries the band — a prose
@@ -596,8 +603,8 @@ def main() -> None:
         )
         if ratio_band is not None:
             print(
-                f"# engine_vs_duckdb CAVEAT: calibrations drifted in "
-                f"opposite directions vs baseline "
+                f"# engine_vs_duckdb CAVEAT: calibrations drifted "
+                f"unequally vs baseline "
                 f"(spark {calibration_drift['spark']:.2f}x, "
                 f"duckdb {calibration_drift['duckdb']:.2f}x) — honest "
                 f"band {ratio_band[0]}-{ratio_band[1]}x, raw {ratio}x",

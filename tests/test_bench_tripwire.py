@@ -84,14 +84,15 @@ def test_no_unexplained_per_query_regression():
 
 
 def test_drift_band_trigger_matches_policy():
-    """The calibration-disagreement band (BASELINE.md policy, r12
-    verdict item 2) fires whenever the two engines' fixed-workload
-    drifts DISAGREE IN SIGN and the distortion they jointly imply
-    exceeds tolerance — including the asymmetric case where one leg
-    sits inside its own noise band (spark +4% / duckdb −20%, the case
-    the first per-side-threshold cut missed). Same-direction drift —
-    even large — is shared-VM load the ratio already divides out, so
-    no band."""
+    """The calibration-drift band (BASELINE.md policy, r12 verdict
+    item 2; trigger widened r14 per r13 ADVICE) fires whenever the
+    JOINT ratio distortion the two fixed-workload drifts imply
+    exceeds tolerance — sign agreement is irrelevant, because only
+    EQUAL same-direction drift (shared-VM load) divides out of the
+    ratio. Covered cases the earlier triggers missed: spark +4% /
+    duckdb −20% (per-side threshold), one-sided drift spark ~1.00× /
+    duckdb 1.20× and a leg exactly at baseline (sign-product
+    gate)."""
     import bench
 
     base = {"spark_fixed_agg": 1.0, "duckdb_fixed_agg": 1.0}
@@ -105,12 +106,23 @@ def test_drift_band_trigger_matches_policy():
     _, band = bench.drift_band(0.3, 1.04, 0.80, base)
     assert band == sorted([0.3, round(0.3 * 0.80 / 1.04, 3)])
 
-    # opposite signs but joint distortion inside tol -> no band
+    # ONE-SIDED drift, same-sign-or-flat (r13 ADVICE case): spark
+    # within noise while duckdb runs 1.2x slower -> the raw ratio is
+    # ~19% flattered; fires
+    _, band = bench.drift_band(0.3, 1.01, 1.20, base)
+    assert band == sorted([0.3, round(0.3 * 1.20 / 1.01, 3)])
+
+    # a leg EXACTLY at baseline (sign product == 0) -> fires
+    _, band = bench.drift_band(0.3, 1.0, 1.20, base)
+    assert band == sorted([0.3, round(0.3 * 1.20 / 1.0, 3)])
+
+    # joint distortion inside tol -> no band
     _, band = bench.drift_band(0.3, 1.02, 0.99, base)
     assert band is None
 
-    # same-direction drift, even large -> no band (shared-VM load)
-    _, band = bench.drift_band(0.3, 1.4, 1.5, base)
+    # EQUAL same-direction drift, even large -> no band (shared-VM
+    # load divides out; 1.4 vs 1.45 is within tol of each other)
+    _, band = bench.drift_band(0.3, 1.4, 1.45, base)
     assert band is None
 
     # no ratio (duckdb leg skipped) -> drift recorded, no band
