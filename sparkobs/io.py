@@ -362,3 +362,33 @@ def write_bucketed_table(
         .option("path", path)
         .saveAsTable(name)
     )
+
+
+def pin_corpus_frame(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a CORPUS-SCALE frame referenced by several
+    plan legs (Catalyst reuses no subtree statically, so without a
+    pin each leg re-runs the whole derivation).
+
+    Small derived frames (cells, sketches, vocabularies, k-row
+    seeds) ride ``localCheckpoint(eager=True)``: lineage truncation
+    is harmless when the frame is provably tiny. A corpus-sized
+    frame must NOT localCheckpoint — its blocks land in
+    executor-LOCAL storage with the lineage cut, so at the 100 TB
+    design point one lost executor mid-job makes the run
+    unrecoverable (no recompute path). ``DISK_ONLY`` persist keeps
+    the lineage: lost partitions recompute from source, and every
+    reference after the materializing ``count()`` reads the cached
+    blocks (``InMemoryTableScan``), so the multi-leg scan-dedup the
+    pin exists for still holds. Plan-text note: the persisted
+    frame's RECOVERABLE lineage still prints one ``Scan parquet``
+    node inside the ``InMemoryRelation`` — ``tests/test_plan_scans``
+    budgets count it with a comment; it executes at most once (and
+    again only on partition loss). Long-lived sessions should
+    ``unpersist()`` when the consuming job finishes — same lifetime
+    profile as the localCheckpoint blocks this replaces (r13
+    ADVICE)."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.DISK_ONLY)
+    df.count()
+    return df

@@ -1068,14 +1068,19 @@ def sparse_cosine_pairs(
     if max_df is None:
         return score(a.join(b, "dim_idx").where(F.col("ia") < F.col("ib")))
     # production tier: rare-dim candidate generation + exact rescore.
-    # vecs is checkpointed first: it feeds FIVE legs (df table, both
+    # vecs is pinned first: it feeds FIVE legs (df table, both
     # candidate sides, both rescore sides) and Catalyst reuses no
     # subtree statically — lazy, the upstream vectorization
     # (tokenize + explode + agg over the corpus) re-ran per leg, 12
     # source scans in one plan. The long-form vector table is the
     # frame a production pipeline materializes anyway; values
-    # unchanged.
-    vecs = vecs.localCheckpoint(eager=True)
+    # unchanged. CORPUS-SCALE, so the pin is a DISK_ONLY persist
+    # (recoverable lineage), not a localCheckpoint — see
+    # pin_corpus_frame (r13 ADVICE: executor loss must not strand
+    # the job at the 100 TB design point).
+    from sparkobs.io import pin_corpus_frame
+
+    vecs = pin_corpus_frame(vecs)
     a = vecs.select(
         F.col(id_col).alias("ia"), "dim_idx", F.col("weight").alias("wa")
     )

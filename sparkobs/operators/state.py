@@ -974,13 +974,18 @@ def merge_upsert(
         )
     else:
         updates = updates.dropDuplicates(key_cols)
-    # checkpointed: the compacted batch feeds BOTH the anti-join key
-    # side and the survivor side, and Catalyst reuses no subtree
+    # pinned: the compacted batch feeds BOTH the anti-join key side
+    # and the survivor side, and Catalyst reuses no subtree
     # statically — lazy, the whole change-batch derivation (source
     # scans included) re-ran once per side. The change batch is the
-    # SMALL side by this operator's premise, so materializing it is
-    # the cheap half of the merge.
-    updates = updates.localCheckpoint(eager=True)
+    # SMALLER side by this operator's premise, so materializing it
+    # is the cheap half of the merge — but it is still DATA-sized
+    # (a day's CDC at 100 TB is not a sketch), so the pin is a
+    # DISK_ONLY persist (recoverable lineage), not a localCheckpoint
+    # — see pin_corpus_frame (r13 ADVICE).
+    from sparkobs.io import pin_corpus_frame
+
+    updates = pin_corpus_frame(updates)
     upd_keys = updates.select(*key_cols)
     survivors = (
         updates.where(~F.coalesce(F.col(deleted_col), F.lit(False))).drop(

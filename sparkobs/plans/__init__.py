@@ -19,18 +19,59 @@ def physical_plan(df: DataFrame) -> str:
     )
 
 
-def scans(df: DataFrame) -> list[dict]:
-    """Parse parquet scan nodes: pushed filters + read schema."""
+def _cached_scan_ids(plan: str) -> set[str]:
+    """Node ids of ``Scan parquet`` nodes nested under an
+    ``InMemoryRelation`` in the tree summary — the RECOVERABLE
+    lineage of a persisted frame (``io.pin_corpus_frame``). The
+    formatted explain prints that lineage inline, but it executes at
+    most once (on materialization) and again only on partition loss,
+    so scan budgets exclude it by default. Subtree extent is tracked
+    by indentation: everything indented deeper than the relation line
+    belongs to its cached plan."""
+    import re
+
+    ids: set[str] = set()
+    open_indents: list[int] = []
+    for line in plan.splitlines():
+        m = re.match(r"^([\s:+\-*]*)(.*)$", line)
+        indent, rest = len(m.group(1)), m.group(2)
+        if not rest or rest.startswith("== Physical Plan"):
+            continue
+        while open_indents and indent <= open_indents[-1]:
+            open_indents.pop()
+        if rest.startswith("InMemoryRelation"):
+            open_indents.append(indent)
+        elif open_indents:
+            sm = re.search(r"Scan parquet\s*\((\d+)\)", rest)
+            if sm:
+                ids.add(sm.group(1))
+    return ids
+
+
+def scans(df: DataFrame, include_cached: bool = False) -> list[dict]:
+    """Parse parquet scan nodes: pushed filters + read schema.
+
+    Scans inside a persisted frame's ``InMemoryRelation`` (its
+    recoverable lineage — see ``io.pin_corpus_frame``) are excluded
+    unless ``include_cached=True``: they are printed in the plan but
+    the final job reads the cached blocks, so for scan-budget
+    purposes they are the moral equivalent of an eager checkpoint
+    job's scans (which never appeared in the final plan at all)."""
     import re
 
     plan = physical_plan(df)
+    skip = set() if include_cached else _cached_scan_ids(plan)
     out: list[dict] = []
     cur: dict | None = None
     for line in plan.splitlines():
         s = line.strip()
         # only detail-section nodes ("(1) Scan parquet …") carry
         # PushedFilters/ReadSchema; tree-summary lines don't
-        if re.match(r"^\(\d+\) Scan parquet", s):
+        m = re.match(r"^\((\d+)\) Scan parquet", s)
+        if m:
+            if m.group(1) in skip:
+                cur = None
+                continue
             cur = {"pushed": "", "schema": ""}
             out.append(cur)
         elif cur is not None and s.startswith("PushedFilters:"):

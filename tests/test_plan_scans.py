@@ -68,3 +68,20 @@ def test_final_plan_scan_budget(spark, name):
         f"statically, so every extra scan is a full source pass at "
         f"scale)"
     )
+
+
+def test_persisted_lineage_scans_excluded_but_visible(spark):
+    """The two corpus-scale pins (`sparse_cosine_pairs` vecs,
+    `merge_upsert` updates — r13 ADVICE) ride a DISK_ONLY persist so
+    executor loss recomputes from lineage instead of stranding the
+    job. The recoverable lineage prints inside the InMemoryRelation:
+    scans() excludes it by default (it executes at most once, the
+    moral equivalent of a checkpoint job's scans, so the budgets
+    above keep their meaning) but include_cached=True must still see
+    it — losing sight of it entirely would hide a regression where a
+    pinned derivation grows redundant internal scans."""
+    df = SPARK_QUERIES["merge_upsert_orders"](spark, SF)
+    live = len(P.scans(df))
+    everything = len(P.scans(df, include_cached=True))
+    assert live == 1  # the lazy base side only
+    assert everything > live  # cached lineage is visible on request
