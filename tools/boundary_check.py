@@ -150,7 +150,17 @@ def main(argv: list[str]) -> int:
         targets = (
             [t for t in HYGIENE_TESTS if os.path.exists(os.path.join(tmp, t))]
             if hygiene_only
-            else ["tests/"]
+            else [
+                "tests/",
+                # inside the copy, skip the tool's own tests: they
+                # copy the copied tree two more times and re-invoke
+                # the tool (bounded — the nested runs are
+                # --hygiene-only — but each full run then pays three
+                # full-tree copies and two nested pytest sessions of
+                # pure overhead inside an already-synthesized state;
+                # the live suite still runs them)
+                "--ignore=tests/test_boundary_tool.py",
+            ]
         )
         env = dict(os.environ)
         # the copy must import ITS OWN tree, not the live repo
