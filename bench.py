@@ -252,6 +252,34 @@ HEADLINE = [
 # warm-up) into BENCH_full.json["tail_queries"], so no registry entry
 # goes unmeasured — the rule the r6 verdict asked to make explicit.
 
+# Headline queries with NO same-session DuckDB comparison row, each
+# with the reason (r13 verdict item 6: a silent gap reads as
+# "covered"; an explicit ledger cannot). These are exactly the
+# rows-only registry entries whose operation has no DuckDB-
+# expressible oracle — there is no SQL to time, so no comparison is
+# POSSIBLE, not merely skipped. test_bench_tripwire pins that every
+# benched headline query is either compared or listed here.
+DUCKDB_UNCOMPARABLE = {
+    "compaction_execute_documents": (
+        "executes an on-disk small-file compaction (writes + swaps a "
+        "staged directory); the certified values are the post-state "
+        "of a filesystem side effect, not a query DuckDB can run"
+    ),
+    "minhash_lsh_pairs_xx64": (
+        "engine-specific xxhash64 signature tier — DuckDB has no "
+        "xxhash64; value certification rides the md5-tier pair-set "
+        "parity witnesses (tests/test_dedup_similarity.py), and the "
+        "portable md5 tier (minhash_lsh_pairs) carries the "
+        "same-session comparison row"
+    ),
+    "pca_project_embeddings": (
+        "per-row projections are eigenvector-sign/rotation specific "
+        "(engine BLAS); value certification rides the "
+        "pca_variance_embeddings invariant twin, which carries the "
+        "comparison row"
+    ),
+}
+
 
 def drift_band(
     ratio: float | None,
@@ -482,6 +510,16 @@ def main() -> None:
         # remains — a p50 series for most queries, never a silent gap
         named = [(n, oracles[n]) for n in HEADLINE if n in oracles and n in timings]
         dk_runs: dict[str, list[float]] = {}
+        # the comparison-coverage ledger: benched headline queries
+        # with no oracle SQL must each carry a documented reason
+        for n in HEADLINE:
+            if n in timings and n not in oracles and n not in DUCKDB_UNCOMPARABLE:
+                print(
+                    f"# WARNING: {n} benched without a DuckDB "
+                    f"comparison row and without a documented reason "
+                    f"in DUCKDB_UNCOMPARABLE",
+                    file=sys.stderr,
+                )
         def _timed_run(sql: str, cap: float) -> float | None:
             # DuckDB has no in-query timeout; a watchdog thread
             # interrupts the connection so one unrolled-CTE oracle can
@@ -625,6 +663,9 @@ def main() -> None:
         "tail_skipped": tail_skipped,
         "duckdb": duckdb_timings,
         "duckdb_skipped": duckdb_skipped,
+        "duckdb_uncomparable": {
+            n: r for n, r in sorted(DUCKDB_UNCOMPARABLE.items()) if n in timings
+        },
         "engine_vs_duckdb": ratio,
         "engine_vs_duckdb_band": ratio_band,
         "calibration": calibration,

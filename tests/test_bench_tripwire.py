@@ -128,3 +128,27 @@ def test_drift_band_trigger_matches_policy():
     # no ratio (duckdb leg skipped) -> drift recorded, no band
     drift, band = bench.drift_band(None, 1.2, 0.8, base)
     assert band is None and drift["spark"] == 1.2
+
+
+def test_duckdb_comparison_coverage_is_total_or_documented():
+    """r13 verdict item 6: every benched headline query either has a
+    DuckDB oracle to time in the same session, or appears in
+    bench.DUCKDB_UNCOMPARABLE with a written reason — a comparison
+    gap must be a documented impossibility, never a silent skip. Also
+    pins the inverse: a documented entry must be a real headline
+    query that actually lacks an oracle (so the ledger cannot rot
+    into covering queries that HAVE one)."""
+    import bench
+    from sparkobs.queries import ORACLE_SQL, SPARK_QUERIES
+
+    headline = [n for n in bench.HEADLINE if n in SPARK_QUERIES]
+    missing = [
+        n
+        for n in headline
+        if n not in ORACLE_SQL and n not in bench.DUCKDB_UNCOMPARABLE
+    ]
+    assert missing == [], f"benched without comparison or reason: {missing}"
+    for n, reason in bench.DUCKDB_UNCOMPARABLE.items():
+        assert n in SPARK_QUERIES, f"{n} documented but not registered"
+        assert n not in ORACLE_SQL, f"{n} documented uncomparable but HAS an oracle"
+        assert len(reason) > 20, f"{n}: reason too thin"
