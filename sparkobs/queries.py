@@ -4177,6 +4177,25 @@ def winnowing_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _snd_batch_cands(batch_df: DataFrame, index: DataFrame) -> DataFrame:
+    """Per-batch stream-static candidate generation for the near-dup
+    screening twin — one scan of the micro-batch (signature pipeline
+    on the odd-id rows) broadcast-joined against the PERSISTED static
+    band index, whose recoverable lineage does not re-scan per batch
+    (r14 streaming scan audit pin)."""
+    from sparkobs.operators.dedup import minhash_banded
+
+    return (
+        minhash_banded(
+            batch_df.where(F.col("doc_id") % 2 == 1), hash_fn="md5"
+        )
+        .withColumnRenamed("id", "stream_id")
+        .join(F.broadcast(index), ["band", "bucket"])
+        .select("stream_id", "index_id")
+        .distinct()
+    )
+
+
 @query(
     "streaming_near_dup_candidates",
     oracle="WITH " + _minhash_pair_ctes() + """
@@ -4232,16 +4251,7 @@ def streaming_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
     shutil.rmtree(out_dir, ignore_errors=True)
 
     def enrich(batch_df, batch_id):
-        cands = (
-            minhash_banded(
-                batch_df.where(F.col("doc_id") % 2 == 1), hash_fn="md5"
-            )
-            .withColumnRenamed("id", "stream_id")
-            .join(F.broadcast(index), ["band", "bucket"])
-            .select("stream_id", "index_id")
-            .distinct()
-        )
-        cands.write.mode("append").parquet(out_dir)
+        _snd_batch_cands(batch_df, index).write.mode("append").parquet(out_dir)
 
     q = (
         spark.readStream.schema(
@@ -4260,6 +4270,26 @@ def streaming_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         index.unpersist()
     return spark.read.parquet(out_dir).distinct()
+
+
+def _sibi_cands(banded: DataFrame, index: DataFrame) -> DataFrame:
+    """Per-batch candidate generation for the incremental band index
+    twin: the batch's (persisted) band table joined against the
+    on-disk index UNION itself — the rename sidesteps self-join
+    column ambiguity (banded appears on both sides for the in-batch
+    collisions). Per-batch scan budget: 1 parquet scan (the index
+    read); the persisted band table's lineage (the batch signature
+    pipeline) does not re-scan (r14 streaming scan audit pin)."""
+    other = index.unionByName(banded).withColumnRenamed("id", "id2")
+    return (
+        banded.join(other, ["band", "bucket"])
+        .where(F.col("id") != F.col("id2"))
+        .select(
+            F.least("id", "id2").alias("id_a"),
+            F.greatest("id", "id2").alias("id_b"),
+        )
+        .distinct()
+    )
 
 
 @query(
@@ -4309,18 +4339,7 @@ def streaming_incremental_band_index(spark: SparkSession, sf_dir: str) -> DataFr
         banded = minhash_banded(batch_df, hash_fn="md5").persist()
         banded.count()
         index = spark.read.schema(band_schema).parquet(index_dir)
-        # rename sidesteps self-join column ambiguity (banded appears on
-        # both sides for the in-batch collisions)
-        other = index.unionByName(banded).withColumnRenamed("id", "id2")
-        cands = (
-            banded.join(other, ["band", "bucket"])
-            .where(F.col("id") != F.col("id2"))
-            .select(
-                F.least("id", "id2").alias("id_a"),
-                F.greatest("id", "id2").alias("id_b"),
-            )
-            .distinct()
-        )
+        cands = _sibi_cands(banded, index)
         cands.write.mode("append").parquet(out_dir)
         banded.write.mode("append").parquet(index_dir)
         banded.unpersist()
@@ -5051,6 +5070,17 @@ def _streaming_cms_oracle(depth: int = 4, width: int = 256) -> str:
     """
 
 
+def _scms_partial(batch_df: DataFrame) -> DataFrame:
+    """Per-batch CMS partial for the streaming twin — one scan of the
+    micro-batch into the (d, w, cnt) cell table (r14 streaming scan
+    audit pin)."""
+    from sparkobs.operators.profile import cms_build
+
+    return cms_build(
+        batch_df.select(F.col("user_id").cast("string").alias("key")), "key"
+    )
+
+
 @query("streaming_cms_events", oracle=_streaming_cms_oracle())
 def streaming_cms_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming mergeable count-min sketch (extension: profiling ×
@@ -5079,8 +5109,7 @@ def streaming_cms_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(os.path.dirname(state_dir), ignore_errors=True)
 
     def ingest(batch_df, batch_id):
-        batch = batch_df.select(F.col("user_id").cast("string").alias("key"))
-        cms_build(batch, "key").write.mode("append").parquet(state_dir)
+        _scms_partial(batch_df).write.mode("append").parquet(state_dir)
 
     q = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -11996,6 +12025,17 @@ def kmv_quantiles_grouped_lineitem(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _skmv_partial(batch_df: DataFrame) -> DataFrame:
+    """Per-batch KMV partial for the streaming twin — one scan of the
+    micro-batch into the ≤k (h, value) sketch rows (r14 streaming
+    scan audit pin)."""
+    from sparkobs.operators.profile import kmv_quantile_sketch
+
+    return kmv_quantile_sketch(
+        batch_df, F.col("event_id"), "value", k=1024, salt="kmv"
+    )
+
+
 @query(
     "streaming_kmv_quantiles_events",
     oracle=f"""
@@ -12051,10 +12091,7 @@ def streaming_kmv_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFram
     shutil.rmtree(os.path.dirname(state_dir), ignore_errors=True)
 
     def ingest(batch_df, batch_id):
-        sk = kmv_quantile_sketch(
-            batch_df, F.col("event_id"), "value", k=1024, salt="kmv"
-        )
-        sk.write.mode("append").parquet(state_dir)
+        _skmv_partial(batch_df).write.mode("append").parquet(state_dir)
 
     q = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -12189,6 +12226,23 @@ def video_avi_container_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shll_partial(batch_df: DataFrame) -> DataFrame:
+    """Per-batch daily HLL register partial for the streaming twin —
+    one scan of the micro-batch into ≤ m rows per day (r14 streaming
+    scan audit pin)."""
+    from sparkobs.operators.profile import _hll_bucket_rho
+
+    return (
+        _hll_bucket_rho(
+            batch_df.withColumn("__d", F.to_date(F.col("ts"))),
+            "user_id",
+            ["__d"],
+        )
+        .groupBy("__d", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
 @query("streaming_hll_sliding_users_events", oracle=_hll_sliding_oracle())
 def streaming_hll_sliding_users_events(
     spark: SparkSession, sf_dir: str
@@ -12225,16 +12279,7 @@ def streaming_hll_sliding_users_events(
     shutil.rmtree(os.path.dirname(state_dir), ignore_errors=True)
 
     def ingest(batch_df, batch_id):
-        partial = (
-            _hll_bucket_rho(
-                batch_df.withColumn("__d", F.to_date(F.col("ts"))),
-                "user_id",
-                ["__d"],
-            )
-            .groupBy("__d", "bucket")
-            .agg(F.max("rho").alias("reg"))
-        )
-        partial.write.mode("append").parquet(state_dir)
+        _shll_partial(batch_df).write.mode("append").parquet(state_dir)
 
     q = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -12352,9 +12397,14 @@ def _theta_est_sql(sk: str, k: int = _THETA_K) -> str:
             FROM {sk})"""
 
 
-def _theta_cell_sides(ev: DataFrame) -> tuple:
-    """(click cells, purchase cells) frames for the theta queries:
-    cell = user:hour-index, the hour index taken over the TRUNCATED
+def _theta_cell_tagged(ev: DataFrame) -> DataFrame:
+    """Side-TAGGED (side, cell) frame for the theta queries — ONE
+    scan of the source with side ∈ {a: click, b: purchase} as a
+    column, so consumers that need both sides (the streaming twin's
+    per-batch partial) can sketch them in a single pass via
+    ``theta_sketch_grouped(..., ["side"])`` instead of scanning the
+    micro-batch once per side (r14 streaming scan audit). cell =
+    user:hour-index, the hour index taken over the TRUNCATED
     timestamp so Spark's truncate-toward-zero timestampdiff and
     DuckDB's boundary-counting datediff agree for any sign (a raw
     23:30 pre-anchor event would index 0 vs -1 otherwise)."""
@@ -12367,10 +12417,21 @@ def _theta_cell_sides(ev: DataFrame) -> tuple:
             " date_trunc('hour', ts))"
         ).cast("string"),
     )
-    base = ev.select("event_type", cell.alias("cell"))
+    return ev.select(
+        F.when(F.col("event_type") == "click", F.lit("a"))
+        .when(F.col("event_type") == "purchase", F.lit("b"))
+        .alias("side"),
+        cell.alias("cell"),
+    ).where(F.col("side").isNotNull())
+
+
+def _theta_cell_sides(ev: DataFrame) -> tuple:
+    """(click cells, purchase cells) frames for the theta queries —
+    the two side-filtered views of ``_theta_cell_tagged``."""
+    base = _theta_cell_tagged(ev)
     return (
-        base.where(F.col("event_type") == "click").select("cell"),
-        base.where(F.col("event_type") == "purchase").select("cell"),
+        base.where(F.col("side") == "a").select("cell"),
+        base.where(F.col("side") == "b").select("cell"),
     )
 
 
@@ -12478,6 +12539,23 @@ def theta_intersection_cells_events(
     return _theta_verdict(a, b, ska, skb)
 
 
+def _stheta_partial(batch_df: DataFrame) -> DataFrame:
+    """Per-batch theta partial for the streaming twin — ONE scan of
+    the micro-batch: the side tag rides as a column
+    (``_theta_cell_tagged``) and a side-GROUPED bottom-k sketch
+    replaces the old per-side sketch pair, which scanned the batch
+    once per side (r14 streaming scan audit; pinned by
+    ``tests/test_plan_scans.py``). Identical output: both forms hash
+    with ``_salted_hash60(cell, salt)``, distinct is per (side, h),
+    and the grouped window's bottom-k per side equals each side's own
+    bottom-k."""
+    from sparkobs.operators.profile import theta_sketch_grouped
+
+    return theta_sketch_grouped(
+        _theta_cell_tagged(batch_df), "cell", ["side"], k=_THETA_K, salt="th"
+    ).select("side", "h")
+
+
 @query("streaming_theta_intersection_events", oracle=_THETA_CELLS_ORACLE)
 def streaming_theta_intersection_events(
     spark: SparkSession, sf_dir: str
@@ -12510,15 +12588,7 @@ def streaming_theta_intersection_events(
     shutil.rmtree(os.path.dirname(state_dir), ignore_errors=True)
 
     def ingest(batch_df, batch_id):
-        a, b = _theta_cell_sides(batch_df)
-        partial = theta_sketch(a, "cell", k=_THETA_K, salt="th").select(
-            F.lit("a").alias("side"), "h"
-        ).unionByName(
-            theta_sketch(b, "cell", k=_THETA_K, salt="th").select(
-                F.lit("b").alias("side"), "h"
-            )
-        )
-        partial.write.mode("append").parquet(state_dir)
+        _stheta_partial(batch_df).write.mode("append").parquet(state_dir)
 
     q = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -12958,11 +13028,12 @@ _TIG_ORACLE = f"""
     """
 
 
-def _tig_sides(ev: DataFrame) -> tuple:
-    """(click (seg, cell), purchase (seg, cell)) frames for the
-    grouped theta queries — the _theta_cell_sides shape with a
-    quarter-of-day segment column (cells partition cleanly into
-    segments because the segment derives from the cell's own hour)."""
+def _tig_tagged(ev: DataFrame) -> DataFrame:
+    """Side-TAGGED (side, seg, cell) frame for the grouped theta
+    queries — the ``_theta_cell_tagged`` shape with a quarter-of-day
+    segment column (cells partition cleanly into segments because the
+    segment derives from the cell's own hour); one source scan serves
+    both sides (r14 streaming scan audit)."""
     ev = ev.where(F.col("user_id").isNotNull())
     cell = F.concat(
         F.col("user_id").cast("string"),
@@ -12972,14 +13043,22 @@ def _tig_sides(ev: DataFrame) -> tuple:
             " date_trunc('hour', ts))"
         ).cast("string"),
     )
-    base = ev.select(
+    return ev.select(
+        F.when(F.col("event_type") == "click", F.lit("a"))
+        .when(F.col("event_type") == "purchase", F.lit("b"))
+        .alias("side"),
         F.expr("hour(ts) div 6").cast("int").alias("seg"),
-        F.col("event_type"),
         cell.alias("cell"),
-    )
+    ).where(F.col("side").isNotNull())
+
+
+def _tig_sides(ev: DataFrame) -> tuple:
+    """(click (seg, cell), purchase (seg, cell)) frames — the two
+    side-filtered views of ``_tig_tagged``."""
+    base = _tig_tagged(ev)
     return (
-        base.where(F.col("event_type") == "click").select("seg", "cell"),
-        base.where(F.col("event_type") == "purchase").select("seg", "cell"),
+        base.where(F.col("side") == "a").select("seg", "cell"),
+        base.where(F.col("side") == "b").select("seg", "cell"),
     )
 
 
@@ -13033,6 +13112,20 @@ def theta_intersection_grouped_events(spark: SparkSession, sf_dir: str) -> DataF
     return _tig_verdict(spark, sf_dir, ska, skb)
 
 
+def _stg_partial(batch_df: DataFrame) -> DataFrame:
+    """Per-batch grouped theta partial for the streaming twin — ONE
+    scan of the micro-batch via the side-tagged frame and a
+    (side, seg)-grouped bottom-k, replacing the per-side sketch pair
+    that scanned the batch twice (r14 streaming scan audit; same
+    hash/distinct/bottom-k identity argument as
+    ``_stheta_partial``)."""
+    from sparkobs.operators.profile import theta_sketch_grouped
+
+    return theta_sketch_grouped(
+        _tig_tagged(batch_df), "cell", ["side", "seg"], k=_TIG_K, salt="th"
+    ).select("side", "seg", "h")
+
+
 @query("streaming_theta_intersection_grouped_events", oracle=_TIG_ORACLE)
 def streaming_theta_intersection_grouped_events(
     spark: SparkSession, sf_dir: str
@@ -13066,15 +13159,7 @@ def streaming_theta_intersection_grouped_events(
     shutil.rmtree(os.path.dirname(state_dir), ignore_errors=True)
 
     def ingest(batch_df, batch_id):
-        a, b = _tig_sides(batch_df)
-        partial = theta_sketch_grouped(
-            a, "cell", ["seg"], k=_TIG_K, salt="th"
-        ).select(F.lit("a").alias("side"), "seg", "h").unionByName(
-            theta_sketch_grouped(
-                b, "cell", ["seg"], k=_TIG_K, salt="th"
-            ).select(F.lit("b").alias("side"), "seg", "h")
-        )
-        partial.write.mode("append").parquet(state_dir)
+        _stg_partial(batch_df).write.mode("append").parquet(state_dir)
 
     q = (
         spark.readStream.schema(EVENTS_SCHEMA)

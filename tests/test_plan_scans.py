@@ -85,3 +85,79 @@ def test_persisted_lineage_scans_excluded_but_visible(spark):
     everything = len(P.scans(df, include_cached=True))
     assert live == 1  # the lazy base side only
     assert everything > live  # cached lineage is visible on request
+
+
+# --- r14: per-batch plans of the foreachBatch streaming twins -------
+#
+# The r13 audit covered the batch registry; the foreachBatch twins
+# build PER-BATCH partials whose derivations were never scan-counted
+# (r13 verdict item 7). Each twin's derivation is now a named
+# module-level function (called verbatim by the foreachBatch closure),
+# so the per-batch plan can be pinned on a static micro-batch
+# stand-in: the budget is scans of the batch input + any static-side
+# reads, per micro-batch. Headline finding of this audit: the two
+# theta twins scanned every micro-batch ONCE PER SIDE (a/b sketch
+# legs) — at 100 TB streaming that is 2x ingest I/O; both now ride a
+# side-tagged single-scan grouped sketch (`_stheta_partial`,
+# `_stg_partial`).
+EVENTS_BATCH_PARTIALS = {
+    "_scms_partial": 1,
+    "_skmv_partial": 1,
+    "_shll_partial": 1,
+    "_stheta_partial": 1,  # was 2 (per-side sketch legs)
+    "_stg_partial": 1,     # was 2 (per-side sketch legs)
+}
+
+
+@pytest.mark.parametrize("fn_name", sorted(EVENTS_BATCH_PARTIALS))
+def test_streaming_per_batch_scan_budget_events(spark, fn_name):
+    import sparkobs.queries as Q
+    from sparkobs.io import load_table
+
+    batch = load_table(spark, SF, "events")
+    df = getattr(Q, fn_name)(batch)
+    n = len(P.scans(df))
+    assert n <= EVENTS_BATCH_PARTIALS[fn_name], (
+        f"{fn_name}: {n} scans of the micro-batch per trigger, budget "
+        f"{EVENTS_BATCH_PARTIALS[fn_name]} — a per-batch partial has "
+        f"regrown a redundant batch pass"
+    )
+
+
+def test_streaming_per_batch_scan_budget_dedup_twins(spark):
+    """The two dedup twins join per-batch candidates against a static
+    or on-disk index: the batch side must contribute exactly ONE scan
+    per trigger, the persisted index side ZERO live scans (its
+    recoverable lineage re-scans only on partition loss)."""
+    from pyspark.sql import functions as F
+
+    import sparkobs.queries as Q
+    from sparkobs.io import load_table
+    from sparkobs.operators.dedup import minhash_banded
+
+    docs = load_table(spark, SF, "documents")
+    index = (
+        minhash_banded(docs.where(F.col("doc_id") % 2 == 0), hash_fn="md5")
+        .withColumnRenamed("id", "index_id")
+        .persist()
+    )
+    index.count()
+    try:
+        cands = Q._snd_batch_cands(docs, index)
+        assert len(P.scans(cands)) <= 1  # the batch signature pipeline
+    finally:
+        index.unpersist()
+
+    banded = minhash_banded(docs, hash_fn="md5").persist()
+    banded.count()
+    try:
+        disk_index = spark.createDataFrame(
+            [], "id bigint, band int, bucket bigint"
+        )
+        cands = Q._sibi_cands(banded, disk_index)
+        # the production index read adds 1 parquet scan per trigger;
+        # the empty-frame stand-in has none, so the pin is: the
+        # persisted band table contributes ZERO live scans
+        assert len(P.scans(cands)) == 0
+    finally:
+        banded.unpersist()
