@@ -678,10 +678,18 @@ def km_survival(
             raise ValueError(
                 f"duration_grid must be a positive integer, got {duration_grid}"
             )
+        # exact INTEGER division (`div`), not floor(double /): the /
+        # operator casts both longs to double, and above 2^53 the
+        # quotient is imprecise — a snapped bucket could differ by one
+        # grid step from an engine computing t // grid exactly, which
+        # is precisely the cross-engine drift the km family's
+        # integer-arithmetic convention exists to rule out. Durations
+        # are non-negative by construction (t1 >= t0); for a caller
+        # feeding signed values note `div` truncates toward zero.
+        grid = int(duration_grid)
         durations = durations.withColumn(
             duration_col,
-            F.floor(F.col(duration_col) / F.lit(duration_grid)).cast("long")
-            * F.lit(duration_grid),
+            F.expr(f"`{duration_col}` div {grid}") * F.lit(grid),
         )
     # The step table is checkpointed (distinct-duration-sized) and the
     # subject total derives FROM it (Σ n_t ≡ count of all subjects,

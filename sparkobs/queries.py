@@ -12397,19 +12397,13 @@ def _theta_est_sql(sk: str, k: int = _THETA_K) -> str:
             FROM {sk})"""
 
 
-def _theta_cell_tagged(ev: DataFrame) -> DataFrame:
-    """Side-TAGGED (side, cell) frame for the theta queries — ONE
-    scan of the source with side ∈ {a: click, b: purchase} as a
-    column, so consumers that need both sides (the streaming twin's
-    per-batch partial) can sketch them in a single pass via
-    ``theta_sketch_grouped(..., ["side"])`` instead of scanning the
-    micro-batch once per side (r14 streaming scan audit). cell =
-    user:hour-index, the hour index taken over the TRUNCATED
-    timestamp so Spark's truncate-toward-zero timestampdiff and
-    DuckDB's boundary-counting datediff agree for any sign (a raw
-    23:30 pre-anchor event would index 0 vs -1 otherwise)."""
-    ev = ev.where(F.col("user_id").isNotNull())
-    cell = F.concat(
+def _theta_cell_expr() -> F.Column:
+    """cell = user:hour-index for the theta queries, the hour index
+    taken over the TRUNCATED timestamp so Spark's
+    truncate-toward-zero timestampdiff and DuckDB's boundary-counting
+    datediff agree for any sign (a raw 23:30 pre-anchor event would
+    index 0 vs -1 otherwise)."""
+    return F.concat(
         F.col("user_id").cast("string"),
         F.lit(":"),
         F.expr(
@@ -12417,21 +12411,46 @@ def _theta_cell_tagged(ev: DataFrame) -> DataFrame:
             " date_trunc('hour', ts))"
         ).cast("string"),
     )
-    return ev.select(
-        F.when(F.col("event_type") == "click", F.lit("a"))
-        .when(F.col("event_type") == "purchase", F.lit("b"))
-        .alias("side"),
-        cell.alias("cell"),
-    ).where(F.col("side").isNotNull())
+
+
+def _theta_cell_tagged(ev: DataFrame) -> DataFrame:
+    """Side-TAGGED (side, cell) frame for the theta STREAMING twin's
+    per-batch partial — ONE scan of the micro-batch with side ∈
+    {a: click, b: purchase} as a column, sketched in a single pass
+    via ``theta_sketch_grouped(..., ["side"])`` instead of once per
+    side (r14 streaming scan audit). The side restriction rides a
+    PUSHABLE ``isin`` prefilter (``In(event_type, [click,
+    purchase])`` reaches the scan); only the a/b tag itself is the
+    CASE expression. The BATCH queries do NOT route through this
+    frame — their per-side legs filter ``event_type`` directly so
+    each scan keeps its pushed equality filter (r14 review: a
+    side=='a' filter over the CASE column is not pushable and would
+    read every event type)."""
+    return (
+        ev.where(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select(
+            F.when(F.col("event_type") == "click", F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("side"),
+            _theta_cell_expr().alias("cell"),
+        )
+    )
 
 
 def _theta_cell_sides(ev: DataFrame) -> tuple:
-    """(click cells, purchase cells) frames for the theta queries —
-    the two side-filtered views of ``_theta_cell_tagged``."""
-    base = _theta_cell_tagged(ev)
+    """(click cells, purchase cells) frames for the BATCH theta
+    queries: per-side ``event_type`` equality filters so parquet
+    pushdown reaches each leg's scan (pinned by
+    ``test_theta_side_filters_push_down``)."""
+    base = ev.where(F.col("user_id").isNotNull()).select(
+        "event_type", _theta_cell_expr().alias("cell")
+    )
     return (
-        base.where(F.col("side") == "a").select("cell"),
-        base.where(F.col("side") == "b").select("cell"),
+        base.where(F.col("event_type") == "click").select("cell"),
+        base.where(F.col("event_type") == "purchase").select("cell"),
     )
 
 
@@ -13030,35 +13049,39 @@ _TIG_ORACLE = f"""
 
 def _tig_tagged(ev: DataFrame) -> DataFrame:
     """Side-TAGGED (side, seg, cell) frame for the grouped theta
-    queries — the ``_theta_cell_tagged`` shape with a quarter-of-day
-    segment column (cells partition cleanly into segments because the
-    segment derives from the cell's own hour); one source scan serves
-    both sides (r14 streaming scan audit)."""
-    ev = ev.where(F.col("user_id").isNotNull())
-    cell = F.concat(
-        F.col("user_id").cast("string"),
-        F.lit(":"),
-        F.expr(
-            "timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00',"
-            " date_trunc('hour', ts))"
-        ).cast("string"),
+    STREAMING twin — the ``_theta_cell_tagged`` shape (pushable
+    ``isin`` side prefilter, CASE only for the tag) with a
+    quarter-of-day segment column (cells partition cleanly into
+    segments because the segment derives from the cell's own hour);
+    one micro-batch scan serves both sides (r14 streaming scan
+    audit)."""
+    return (
+        ev.where(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select(
+            F.when(F.col("event_type") == "click", F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("side"),
+            F.expr("hour(ts) div 6").cast("int").alias("seg"),
+            _theta_cell_expr().alias("cell"),
+        )
     )
-    return ev.select(
-        F.when(F.col("event_type") == "click", F.lit("a"))
-        .when(F.col("event_type") == "purchase", F.lit("b"))
-        .alias("side"),
-        F.expr("hour(ts) div 6").cast("int").alias("seg"),
-        cell.alias("cell"),
-    ).where(F.col("side").isNotNull())
 
 
 def _tig_sides(ev: DataFrame) -> tuple:
-    """(click (seg, cell), purchase (seg, cell)) frames — the two
-    side-filtered views of ``_tig_tagged``."""
-    base = _tig_tagged(ev)
+    """(click (seg, cell), purchase (seg, cell)) frames for the
+    BATCH grouped theta queries: per-side ``event_type`` equality
+    filters so parquet pushdown reaches each leg's scan."""
+    base = ev.where(F.col("user_id").isNotNull()).select(
+        "event_type",
+        F.expr("hour(ts) div 6").cast("int").alias("seg"),
+        _theta_cell_expr().alias("cell"),
+    )
     return (
-        base.where(F.col("side") == "a").select("seg", "cell"),
-        base.where(F.col("side") == "b").select("seg", "cell"),
+        base.where(F.col("event_type") == "click").select("seg", "cell"),
+        base.where(F.col("event_type") == "purchase").select("seg", "cell"),
     )
 
 

@@ -161,3 +161,32 @@ def test_streaming_per_batch_scan_budget_dedup_twins(spark):
         assert len(P.scans(cands)) == 0
     finally:
         banded.unpersist()
+
+
+def test_theta_side_filters_push_down(spark):
+    """r14 review finding: routing the BATCH theta side-split through
+    the CASE-tagged frame silently dropped parquet filter pushdown
+    (side=='a' over a CASE column is not pushable) — every side leg
+    read every event type. Pin both shapes: the batch sides push
+    their event_type equality to the scan; the streaming tagged frame
+    pushes the In(click, purchase) prefilter."""
+    import sparkobs.queries as Q
+    from sparkobs.io import load_table
+
+    ev = load_table(spark, SF, "events")
+    a, b = Q._theta_cell_sides(ev)
+    for leg, val in ((a, "click"), (b, "purchase")):
+        pushed = [s["pushed"] for s in P.scans(leg)]
+        assert any("event_type" in p and val in p for p in pushed), (
+            f"side leg lost its pushed event_type={val} filter: {pushed}"
+        )
+    ga, gb = Q._tig_sides(ev)
+    assert any("click" in s["pushed"] for s in P.scans(ga))
+    tagged = Q._theta_cell_tagged(ev)
+    pushed = [s["pushed"] for s in P.scans(tagged)]
+    assert any(
+        "In(event_type" in p or ("click" in p and "purchase" in p)
+        for p in pushed
+    ), f"tagged frame lost its pushed In prefilter: {pushed}"
+    gt = Q._tig_tagged(ev)
+    assert any("event_type" in s["pushed"] for s in P.scans(gt))

@@ -497,6 +497,23 @@ def test_km_survival_duration_grid_bounds_step_table(spark):
     assert [tuple(r) for r in base] == [tuple(r) for r in g1]
 
 
+def test_km_survival_duration_grid_exact_above_double_precision(spark):
+    """The grid snap must be exact INTEGER division (r14 review:
+    floor(long/long) rides a double cast, imprecise above 2^53).
+    Durations near 2^60 with a grid that does not divide them evenly
+    snap to the exact t div grid bucket."""
+    from sparkobs.operators.behavior import km_survival
+
+    big = (1 << 60) + 7  # not representable as a double
+    grid = 10
+    df = spark.createDataFrame(
+        [(big, 1), (big + 3, 1)], "duration long, observed long"
+    )
+    got = km_survival(df, duration_grid=grid).collect()
+    assert len(got) == 1
+    assert got[0]["duration"] == (big // grid) * grid  # exact python int
+
+
 def test_km_survival_duration_grid_validation(spark):
     import pytest
 
