@@ -686,6 +686,39 @@ def test_km_survival_monotone_and_order_invariant(spark, durs, seed):
 
 
 @given(
+    durs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    grid=st.integers(min_value=1, max_value=25),
+)
+@settings(**SETTINGS)
+def test_km_duration_grid_equals_upstream_prequantization(spark, durs, grid):
+    """The r14 `duration_grid` parameter is definitionally the same
+    curve as quantizing durations UPSTREAM and running the plain
+    estimator — the property that makes the staged
+    `km_survival_quantized_events` twin's semantics a theorem rather
+    than a corpus fact: snap-inside ≡ snap-before, for any grid and
+    any duration multiset."""
+    from pyspark.sql import functions as F
+
+    from sparkobs.operators.behavior import km_survival
+
+    df = spark.createDataFrame(durs, "duration long, observed long")
+    inside = km_survival(df, duration_grid=grid).orderBy("duration").collect()
+    pre = km_survival(
+        df.withColumn(
+            "duration", F.expr(f"duration div {grid}") * F.lit(grid)
+        )
+    ).orderBy("duration").collect()
+    assert [tuple(r) for r in inside] == [tuple(r) for r in pre]
+
+
+@given(
     edges=st.lists(
         st.tuples(st.integers(1, 8), st.integers(1, 8)), max_size=16
     )
