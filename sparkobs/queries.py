@@ -4823,7 +4823,7 @@ def cms_vocab_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision error, always >= 0."""
     from pyspark.sql import functions as F
 
-    from sparkobs.operators.profile import cms_build, cms_estimate
+    from sparkobs.operators.profile import cms_estimate
     from sparkobs.operators.text import tokens_nonempty, vocab_topk
 
     docs = load_table(spark, sf_dir, "documents")
@@ -5098,7 +5098,7 @@ def streaming_cms_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from sparkobs.operators.profile import cms_build, cms_estimate
+    from sparkobs.operators.profile import cms_estimate
     from sparkobs.streaming.monitors import EVENTS_SCHEMA
 
     from sparkobs.io import scratch_dir
@@ -12078,7 +12078,6 @@ def streaming_kmv_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFram
         kmv_quantile_certify,
         kmv_quantile_estimate,
         kmv_quantile_merge,
-        kmv_quantile_sketch,
     )
     from sparkobs.queries import _stage_events
     from sparkobs.streaming.monitors import EVENTS_SCHEMA
@@ -12265,7 +12264,6 @@ def streaming_hll_sliding_users_events(
     import tempfile
 
     from sparkobs.operators.profile import (
-        _hll_bucket_rho,
         hll_sliding_from_daily_registers,
     )
     from sparkobs.queries import _stage_events
@@ -12595,7 +12593,6 @@ def streaming_theta_intersection_events(
     import shutil
     import tempfile
 
-    from sparkobs.operators.profile import theta_sketch
     from sparkobs.queries import _stage_events
     from sparkobs.streaming.monitors import EVENTS_SCHEMA
 
@@ -13172,7 +13169,6 @@ def streaming_theta_intersection_grouped_events(
     from pyspark.sql import Window
 
     from sparkobs.io import scratch_dir
-    from sparkobs.operators.profile import theta_sketch_grouped
     from sparkobs.queries import _stage_events
     from sparkobs.streaming.monitors import EVENTS_SCHEMA
 
