@@ -4823,7 +4823,7 @@ def cms_vocab_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision error, always >= 0."""
     from pyspark.sql import functions as F
 
-    from sparkobs.operators.profile import cms_estimate
+    from sparkobs.operators.profile import cms_build, cms_estimate
     from sparkobs.operators.text import tokens_nonempty, vocab_topk
 
     docs = load_table(spark, sf_dir, "documents")
