@@ -1504,3 +1504,19 @@ def test_filter_funnel_rule_name_is_data_not_sql(spark):
     assert len(rows) == 1
     assert rows[0]["rule"] == weird
     assert rows[0]["n_survivors"] == 1
+
+
+def test_curation_stage_frames_memoized_per_application(spark):
+    """r14: the curation stage frames are a pure function of the
+    on-disk corpus, memoized per (applicationId, corpus dir) so the
+    capstone, the funnel parity twin, and repeated reps read ONE
+    pinned build instead of re-running the pipeline (the production
+    curate-once-audit-many shape). Same session + same dir -> the
+    identical frame objects; a different dir -> a fresh build."""
+    from sparkobs.queries import _curation_stage_frames
+
+    a = _curation_stage_frames(spark, "/root/testdata/sf0.001")
+    b = _curation_stage_frames(spark, "/root/testdata/sf0.001")
+    assert all(x is y for x, y in zip(a, b))
+    c = _curation_stage_frames(spark, "/root/testdata/sf0.01")
+    assert not any(x is y for x, y in zip(a, c))
