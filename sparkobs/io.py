@@ -381,12 +381,24 @@ def pin_corpus_frame(df: DataFrame) -> DataFrame:
     blocks (``InMemoryTableScan``), so the multi-leg scan-dedup the
     pin exists for still holds. Plan-text note: the persisted
     frame's RECOVERABLE lineage still prints one ``Scan parquet``
-    node inside the ``InMemoryRelation`` — ``tests/test_plan_scans``
-    budgets count it with a comment; it executes at most once (and
-    again only on partition loss). Long-lived sessions should
-    ``unpersist()`` when the consuming job finishes — same lifetime
-    profile as the localCheckpoint blocks this replaces (r13
-    ADVICE)."""
+    node inside the ``InMemoryRelation`` — ``plans.scans()`` excludes
+    it from live-work budgets by default; it executes at most once
+    (and again only on partition loss).
+
+    Lifetime (r14 review correction): SQL-cache entries stay in the
+    CacheManager until an explicit ``unpersist()`` or
+    ``spark.catalog.clearCache()`` — UNLIKE the localCheckpoint RDD
+    blocks this replaces, which the ContextCleaner freed when the
+    RDD was garbage-collected. A long-lived session calling a
+    pinning operator per batch (e.g. ``merge_upsert`` over a CDC
+    stream) therefore accumulates one DISK_ONLY entry per distinct
+    batch plan and should clear between jobs (the repo's bench does:
+    ``_release_session_state``). Relatedly, CacheManager reuses
+    entries by PLAN identity: rewriting files in place at the same
+    path within one session can serve the first build's data — the
+    same caveat class as Spark's own FileIndex caching, avoided the
+    way the repo's staging already does (distinct ``scratch_dir``
+    keys per build, never in-place rewrites)."""
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.DISK_ONLY)

@@ -674,7 +674,11 @@ def km_survival(
     whole-day buckets over microsecond durations).
     """
     if duration_grid is not None:
-        if duration_grid <= 0:
+        # validate the INT value actually used below: int() truncates,
+        # so e.g. 0.5 would pass a raw <=0 check and become grid=0
+        # (div 0 -> silent NULL durations, a garbage curve with no
+        # exception)
+        if int(duration_grid) != duration_grid or int(duration_grid) <= 0:
             raise ValueError(
                 f"duration_grid must be a positive integer, got {duration_grid}"
             )

@@ -19,17 +19,20 @@ def physical_plan(df: DataFrame) -> str:
     )
 
 
-def _cached_scan_ids(plan: str) -> set[str]:
-    """Node ids of ``Scan parquet`` nodes nested under an
+def _cached_node_ids(plan: str, node: str) -> set[str]:
+    """Node ids of ``node``-typed nodes nested under an
     ``InMemoryRelation`` in the tree summary — the RECOVERABLE
     lineage of a persisted frame (``io.pin_corpus_frame``). The
     formatted explain prints that lineage inline, but it executes at
     most once (on materialization) and again only on partition loss,
-    so scan budgets exclude it by default. Subtree extent is tracked
-    by indentation: everything indented deeper than the relation line
-    belongs to its cached plan."""
+    so live-work budgets exclude it by default. Subtree extent is
+    tracked by indentation: everything indented deeper than the
+    relation line belongs to its cached plan. The id pattern
+    tolerates a qualified table name between the node type and the
+    id (``Scan parquet spark_catalog.default.t (3)``)."""
     import re
 
+    pat = re.compile(re.escape(node) + r"\b[^()]*\((\d+)\)")
     ids: set[str] = set()
     open_indents: list[int] = []
     for line in plan.splitlines():
@@ -42,10 +45,14 @@ def _cached_scan_ids(plan: str) -> set[str]:
         if rest.startswith("InMemoryRelation"):
             open_indents.append(indent)
         elif open_indents:
-            sm = re.search(r"Scan parquet\s*\((\d+)\)", rest)
+            sm = pat.search(rest)
             if sm:
                 ids.add(sm.group(1))
     return ids
+
+
+def _cached_scan_ids(plan: str) -> set[str]:
+    return _cached_node_ids(plan, "Scan parquet")
 
 
 def scans(df: DataFrame, include_cached: bool = False) -> list[dict]:
@@ -111,11 +118,24 @@ def assert_partial_final_agg(df: DataFrame) -> None:
     assert plan.count("HashAggregate") >= 2, "expected partial+final HashAggregate"
 
 
-def count_exchanges(df: DataFrame) -> int:
-    """Number of Exchange (shuffle) nodes, counted from the formatted
-    plan's detail section so tree-summary lines don't double-count."""
+def count_exchanges(df: DataFrame, include_cached: bool = False) -> int:
+    """Number of LIVE Exchange (shuffle) nodes, counted from the
+    formatted plan's detail section so tree-summary lines don't
+    double-count. Exchanges inside a persisted frame's
+    InMemoryRelation (recoverable lineage, executes at most once) are
+    excluded by default — the same live-work semantics as
+    ``scans()``; pass ``include_cached=True`` to audit the pinned
+    derivation too. (``assert_no_cartesian`` deliberately stays
+    full-plan: a cartesian in a pin's derivation DID execute at pin
+    time, so it is a bug wherever it prints.)"""
     import re
 
+    plan = physical_plan(df)
+    skip = set() if include_cached else _cached_node_ids(plan, "Exchange")
     return len(
-        re.findall(r"^\(\d+\) Exchange", physical_plan(df), flags=re.MULTILINE)
+        [
+            m
+            for m in re.findall(r"^\((\d+)\) Exchange", plan, flags=re.MULTILINE)
+            if m not in skip
+        ]
     )

@@ -5519,7 +5519,14 @@ _CURATION_CTES = """
 # production shape (curate once, audit many ways), and the same
 # cross-call memo pattern `io.ensure_stage` uses for staged dirs.
 # Keyed by applicationId so a restarted context (whose executor-held
-# checkpoint blocks died with it) can never serve stale frames.
+# checkpoint blocks died with it) can never serve stale frames. The
+# memo assumes corpus dirs are IMMUTABLE within an application — true
+# for the driver's testdata and for every staging flow in this repo
+# (scratch_dir keys a fresh dir per build; nothing rewrites parquet
+# in place) — matching Spark's own FileIndex caching assumption. A
+# hit is additionally validated against the live CacheManager (see
+# below) so a clearCache() cannot leave the memo serving un-pinned
+# frames.
 _CURATION_FRAMES_CACHE: dict[tuple[str, str], tuple] = {}
 
 
@@ -5542,7 +5549,19 @@ def _curation_stage_frames(
     key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
     cached = _CURATION_FRAMES_CACHE.get(key)
     if cached is not None:
-        return cached
+        # a spark.catalog.clearCache() (bench's per-tail session
+        # release, some tests) unpersists the pinned blocks behind the
+        # memo's back; serving un-pinned frames would lazily re-run
+        # the whole pipeline once per consumer LEG (the parity twin
+        # alone references them 6 times) — worse than no memo. The
+        # storageLevel lookup consults the live CacheManager, so a
+        # dropped pin is visible here: rebuild (and re-pin) instead.
+        if all(
+            f.storageLevel.useMemory or f.storageLevel.useDisk
+            for f in cached[1:]  # raw is lazy by design
+        ):
+            return cached
+        del _CURATION_FRAMES_CACHE[key]
 
     from pyspark.sql import functions as F
 

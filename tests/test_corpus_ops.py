@@ -1520,3 +1520,13 @@ def test_curation_stage_frames_memoized_per_application(spark):
     assert all(x is y for x, y in zip(a, b))
     c = _curation_stage_frames(spark, "/root/testdata/sf0.01")
     assert not any(x is y for x, y in zip(a, c))
+
+    # r14 review: a clearCache() (bench's per-tail session release)
+    # drops the pinned blocks behind the memo's back — a hit must
+    # detect the dead pins and REBUILD (fresh, re-pinned frames), not
+    # serve lazy frames that re-run the pipeline once per consumer leg
+    spark.catalog.clearCache()
+    d = _curation_stage_frames(spark, "/root/testdata/sf0.001")
+    assert not any(x is y for x, y in zip(a, d))
+    for f in d[1:]:
+        assert f.storageLevel.useMemory or f.storageLevel.useDisk

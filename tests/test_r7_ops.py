@@ -522,6 +522,12 @@ def test_km_survival_duration_grid_validation(spark):
     df = spark.createDataFrame([(1, 1)], "duration long, observed long")
     with pytest.raises(ValueError, match="duration_grid"):
         km_survival(df, duration_grid=0)
+    # int() truncation must not smuggle a float in (0,1) past the
+    # check as grid=0 (r14 review)
+    with pytest.raises(ValueError, match="duration_grid"):
+        km_survival(df, duration_grid=0.5)
+    with pytest.raises(ValueError, match="duration_grid"):
+        km_survival(df, duration_grid=2.5)
 
 
 def test_km_survival_empty_input_returns_empty(spark):
