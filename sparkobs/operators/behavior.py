@@ -467,17 +467,27 @@ def rfm_scores(
     take the extra row), so scores stay bit-identical to the engines'
     built-in ntile. Output: (key, last_ts, frequency, monetary,
     r_score, f_score, m_score, rfm_segment)."""
-    from sparkobs.operators.joins import global_row_index
-
-    # checkpointed: the key table feeds a 3-deep chain of
-    # global_row_index passes (each referencing its input from both
-    # the main branch and the offsets branch) plus the count — lazy,
-    # the SOURCE aggregation re-ran once per plan reference, 16
-    # source scans in one plan (and re-scan count grows
-    # multiplicatively with chain depth). One scan after; each rank
-    # pass is stamped onto its own checkpoint so the chain stays
-    # linear. Ranks are deterministic functions of the order columns,
-    # so values are unchanged.
+    # One range exchange for ALL THREE rankings (r14, guide §2.4
+    # "remove shuffles outright"): the r13 form chained three
+    # global_row_index passes — three range-partitioning sample jobs,
+    # three full sorts of the key table, two eager localCheckpoints
+    # between them to keep re-derivation linear — 31 Spark jobs for
+    # one query. Here each key row is exploded into three
+    # (kind, __ord) rows and ONE range exchange over
+    # (kind, __ord, key) sorts all three orderings at once (kind
+    # leads, so each metric occupies a contiguous partition range);
+    # per-(pid, kind) row_number + broadcast same-kind
+    # earlier-partition offsets reproduce each metric's global rank
+    # exactly, and a final per-key aggregation folds the three ranks
+    # back into one row. No single-partition window anywhere, one
+    # sort of 3N skinny rows instead of three sorts of N.
+    #
+    # Rank identity: __ord is the negated metric cast to double —
+    # exact (order-preserving, injective) because event-time
+    # microseconds < 2^53, frequencies are counts, and monetary is
+    # already a rounded double — so (__ord, key) induces the same
+    # total order as each r13 per-metric index pass, and the DuckDB
+    # ntile oracle is unchanged.
     per_key = (
         df.groupBy(F.col(key_col).alias("key"))
         .agg(
@@ -498,21 +508,64 @@ def rfm_scores(
             .cast("int")
         )
 
-    # DESC metric order expressed as ASC keys for the distributed index
-    scored = (
-        per_key.withColumn(
-            "__neg_ts", -naive_us("last_ts")
-        )
-        .withColumn("__neg_f", -F.col("frequency"))
-        .withColumn("__neg_m", -F.col("monetary"))
+    long3 = per_key.select(
+        "key",
+        "last_ts",
+        "frequency",
+        "monetary",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("__kind"),
+                    (-naive_us("last_ts")).cast("double").alias("__ord"),
+                ),
+                F.struct(
+                    F.lit(2).alias("__kind"),
+                    (-F.col("frequency")).cast("double").alias("__ord"),
+                ),
+                F.struct(
+                    F.lit(3).alias("__kind"),
+                    (-F.col("monetary")).cast("double").alias("__ord"),
+                ),
+            )
+        ).alias("__e"),
+    ).select(
+        "key", "last_ts", "frequency", "monetary", "__e.__kind", "__e.__ord"
     )
-    scored = global_row_index(
-        scored, ["__neg_ts", "key"], index_col="__r_rank"
-    ).localCheckpoint(eager=True)
-    scored = global_row_index(
-        scored, ["__neg_f", "key"], index_col="__f_rank"
-    ).localCheckpoint(eager=True)
-    scored = global_row_index(scored, ["__neg_m", "key"], index_col="__m_rank")
+    base = (
+        long3.repartitionByRange("__kind", "__ord", "key")
+        .sortWithinPartitions("__kind", "__ord", "key")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    sizes = base.groupBy("__pid", "__kind").agg(F.count(F.lit(1)).alias("__n"))
+    prev = sizes.select(
+        F.col("__pid").alias("__pid2"),
+        F.col("__kind").alias("__kind2"),
+        F.col("__n").alias("__n2"),
+    )
+    offsets = (
+        sizes.join(
+            F.broadcast(prev),
+            (F.col("__kind2") == F.col("__kind"))
+            & (F.col("__pid2") < F.col("__pid")),
+            "left",
+        )
+        .groupBy("__pid", "__kind")
+        .agg(F.coalesce(F.sum("__n2"), F.lit(0)).alias("__off"))
+    )
+    w = Window.partitionBy("__pid", "__kind").orderBy("__ord", "key")
+    ranked = (
+        base.join(F.broadcast(offsets), ["__pid", "__kind"])
+        .withColumn("__rank", F.row_number().over(w) + F.col("__off"))
+    )
+    scored = ranked.groupBy("key").agg(
+        F.max("last_ts").alias("last_ts"),
+        F.max("frequency").alias("frequency"),
+        F.max("monetary").alias("monetary"),
+        F.max(F.when(F.col("__kind") == 1, F.col("__rank"))).alias("__r_rank"),
+        F.max(F.when(F.col("__kind") == 2, F.col("__rank"))).alias("__f_rank"),
+        F.max(F.when(F.col("__kind") == 3, F.col("__rank"))).alias("__m_rank"),
+    )
     n = per_key.agg(F.count(F.lit(1)).alias("__n"))
     return scored.crossJoin(F.broadcast(n)).select(
         "key",
