@@ -49,6 +49,7 @@ def pagerank_fixed(
     weight_col: str | None = None,
     teleport: DataFrame | None = None,
     dense_max_edges: int = DENSE_PR_MAX_EDGES,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """PageRank in fixed-point arithmetic over a directed edge list
     ``(src, dst)`` (BIGINT node ids; callers wanting undirected
@@ -78,11 +79,15 @@ def pagerank_fixed(
     (they are reused every superstep), rank tables once per superstep.
     """
     if weight_col is None:
-        e = (
-            edges.select("src", "dst")
-            .distinct()
-            .withColumn("w", F.lit(1).cast("long"))
-        )
+        # edges_distinct=True lets a caller that PROVES (src, dst)
+        # uniqueness (e.g. copurchase_edges: a distinct pair table
+        # unioned with its disjoint direction swap) skip this
+        # full-edge-list dedup shuffle — distinct-of-distinct is a
+        # no-op exchange the optimizer cannot remove (r14, guide §2.4)
+        e = edges.select("src", "dst")
+        if not edges_distinct:
+            e = e.distinct()
+        e = e.withColumn("w", F.lit(1).cast("long"))
     else:
         # negative weights fail LOUDLY at materialization (the eager
         # checkpoint below), in-plan so no extra validation job: the

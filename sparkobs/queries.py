@@ -9472,6 +9472,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "orders"),
         ),
         iters=3,
+        edges_distinct=True,  # distinct pair table + disjoint swap
     )
     top = pr.orderBy(F.desc("rank_units"), F.asc("node")).limit(20)
     return decode_copurchase_node(top)
@@ -9577,7 +9578,7 @@ def pagerank_personalized_copurchase(
         .orderBy("node")
         .limit(5)
     )
-    pr = pagerank_fixed(edges, iters=3, teleport=tele)
+    pr = pagerank_fixed(edges, iters=3, teleport=tele, edges_distinct=True)
     top = pr.orderBy(F.desc("rank_units"), F.asc("node")).limit(20)
     return decode_copurchase_node(top)
 
