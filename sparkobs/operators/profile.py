@@ -1451,14 +1451,16 @@ def exact_quantiles_grouped(
     sorts only the bracket (group, bin) cells. Interpolation replays
     Percentile.scala bit for bit exactly as the ungrouped twin
     (ceil/floor rank weights, integral-rank and tied-key
-    short-circuits). The per-group bounds and located-target tables
-    are group-table-sized — eagerly checkpointed (the
-    no-aggregate-subtree-reuse escape), never collected; the located
-    targets (2·|qs| rows per group) broadcast into the bracket joins,
-    which bounds the supported group cardinality at broadcast size
-    (~millions of groups) — beyond that, drop the two F.broadcast
-    hints and let AQE shuffle both sides. Output:
-    (group, q, value, n_rows) ordered by group, q.
+    short-circuits). The per-group bounds table is group-table-sized —
+    eagerly checkpointed (the no-aggregate-subtree-reuse escape),
+    never collected; the located targets (2·|qs| rows per group) have
+    exactly ONE consumer, the broadcast into the bracket pick join,
+    so they materialize inside that broadcast build rather than
+    paying their own checkpoint job (r14). The broadcast bounds the
+    supported group cardinality at broadcast size (~millions of
+    groups) — beyond that, drop the F.broadcast hint and let AQE
+    shuffle both sides. Output: (group, q, value, n_rows) ordered by
+    group, q.
     """
     v = F.col(col).cast("double")
     g = F.col(group_col).alias("__g")
@@ -1560,33 +1562,25 @@ def exact_quantiles_grouped(
             "__g", "q", "__n", "__frac", "__wlo", "__t.__which", "__t.__pos"
         )
     )
-    located = (
-        targets.join(
-            cum,
-            ["__g"],
-        )
-        .where(
-            (F.col("__pos") > F.col("__before"))
-            & (F.col("__pos") <= F.col("__upto"))
-        )
-        .localCheckpoint()  # 2·|qs| rows per group; runs the hist pass
+    located = targets.join(
+        cum,
+        ["__g"],
+    ).where(
+        (F.col("__pos") > F.col("__before"))
+        & (F.col("__pos") <= F.col("__upto"))
     )
-    need_bins = (
-        located.select(
-            F.col("__g").alias("__gn"), F.col("__bin").alias("__binn")
-        ).distinct()
-    )
-    w_bin = Window.partitionBy("__g", "__bin").orderBy("__v")
-    bracket = (
-        binned()
-        .join(
-            F.broadcast(need_bins),
-            (F.col("__g") == F.col("__gn"))
-            & (F.col("__bin") == F.col("__binn")),
-        )
-        .drop("__gn", "__binn")
-        .withColumn("__rn", F.row_number().over(w_bin))
-    )
+    # ONE broadcast of the located targets does both the bracket-bin
+    # restriction and the order-statistic pick (r14, fewer broadcast
+    # jobs): the old shape checkpointed `located`, broadcast a
+    # distinct (g, bin) frame to pre-filter the bracket, ranked each
+    # bracket bin once, then broadcast `located` AGAIN for the pick —
+    # three jobs (checkpoint + 2 broadcast builds) where one
+    # suffices. Joining the bracket scan directly against the target
+    # rows duplicates a bin's rows once per target landing in it
+    # (≤ 2·|qs| copies, bin-bounded) and the window ranks each copy
+    # independently — the per-copy row_number sequence is identical
+    # to the old shared one, so the picked rows are unchanged.
+    w_bin = Window.partitionBy("__g", "__bin", "q", "__which").orderBy("__v")
     loc = located.select(
         F.col("__g").alias("__gl"),
         F.col("__bin").alias("__binl"),
@@ -1598,12 +1592,17 @@ def exact_quantiles_grouped(
         "__pos",
         "__before",
     )
-    picked = bracket.join(
-        F.broadcast(loc),
-        (F.col("__g") == F.col("__gl"))
-        & (F.col("__bin") == F.col("__binl"))
-        & (F.col("__rn") == F.col("__pos") - F.col("__before")),
-    ).select("__g", "q", "__frac", "__wlo", "__n", "__which", "__v")
+    picked = (
+        binned()
+        .join(
+            F.broadcast(loc),
+            (F.col("__g") == F.col("__gl"))
+            & (F.col("__bin") == F.col("__binl")),
+        )
+        .withColumn("__rn", F.row_number().over(w_bin))
+        .where(F.col("__rn") == F.col("__pos") - F.col("__before"))
+        .select("__g", "q", "__frac", "__wlo", "__n", "__which", "__v")
+    )
     return (
         picked.groupBy("__g", "q", "__frac", "__wlo", "__n")
         .agg(
