@@ -10707,21 +10707,27 @@ def inclusion_deps_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     p = load_table(spark, sf_dir, "part")
     c = load_table(spark, sf_dir, "customer")
-    # each key column's distinct set reduces ONCE (checkpointed) and
-    # serves every pair it appears in — 6 distinct reductions for 5
-    # pairs instead of 10
+    # each key column's distinct set reduces ONCE and serves every
+    # pair it appears in — 6 distinct reductions for 5 pairs instead
+    # of 10. Only the DOUBLY-referenced sets pay a checkpoint
+    # (Catalyst reuses no subtree statically, so a lazy double-use
+    # set would re-reduce per leg); l_orderkey/o_orderkey appear in
+    # exactly one pair each, where a checkpoint is a pure extra job
+    # (r14 audit).
     keys = {
-        col: src.select(F.col(col))
-        .where(F.col(col).isNotNull())
-        .distinct()
-        .localCheckpoint()
-        for src, col in [
-            (li, "l_orderkey"),
-            (li, "l_partkey"),
-            (o, "o_orderkey"),
-            (o, "o_custkey"),
-            (p, "p_partkey"),
-            (c, "c_custkey"),
+        col: (
+            lambda d, multi: d.localCheckpoint() if multi else d
+        )(
+            src.select(F.col(col)).where(F.col(col).isNotNull()).distinct(),
+            multi_use,
+        )
+        for src, col, multi_use in [
+            (li, "l_orderkey", False),
+            (li, "l_partkey", True),
+            (o, "o_orderkey", False),
+            (o, "o_custkey", True),
+            (p, "p_partkey", True),
+            (c, "c_custkey", True),
         ]
     }
     pairs = [
