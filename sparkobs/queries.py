@@ -11543,11 +11543,17 @@ def image_ahash_dedup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     hashes = image_ahash(synth_media(docs)).where(F.col("ahash").isNotNull())
+    # checkpointed: per_doc feeds BOTH the cluster leg and the stats
+    # leg, and Catalyst reuses no subtree statically — lazy, the
+    # PGM+PNG decode + aHash kernels (the expensive Python boundary)
+    # re-ran once per leg (8 Arrow eval nodes in one plan, r14 audit;
+    # the same class the r13 image_near_dup_media fix closed). The
+    # checkpoint is one row per doc.
     per_doc = hashes.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_fmt"),
         F.count_distinct("ahash").alias("n_h"),
         F.first("ahash").alias("ahash"),
-    )
+    ).localCheckpoint(eager=True)
     clus = per_doc.groupBy("ahash").agg(F.count(F.lit(1)).alias("n"))
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -11765,7 +11771,16 @@ def video_framehash_dedup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkobs.operators.multimodal import synth_video, video_frame_hashes
 
     vids = synth_video(load_table(spark, sf_dir, "documents"))
-    fh = video_frame_hashes(vids, max_frames=3).select("id", "ahash")
+    # checkpointed: fh feeds both self-join sides AND the n_videos
+    # count, and Catalyst reuses no subtree statically — lazy, the
+    # video decode + per-frame aHash kernels re-ran once per
+    # reference (12 Arrow eval nodes in one plan, r14 audit; same
+    # class as the r13 image_near_dup_media fix). ≤3 rows per video.
+    fh = (
+        video_frame_hashes(vids, max_frames=3)
+        .select("id", "ahash")
+        .localCheckpoint(eager=True)
+    )
     a, b = fh.alias("a"), fh.alias("b")
     pairs = (
         a.join(
