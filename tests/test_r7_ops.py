@@ -795,12 +795,15 @@ def test_late_r6_wave_plan_discipline(spark):
 
     SF = "/root/testdata/sf0.001"
 
-    # exact quantiles: the lazy plan holds only the BRACKET scan (the
-    # bounds + histogram passes ran at checkpoint time); the picked
-    # join broadcasts the located targets, nothing sort-merges
+    # exact quantiles: the lazy plan holds the BRACKET scan plus the
+    # histogram pass riding inside the located-targets broadcast
+    # build (r14: one broadcast does bracket restriction and pick, so
+    # the hist pass moved from its own checkpoint job into the
+    # broadcast subtree — same three source passes per execution,
+    # fewer jobs); the picked join broadcasts, nothing sort-merges
     dq = _q("exact_quantiles_lineitem")(spark, SF)
     pq = physical_plan(dq)
-    assert len(scans(dq)) == 1
+    assert len(scans(dq)) == 2
     assert "SortMergeJoin" not in pq
     assert "CartesianProduct" not in pq
 
@@ -823,11 +826,14 @@ def test_late_r6_wave_plan_discipline(spark):
     assert len(scans(da)) == 1
     assert "CartesianProduct" not in physical_plan(da)
 
-    # inclusion deps: the 6 distinct key sets reduce once each into
-    # checkpoints (at query-construction time), so the lazy plan has
-    # NO base-table scans — every pair joins key tables
+    # inclusion deps: doubly-referenced key sets reduce once each
+    # into checkpoints (at query-construction time); the two
+    # SINGLE-use key sets (l_orderkey, o_orderkey) scan inline — r14
+    # dropped their checkpoints, which were pure extra jobs
+    # (materialize + re-read) with no reuse to buy — so the lazy plan
+    # holds exactly those two pruned key scans
     di = _q("inclusion_deps_star_schema")(spark, SF)
-    assert len(scans(di)) == 0
+    assert len(scans(di)) == 2
 
     # disorder: the prefix-max exchange is __pid-partitioned (the
     # distributed primitive), not a single global-order window over
