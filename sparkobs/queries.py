@@ -12522,41 +12522,62 @@ def _theta_verdict(a: DataFrame, b: DataFrame, ska: DataFrame, skb: DataFrame) -
     """Shared verdict frame of the batch theta query and its streaming
     twin: per-side estimates, merged-union estimate, intersection
     sample + scaled estimate, exact intersection from the raw cell
-    frames."""
-    from sparkobs.operators.profile import (
-        theta_estimate,
-        theta_intersect_estimate,
-    )
+    frames.
 
-    # Each side's sketch feeds THREE legs (own estimate, union merge,
-    # intersection) and Catalyst reuses no subtree statically — lazy
-    # sketches re-ran the full build (scan + distinct +
-    # TakeOrdered) per leg, 12 source scans in one plan. The
-    # checkpoints are ≤k rows each (sketch geometry), so set algebra
-    # is k-row joins over materialized sketches — the shape the
-    # docstring promises. Values unchanged: identical sketch rows.
-    ska = ska.localCheckpoint(eager=True)
-    skb = skb.localCheckpoint(eager=True)
-    # union sketch: bottom-k of the DISTINCT hash union (theta merge)
-    sku = ska.unionByName(skb).distinct().orderBy("h").limit(_THETA_K)
-    ea = theta_estimate(ska, _THETA_K).select(F.col("est_distinct").alias("est_a"))
-    eb = theta_estimate(skb, _THETA_K).select(F.col("est_distinct").alias("est_b"))
-    eu = theta_estimate(sku, _THETA_K).select(F.col("est_distinct").alias("est_union"))
-    inter = theta_intersect_estimate(ska, skb, _THETA_K)
+    The sketch SET ALGEBRA runs driver-side over ONE bounded collect
+    (r14 optimization): both sketches are ≤ k rows BY GEOMETRY
+    (bottom-k construction, scale-independent — the counted-proven-
+    bound convention of the repo's driver dispatches), so a single
+    union job materializes ≤ 2k (side, h) rows and pure-Python IEEE
+    double arithmetic replays ``theta_estimate`` /
+    ``theta_intersect_estimate`` expression for expression in the
+    same operation order (constant-folded (k−1)·SPACE first, one
+    division by θ; h cast to double before the θ compare) — results
+    are bit-identical, pinned by ``test_theta_verdict_driver_algebra_
+    matches_operators``. The previous shape ran 2 eager checkpoints +
+    5 broadcast-build jobs (~20 jobs of pure fixed cost per query:
+    the k-row joins were never the wall, the job count was). The
+    returned plan holds only the exact-intersection leg (the one
+    data-sized computation) plus literal estimates."""
+    k = _THETA_K
+    space = float(16**15)
+    rows = (
+        ska.select(F.lit("a").alias("side"), "h")
+        .unionByName(skb.select(F.lit("b").alias("side"), "h"))
+        .collect()  # ≤ 2k rows by sketch geometry
+    )
+    ha = sorted(r.h for r in rows if r.side == "a")
+    hb = sorted(r.h for r in rows if r.side == "b")
+
+    def est(hs: list) -> float:
+        # theta_estimate order: lit(k-1)*lit(SPACE) folds first, then
+        # one division by θ (the long max cast to double)
+        if len(hs) < k:
+            return float(len(hs))
+        return (float(k - 1) * space) / float(hs[-1])
+
+    hu = sorted(set(ha) | set(hb))[:k]
+    theta_a = space if len(ha) < k else float(ha[-1])
+    theta_b = space if len(hb) < k else float(hb[-1])
+    theta = min(theta_a, theta_b)
+    # h is compared as double in theta_intersect_estimate (h < theta
+    # over a double θ) — replicate the cast, not exact int compare
+    n_common = sum(1 for h in set(ha) & set(hb) if float(h) < theta)
+    est_intersect = (
+        0.0 if n_common == 0 else (float(n_common) * space) / theta
+    )
     exact = (
         a.distinct()
         .join(b.distinct(), "cell", "left_semi")
         .agg(F.count(F.lit(1)).cast("long").alias("exact_intersect"))
     )
-    return (
-        ea.crossJoin(F.broadcast(eb))
-        .crossJoin(F.broadcast(eu))
-        .crossJoin(F.broadcast(inter))
-        .crossJoin(F.broadcast(exact))
-        .select(
-            "est_a", "est_b", "est_union", "n_common",
-            "est_intersect", "exact_intersect",
-        )
+    return exact.select(
+        F.lit(est(ha)).alias("est_a"),
+        F.lit(est(hb)).alias("est_b"),
+        F.lit(est(hu)).alias("est_union"),
+        F.lit(n_common).cast("long").alias("n_common"),
+        F.lit(est_intersect).alias("est_intersect"),
+        "exact_intersect",
     )
 
 
@@ -13153,17 +13174,45 @@ def _tig_verdict(
 ) -> DataFrame:
     """Shared verdict frame of the grouped theta batch query and its
     streaming twin: per-group estimates from the sketches + the exact
-    per-group intersection from the raw frames. Sketches are
-    checkpointed first (≤k rows per group per side): the grouped
-    set-algebra references each side several times (per-group θ,
-    common counts), and lazy sketches re-ran the full build per
-    reference — same fix as the ungrouped ``_theta_verdict``."""
-    from sparkobs.operators.profile import theta_intersect_grouped
+    per-group intersection from the raw frames.
 
-    ska = ska.localCheckpoint(eager=True)
-    skb = skb.localCheckpoint(eager=True)
+    Like the ungrouped ``_theta_verdict``, the grouped set algebra
+    runs driver-side over ONE bounded collect (r14): seg = hour div 6
+    ∈ {0..3} by construction and each (side, seg) sketch is ≤ k rows
+    by bottom-k geometry, so the union job materializes ≤ 2·4·k rows.
+    The Python arithmetic replays ``theta_intersect_grouped``
+    expression for expression (θ_side = SPACE when under-full else
+    max-as-double; θ = least; h cast to double before the θ compare;
+    coalesce(nc,0)·SPACE/θ in that order) — bit-identical, pinned by
+    ``test_tig_verdict_driver_algebra_matches_operator``. Replaces 2
+    eager checkpoints + the grouped-join estimate subtree (~10 jobs
+    of fixed cost); the returned plan holds the exact legs plus a
+    4-row broadcast of the estimates."""
+    from collections import defaultdict
+
+    k = _TIG_K
+    space = float(16**15)
+    rows = (
+        ska.select(F.lit("a").alias("side"), "seg", "h")
+        .unionByName(skb.select(F.lit("b").alias("side"), "seg", "h"))
+        .collect()  # ≤ 2 sides · 4 segs · k rows by geometry
+    )
+    by_side_seg: dict = defaultdict(list)
+    for r in rows:
+        by_side_seg[(r.side, r.seg)].append(r.h)
+    est_rows = []
+    for seg in sorted({s for (_, s) in by_side_seg}):
+        ha = sorted(by_side_seg.get(("a", seg), []))
+        hb = sorted(by_side_seg.get(("b", seg), []))
+        th_a = space if len(ha) < k else float(ha[-1])
+        th_b = space if len(hb) < k else float(hb[-1])
+        theta = min(th_a, th_b)
+        nc = sum(1 for h in set(ha) & set(hb) if float(h) < theta)
+        est_rows.append((int(seg), nc, (float(nc) * space) / theta))
+    est = spark.createDataFrame(
+        est_rows, "seg int, n_common long, est_intersect double"
+    )
     a, b = _tig_sides(load_table(spark, sf_dir, "events"))
-    est = theta_intersect_grouped(ska, skb, ["seg"], k=_TIG_K)
     exact = (
         a.distinct()
         .join(b.distinct(), ["seg", "cell"])

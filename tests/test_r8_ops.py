@@ -311,6 +311,121 @@ def test_theta_intersection_exact_empty_and_estimated(spark):
     assert 0 < rf["est_intersect"] < 200, rf
 
 
+def test_theta_verdict_driver_algebra_matches_operators(spark):
+    """r14 optimization pin: `_theta_verdict` moved the k-row sketch
+    set algebra driver-side (one bounded collect, ≤2k rows by sketch
+    geometry). Its pure-Python arithmetic must replay the operator
+    expressions BIT for BIT — over-full sketches (the estimation
+    path), under-full (exact path), and the intersection θ compare —
+    so the DuckDB oracle keeps certifying both theta queries
+    unchanged."""
+    from sparkobs.operators.profile import (
+        theta_estimate,
+        theta_intersect_estimate,
+        theta_sketch,
+    )
+    from sparkobs.queries import _THETA_K, _theta_verdict
+
+    # > _THETA_K distinct per side so both sketches are FULL and every
+    # estimate takes the (k-1)*SPACE/theta division
+    a = spark.createDataFrame(
+        [(f"c{i}",) for i in range(3000)], "cell string"
+    )
+    b = spark.createDataFrame(
+        [(f"c{i}",) for i in range(2200, 4800)], "cell string"
+    )
+    ska = theta_sketch(a, "cell", k=_THETA_K, salt="th")
+    skb = theta_sketch(b, "cell", k=_THETA_K, salt="th")
+    sku = ska.unionByName(skb).distinct().orderBy("h").limit(_THETA_K)
+    want_a = theta_estimate(ska, _THETA_K).collect()[0]["est_distinct"]
+    want_b = theta_estimate(skb, _THETA_K).collect()[0]["est_distinct"]
+    want_u = theta_estimate(sku, _THETA_K).collect()[0]["est_distinct"]
+    want_i = theta_intersect_estimate(ska, skb, _THETA_K).collect()[0]
+    got = _theta_verdict(a, b, ska, skb).collect()[0]
+    assert got["est_a"] == want_a and got["est_b"] == want_b
+    assert got["est_union"] == want_u
+    assert got["n_common"] == want_i["n_common"]
+    assert got["est_intersect"] == want_i["est_intersect"]
+    assert got["exact_intersect"] == 800
+
+    # under-full sides: exact counts, zero intersection stays a row
+    small_a = spark.createDataFrame([("x1",), ("x2",)], "cell string")
+    small_b = spark.createDataFrame([("y1",)], "cell string")
+    r = _theta_verdict(
+        small_a,
+        small_b,
+        theta_sketch(small_a, "cell", k=_THETA_K, salt="th"),
+        theta_sketch(small_b, "cell", k=_THETA_K, salt="th"),
+    ).collect()[0]
+    assert r["est_a"] == 2.0 and r["est_b"] == 1.0 and r["est_union"] == 3.0
+    assert r["n_common"] == 0 and r["est_intersect"] == 0.0
+    assert r["exact_intersect"] == 0
+
+
+def test_tig_verdict_driver_algebra_matches_operator(spark, tmp_path):
+    """r14 optimization pin for the GROUPED theta verdict: the
+    driver-side per-segment algebra must reproduce
+    `theta_intersect_grouped` bit for bit — over-full and under-full
+    groups, one-sided groups surfacing with n_common = 0."""
+    import os
+
+    from sparkobs.operators.profile import (
+        theta_intersect_grouped,
+        theta_sketch_grouped,
+    )
+    from sparkobs.queries import _TIG_K, _tig_verdict
+
+    # synthetic events table: seg 0 over-full both sides (>_TIG_K
+    # distinct cells), seg 1 under-full with a known overlap, seg 2
+    # one-sided (clicks only)
+    rows = []
+    for i in range(1400):
+        rows.append((i, "click", 1, "2024-01-01 01:00:00"))
+    for i in range(700, 2100):
+        rows.append((i, "purchase", 1, "2024-01-01 01:00:00"))
+    for i in range(30):
+        rows.append((10_000 + i, "click", 1, "2024-01-01 07:00:00"))
+    for i in range(20, 50):
+        rows.append((10_000 + i, "purchase", 1, "2024-01-01 07:00:00"))
+    for i in range(40):
+        rows.append((20_000 + i, "click", 1, "2024-01-01 13:00:00"))
+    ev = spark.createDataFrame(
+        [(u, t, e, ts) for (u, t, e, ts) in rows],
+        "user_id long, event_type string, event_id long, ts string",
+    ).select(
+        "user_id", "event_type", "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    sf = os.path.join(str(tmp_path), "sf")
+    os.makedirs(sf, exist_ok=True)
+    ev.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+
+    import sparkobs.queries as Q
+
+    a, b = Q._tig_sides(Q.load_table(spark, sf, "events"))
+    ska = theta_sketch_grouped(a, "cell", ["seg"], k=_TIG_K, salt="th")
+    skb = theta_sketch_grouped(b, "cell", ["seg"], k=_TIG_K, salt="th")
+    want = {
+        r["seg"]: r
+        for r in theta_intersect_grouped(
+            ska.localCheckpoint(eager=True),
+            skb.localCheckpoint(eager=True),
+            ["seg"],
+            k=_TIG_K,
+        ).collect()
+    }
+    got = {r["seg"]: r for r in _tig_verdict(spark, sf, ska, skb).collect()}
+    assert set(got) == set(want) and len(want) >= 3
+    for seg, w in want.items():
+        g = got[seg]
+        assert g["n_common"] == w["n_common"], seg
+        assert g["est_intersect"] == w["est_intersect"], seg
+    # seg 0 is over-full on both sides: the estimation path ran
+    assert want[0]["est_intersect"] not in (0.0, float(want[0]["n_common"]))
+    # seg 2 is click-only: surfaces with empty intersection
+    assert got[2]["n_common"] == 0 and got[2]["exact_intersect"] == 0
+
+
 def test_zone_map_stage_prunes_predecessors_and_publishes_atomically(
     spark, tmp_path
 ):
