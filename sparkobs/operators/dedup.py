@@ -94,6 +94,40 @@ def shingle_expr(tokens_col: str, n: int):
     ).otherwise(F.array(F.concat_ws(" ", t)))
 
 
+def fan_out_scan(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin fan-out for under-split sources feeding the heavy
+    shingle/hash stages (guide §2.5 input skew, §1.2 per-task work).
+
+    When a source's natural split count is below the session's core
+    count — the extreme being one single-row-group parquet file, whose
+    scan parallelism is 1 no matter how it is sliced — every core but
+    one idles through the tokenize → shingle-explode → per-shingle-hash
+    compute that follows. One narrow round-robin repartition to the
+    default parallelism spreads that compute; the exchange carries only
+    the (id, text) projection, i.e. at most the scan's own bytes, paid
+    once. Scale-adaptive by construction: when the scan already has at
+    least core-count natural splits (any real multi-file table, any
+    100 TB layout) the frame is returned unchanged and NO exchange is
+    added.
+
+    ``parts`` lets callers whose frame is no longer narrow (e.g. after
+    a semi-join) pass the BASE scan's split count instead: computing
+    ``.rdd.getNumPartitions()`` is a driver-side split planning step —
+    free on scan-rooted plans but it would trigger partial execution on
+    plans with exchanges.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if parts is None:
+        try:
+            parts = df.rdd.getNumPartitions()
+        except Exception:  # pragma: no cover - unknown layout: do nothing
+            return df
+    if parts >= target:
+        return df
+    return df.repartition(target)
+
+
 #: Hard cap on corpus rows for the EXACT all-pairs-by-shingle tiers.
 #: Their candidate stage is a self-join keyed on the shingle, so work
 #: is Σ df(shingle)² over distinct shingles — fine as a ground-truth /
@@ -101,6 +135,21 @@ def shingle_expr(tokens_col: str, n: int):
 #: cap callers must switch to the banded MinHash-LSH tier, whose
 #: candidate count is collision-bounded, not pair-bounded.
 DEFAULT_MAX_EXACT_DOCS = 100_000
+
+
+def _bounded_fan_out(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unconditional fan-out for the GUARDED exact tiers (guide §2.5):
+    ``_guard_exact_tier`` caps their corpus at max_corpus_docs rows, so
+    one round-robin exchange of the (id, text) projection is always
+    cheap — while the shingle explode + per-shingle hashing it feeds is
+    the tier's heavy per-row compute, and single-file sources (or
+    AQE-coalesced caches, which collapse kB-sized upstream frames to
+    one partition) would otherwise run it on one core. No probing, so
+    plan construction stays lazy on any input shape; the 100 TB path is
+    the LSH tier, which uses the conditional :func:`fan_out_scan`."""
+    return df.select(F.col(id_col), F.col(text_col)).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
 
 
 def _guard_exact_tier(df: DataFrame, max_rows: int, caller: str) -> None:
@@ -146,10 +195,11 @@ def ngram_jaccard_pairs(
     exact-tier contract); the scale tier is minhash_lsh_pairs.
     """
     _guard_exact_tier(df, max_corpus_docs, "ngram_jaccard_pairs")
+    src = _bounded_fan_out(df, id_col, text_col)
     # the set size rides along with every exploded shingle row, so the
     # per-pair Jaccard needs NO size-lookup joins after the self-join —
     # sizes become grouping keys (constant per id, free in the hash agg)
-    shingled = tokenize(df, id_col, text_col).select(
+    shingled = tokenize(src, id_col, text_col).select(
         "id", shingle_expr("__toks", n).alias("shs")
     ).select(
         "id",
@@ -208,6 +258,11 @@ def ngram_jaccard_pairs_prefix(
     prefix shingles); the scale tier is minhash_lsh_pairs.
     """
     _guard_exact_tier(df, max_corpus_docs, "ngram_jaccard_pairs_prefix")
+    # NO fan-out here, unlike the plain exact tier: this tier
+    # references the shingle frame four times through one
+    # ReusedExchange, and an extra round-robin exchange below them
+    # measured SLOWER at sf0.1 (A/B p50 2.13 s → 2.46 s, r14) — the
+    # same reason the materialize-first variant lost (comment below)
     shingled = tokenize(df, id_col, text_col).select(
         "id", shingle_expr("__toks", n).alias("shs")
     ).select(
@@ -292,7 +347,11 @@ def minhash_signatures(
     (DuckDB, Trino, …) — the cross-engine-verifiable mode the oracle
     checks. Same banding/verify algorithm either way.
     """
-    sh = tokenize(df, id_col, text_col).select(
+    # project to the two needed columns BEFORE the fan-out exchange
+    # (guide §2.3), then spread the shingle/hash compute across cores
+    # when the source is under-split (no-op on well-split sources)
+    src = fan_out_scan(df.select(F.col(id_col), F.col(text_col)))
+    sh = tokenize(src, id_col, text_col).select(
         "id", F.explode(shingle_expr("__toks", n)).alias("sh")
     )
     # the per-seed min aggregates ship as ONE generated SQL array expr —
@@ -417,11 +476,23 @@ def minhash_lsh_pairs(
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    shingled = tokenize(
+    # fan out the verify leg too: under a broadcast semi-join the
+    # candidate frame inherits the base scan's (possibly 1-task)
+    # partitioning, and re-shingling candidates is the same heavy
+    # per-row compute. The decision uses the BASE scan's split count —
+    # the semi-join plan contains exchanges, so fan_out_scan must not
+    # probe it directly.
+    try:
+        base_parts = (
+            df.select(F.col(id_col), F.col(text_col)).rdd.getNumPartitions()
+        )
+    except Exception:  # pragma: no cover - unknown layout: no fan-out
+        base_parts = 1 << 30
+    verify_src = fan_out_scan(
         df.join(cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi"),
-        id_col,
-        text_col,
-    ).select(
+        parts=base_parts,
+    )
+    shingled = tokenize(verify_src, id_col, text_col).select(
         "id", shingle_expr("__toks", n).alias("shs")
     ).select(
         "id",
@@ -483,11 +554,38 @@ def _union_find_local(pairs: list[tuple], spark, id_type) -> DataFrame:
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    rows = [(n, find(n)) for n in parent]
     schema = StructType(
         [StructField("node", id_type), StructField("component", id_type)]
     )
-    return spark.createDataFrame(rows, schema)
+    if not parent:
+        return spark.createDataFrame([], schema)
+    import pandas as pd
+
+    # one Arrow batch instead of a list of row tuples: the row path
+    # pickles every tuple through py4j (measured ~1.3 s just to count
+    # the resulting ~100k-row frame at sf0.1); the session enables
+    # arrow.pyspark, so a pandas input ships columnar (guide §6)
+    nodes = list(parent)
+    return spark.createDataFrame(
+        pd.DataFrame({"node": nodes, "component": [find(x) for x in nodes]}),
+        schema,
+    )
+
+
+def _edges_if_bounded(raw: DataFrame, max_local_edges: int) -> list[tuple] | None:
+    """ONE limit-guarded Arrow collect replacing the old count()-then-
+    collect probe of :func:`connected_components`: ``limit(bound+1)``
+    either returns every edge (≤ bound rows → the local tier's whole
+    input, with no separate count job) or proves the bound exceeded
+    while holding at most bound+1 rows of driver memory (→ distributed
+    tier). Same dispatch decision as counting — ``limit`` returning
+    k ≤ bound rows means the edge list has exactly k rows."""
+    if max_local_edges <= 0:
+        return None
+    pdf = raw.limit(max_local_edges + 1).toPandas()
+    if len(pdf) > max_local_edges:
+        return None
+    return list(zip(pdf["u"].tolist(), pdf["v"].tolist()))
 
 
 def connected_components(
@@ -524,16 +622,16 @@ def connected_components(
     ``spark.catalog.clearCache()`` bookkeeping stays clean).
 
     Adaptive fast path: when the edge list is at most
-    ``max_local_edges`` rows (counted after the pair pipeline runs
-    once), the components are solved with driver-side union-find
-    instead — O(E α(E)) on one core beats 2·diameter scheduled jobs by
-    seconds, the same size-threshold reasoning as broadcast joins.
-    The default (250k edges ≈ tens of MB of int tuples) is sized so
-    the driver-side copy cannot itself become the memory problem the
-    distributed loop avoids, and edges stream to the driver
-    partition-by-partition as plain tuples (``toLocalIterator``), not
-    as a single ``collect()`` of Row objects. A 100 TB dedup graph
-    exceeds the bound and takes the distributed loop; set
+    ``max_local_edges`` rows, the components are solved with
+    driver-side union-find instead — O(E α(E)) on one core beats
+    2·diameter scheduled jobs by seconds, the same size-threshold
+    reasoning as broadcast joins. The probe and the collect are ONE
+    limit-guarded Arrow job (:func:`_edges_if_bounded`): either every
+    edge comes back (≤ bound) or the bound is proven exceeded at
+    bound+1 rows of driver memory. The default (250k edges ≈ tens of
+    MB of int tuples) is sized so the driver-side copy cannot itself
+    become the memory problem the distributed loop avoids. A 100 TB
+    dedup graph exceeds the bound and takes the distributed loop; set
     ``max_local_edges=0`` to force it.
     """
     # persist the RAW edges first: the symmetrizing union references
@@ -541,13 +639,8 @@ def connected_components(
     # upstream pair pipeline would run once per union branch — then
     # persist the symmetrized list every iteration joins against
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
-    if raw.count() <= max_local_edges:
-        # Arrow-batched single-job collect into plain int tuples: a
-        # collect() of Row objects costs ~10x the heap (and
-        # toLocalIterator schedules one job per partition — measured
-        # +2 s at 32 partitions for a 3-round loop)
-        pdf = raw.toPandas()
-        pairs = list(zip(pdf["u"].tolist(), pdf["v"].tolist()))
+    pairs = _edges_if_bounded(raw, max_local_edges)
+    if pairs is not None:
         raw.unpersist()
         return _union_find_local(
             pairs, edges.sparkSession, edges.schema[src].dataType
