@@ -330,6 +330,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "xx64",
+    fan_out: bool = True,
 ) -> DataFrame:
     """Deterministic MinHash signatures (tier 3): ``num_hashes`` seeded
     hash functions over distinct shingles, min per seed — one explode +
@@ -349,8 +350,13 @@ def minhash_signatures(
     """
     # project to the two needed columns BEFORE the fan-out exchange
     # (guide §2.3), then spread the shingle/hash compute across cores
-    # when the source is under-split (no-op on well-split sources)
-    src = fan_out_scan(df.select(F.col(id_col), F.col(text_col)))
+    # when the source is under-split (no-op on well-split sources).
+    # ``fan_out=False`` is for per-micro-batch callers: batches are
+    # small and deliberately narrow, and the exchange per batch
+    # measured SLOWER (streaming twins A/B: 6.3→7.7 s, 3.3→3.7 s).
+    src = df.select(F.col(id_col), F.col(text_col))
+    if fan_out:
+        src = fan_out_scan(src)
     sh = tokenize(src, id_col, text_col).select(
         "id", F.explode(shingle_expr("__toks", n)).alias("sh")
     )
@@ -387,6 +393,7 @@ def minhash_banded(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "xx64",
+    fan_out: bool = True,
 ) -> DataFrame:
     """(id, band, bucket) LSH band-bucket rows for a corpus — the
     joinable INDEX form of the MinHash signatures. Band bucket key:
@@ -396,7 +403,9 @@ def minhash_banded(
     shuffle/compare as the xxhash64 key. Used by the batch pair join
     and by stream-vs-index candidate generation."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, n, num_hashes, id_col, text_col, hash_fn)
+    sig = minhash_signatures(
+        df, n, num_hashes, id_col, text_col, hash_fn, fan_out=fan_out
+    )
 
     def _bucket_sql(cols: list[str]) -> str:
         joined = ", ".join(cols)

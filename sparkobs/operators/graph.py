@@ -111,9 +111,17 @@ def pagerank_fixed(
         e.groupBy("src").agg(F.sum("w").alias("od"))
         .localCheckpoint(eager=True)
     )
-    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
-        eager=True
-    )
+    # the node table IS outdeg's key set (distinct srcs ≡ the groupBy
+    # keys), so derive it narrowly from the checkpointed aggregate —
+    # the old separate e.distinct() paid its own exchange AND its own
+    # checkpoint job for a frame the plan already held (guide §2.4)
+    nodes = outdeg.select(F.col("src").alias("node"))
+    # |teleport| / |nodes| is a scalar the old shape carried as a
+    # 1-row aggregate crossJoin(broadcast(n)) — rebuilt by EVERY
+    # superstep's checkpoint action (iters+1 broadcast builds). One
+    # bounded driver count folds it into the init/base literals;
+    # integer div semantics are unchanged (x div 0 still folds to
+    # NULL for an empty graph/teleport set, like SUM/COUNT before).
     if teleport is not None:
         tele = (
             teleport.select(F.col(teleport.columns[0]).alias("node"))
@@ -121,22 +129,32 @@ def pagerank_fixed(
             .withColumn("__t", F.lit(1))
             .localCheckpoint(eager=True)
         )
-        n = tele.agg(F.sum("__t").alias("nn"))
+        nn = tele.count()
         nodes_t = nodes.join(F.broadcast(tele), "node", "left")
-        init_r = F.expr(f"CASE WHEN __t = 1 THEN {UNIT} div nn ELSE 0 END")
+        init_r = F.expr(f"CASE WHEN __t = 1 THEN {UNIT} div {nn} ELSE 0 END")
         base = F.expr(
             f"CASE WHEN __t = 1 "
-            f"THEN {UNIT * (DAMP_DEN - DAMP_NUM) // DAMP_DEN} div nn "
+            f"THEN {UNIT * (DAMP_DEN - DAMP_NUM) // DAMP_DEN} div {nn} "
             f"ELSE 0 END"
         )
     else:
-        n = nodes.agg(F.count(F.lit(1)).alias("nn"))
+        nn = outdeg.count()
         nodes_t = nodes
-        init_r = F.expr(f"{UNIT} div nn")
-        base = F.expr(f"{UNIT * (DAMP_DEN - DAMP_NUM) // DAMP_DEN} div nn")
+        if nn == 0:
+            # empty graph: the node table is empty so no init value is
+            # ever materialized — any literal keeps the (empty) result
+            # identical, while `div 0` would throw at ANSI plan-time
+            # constant folding (the teleport CASE branch above is not
+            # eagerly folded, so it needs no guard)
+            init_r = F.lit(0).cast("long")
+            base = F.lit(0).cast("long")
+        else:
+            init_r = F.expr(f"{UNIT} div {nn}")
+            base = F.expr(
+                f"{UNIT * (DAMP_DEN - DAMP_NUM) // DAMP_DEN} div {nn}"
+            )
     ranks = (
-        nodes_t.crossJoin(F.broadcast(n))
-        .select("node", init_r.alias("r"))
+        nodes_t.select("node", init_r.alias("r"))
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
@@ -148,8 +166,7 @@ def pagerank_fixed(
             .agg(F.sum("share").alias("inf"))
         )
         ranks = (
-            nodes_t.crossJoin(F.broadcast(n))
-            .join(inflow, nodes_t["node"] == inflow["dst"], "left")
+            nodes_t.join(inflow, nodes_t["node"] == inflow["dst"], "left")
             .select(
                 "node",
                 (
@@ -260,9 +277,18 @@ def copurchase_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    return pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    )
+    # both directions via ONE row-local explode instead of a self-union:
+    # Catalyst reuses no subtree statically, so the union form ran the
+    # join+distinct derivation once per branch (guide §2.4). Same rows,
+    # same multiplicity (each direction exactly once per distinct pair).
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def copurchase_edges_weighted(
@@ -281,11 +307,21 @@ def copurchase_edges_weighted(
         )
         .agg(F.count_distinct(F.col("o_orderkey")).alias("w"))
     )
+    # one explode for both directions — same rationale as
+    # copurchase_edges: the union form re-ran the join+groupBy per branch
     return pairs.select(
-        F.col("s").alias("src"), F.col("c").alias("dst"), "w"
-    ).unionAll(
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"), "w")
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s").alias("src"), F.col("c").alias("dst")
+                ),
+                F.struct(
+                    F.col("c").alias("src"), F.col("s").alias("dst")
+                ),
+            )
+        ).alias("e"),
+        "w",
+    ).select("e.src", "e.dst", "w")
 
 
 def decode_copurchase_node(df: DataFrame) -> DataFrame:

@@ -278,23 +278,30 @@ def _banded_keys(n: DataFrame, num_planes: int, band_planes: int) -> DataFrame:
     ``dots >= 0`` emits 0."""
     import numpy as np
 
-    dim_probe = n.select(F.size("v").alias("d")).head()
-    dim = int(dim_probe["d"])
-    planes = np.array(
-        [_hyperplane(dim, p) for p in range(num_planes)], dtype=np.float64
-    )
     bands = num_planes // band_planes
     bp = band_planes
+    npl = num_planes
 
     def keys(batches):
         import pandas as pd
 
+        # planes are a DETERMINISTIC function of (dim, plane_idx), so
+        # each task builds them from its own first batch's width
+        # (guide §4.5: heavyweight init once per task) — this replaced
+        # a driver-side `n.select(size(v)).head()` probe that cost one
+        # extra job and one extra upstream evaluation per LSH query
+        planes = None
         cols = ["id", "band", "key"]
         for pdf in batches:
             if len(pdf) == 0:
                 yield pd.DataFrame(columns=cols)
                 continue
             v = np.array(pdf["v"].tolist(), dtype=np.float64)
+            if planes is None:
+                planes = np.array(
+                    [_hyperplane(v.shape[1], p) for p in range(npl)],
+                    dtype=np.float64,
+                )
             dots = np.zeros((len(pdf), planes.shape[0]), dtype=np.float64)
             for d in range(v.shape[1]):
                 dots = dots + v[:, d, None] * planes[None, :, d]

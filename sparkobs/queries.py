@@ -4186,8 +4186,12 @@ def _snd_batch_cands(batch_df: DataFrame, index: DataFrame) -> DataFrame:
     from sparkobs.operators.dedup import minhash_banded
 
     return (
+        # fan_out=False: micro-batches are small and the per-batch
+        # exchange measured slower (r14 streaming A/B)
         minhash_banded(
-            batch_df.where(F.col("doc_id") % 2 == 1), hash_fn="md5"
+            batch_df.where(F.col("doc_id") % 2 == 1),
+            hash_fn="md5",
+            fan_out=False,
         )
         .withColumnRenamed("id", "stream_id")
         .join(F.broadcast(index), ["band", "bucket"])
@@ -4336,8 +4340,13 @@ def streaming_incremental_band_index(spark: SparkSession, sf_dir: str) -> DataFr
     spark.createDataFrame([], band_schema).write.parquet(index_dir)
 
     def ingest(batch_df, batch_id):
-        banded = minhash_banded(batch_df, hash_fn="md5").persist()
-        banded.count()
+        # persist() is enough: the cands write below computes the band
+        # table into the cache (both of its references share the same
+        # in-flight cached partitions) and the index append reuses it —
+        # an explicit count() here was one pure extra job PER BATCH
+        # fan_out=False: the 4-file drain is deliberately narrow and a
+        # per-batch repartition measured slower (r14 streaming A/B)
+        banded = minhash_banded(batch_df, hash_fn="md5", fan_out=False).persist()
         index = spark.read.schema(band_schema).parquet(index_dir)
         cands = _sibi_cands(banded, index)
         cands.write.mode("append").parquet(out_dir)
