@@ -1506,27 +1506,20 @@ def test_filter_funnel_rule_name_is_data_not_sql(spark):
     assert rows[0]["n_survivors"] == 1
 
 
-def test_curation_stage_frames_memoized_per_application(spark):
-    """r14: the curation stage frames are a pure function of the
-    on-disk corpus, memoized per (applicationId, corpus dir) so the
-    capstone, the funnel parity twin, and repeated reps read ONE
-    pinned build instead of re-running the pipeline (the production
-    curate-once-audit-many shape). Same session + same dir -> the
-    identical frame objects; a different dir -> a fresh build."""
+def test_curation_stage_frames_rebuild_per_call(spark):
+    """r14 optimization round: the build-round cross-call memo (keyed
+    on (applicationId, corpus dir)) was REMOVED — a memo keyed on the
+    corpus dir let a bench's timed rep ride frames built in its
+    warm-up rep, which is result caching, not computation. Every call
+    must rebuild fresh (distinct frame objects), while the returned
+    frames stay pinned so the MANY consumers of one call's tuple (the
+    parity twin references them 6 times) don't re-run the pipeline."""
     from sparkobs.queries import _curation_stage_frames
 
     a = _curation_stage_frames(spark, "/root/testdata/sf0.001")
     b = _curation_stage_frames(spark, "/root/testdata/sf0.001")
-    assert all(x is y for x, y in zip(a, b))
-    c = _curation_stage_frames(spark, "/root/testdata/sf0.01")
-    assert not any(x is y for x, y in zip(a, c))
-
-    # r14 review: a clearCache() (bench's per-tail session release)
-    # drops the pinned blocks behind the memo's back — a hit must
-    # detect the dead pins and REBUILD (fresh, re-pinned frames), not
-    # serve lazy frames that re-run the pipeline once per consumer leg
+    assert not any(x is y for x, y in zip(a, b))
+    for frames in (a, b):
+        for f in frames[1:]:  # raw is lazy by design
+            assert f.storageLevel.useMemory or f.storageLevel.useDisk
     spark.catalog.clearCache()
-    d = _curation_stage_frames(spark, "/root/testdata/sf0.001")
-    assert not any(x is y for x, y in zip(a, d))
-    for f in d[1:]:
-        assert f.storageLevel.useMemory or f.storageLevel.useDisk
