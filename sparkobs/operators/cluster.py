@@ -127,16 +127,25 @@ def _fit(
     k: int,
     iters: int,
     dense_max_cells: int = DENSE_KM_MAX_CELLS,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, "object"]:
     """Shared fit loop: quantize, seed from the k lowest ids, run
-    ``iters`` assign→update rounds. Returns (q, final centroids)."""
+    ``iters`` assign→update rounds. Returns (q, final centroids,
+    assign_frame) where ``assign_frame`` is None on the distributed
+    tier, or a zero-arg callable producing the FINAL per-row
+    (id, cluster, dist) assignment as a local DataFrame on the dense
+    tier — the rows the distributed ``_assign(q, cents)`` pass would
+    produce, already computed by the numpy superstep mirror, so
+    callers that need the final assignment skip that whole
+    crossJoin + per-id window subtree (one exchange of n×k rows).
+    Lazy (a callable, not a frame) so fit-only callers like the
+    streaming scorer pay nothing for it."""
     q = quantize_vectors(df, id_col, vec_col)
     if dense_max_cells:
         n_rows = df.count()
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = (first["d"] if first else 0) or 0
         if 0 < n_rows * dim <= dense_max_cells:
-            return q, _dense_kmeans_centroids(q, k, iters)
+            return q, *_dense_kmeans_centroids(q, k, iters)
     seeds = q.orderBy("id").limit(k)
     # row_number over the k-row seed table only (repo convention:
     # global windows run over key/seed tables, never raw rows)
@@ -146,10 +155,12 @@ def _fit(
     ).localCheckpoint(eager=True)
     for _ in range(iters):
         cents = _update(_assign(q, cents)).localCheckpoint(eager=True)
-    return q, cents
+    return q, cents, None
 
 
-def _dense_kmeans_centroids(q: DataFrame, k: int, iters: int) -> DataFrame:
+def _dense_kmeans_centroids(
+    q: DataFrame, k: int, iters: int
+) -> tuple[DataFrame, "object"]:
     """The dense tier of :func:`_fit`: the Lloyd rounds in numpy int64
     over one bounded collect of the (already Spark-quantized) grid.
     Mirrors the distributed loop op for op — seeds = the k lowest-id
@@ -159,7 +170,15 @@ def _dense_kmeans_centroids(q: DataFrame, k: int, iters: int) -> DataFrame:
     minimum over ascending cluster order), update = floor(s·100.0/n)
     with the identical float64 operand order, empty clusters drop
     with their original ids preserved. Caller proves the bound before
-    the collect."""
+    the collect.
+
+    Returns (centroids frame, assign_frame) where ``assign_frame``
+    lazily builds the final per-row (id, cluster, dist) assignment —
+    the same numpy distance/argmin kernel the rounds use, run once
+    more against the FINAL centroids, which is exactly what the
+    distributed ``_assign`` pass computes (bit-identical: integer
+    distances, first-minimum tie-break over ascending cluster ids;
+    pinned by test_kmeans_dense_and_distributed_tiers_agree)."""
     import numpy as np
     import pandas as pd
 
@@ -167,18 +186,22 @@ def _dense_kmeans_centroids(q: DataFrame, k: int, iters: int) -> DataFrame:
     pdf = q.toPandas()
     ids = pdf["id"].to_numpy()
     order = np.argsort(ids)
+    ids_sorted = ids[order]
     grid = np.stack(pdf["q"].to_numpy()[order]).astype(np.int64)
     g100 = grid * C_SUBSCALE
     c = g100[:k].copy()
     cl_ids = np.arange(min(k, len(grid)), dtype=np.int64)
-    for _ in range(iters):
+
+    def _dists(c):
         # per-cluster distance columns (n×dim temp each) instead of a
         # full n×k×dim broadcast — bounded by the collect cap
-        dists = np.stack(
-            [((g100 - c[j]) ** 2).sum(axis=1) for j in range(len(cl_ids))],
+        return np.stack(
+            [((g100 - c[j]) ** 2).sum(axis=1) for j in range(len(c))],
             axis=1,
         )
-        a = np.argmin(dists, axis=1)
+
+    for _ in range(iters):
+        a = np.argmin(_dists(c), axis=1)
         keep, new_c = [], []
         for j in range(len(cl_ids)):
             members = a == j
@@ -194,7 +217,7 @@ def _dense_kmeans_centroids(q: DataFrame, k: int, iters: int) -> DataFrame:
             )
         cl_ids = np.array(keep, dtype=np.int64)
         c = np.stack(new_c)
-    return spark.createDataFrame(
+    cents = spark.createDataFrame(
         pd.DataFrame(
             {
                 "cluster": cl_ids.astype(int),
@@ -203,6 +226,22 @@ def _dense_kmeans_centroids(q: DataFrame, k: int, iters: int) -> DataFrame:
         ),
         "cluster int, cq array<bigint>",
     )
+
+    def assign_frame() -> DataFrame:
+        d = _dists(c)
+        a = np.argmin(d, axis=1)
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "id": ids_sorted,
+                    "cluster": cl_ids[a].astype(np.int32),
+                    "dist": d[np.arange(len(grid)), a],
+                }
+            ),
+            "id bigint, cluster int, dist bigint",
+        )
+
+    return cents, assign_frame
 
 
 def kmeans_assign(
@@ -216,7 +255,9 @@ def kmeans_assign(
     """The fit's final per-row assignment: (id, cluster, dist) —
     the membership view of :func:`kmeans_fit` for downstream
     evaluation (purity, ARI) and per-cluster processing."""
-    q, cents = _fit(df, id_col, vec_col, k, iters, dense_max_cells)
+    q, cents, dense_assign = _fit(df, id_col, vec_col, k, iters, dense_max_cells)
+    if dense_assign is not None:
+        return dense_assign()
     return _assign(q, cents).select("id", "cluster", "dist")
 
 
@@ -244,23 +285,29 @@ def adjusted_rand_index(assigned: DataFrame, labeled: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("nij"))
         .localCheckpoint(eager=True)
     )
-    sij = cells.agg(F.sum(F.expr("nij * (nij - 1) div 2")).alias("sij"))
-    sa = (
-        cells.groupBy("cluster")
-        .agg(F.sum("nij").alias("a"))
-        .agg(F.sum(F.expr("a * (a - 1) div 2")).alias("sa"))
-    )
-    sb = (
-        cells.groupBy("label")
-        .agg(F.sum("nij").alias("b"))
-        .agg(F.sum(F.expr("b * (b - 1) div 2")).alias("sb"))
-    )
-    tot = cells.agg(
+    # two reductions instead of four (r14: each 1-row subtree cost its
+    # own aggregation + crossJoin broadcast build over the same tiny
+    # cells): sij/n/n_clusters/n_labels share one ungrouped aggregate,
+    # and the two marginal sums share one GROUPING SETS pass — all
+    # exact integer arithmetic, so the folded form is value-identical
+    sij = cells.agg(
+        F.sum(F.expr("nij * (nij - 1) div 2")).alias("sij"),
         F.sum("nij").alias("n"),
         F.countDistinct("cluster").alias("n_clusters"),
         F.countDistinct("label").alias("n_labels"),
     )
-    one = sij.crossJoin(sa).crossJoin(sb).crossJoin(tot)
+    marg = cells.groupingSets(
+        [[F.col("cluster")], [F.col("label")]], F.col("cluster"), F.col("label")
+    ).agg(
+        F.sum("nij").alias("m"),
+        F.grouping("label").alias("__is_a"),
+    )
+    c2m = F.expr("m * (m - 1) div 2")
+    sab = marg.agg(
+        F.sum(F.when(F.col("__is_a") == 1, c2m).otherwise(F.lit(0))).alias("sa"),
+        F.sum(F.when(F.col("__is_a") == 0, c2m).otherwise(F.lit(0))).alias("sb"),
+    )
+    one = sij.crossJoin(sab)
     c2n = F.expr("n * (n - 1) div 2")
     num = F.lit(2).cast("bigint") * (c2n * F.col("sij") - F.col("sa") * F.col("sb"))
     den = c2n * (F.col("sa") + F.col("sb")) - F.lit(2).cast("bigint") * F.col(
@@ -293,8 +340,8 @@ def kmeans_fit(
     units (÷ 1e10) and ``centroid_ss`` is the integer sum of squared
     centroid components — a hash-stable centroid fingerprint.
     """
-    q, cents = _fit(df, id_col, vec_col, k, iters, dense_max_cells)
-    final = _assign(q, cents)
+    q, cents, dense_assign = _fit(df, id_col, vec_col, k, iters, dense_max_cells)
+    final = dense_assign() if dense_assign is not None else _assign(q, cents)
     css = cents.select(
         "cluster",
         F.aggregate(

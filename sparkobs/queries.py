@@ -9608,7 +9608,7 @@ def streaming_kmeans_assign_embeddings(
     from sparkobs.streaming.monitors import run_to_memory
 
     emb = load_table(spark, sf_dir, "embeddings")
-    _, cents = _fit(emb, "vec_id", "embedding", k=8, iters=2)
+    _, cents, _ = _fit(emb, "vec_id", "embedding", k=8, iters=2)
     cent_rows = cents.orderBy("cluster").collect()  # k x dim ints, bounded
 
     from sparkobs.io import ensure_stage
