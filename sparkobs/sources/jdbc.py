@@ -178,11 +178,22 @@ def jdbc_table_monitor(
 
     ``table`` names the metric entity; pass ``query=`` to profile a
     projection/subquery instead of the whole table (the remote engine
-    then only ships the projected columns)."""
+    then only ships the projected columns).
+
+    The pulled projection is pinned (recoverable ``DISK_ONLY``
+    persist) before the monitor runs: the exact monitor is three
+    aggregation passes (stats, distinct, duplicate count), and
+    without the pin each pass re-issues the remote query — three
+    full warehouse pulls for one profile (r14; guide §2.3 "shuffle
+    fewer bytes" applied to egress). One pull + three local cached
+    reads is strictly less remote I/O at any scale — the module
+    docstring's own bottleneck argument — and lost partitions still
+    recompute from the source because the persist keeps lineage."""
+    from sparkobs.io import pin_corpus_frame
     from sparkobs.monitors import table_monitor
 
     if query is not None:
         src = read_jdbc(spark, url, query=query, **read_kw)
     else:
         src = read_jdbc(spark, url, table=table, **read_kw)
-    return table_monitor(src, table, exact=exact)
+    return table_monitor(pin_corpus_frame(src), table, exact=exact)
