@@ -12216,11 +12216,26 @@ def video_avi_container_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint both frame tables: Catalyst does not reuse a subtree
     # referenced twice, and avi feeds three legs (invariance join +
     # the pair self-join's two sides) — without this every leg re-runs
-    # the synth + RIFF-parse Arrow kernel
-    avi = avi_frame_hashes(synth_video_avi(docs), max_frames=3).localCheckpoint()
-    pgm = video_frame_hashes(synth_video(docs), max_frames=3).select(
-        "id", "frame_idx", F.col("ahash").alias("ahash_pgm")
-    ).localCheckpoint()
+    # the synth + RIFF-parse Arrow kernel. The two kernel builds are
+    # INDEPENDENT (different synth containers, different parsers), so
+    # they materialize concurrently (guide §2.6: overlap independent
+    # jobs — the second kernel's tasks back-fill executors the first
+    # one's tail leaves idle); same frames, same values.
+    def _avi() -> DataFrame:
+        return avi_frame_hashes(
+            synth_video_avi(docs), max_frames=3
+        ).localCheckpoint()
+
+    def _pgm() -> DataFrame:
+        return video_frame_hashes(synth_video(docs), max_frames=3).select(
+            "id", "frame_idx", F.col("ahash").alias("ahash_pgm")
+        ).localCheckpoint()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa, fp = pool.submit(_avi), pool.submit(_pgm)
+        avi, pgm = fa.result(), fp.result()
     per_video = (
         avi.join(pgm, ["id", "frame_idx"], "full")
         .groupBy("id")
