@@ -416,12 +416,15 @@ def test_iterative_wave_plan_discipline(spark):
     )
     from sparkobs.queries_next import R7_QUEUE
 
-    # k-means: the checkpointed centroid state truncates iteration
-    # lineage, so the FINAL plan scans the corpus exactly once, the
-    # assignment join broadcasts the k-row centroid table, and the
-    # stats agg is partial+final
+    # k-means: at the dense tier (any test SF) the final assignment
+    # comes from the numpy superstep mirror, so the FINAL plan is
+    # LocalTableScan-rooted — zero parquet scans (r14: the old
+    # crossJoin(broadcast centroids)+window re-pass over the corpus
+    # answered a question the dense kernel already held); the k-row
+    # centroid-ss table still broadcasts and the stats agg is
+    # partial+final
     km = _q("kmeans_embeddings")(spark, SF)
-    assert len(scans(km)) == 1
+    assert len(scans(km)) == 0
     p = physical_plan(km)
     assert "BroadcastExchange" in p and "CartesianProduct" not in p
     assert_partial_final_agg(km)
