@@ -180,6 +180,7 @@ def bpe_train(
     text_col: str = "text",
     batch_size: int = 1,
     dense_max_words: int = DENSE_BPE_MAX_WORDS,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
     table (step, lhs, rhs, merged, pair_freq) — deterministic: ties on
@@ -212,12 +213,23 @@ def bpe_train(
     (hypothesis-property-tested). Each distributed round costs a
     pair-count hash agg + TakeOrdered + checkpoint (~0.3 s of
     scheduling at ANY table size); past the bound that loop runs
-    unchanged."""
+    unchanged.
+
+    ``words`` (r14 optimization round): callers that train MULTIPLE
+    vocabularies over ONE corpus (the batched-parity certification
+    trains the same text sequentially and batched) can pass the
+    :func:`word_frequencies` frame once — ALREADY eagerly
+    checkpointed/persisted by the caller (this function then never
+    re-derives or re-materializes it) — so the corpus is scanned once
+    per query instead of once per training run. The merge table is a
+    pure function of the word-frequency table, so results are
+    unchanged by construction."""
     global LAST_TRAIN_ROUNDS
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     spark = df.sparkSession
-    words = word_frequencies(df, text_col).localCheckpoint(eager=True)
+    if words is None:
+        words = word_frequencies(df, text_col).localCheckpoint(eager=True)
     if dense_max_words and words.count() <= dense_max_words:
         return _dense_bpe_train(spark, words, n_merges, batch_size)
     merges: list[tuple] = []

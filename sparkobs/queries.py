@@ -7889,14 +7889,18 @@ def bpe_batched_parity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (6, 6, 0)."""
     from pyspark.sql import functions as F
 
-    from sparkobs.operators.bpe import bpe_train
+    from sparkobs.operators.bpe import bpe_train, word_frequencies
 
     docs = load_table(spark, sf_dir, "documents")
+    # both trainings are pure functions of the word-frequency table —
+    # build it once (one corpus scan, not one per training run) and
+    # hand the checkpointed frame to both (r14 guide §2.4)
+    wf = word_frequencies(docs).localCheckpoint(eager=True)
     cols = ["lhs", "rhs", "merged", "pair_freq"]
-    seq = bpe_train(docs, n_merges=6, batch_size=1).select(
+    seq = bpe_train(docs, n_merges=6, batch_size=1, words=wf).select(
         *cols, F.lit(1).alias("__s")
     )
-    bat = bpe_train(docs, n_merges=6, batch_size=3).select(
+    bat = bpe_train(docs, n_merges=6, batch_size=3, words=wf).select(
         *cols, F.lit(1).alias("__b")
     )
     return seq.join(bat, cols, "full_outer").agg(

@@ -443,6 +443,27 @@ def test_bpe_train_batched_disjoint_pairs_match_sequential(spark):
     assert seq_rounds == 3 and bat_rounds == 1
 
 
+def test_bpe_train_precomputed_words_identical(spark):
+    """r14 optimization: a caller-shared word-frequency frame (the
+    batched-parity query builds it once for BOTH trainings) must
+    yield the bit-identical merge table in both modes — the merge
+    table is a pure function of the word table."""
+    from sparkobs.operators.bpe import bpe_train, word_frequencies
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab aaab ab ab"), (2, "cd cd ab")],
+        "doc_id long, text string",
+    )
+    wf = word_frequencies(df).localCheckpoint(eager=True)
+    for bs in (1, 3):
+        base = [tuple(r) for r in bpe_train(df, n_merges=4, batch_size=bs).orderBy("step").collect()]
+        shared = [
+            tuple(r)
+            for r in bpe_train(df, n_merges=4, batch_size=bs, words=wf).orderBy("step").collect()
+        ]
+        assert base == shared
+
+
 def test_bpe_train_batched_skips_overlapping_pairs_in_round(spark):
     """A candidate sharing a symbol with an already-selected pair must
     wait for the next round (its count would be stale): corpus 'aaab'
