@@ -1,7 +1,8 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE compact (<1.5 KB) JSON line as the FINAL stdout line —
-total, sf, reps, query count, top-10 slowest — sized so the driver's
+Prints ONE compact (<1.9 KB) JSON line as the FINAL stdout line —
+total, sf, reps, query count, and as many slowest-first per-query
+p50s as fit (~40; see pack_queries) — sized so the driver's
 2,000-byte stdout-tail archive always captures a parseable record.
 The FULL per-query map (medians + max-min spread for every query) is
 written to BENCH_full.json next to this file on every run:
@@ -281,6 +282,53 @@ DUCKDB_UNCOMPARABLE = {
 }
 
 
+def timed_reps(run, reps: int, warmup: int, release) -> tuple[list[float], int]:
+    """Warm-up then timed reps with a CLEAN-CACHE guarantee (r14 verdict
+    item 1): ``release()`` — the session-state reset (SQL cache clear +
+    candidate unpersist) — runs after the warm-ups and again BEFORE
+    EVERY timed rep, so no timed rep can ride SQL-cache entries built
+    by the warm-up or by a previous rep. Without this, ``persist()``-
+    based pins (pin_corpus_frame, the LSH candidate persists) are
+    matched by CacheManager on canonicalized-plan identity across
+    reps and the timed p50 reads warm blocks — banked flattery, the
+    same class as the curation memo removed in r14. The release cost
+    itself stays OUTSIDE the timer. Returns (times, last row count)."""
+    for _ in range(warmup):
+        run()
+    out: list[float] = []
+    n = 0
+    for _ in range(reps):
+        release()
+        t0 = time.perf_counter()
+        n = run()
+        out.append(time.perf_counter() - t0)
+    release()
+    return out, n
+
+
+def pack_queries(timings: dict, budget: int = 1400) -> dict:
+    """As many per-query p50 rows as fit ``budget`` bytes, slowest
+    first (r14 verdict item 4, constrained by the driver contract):
+    the driver archives only the LAST 2,000 bytes of stdout, and a
+    final line longer than that truncates into unparseable JSON
+    (BENCH_r03: "parsed": null). The full 177-row map is ~5.5 KB
+    compact — it CANNOT fit — so the one-line record carries the
+    largest slowest-first prefix that keeps the line parseable
+    (~40 rows, every row ≳1 s — the range where a regression is
+    distinguishable from fixed-cost noise). Additions-only: the
+    top-10 rows are still the first 10 entries. The full map stays
+    in BENCH_full.json."""
+    packed: dict[str, float] = {}
+    used = 2  # braces
+    for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
+        cost = len(name) + len(json.dumps(sec)) + 4  # quotes, colon, comma
+        if used + cost > budget:
+            break
+        packed[name] = sec
+        used += cost
+    return packed
+
+
 def drift_band(
     ratio: float | None,
     cal_spark: float,
@@ -409,19 +457,16 @@ def main() -> None:
         if name in missing:
             continue
         fn = qs[name]
-        # untimed warm-up rep(s): the first execution of a query pays
-        # whole-stage-codegen compilation (hundreds of ms to seconds for
-        # wide generated functions) — that's JIT cost, not engine cost,
-        # and it used to dominate the reported max-min spread
-        for _ in range(warmup):
-            fn(spark, sf_dir).count()
-        runs = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            runs.append(time.perf_counter() - t0)
-        _release_session_state()
+        # untimed warm-up rep(s) inside timed_reps: the first execution
+        # pays whole-stage-codegen compilation (hundreds of ms to
+        # seconds for wide generated functions) — JIT cost, not engine
+        # cost; the session state is released before EVERY timed rep so
+        # no rep rides cache entries built by a previous one (r15
+        # methodology fix, r14 verdict item 1 — see timed_reps)
+        runs, n = timed_reps(
+            lambda: fn(spark, sf_dir).count(), reps, warmup,
+            _release_session_state,
+        )
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
         spread[name] = round(runs[-1] - runs[0], 3)
@@ -469,14 +514,18 @@ def main() -> None:
                 )
                 break
             try:
-                qs[name](spark, sf_dir).count()  # warm-up (codegen JIT)
-                t0 = time.perf_counter()
-                qs[name](spark, sf_dir).count()
-                tail_timings[name] = round(time.perf_counter() - t0, 3)
+                # one warm-up (codegen JIT) + one timed rep, with the
+                # same clean-cache-before-the-timed-rep guarantee as
+                # the headline loop (timed_reps)
+                runs, _n = timed_reps(
+                    lambda: qs[name](spark, sf_dir).count(), 1, 1,
+                    _release_session_state,
+                )
+                tail_timings[name] = round(runs[0], 3)
             except Exception as exc:  # noqa: BLE001 — record, keep benching
                 tail_skipped.append(name)
                 print(f"# tail {name} FAILED: {exc}", file=sys.stderr)
-            _release_session_state()
+                _release_session_state()
 
     # --- DuckDB same-SQL leg, SAME session/VM/minute (the r6 verdict:
     # cross-session ratios drift with shared-VM load — 2.29x stale vs
@@ -680,7 +729,10 @@ def main() -> None:
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    # slowest-first prefix sized to keep the final line inside the
+    # driver's 2,000-byte stdout-tail archive (see pack_queries) —
+    # additions-only vs the old top-10 (same 10 rows lead the map)
+    slowest = pack_queries(timings)
     print(
         json.dumps(
             {
@@ -696,7 +748,9 @@ def main() -> None:
                 "calibration": calibration,
                 "queries": slowest,
                 "full": "BENCH_full.json",
-            }
+            },
+            separators=(",", ":"),  # compact: the line must stay well
+            # inside the driver's 2,000-byte stdout-tail archive
         )
     )
 

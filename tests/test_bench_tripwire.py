@@ -130,6 +130,78 @@ def test_drift_band_trigger_matches_policy():
     assert band is None and drift["spark"] == 1.2
 
 
+def test_timed_reps_start_from_a_clean_cache():
+    """r14 verdict item 1: the warm-up rep could pre-build SQL-cache
+    entries (persist()-based pins are matched by CacheManager on
+    canonicalized-plan identity) that the timed reps then reused —
+    banked flattery. Pin the closure: release() runs after the
+    warm-ups and BEFORE every timed rep, and once more after the
+    loop, so no timed rep ever starts with cache state built by a
+    previous execution."""
+    import bench
+
+    log: list[str] = []
+
+    def run():
+        log.append("run")
+        return 7
+
+    def release():
+        log.append("release")
+
+    runs, n = bench.timed_reps(run, reps=3, warmup=2, release=release)
+    assert n == 7 and len(runs) == 3
+    assert log == [
+        "run", "run",              # warm-ups (untimed)
+        "release", "run",          # every timed rep starts clean
+        "release", "run",
+        "release", "run",
+        "release",                 # the next query starts clean too
+    ]
+
+
+def test_bench_loops_route_through_timed_reps():
+    """Structural tripwire for the clean-cache guarantee: both the
+    headline loop and the tail loop must take their timings from
+    timed_reps (the function the test above pins) — a future edit
+    that reverts to inline timing silently reopens the warm-up
+    rep-cache channel."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    assert src.count("timed_reps(") >= 2, (
+        "bench.main must time both the headline and the tail loop "
+        "via timed_reps (clean cache before every timed rep)"
+    )
+    assert "time.perf_counter()" not in src.split("timed_reps(")[0].split(
+        "for name in HEADLINE"
+    )[-1], "headline loop times inline instead of via timed_reps"
+
+
+def test_pack_queries_fits_the_driver_tail_and_leads_with_slowest():
+    """r14 verdict item 4, under the driver contract: the one-line
+    JSON must carry as many per-query p50s as fit — slowest first,
+    top-10 unchanged as the leading prefix — while the WHOLE line
+    stays inside the driver's 2,000-byte stdout-tail archive (a
+    longer line truncates into unparseable JSON: BENCH_r03)."""
+    import json as _json
+
+    import bench
+
+    timings = {f"query_with_a_realistically_long_name_{i:03d}": round(3000.0 / (i + 1), 3) for i in range(177)}
+    packed = bench.pack_queries(timings)
+    # slowest-first prefix, strictly ordered like the sort
+    names = list(packed)
+    expect = sorted(timings, key=lambda k: -timings[k])[: len(names)]
+    assert names == expect
+    assert len(names) >= 25, f"packs too few rows ({len(names)})"
+    # the packed map plus generous fixed overhead stays under 2,000
+    line = _json.dumps(packed, separators=(",", ":"))
+    assert len(line) <= 1450, f"packed map too large: {len(line)} bytes"
+
+
 def test_duckdb_comparison_coverage_is_total_or_documented():
     """r13 verdict item 6: every benched headline query either has a
     DuckDB oracle to time in the same session, or appears in
